@@ -1,0 +1,651 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational corpus S1–S24 (FIXTURES.md §3) — the operator
+  * shapes of the reference's TPC-H capability surface
+  * (reference `testdata/queries/q1.sql`–`q22.sql`, `tests/tpch.rs:54-206`,
+  * status table `README.md:44-87`) re-expressed Spark-first.
+  *
+  * Most queries are written with the DataFrame API so Catalyst plans them
+  * directly (partial aggregation, join strategy selection, filter/column
+  * pushdown into the parquet scan); a few dialect-sensitive ones run as
+  * `spark.sql` with text shared verbatim with the DuckDB oracle.
+  *
+  * Scale discipline (100 TB north star):
+  *  - dimension tables (region, nation) are explicitly `broadcast()`;
+  *    fact-fact joins are left to sort-merge + AQE.
+  *  - filters are applied before joins so they reach the scan
+  *    (`PushedFilters` in the formatted plan).
+  *  - every aggregate is a plain `groupBy().agg()` → Spark plans
+  *    partial+final HashAggregate automatically (map-side combine).
+  */
+object Corpus {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S1 — Q1 shape: filter + groupBy + 5 aggregates + order.
+    * (ref testdata/queries/q1.sql; fused agg translation src/parser.rs:40-181) */
+  val s01PricingSummary: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** S2 — Q3 shape: 3-way join + group + top-k (ref q3.sql). */
+  val s02ShippingPriority: Q = (spark, dir) => {
+    val customer = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < ts("1995-03-15 00:00:00"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > ts("1995-03-15 00:00:00"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** S3 — Q5 shape: 6-way join chain (ref q5.sql). region/nation broadcast. */
+  val s03LocalSupplierVolume: Q = (spark, dir) => {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    Tables.load(spark, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** S4 — Q6 shape: conjunctive range filter + single aggregate (ref q6.sql).
+    * All predicates reach the parquet scan as PushedFilters. */
+  val s04ForecastRevenue: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1994-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1995-01-01 00:00:00") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** S5 — Q7 shape: aliased dimension self-join + derived table + year()
+    * (ref q7.sql). The two `nation` roles are disambiguated by renaming
+    * before the join — the DataFrame analog of `nation n1 / nation n2`. */
+  val s05VolumeShipping: Q = (spark, dir) => {
+    val nation = Tables.load(spark, dir, "nation")
+    val n1 = nation.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "lineitem")
+          .filter(col("l_shipdate").between(ts("1995-01-01 00:00:00"), ts("1996-12-31 00:00:00"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.load(spark, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("volume").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+      .limit(50)
+  }
+
+  /** S6 — Q8 shape: CASE inside aggregate, market-share ratio (ref q8.sql). */
+  val s06MarketShare: Q = (spark, dir) => {
+    val nation = Tables.load(spark, dir, "nation")
+    val n1 = nation.select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = nation.select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+    Tables.load(spark, dir, "part")
+      .join(Tables.load(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .join(Tables.load(spark, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderdate").between(ts("1995-01-01 00:00:00"), ts("1996-12-31 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(Tables.load(spark, dir, "region").filter(col("r_name") === "AMERICA")),
+        col("n1_region") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+        col("nation"))
+      .groupBy("o_year")
+      .agg((sum(when(col("nation") === "BRAZIL", col("volume")).otherwise(0.0)) /
+            sum(col("volume"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** S7 — Q10 shape: many grouping keys + order desc + limit (ref q10.sql). */
+  val s07ReturnedItems: Q = (spark, dir) => {
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-10-01 00:00:00") &&
+                  col("o_orderdate") < ts("1997-01-01 00:00:00")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** S8 — Q13 shape: LEFT OUTER JOIN + nested aggregation (ref q13.sql).
+    * `count(o_orderkey)` ignores the nulls produced by unmatched customers,
+    * exactly like SQL COUNT(col). */
+  val s08CustomerDistribution: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** S9 — Q14 shape: LIKE + CASE ratio (ref q14.sql). */
+  val s09PromoEffect: Q = (spark, dir) => {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1995-09-01 00:00:00") &&
+              col("l_shipdate") < ts("1995-10-01 00:00:00"))
+      .join(Tables.load(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type").like("PROMO%"), rev).otherwise(0.0)) / sum(rev))
+        .as("promo_revenue"))
+  }
+
+  /** S10 — Q18 shape: IN-subquery with GROUP BY + HAVING (ref q18.sql).
+    * The IN-subquery decorrelates to a left-semi join, which is what
+    * Catalyst's RewritePredicateSubquery would produce from the SQL form. */
+  val s10LargeOrders: Q = (spark, dir) => {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val bigOrders = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum("l_quantity").as("big_qty"))
+      .filter(col("big_qty") > 150)
+      .select(col("l_orderkey").as("big_orderkey"))
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .agg(sum("l_quantity").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** S11 — Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join
+    * (ref q22.sql). The uncorrelated scalar subquery becomes a broadcast
+    * single-row cross join; NOT EXISTS becomes left-anti. */
+  val s11GlobalSales: Q = (spark, dir) => {
+    val eligible = Tables.load(spark, dir, "customer")
+      .filter((col("c_custkey") % 7).isin(1, 3, 5))
+    val threshold = eligible.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    eligible
+      .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1998-01-01 00:00:00")).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select((col("c_custkey") % 7).as("cntrycode"), col("c_acctbal"))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), sum("c_acctbal").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  /** S12 — EXISTS with correlated inequality → left-semi join with a
+    * compound condition (ref q4.sql shape; semi joins rejected by the
+    * reference at src/parser.rs:1180-1190). */
+  val s12OrderPriority: Q = (spark, dir) => {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+              col("o_orderdate") < ts("1996-10-01 00:00:00"))
+    val lineitem = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders
+      .join(lineitem, col("l_orderkey") === col("o_orderkey") &&
+                      col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** S13 — NOT IN anti-join (ref q16.sql shape). `l_partkey` is non-null in
+    * this schema, so NOT IN ≡ left-anti. */
+  val s13PartsNotShipped: Q = (spark, dir) =>
+    Tables.load(spark, dir, "part")
+      .filter(col("p_size").isin(1, 2, 3, 4, 5))
+      .join(Tables.load(spark, dir, "lineitem")
+          .filter(col("l_quantity") > 45).select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("p_partkey")).as("part_cnt"))
+      .orderBy(col("part_cnt").desc, col("p_brand"), col("p_type"))
+
+  /** S14 — correlated scalar subquery (ref q17.sql shape): per-partkey
+    * average computed once over lineitem, then joined back — Catalyst's
+    * decorrelation produces the same aggregate+join plan. */
+  val s14SmallQuantityRevenue: Q = (spark, dir) => {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val brandParts = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val avgQty = lineitem.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+    lineitem
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg((sum("l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
+  /** S15 — set operations (UNION ALL / INTERSECT / EXCEPT; all `todo!()` in
+    * the reference, src/parser.rs:216,278,399). */
+  val s15aUnionAll: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+      .unionAll(Tables.load(spark, dir, "supplier").select(col("s_nationkey")))
+      .orderBy("nk").limit(200)
+
+  val s15bIntersect: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(Tables.load(spark, dir, "supplier").select(col("s_nationkey")))
+      .orderBy("nk")
+
+  val s15cExcept: Q = (spark, dir) =>
+    Tables.load(spark, dir, "nation").select(col("n_nationkey").as("nk"))
+      .except(Tables.load(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= 10).select(col("s_nationkey")))
+      .orderBy("nk")
+
+  /** S16 — DISTINCT + COUNT(DISTINCT) (ref q16 supplier_cnt shape;
+    * reference DISTINCT never emitted, src/parser.rs:113,453). */
+  val s16aCountDistinct: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("supp_cnt"),
+           countDistinct(col("l_partkey")).as("part_cnt"))
+      .orderBy("l_returnflag")
+
+  val s16bDistinct: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** S17 — window functions (reference surface: `todo!()` at
+    * src/parser.rs:251,893): ranking and a running-sum frame. */
+  val s17aRank: Q = (spark, dir) => {
+    val byPrice = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val byKey = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+    Tables.load(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(byPrice).as("price_rank"),
+        row_number().over(byKey).as("rn"))
+      .orderBy(col("p_brand"), col("price_rank"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val s17bRunningSum: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum("o_totalprice").over(w).as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .limit(200)
+  }
+
+  /** S18 — ROLLUP / CUBE (reference: `Expr::GroupingSet` `todo!()`,
+    * src/parser.rs:940). */
+  val s18aRollup: Q = (spark, dir) =>
+    Tables.load(spark, dir, "nation")
+      .join(broadcast(Tables.load(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  val s18bCube: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("q"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** S19 — explicit null ordering + OFFSET (reference preserves nulls_first,
+    * src/parser.rs:296-297; OFFSET via Dataset.offset, Spark ≥3.4). */
+  val s19NullOrdering: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        col("o_totalprice"))
+      .orderBy(col("st").desc_nulls_first, col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10).limit(50)
+
+  /** S20 — cross join (ref src/parser.rs:354-397; broken in the reference
+    * for DataFusion-generated cross joins, README.md:80). */
+  val s20CrossJoin: Q = (spark, dir) =>
+    Tables.load(spark, dir, "region")
+      .crossJoin(broadcast(Tables.load(spark, dir, "nation")))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+      .limit(200)
+
+  // ---- dialect-shared SQL queries (identical text runs on Spark + DuckDB) ----
+
+  /** S21a — scalar-function battery (reference C9–C11 surface, nearly all
+    * `todo!()` at src/parser.rs:739-809). CEIL/FLOOR are cast to DOUBLE in
+    * the shared text because Spark returns BIGINT and DuckDB DOUBLE. */
+  val s21aScalarBatterySql: String =
+    """SELECT UPPER(p_brand) AS ub, LOWER(p_type) AS lt, SUBSTRING(p_name, 1, 8) AS pfx,
+      |       LENGTH(p_name) AS nlen, TRIM(CONCAT(' ', p_brand, ' ')) AS trimmed,
+      |       REPLACE(p_type, ' ', '_') AS rep,
+      |       ABS(p_retailprice - 1000.0) AS ab, ROUND(p_retailprice, 1) AS rnd,
+      |       CAST(CEIL(p_retailprice) AS DOUBLE) AS ce, CAST(FLOOR(p_retailprice) AS DOUBLE) AS fl,
+      |       SQRT(CAST(p_size AS DOUBLE)) AS sq, CAST(p_size AS BIGINT) AS sz
+      |FROM part WHERE p_size IN (1, 5, 10) ORDER BY p_partkey LIMIT 100""".stripMargin
+
+  /** S21b — date functions battery. */
+  val s21bDateBatterySql: String =
+    """SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+      |       DATE_TRUNC('MONTH', o_orderdate) AS mstart, COUNT(*) AS cnt
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin
+
+  /** S22 — statistical aggregates (reference enumerates them all as
+    * `todo!()`, src/parser.rs:879-891). */
+  val s22StatAggSql: String =
+    """SELECT l_returnflag,
+      |       STDDEV_SAMP(l_quantity) AS sd, VAR_SAMP(l_quantity) AS vr,
+      |       CORR(l_quantity, l_extendedprice) AS cr, MEDIAN(l_quantity) AS med
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** S23a — tumbling-window aggregation over the events table. */
+  val s23aHourlySql: String =
+    """SELECT DATE_TRUNC('HOUR', ts) AS hour_start, event_type,
+      |       COUNT(*) AS n, SUM(value) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** S23b — sessionization with a 30-minute gap via window functions. */
+  val s23bSessionsSql: String =
+    """SELECT user_id, session_id, COUNT(*) AS events_in_session, MIN(ts) AS session_start
+      |FROM ( SELECT user_id, ts,
+      |              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |       FROM ( SELECT user_id, ts, event_id,
+      |                     CASE WHEN LAG(ts) OVER w IS NULL
+      |                            OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+      |                     THEN 1 ELSE 0 END AS is_new
+      |              FROM events
+      |              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ) flagged ) sessions
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id LIMIT 500""".stripMargin
+
+  /** S24 — Q19 shape: OR-of-conjunctions + in-list + between (ref q19.sql). */
+  val s24DiscountedRevenue: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    li.join(p, col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  private def sqlQ(text: String): Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(text)
+  }
+
+  /** queries keyed for SparkEntry; insertion order = corpus order. */
+  val queries: Seq[(String, Q)] = Seq(
+    "s01_pricing_summary" -> s01PricingSummary,
+    "s02_shipping_priority" -> s02ShippingPriority,
+    "s03_local_supplier_volume" -> s03LocalSupplierVolume,
+    "s04_forecast_revenue" -> s04ForecastRevenue,
+    "s05_volume_shipping" -> s05VolumeShipping,
+    "s06_market_share" -> s06MarketShare,
+    "s07_returned_items" -> s07ReturnedItems,
+    "s08_customer_distribution" -> s08CustomerDistribution,
+    "s09_promo_effect" -> s09PromoEffect,
+    "s10_large_orders" -> s10LargeOrders,
+    "s11_global_sales" -> s11GlobalSales,
+    "s12_order_priority" -> s12OrderPriority,
+    "s13_parts_not_shipped" -> s13PartsNotShipped,
+    "s14_small_qty_revenue" -> s14SmallQuantityRevenue,
+    "s15a_union_all" -> s15aUnionAll,
+    "s15b_intersect" -> s15bIntersect,
+    "s15c_except" -> s15cExcept,
+    "s16a_count_distinct" -> s16aCountDistinct,
+    "s16b_distinct" -> s16bDistinct,
+    "s17a_rank" -> s17aRank,
+    "s17b_running_sum" -> s17bRunningSum,
+    "s18a_rollup" -> s18aRollup,
+    "s18b_cube" -> s18bCube,
+    "s19_null_ordering" -> s19NullOrdering,
+    "s20_cross_join" -> s20CrossJoin,
+    "s21a_scalar_battery" -> sqlQ(s21aScalarBatterySql),
+    "s21b_date_battery" -> sqlQ(s21bDateBatterySql),
+    "s22_stat_agg" -> sqlQ(s22StatAggSql),
+    "s23a_events_hourly" -> sqlQ(s23aHourlySql),
+    "s23b_sessionization" -> sqlQ(s23bSessionsSql),
+    "s24_or_conjunctions" -> s24DiscountedRevenue,
+  )
+
+  /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
+  val oracleSql: Seq[(String, String)] = Seq(
+    "s01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       SUM(l_extendedprice) AS sum_base_price,
+        |       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |       AVG(l_quantity) AS avg_qty, AVG(l_extendedprice) AS avg_price,
+        |       AVG(l_discount) AS avg_disc, COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s02_shipping_priority" ->
+      """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue, o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "s03_local_supplier_volume" ->
+      """SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer JOIN orders   ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |              JOIN nation   ON s_nationkey = n_nationkey
+        |              JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "s04_forecast_revenue" ->
+      """SELECT SUM(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "s05_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue
+        |FROM ( SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |              YEAR(l_shipdate) AS l_year,
+        |              l_extendedprice * (1 - l_discount) AS volume
+        |       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |                     JOIN orders   ON o_orderkey = l_orderkey
+        |                     JOIN customer ON c_custkey = o_custkey
+        |                     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |       WHERE n1.n_name <> n2.n_name
+        |         AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                            AND TIMESTAMP '1996-12-31 00:00:00' ) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year LIMIT 50""".stripMargin,
+    "s06_market_share" ->
+      """SELECT o_year,
+        |       SUM(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END) / SUM(volume) AS mkt_share
+        |FROM ( SELECT YEAR(o_orderdate) AS o_year,
+        |              l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+        |       FROM part JOIN lineitem ON p_partkey = l_partkey
+        |                 JOIN supplier ON s_suppkey = l_suppkey
+        |                 JOIN orders   ON l_orderkey = o_orderkey
+        |                 JOIN customer ON o_custkey = c_custkey
+        |                 JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |                 JOIN region   ON n1.n_regionkey = r_regionkey
+        |                 JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |       WHERE r_name = 'AMERICA'
+        |         AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                             AND TIMESTAMP '1996-12-31 00:00:00' ) all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "s07_returned_items" ->
+      """SELECT c_custkey, c_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer JOIN orders   ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "s08_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM ( SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |       FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |       GROUP BY c_custkey ) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "s09_promo_effect" ->
+      """SELECT 100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |       / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
+    "s10_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, SUM(l_quantity) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN ( SELECT l_orderkey FROM lineitem
+        |                      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150 )
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "s11_global_sales" ->
+      """SELECT cntrycode, COUNT(*) AS numcust, SUM(c_acctbal) AS totacctbal
+        |FROM ( SELECT c_custkey % 7 AS cntrycode, c_acctbal, c_custkey
+        |       FROM customer
+        |       WHERE c_custkey % 7 IN (1, 3, 5)
+        |         AND c_acctbal > ( SELECT AVG(c_acctbal) FROM customer
+        |                           WHERE c_acctbal > 0.00 AND c_custkey % 7 IN (1, 3, 5) )
+        |         AND NOT EXISTS ( SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' ) ) custsale
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "s12_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS ( SELECT 1 FROM lineitem
+        |               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate )
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "s13_parts_not_shipped" ->
+      """SELECT p_brand, p_type, COUNT(DISTINCT p_partkey) AS part_cnt
+        |FROM part
+        |WHERE p_size IN (1, 2, 3, 4, 5)
+        |  AND p_partkey NOT IN ( SELECT l_partkey FROM lineitem WHERE l_quantity > 45 )
+        |GROUP BY p_brand, p_type ORDER BY part_cnt DESC, p_brand, p_type""".stripMargin,
+    "s14_small_qty_revenue" ->
+      """SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < ( SELECT 0.5 * AVG(l2.l_quantity)
+        |                     FROM lineitem l2 WHERE l2.l_partkey = p_partkey )""".stripMargin,
+    "s15a_union_all" ->
+      """SELECT nk FROM ( SELECT c_nationkey AS nk FROM customer
+        |                 UNION ALL SELECT s_nationkey FROM supplier ) u
+        |ORDER BY nk LIMIT 200""".stripMargin,
+    "s15b_intersect" ->
+      "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk",
+    "s15c_except" ->
+      "SELECT n_nationkey AS nk FROM nation EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey <= 10 ORDER BY nk",
+    "s16a_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_cnt,
+        |       COUNT(DISTINCT l_partkey) AS part_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s16b_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "s17a_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |       RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+        |       ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+        |FROM part ORDER BY p_brand, price_rank, p_partkey LIMIT 100""".stripMargin,
+    "s17b_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
+    "s18a_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS cnt FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "s18b_cube" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS q FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "s19_null_ordering" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st, o_totalprice
+        |FROM orders
+        |ORDER BY st DESC NULLS FIRST, o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 10""".stripMargin,
+    "s20_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name LIMIT 200""".stripMargin,
+    "s21a_scalar_battery" -> s21aScalarBatterySql,
+    "s21b_date_battery" -> s21bDateBatterySql,
+    "s22_stat_agg" -> s22StatAggSql,
+    "s23a_events_hourly" -> s23aHourlySql,
+    "s23b_sessionization" -> s23bSessionsSql,
+    "s24_or_conjunctions" ->
+      """SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE ( p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity >= 1  AND l_quantity <= 11 )
+        |   OR ( p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity >= 10 AND l_quantity <= 20 )
+        |   OR ( p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity >= 20 AND l_quantity <= 30 )""".stripMargin,
+  )
+}
