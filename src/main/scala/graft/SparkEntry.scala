@@ -13,12 +13,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("s01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extension ops (dedup / similarity / text /
+    * multimodal / streaming). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Corpus.queries.toMap
+    (graft.queries.Corpus.queries ++
+      graft.ops.Dedup.entries ++
+      graft.ops.Similarity.entries ++
+      graft.ops.TextAnalysis.entries ++
+      graft.ops.Multimodal.entries ++
+      graft.streaming.EventStreams.entries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Corpus.oracleSql.toMap
+    (graft.queries.Corpus.oracleSql ++
+      graft.ops.Dedup.oracle ++
+      graft.ops.Similarity.oracle ++
+      graft.ops.TextAnalysis.oracle ++
+      graft.ops.Multimodal.oracle ++
+      graft.streaming.EventStreams.oracle).toMap
 }

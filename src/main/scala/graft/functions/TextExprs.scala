@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit mixing (splitmix64 finalizer) shared by the text
+  * sketch expressions. All seeds are compile-time constants so results are
+  * reproducible across partitions, executors, and runs — a hard requirement
+  * for dedup at 100 TB where re-computation must agree shard-to-shard. */
+object Mix64 {
+  final val Golden = 0x9E3779B97F4A7C15L
+  @inline def mix(x0: Long): Long = {
+    var z = x0
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    z
+  }
+}
+
+/** MinHash signature over a set of element hashes (e.g. shingle hashes).
+  *
+  * For hash function j (j < numHashes): h_j(x) = mix(x ^ seed_j) with
+  * seed_j = seed + (j+1)*Golden; the signature entry is the minimum over the
+  * input set. Estimated Jaccard(a, b) ≈ fraction of equal signature slots.
+  * Returns null for an empty input set.
+  *
+  * Evaluated per row with a tight primitive loop (CodegenFallback — the loop
+  * body itself does no allocation beyond the output array).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = Mix64.mix(x ^ (seed + (j + 1) * Mix64.Golden))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over a bag of element hashes: each input hash votes ±1 on
+  * every bit position; the output bit is 1 iff the vote sum is positive.
+  * Near-duplicate documents land within small Hamming distance.
+  * Returns null for an empty input set. */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = Mix64.mix(xs.getLong(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+  * hash every k-gram of characters, slide a window of w hashes, keep the
+  * minimum of each window (rightmost on ties), dedupe consecutive picks.
+  * Output is the sorted distinct fingerprint set — stable under content
+  * reordering at the edges, so near-identical documents share most
+  * fingerprints. Returns null if the text is shorter than k chars. */
+case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len < k) return null
+    val nGrams = len - k + 1
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      // FNV-1a 64-bit over the k-gram, then mixed
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < k) { h ^= s.charAt(i + j).toLong; h *= 0x100000001B3L; j += 1 }
+      grams(i) = Mix64.mix(h)
+      i += 1
+    }
+    val picks = scala.collection.mutable.TreeSet.empty[Long]
+    var start = 0
+    val lastStart = math.max(0, nGrams - w)
+    while (start <= lastStart) {
+      val end = math.min(start + w, nGrams)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) { if (grams(j) <= grams(minIdx)) minIdx = j; j += 1 }
+      picks += grams(minIdx)
+      start += 1
+    }
+    new GenericArrayData(picks.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

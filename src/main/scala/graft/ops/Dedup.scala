@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  * Beyond-reference surface (the reference engine is TPC-H-relational only;
+  * SURVEY.md §7.2 M5 declares these as north-star extensions).
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup groups by a 256-bit content hash, never by the raw text —
+  *    the shuffle carries 32 bytes + counts per row, not document bodies.
+  *  - Near-dup never compares all pairs: candidates come from LSH bucket
+  *    joins (MinHash bands / SimHash chunks / hyperplane buckets), which is
+  *    a plain shuffle-on-key join — linear in data + collisions, not O(n²).
+  *  - Hot shingles (stop-shingles shared by a large fraction of documents)
+  *    are dropped by a document-frequency cutoff before the pair join, the
+  *    standard skew guard for similarity self-joins.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-content hash.
+    * Output: keep_id (min doc_id of the group), n_copies. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Tokenize + hash word shingles: (doc_id, shingles: array<long>).
+    * Shingles are word n-grams hashed to 64 bits with xxhash64 (codegen'd
+    * built-in), so downstream sketches work on longs, never strings. */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("shingles",
+        expr(s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
+      .select(col("doc_id"), col("shingles"))
+
+  /** The synthetic corpus has no natural near-duplicates (verified: zero
+    * exact dups, near-random text), so the near-dup pipelines are exercised
+    * on `docs ∪ perturbed(docs)`: every document gets a deterministic
+    * near-copy (last ~10% of characters dropped) with doc_id + 1_000_000.
+    * Each pipeline must rediscover exactly these planted pairs plus any
+    * genuine ones — making the result deterministic and self-checking. */
+  def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(perturbed)
+  }
+
+  /** MinHash + LSH banding near-dup pairs.
+    * numHashes=64 split into `bands` bands of 64/bands rows; two documents
+    * become candidates iff some band agrees (bucket join on (band, hash));
+    * candidates are then scored by signature agreement (Jaccard estimate)
+    * and thresholded. Output: doc_a < doc_b, est_jaccard. */
+  def minHashPairs(docs: DataFrame, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val numHashes = 64
+    val rows = numHashes / bands
+    val sigs = shingleHashes(docs)
+      .withColumn("sig", minhash_sig(col("shingles")))
+      .filter(col("sig").isNotNull)
+      .select("doc_id", "sig")
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / ${numHashes}.0"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs. 64-bit signature; candidate generation by the
+    * pigeonhole trick: split the signature into 4 16-bit chunks — any pair
+    * with Hamming distance ≤ 3 must agree on at least one whole chunk, so a
+    * bucket join on (chunk_index, chunk_value) finds all of them without a
+    * cross join. Output: doc_a < doc_b, hamming. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = shingleHashes(docs)
+      .withColumn("sh", simhash64(col("shingles")))
+      .filter(col("sh").isNotNull)
+      .select("doc_id", "sh")
+    val chunked = sigs.select(col("doc_id"), col("sh"),
+      posexplode(expr("transform(sequence(0, 3), c -> (shiftright(sh, c * 16) & 65535))"))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("chunk_idx"), col("chunk_val"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("chunk_idx"), col("chunk_val"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity via a distributed shingle inverted
+    * index: explode distinct shingles, drop stop-shingles (df > maxDf — the
+    * skew guard), self-join on shingle, count common shingles per pair,
+    * Jaccard = |∩| / (|a| + |b| - |∩|). Output: doc_a < doc_b, jaccard. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val exploded = shingleHashes(docs)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "sh")
+    val common = rare.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH + cosine verification.
+    * `tables` independent hash tables of `bits` hyperplanes each (planes are
+    * deterministic from the seed); vectors sharing a bucket in any table are
+    * candidates; candidates are verified with the codegen'd cosine kernel.
+    * Output: id_a < id_b, cosine. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64, threshold: Double = 0.9,
+      tables: Int = 4, bits: Int = 12, seed: Long = 42L): DataFrame = {
+    val planes = Lsh.hyperplanes(tables, bits, dim, seed)
+    val bucketed = Lsh.bucketize(emb, vecCol, planes)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("table_idx"), col("bucket"))
+    val a = bucketed.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("table_idx"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("table_idx"), col("bucket"))
+    a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine_f32(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- corpus entries (spark, sfDir) => DataFrame ----
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_exact" -> ((s, d) => exact(Tables.load(s, d, "documents"))),
+    "dedup_minhash" -> ((s, d) => minHashPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
+    "dedup_simhash" -> ((s, d) => simHashPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
+    "dedup_embedding" -> ((s, d) =>
+      embeddingNearDupPairs(Similarity.withPlantedNearDupVectors(Tables.load(s, d, "embeddings")))),
+  )
+
+  /** DuckDB oracle where expressible (exact dedup only — the sketch
+    * pipelines have no SQL-dialect-intersection form). */
+  val oracle: Seq[(String, String)] = Seq(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media item with opaque binary payload + typed metadata. */
+case class MediaRecord(doc_id: Long, media: Array[Byte], width: Int,
+    height: Int, format: String)
+
+/** Decoded per-item features (fixed-width embedding from the decoder). */
+case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+    format: String, features: Array[Float])
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded batch-wise. Beyond-reference surface
+  * (SURVEY.md §7.2 M5).
+  *
+  * The decode step is a clearly-marked DETERMINISTIC STUB (`fakeDecode`) —
+  * no image/audio codec ships in this environment. Everything around it is
+  * the real Spark plumbing and is what matters at 100 TB:
+  *  - binary payloads stay columnar (parquet BYTE_ARRAY) and are never
+  *    collected to the driver;
+  *  - decoding runs in `mapPartitions` over batches of rows (the Scala
+  *    analog of `mapInPandas` batch shape) so a real codec would amortize
+  *    model/codec init once per batch, not once per row;
+  *  - outputs are typed `Dataset[MediaFeatures]` with a fixed schema, so
+  *    downstream similarity/dedup ops compose directly.
+  */
+object Multimodal {
+
+  /** Batch size for the per-partition decode loop — the knob a real decoder
+    * would tune to its codec/model (mirrors Arrow batch sizing). */
+  val DecodeBatchSize = 64
+
+  /** Attach synthetic binary payloads + metadata to the documents table:
+    * media bytes are the UTF-8 text (a deterministic stand-in for image
+    * bytes); width/height/format derive from doc_id. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      (lit(64) + (col("doc_id") % 16) * 32).cast("int").as("width"),
+      (lit(64) + (col("doc_id") % 9) * 32).cast("int").as("height"),
+      element_at(typedlit(Seq("jpeg", "png", "webp")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+
+  /** STUB DECODER — deterministic fake. A real implementation would hand
+    * `batch.map(_.media)` to an image/audio library here; the container has
+    * none, so features are a splitmix64 digest of the bytes, shaped like a
+    * real 8-dim feature vector. The batch loop and signature are real. */
+  private def fakeDecode(r: MediaRecord): MediaFeatures = {
+    import graft.functions.Mix64.mix
+    var h = r.media.length.toLong * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < r.media.length) { h = mix(h ^ r.media(i)); i += 1 }
+    val feats = Array.tabulate(8) { j =>
+      (mix(h + j).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    MediaFeatures(r.doc_id, r.width, r.height, r.format, feats)
+  }
+
+  /** Decode media to features, batch-wise per partition. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        // real decoder: init codec once here, decode the whole batch
+        batch.map(fakeDecode)
+      }
+    }
+  }
+
+  /** Metadata-only resize: recompute target dims preserving aspect ratio.
+    * (A real pipeline would also re-encode `media` in the decode stage.) */
+  def resizeMeta(media: DataFrame, maxSide: Int = 256): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    media.withColumn("out_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th frame index
+    * of a synthetic frame count — pure `sequence`/`explode`, no UDF. */
+  def frameSample(media: DataFrame, stride: Int = 10): DataFrame =
+    media
+      .withColumn("n_frames", (col("doc_id") % 100 + 20).cast("int"))
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, n_frames - 1, $stride)")))
+      .select("doc_id", "n_frames", "frame_idx")
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "mm_features" -> ((s, d) => {
+      val feats = decodeFeatures(asMedia(Tables.load(s, d, "documents")))
+      feats.toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("format"),
+          round(expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x * x)"), 6)
+            .as("feature_sq_norm"))
+        .orderBy("doc_id")
+    }),
+    "mm_resize_meta" -> ((s, d) =>
+      resizeMeta(asMedia(Tables.load(s, d, "documents")))
+        .select("doc_id", "width", "height", "out_width", "out_height")
+        .orderBy("doc_id")),
+    "mm_frame_sample" -> ((s, d) =>
+      frameSample(asMedia(Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "frame_idx")),
+  )
+
+  /** Metadata derivations are plain arithmetic on doc_id — oracle-able. */
+  val oracle: Seq[(String, String)] = Seq(
+    "mm_resize_meta" ->
+      """SELECT doc_id,
+        |       CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+        |       CAST(64 + (doc_id % 9) * 32 AS INT) AS height,
+        |       CAST(CEIL((64 + (doc_id % 16) * 32) * LEAST(1.0, 256.0 / GREATEST(64 + (doc_id % 16) * 32, 64 + (doc_id % 9) * 32))) AS INT) AS out_width,
+        |       CAST(CEIL((64 + (doc_id % 9) * 32) * LEAST(1.0, 256.0 / GREATEST(64 + (doc_id % 16) * 32, 64 + (doc_id % 9) * 32))) AS INT) AS out_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(doc_id % 100 + 20 AS INT) AS n_frames, CAST(f AS INT) AS frame_idx
+        |FROM documents, UNNEST(range(0, CAST(doc_id % 100 + 20 AS BIGINT), 10)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

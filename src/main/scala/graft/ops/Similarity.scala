@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-hyperplane LSH for cosine space.
+  * Planes are generated driver-side from a fixed seed (Box-Muller over
+  * splitmix64 streams) and enter the plan as array literals — every
+  * executor sees identical planes with no closure capture or broadcast
+  * variable, and the whole bucketing pipeline stays inside codegen'd
+  * expressions (the dot products use the native [[graft.functions.DotProductF32]]). */
+object Lsh {
+  /** planes(table)(bit) = unit-free gaussian direction vector. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
+    import graft.functions.Mix64.{mix, Golden}
+    Array.tabulate(tables, bits, dim) { (t, b, d) =>
+      val u1Bits = mix(seed + Golden * (1L + t * 1000003L + b * 7919L + d * 13L))
+      val u2Bits = mix(u1Bits ^ Golden)
+      val u1 = math.max((u1Bits >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
+      val u2 = (u2Bits >>> 11).toDouble / (1L << 53).toDouble
+      (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
+    }
+  }
+
+  private def bucketCol(vec: Column, tablePlanes: Array[Array[Float]]): Column =
+    tablePlanes.zipWithIndex.map { case (plane, i) =>
+      when(dot_f32(vec, typedlit(plane.toSeq)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Explode each row into one row per hash table with its bucket id:
+    * adds (table_idx, bucket). */
+  def bucketize(df: DataFrame, vecCol: String, planes: Array[Array[Array[Float]]]): DataFrame = {
+    val tb = array(planes.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("table_idx"), bucketCol(col(vecCol), tp).as("bucket"))
+    }.toIndexedSeq: _*)
+    df.withColumn("tb", explode(tb))
+      .withColumn("table_idx", col("tb.table_idx"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  * Beyond-reference surface (SURVEY.md §7.2 M5).
+  *
+  * Scale design (100 TB):
+  *  - The query set is broadcast; the corpus is never collected or
+  *    replicated. Brute force is corpus × broadcast(queries) — one scan.
+  *  - Top-k is two-phase: per-partition top-k first (map-side, bounded
+  *    memory), then a final top-k over k × partitions rows per query —
+  *    the classic distributed top-k that avoids funneling the whole
+  *    corpus's scores through one window partition.
+  *  - IVF: coarse centroids are broadcast; each vector is assigned to its
+  *    nearest centroid once (linear scan over broadcast centroids), and a
+  *    query probes only `nprobe` clusters — the 100 TB path where brute
+  *    force is off the table.
+  */
+object Similarity {
+
+  /** Plant deterministic near-duplicate vectors (scaled + tiny offset →
+    * cosine ≈ 1 vs the original) so near-dup ops have guaranteed positives
+    * on the synthetic corpus (verified: natural max pairwise cosine ≈ 0.51). */
+  def withPlantedNearDupVectors(emb: DataFrame): DataFrame = {
+    val perturbed = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"),
+      col("label"))
+    emb.select("vec_id", "embedding", "label").unionAll(perturbed)
+  }
+
+  /** Two-phase per-query top-k: rank within (query, input partition), keep k,
+    * then rank globally per query. Ties broken by neighbor id. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("qid"), col("pid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val global = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rank", row_number().over(local))
+      .filter(col("local_rank") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  def queries(emb: DataFrame, every: Long = 50L): DataFrame =
+    emb.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Exact brute-force top-k: corpus scan × broadcast queries. */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10, every: Long = 50L): DataFrame = {
+    val scored = emb
+      .crossJoin(broadcast(queries(emb, every)))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine_f32(col("qvec"), col("embedding")))
+    topK(scored, k)
+  }
+
+  /** IVF top-k: deterministic coarse centroids (every 37th vector), one
+    * assignment pass, queries probe `nprobe` nearest clusters. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L, nprobe: Int = 3): DataFrame = {
+    val centroids = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assignments = emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine_f32(col("embedding"), col("cent_vec")))
+      .withColumn("cr", row_number().over(assignW))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = queries(emb, every)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine_f32(col("qvec"), col("cent_vec")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cent_id").as("cluster"))
+    val scored = assignments
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine_f32(col("qvec"), col("embedding")))
+    topK(scored, k)
+  }
+
+  /** LSH-bucketed top-k: candidates share a hyperplane bucket with the
+    * query in at least one table (approximate — may miss true neighbors). */
+  def lshTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
+      tables: Int = 8, bits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = Lsh.hyperplanes(tables, bits, dim, seed)
+    val corpus = Lsh.bucketize(emb, "embedding", planes)
+      .select(col("vec_id"), col("embedding"), col("table_idx"), col("bucket"))
+    val qs = Lsh.bucketize(
+      queries(emb, every).withColumnRenamed("qvec", "qvec_arr"), "qvec_arr", planes)
+      .select(col("qid"), col("qvec_arr").as("qvec"), col("table_idx"), col("bucket"))
+    val scored = corpus
+      .join(broadcast(qs), Seq("table_idx", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("cosine", cosine_f32(col("qvec"), col("embedding")))
+    topK(scored, k)
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.load(s, d, "embeddings"))),
+    "sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.load(s, d, "embeddings"))),
+    "sim_topk_lsh" -> ((s, d) => lshTopK(Tables.load(s, d, "embeddings"))),
+  )
+
+  /** DuckDB oracle for the exact brute-force variant (DuckDB 1.0 has
+    * list_cosine_similarity; ranking ties broken identically by vec_id). */
+  val oracle: Seq[(String, String)] = Seq(
+    "sim_topk_brute" ->
+      """SELECT qid, rank, vec_id, cosine FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0 ) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Beyond-reference surface (SURVEY.md §7.2 M5).
+  *
+  * Everything here is built from codegen'd `functions._` expressions (plus
+  * the native winnowing expression) — per-row work with no shuffle at all
+  * until an explicit aggregate, so it scales embarrassingly: 100 TB of
+  * documents stream through map-only stages.
+  */
+object TextAnalysis {
+
+  private val wsTokens: Column = split(trim(col("text")), "\\s+")
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation
+    * (runs of word chars / single punctuation marks — the pre-tokenizer
+    * shape GPT-style BPE vocabularies assume). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars2"),
+      size(wsTokens).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)"))
+        .as("n_bpeish_tokens"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Quality scoring: length, mean token length, stopword ratio, punctuation
+    * ratio, alpha ratio, and a blended [0,1] quality score. All ratios are
+    * exact-arithmetic column expressions (no UDF). */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val toks = wsTokens
+    val nToks = size(toks)
+    val nChars = length(col("text"))
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val meanTokLen = (nChars - (nToks - lit(1))).cast("double") / nToks
+    val stopRatio = nStop.cast("double") / nToks
+    val punctRatio = nPunct.cast("double") / nChars
+    val alphaRatio = nAlpha.cast("double") / nChars
+    // blended heuristic: reward stopword presence + alpha text, punish
+    // extreme token lengths — the usual cheap pretraining-quality signal
+    val lenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val score = least(lit(1.0),
+      stopRatio * 2.0 + alphaRatio * 0.3 + lenScore * 0.3)
+    docs.select(col("doc_id"), nChars.as("n_chars2"), nToks.as("n_tokens"),
+      round(meanTokLen, 6).as("mean_tok_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(score, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword/character n-gram language-ID heuristic over en/es/de/fr/zh.
+    * CJK character ratio decides zh; otherwise the language whose stopword
+    * profile hits the most tokens wins (ties → profile order). Pure column
+    * expressions — `array_intersect` over a lowercased token set. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
+      "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"))
+    val toks = array_distinct(split(lower(col("text")), "\\s+"))
+    val cjkRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
+      greatest(length(col("text")), lit(1))
+    val hitCols = profiles.map { case (lang, words) =>
+      struct(size(array_intersect(toks, typedlit(words))).as("hits"), lit(lang).as("lang"))
+    }
+    // greatest(struct...) picks max hits; on ties the later lang in profile
+    // order wins, so reverse to make 'en' the tie winner
+    val best = greatest(hitCols.reverse: _*)
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+      when(cjkRatio > 0.3, lit("zh")).otherwise(best.getField("lang")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (native Catalyst expression): per-document
+    * sorted fingerprint set + a single 64-bit digest for cheap equality. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      winnow_fp(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("fp_size"),
+        xxhash64(col("fp")).as("fp_digest"))
+      .orderBy("doc_id")
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_tokens" -> ((s, d) => tokenCounts(Tables.load(s, d, "documents"))),
+    "text_quality" -> ((s, d) => qualityScores(Tables.load(s, d, "documents"))),
+    "text_langid" -> ((s, d) => languageId(Tables.load(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => fingerprints(Tables.load(s, d, "documents"))),
+  )
+
+  /** DuckDB oracles for the SQL-expressible subset. */
+  val oracle: Seq[(String, String)] = Seq(
+    "text_tokens" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars2,
+        |       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars2,
+        |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       ROUND(CAST(LENGTH(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
+        |             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_tok_len,
+        |       ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                    x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], x))) AS DOUBLE)
+        |             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stop_ratio,
+        |       ROUND(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+        |       ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS alpha_ratio,
+        |       ROUND(LEAST(1.0,
+        |             (CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], x))) AS DOUBLE)
+        |              / len(regexp_split_to_array(trim(text), '\s+'))) * 2.0
+        |             + (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
+        |             + (CASE WHEN CAST(LENGTH(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
+        |                          / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 3.0 AND 10.0
+        |                THEN 1.0 ELSE 0.5 END) * 0.3), 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event for typed stateful processing. */
+case class StreamEvent(user_id: Long, ts: Timestamp, event_id: Long)
+
+/** One closed session. */
+case class UserSession(user_id: Long, session_id: Long,
+    events_in_session: Long, session_start: Timestamp)
+
+/** Structured Streaming operators over the events table.
+  *
+  * The reference has no streaming surface at all (SURVEY.md §1.1 — its only
+  * "stream" is an async batch channel); this is the Spark-native extension:
+  * the same parquet data driven through `readStream` so the identical
+  * aggregation can serve both batch and streaming (verified against the
+  * same DuckDB oracle as the batch corpus queries S23a/S23b).
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, event_type)
+  * — bounded by time range, not input size; sessionization state is keyed
+  * by user. In production both take a watermark to bound state (shown here
+  * with `withWatermark`); the memory sink + `processAllAvailable` is the
+  * local test harness only.
+  */
+object EventStreams {
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** Raw parquet schema of events (ts is INT64 nanos — see Tables.load). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file-stream source requires a directory to monitor; the testdata
+    // keeps one parquet file per table in a shared dir, so stage a per-table
+    // directory (hard link — no data copy) the source can list.
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+    }
+    spark.readStream.schema(rawSchema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a bounded streaming query to completion into a memory sink and
+    * return the materialized result. */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${sinkCounter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Hourly tumbling-window counts — streaming twin of batch S23a.
+    * Complete mode so the bounded run emits every window. */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** 30-minute-gap sessionization via `flatMapGroupsWithState` — streaming
+    * twin of batch S23b (session_id is the 1-based ordinal per user).
+    *
+    * NoTimeout + Append is correct for this bounded replay (all of a user's
+    * events arrive in one batch); a production continuous run would use
+    * `GroupStateTimeout.EventTimeTimeout` + watermark to close sessions on
+    * event-time expiry instead of at batch end. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Long = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val events = eventStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id")).as[StreamEvent]
+
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def fn(userId: Long, evs: Iterator[StreamEvent],
+        state: GroupState[Long]): Iterator[UserSession] = {
+      val sorted = evs.toVector.sortBy(e => (micros(e.ts), e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = Vector.newBuilder[UserSession]
+        var sessionId = 0L
+        var start = sorted.head.ts
+        var count = 0L
+        var prevMicros = Long.MinValue
+        for (e <- sorted) {
+          val m = micros(e.ts)
+          if (prevMicros == Long.MinValue || m - prevMicros > gapMicros) {
+            if (count > 0) out += UserSession(userId, sessionId, count, start)
+            sessionId += 1
+            start = e.ts
+            count = 0
+          }
+          count += 1
+          prevMicros = m
+        }
+        if (count > 0) out += UserSession(userId, sessionId, count, start)
+        out.result().iterator
+      }
+    }
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+    runToTable(sessions.toDF(), OutputMode.Append())
+      .select(col("user_id"), col("session_id"), col("events_in_session"),
+        col("session_start"))
+      .orderBy("user_id", "session_id")
+      .limit(500)
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
+    "stream_sessions" -> ((s, d) => sessionize(s, d)),
+  )
+
+  /** The streaming results must equal the batch corpus oracles. */
+  val oracle: Seq[(String, String)] = Seq(
+    "stream_hourly" ->
+      """SELECT DATE_TRUNC('HOUR', ts) AS hour_start, event_type,
+        |       COUNT(*) AS n, SUM(value) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "stream_sessions" ->
+      """SELECT user_id, session_id, COUNT(*) AS events_in_session, MIN(ts) AS session_start
+        |FROM ( SELECT user_id, ts,
+        |              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |       FROM ( SELECT user_id, ts, event_id,
+        |                     CASE WHEN LAG(ts) OVER w IS NULL
+        |                            OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS is_new
+        |              FROM events
+        |              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ) flagged ) sessions
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id LIMIT 500""".stripMargin,
+  )
+}
