@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine_f32 matches hand computation and handles zero vectors") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(2f, 4f, 4f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f)),
+    ).toDF("a", "b")
+    val got = df.select(cosine_f32(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+    assert(got(3) == 0.0) // zero-norm convention
+  }
+
+  test("dot_f32 matches hand computation, null in -> null out") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+    ).toDF("a", "b")
+    assert(df.select(dot_f32(col("a"), col("b"))).as[Double].head() == 32.0)
+    val withNull = df.select(dot_f32(lit(null).cast("array<float>"), col("b")))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
+  test("codegen and interpreted paths of cosine agree") {
+    val df = Seq((Array(0.3f, -1.2f, 9.4f, 0.01f), Array(-4f, 0.5f, 2.2f, 1f)))
+      .toDF("a", "b")
+    val cg = df.select(cosine_f32(col("a"), col("b"))).as[Double].head()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = df.select(cosine_f32(col("a"), col("b"))).as[Double].head()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(cg == interp)
+  }
+
+  test("minhash signature is deterministic, has the right arity, estimates jaccard") {
+    val a = (1L to 100L).toArray
+    val b = (1L to 80L).toArray ++ (201L to 220L).toArray // jaccard = 80/120
+    val df = Seq(Tuple1(a), Tuple1(a), Tuple1(b)).toDF("h")
+    val sigs = df.select(minhash_sig(col("h"))).as[Seq[Long]].collect()
+    assert(sigs(0).length == 64)
+    assert(sigs(0) == sigs(1)) // deterministic
+    val est = sigs(0).zip(sigs(2)).count { case (x, y) => x == y } / 64.0
+    assert(est > 0.4 && est < 0.95, s"jaccard estimate $est should be near 0.67")
+  }
+
+  test("minhash of empty set is null") {
+    val df = Seq(Tuple1(Array.empty[Long])).toDF("h")
+    assert(df.select(minhash_sig(col("h"))).collect()(0).isNullAt(0))
+  }
+
+  test("simhash: identical sets equal, near sets close, distant sets far") {
+    val a = (1L to 200L).toArray
+    val nearA = (1L to 190L).toArray ++ (1001L to 1010L).toArray
+    val other = (5001L to 5200L).toArray
+    val df = Seq(Tuple1(a), Tuple1(nearA), Tuple1(other)).toDF("h")
+    val hs = df.select(simhash64(col("h"))).as[Long].collect()
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)),
+      s"near ${hamming(hs(0), hs(1))} should be < far ${hamming(hs(0), hs(2))}")
+  }
+
+  test("winnowing fingerprint: shared content -> shared fingerprints, short text -> null") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = t1 + " with an extra tail of words"
+    val df = Seq(t1, t2, "short").toDF("text")
+    val fps = df.select(winnow_fp(col("text"))).collect()
+    val f1 = fps(0).getSeq[Long](0).toSet
+    val f2 = fps(1).getSeq[Long](0).toSet
+    assert((f1 & f2).size.toDouble / f1.size > 0.8, "prefix-shared docs share most fingerprints")
+    assert(fps(2).isNullAt(0)) // len 5 < k=8
+  }
+
+  test("SQL registration exposes the functions") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT cosine_f32(array(cast(1 as float)), array(cast(1 as float))) c," +
+      " simhash64(array(1L, 2L, 3L)) s").collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) != 0L)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup groups identical content, keeps min doc_id") {
+    val d = docs(1L -> "aa bb cc", 2L -> "xx yy", 3L -> "aa bb cc", 4L -> "zz")
+    val got = Dedup.exact(d).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 55).map(i => s"tok$i").mkString(" ") // drop last 5 tokens
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val d = docs(10L -> base, 20L -> near, 30L -> other)
+    val pairs = Dedup.minHashPairs(d, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 20L)))
+  }
+
+  test("ngram jaccard computes the exact set similarity") {
+    // doc A: tokens t1..t10 -> 8 distinct 3-gram shingles; doc B shares 1..8
+    val a = (1 to 10).map(i => s"t$i").mkString(" ")
+    val b = (1 to 8).map(i => s"t$i").mkString(" ")
+    val d = docs(1L -> a, 2L -> b)
+    val got = Dedup.ngramJaccardPairs(d, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (da, db, j) = got(0)
+    assert((da, db) == (1L, 2L))
+    // A has 8 shingles, B has 6, all of B's are in A -> 6/8
+    assert(math.abs(j - 6.0 / 8.0) < 1e-12)
+  }
+
+  test("simhash pairs finds near-identical docs via chunk pigeonhole") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 99).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 100).map(i => s"qq$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> other)
+    val pairs = Dedup.simHashPairs(d).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("brute-force top-k returns exact neighbors in cosine order") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.5f, 0.5f)),
+    ).toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val got = Similarity.bruteForceTopK(vecs, k = 3, every = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    // queries: vec_id 0 and 2. For 0: nearest = 1, then 3, then 2.
+    val q0 = got.filter(_._1 == 0L).map(_._3).toSeq
+    assert(q0 == Seq(1L, 3L, 2L))
+    // for 2: nearest = 3, then 1, then 0
+    val q2 = got.filter(_._1 == 2L).map(_._3).toSeq
+    assert(q2 == Seq(3L, 1L, 0L))
+  }
+
+  test("IVF and LSH top-k recall planted exact duplicates") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val planted = Similarity.withPlantedNearDupVectors(emb)
+    // rank-1 neighbor of query q must be its planted near-copy q+1M
+    val ivf1 = Similarity.ivfTopK(planted, k = 1)
+      .filter(col("qid") < 1000000).as[(Long, Int, Long, Double)].collect()
+    assert(ivf1.nonEmpty)
+    val okIvf = ivf1.count { case (q, _, n, _) => n == q + 1000000L }
+    assert(okIvf.toDouble / ivf1.length >= 0.9, s"IVF recall@1 $okIvf/${ivf1.length}")
+    val lsh1 = Similarity.lshTopK(planted, k = 1)
+      .filter(col("qid") < 1000000).as[(Long, Int, Long, Double)].collect()
+    assert(lsh1.nonEmpty)
+    val okLsh = lsh1.count { case (q, _, n, _) => n == q + 1000000L }
+    assert(okLsh.toDouble / lsh1.length >= 0.9, s"LSH recall@1 $okLsh/${lsh1.length}")
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val media = Multimodal.asMedia(Tables.load(spark, TestSpark.Sf0001, "documents"))
+    val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(a.length == 500)
+    assert(a.zip(b).forall { case (x, y) => x.features.sameElements(y.features) })
+    assert(a.forall(_.features.length == 8))
+  }
+
+  test("frame sampling emits every stride-th frame") {
+    val media = Multimodal.asMedia(docs(7L -> "some text"))
+    val frames = Multimodal.frameSample(media, stride = 10)
+      .as[(Long, Int, Int)].collect()
+    // doc 7: n_frames = 27 -> frames 0,10,20
+    assert(frames.map(_._3).toSeq == Seq(0, 10, 20))
+  }
+}
