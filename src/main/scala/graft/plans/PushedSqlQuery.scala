@@ -1,0 +1,42 @@
+package graft.plans
+
+import graft.sources.SqlBackend
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+
+/** Logical leaf carrying a complete generated SQL string destined for the
+  * backend — the analog of the reference's `SqlAstPlanNode` extension node
+  * (`src/node.rs:22-33`) that replaces the largest convertible subtree. */
+case class PushedSqlQuery(output: Seq[Attribute], sql: String,
+    backend: SqlBackend) extends LeafNode {
+  override def simpleString(maxFields: Int): String =
+    s"PushedSqlQuery [${sql.take(120)}…] backend=${backend.name}"
+}
+
+/** Physical node executing the whole generated query on the backend — the
+  * analog of `DatabaseExec` (`src/physical_plan.rs:28-132`): the plan
+  * fragment above this node runs in Spark; everything below was fused into
+  * one SQL statement answered by the external store. */
+case class PushedSqlExec(output: Seq[Attribute], sql: String,
+    backend: SqlBackend) extends LeafExecNode {
+  override protected def doExecute(): RDD[InternalRow] =
+    backend.executeSqlToRdd(sql, schema)
+  override def simpleString(maxFields: Int): String =
+    s"PushedSqlExec [${sql.take(120)}…] backend=${backend.name}"
+}
+
+/** Strategy planning the extension leaf — analog of the reference's
+  * `ExtensionPlanner` inside `SqlDatabaseQueryPlanner`
+  * (`src/physical_plan.rs:161-215`). */
+object PushedSqlStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case PushedSqlQuery(output, sql, backend) =>
+      PushedSqlExec(output, sql, backend) :: Nil
+    case _ => Nil
+  }
+}

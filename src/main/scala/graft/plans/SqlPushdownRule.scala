@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.sources.{GraftScan, SqlBackend}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+/** Greedy largest-convertible-subtree pushdown — the Spark re-build of the
+  * reference's `QueryPushdownOptimizerRule` (`src/optimizer.rs:16-39`):
+  * try to convert the *entire* plan to backend SQL; on failure recurse into
+  * children, so the largest fully-convertible subtree over graft-sqldb
+  * relations is replaced by one [[PushedSqlQuery]] leaf and only the
+  * remainder executes in Spark (`optimizer.rs:28-32`).
+  *
+  * Leaves must all be graft-sqldb scans of the *same* backend; each leaf
+  * renders as the scan's own negotiated SQL (pruned columns + pushed
+  * filters + limit), so column/filter pushdown composes with whole-query
+  * fusion instead of being lost (the reference recovers its connector by
+  * downcasting the scan's TableSource, `src/parser.rs:96-109,404-419` —
+  * here the scan object itself carries the SQL).
+  */
+object SqlPushdownRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = attempt(plan)
+
+  private def attempt(p: LogicalPlan): LogicalPlan = p match {
+    case _: PushedSqlQuery => p
+    case _ =>
+      convert(p).getOrElse(p.withNewChildren(p.children.map(attempt)))
+  }
+
+  private def scanOf(p: LogicalPlan): Option[GraftScan] = p match {
+    case r: DataSourceV2ScanRelation => r.scan match {
+      case g: GraftScan => Some(g)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def convert(p: LogicalPlan): Option[LogicalPlan] = {
+    val leaves = p.collectLeaves()
+    val scans = leaves.flatMap(scanOf)
+    // every leaf is a graft scan on one shared backend, else not convertible
+    if (scans.isEmpty || scans.size != leaves.size) return None
+    val backend: SqlBackend = scans.head.backend
+    if (!scans.forall(_.backend eq backend)) return None
+
+    val resolver: SqlGen.TableResolver = pl =>
+      scanOf(pl).map(g => s"(${g.renderedSql})")
+
+    SqlGen(p, resolver, backend.dialect) match {
+      case Right(sql) => Some(PushedSqlQuery(p.output, sql, backend))
+      case Left(why) =>
+        if (sys.props.contains("graft.pushdown.debug"))
+          System.err.println(s"[pushdown] ${p.nodeName} not converted: $why")
+        None
+    }
+  }
+}
+
+/** `SparkSessionExtensions` wiring (config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) — analog of
+  * `make_rdbms_context` registering planner + optimizer rule
+  * (`src/lib.rs:22-32`). For an already-built session use
+  * [[GraftExtensions.install]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => SqlPushdownRule)
+    e.injectPlannerStrategy(_ => PushedSqlStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** Runtime installation on an existing session. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(SqlPushdownRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SqlPushdownRule
+    if (!spark.experimental.extraStrategies.contains(PushedSqlStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ PushedSqlStrategy
+  }
+}

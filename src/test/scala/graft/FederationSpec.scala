@@ -1,0 +1,121 @@
+package graft
+
+import graft.plans.{GraftExtensions, PushedSqlQuery}
+import graft.sources.GraftScan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Federation path: DSv2 scans with pushdown negotiation + the greedy
+  * whole-subtree SQL pushdown rule, against the SparkViewBackend double. */
+class FederationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def remote(table: String): DataFrame =
+    spark.read.format("graft-sqldb")
+      .option("dir", TestSpark.Sf0001)
+      .option("table", table)
+      .load()
+
+  private def graftScan(df: DataFrame): GraftScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] =>
+        b.scan.asInstanceOf[GraftScan]
+    }
+    assert(scans.nonEmpty, "no graft scan in plan:\n" + df.queryExecution.executedPlan)
+    scans.head
+  }
+
+  test("DSv2 read returns the same rows as a direct parquet read") {
+    val got = remote("nation").collect().map(_.toString).sorted.toSeq
+    val want = Tables.load(spark, TestSpark.Sf0001, "nation")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("column pruning reaches the backend SQL") {
+    val df = remote("customer").select("c_custkey", "c_acctbal")
+    val scan = graftScan(df)
+    assert(scan.renderedSql.contains("`c_custkey`, `c_acctbal`"))
+    assert(!scan.renderedSql.contains("c_name"))
+    assert(df.count() == 150)
+  }
+
+  test("supported filters are pushed, unsupported stay as Spark residuals") {
+    val df = remote("part")
+      .filter(col("p_size") > 10 && col("p_brand").startsWith("Brand#1"))
+    val scan = graftScan(df)
+    assert(scan.renderedSql.contains("`p_size` > 10"))
+    assert(scan.renderedSql.contains("LIKE 'Brand#1%'"))
+    val want = Tables.load(spark, TestSpark.Sf0001, "part")
+      .filter(col("p_size") > 10 && col("p_brand").startsWith("Brand#1")).count()
+    assert(df.count() == want)
+
+    // sqrt is not renderable -> must NOT appear in backend SQL, result still right
+    val df2 = remote("part").filter(sqrt(col("p_size")) > 3)
+    assert(!graftScan(df2).renderedSql.toUpperCase.contains("SQRT"))
+    val want2 = Tables.load(spark, TestSpark.Sf0001, "part")
+      .filter(sqrt(col("p_size")) > 3).count()
+    assert(df2.count() == want2)
+  }
+
+  test("limit pushdown reaches the backend SQL") {
+    val df = remote("orders").limit(7)
+    assert(graftScan(df).renderedSql.endsWith("LIMIT 7"))
+    assert(df.count() == 7)
+  }
+
+  test("scan splits into LIMIT/OFFSET partitions covering all rows exactly once") {
+    val df = remote("lineitem")
+    assert(df.rdd.getNumPartitions == 4)
+    // no row lost or duplicated across the offset ranges: full multiset match
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("whole-query pushdown fuses a join+aggregate subtree into one backend SQL") {
+    GraftExtensions.install(spark)
+    val df = remote("nation")
+      .join(remote("region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") =!= "EUROPE")
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case p: PushedSqlQuery => p
+    }
+    assert(pushed.size == 1, "expected one fused PushedSqlQuery leaf:\n" +
+      df.queryExecution.optimizedPlan)
+    assert(pushed.head.sql.toUpperCase.contains("GROUP BY"))
+    assert(pushed.head.sql.toUpperCase.contains("JOIN"))
+
+    val want = {
+      val n = Tables.load(spark, TestSpark.Sf0001, "nation")
+      val r = Tables.load(spark, TestSpark.Sf0001, "region")
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") =!= "EUROPE")
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_nations"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(df.collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("partially convertible plans push the largest subtree and keep the rest in Spark") {
+    GraftExtensions.install(spark)
+    // window function on top is not SQL-generatable -> stays in Spark;
+    // the join below it must still fuse
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("r_name")).orderBy(col("n_name"))
+    val df = remote("nation")
+      .join(remote("region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), row_number().over(w).as("rn"))
+    val pushed = df.queryExecution.optimizedPlan.collect { case p: PushedSqlQuery => p }
+    assert(pushed.size == 1)
+    val rows = df.collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getInt(2)).max > 1)
+  }
+}
