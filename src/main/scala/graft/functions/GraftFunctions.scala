@@ -21,6 +21,8 @@ object GraftFunctions {
   def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
   def winnow_fp(text: Column, k: Int = 8, w: Int = 4): Column =
     c(WinnowingFingerprint(e(text), k, w))
+  def word_shingles(text: Column, n: Int = 3): Column =
+    c(WordShingleHashes(e(text), n))
 
   /** Register the expressions for `spark.sql` use (SQL names mirror the
     * Column API). Idempotent. */
@@ -31,5 +33,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSignature(es.head, 64, 42L), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fp", es => WinnowingFingerprint(es.head, 8, 4), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles", es => WordShingleHashes(es.head, 3), "built-in")
   }
 }

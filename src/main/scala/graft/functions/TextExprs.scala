@@ -60,6 +60,59 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass word-shingle hasher: lowercases, splits on whitespace runs,
+  * hashes each token (FNV-1a 64 + mix), and emits one combined hash per
+  * n-token window (distinct multiplier per position, mixed). Replaces the
+  * `split → transform → concat_ws → slice → xxhash64` pipeline — no
+  * intermediate token/shingle strings are materialized, which is the hot
+  * path of every sketch-based dedup at corpus scale.
+  * Returns null when the text has fewer than n tokens. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    val len = s.length
+    // 1. hash each lowercased whitespace-delimited token
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0xCBF29CE484222325L
+        while (i < len && !Character.isWhitespace(s.charAt(i))) {
+          h ^= Character.toLowerCase(s.charAt(i)).toLong
+          h *= 0x100000001B3L
+          i += 1
+        }
+        tokens += Mix64.mix(h)
+      }
+    }
+    val m = tokens.length
+    if (m < n) return null
+    // 2. combine each n-token window into one shingle hash
+    val out = new Array[Long](m - n + 1)
+    var w = 0
+    while (w <= m - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = Mix64.mix(h ^ (tokens(w + j) + (j + 1) * Mix64.Golden))
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a bag of element hashes: each input hash votes ±1 on
   * every bit position; the output bit is 1 iff the vote sum is positive.
   * Near-duplicate documents land within small Hamming distance.

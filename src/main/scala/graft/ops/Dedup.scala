@@ -31,14 +31,13 @@ object Dedup {
       .orderBy("keep_id")
 
   /** Tokenize + hash word shingles: (doc_id, shingles: array<long>).
-    * Shingles are word n-grams hashed to 64 bits with xxhash64 (codegen'd
-    * built-in), so downstream sketches work on longs, never strings. */
+    * One native single-pass expression (WordShingleHashes) — no token or
+    * shingle strings are materialized, so the sketch pipelines work on
+    * longs end-to-end. */
   def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
     docs
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .filter(size(col("toks")) >= n)
-      .withColumn("shingles",
-        expr(s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
+      .withColumn("shingles", word_shingles(col("text"), n))
+      .filter(col("shingles").isNotNull)
       .select(col("doc_id"), col("shingles"))
 
   /** The synthetic corpus has no natural near-duplicates (verified: zero
@@ -67,17 +66,22 @@ object Dedup {
       .withColumn("sig", minhash_sig(col("shingles")))
       .filter(col("sig").isNotNull)
       .select("doc_id", "sig")
+    // candidate generation carries only (doc_id, band, band_hash) through
+    // the shuffle — signatures join back in AFTER pair dedup, so the wide
+    // sig arrays are never part of the self-join payload
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
         .as(Seq("band", "band_hash")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
+    val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
         expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / ${numHashes}.0"))
       .filter(col("est_jaccard") >= threshold)
