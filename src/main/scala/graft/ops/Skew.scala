@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins whose key distribution is heavy-
+  * tailed — the 100 TB survival kit the driver prompt calls out (AQE's
+  * skew-join handles sort-merge cases adaptively; explicit salting covers
+  * the planned-ahead case and documents the technique).
+  *
+  * Salted equi-join: the skewed (large) side gets a random-but-
+  * deterministic salt in [0, saltFactor); the small side is replicated
+  * `saltFactor` times with every salt value; the join key becomes
+  * (key, salt), spreading each hot key over saltFactor reducers.
+  * Results are identical to the unsalted join (verified in SkewSpec).
+  */
+object Skew {
+
+  /** Deterministic per-row salt — spreads rows of one key across
+    * `saltFactor` partitions. Uses a hash of all columns rather than
+    * rand() so re-computation (task retry, speculative execution) is
+    * stable — rand() in a shuffle input is a correctness bug at scale. */
+  private def salt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
+
+  /** Inner equi-join `large ⋈ small` on `keys`, salted `saltFactor` ways.
+    * `small` is replicated saltFactor× (explode), so keep saltFactor
+    * modest (8–32) and the replicated side the smaller one. */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 0)
+    val saltedLarge = large.withColumn("__salt", salt(large, saltFactor))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    saltedLarge.join(replicatedSmall, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Skewed-aggregate: two-phase groupBy — first by (key, salt) (spreads a
+    * hot key over saltFactor partial aggregates), then by key. Only
+    * algebraic aggregates compose this way; count/sum are provided. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], sumCol: String,
+      saltFactor: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", salt(df, saltFactor))
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(sumCol)).as("__s"))
+      .groupBy(keyCols: _*)
+      .agg(sum("__n").as("n"), sum("__s").as(s"sum_$sumCol"))
+  }
+}

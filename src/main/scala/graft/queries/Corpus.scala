@@ -421,6 +421,24 @@ object Corpus {
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** S25 — JSON extraction from the events props column (reference C12
+    * surface: array/struct/json all absent, src/parser.rs:760,811,698). */
+  val s25JsonProps: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** S26 — array/struct functions over the embeddings vectors. */
+  val s26ArrayStruct: Q = (spark, dir) =>
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 6).as("sum_vals"),
+        struct(col("vec_id"), col("label")).getField("label").as("label2"))
+      .orderBy("vec_id")
+
   private def sqlQ(text: String): Q = (spark, dir) => {
     Tables.registerAll(spark, dir)
     spark.sql(text)
@@ -459,6 +477,8 @@ object Corpus {
     "s23a_events_hourly" -> sqlQ(s23aHourlySql),
     "s23b_sessionization" -> sqlQ(s23bSessionsSql),
     "s24_or_conjunctions" -> s24DiscountedRevenue,
+    "s25_json_props" -> s25JsonProps,
+    "s26_array_struct" -> s26ArrayStruct,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -647,5 +667,14 @@ object Corpus {
         |        AND l_quantity >= 10 AND l_quantity <= 20 )
         |   OR ( p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity >= 20 AND l_quantity <= 30 )""".stripMargin,
+    "s25_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "s26_array_struct" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |       ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_vals,
+        |       label AS label2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }
