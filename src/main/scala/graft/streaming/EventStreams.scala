@@ -130,6 +130,75 @@ object EventStreams {
       .limit(500)
   }
 
+  /** Open-session state for the event-time-timeout path. All-primitive
+    * (micros longs) so the state encoder stays flat. */
+  case class SessState(closed: Long, startMicros: Long, lastMicros: Long,
+      count: Long)
+
+  private def tsOfMicros(m: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Production-shaped sessionization: unbounded input, state bounded by
+    * watermark + `GroupStateTimeout.EventTimeTimeout`. A user's open
+    * session closes either by an in-batch gap or when the watermark passes
+    * `last event + gap` (the timeout), so state cannot grow with stragglers
+    * that never return. Only *closed* sessions are emitted (Append mode);
+    * an open session at end-of-stream stays unemitted, exactly like a
+    * still-active user on a live pipeline.
+    *
+    * Takes the (already watermarked) streaming Dataset so tests control the
+    * source and batch boundaries. */
+  def sessionizeEventTime(events: org.apache.spark.sql.Dataset[StreamEvent],
+      gapMinutes: Long = 30): org.apache.spark.sql.Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def fn(uid: Long, evs: Iterator[StreamEvent],
+        state: GroupState[SessState]): Iterator[UserSession] = {
+      val out = Vector.newBuilder[UserSession]
+      var st: Option[SessState] = state.getOption
+      if (state.hasTimedOut) {
+        // watermark passed last-event + gap: close the open session but keep
+        // a count==0 marker so the user's session ordinal survives a return
+        st.filter(_.count > 0).foreach { s =>
+          out += UserSession(uid, s.closed + 1, s.count, tsOfMicros(s.startMicros))
+          state.update(SessState(s.closed + 1, 0L, 0L, 0L))
+        }
+      } else {
+        val sorted = evs.toVector.sortBy(e => (micros(e.ts), e.event_id))
+        for (e <- sorted) {
+          val m = micros(e.ts)
+          st match {
+            case Some(s) if s.count > 0 && m - s.lastMicros > gapMicros =>
+              out += UserSession(uid, s.closed + 1, s.count, tsOfMicros(s.startMicros))
+              st = Some(SessState(s.closed + 1, m, m, 1L))
+            case Some(s) if s.count > 0 =>
+              st = Some(s.copy(lastMicros = m, count = s.count + 1))
+            case Some(marker) => // count==0: resume after a timed-out session
+              st = Some(SessState(marker.closed, m, m, 1L))
+            case None =>
+              st = Some(SessState(0L, m, m, 1L))
+          }
+        }
+        st.filter(_.count > 0).foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMicros / 1000 + gapMinutes * 60000L)
+        }
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sessions" -> ((s, d) => sessionize(s, d)),
