@@ -421,6 +421,14 @@ object Corpus {
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** S18c — explicit GROUPING SETS incl. grand total (C15 surface;
+    * `Expr::GroupingSet` is `todo!()` at src/parser.rs:940). Shared text. */
+  val s18cGroupingSetsSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS cnt
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
   /** S25 — JSON extraction from the events props column (reference C12
     * surface: array/struct/json all absent, src/parser.rs:760,811,698). */
   val s25JsonProps: Q = (spark, dir) =>
@@ -469,6 +477,7 @@ object Corpus {
     "s17b_running_sum" -> s17bRunningSum,
     "s18a_rollup" -> s18aRollup,
     "s18b_cube" -> s18bCube,
+    "s18c_grouping_sets" -> sqlQ(s18cGroupingSetsSql),
     "s19_null_ordering" -> s19NullOrdering,
     "s20_cross_join" -> s20CrossJoin,
     "s21a_scalar_battery" -> sqlQ(s21aScalarBatterySql),
@@ -646,6 +655,7 @@ object Corpus {
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS q FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "s18c_grouping_sets" -> s18cGroupingSetsSql,
     "s19_null_ordering" ->
       """SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st, o_totalprice
         |FROM orders

@@ -8,7 +8,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -66,14 +67,90 @@ class GraftSqlTable(val tableName: String, val backend: SqlBackend,
 class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
     numPartitions: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggSql: Option[(Seq[String], StructType)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (aggSql.isEmpty) required = requiredSchema
+
+  // ---- aggregate pushdown (whole GROUP BY answered by the backend — the
+  // reference's aggregate-pushdown scenario, tests/aggregate.rs:25-44) ----
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames()(0))
+      case _ => None
+    }
+
+  private def fieldType(n: String): Option[org.apache.spark.sql.types.DataType] =
+    full.fields.find(_.name == n).map(_.dataType)
+
+  private def sumType(dt: org.apache.spark.sql.types.DataType) = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      Some(org.apache.spark.sql.types.LongType)
+    case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+      Some(org.apache.spark.sql.types.DoubleType)
+    case _ => None
+  }
+
+  /** Translate a V2 Aggregation to (select items, result schema); None if
+    * any piece is beyond the backend's negotiated surface. */
+  private def translateAgg(agg: Aggregation): Option[(Seq[String], StructType)] = {
+    val d = backend.dialect
+    val groups = agg.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return None
+    val groupItems = groups.flatten.map(n => (d.quote(n), full.fields.find(_.name == n)))
+    if (groupItems.exists(_._2.isEmpty)) return None
+    val aggItems: Seq[Option[(String, org.apache.spark.sql.types.DataType)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, _) => Some(("COUNT(*)", org.apache.spark.sql.types.LongType))
+        case (c: Count, _) =>
+          fieldOf(c.column).map { n =>
+            val dist = if (c.isDistinct) "DISTINCT " else ""
+            (s"COUNT($dist${d.quote(n)})", org.apache.spark.sql.types.LongType)
+          }
+        case (m: Min, _) =>
+          for { n <- fieldOf(m.column); t <- fieldType(n) } yield (s"MIN(${d.quote(n)})", t)
+        case (m: Max, _) =>
+          for { n <- fieldOf(m.column); t <- fieldType(n) } yield (s"MAX(${d.quote(n)})", t)
+        case (sm: Sum, _) =>
+          for {
+            n <- fieldOf(sm.column); t <- fieldType(n); st <- sumType(t)
+          } yield {
+            val dist = if (sm.isDistinct) "DISTINCT " else ""
+            (s"SUM($dist${d.quote(n)})", st)
+          }
+        case _ => None
+      }
+    if (aggItems.exists(_.isEmpty)) return None
+    val selects = groupItems.map(_._1) ++ aggItems.flatten.map(_._1)
+    val fields = groupItems.map(_._2.get) ++
+      aggItems.flatten.zipWithIndex.map { case ((_, t), i) =>
+        org.apache.spark.sql.types.StructField(s"agg_func_$i", t)
+      }
+    Some((selects, StructType(fields)))
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translateAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    translateAgg(aggregation) match {
+      case Some((selects, schema)) =>
+        val groupCols = aggregation.groupByExpressions.toSeq
+          .flatMap(fieldOf).map(backend.dialect.quote)
+        aggSql = Some((selects, schema))
+        aggGroupBy = groupCols
+        required = schema
+        true
+      case None => false
+    }
+  private var aggGroupBy: Seq[String] = Nil
 
   /** Capability negotiation: a filter is pushed iff it renders to the
     * backend dialect; everything else is returned as a residual for Spark
@@ -90,12 +167,16 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def build(): Scan =
-    new GraftScan(table, backend, required, pushed, limit, numPartitions)
+    new GraftScan(table, backend, required, pushed, limit,
+      if (aggSql.isDefined) 1 else numPartitions,
+      aggSql.map { case (selects, _) => (selects, aggGroupBy) })
 }
 
 class GraftScan(val table: String, val backend: SqlBackend,
     val required: StructType, val filters: Array[Filter],
-    val limit: Option[Int], numPartitions: Int) extends Scan with Batch {
+    val limit: Option[Int], numPartitions: Int,
+    val aggregation: Option[(Seq[String], Seq[String])] = None)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -109,15 +190,22 @@ class GraftScan(val table: String, val backend: SqlBackend,
   private def q(n: String): String = backend.dialect.quote(n)
 
   private def baseSql: String = {
-    val cols =
-      if (required.isEmpty) "1" // COUNT(*)-only scans prune every column
-      else required.fieldNames.map(q).mkString(", ")
+    val cols = aggregation match {
+      case Some((selects, _)) => selects.mkString(", ")
+      case None =>
+        if (required.isEmpty) "1" // COUNT(*)-only scans prune every column
+        else required.fieldNames.map(q).mkString(", ")
+    }
     val where =
       if (filters.isEmpty) ""
       else " WHERE " + filters.flatMap(FilterSql.render(_, backend.dialect))
         .mkString(" AND ")
+    val group = aggregation match {
+      case Some((_, g)) if g.nonEmpty => " GROUP BY " + g.mkString(", ")
+      case _ => ""
+    }
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT $cols FROM ${q(table)}$where$lim"
+    s"SELECT $cols FROM ${q(table)}$where$group$lim"
   }
 
   override def toBatch: Batch = this

@@ -77,6 +77,41 @@ class FederationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("aggregate pushdown: whole GROUP BY answered by the backend") {
+    val df = remote("lineitem")
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"),
+        max(col("l_extendedprice")).as("mx"))
+    val scan = graftScan(df)
+    assert(scan.renderedSql.contains("GROUP BY"), scan.renderedSql)
+    assert(scan.renderedSql.contains("COUNT(*)"))
+    assert(scan.renderedSql.contains("SUM(`l_quantity`)"))
+    assert(scan.renderedSql.contains("WHERE"))
+    // no Spark-side hash aggregate remains (complete pushdown)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan)
+    val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"),
+        max(col("l_extendedprice")).as("mx"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("unsupported aggregate (avg distinct over expression) stays in Spark") {
+    val df = remote("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity") * 2).as("a"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "expression-agg must stay in Spark")
+    val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .groupBy(col("l_returnflag")).agg(avg(col("l_quantity") * 2).as("a"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == want)
+  }
+
   test("whole-query pushdown fuses a join+aggregate subtree into one backend SQL") {
     GraftExtensions.install(spark)
     val df = remote("nation")
