@@ -99,7 +99,12 @@ object SqlGen {
       for {
         c <- gen(child, R)
         items <- sequence(list.map(namedItem))
-      } yield s"SELECT ${items.mkString(", ")} FROM ($c) ${nextAlias()}"
+      } yield {
+        // zero-column projection (e.g. under COUNT(*)): keep row count
+        // with a constant column
+        val sel = if (items.isEmpty) "1 AS gq_dummy" else items.mkString(", ")
+        s"SELECT $sel FROM ($c) ${nextAlias()}"
+      }
 
     case Filter(cond, child) =>
       for {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
 /** Greedy largest-convertible-subtree pushdown — the Spark re-build of the
   * reference's `QueryPushdownOptimizerRule` (`src/optimizer.rs:16-39`):
@@ -32,9 +32,18 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
       convert(p).getOrElse(p.withNewChildren(p.children.map(attempt)))
   }
 
-  private def scanOf(p: LogicalPlan): Option[GraftScan] = p match {
+  /** A pushable leaf: (backend, FROM-fragment). Handles both optimizer
+    * stages — DataSourceV2Relation (injected rule runs before V2 scan
+    * pushdown: plain table name, pushdown still expressed as plan nodes
+    * above) and DataSourceV2ScanRelation (extraOptimizations run after:
+    * the scan's own negotiated SQL becomes the leaf subquery). */
+  private def leafOf(p: LogicalPlan): Option[(graft.sources.SqlBackend, String)] = p match {
     case r: DataSourceV2ScanRelation => r.scan match {
-      case g: GraftScan => Some(g)
+      case g: GraftScan => Some((g.backend, s"(${g.renderedSql})"))
+      case _ => None
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.GraftSqlTable => Some((t.backend, t.tableName))
       case _ => None
     }
     case _ => None
@@ -42,14 +51,13 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
 
   private def convert(p: LogicalPlan): Option[LogicalPlan] = {
     val leaves = p.collectLeaves()
-    val scans = leaves.flatMap(scanOf)
-    // every leaf is a graft scan on one shared backend, else not convertible
-    if (scans.isEmpty || scans.size != leaves.size) return None
-    val backend: SqlBackend = scans.head.backend
-    if (!scans.forall(_.backend eq backend)) return None
+    val infos = leaves.flatMap(leafOf)
+    // every leaf is a graft relation on one shared backend, else not convertible
+    if (infos.isEmpty || infos.size != leaves.size) return None
+    val backend: SqlBackend = infos.head._1
+    if (!infos.forall(_._1 eq backend)) return None
 
-    val resolver: SqlGen.TableResolver = pl =>
-      scanOf(pl).map(g => s"(${g.renderedSql})")
+    val resolver: SqlGen.TableResolver = pl => leafOf(pl).map(_._2)
 
     SqlGen(p, resolver, backend.dialect) match {
       case Right(sql) => Some(PushedSqlQuery(p.output, sql, backend))
