@@ -447,6 +447,28 @@ object Corpus {
         struct(col("vec_id"), col("label")).getField("label").as("label2"))
       .orderBy("vec_id")
 
+  /** S27a — FULL OUTER JOIN with unmatched rows on both sides (B8; the
+    * shifted key guarantees right-only rows). */
+  val s27aFullOuter: Q = (spark, dir) => {
+    val shifted = Tables.load(spark, dir, "supplier")
+      .groupBy((col("s_nationkey") + 20).as("sk"))
+      .agg(count(lit(1)).as("s_cnt"))
+    Tables.load(spark, dir, "nation")
+      .join(shifted, col("n_nationkey") === col("sk"), "full_outer")
+      .select(col("n_nationkey"), col("sk"), col("s_cnt"))
+      .orderBy(col("n_nationkey").asc_nulls_first, col("sk").asc_nulls_first)
+  }
+
+  /** S27b — RIGHT OUTER JOIN (B8). */
+  val s27bRightOuter: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey") &&
+        col("o_orderdate") >= ts("1999-01-01 00:00:00"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("recent_orders"))
+      .orderBy(col("c_custkey"))
+
   private def sqlQ(text: String): Q = (spark, dir) => {
     Tables.registerAll(spark, dir)
     spark.sql(text)
@@ -488,6 +510,8 @@ object Corpus {
     "s24_or_conjunctions" -> s24DiscountedRevenue,
     "s25_json_props" -> s25JsonProps,
     "s26_array_struct" -> s26ArrayStruct,
+    "s27a_full_outer" -> s27aFullOuter,
+    "s27b_right_outer" -> s27bRightOuter,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -686,5 +710,17 @@ object Corpus {
         |       ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_vals,
         |       label AS label2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "s27a_full_outer" ->
+      """SELECT n_nationkey, sk, s_cnt
+        |FROM nation FULL OUTER JOIN
+        |     ( SELECT s_nationkey + 20 AS sk, COUNT(*) AS s_cnt
+        |       FROM supplier GROUP BY 1 ) s
+        |ON n_nationkey = sk
+        |ORDER BY n_nationkey NULLS FIRST, sk NULLS FIRST""".stripMargin,
+    "s27b_right_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS recent_orders
+        |FROM orders RIGHT OUTER JOIN customer
+        |  ON o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
   )
 }
