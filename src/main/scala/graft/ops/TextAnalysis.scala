@@ -75,12 +75,13 @@ object TextAnalysis {
     val cjkRatio = (length(col("text")) -
       length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
       greatest(length(col("text")), lit(1))
-    val hitCols = profiles.map { case (lang, words) =>
-      struct(size(array_intersect(toks, typedlit(words))).as("hits"), lit(lang).as("lang"))
+    // greatest(struct(hits, prio, lang)) picks max hits; the explicit
+    // priority field makes earlier profiles ('en' first) win exact ties
+    val hitCols = profiles.zipWithIndex.map { case ((lang, words), idx) =>
+      struct(size(array_intersect(toks, typedlit(words))).as("hits"),
+        lit(profiles.length - idx).as("prio"), lit(lang).as("lang"))
     }
-    // greatest(struct...) picks max hits; on ties the later lang in profile
-    // order wins, so reverse to make 'en' the tie winner
-    val best = greatest(hitCols.reverse: _*)
+    val best = greatest(hitCols: _*)
     docs.select(col("doc_id"), col("lang").as("labeled_lang"),
       when(cjkRatio > 0.3, lit("zh")).otherwise(best.getField("lang")).as("pred_lang"))
       .orderBy("doc_id")

@@ -50,9 +50,12 @@ object SqlGen {
   type TableResolver = LogicalPlan => Option[String]
 
   /** Default resolver: temp-view leaves keep their view name via
-    * SubqueryAlias; anything else is unresolvable. */
+    * SubqueryAlias over a View/leaf relation. A SubqueryAlias over a
+    * computed subtree (df.alias(...)) is NOT a table — treating it as one
+    * would silently drop the subtree. */
   val viewResolver: TableResolver = {
-    case SubqueryAlias(ident, _) => Some(ident.name)
+    case SubqueryAlias(ident, child) if child.isInstanceOf[LeafNode] ||
+        child.isInstanceOf[View] => Some(ident.name)
     case _ => None
   }
 
@@ -93,7 +96,8 @@ object SqlGen {
       val t = R(p).get
       val from = if (t.startsWith("(")) s"$t ${nextAlias()}" else quote(t)
       val cols = p.output.map(a => s"${quote(a.name)} AS ${ref(a)}")
-      Right(s"SELECT ${cols.mkString(", ")} FROM $from")
+      val sel = if (cols.isEmpty) "1 AS gq_dummy" else cols.mkString(", ")
+      Right(s"SELECT $sel FROM $from")
 
     case Project(list, child) =>
       for {

@@ -128,7 +128,12 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
         case _ => None
       }
     if (aggItems.exists(_.isEmpty)) return None
-    val selects = groupItems.map(_._1) ++ aggItems.flatten.map(_._1)
+    // aggregates are aliased to their readSchema names so whole-query
+    // fusion can reference the scan's output columns by name
+    val selects = groupItems.map(_._1) ++
+      aggItems.flatten.zipWithIndex.map { case ((sql, _), i) =>
+        s"$sql AS ${d.quote(s"agg_func_$i")}"
+      }
     val fields = groupItems.map(_._2.get) ++
       aggItems.flatten.zipWithIndex.map { case ((_, t), i) =>
         org.apache.spark.sql.types.StructField(s"agg_func_$i", t)
@@ -283,10 +288,13 @@ object FilterSql {
       case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
         Some(n.toString)
       case dec: java.math.BigDecimal => Some(dec.toPlainString)
+      // rendered as UTC wall-clock: both our sessions and the backend
+      // double pin spark.sql.session.timeZone=UTC (and build.sbt pins the
+      // JVM tz), so the literal round-trips exactly
       case t: java.sql.Timestamp =>
-        Some(s"TIMESTAMP '${t.toString.stripSuffix(".0")}'")
+        Some(s"TIMESTAMP '${utcWallClock(t.toInstant)}'")
       case t: java.time.Instant =>
-        Some(s"TIMESTAMP '${java.sql.Timestamp.from(t).toString.stripSuffix(".0")}'")
+        Some(s"TIMESTAMP '${utcWallClock(t)}'")
       case dt: java.sql.Date => Some(s"DATE '$dt'")
       case dt: java.time.LocalDate => Some(s"DATE '$dt'")
       case _ => None
@@ -314,18 +322,23 @@ object FilterSql {
       case sources.Or(l, r) =>
         for { ls <- render(l, d); rs <- render(r, d) } yield s"($ls OR $rs)"
       case sources.Not(c) => render(c, d).map(s => s"(NOT $s)")
-      case sources.StringStartsWith(a, v) =>
-        Some(like(a, escapeLike(v) + "%"))
-      case sources.StringEndsWith(a, v) =>
-        Some(like(a, "%" + escapeLike(v)))
-      case sources.StringContains(a, v) =>
-        Some(like(a, "%" + escapeLike(v) + "%"))
+      // LIKE escape syntax is dialect-divergent; patterns whose literal
+      // part contains metacharacters stay in Spark (residual) instead of
+      // guessing the backend's escape rules
+      case sources.StringStartsWith(a, v) if likeSafe(v) => Some(like(a, v + "%"))
+      case sources.StringEndsWith(a, v) if likeSafe(v) => Some(like(a, "%" + v))
+      case sources.StringContains(a, v) if likeSafe(v) => Some(like(a, "%" + v + "%"))
       case sources.AlwaysTrue() => Some("TRUE")
       case sources.AlwaysFalse() => Some("FALSE")
       case _ => None // e.g. nested-column predicates: residual in Spark
     }
   }
 
-  private def escapeLike(s: String): String =
-    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+  private def likeSafe(s: String): Boolean =
+    !s.exists(c => c == '%' || c == '_' || c == '\\' || c == '\'')
+
+  private val utcFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+  private def utcWallClock(i: java.time.Instant): String = utcFmt.format(i)
 }

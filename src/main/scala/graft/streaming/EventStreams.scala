@@ -165,7 +165,10 @@ object EventStreams {
       var st: Option[SessState] = state.getOption
       if (state.hasTimedOut) {
         // watermark passed last-event + gap: close the open session but keep
-        // a count==0 marker so the user's session ordinal survives a return
+        // a count==0 marker so the user's session ordinal survives a return.
+        // This is O(distinct users) state by design (a few longs per user)
+        // - correct per-user ordinals are impossible with less; drop the
+        // ordinal requirement and the marker can be removed entirely
         st.filter(_.count > 0).foreach { s =>
           out += UserSession(uid, s.closed + 1, s.count, tsOfMicros(s.startMicros))
           state.update(SessState(s.closed + 1, 0L, 0L, 0L))

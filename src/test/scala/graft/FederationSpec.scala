@@ -112,6 +112,18 @@ class FederationSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("fusion over an aggregated scan references the aliased agg columns") {
+    GraftExtensions.install(spark)
+    val df = remote("lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_returnflag"))
+    val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_returnflag"))
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+  }
+
   test("whole-query pushdown fuses a join+aggregate subtree into one backend SQL") {
     GraftExtensions.install(spark)
     val df = remote("nation")
