@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ops.Similarity.entries ++
       graft.ops.TextAnalysis.entries ++
       graft.ops.Multimodal.entries ++
+      graft.ops.TemporalJoins.entries ++
       graft.streaming.EventStreams.entries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.ops.Similarity.oracle ++
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Multimodal.oracle ++
+      graft.ops.TemporalJoins.oracle ++
       graft.streaming.EventStreams.oracle).toMap
 }
