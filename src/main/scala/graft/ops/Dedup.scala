@@ -66,6 +66,9 @@ object Dedup {
       .withColumn("sig", minhash_sig(col("shingles")))
       .filter(col("sig").isNotNull)
       .select("doc_id", "sig")
+      // consumed 3× (banding + two pair join-backs): persist the compact
+      // (id, 64-long sig) rows instead of re-running the text hashing
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate generation carries only (doc_id, band, band_hash) through
     // the shuffle — signatures join back in AFTER pair dedup, so the wide
     // sig arrays are never part of the self-join payload
@@ -99,6 +102,8 @@ object Dedup {
       .withColumn("sh", simhash64(col("shingles")))
       .filter(col("sh").isNotNull)
       .select("doc_id", "sh")
+      // both self-join sides re-derive from here: persist two longs per doc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), col("sh"),
       posexplode(expr("transform(sequence(0, 3), c -> (shiftright(sh, c * 16) & 65535))"))
         .as(Seq("chunk_idx", "chunk_val")))
@@ -120,13 +125,25 @@ object Dedup {
     * skew guard), self-join on shingle, count common shingles per pair,
     * Jaccard = |∩| / (|a| + |b| - |∩|). Output: doc_a < doc_b, jaccard. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val exploded = shingleHashes(docs)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
-    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf)
-      .select("doc_id", "sh")
+    // set_size comes straight from the deduped shingle array — no groupBy
+    // over the exploded table needed
+    val sets = shingleHashes(docs)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("set_size"))
+    val sizes = sets.select("doc_id", "set_size")
+    // the exploded index is consumed multiple times (df cutoff + both
+    // self-join sides); persist the two-long rows instead of recomputing
+    // the text-hashing chain per consumer
+    val exploded = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stop-shingle removal: the hot set (df > maxDf) is small by
+    // construction, so compute it with a partial-aggregated groupBy and
+    // broadcast anti-join it away — the exploded table itself is never
+    // shuffled for this step (a df window over `sh` would shuffle+sort all
+    // of it on the skewed key)
+    val hot = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val rare = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
     val common = rare.select(col("doc_id").as("doc_a"), col("sh"))
       .join(rare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -150,15 +167,22 @@ object Dedup {
       vecCol: String = "embedding", dim: Int = 64, threshold: Double = 0.9,
       tables: Int = 4, bits: Int = 12, seed: Long = 42L): DataFrame = {
     val planes = Lsh.hyperplanes(tables, bits, dim, seed)
+    // candidate generation carries only (id, table_idx, bucket) through the
+    // ×tables-expanded self-join shuffle; the wide vectors join back AFTER
+    // pair dedup (same shuffle-volume discipline as minHashPairs)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed = Lsh.bucketize(emb, vecCol, planes)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("table_idx"), col("bucket"))
-    val a = bucketed.select(col("id").as("id_a"), col("vec").as("vec_a"),
-      col("table_idx"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      col("table_idx"), col("bucket"))
+      .select(col(idCol).as("id"), col("table_idx"), col("bucket"))
+      // both self-join sides consume this: persist the three-long rows
+      // rather than re-hashing every vector against every plane twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col("id").as("id_a"), col("table_idx"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("table_idx"), col("bucket"))
     a.join(b, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", cosine_f32(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

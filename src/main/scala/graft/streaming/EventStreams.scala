@@ -202,9 +202,41 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding 30 minutes, both sides watermarked so join
+    * state is evicted once the watermark passes the interval — the
+    * bounded-state formulation of a temporal enrichment join (batch twin:
+    * TemporalJoins.timeBandPairs / corpus s29).
+    *
+    * Times are second-truncated *before* the join so the range predicate is
+    * exact across engines (source timestamps carry sub-µs noise), and the
+    * truncated column is also the watermark column, which Structured
+    * Streaming requires for state cleanup on both sides. */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(spark, dir)
+      .withColumn("ts2", date_trunc("second", col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts2").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts2").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("""user_id = c_user AND
+              c_ts >= p_ts - interval 30 minutes AND c_ts < p_ts"""))
+    runToTable(joined, OutputMode.Append())
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / 1000000L)
+          .cast("long").as("gap_s"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sessions" -> ((s, d) => sessionize(s, d)),
+    "stream_enrich_join" -> ((s, d) => purchaseClickJoin(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -225,5 +257,13 @@ object EventStreams {
         |              FROM events
         |              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ) flagged ) sessions
         |GROUP BY user_id, session_id ORDER BY user_id, session_id LIMIT 500""".stripMargin,
+    "stream_enrich_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |       date_diff('second', c.ts, p.ts) AS gap_s
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND date_diff('second', c.ts, p.ts) BETWEEN 1 AND 1800
+        |ORDER BY purchase_id, click_id""".stripMargin,
   )
 }
