@@ -65,6 +65,7 @@ object SqlGen {
   def apply(plan: LogicalPlan, resolve: TableResolver = viewResolver,
       dialect: Dialect = Ansi): Res[String] = {
     currentDialect.set(dialect)
+    currentResolver.set(resolve)
     gen(plan, resolve).map { inner =>
       // top level: restore user-facing attribute names (disambiguated)
       val seen = scala.collection.mutable.Map.empty[String, Int]
@@ -83,6 +84,11 @@ object SqlGen {
 
   private val currentDialect = new ThreadLocal[Dialect] {
     override def initialValue(): Dialect = Ansi
+  }
+  // expr() needs the resolver to render subquery expressions (EXISTS /
+  // IN (subquery) / scalar subquery) whose operand is a plan, not an expr
+  private val currentResolver = new ThreadLocal[TableResolver] {
+    override def initialValue(): TableResolver = viewResolver
   }
   private def quote(n: String): String = currentDialect.get.quote(n)
   private def ref(a: Attribute): String = quote(s"c${a.exprId.id}")
@@ -288,6 +294,23 @@ object SqlGen {
       } yield s"CAST($c AS $t)"
 
     case r: RuntimeReplaceable => expr(r.replacement)
+
+    // subquery expressions — the reference translated exactly these three
+    // (EXISTS parser.rs:912-923, IN-subquery 924-935, scalar 936-939);
+    // correlated forms are left in Spark (outer refs have no SQL rendering
+    // here), matching the reference's own limitation (README.md:49,75-86)
+    case ex: Exists if ex.outerAttrs.isEmpty =>
+      gen(ex.plan, currentResolver.get).map(s => s"EXISTS ($s)")
+    case InSubquery(values, lq: ListQuery) if lq.outerAttrs.isEmpty =>
+      for {
+        vs <- sequence(values.map(expr))
+        s <- gen(lq.plan, currentResolver.get)
+      } yield {
+        val v = if (vs.length == 1) vs.head else vs.mkString("(", ", ", ")")
+        s"($v IN ($s))"
+      }
+    case sq: ScalarSubquery if sq.outerAttrs.isEmpty =>
+      gen(sq.plan, currentResolver.get).map(s => s"($s)")
 
     case ae: AggregateExpression =>
       val d = if (ae.isDistinct) "DISTINCT " else ""

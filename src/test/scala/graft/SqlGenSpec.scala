@@ -110,4 +110,35 @@ class SqlGenSpec extends AnyFunSuite {
     val df = t("orders").select(col("o_orderkey"), row_number().over(w).as("rn"))
     assert(SqlGen(df.queryExecution.analyzed).isLeft)
   }
+
+  test("uncorrelated EXISTS subquery") {
+    t("nation"); t("region")
+    roundTrip(spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM region WHERE r_name = 'ASIA')""".stripMargin))
+  }
+
+  test("uncorrelated IN and NOT IN subquery") {
+    t("nation"); t("region")
+    roundTrip(spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name <> 'ASIA')
+        |  AND n_nationkey NOT IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')""".stripMargin))
+  }
+
+  test("uncorrelated scalar subquery") {
+    t("orders")
+    roundTrip(spark.sql(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)""".stripMargin))
+  }
+
+  test("correlated subquery stays in Spark (Left), not mistranslated") {
+    t("orders")
+    val df = spark.sql(
+      """SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    assert(SqlGen(df.queryExecution.analyzed).isLeft)
+  }
 }
