@@ -106,9 +106,15 @@ object SqlGen {
       Right(s"SELECT $sel FROM $from")
 
     case Project(list, child) =>
+      // the analyzer can emit the same attribute twice (e.g. window
+      // extraction re-appends partition columns): dedupe by exprId so the
+      // subquery never exposes duplicate column names
+      val distinctList = list.foldLeft(Vector.empty[NamedExpression]) {
+        (acc, e) => if (acc.exists(_.exprId == e.exprId)) acc else acc :+ e
+      }
       for {
         c <- gen(child, R)
-        items <- sequence(list.map(namedItem))
+        items <- sequence(distinctList.map(namedItem))
       } yield {
         // zero-column projection (e.g. under COUNT(*)): keep row count
         // with a constant column
@@ -194,6 +200,20 @@ object SqlGen {
       setOp(left, right, "EXCEPT", R)
 
     case SubqueryAlias(_, child) => gen(child, R)
+
+    case Window(winExprs, _, _, child, _) =>
+      // Window output = child.output ++ window columns; partition/order/
+      // frame live inside each WindowExpression's WindowSpecDefinition.
+      // Attrs the child already exposes are covered by `*`.
+      val childIds = child.output.map(_.exprId).toSet
+      val newExprs = winExprs.filterNot {
+        case a: AttributeReference => childIds.contains(a.exprId)
+        case _ => false
+      }
+      for {
+        c <- gen(child, R)
+        items <- sequence(newExprs.map(namedItem))
+      } yield s"SELECT *, ${items.mkString(", ")} FROM ($c) ${nextAlias()}"
 
     case other => Left(Unsupported(s"plan node ${other.nodeName}"))
   }
@@ -312,6 +332,28 @@ object SqlGen {
     case sq: ScalarSubquery if sq.outerAttrs.isEmpty =>
       gen(sq.plan, currentResolver.get).map(s => s"($s)")
 
+    // window functions (reference surface parser.rs:251,893 — enumerated
+    // but todo!() there; full rendering here). Ranking/offset functions
+    // take no frame clause in ANSI SQL, so their implicit Catalyst frame
+    // is dropped; aggregate window functions keep an explicit frame.
+    case WindowExpression(fn, spec) =>
+      val (fnSql, frameAllowed) = fn match {
+        case _: RowNumber => (Right("ROW_NUMBER()"): Res[String], false)
+        case _: Rank => (Right("RANK()"): Res[String], false)
+        case _: DenseRank => (Right("DENSE_RANK()"): Res[String], false)
+        case NTile(IntegerLiteral(n)) => (Right(s"NTILE($n)"): Res[String], false)
+        case Lag(in, IntegerLiteral(off), d, _) =>
+          (offsetFn("LAG", in, off, d), false)
+        case Lead(in, IntegerLiteral(off), d, _) =>
+          (offsetFn("LEAD", in, off, d), false)
+        case ae: AggregateExpression => (expr(ae), true)
+        case other => (Left(Unsupported(s"window function ${other.prettyName}")): Res[String], false)
+      }
+      for {
+        f <- fnSql
+        s <- windowSpec(spec, frameAllowed)
+      } yield s"$f OVER ($s)"
+
     case ae: AggregateExpression =>
       val d = if (ae.isDistinct) "DISTINCT " else ""
       ae.aggregateFunction match {
@@ -343,6 +385,47 @@ object SqlGen {
     case Coalesce(cs) => sequence(cs.map(expr)).map(ss => s"COALESCE(${ss.mkString(", ")})")
 
     case other => Left(Unsupported(s"expression ${other.getClass.getSimpleName}"))
+  }
+
+  /** LAG/LEAD(input [, offset [, default]]); a NULL default is omitted. */
+  private def offsetFn(kw: String, in: Expression, off: Long,
+      default: Expression): Res[String] =
+    for {
+      i <- expr(in)
+      d <- default match {
+        case Literal(null, _) => Right("")
+        case d => expr(d).map(s => s", $s")
+      }
+    } yield s"$kw($i, $off$d)"
+
+  private def windowSpec(spec: WindowSpecDefinition,
+      frameAllowed: Boolean): Res[String] =
+    for {
+      parts <- sequence(spec.partitionSpec.map(expr))
+      orders <- sequence(spec.orderSpec.map(sortItem))
+      frame <- spec.frameSpecification match {
+        case _ if !frameAllowed => Right("")
+        case UnspecifiedFrame => Right("")
+        case SpecifiedWindowFrame(ft, lower, upper) =>
+          val kw = ft match { case RowFrame => "ROWS"; case RangeFrame => "RANGE" }
+          for { lo <- frameBound(lower, isLower = true)
+                hi <- frameBound(upper, isLower = false) }
+            yield s" $kw BETWEEN $lo AND $hi"
+      }
+    } yield {
+      val p = if (parts.isEmpty) "" else s"PARTITION BY ${parts.mkString(", ")}"
+      val o = if (orders.isEmpty) "" else s"ORDER BY ${orders.mkString(", ")}"
+      (Seq(p, o).filter(_.nonEmpty).mkString(" ")) + frame
+    }
+
+  /** Catalyst frame boundaries: negative literals = PRECEDING. */
+  private def frameBound(e: Expression, isLower: Boolean): Res[String] = e match {
+    case UnboundedPreceding => Right("UNBOUNDED PRECEDING")
+    case UnboundedFollowing => Right("UNBOUNDED FOLLOWING")
+    case CurrentRow => Right("CURRENT ROW")
+    case IntegerLiteral(n) if n < 0 => Right(s"${-n} PRECEDING")
+    case IntegerLiteral(n) => Right(s"$n FOLLOWING")
+    case other => Left(Unsupported(s"frame bound ${other.getClass.getSimpleName}"))
   }
 
   private def scalarToSql(v: Any): String = v match {

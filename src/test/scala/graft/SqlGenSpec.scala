@@ -105,10 +105,33 @@ class SqlGenSpec extends AnyFunSuite {
   }
 
   test("unsupported nodes are reported, not mistranslated") {
+    val df = t("orders").select(explode(array(col("o_orderkey"), col("o_custkey"))).as("k"))
+    assert(SqlGen(df.queryExecution.analyzed).isLeft)
+  }
+
+  test("window: rank, row_number, dense_rank per group") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    roundTrip(t("orders").select(col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).as("rn"), rank().over(w).as("rk"),
+      dense_rank().over(w).as("drk")))
+  }
+
+  test("window: running sum with an explicit rows frame and lag") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
-    val df = t("orders").select(col("o_orderkey"), row_number().over(w).as("rn"))
-    assert(SqlGen(df.queryExecution.analyzed).isLeft)
+    roundTrip(t("orders").select(col("o_orderkey"),
+      sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run"),
+      lag(col("o_totalprice"), 1).over(w).as("prev"),
+      avg(col("o_totalprice")).over(w.rowsBetween(-3, 0)).as("ma4")))
+  }
+
+  test("window: global aggregate window without partition") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    roundTrip(t("orders").limit(100).select(col("o_orderkey"),
+      sum(col("o_totalprice")).over(w).as("tot")))
   }
 
   test("uncorrelated EXISTS subquery") {
