@@ -363,6 +363,18 @@ object SqlGen {
         case Max(c) => expr(c).map(s => s"MAX($d$s)")
         case Count(Seq(Literal(1, IntegerType))) => Right("COUNT(*)")
         case Count(cs) => sequence(cs.map(expr)).map(ss => s"COUNT($d${ss.mkString(", ")})")
+        // statistical aggregates (reference surface parser.rs:879-891,
+        // enumerated todo!() there) — names shared by Spark/DuckDB/Postgres
+        case StddevSamp(c, _) => expr(c).map(s => s"STDDEV_SAMP($s)")
+        case StddevPop(c, _) => expr(c).map(s => s"STDDEV_POP($s)")
+        case VarianceSamp(c, _) => expr(c).map(s => s"VAR_SAMP($s)")
+        case VariancePop(c, _) => expr(c).map(s => s"VAR_POP($s)")
+        case Corr(l, r, _) =>
+          for { ls <- expr(l); rs <- expr(r) } yield s"CORR($ls, $rs)"
+        case CovSample(l, r, _) =>
+          for { ls <- expr(l); rs <- expr(r) } yield s"COVAR_SAMP($ls, $rs)"
+        case CovPopulation(l, r, _) =>
+          for { ls <- expr(l); rs <- expr(r) } yield s"COVAR_POP($ls, $rs)"
         case other => Left(Unsupported(s"aggregate ${other.prettyName}"))
       }
 
@@ -383,6 +395,16 @@ object SqlGen {
         yield s"SUBSTRING($s, $p, $l)"
     case Concat(cs) => sequence(cs.map(expr)).map(ss => s"CONCAT(${ss.mkString(", ")})")
     case Coalesce(cs) => sequence(cs.map(expr)).map(ss => s"COALESCE(${ss.mkString(", ")})")
+    case StringTrim(c, None) => expr(c).map(s => s"TRIM($s)")
+    case StringReplace(c, find, rep) =>
+      for { s <- expr(c); f <- expr(find); r <- expr(rep) }
+        yield s"REPLACE($s, $f, $r)"
+    case StringInstr(str, sub) =>
+      for { s <- expr(str); u <- expr(sub) } yield s"INSTR($s, $u)"
+    // DATE_TRUNC(part, x): identical argument order and part names in
+    // Spark and DuckDB/Postgres (reference C9 surface, parser.rs:768-806)
+    case TruncTimestamp(Literal(fmt: org.apache.spark.unsafe.types.UTF8String, _), c, _) =>
+      expr(c).map(s => s"DATE_TRUNC(${sqlString(fmt.toString.toLowerCase)}, $s)")
 
     case other => Left(Unsupported(s"expression ${other.getClass.getSimpleName}"))
   }

@@ -126,6 +126,20 @@ class SqlGenSpec extends AnyFunSuite {
       avg(col("o_totalprice")).over(w.rowsBetween(-3, 0)).as("ma4")))
   }
 
+  test("statistical aggregates and string/date scalar functions") {
+    roundTrip(t("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(stddev(col("l_quantity")).as("sd"), stddev_pop(col("l_quantity")).as("sdp"),
+        var_samp(col("l_discount")).as("vs"), var_pop(col("l_discount")).as("vp"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv")))
+    roundTrip(t("orders").select(
+      trim(col("o_orderpriority")).as("tp"),
+      expr("replace(o_orderpriority, '-', '_')").as("rp"),
+      expr("instr(o_orderpriority, 'URGENT')").as("ix"),
+      date_trunc("month", col("o_orderdate")).as("mo")))
+  }
+
   test("window: global aggregate window without partition") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o_orderkey"))
