@@ -37,20 +37,25 @@ object Bench {
     // min of 2 runs per query: this machine shows transient multi-second
     // noise (noisy-neighbor contention), and the minimum is the standard
     // contention-free estimate — both runs fully materialize every row.
+    // The two passes are interleaved across the WHOLE suite (pass 1 over
+    // every query, then pass 2) so a single contention burst cannot hit
+    // both runs of the same query.
     // optional args restrict the run to named queries (local iteration);
     // the driver invokes with no args = full suite
     val names =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { exec(name); Some((System.nanoTime() - t0) / 1e9) } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-        }
+    def timeOnce(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { exec(name); Some((System.nanoTime() - t0) / 1e9) } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
       }
+    }
+    val passes = (1 to 2).map(_ => names.map(n => n -> timeOnce(n)).toMap)
+    val results = names.map { name =>
+      val times = passes.flatMap(_(name))
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
