@@ -307,11 +307,14 @@ object SqlGen {
         })
         el <- elseValue.map(expr(_).map(s => s" ELSE $s")).getOrElse(Right(""))
       } yield s"(CASE ${bs.mkString(" ")}$el END)"
-    case Cast(child, dt, _, _) =>
+    case Cast(child, dt, _, evalMode) =>
+      // TRY mode must render TRY_CAST (NULL on failure) — a plain CAST
+      // would turn Spark's try_cast semantics into a backend error
+      val kw = if (evalMode == EvalMode.TRY) "TRY_CAST" else "CAST"
       for {
         c <- expr(child)
         t <- sqlType(dt)
-      } yield s"CAST($c AS $t)"
+      } yield s"$kw($c AS $t)"
 
     case r: RuntimeReplaceable => expr(r.replacement)
 
@@ -482,7 +485,10 @@ object SqlGen {
     case LongType => Right("BIGINT")
     case FloatType => Right("REAL")
     case DoubleType => Right("DOUBLE")
-    case _: StringType => Right("VARCHAR")
+    case _: StringType => Right(
+      // Spark's parser rejects bare VARCHAR (wants a length); DuckDB and
+      // Postgres accept it and treat STRING as unknown
+      if (currentDialect.get == SparkSqlDialect) "STRING" else "VARCHAR")
     case DateType => Right("DATE")
     case TimestampType => Right("TIMESTAMP")
     case d: DecimalType => Right(s"DECIMAL(${d.precision}, ${d.scale})")

@@ -148,6 +148,16 @@ class SqlGenSpec extends AnyFunSuite {
       sum(col("o_totalprice")).over(w).as("tot")))
   }
 
+  test("try_cast renders TRY_CAST, cast renders CAST") {
+    val df = t("orders").select(
+      col("o_orderstatus").try_cast("int").as("bad"),
+      col("o_orderkey").cast("string").as("ok"))
+    val sql = SqlGen(df.queryExecution.analyzed,
+      dialect = SqlGen.SparkSqlDialect).toOption.get
+    assert(sql.contains("TRY_CAST("))
+    roundTrip(df)
+  }
+
   test("uncorrelated EXISTS subquery") {
     t("nation"); t("region")
     roundTrip(spark.sql(
