@@ -24,13 +24,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Unit = {
+    def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // ops may persist() self-join intermediates; drop them so the next
-      // timed run is cold (no cross-run cache reuse inflating min-of-2)
-      spark.sharedState.cacheManager.clearCache()
-    }
 
     exec("s01_pricing_summary") // warmup: JVM + codegen + parquet footer cache
 
@@ -47,11 +43,15 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { exec(name); Some((System.nanoTime() - t0) / 1e9) } catch {
+      val r = try { exec(name); Some((System.nanoTime() - t0) / 1e9) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
       }
+      // drop persisted intermediates OUTSIDE the timed region: the next
+      // run must be cold, but teardown is not part of the query's cost
+      spark.sharedState.cacheManager.clearCache()
+      r
     }
     val passes = (1 to 2).map(_ => names.map(n => n -> timeOnce(n)).toMap)
     val results = names.map { name =>

@@ -140,13 +140,17 @@ object TemporalJoins {
   /** ANSI-SQL oracles (DuckDB executes these on the same parquet). */
   val oracle: Seq[(String, String)] = Seq(
     "s28_asof_join" ->
+      // MAX(c.value) + GROUP BY mirrors the op's deterministic tie-break
+      // (max payload among same-instant clicks) and keeps the join-back
+      // from duplicating rows if two clicks ever share an exact timestamp
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
         |     m AS (SELECT p.event_id, p.user_id, p.value AS purchase_value,
         |                  (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
         |           FROM p)
-        |SELECT m.event_id, m.user_id, m.purchase_value, m.click_ts, c.value AS click_value
+        |SELECT m.event_id, m.user_id, m.purchase_value, m.click_ts, MAX(c.value) AS click_value
         |FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.click_ts
+        |GROUP BY m.event_id, m.user_id, m.purchase_value, m.click_ts
         |ORDER BY m.event_id""".stripMargin,
     "s29_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,

@@ -345,10 +345,10 @@ object SqlGen {
         case _: Rank => (Right("RANK()"): Res[String], false)
         case _: DenseRank => (Right("DENSE_RANK()"): Res[String], false)
         case NTile(IntegerLiteral(n)) => (Right(s"NTILE($n)"): Res[String], false)
-        case Lag(in, IntegerLiteral(off), d, _) =>
-          (offsetFn("LAG", in, off, d), false)
-        case Lead(in, IntegerLiteral(off), d, _) =>
-          (offsetFn("LEAD", in, off, d), false)
+        case Lag(in, IntegerLiteral(off), d, ignoreNulls) =>
+          (offsetFn("LAG", in, off, d, ignoreNulls), false)
+        case Lead(in, IntegerLiteral(off), d, ignoreNulls) =>
+          (offsetFn("LEAD", in, off, d, ignoreNulls), false)
         case ae: AggregateExpression => (expr(ae), true)
         case other => (Left(Unsupported(s"window function ${other.prettyName}")): Res[String], false)
       }
@@ -359,9 +359,13 @@ object SqlGen {
 
     case ae: AggregateExpression =>
       val d = if (ae.isDistinct) "DISTINCT " else ""
-      ae.aggregateFunction match {
-        case Sum(c, _) => expr(c).map(s => s"SUM($d$s)")
-        case Average(c, _) => expr(c).map(s => s"AVG($d$s)")
+      val base: Res[String] = ae.aggregateFunction match {
+        // try_sum / try_avg (EvalMode.TRY inside NumericEvalContext) return
+        // NULL where these would error — no shared SQL form, stay in Spark
+        case Sum(c, ctx) if ctx.evalMode != EvalMode.TRY =>
+          expr(c).map(s => s"SUM($d$s)")
+        case Average(c, mode) if mode != EvalMode.TRY =>
+          expr(c).map(s => s"AVG($d$s)")
         case Min(c) => expr(c).map(s => s"MIN($d$s)")
         case Max(c) => expr(c).map(s => s"MAX($d$s)")
         case Count(Seq(Literal(1, IntegerType))) => Right("COUNT(*)")
@@ -379,6 +383,13 @@ object SqlGen {
         case CovPopulation(l, r, _) =>
           for { ls <- expr(l); rs <- expr(r) } yield s"COVAR_POP($ls, $rs)"
         case other => Left(Unsupported(s"aggregate ${other.prettyName}"))
+      }
+      // agg FILTER (WHERE pred) — shared by Spark, DuckDB, and Postgres;
+      // dropping it would silently widen the aggregate's input
+      ae.filter match {
+        case None => base
+        case Some(f) =>
+          for { b <- base; fs <- expr(f) } yield s"$b FILTER (WHERE $fs)"
       }
 
     // common scalar functions shared by Spark and the target dialects
@@ -404,24 +415,29 @@ object SqlGen {
         yield s"REPLACE($s, $f, $r)"
     case StringInstr(str, sub) =>
       for { s <- expr(str); u <- expr(sub) } yield s"INSTR($s, $u)"
-    // DATE_TRUNC(part, x): identical argument order and part names in
-    // Spark and DuckDB/Postgres (reference C9 surface, parser.rs:768-806)
-    case TruncTimestamp(Literal(fmt: org.apache.spark.unsafe.types.UTF8String, _), c, _) =>
+    // DATE_TRUNC(part, x): identical argument order in Spark and
+    // DuckDB/Postgres, but only the FULL part names are shared — Spark
+    // also accepts aliases (DD/MM/HH/YY/MON) that backends reject, so
+    // anything off the whitelist stays in Spark (reference C9 surface,
+    // parser.rs:768-806)
+    case TruncTimestamp(Literal(fmt: org.apache.spark.unsafe.types.UTF8String, _), c, _)
+        if SharedTruncParts.contains(fmt.toString.toLowerCase) =>
       expr(c).map(s => s"DATE_TRUNC(${sqlString(fmt.toString.toLowerCase)}, $s)")
 
     case other => Left(Unsupported(s"expression ${other.getClass.getSimpleName}"))
   }
 
-  /** LAG/LEAD(input [, offset [, default]]); a NULL default is omitted. */
+  /** LAG/LEAD(input [, offset [, default]]) [IGNORE NULLS]; a NULL default
+    * is omitted. IGNORE NULLS is shared Spark/DuckDB/Postgres-15+ syntax. */
   private def offsetFn(kw: String, in: Expression, off: Long,
-      default: Expression): Res[String] =
+      default: Expression, ignoreNulls: Boolean): Res[String] =
     for {
       i <- expr(in)
       d <- default match {
         case Literal(null, _) => Right("")
         case d => expr(d).map(s => s", $s")
       }
-    } yield s"$kw($i, $off$d)"
+    } yield s"$kw($i, $off$d)" + (if (ignoreNulls) " IGNORE NULLS" else "")
 
   private def windowSpec(spec: WindowSpecDefinition,
       frameAllowed: Boolean): Res[String] =
@@ -452,6 +468,9 @@ object SqlGen {
     case IntegerLiteral(n) => Right(s"$n FOLLOWING")
     case other => Left(Unsupported(s"frame bound ${other.getClass.getSimpleName}"))
   }
+
+  private val SharedTruncParts = Set("year", "quarter", "month", "week",
+    "day", "hour", "minute", "second", "millisecond", "microsecond")
 
   private def scalarToSql(v: Any): String = v match {
     case s: org.apache.spark.unsafe.types.UTF8String => sqlString(s.toString)

@@ -50,7 +50,10 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
   }
 
   private def convert(p: LogicalPlan): Option[LogicalPlan] = {
-    val leaves = p.collectLeaves()
+    // include plans nested in subquery EXPRESSIONS (EXISTS / IN / scalar):
+    // they are not plan children, but SqlGen renders them into the same
+    // SQL string, so their leaves must satisfy the same single-backend rule
+    val leaves = (p +: p.subqueriesAll).flatMap(_.collectLeaves())
     val infos = leaves.flatMap(leafOf)
     // every leaf is a graft relation on one shared backend, else not convertible
     if (infos.isEmpty || infos.size != leaves.size) return None

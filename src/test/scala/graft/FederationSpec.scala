@@ -150,6 +150,33 @@ class FederationSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("scalar subquery over a DIFFERENT backend blocks fusion of the outer filter") {
+    GraftExtensions.install(spark)
+    remote("nation").createOrReplaceTempView("fed_nation")
+    spark.read.format("graft-sqldb")
+      .option("dir", "/root/testdata/sf0.01") // distinct dir -> distinct backend
+      .option("table", "region").load()
+      .createOrReplaceTempView("fed_region_other")
+    val df = spark.sql(
+      """SELECT n_name FROM fed_nation
+        |WHERE n_regionkey < (SELECT max(r_regionkey) FROM fed_region_other)""".stripMargin)
+    val pushed = df.queryExecution.optimizedPlan.collect { case p: PushedSqlQuery => p }
+    // no single fused SQL string may span both backends: any pushed
+    // fragment must not embed the other backend's table or its aggregate
+    // ("region" alone would false-positive on the n_regionkey column)
+    assert(!pushed.exists(p => p.sql.contains("`region`") ||
+        p.sql.toUpperCase.contains("MAX(")),
+      "cross-backend subquery was fused:\n" + pushed.map(_.sql).mkString("\n"))
+    // semantics still correct via Spark-side subquery execution
+    val n = Tables.load(spark, TestSpark.Sf0001, "nation")
+    val r01 = Tables.load(spark, "/root/testdata/sf0.01", "region")
+    val maxKey = r01.agg(max("r_regionkey")).collect()(0)
+      .getAs[Number](0).longValue()
+    val want = n.filter(col("n_regionkey") < maxKey).select("n_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == want)
+  }
+
   test("partially convertible plans push the largest subtree and keep the rest in Spark") {
     GraftExtensions.install(spark)
     // window function on top is not SQL-generatable -> stays in Spark;

@@ -140,6 +140,27 @@ class SqlGenSpec extends AnyFunSuite {
       date_trunc("month", col("o_orderdate")).as("mo")))
   }
 
+  test("aggregate FILTER clause is rendered, not dropped") {
+    roundTrip(t("lineitem").groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("all_q"),
+        expr("sum(l_quantity) FILTER (WHERE l_discount > 0.05)").as("disc_q")))
+  }
+
+  test("lag IGNORE NULLS is rendered; date_trunc alias parts stay in Spark") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"), col("l_linenumber"))
+    roundTrip(t("lineitem").limit(200).select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      expr("lag(CASE WHEN l_quantity > 1 THEN l_quantity END) IGNORE NULLS OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)").as("prev_q")))
+    val aliased = t("orders").select(date_trunc("mon", col("o_orderdate")).as("m"))
+    assert(SqlGen(aliased.queryExecution.analyzed).isLeft)
+  }
+
+  test("try_sum stays in Spark (no shared SQL form)") {
+    val df = t("lineitem").groupBy(col("l_returnflag"))
+      .agg(expr("try_sum(l_quantity)").as("ts"))
+    assert(SqlGen(df.queryExecution.analyzed).isLeft)
+  }
+
   test("window: global aggregate window without partition") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o_orderkey"))

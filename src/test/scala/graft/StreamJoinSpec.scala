@@ -28,7 +28,7 @@ class StreamJoinSpec extends AnyFunSuite {
           .cast("long").as("gap_s"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-    assert(batch.nonEmpty || streamed.isEmpty) // guard a vacuous pass at sf0.001
+    assert(batch.nonEmpty) // sf0.001 has known pairs; empty = vacuous test
     assert(streamed == batch)
   }
 }
