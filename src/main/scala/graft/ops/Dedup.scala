@@ -189,6 +189,53 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over near-dup pairs: assigns every document the
+    * smallest doc_id reachable through pair edges (transitive closure), so
+    * a chain a~b, b~c becomes one keep-group even when a~c was never
+    * emitted as a pair. This is min-label propagation — the same algorithm
+    * GraphX uses for connectedComponents — and converges in O(component
+    * diameter) rounds; near-dup components are shallow (stars/chains), so
+    * the bound is small. Each round is one shuffle join + one aggregate;
+    * the per-round `count` is a scalar aggregate, not a data collect.
+    *
+    * Output: (doc_id, group_id, is_keep) for every document in `docs`
+    * (singletons keep their own id). */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(lvl)
+      changed = updated.filter(col("label") =!= col("old")).count()
+      val prev = labels
+      labels = updated.select("id", "label")
+      prev.unpersist()
+      i += 1
+    }
+    val out = docs.select(col(idCol).as("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("group_id"))
+      .withColumn("is_keep", col("doc_id") === col("group_id"))
+    edges.unpersist()
+    out
+  }
+
   // ---- corpus entries (spark, sfDir) => DataFrame ----
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -198,6 +245,10 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_embedding" -> ((s, d) =>
       embeddingNearDupPairs(Similarity.withPlantedNearDupVectors(Tables.load(s, d, "embeddings")))),
+    "dedup_groups" -> ((s, d) => {
+      val docs = withPlantedNearDups(Tables.load(s, d, "documents"))
+      dedupGroups(docs, minHashPairs(docs)).orderBy("doc_id")
+    }),
   )
 
   /** DuckDB oracle where expressible (exact dedup only — the sketch

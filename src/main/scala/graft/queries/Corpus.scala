@@ -469,6 +469,18 @@ object Corpus {
       .agg(count(col("o_orderkey")).as("recent_orders"))
       .orderBy(col("c_custkey"))
 
+  /** S30 — PIVOT: long-to-wide aggregation with an explicit value list
+    * (no collect job for value discovery); the oracle expresses the same
+    * shape as FILTERed aggregates, the dialect-shared form. */
+  val s30Pivot: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("l_quantity"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
   private def sqlQ(text: String): Q = (spark, dir) => {
     Tables.registerAll(spark, dir)
     spark.sql(text)
@@ -512,6 +524,7 @@ object Corpus {
     "s26_array_struct" -> s26ArrayStruct,
     "s27a_full_outer" -> s27aFullOuter,
     "s27b_right_outer" -> s27bRightOuter,
+    "s30_pivot" -> s30Pivot,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -722,5 +735,10 @@ object Corpus {
         |FROM orders RIGHT OUTER JOIN customer
         |  ON o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "s30_pivot" ->
+      """SELECT l_returnflag,
+        |       SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+        |       SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

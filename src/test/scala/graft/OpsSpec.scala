@@ -13,6 +13,22 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("dedupGroups merges chains transitively, keeps singletons") {
+    import spark.implicits._
+    // chain 1-2, 2-3; star 10-{11,12}; pair 20-21; singleton 30
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val got = Dedup.dedupGroups(docs, pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, g, k) => id -> ((g, k)) }.toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false)), 12L -> ((10L, false)),
+      20L -> ((20L, true)), 21L -> ((20L, false)),
+      30L -> ((30L, true))))
+  }
+
   test("exact dedup groups identical content, keeps min doc_id") {
     val d = docs(1L -> "aa bb cc", 2L -> "xx yy", 3L -> "aa bb cc", 4L -> "zz")
     val got = Dedup.exact(d).as[(Long, Long)].collect().toSeq
