@@ -202,37 +202,80 @@ object Dedup {
     * (singletons keep their own id). */
   def dedupGroups(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, collectThreshold: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // pairs is typically an expensive near-dup pipeline: pin its (small)
+    // result once so every consumer reuses it
+    val p = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("label").as("nlabel"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(lvl)
-      changed = updated.filter(col("label") =!= col("old")).count()
-      val prev = labels
-      labels = updated.select("id", "label")
-      prev.unpersist()
-      i += 1
-    }
-    val out = docs.select(col(idCol).as("doc_id"))
-      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+    val nPairs = p.count()
+
+    // The edge list is the already-REDUCED dedup output — tiny relative to
+    // the corpus (collecting it is not a corpus collect). Below the
+    // threshold, exact union-find on the driver replaces several
+    // multi-stage shuffle rounds; above it, distributed min-label
+    // propagation (the GraphX connectedComponents algorithm) runs with
+    // rounds bounded by component diameter.
+    val labels: DataFrame =
+      if (nPairs <= collectThreshold) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        p.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min id so group_id = min of component
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        // only non-roots need explicit labels; roots (and singletons)
+        // fall out of the final coalesce(label, doc_id)
+        parent.keySet.toSeq.map(k => (k, find(k))).toDF("id", "label")
+      } else {
+        val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+          .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+          .persist(lvl)
+        var lab = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")).persist(lvl)
+        var changed = 1L
+        var i = 0
+        while (changed > 0 && i < maxIter) {
+          val neighborMin = edges
+            .join(lab.select(col("id").as("dst"), col("label")), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(min("label").as("nlabel"))
+          val updated = lab
+            .join(neighborMin, Seq("id"), "left")
+            .select(col("id"), col("label").as("old"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            .persist(lvl)
+          changed = updated.filter(col("label") =!= col("old")).count()
+          val prev = lab
+          lab = updated.select("id", "label")
+          prev.unpersist()
+          i += 1
+        }
+        edges.unpersist()
+        lab
+      }
+
+    // small (collected) label sets broadcast; large ones shuffle-join
+    val labelSide = labels.select(col("id").as("doc_id"), col("label"))
+    val joined = docs.select(col(idCol).as("doc_id")).join(
+      if (nPairs <= collectThreshold) broadcast(labelSide) else labelSide,
+      Seq("doc_id"), "left")
+    val out = joined
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("group_id"))
       .withColumn("is_keep", col("doc_id") === col("group_id"))
-    edges.unpersist()
+    p.unpersist()
     out
   }
 

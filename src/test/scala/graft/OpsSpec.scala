@@ -29,6 +29,18 @@ class OpsSpec extends AnyFunSuite {
       30L -> ((30L, true))))
   }
 
+  test("dedupGroups distributed path (threshold 0) agrees with union-find path") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val local = Dedup.dedupGroups(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val dist = Dedup.dedupGroups(docs, pairs, collectThreshold = 0L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(dist == local)
+  }
+
   test("exact dedup groups identical content, keeps min doc_id") {
     val d = docs(1L -> "aa bb cc", 2L -> "xx yy", 3L -> "aa bb cc", 4L -> "zz")
     val got = Dedup.exact(d).as[(Long, Long)].collect().toSeq
