@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call engine bootstrap — SURVEY.md §7.2 M0's `EngineSession`: builds
+  * the session the way every driver entry point (Bench/Verify) configures
+  * it, registers the catalog (the analog of the reference's
+  * `load_catalog`, `src/sqldb/postgres/mod.rs:67-125`), and optionally
+  * installs the federated pushdown rule + strategy.
+  *
+  * A user of the reference switches to this engine with:
+  * {{{
+  *   val spark = Engine.create()
+  *   Engine.attach(spark, "/data/tables")   // parquet dir -> temp views
+  *   spark.sql("SELECT ... FROM lineitem JOIN orders ON ...")
+  * }}}
+  */
+object Engine {
+
+  /** Session defaults that embody the scale design (SCALE.md): AQE on for
+    * runtime coalescing/skew handling, shuffle partitions sized to cores
+    * (not the 200 default), UTC so timestamp semantics match the oracle. */
+  def create(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Option[Int] = None,
+      federation: Boolean = true): SparkSession = {
+    val cores = master match {
+      case Engine.LocalN(n) => n.toInt
+      case _ => Runtime.getRuntime.availableProcessors()
+    }
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-engine")
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    if (federation) graft.plans.GraftExtensions.install(spark)
+    spark
+  }
+
+  private val LocalN = """local\[(\d+)\]""".r
+
+  /** Register every table under `dir` as a temp view (parquet footers are
+    * the schema source — no information_schema round trip needed). */
+  def attach(spark: SparkSession, dir: String): Unit =
+    Tables.registerAll(spark, dir)
+}

@@ -24,15 +24,51 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int = 3): Column =
     c(WordShingleHashes(e(text), n))
 
-  /** Register the expressions for `spark.sql` use (SQL names mirror the
-    * Column API). Idempotent. */
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  private def arity(name: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    if (es.length < min || es.length > max)
+      throw new IllegalArgumentException(
+        s"$name expects $min..$max arguments, got ${es.length}")
+
+  private def intArg(name: String, es: Seq[Expression], i: Int, default: Long): Long =
+    if (es.length <= i) default
+    else es(i) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  /** Register the expressions for `spark.sql` use. SQL names mirror the
+    * Column API including the optional parameters (which must be integer
+    * literals); wrong arities fail at analysis instead of silently using
+    * defaults. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_f32", es => DotProductF32(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("cosine_f32", es => CosineSimF32(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSignature(es.head, 64, 42L), "built-in")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("winnow_fp", es => WinnowingFingerprint(es.head, 8, 4), "built-in")
-    reg.createOrReplaceTempFunction("word_shingles", es => WordShingleHashes(es.head, 3), "built-in")
+    reg.createOrReplaceTempFunction("dot_f32", es => {
+      arity("dot_f32", es, 2, 2); DotProductF32(es(0), es(1))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("cosine_f32", es => {
+      arity("cosine_f32", es, 2, 2); CosineSimF32(es(0), es(1))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig", es => {
+      arity("minhash_sig", es, 1, 3)
+      MinHashSignature(es.head,
+        intArg("minhash_sig", es, 1, 64).toInt, intArg("minhash_sig", es, 2, 42L))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => {
+      arity("simhash64", es, 1, 1); SimHash64(es.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("winnow_fp", es => {
+      arity("winnow_fp", es, 1, 3)
+      WinnowingFingerprint(es.head,
+        intArg("winnow_fp", es, 1, 8).toInt, intArg("winnow_fp", es, 2, 4).toInt)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("word_shingles", es => {
+      arity("word_shingles", es, 1, 2)
+      WordShingleHashes(es.head, intArg("word_shingles", es, 1, 3).toInt)
+    }, "built-in")
   }
 }

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   *  - Hot shingles (stop-shingles shared by a large fraction of documents)
   *    are dropped by a document-frequency cutoff before the pair join, the
   *    standard skew guard for similarity self-joins.
+  *
+  * Cache lifecycle: the pipelines persist(MEMORY_AND_DISK) their compact
+  * multi-use intermediates (signatures, exploded index, buckets) and
+  * return LAZY DataFrames whose lineage runs through those caches, so the
+  * op cannot unpersist them itself. Callers that run many pipelines in one
+  * session (Bench, Verify, PlanAudit here) call
+  * `spark.sharedState.cacheManager.clearCache()` between queries; a
+  * long-lived service should do the same after consuming each result.
   */
 object Dedup {
 
@@ -61,6 +69,10 @@ object Dedup {
     * and thresholded. Output: doc_a < doc_b, est_jaccard. */
   def minHashPairs(docs: DataFrame, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val numHashes = 64
+    // a non-divisor would silently drop signature rows; bands > 64 would
+    // make every band hash the empty slice — i.e. a full cross join
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands must divide $numHashes, got $bands")
     val rows = numHashes / bands
     val sigs = shingleHashes(docs)
       .withColumn("sig", minhash_sig(col("shingles")))
@@ -125,16 +137,11 @@ object Dedup {
     * skew guard), self-join on shingle, count common shingles per pair,
     * Jaccard = |∩| / (|a| + |b| - |∩|). Output: doc_a < doc_b, jaccard. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // set_size comes straight from the deduped shingle array — no groupBy
-    // over the exploded table needed
-    val sets = shingleHashes(docs)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("shs"))
-      .select(col("doc_id"), col("shs"), size(col("shs")).as("set_size"))
-    val sizes = sets.select("doc_id", "set_size")
-    // the exploded index is consumed multiple times (df cutoff + both
-    // self-join sides); persist the two-long rows instead of recomputing
-    // the text-hashing chain per consumer
-    val exploded = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // the exploded index is consumed multiple times (df cutoff + sizes +
+    // both self-join sides); persist the two-long rows instead of
+    // recomputing the text-hashing chain per consumer
+    val exploded = shingleHashes(docs)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stop-shingle removal: the hot set (df > maxDf) is small by
     // construction, so compute it with a partial-aggregated groupBy and
@@ -144,6 +151,11 @@ object Dedup {
     val hot = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     val rare = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
+    // set sizes are measured on the SAME post-cutoff sets the intersection
+    // uses — sizing by the full set while intersecting only rare shingles
+    // would systematically underestimate Jaccard for boilerplate-heavy
+    // docs (two identical docs sharing 90% hot shingles must score 1.0)
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = rare.select(col("doc_id").as("doc_a"), col("sh"))
       .join(rare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -243,7 +255,10 @@ object Dedup {
           .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
           .persist(lvl)
         var lab = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id")).persist(lvl)
+          .withColumn("label", col("id"))
+        // track the actual persisted handle: unpersisting a Project over a
+        // cached plan is a no-op, so unpersist the cached DataFrame itself
+        var cachedHandle: DataFrame = lab.persist(lvl)
         var changed = 1L
         var i = 0
         while (changed > 0 && i < maxIter) {
@@ -257,12 +272,19 @@ object Dedup {
               least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
             .persist(lvl)
           changed = updated.filter(col("label") =!= col("old")).count()
-          val prev = lab
+          cachedHandle.unpersist() // materialized `updated` no longer needs it
+          cachedHandle = updated
           lab = updated.select("id", "label")
-          prev.unpersist()
           i += 1
         }
+        if (changed > 0)
+          System.err.println(s"[dedupGroups] WARNING: label propagation hit " +
+            s"maxIter=$maxIter before convergence — components wider than " +
+            s"$maxIter hops are split; raise maxIter")
         edges.unpersist()
+        // the final round's cache stays pinned until the session drops it:
+        // the returned plan's lineage runs through every round, so
+        // unpersisting here would force a full recompute at consumption
         lab
       }
 

@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt — spreads rows of one key across
-    * `saltFactor` partitions. Uses a hash of all columns rather than
-    * rand() so re-computation (task retry, speculative execution) is
-    * stable — rand() in a shuffle input is a correctness bug at scale. */
+  /** Per-row salt — spreads rows of one key across `saltFactor` partitions.
+    * Round-robin over the per-partition row ordinal, NOT a hash of the row
+    * contents: byte-identical duplicate rows (the common heavy-skew case)
+    * would all hash to one salt and defeat the spread entirely. The
+    * ordinal is stable under task retry/speculation (a partition recompute
+    * replays the same rows in the same order), and the salt value never
+    * affects join/aggregate results — only placement. rand() would break
+    * retry stability; a content hash would break duplicate spreading. */
   private def salt(df: DataFrame, saltFactor: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
 
   /** Inner equi-join `large ⋈ small` on `keys`, salted `saltFactor` ways.
     * `small` is replicated saltFactor× (explode), so keep saltFactor

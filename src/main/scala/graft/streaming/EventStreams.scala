@@ -50,6 +50,16 @@ object EventStreams {
       s"graft_stream_${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
+    // re-stage if the source file was replaced since last staged: a hard
+    // link shares the inode, so size/mtime diverging means dst points at
+    // a STALE old inode and would silently serve outdated events
+    val stale = java.nio.file.Files.exists(dst) && {
+      val (ss, ds) = (java.nio.file.Files.size(src), java.nio.file.Files.size(dst))
+      val (sm, dm) = (java.nio.file.Files.getLastModifiedTime(src),
+        java.nio.file.Files.getLastModifiedTime(dst))
+      ss != ds || sm != dm
+    }
+    if (stale) java.nio.file.Files.delete(dst)
     if (!java.nio.file.Files.exists(dst)) {
       try java.nio.file.Files.createLink(dst, src)
       catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
@@ -178,11 +188,16 @@ object EventStreams {
         for (e <- sorted) {
           val m = micros(e.ts)
           st match {
-            case Some(s) if s.count > 0 && m - s.lastMicros > gapMicros =>
+            case Some(s) if s.count > 0 && m > s.lastMicros && m - s.lastMicros > gapMicros =>
               out += UserSession(uid, s.closed + 1, s.count, tsOfMicros(s.startMicros))
               st = Some(SessState(s.closed + 1, m, m, 1L))
             case Some(s) if s.count > 0 =>
-              st = Some(s.copy(lastMicros = m, count = s.count + 1))
+              // a late-but-in-watermark event (m <= lastMicros, possible
+              // across micro-batches) must not REGRESS lastMicros — that
+              // would pull the timeout earlier and split the session; it
+              // extends the span backward instead
+              st = Some(s.copy(startMicros = math.min(s.startMicros, m),
+                lastMicros = math.max(s.lastMicros, m), count = s.count + 1))
             case Some(marker) => // count==0: resume after a timed-out session
               st = Some(SessState(marker.closed, m, m, 1L))
             case None =>

@@ -88,4 +88,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) != 0L)
   }
+
+  test("dimension mismatch yields null, not a truncated similarity") {
+    val df = Seq((Array(1f, 0f), Array(1f, 9f, 9f, 9f))).toDF("a", "b")
+    assert(df.select(cosine_f32(col("a"), col("b"))).collect()(0).isNullAt(0))
+    assert(df.select(dot_f32(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("SQL functions honor literal parameters and reject bad arity") {
+    graft.functions.GraftFunctions.register(spark)
+    // word_shingles(text, 2): 3 tokens -> 2 bigram shingles
+    val n = spark.sql("SELECT size(word_shingles('a b c', 2)) n").collect()(0).getInt(0)
+    assert(n == 2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT simhash64(array(1L), 7)").collect()
+    }
+    assert(err.getMessage.contains("simhash64"))
+  }
+
+  test("minHashPairs rejects a bands value that does not divide the signature") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Dedup.minHashPairs(docs, bands = 100)
+    }
+  }
 }

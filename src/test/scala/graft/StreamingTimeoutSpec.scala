@@ -90,4 +90,40 @@ class StreamingTimeoutSpec extends AnyFunSuite {
     assert(carried.nonEmpty,
       s"no straddling session was emitted with its full cross-batch count (straddling=${straddling.size})")
   }
+
+  test("a late in-watermark event extends the session backward, never splits it") {
+    def ev(id: Long, ts: String) =
+      (1L, java.sql.Timestamp.valueOf(ts), id)
+    // batch 1: 10:00, 10:10; batch 2: LATE 09:55 (within the 1h watermark)
+    // then 13:00, whose gap closes the session. The closed session must
+    // span 09:55-10:10 with 3 events — a regressed lastMicros would have
+    // mis-timed the close, an unmoved start would report 10:00.
+    val b1 = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+    val b2 = Seq(ev(3, "2024-01-01 09:55:00"), ev(4, "2024-01-01 13:00:00"))
+    val dir = Files.createTempDirectory("graft_late_in")
+    var tick = 1000L
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val stage = Files.createTempDirectory(s"graft_late_stage$i").resolve("out").toString
+      b.toDF("user_id", "ts", "event_id").coalesce(1).write.parquet(stage)
+      val src = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(s"b$i.parquet")
+      Files.copy(src, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 100000 + tick)
+      tick += 1000
+    }
+    val schema = b1.toDF("user_id", "ts", "event_id").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withWatermark("ts", "1 hour").as[StreamEvent]
+    val q = EventStreams.sessionizeEventTime(stream, gapMinutes = 30)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("late_sessions")
+      .select("user_id", "session_id", "events_in_session", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).toString)).toSeq
+    assert(got == Seq((1L, 1L, 3L, "2024-01-01 09:55:00.0")), s"got $got")
+  }
 }
