@@ -24,6 +24,33 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Bounded top-k by (score desc, id asc) — the aggregate form of
+    * distributed top-k: partial aggregation keeps a k-element buffer per
+    * (map task × group), so the shuffle carries k rows per partition per
+    * group instead of every scored row (a window over the group would
+    * exchange the full score set first). Deterministic ties by id. */
+  case class Scored(score: Double, id: Long)
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0)
+    private def best(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortBy(s => (-s.score, s.id)).take(k)
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(b: Seq[Scored], in: Scored): Seq[Scored] =
+      // cheap guard: only re-sort when the candidate can enter the top k
+      if (b.length >= k && {
+        val w = b.last
+        in.score < w.score || (in.score == w.score && in.id > w.id)
+      }) b
+      else best(b :+ in)
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      best(a ++ b)
+    override def finish(b: Seq[Scored]): Seq[Scored] = b
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
   /** Numerically stable geometric mean via mean-of-logs (log-sum would
     * overflow/underflow long before the mean does). Non-positive inputs
     * are ignored (domain of the geometric mean). */

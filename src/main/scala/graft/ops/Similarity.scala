@@ -71,20 +71,20 @@ object Similarity {
     emb.select("vec_id", "embedding", "label").unionAll(perturbed)
   }
 
-  /** Two-phase per-query top-k: rank within (query, input partition), keep k,
-    * then rank globally per query. Ties broken by neighbor id. */
+  /** Distributed per-query top-k as a partial+final AGGREGATE: each map
+    * task keeps a bounded k-element buffer per query (TopK Aggregator), so
+    * the shuffle carries k rows per partition per query — never the full
+    * score set. (A window over qid would exchange every scored row before
+    * ranking could drop any.) Ties broken by neighbor id. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val local = Window.partitionBy(col("qid"), col("pid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val global = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+    val topk = udaf(new graft.functions.Aggregators.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
     scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("local_rank", row_number().over(local))
-      .filter(col("local_rank") <= k)
-      .withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "cosine")
+      .groupBy("qid")
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("vec_id"), col("s.score").as("cosine"))
       .orderBy("qid", "rank")
   }
 
