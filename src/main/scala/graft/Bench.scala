@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,7 +29,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    exec("s01_pricing_summary") // warmup: JVM + codegen + parquet footer cache
+    // warmup: JVM + codegen + parquet footer cache; guarded so a broken
+    // flagship query still yields a metrics line (as -1.0) instead of
+    // killing the whole suite before any JSON is emitted
+    try exec("s01_pricing_summary") catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
 
     // min of 2 runs per query: this machine shows transient multi-second
     // noise (noisy-neighbor contention), and the minimum is the standard
@@ -39,8 +45,11 @@ object Bench {
     // optional args restrict the run to named queries (local iteration);
     // the driver invokes with no args = full suite
     val names =
-      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
-      else SparkEntry.queries.keys.toSeq.sorted
+      if (args.nonEmpty) {
+        args.toSeq.filterNot(SparkEntry.queries.contains)
+          .foreach(n => System.err.println(s"[bench] unknown query name: $n"))
+        args.toSeq.filter(SparkEntry.queries.contains)
+      } else SparkEntry.queries.keys.toSeq.sorted
     def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       val r = try { exec(name); Some((System.nanoTime() - t0) / 1e9) } catch {
@@ -58,10 +67,14 @@ object Bench {
       val times = passes.flatMap(_(name))
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Locale.ROOT: f"" uses the default locale, whose decimal comma would
+    // make the emitted line invalid JSON on non-English JVMs
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,6 +21,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale success from a previous run into the same outDir would
+        // make the differ report a false OK for a now-broken query
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
       // ops persist() self-join intermediates; don't let 50+ queries
       // accumulate cached blocks in one session
