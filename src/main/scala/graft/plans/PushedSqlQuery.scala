@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 
 /** Logical leaf carrying a complete generated SQL string destined for the
@@ -14,6 +14,15 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * (`src/node.rs:22-33`) that replaces the largest convertible subtree. */
 case class PushedSqlQuery(output: Seq[Attribute], sql: String,
     backend: SqlBackend) extends LeafNode {
+  /** LeafNode's default THROWS — without this, any residual Spark operator
+    * above the pushed leaf (e.g. a join with a non-graft table) crashes in
+    * physical planning when JoinSelection asks for stats. The backend can't
+    * estimate the result, so report the conservative default (which also
+    * keeps the planner from auto-broadcasting a federated result of
+    * unknown size; the reference likewise stubs statistics,
+    * `src/physical_plan.rs:96-100`). */
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = conf.defaultSizeInBytes)
   override def simpleString(maxFields: Int): String =
     s"PushedSqlQuery [${sql.take(120)}…] backend=${backend.name}"
 }

@@ -483,9 +483,18 @@ object SqlGen {
     case (null, _) => Right("NULL")
     case (v: Boolean, BooleanType) => Right(if (v) "TRUE" else "FALSE")
     case (v, ByteType | ShortType | IntegerType | LongType) => Right(v.toString)
+    case (v: Float, FloatType) if v.isNaN || v.isInfinite =>
+      Left(Unsupported("non-finite float literal")) // bare NaN/Infinity doesn't parse
+    case (v: Double, DoubleType) if v.isNaN || v.isInfinite =>
+      Left(Unsupported("non-finite double literal"))
     case (v: Float, FloatType) => Right(v.toString)
     case (v: Double, DoubleType) => Right(v.toString)
     case (v: Decimal, _: DecimalType) => Right(v.toString)
+    case (v: org.apache.spark.unsafe.types.UTF8String, _: StringType)
+        if v.toString.contains("\\") =>
+      // the Spark dialect interprets backslash escapes, ANSI doesn't —
+      // no single rendering is correct for both, so keep it local
+      Left(Unsupported("backslash in string literal"))
     case (v: org.apache.spark.unsafe.types.UTF8String, _: StringType) =>
       Right(sqlString(v.toString))
     case (micros: Long, TimestampType) =>

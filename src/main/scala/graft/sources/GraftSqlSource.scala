@@ -281,10 +281,20 @@ object FilterSql {
   def render(f: Filter, d: Dialect): Option[String] = {
     def lit(v: Any): Option[String] = v match {
       case null => Some("NULL")
+      // backslashes are interpreted as escapes by the Spark dialect but
+      // not by ANSI backends; refusing keeps the filter as a Spark
+      // residual instead of an Exact-pushed wrong answer (same guard
+      // style as likeSafe)
+      case s: String if s.contains("\\") => None
       case s: String => Some("'" + s.replace("'", "''") + "'")
+      case s: org.apache.spark.unsafe.types.UTF8String if s.toString.contains("\\") => None
       case s: org.apache.spark.unsafe.types.UTF8String =>
         Some("'" + s.toString.replace("'", "''") + "'")
       case b: Boolean => Some(if (b) "TRUE" else "FALSE")
+      // non-finite floats have no portable SQL literal (bare NaN/Infinity
+      // doesn't parse); keep those predicates in Spark
+      case f: Float if f.isNaN || f.isInfinite => None
+      case d: Double if d.isNaN || d.isInfinite => None
       case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
         Some(n.toString)
       case dec: java.math.BigDecimal => Some(dec.toPlainString)

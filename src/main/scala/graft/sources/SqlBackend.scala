@@ -50,13 +50,19 @@ class SparkViewBackend(dir: String) extends SqlBackend {
   override def name: String = s"spark-view($dir)"
   override def dialect: graft.plans.SqlGen.Dialect = graft.plans.SqlGen.SparkSqlDialect
 
-  @transient private lazy val session: SparkSession = {
-    val base = SparkSession.active
-    val s = base.newSession()
-    graft.Tables.names.foreach { t =>
-      graft.Tables.load(s, dir, t).createOrReplaceTempView(t)
+  // rebuilt if the underlying context was stopped: backends are cached
+  // per dir for the JVM lifetime, which can outlive the SparkSession
+  // active at first use (test suites, session restarts)
+  @transient private var cachedSession: SparkSession = _
+  private def session: SparkSession = synchronized {
+    if (cachedSession == null || cachedSession.sparkContext.isStopped) {
+      val s = SparkSession.active.newSession()
+      graft.Tables.names.foreach { t =>
+        graft.Tables.load(s, dir, t).createOrReplaceTempView(t)
+      }
+      cachedSession = s
     }
-    s
+    cachedSession
   }
 
   override def tables: Seq[String] = graft.Tables.names
@@ -64,8 +70,11 @@ class SparkViewBackend(dir: String) extends SqlBackend {
   override def executeSql(sql: String): Seq[Row] = session.sql(sql).collect().toSeq
   override def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow] = {
     val df = session.sql(sql)
-    require(df.schema.length == expected.length,
-      s"backend returned ${df.schema.length} columns, expected ${expected.length}")
+    // types, not just arity: InternalRows decoded against a mismatched
+    // schema read wrong offsets/widths — silent corruption, not an error
+    require(df.schema.map(_.dataType) == expected.map(_.dataType),
+      s"backend schema ${df.schema.map(_.dataType).mkString(",")} != " +
+        s"expected ${expected.map(_.dataType).mkString(",")} for: $sql")
     df.queryExecution.toRdd
   }
 }

@@ -177,6 +177,39 @@ class FederationSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == want)
   }
 
+  test("a residual Spark join above a pushed leaf plans and answers correctly") {
+    GraftExtensions.install(spark)
+    // graft side fuses into a PushedSqlQuery; the local parquet side stays
+    // in Spark, so JoinSelection must ask the leaf for stats (a LeafNode
+    // without computeStats throws here)
+    val fused = remote("nation").filter(col("n_regionkey") === 0)
+    val local = Tables.load(spark, TestSpark.Sf0001, "region")
+    val df = fused.join(local, col("n_regionkey") === col("r_regionkey"))
+      .select("n_name", "r_name")
+    val want = Tables.load(spark, TestSpark.Sf0001, "nation")
+      .filter(col("n_regionkey") === 0)
+      .join(local, col("n_regionkey") === col("r_regionkey"))
+      .select("n_name", "r_name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("backslash and NaN literals stay as Spark residuals, not pushed SQL") {
+    val df = remote("nation").filter(col("n_name") === "A\\tB")
+    // neither the DSv2 scan's negotiated SQL nor a fused PushedSqlQuery
+    // may embed the backslash literal — it must remain a Spark Filter
+    val pushedSqls = df.queryExecution.optimizedPlan.collect {
+      case p: PushedSqlQuery => p.sql
+    }
+    assert(pushedSqls.forall(s => !s.contains("A\\tB")),
+      s"backslash literal was pushed: $pushedSqls")
+    assert(df.queryExecution.executedPlan.toString.contains("Filter"),
+      "expected a residual Spark Filter")
+    assert(df.count() == 0L) // executes correctly rather than erroring
+    val rows = remote("lineitem").filter(col("l_discount") === Double.NaN).count()
+    assert(rows == 0L) // must execute (residual filter), not crash on bad SQL
+  }
+
   test("partially convertible plans push the largest subtree and keep the rest in Spark") {
     GraftExtensions.install(spark)
     // window function on top is not SQL-generatable -> stays in Spark;
