@@ -98,9 +98,18 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
     case _ => None
   }
 
-  /** Translate a V2 Aggregation to (select items, result schema); None if
-    * any piece is beyond the backend's negotiated surface. */
-  private def translateAgg(agg: Aggregation): Option[(Seq[String], StructType)] = {
+  /** Translate a V2 Aggregation to (select items, GROUP BY items, result
+    * schema); None if any piece is beyond the backend's negotiated
+    * surface. Memoized per Aggregation instance: Spark calls
+    * supportCompletePushDown then pushAggregation with the same object. */
+  private var aggCacheKey: Aggregation = _
+  private var aggCacheVal: Option[(Seq[String], Seq[String], StructType)] = None
+  private def translateAggCached(agg: Aggregation): Option[(Seq[String], Seq[String], StructType)] = {
+    if (!(aggCacheKey eq agg)) { aggCacheKey = agg; aggCacheVal = translateAgg(agg) }
+    aggCacheVal
+  }
+
+  private def translateAgg(agg: Aggregation): Option[(Seq[String], Seq[String], StructType)] = {
     val d = backend.dialect
     val groups = agg.groupByExpressions.toSeq.map(fieldOf)
     if (groups.exists(_.isEmpty)) return None
@@ -138,17 +147,15 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
       aggItems.flatten.zipWithIndex.map { case ((_, t), i) =>
         org.apache.spark.sql.types.StructField(s"agg_func_$i", t)
       }
-    Some((selects, StructType(fields)))
+    Some((selects, groupItems.map(_._1), StructType(fields)))
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    translateAgg(aggregation).isDefined
+    translateAggCached(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    translateAgg(aggregation) match {
-      case Some((selects, schema)) =>
-        val groupCols = aggregation.groupByExpressions.toSeq
-          .flatMap(fieldOf).map(backend.dialect.quote)
+    translateAggCached(aggregation) match {
+      case Some((selects, groupCols, schema)) =>
         aggSql = Some((selects, schema))
         aggGroupBy = groupCols
         required = schema
