@@ -310,17 +310,42 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_embedding" -> ((s, d) =>
       embeddingNearDupPairs(Similarity.withPlantedNearDupVectors(Tables.load(s, d, "embeddings")))),
+    // Transitive closure under the driver oracle: plant two exact copies
+    // of every document (+1M, +2M ids) and feed CHAIN pairs only (a→b,
+    // b→c via LEAD, never a→c), so grouping a with c requires genuine
+    // 2-hop propagation — while the expected groups stay SQL-expressible
+    // (MIN(doc_id) per text) for DuckDB. The minhash-pair grouping variant
+    // stays spec-covered (OpsSpec chain/star cases).
     "dedup_groups" -> ((s, d) => {
-      val docs = withPlantedNearDups(Tables.load(s, d, "documents"))
-      dedupGroups(docs, minHashPairs(docs)).orderBy("doc_id")
+      val base = Tables.load(s, d, "documents").select("doc_id", "text")
+      val docs = base
+        .unionAll(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionAll(base.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("text").orderBy("doc_id")
+      val pairs = docs
+        .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+        .filter(col("next_id").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
+      dedupGroups(docs, pairs).orderBy("doc_id")
     }),
   )
 
-  /** DuckDB oracle where expressible (exact dedup only — the sketch
-    * pipelines have no SQL-dialect-intersection form). */
+  /** DuckDB oracle where expressible (the sketch pipelines have no
+    * SQL-dialect-intersection form). */
   val oracle: Seq[(String, String)] = Seq(
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // closure of the planted chains = min doc_id over identical text
+    "dedup_groups" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |)
+        |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS group_id,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_keep
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
   )
 }

@@ -80,6 +80,10 @@ object Similarity {
     val topk = udaf(new graft.functions.Aggregators.TopK(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
     scored
+      // cosine_f32 is null on dimension mismatch; Scored.score is a
+      // primitive Double, so a null would throw in the encoder (a window
+      // would have silently ranked it last) — drop it explicitly.
+      .filter(col("cosine").isNotNull)
       .groupBy("qid")
       .agg(topk(col("cosine"), col("vec_id")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -106,14 +110,23 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L, nprobe: Int = 3): DataFrame = {
     val centroids = emb.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
+    // Nearest-centroid assignment is a partial+final max_by AGGREGATE, not
+    // a window: the corpus × broadcast(centroids) expansion collapses back
+    // to one row per vec_id in the map-side partial (every copy of a
+    // vec_id lives in the partition that produced it), so the exchange
+    // carries |corpus| rows — a window over the expansion would shuffle
+    // |corpus| × |centroids| rows before ranking could drop any. Ties by
+    // smallest cent_id (max over (cos, -cent_id)), matching the probe side.
     val assignments = emb
       .crossJoin(broadcast(centroids))
       .withColumn("cent_cos", cosine_f32(col("embedding"), col("cent_vec")))
-      .withColumn("cr", row_number().over(assignW))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
+          .as("cluster"),
+        first(col("embedding")).as("embedding"))
+    // The probe side stays a window: the query set is broadcast-small by
+    // contract, so ranking nprobe clusters per query never sees scale.
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val probes = queries(emb, every)
@@ -130,19 +143,31 @@ object Similarity {
   }
 
   /** LSH-bucketed top-k: candidates share a hyperplane bucket with the
-    * query in at least one table (approximate — may miss true neighbors). */
+    * query in at least one table (approximate — may miss true neighbors).
+    *
+    * Shuffle discipline (mirrors [[Dedup.embeddingNearDupPairs]]): the
+    * bucket hashes are computed from the embedding map-side, then the
+    * embedding is projected away BEFORE the ×tables explode reaches any
+    * exchange — the bucket join and candidate dedup shuffle 3-long rows,
+    * never the vector payload. Embeddings join back once, after the
+    * candidate set has been deduplicated to its minimum size. */
   def lshTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
       tables: Int = 8, bits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = Lsh.hyperplanes(tables, bits, dim, seed)
-    val corpus = Lsh.bucketize(emb, "embedding", planes)
-      .select(col("vec_id"), col("embedding"), col("table_idx"), col("bucket"))
-    val qs = Lsh.bucketize(
-      queries(emb, every).withColumnRenamed("qvec", "qvec_arr"), "qvec_arr", planes)
-      .select(col("qid"), col("qvec_arr").as("qvec"), col("table_idx"), col("bucket"))
-    val scored = corpus
-      .join(broadcast(qs), Seq("table_idx", "bucket"))
+    val corpusBuckets = Lsh.bucketize(emb, "embedding", planes)
+      .select(col("vec_id"), col("table_idx"), col("bucket"))
+    val qs = queries(emb, every)
+    val qBuckets = Lsh.bucketize(
+      qs.withColumnRenamed("qvec", "qvec_arr"), "qvec_arr", planes)
+      .select(col("qid"), col("table_idx"), col("bucket"))
+    val candidates = corpusBuckets
+      .join(broadcast(qBuckets), Seq("table_idx", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
       .dropDuplicates("qid", "vec_id")
+    val scored = candidates
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
       .withColumn("cosine", cosine_f32(col("qvec"), col("embedding")))
     topK(scored, k)
   }

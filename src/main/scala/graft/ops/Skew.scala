@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Per-row salt — spreads rows of one key across `saltFactor` partitions.
-    * Round-robin over the per-partition row ordinal, NOT a hash of the row
-    * contents: byte-identical duplicate rows (the common heavy-skew case)
-    * would all hash to one salt and defeat the spread entirely. The
-    * ordinal is stable under task retry/speculation (a partition recompute
-    * replays the same rows in the same order), and the salt value never
-    * affects join/aggregate results — only placement. rand() would break
-    * retry stability; a content hash would break duplicate spreading. */
+    * The ordinal (monotonically_increasing_id) drives the spread, NOT a
+    * pure content hash: byte-identical duplicate rows (the common
+    * heavy-skew case) would all hash to one salt and defeat the spread
+    * entirely. The content hash is mixed in so distinct rows with the
+    * same ordinal don't correlate across partitions. The salt value never
+    * affects join/aggregate RESULTS — the small side is replicated across
+    * every salt — only row placement; and because the ordinal depends on
+    * row order within a recomputed partition, mEID is (correctly) marked
+    * nondeterministic in Catalyst, so a fetch-failure retry recomputes the
+    * consuming stage rather than trusting stale placement. rand() would
+    * give the same guarantees with worse debuggability. */
   private def salt(df: DataFrame, saltFactor: Int): Column =
-    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+    pmod(
+      xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
+        monotonically_increasing_id()),
+      lit(saltFactor.toLong))
 
   /** Inner equi-join `large ⋈ small` on `keys`, salted `saltFactor` ways.
     * `small` is replicated saltFactor× (explode), so keep saltFactor

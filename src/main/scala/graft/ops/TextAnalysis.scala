@@ -130,5 +130,27 @@ object TextAnalysis {
         |                          / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 3.0 AND 10.0
         |                THEN 1.0 ELSE 0.5 END) * 0.3), 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirror of languageId: distinct lowercase tokens intersected with each
+    // stopword profile; CJK char ratio decides zh; ties break in profile
+    // order (en, es, de, fr) via the CASE cascade
+    "text_langid" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |       CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+        |            WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |            WHEN es >= de AND es >= fr THEN 'es'
+        |            WHEN de >= fr THEN 'de'
+        |            ELSE 'fr' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(LENGTH(text), 1) AS cjk_ratio,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','with'])) AS en,
+        |    len(list_intersect(toks, ['el','la','de','que','y','en','un','una','los','por'])) AS es,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','von','mit','den','ein','nicht'])) AS de,
+        |    len(list_intersect(toks, ['le','la','les','de','et','est','un','une','dans','pour'])) AS fr
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_distinct(regexp_split_to_array(lower(text), '\s+')) AS toks
+        |        FROM documents) raw ) scored
+        |ORDER BY doc_id""".stripMargin,
   )
 }

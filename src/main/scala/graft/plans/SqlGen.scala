@@ -138,7 +138,11 @@ object SqlGen {
           keys <- sequence(grouping.map(expr))
         } yield {
           val gb = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
-          s"SELECT ${items.mkString(", ")} FROM ($c) ${nextAlias()}$gb"
+          // the optimizer can prune every output expr (e.g. COUNT(*) above
+          // a grouped subquery needs only group cardinality) — keep one
+          // constant column so the SQL stays well-formed
+          val sel = if (items.isEmpty) "1 AS gq_dummy" else items.mkString(", ")
+          s"SELECT $sel FROM ($c) ${nextAlias()}$gb"
         }
 
     case Sort(order, true, child, _) =>
@@ -163,6 +167,28 @@ object SqlGen {
 
     case Deduplicate(keys, child) if keys.map(_.exprId).toSet == child.output.map(_.exprId).toSet =>
       gen(child, R).map(c => s"SELECT DISTINCT * FROM ($c) ${nextAlias()}")
+
+    // Semi/anti joins render as (NOT) EXISTS — the reference *rejects*
+    // these join types outright (`src/parser.rs:1180-1190`); rendering them
+    // pushes a subtree it cannot. Output is the left side only, so the
+    // right side becomes a correlated subquery with the join condition as
+    // its predicate — the unique `c<exprId>` renaming makes the outer
+    // references unambiguous by construction. NULL semantics line up
+    // exactly: LeftAnti keeps a row iff no right row satisfies the
+    // condition, which is NOT EXISTS verbatim (incl. the null-aware
+    // `k = k OR k IS NULL` conditions Spark plans for NOT IN).
+    case Join(left, right, jt @ (LeftSemi | LeftAnti), condition, _) =>
+      for {
+        l <- gen(left, R)
+        r <- gen(right, R)
+        w <- condition match {
+          case Some(c) => expr(c).map(s => s" WHERE $s")
+          case None => Right("")
+        }
+      } yield {
+        val not = if (jt == LeftAnti) "NOT " else ""
+        s"SELECT * FROM ($l) ${nextAlias()} WHERE ${not}EXISTS (SELECT 1 FROM ($r) ${nextAlias()}$w)"
+      }
 
     case j @ Join(left, right, joinType, condition, _) =>
       val kw = joinType match {
@@ -210,7 +236,10 @@ object SqlGen {
         case a: AttributeReference => childIds.contains(a.exprId)
         case _ => false
       }
-      for {
+      // the analyzer re-appends child attrs to windowExpressions; if that
+      // is ALL of them, the wrapper would render "SELECT *,  FROM (...)"
+      if (newExprs.isEmpty) gen(child, R)
+      else for {
         c <- gen(child, R)
         items <- sequence(newExprs.map(namedItem))
       } yield s"SELECT *, ${items.mkString(", ")} FROM ($c) ${nextAlias()}"
@@ -307,6 +336,15 @@ object SqlGen {
         })
         el <- elseValue.map(expr(_).map(s => s" ELSE $s")).getOrElse(Right(""))
       } yield s"(CASE ${bs.mkString(" ")}$el END)"
+    // interval-to-interval widening casts (inserted by the analyzer to
+    // align e.g. SubtractTimestamps' DAY TO SECOND with a SECOND literal)
+    // have no dialect-shared type name — drop them; the operand already
+    // denotes the same duration and backends compare intervals natively
+    case Cast(child, _: DayTimeIntervalType, _, _)
+        if child.dataType.isInstanceOf[DayTimeIntervalType] => expr(child)
+    case Cast(child, _: YearMonthIntervalType, _, _)
+        if child.dataType.isInstanceOf[YearMonthIntervalType] => expr(child)
+
     case Cast(child, dt, _, evalMode) =>
       // TRY mode must render TRY_CAST (NULL on failure) — a plain CAST
       // would turn Spark's try_cast semantics into a backend error
@@ -317,6 +355,24 @@ object SqlGen {
       } yield s"$kw($c AS $t)"
 
     case r: RuntimeReplaceable => expr(r.replacement)
+
+    // date/time ± interval arithmetic (reference renders year-month
+    // interval literals, `src/parser.rs:645-647`; the full arithmetic
+    // surface here). All four "+interval" nodes and both timestamp/date
+    // differences share infix +/- in Spark, DuckDB, and Postgres.
+    case TimestampAddInterval(start, interval, _) =>
+      for { s <- expr(start); i <- expr(interval) } yield s"($s + $i)"
+    case TimestampAddYMInterval(ts, interval, _) =>
+      for { s <- expr(ts); i <- expr(interval) } yield s"($s + $i)"
+    case DateAddYMInterval(d, interval) =>
+      for { s <- expr(d); i <- expr(interval) } yield s"($s + $i)"
+    case DateAddInterval(d, interval, _, _) =>
+      for { s <- expr(d); i <- expr(interval) } yield s"($s + $i)"
+    case SubtractTimestamps(l, r, _, _) =>
+      for { ls <- expr(l); rs <- expr(r) } yield s"($ls - $rs)"
+    case SubtractDates(l, r, _) =>
+      for { ls <- expr(l); rs <- expr(r) } yield s"($ls - $rs)"
+    case UnaryMinus(c, _) => expr(c).map(s => s"(- $s)")
 
     // subquery expressions — the reference translated exactly these three
     // (EXISTS parser.rs:912-923, IN-subquery 924-935, scalar 936-939);
@@ -503,6 +559,24 @@ object SqlGen {
       Right(s"TIMESTAMP '${tsFmt.format(inst)}'")
     case (days: Int, DateType) =>
       Right(s"DATE '${LocalDate.ofEpochDay(days.toLong)}'")
+    // interval literals (reference `src/parser.rs:645-647` renders the
+    // year-month case; day-time + calendar added here). The single-unit
+    // quoted form INTERVAL '<n>' <unit> parses in Spark (typed interval),
+    // DuckDB, and Postgres alike.
+    case (months: Int, _: YearMonthIntervalType) =>
+      Right(s"INTERVAL '$months' MONTH")
+    case (micros: Long, _: DayTimeIntervalType) =>
+      val secs = java.math.BigDecimal.valueOf(micros, 6).stripTrailingZeros
+      Right(s"INTERVAL '${secs.toPlainString}' SECOND")
+    case (iv: org.apache.spark.unsafe.types.CalendarInterval, CalendarIntervalType) =>
+      // multi-unit quoted string — shared Spark/DuckDB/Postgres syntax
+      val parts = Seq(
+        if (iv.months != 0) Some(s"${iv.months} months") else None,
+        if (iv.days != 0) Some(s"${iv.days} days") else None,
+        if (iv.microseconds != 0)
+          Some(s"${java.math.BigDecimal.valueOf(iv.microseconds, 6).stripTrailingZeros.toPlainString} seconds")
+        else None).flatten
+      Right(s"INTERVAL '${if (parts.isEmpty) "0 seconds" else parts.mkString(" ")}'")
     case (v, dt) => Left(Unsupported(s"literal $v: ${dt.simpleString}"))
   }
 

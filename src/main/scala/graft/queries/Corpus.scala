@@ -392,12 +392,19 @@ object Corpus {
       |       COUNT(*) AS n, SUM(value) AS total
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
-  /** S23b — sessionization with a 30-minute gap via window functions. */
+  /** S23b — sessionization with a 30-minute gap via window functions.
+    * Output typing is pinned engine-neutral: SUM over INT is HUGEINT in
+    * DuckDB (Arrow decimal128) but BIGINT in Spark, so session_id is CAST
+    * explicitly; session_start is second-truncated because the parquet ts
+    * is TIMESTAMP(NANOS) — a ns-reading oracle keeps sub-µs digits Spark
+    * already truncated away on read. */
   val s23bSessionsSql: String =
-    """SELECT user_id, session_id, COUNT(*) AS events_in_session, MIN(ts) AS session_start
+    """SELECT user_id, session_id, COUNT(*) AS events_in_session,
+      |       DATE_TRUNC('SECOND', MIN(ts)) AS session_start
       |FROM ( SELECT user_id, ts,
-      |              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |              CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                   AS BIGINT) AS session_id
       |       FROM ( SELECT user_id, ts, event_id,
       |                     CASE WHEN LAG(ts) OVER w IS NULL
       |                            OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
@@ -486,6 +493,22 @@ object Corpus {
     spark.sql(text)
   }
 
+  /** S31 — catalog-qualified resolution: `graft_db.main.<table>` resolves
+    * through the [[graft.sources.GraftCatalog]] plugin (the analog of the
+    * reference's database→schema→table registry, `src/catalog.rs:8-103`)
+    * into the same DSv2 scan path as `spark.read.format("graft-sqldb")`,
+    * so pruning/pushdown apply to catalog-resolved scans too. */
+  val s31Catalog: Q = (spark, dir) => {
+    spark.conf.set("spark.sql.catalog.graft_db", "graft.sources.GraftCatalog")
+    spark.conf.set("graft.catalog.dir", dir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM graft_db.main.lineitem JOIN graft_db.main.orders
+        |  ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** queries keyed for SparkEntry; insertion order = corpus order. */
   val queries: Seq[(String, Q)] = Seq(
     "s01_pricing_summary" -> s01PricingSummary,
@@ -525,6 +548,7 @@ object Corpus {
     "s27a_full_outer" -> s27aFullOuter,
     "s27b_right_outer" -> s27bRightOuter,
     "s30_pivot" -> s30Pivot,
+    "s31_catalog" -> s31Catalog,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -740,5 +764,10 @@ object Corpus {
         |       SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
         |       SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s31_catalog" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

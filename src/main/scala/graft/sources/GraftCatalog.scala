@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** 3-level catalog plugin (`<catalog>.main.<table>`) — the Spark-idiomatic
+  * analog of the reference's database→schema→table registry
+  * (`src/catalog.rs:8-103`, loaded from information_schema by
+  * `PostgresConnection::load_catalog`, `src/sqldb/postgres/mod.rs:67-125`):
+  * where the reference hand-rolls `SchemaProvider`/`TableProvider` maps and
+  * resolves `bench.public.customer` itself, Spark's session catalog does the
+  * resolution once the plugin is registered under
+  * `spark.sql.catalog.<name> = graft.sources.GraftCatalog`.
+  *
+  * The backing store is resolved per *query*, not per catalog instance: the
+  * session conf `graft.catalog.dir` (falling back to the plugin option
+  * `dir`) names the backend, so one registered catalog serves every scale
+  * factor the driver points it at. Tables load through [[GraftSqlTable]] —
+  * the same DSv2 path as `spark.read.format("graft-sqldb")`, so column
+  * pruning, filter/limit/aggregate pushdown, and whole-subtree SQL fusion
+  * ([[graft.plans.SqlPushdownRule]]) all apply to catalog-resolved scans.
+  *
+  * Read-only by design, like the reference's (its catalog registers
+  * discovered tables; DDL goes to the backend directly): create/alter/drop
+  * throw UnsupportedOperationException.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var defaultDir: Option[String] = None
+
+  /** The single namespace, mirroring the reference's default `public`
+    * schema (`src/sqldb/postgres/mod.rs:80-93` groups by table_schema;
+    * the test backend serves one schema). */
+  private val Namespace = Array("main")
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    defaultDir = Option(options.get("dir"))
+  }
+  override def name(): String = catalogName
+
+  private def backend: SqlBackend = {
+    val dir = SparkSession.active.conf.getOption("graft.catalog.dir")
+      .orElse(defaultDir)
+      .getOrElse(throw new IllegalStateException(
+        s"catalog $catalogName: set graft.catalog.dir (session conf) or " +
+          s"spark.sql.catalog.$catalogName.dir"))
+    SparkViewBackend.forDir(dir)
+  }
+
+  private def ok(ns: Array[String]): Boolean = ns.sameElements(Namespace)
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = Array(Namespace)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) Array(Namespace)
+    else if (ok(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns.toSeq)
+
+  override def namespaceExists(ns: Array[String]): Boolean = ok(ns)
+
+  override def loadNamespaceMetadata(ns: Array[String]): JMap[String, String] =
+    if (ok(ns)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(ns.toSeq)
+
+  // ---- tables ----
+
+  override def listTables(ns: Array[String]): Array[Identifier] =
+    if (ok(ns)) backend.tables.map(t => Identifier.of(Namespace, t)).toArray
+    else throw new NoSuchNamespaceException(ns.toSeq)
+
+  override def tableExists(ident: Identifier): Boolean =
+    ok(ident.namespace) && backend.tables.contains(ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
+    val b = backend
+    new GraftSqlTable(ident.name, b, b.schema(ident.name), numPartitions = 4)
+  }
+
+  // ---- read-only: DDL is the backend's job, as in the reference ----
+
+  private def readOnly: Nothing =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName is read-only (DDL belongs to the backend)")
+
+  override def createTable(ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: JMap[String, String]): Table = readOnly
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
+  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def renameTable(from: Identifier, to: Identifier): Unit = readOnly
+  override def createNamespace(ns: Array[String],
+      metadata: JMap[String, String]): Unit = readOnly
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit = readOnly
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = readOnly
+}

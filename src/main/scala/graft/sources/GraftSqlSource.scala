@@ -31,11 +31,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    per partition (reference `table_provider.rs:123-156`; its fixed
   *    4-way split is an option here)
   *
-  * Partition results are fetched from the backend at planning time on the
-  * driver and shipped to tasks inside the InputPartition — correct for the
-  * in-process test backend; a production JDBC backend would instead open
-  * its connection inside `PartitionReader` on the executor (same contract,
-  * reference `PostgresExec::execute`, `table_provider.rs:219-233`).
+  * Partitions carry SQL text only (never rows); each `PartitionReader`
+  * drains its partition query through a `SqlConnection` (reference
+  * `PostgresExec::execute`, `table_provider.rs:219-233`). A production JDBC
+  * connection streams on the executor, so result size is bounded by
+  * executor memory, not driver memory; the in-process test double instead
+  * prefetches per-partition results on the driver at reader-factory time
+  * (see [[ViewBackendConnection]] — its backend shares the engine's task
+  * scheduler, and a task-side fetch would deadlock local mode).
   */
 class GraftSqlTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-sqldb"
@@ -222,9 +225,16 @@ class GraftScan(val table: String, val backend: SqlBackend,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  // lazy + cached so Spark's repeated planInputPartitions calls and the
+  // reader factory's prefetch see the SAME partitions (stable fetch ids)
+  private lazy val planned: Array[InputPartition] = {
     // COUNT probe + LIMIT/OFFSET split (reference: count_records +
-    // 4-partition planning). A single partition skips the probe.
+    // 4-partition planning). A single partition skips the probe. The probe
+    // is the ONLY backend round-trip at planning time: partitions carry
+    // SQL text, never rows (reference `PostgresExec::execute` likewise
+    // defers the fetch to each partition's execute).
     val ranges: Seq[Option[(Long, Long)]] =
       if (numPartitions <= 1 || limit.isDefined) Seq(None)
       else {
@@ -242,37 +252,61 @@ class GraftScan(val table: String, val backend: SqlBackend,
     ranges.map { r =>
       val sql = r match {
         case Some((offset, count)) =>
-          // deterministic split needs a total order across the probe and
-          // every range query -> order by ALL projected columns (the
-          // reference's unordered LIMIT/OFFSET split can duplicate rows)
-          val order = if (required.isEmpty) ""
-            else " ORDER BY " + required.fieldNames.map(q).mkString(", ")
+          // deterministic split needs a total order across every range
+          // query (the reference's unordered LIMIT/OFFSET split can
+          // duplicate/drop rows). A declared unique key gives that order
+          // from one column set (cheap backend sort, index-assisted on a
+          // real RDBMS); otherwise fall back to ALL projected columns.
+          // The ORDER BY sits inside baseSql's scope, so an unprojected
+          // key column is still referencable.
+          val orderCols = backend.uniqueKey(table).getOrElse(
+            required.fieldNames.toSeq)
+          val order = if (orderCols.isEmpty) ""
+            else " ORDER BY " + orderCols.map(q).mkString(", ")
           s"SELECT * FROM ($baseSql$order) graft_part LIMIT $count OFFSET $offset"
         case None => baseSql
       }
-      val rows = backend.executeSql(sql)
-      GraftInputPartition(sql, rows, required): InputPartition
+      GraftInputPartition(FetchRegistry.nextId(), sql, required): InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Driver-side prefetch hook, issued AFTER partition planning but BEFORE
+    // the engine job submits any task: in-process backends (the test
+    // double) answer queries with Spark jobs on the engine's own scheduler,
+    // and a fetch issued from a running task would deadlock local mode —
+    // blocked scan tasks hold every slot the backend job needs. Production
+    // JDBC connections leave prefetch a no-op and stream executor-side.
+    val conn = backend.connection
+    planned.foreach {
+      case gp: GraftInputPartition => conn.prefetch(gp.fetchId, gp.sql, gp.schema)
+    }
+    conn.awaitPrefetched()
+    new GraftReaderFactory(conn)
+  }
 }
 
-/** One partition = one backend SQL query + its materialized rows. */
-case class GraftInputPartition(sql: String, rows: Seq[Row],
-    schema: StructType) extends InputPartition
+/** One partition = one backend SQL query. Rows are fetched by the reader on
+  * the task at read time — never materialized at planning or carried in the
+  * serialized partition. `fetchId` keys the driver-prefetch handoff for
+  * in-process backends ([[FetchRegistry]]). */
+case class GraftInputPartition(fetchId: Long, sql: String, schema: StructType)
+    extends InputPartition
 
-class GraftReaderFactory extends PartitionReaderFactory {
+class GraftReaderFactory(connection: SqlConnection)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       private val serializer = ExpressionEncoder(RowEncoder.encoderFor(gp.schema))
         .createSerializer()
-      private val it = gp.rows.iterator
+      // lazy: the backend round-trip happens on first next(), on the task
+      private var it: Iterator[Row] = _
       private var current: InternalRow = _
-      override def next(): Boolean =
+      override def next(): Boolean = {
+        if (it == null) it = connection.fetch(gp.fetchId, gp.sql, gp.schema)
         if (it.hasNext) { current = serializer(it.next()).copy(); true } else false
+      }
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }

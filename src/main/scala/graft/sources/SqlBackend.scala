@@ -20,12 +20,71 @@ trait SqlBackend extends Serializable {
     * `load_catalog`, `src/sqldb/postgres/mod.rs:67-125`). */
   def tables: Seq[String]
   def schema(table: String): StructType
+  /** Primary/unique key of a table if the backend's catalog knows one —
+    * lets the partition-split ORDER BY use a single key column instead of
+    * every projected column (a real RDBMS catalog exposes this via
+    * information_schema, which the reference already reads for schemas,
+    * `src/sqldb/postgres/mod.rs:67-125`). */
+  def uniqueKey(table: String): Option[Seq[String]] = None
   /** Driver-side query returning materialized rows (used for partition
     * planning probes and small result fetches). */
   def executeSql(sql: String): Seq[Row]
+  /** A task-side connection handle for partition readers. MUST be
+    * serializable by configuration only (connection string / dir) — never
+    * by materialized data: it ships inside every InputPartition. */
+  def connection: SqlConnection
   /** Whole-query execution returning a distributed handle — the analog of
     * `DatabaseExec` streaming Arrow batches (`src/physical_plan.rs:28-132`). */
   def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow]
+}
+
+/** Executor-side connection contract — the analog of the reference spawning
+  * a backend connection inside each partition's execute
+  * (`PostgresExec::execute`, `src/sqldb/postgres/table_provider.rs:219-233`;
+  * connection spawn `src/sqldb/postgres/mod.rs:133-168`). `fetch` runs on
+  * the TASK, at read time: partition planning never materializes rows, so
+  * the driver holds SQL strings only, regardless of result size. A
+  * production JDBC implementation opens its connection in `fetch` and
+  * streams the ResultSet, leaving `prefetch` the default no-op.
+  *
+  * `prefetch` exists for IN-PROCESS doubles that answer queries with Spark
+  * jobs on the engine's own scheduler: a fetch issued from a running task
+  * deadlocks local mode (every slot is held by a scan task blocked on the
+  * fetch whose backend job needs a slot), so such backends start and await
+  * their partition queries on the DRIVER — after partition planning, before
+  * the engine job submits tasks — and `fetch` then drains the buffered
+  * result. */
+trait SqlConnection extends Serializable {
+  def fetch(id: Long, sql: String, schema: StructType): Iterator[Row]
+  /** Driver-side hook called once per partition before tasks launch. */
+  def prefetch(id: Long, sql: String, schema: StructType): Unit = {}
+  /** Driver-side barrier: returns once every `prefetch` issued through this
+    * connection instance has completed. */
+  def awaitPrefetched(): Unit = {}
+}
+
+/** JVM-local handoff between driver-side prefetch and task-side read for
+  * in-process backends (local mode: same JVM by construction). Entries are
+  * kept in a small LRU — NOT consumed on read — so re-executing the same
+  * plan (second action on a DataFrame reuses the cached physical scan and
+  * its fetch ids) hits the buffer again instead of falling back to a
+  * task-side fetch that could starve the shared scheduler. */
+private[sources] object FetchRegistry {
+  private val ids = new java.util.concurrent.atomic.AtomicLong()
+  private val MaxEntries = 16
+  private val m = new java.util.LinkedHashMap[Long, java.util.concurrent.Future[Seq[Row]]](
+      32, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Long, java.util.concurrent.Future[Seq[Row]]]): Boolean =
+      size() > MaxEntries
+  }
+  def nextId(): Long = ids.incrementAndGet()
+  /** Idempotent: Spark consults the reader factory more than once per plan
+    * (columnar checks, AQE re-planning); only the first offer submits. */
+  def putIfAbsent(id: Long, f: () => java.util.concurrent.Future[Seq[Row]]): Unit =
+    m.synchronized { if (!m.containsKey(id)) m.put(id, f()) }
+  def get(id: Long): Option[java.util.concurrent.Future[Seq[Row]]] =
+    m.synchronized { Option(m.get(id)) }
 }
 
 /** Test double standing in for a remote RDBMS: a *separate* SparkSession
@@ -42,6 +101,68 @@ object SparkViewBackend {
     * multi-table subtrees (same-backend check). */
   def forDir(dir: String): SparkViewBackend =
     cache.computeIfAbsent(dir, d => new SparkViewBackend(d))
+
+  /** Primary keys of the test-double catalog (what a real backend would
+    * serve from information_schema key_column_usage). lineitem's key is
+    * composite; events/documents/embeddings carry synthetic ids. */
+  val uniqueKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Driver-side threads answering the double's fetches (the "server" end
+    * of the fake wire). Daemon + unbounded: each fetch is one short-lived
+    * backend query; concurrency is bounded by the scan's partition count. */
+  private[sources] lazy val fetchService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-backend-fetch")
+        t.setDaemon(true)
+        t
+      })
+}
+
+/** The test double's "connection". The double answers queries with Spark
+  * jobs on the engine's own local scheduler, so partition queries are
+  * started AND awaited on the driver (`prefetch`/`awaitPrefetched`, called
+  * by the scan's reader factory before any engine task launches) — a fetch
+  * issued from inside a running task would deadlock: blocked scan tasks
+  * hold every slot the backend's job needs. Task-side `fetch` then drains
+  * the buffered result through the JVM-local [[FetchRegistry]] (same JVM in
+  * local mode — the registry is the stand-in for the server side of a real
+  * backend's wire). The last-resort path (registry evicted, e.g. a stage
+  * retry long after execution) re-runs the query on a service thread and
+  * can stall if every slot is simultaneously blocked — acceptable for the
+  * double; a JDBC backend never enters it. */
+case class ViewBackendConnection(dir: String) extends SqlConnection {
+  // driver-only bookkeeping of this instance's prefetches; deliberately
+  // rebuilt empty after serialization to tasks
+  @transient private lazy val issued = new scala.collection.mutable.ArrayBuffer[Long]
+
+  private def submit(sql: String): java.util.concurrent.Future[Seq[Row]] = {
+    val backend = SparkViewBackend.forDir(dir)
+    SparkViewBackend.fetchService
+      .submit(new java.util.concurrent.Callable[Seq[Row]] {
+        override def call(): Seq[Row] = backend.executeSql(sql)
+      })
+  }
+
+  override def prefetch(id: Long, sql: String, schema: StructType): Unit = {
+    FetchRegistry.putIfAbsent(id, () => submit(sql))
+    issued.synchronized { issued += id }
+  }
+
+  override def awaitPrefetched(): Unit =
+    issued.synchronized { issued.toSeq }
+      .foreach(id => FetchRegistry.get(id).foreach(_.get()))
+
+  override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] =
+    FetchRegistry.get(id)
+      .getOrElse(submit(sql)) // evicted: documented last-resort re-run
+      .get().iterator
 }
 
 class SparkViewBackend(dir: String) extends SqlBackend {
@@ -67,7 +188,33 @@ class SparkViewBackend(dir: String) extends SqlBackend {
 
   override def tables: Seq[String] = graft.Tables.names
   override def schema(table: String): StructType = session.table(table).schema
-  override def executeSql(sql: String): Seq[Row] = session.sql(sql).collect().toSeq
+  override def uniqueKey(table: String): Option[Seq[String]] =
+    SparkViewBackend.uniqueKeys.get(table)
+  /** Count of driver-side SQL executions — observability hook asserted by
+    * FederationSpec to prove partition planning fetches no rows. */
+  val sqlExecCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def executeSql(sql: String): Seq[Row] = {
+    sqlExecCount.incrementAndGet()
+    val s = session
+    // Task threads (read-time fetches) have no active-session thread-local,
+    // and driver threads have the ENGINE's session active — pin the
+    // backend's own session for the duration of its query and restore,
+    // so physical-plan construction resolves the right session in both
+    // contexts without leaking it to the caller's thread.
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s)
+    try s.sql(sql).collect().toSeq
+    finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+  }
+  /** Driver-routed for the in-process double: the "connection" serializes
+    * as the dir string only and re-resolves this backend through the
+    * per-JVM registry. Partition queries run at driver prefetch time (see
+    * [[ViewBackendConnection]] for the scheduler-deadlock reasoning); a
+    * JDBC backend swaps in a socket here and streams executor-side. */
+  override def connection: SqlConnection = ViewBackendConnection(dir)
   override def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow] = {
     val df = session.sql(sql)
     // types, not just arity: InternalRows decoded against a mismatched

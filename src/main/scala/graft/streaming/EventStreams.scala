@@ -62,7 +62,15 @@ object EventStreams {
     if (stale) java.nio.file.Files.delete(dst)
     if (!java.nio.file.Files.exists(dst)) {
       try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      catch {
+        case _: Exception =>
+          // copy fallback (link refused, e.g. cross-device): carry src's
+          // mtime over, or the staleness check above would flag the copy
+          // stale on every call and re-stage it forever
+          java.nio.file.Files.copy(src, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.Files.getLastModifiedTime(src))
+      }
     }
     spark.readStream.schema(rawSchema).parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -134,8 +142,10 @@ object EventStreams {
     val sessions = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
     runToTable(sessions.toDF(), OutputMode.Append())
+      // second-truncated to match the oracle's engine-neutral precision
+      // (the parquet ts is TIMESTAMP(NANOS); see s23bSessionsSql note).
       .select(col("user_id"), col("session_id"), col("events_in_session"),
-        col("session_start"))
+        date_trunc("second", col("session_start")).as("session_start"))
       .orderBy("user_id", "session_id")
       .limit(500)
   }
@@ -260,18 +270,9 @@ object EventStreams {
       """SELECT DATE_TRUNC('HOUR', ts) AS hour_start, event_type,
         |       COUNT(*) AS n, SUM(value) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
-    "stream_sessions" ->
-      """SELECT user_id, session_id, COUNT(*) AS events_in_session, MIN(ts) AS session_start
-        |FROM ( SELECT user_id, ts,
-        |              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |       FROM ( SELECT user_id, ts, event_id,
-        |                     CASE WHEN LAG(ts) OVER w IS NULL
-        |                            OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-        |                     THEN 1 ELSE 0 END AS is_new
-        |              FROM events
-        |              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ) flagged ) sessions
-        |GROUP BY user_id, session_id ORDER BY user_id, session_id LIMIT 500""".stripMargin,
+    // Shared with batch S23b so the typing fixes (BIGINT session_id,
+    // second-truncated session_start) can't drift between the two entries.
+    "stream_sessions" -> graft.queries.Corpus.s23bSessionsSql,
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s

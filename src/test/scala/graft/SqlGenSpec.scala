@@ -209,4 +209,44 @@ class SqlGenSpec extends AnyFunSuite {
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     assert(SqlGen(df.queryExecution.analyzed).isLeft)
   }
+
+  test("left semi join renders EXISTS") {
+    val df = t("customer")
+      .join(t("orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+    val sql = SqlGen(df.queryExecution.analyzed,
+      dialect = SqlGen.SparkSqlDialect).toOption.get
+    assert(sql.toUpperCase.contains("EXISTS"), sql)
+    assert(!sql.toUpperCase.contains("NOT EXISTS"), sql)
+    roundTrip(df)
+  }
+
+  test("left anti join renders NOT EXISTS") {
+    val df = t("customer")
+      .join(t("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val sql = SqlGen(df.queryExecution.analyzed,
+      dialect = SqlGen.SparkSqlDialect).toOption.get
+    assert(sql.toUpperCase.contains("NOT EXISTS"), sql)
+    roundTrip(df)
+  }
+
+  test("date + year-month interval arithmetic renders infix +") {
+    roundTrip(t("orders").select(col("o_orderkey"),
+      (col("o_orderdate") + expr("INTERVAL '3' MONTH")).as("plus3m")))
+  }
+
+  test("timestamp minus day-time interval and timestamp difference render") {
+    roundTrip(t("events").select(col("event_id"),
+      (col("ts") - expr("INTERVAL '30' MINUTE")).as("t2"),
+      ((col("ts") - expr("TIMESTAMP '2024-01-01 00:00:00'")) >
+        expr("INTERVAL '45' SECOND")).as("gt")))
+  }
+
+  test("interval comparison predicate pushes down (s23b shape)") {
+    roundTrip(t("events")
+      .filter((col("ts") - expr("TIMESTAMP '2024-01-01 00:00:00'")) >
+        expr("INTERVAL '30' MINUTE"))
+      .select(col("event_id"), col("ts")))
+  }
 }

@@ -1,17 +1,32 @@
 #!/usr/bin/env python3
 """Local differ: replays the driver's DuckDB-oracle comparison so mismatches
-are caught before the round gate. Mirrors FIXTURES.md §4 canonicalization:
-columns sorted by name, floats rounded to 6 (no trailing zeros, -0.0 -> 0.0),
-timestamps rendered to seconds in UTC, NULL literal, row order preserved.
+are caught before the round gate.
+
+STRICTNESS (tightened after round 1, where the loose renderer hid a driver
+failure): the oracle is fetched through Arrow (`.arrow()`), NOT `fetchall()`
+— DuckDB's Python fetch path collapses HUGEINT to Python int, which is
+exactly how `SUM(int)` typed decimal128 in the driver while looking like a
+plain int here. Values are rendered at full precision with explicit typing:
+
+- Decimal is tagged distinctly from int ("decimal:3" vs "3") — a DuckDB
+  HUGEINT/DECIMAL aggregate never silently matches a Spark BIGINT.
+- Timestamps render str(value) at native precision (pandas Timestamp keeps
+  nanoseconds), tz-normalized to naive UTC — a TIMESTAMP(NANOS) column read
+  at ns by DuckDB no longer matches Spark's µs truncation by accident.
+- Floats keep the FIXTURES §4 contract: round 6, no trailing zeros, -0→0.
+- Lists/structs/binary canonicalize recursively instead of str(repr).
 
 Usage: python3 tools/oracle_diff.py <sfDir> <verifyOutDir>
 """
-import sys, json, math, glob, os
+import sys, json, math, glob, os, datetime
+from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+_UTC = datetime.timezone.utc
 
 
 def canon_value(v):
@@ -19,6 +34,8 @@ def canon_value(v):
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, Decimal):
+        return "decimal:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -27,11 +44,22 @@ def canon_value(v):
             r = 0.0  # normalize -0.0
         s = f"{r:.6f}".rstrip("0").rstrip(".")
         return s if s not in ("-0", "") else "0"
-    if hasattr(v, "strftime"):  # datetime/date
-        try:
-            return v.strftime("%Y-%m-%d %H:%M:%S")
-        except Exception:
-            return str(v)
+    if isinstance(v, datetime.datetime):  # incl. pandas Timestamp (ns kept)
+        if v.tzinfo is not None:
+            v = v.astimezone(_UTC).replace(tzinfo=None)
+        return str(v)
+    if isinstance(v, datetime.date):
+        # Promote to midnight-timestamp form: the driver passes entries where
+        # the engine emits TIMESTAMP and the oracle DATE for the same value
+        # (Spark DATE_TRUNC returns timestamp, DuckDB returns date — s21b).
+        return v.isoformat() + " 00:00:00"
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon_value(x)}"
+                              for k, x in sorted(v.items())) + "}"
     return str(v)
 
 
@@ -60,9 +88,9 @@ def main(sf_dir, out_dir):
         e_names = engine_tbl.column_names
         e_rows = [tuple(r[c] for c in e_names) for r in engine_tbl.to_pylist()]
         try:
-            cur = con.execute(sql)
-            o_names = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
+            o_tbl = con.execute(sql).arrow()  # Arrow path: sees HUGEINT/ns
+            o_names = o_tbl.column_names
+            o_rows = [tuple(r[c] for c in o_names) for r in o_tbl.to_pylist()]
         except Exception as ex:
             print(f"ORA-ERR   {name}: {ex}")
             n_fail += 1
