@@ -79,10 +79,26 @@ object EventStreams {
   /** Run a bounded streaming query to completion into a memory sink and
     * return the materialized result. */
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"graft_stream_${sinkCounter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // State-store cost is per partition per micro-batch (a versioned
+    // commit each), so streaming queries size their state partitioning to
+    // stream volume instead of inheriting the batch shuffle width.
+    // Config experiment (stream_enrich_join, sf0.1, local[32], min-of-2):
+    // 32 partitions 6.7 s, RocksDB@32 6.3 s, 8 partitions 2.8 s,
+    // 8+RocksDB 3.1 s, 4 partitions 2.25 s — partition fixed costs
+    // dominate and the default in-memory provider beats RocksDB at this
+    // state size. Production sizes this to key cardinality/throughput via
+    // graft.streaming.statePartitions (state partitioning is fixed at
+    // first checkpoint, so it must be chosen for peak, not current, load).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
+    try {
+      val name = s"graft_stream_${sinkCounter.incrementAndGet()}"
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Hourly tumbling-window counts — streaming twin of batch S23a.
