@@ -337,6 +337,37 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // Exact n-gram Jaccard is hash-invariant: the engine intersects hashed
+    // shingles, the oracle intersects the shingle STRINGS themselves —
+    // identical sets modulo 64-bit collisions (none at this scale, and a
+    // collision would surface as a value mismatch here). Mirrors the full
+    // pipeline: planted near-dups, distinct 3-token shingles, df>1000
+    // stop-shingle cutoff, post-cutoff set sizes.
+    "dedup_ngram_jaccard" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
+        |  FROM documents
+        |),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks FROM docs2),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |       FROM tok WHERE len(toks) >= 3),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 1000),
+        |rare AS (SELECT sh.* FROM sh ANTI JOIN hot USING (sh)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM rare GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |           FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // closure of the planted chains = min doc_id over identical text
     "dedup_groups" ->
       """WITH all_docs AS (
