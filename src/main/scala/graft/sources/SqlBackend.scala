@@ -71,7 +71,10 @@ trait SqlConnection extends Serializable {
   * task-side fetch that could starve the shared scheduler. */
 private[sources] object FetchRegistry {
   private val ids = new java.util.concurrent.atomic.AtomicLong()
-  private val MaxEntries = 16
+  // sized above any realistic partition count of one query's graft scans
+  // (cap × per-partition result is the driver-memory exposure; eviction
+  // below a live query's partition count would force task-side fallback)
+  private val MaxEntries = 64
   private val m = new java.util.LinkedHashMap[Long, java.util.concurrent.Future[Seq[Row]]](
       32, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
