@@ -204,23 +204,41 @@ class GraftScan(val table: String, val backend: SqlBackend,
 
   private def q(n: String): String = backend.dialect.quote(n)
 
-  private def baseSql: String = {
+  private def baseSql: String = sqlWith(None)
+
+  /** Render the scan SQL, optionally AND-ing one extra predicate into the
+    * WHERE clause (used by the range split — the predicate references the
+    * table's key column directly, so it works even when the key is pruned
+    * from the projection). */
+  private def sqlWith(extra: Option[String]): String = {
     val cols = aggregation match {
       case Some((selects, _)) => selects.mkString(", ")
       case None =>
         if (required.isEmpty) "1" // COUNT(*)-only scans prune every column
         else required.fieldNames.map(q).mkString(", ")
     }
-    val where =
-      if (filters.isEmpty) ""
-      else " WHERE " + filters.flatMap(FilterSql.render(_, backend.dialect))
-        .mkString(" AND ")
+    val preds =
+      filters.flatMap(FilterSql.render(_, backend.dialect)).toSeq ++ extra
+    val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
     val group = aggregation match {
       case Some((_, g)) if g.nonEmpty => " GROUP BY " + g.mkString(", ")
       case _ => ""
     }
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
     s"SELECT $cols FROM ${q(table)}$where$group$lim"
+  }
+
+  /** The split column: a declared single-column integral unique key. */
+  private def rangeKey: Option[String] = backend.uniqueKey(table) match {
+    case Some(Seq(k)) =>
+      backend.schema(table).fields.find(_.name == k).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ByteType |
+                  org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.LongType) => Some(k)
+        case _ => None
+      }
+    case _ => None
   }
 
   override def toBatch: Batch = this
@@ -230,44 +248,62 @@ class GraftScan(val table: String, val backend: SqlBackend,
   // lazy + cached so Spark's repeated planInputPartitions calls and the
   // reader factory's prefetch see the SAME partitions (stable fetch ids)
   private lazy val planned: Array[InputPartition] = {
-    // COUNT probe + LIMIT/OFFSET split (reference: count_records +
-    // 4-partition planning). A single partition skips the probe. The probe
-    // is the ONLY backend round-trip at planning time: partitions carry
-    // SQL text, never rows (reference `PostgresExec::execute` likewise
-    // defers the fetch to each partition's execute).
-    val ranges: Seq[Option[(Long, Long)]] =
-      if (numPartitions <= 1 || limit.isDefined) Seq(None)
-      else {
-        val where = if (filters.isEmpty) ""
-          else " WHERE " + filters.flatMap(FilterSql.render(_, backend.dialect)).mkString(" AND ")
-        val n = backend.executeSql(s"SELECT COUNT(*) FROM ${q(table)}$where")
-          .head.getLong(0)
-        if (n == 0) Seq(None)
-        else {
-          val per = (n + numPartitions - 1) / numPartitions
-          (0L until numPartitions.toLong).map(i => Some((i * per, per)))
-            .filter(_.exists(_._1 < n))
-        }
+    // Split strategy, in preference order — every branch is exactly-once,
+    // and the one planning round-trip (a scalar probe) is the only backend
+    // work before execution (partitions carry SQL text, never rows;
+    // reference `PostgresExec::execute` likewise defers each fetch):
+    //
+    //  1. Declared single integral unique key → MIN/MAX probe + disjoint
+    //     key-range predicates (the strategy of Spark's own JDBC
+    //     partitioning): index-friendly range seeks on a real RDBMS, no
+    //     backend sorts. Caveat (same as JDBC's): range sizes follow the
+    //     key distribution, and a sparse key skews partitions.
+    //  2. Composite / non-integral key → COUNT probe + key-ordered
+    //     LIMIT/OFFSET ranges (the reference's split, made deterministic:
+    //     its unordered LIMIT/OFFSET can duplicate or drop rows). Costs
+    //     one backend sort per partition query.
+    //  3. Single partition (explicit limit, numPartitions <= 1, or empty).
+    val sqls: Seq[String] =
+      if (numPartitions <= 1 || limit.isDefined) Seq(baseSql)
+      else rangeKey match {
+        case Some(k) =>
+          // the probe shares the pushed filters, so the bounds (and hence
+          // the ranges) reflect the filtered data, not the whole table
+          val preds = filters.flatMap(FilterSql.render(_, backend.dialect))
+          val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
+          val bounds = backend.executeSql(
+            s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(table)}$where").head
+          if (bounds.isNullAt(0)) Seq(baseSql) // empty table
+          else {
+            val lo = bounds.get(0).asInstanceOf[Number].longValue
+            val hi = bounds.get(1).asInstanceOf[Number].longValue
+            val stride = math.max(1L, (hi - lo) / numPartitions + 1)
+            (0 until numPartitions).map { i =>
+              val from = lo + i * stride
+              val until = from + stride
+              sqlWith(Some(s"(${q(k)} >= $from AND ${q(k)} < $until)"))
+            }.take(((hi - lo) / stride + 1).toInt)
+          }
+        case None =>
+          val preds = filters.flatMap(FilterSql.render(_, backend.dialect))
+          val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
+          val n = backend.executeSql(s"SELECT COUNT(*) FROM ${q(table)}$where")
+            .head.getLong(0)
+          if (n == 0) Seq(baseSql)
+          else {
+            val per = (n + numPartitions - 1) / numPartitions
+            val orderCols = backend.uniqueKey(table).getOrElse(
+              required.fieldNames.toSeq)
+            val order = if (orderCols.isEmpty) ""
+              else " ORDER BY " + orderCols.map(q).mkString(", ")
+            (0L until numPartitions.toLong)
+              .filter(i => i * per < n)
+              .map(i => s"SELECT * FROM ($baseSql$order) graft_part LIMIT $per OFFSET ${i * per}")
+          }
       }
-    ranges.map { r =>
-      val sql = r match {
-        case Some((offset, count)) =>
-          // deterministic split needs a total order across every range
-          // query (the reference's unordered LIMIT/OFFSET split can
-          // duplicate/drop rows). A declared unique key gives that order
-          // from one column set (cheap backend sort, index-assisted on a
-          // real RDBMS); otherwise fall back to ALL projected columns.
-          // The ORDER BY sits inside baseSql's scope, so an unprojected
-          // key column is still referencable.
-          val orderCols = backend.uniqueKey(table).getOrElse(
-            required.fieldNames.toSeq)
-          val order = if (orderCols.isEmpty) ""
-            else " ORDER BY " + orderCols.map(q).mkString(", ")
-          s"SELECT * FROM ($baseSql$order) graft_part LIMIT $count OFFSET $offset"
-        case None => baseSql
-      }
-      GraftInputPartition(FetchRegistry.nextId(), sql, required): InputPartition
-    }.toArray
+    sqls.map(sql =>
+      GraftInputPartition(FetchRegistry.nextId(), sql, required): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

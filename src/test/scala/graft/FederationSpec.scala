@@ -90,7 +90,7 @@ class FederationSpec extends AnyFunSuite {
     val before = backend.sqlExecCount.get()
     val parts = scan.toBatch.planInputPartitions()
     assert(backend.sqlExecCount.get() - before == 1,
-      "planning must issue only the COUNT probe")
+      "planning must issue only the scalar bounds/count probe")
     assert(parts.length == 4)
     // the serialized partition is SQL-only — no row payload field exists,
     // and its size is bytes, not data: prove it by serializing
@@ -110,22 +110,31 @@ class FederationSpec extends AnyFunSuite {
     assert(remote("orders").count() == 1500)
   }
 
-  test("split queries order by the declared unique key, not all columns") {
+  test("integral-key tables split by key-range predicates: no sorts, no offsets") {
     val df = remote("orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
     val parts = graftScan(df).planInputPartitions()
       .map(_.asInstanceOf[graft.sources.GraftInputPartition])
     assert(parts.length > 1)
     parts.foreach { p =>
-      assert(p.sql.contains("ORDER BY `o_orderkey`"), p.sql)
-      assert(!p.sql.contains("ORDER BY `o_orderpriority`") &&
-        !p.sql.matches("(?s).*ORDER BY.*`o_totalprice`.*"), p.sql)
+      assert(p.sql.contains("`o_orderkey` >=") && p.sql.contains("`o_orderkey` <"), p.sql)
+      assert(!p.sql.contains("ORDER BY") && !p.sql.contains("OFFSET"), p.sql)
     }
-    // still exactly-once across ranges
+    // disjoint ranges cover everything exactly once
     val got = df.collect().map(_.toString).sorted.toSeq
     val want = Tables.load(spark, TestSpark.Sf0001, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
       .collect().map(_.toString).sorted.toSeq
     assert(got == want)
+  }
+
+  test("composite-key tables fall back to key-ordered LIMIT/OFFSET ranges") {
+    val parts = graftScan(remote("lineitem")).planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+    assert(parts.length > 1)
+    parts.foreach { p =>
+      assert(p.sql.contains("ORDER BY `l_orderkey`, `l_linenumber`"), p.sql)
+      assert(p.sql.contains("OFFSET"), p.sql)
+    }
   }
 
   test("aggregate pushdown: whole GROUP BY answered by the backend") {
