@@ -178,8 +178,10 @@ object Similarity {
     "sim_topk_lsh" -> ((s, d) => lshTopK(Tables.load(s, d, "embeddings"))),
   )
 
-  /** DuckDB oracle for the exact brute-force variant (DuckDB 1.0 has
-    * list_cosine_similarity; ranking ties broken identically by vec_id). */
+  /** DuckDB oracles for the exact brute-force variant and for IVF (whose
+    * centroid choice, assignment, and probing are all deterministic, so
+    * the whole index is SQL-expressible; list_cosine_similarity matches
+    * cosine_f32's double accumulation, ties broken identically by id). */
   val oracle: Seq[(String, String)] = Seq(
     "sim_topk_brute" ->
       """SELECT qid, rank, vec_id, cosine FROM (
@@ -189,6 +191,33 @@ object Similarity {
         |                            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id % 50 = 0 ) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_topk_ivf" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+        |  FROM embeddings WHERE vec_id % 37 = 0
+        |),
+        |assign AS (
+        |  SELECT vec_id, cluster, embedding FROM (
+        |    SELECT e.vec_id, c.cent_id AS cluster, e.embedding,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
+        |    FROM embeddings e CROSS JOIN centroids c) t WHERE r = 1
+        |),
+        |probes AS (
+        |  SELECT qid, qvec, cluster FROM (
+        |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cent_id AS cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
+        |    FROM embeddings q CROSS JOIN centroids c WHERE q.vec_id % 50 = 0) t WHERE r <= 3
+        |)
+        |SELECT qid, rank, vec_id, cosine FROM (
+        |  SELECT p.qid, a.vec_id,
+        |         list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY p.qid
+        |           ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
+        |  FROM assign a JOIN probes p USING (cluster)
+        |  WHERE a.vec_id <> p.qid) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
   )
 }
