@@ -368,6 +368,37 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The hyperplane LSH is seeded-deterministic → SQL-expressible: the
+    // generated oracle inlines the planes as literals (exact float32
+    // values via toDouble) and rebuilds bucketing, the planted
+    // perturbation (double math then REAL cast, matching Spark's
+    // `cast(x * 1.02 + 0.001 as float)`), candidate join, and the cosine
+    // threshold.
+    "dedup_embedding" -> {
+      val buckets = Lsh.bucketizeSql("emb2",
+        Lsh.hyperplanes(tables = 4, bits = 12, dim = 64, seed = 42L))
+      s"""WITH emb2 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(x * CAST(1.02 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS REAL)) AS embedding
+         |  FROM embeddings
+         |),
+         |buckets AS (
+         |  $buckets
+         |),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM buckets a JOIN buckets b ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+         |         WHERE a.vec_id < b.vec_id),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM emb2)
+         |SELECT id_a, id_b, list_cosine_similarity(va.vec, vb.vec) AS cosine
+         |FROM cand
+         |JOIN v va ON va.vec_id = id_a
+         |JOIN v vb ON vb.vec_id = id_b
+         |WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // closure of the planted chains = min doc_id over identical text
     "dedup_groups" ->
       """WITH all_docs AS (

@@ -41,6 +41,20 @@ object Lsh {
       .withColumn("bucket", col("tb.bucket"))
       .drop("tb")
   }
+
+  /** DuckDB rendering of the same bucketing, for generated oracle SQL: the
+    * planes are deterministic (seeded), so they inline as array literals.
+    * Floats print via `.toDouble` — Float→Double is exact, and
+    * Double.toString round-trips, so DuckDB parses the exact float32
+    * value the engine's dot product consumes. */
+  def bucketizeSql(srcRelation: String, planes: Array[Array[Array[Float]]]): String =
+    planes.zipWithIndex.map { case (tp, t) =>
+      val bucket = tp.zipWithIndex.map { case (plane, i) =>
+        val arr = plane.map(_.toDouble.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS table_idx, $bucket AS bucket FROM $srcRelation"
+    }.mkString("\n  UNION ALL ")
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -219,5 +233,31 @@ object Similarity {
         |  FROM assign a JOIN probes p USING (cluster)
         |  WHERE a.vec_id <> p.qid) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // The hyperplanes are seeded-deterministic, so even LSH is
+    // SQL-expressible: the generated oracle inlines the planes as array
+    // literals and rebuilds the bucket join + top-k. (Sign decisions are
+    // robust: dot magnitudes are O(1) while double sum-order noise is
+    // ~1e-16, so the engine and DuckDB agree on every bucket bit.)
+    "sim_topk_lsh" -> {
+      val buckets = Lsh.bucketizeSql("embeddings",
+        Lsh.hyperplanes(tables = 8, bits = 8, dim = 64, seed = 42L))
+      s"""WITH buckets AS (
+         |  $buckets
+         |),
+         |qb AS (SELECT vec_id AS qid, table_idx, bucket FROM buckets WHERE vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT q.qid, c.vec_id
+         |         FROM buckets c JOIN qb q ON c.table_idx = q.table_idx AND c.bucket = q.bucket
+         |         WHERE c.vec_id <> q.qid),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+         |SELECT qid, rank, vec_id, cosine FROM (
+         |  SELECT qid, cand.vec_id,
+         |         list_cosine_similarity(vq.vec, vc.vec) AS cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY list_cosine_similarity(vq.vec, vc.vec) DESC, cand.vec_id) AS rank
+         |  FROM cand
+         |  JOIN v vq ON vq.vec_id = cand.qid
+         |  JOIN v vc ON vc.vec_id = cand.vec_id) t
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    },
   )
 }
