@@ -26,8 +26,10 @@ object Bench {
     // SPARK_GRAFT_CONF="k=v;k=v" overrides/extends the defaults above
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => System.err.println(s"[bench] ignoring malformed conf entry: $kv")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,11 +28,22 @@ object Skew {
     * nondeterministic in Catalyst, so a fetch-failure retry recomputes the
     * consuming stage rather than trusting stale placement. rand() would
     * give the same guarantees with worse debuggability. */
-  private def salt(df: DataFrame, saltFactor: Int): Column =
+  private def salt(df: DataFrame, saltFactor: Int): Column = {
+    // xxhash64 rejects MapType inputs — hash only the hashable columns
+    // (the ordinal alone already carries the spread; the content hash is
+    // decorrelation, so dropping unhashable columns from it is safe)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
     pmod(
-      xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
-        monotonically_increasing_id()),
+      xxhash64((cols :+ monotonically_increasing_id()): _*),
       lit(saltFactor.toLong))
+  }
 
   /** Inner equi-join `large ⋈ small` on `keys`, salted `saltFactor` ways.
     * `small` is replicated saltFactor× (explode), so keep saltFactor

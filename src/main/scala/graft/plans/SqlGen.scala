@@ -138,10 +138,16 @@ object SqlGen {
           keys <- sequence(grouping.map(expr))
         } yield {
           val gb = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
-          // the optimizer can prune every output expr (e.g. COUNT(*) above
-          // a grouped subquery needs only group cardinality) — keep one
-          // constant column so the SQL stays well-formed
-          val sel = if (items.isEmpty) "1 AS gq_dummy" else items.mkString(", ")
+          // The optimizer can prune every output expr (COUNT(*) above a
+          // subquery needs only cardinality). Grouped: one constant column
+          // per group. UNGROUPED: must still emit exactly ONE row (a
+          // global aggregate's cardinality) — COUNT(*) does that for any
+          // child, including an empty one; a bare constant would emit one
+          // row per child row.
+          val sel =
+            if (items.nonEmpty) items.mkString(", ")
+            else if (keys.nonEmpty) "1 AS gq_dummy"
+            else "COUNT(*) AS gq_dummy"
           s"SELECT $sel FROM ($c) ${nextAlias()}$gb"
         }
 
@@ -336,14 +342,24 @@ object SqlGen {
         })
         el <- elseValue.map(expr(_).map(s => s" ELSE $s")).getOrElse(Right(""))
       } yield s"(CASE ${bs.mkString(" ")}$el END)"
-    // interval-to-interval widening casts (inserted by the analyzer to
-    // align e.g. SubtractTimestamps' DAY TO SECOND with a SECOND literal)
-    // have no dialect-shared type name — drop them; the operand already
-    // denotes the same duration and backends compare intervals natively
-    case Cast(child, _: DayTimeIntervalType, _, _)
-        if child.dataType.isInstanceOf[DayTimeIntervalType] => expr(child)
-    case Cast(child, _: YearMonthIntervalType, _, _)
-        if child.dataType.isInstanceOf[YearMonthIntervalType] => expr(child)
+    // Interval-to-interval casts have no dialect-shared type name. A
+    // WIDENING cast (target field span covers the source's) is a no-op on
+    // the value, so it is elided; a NARROWING cast truncates in Spark
+    // (CAST(INTERVAL '1 05:00:00' DAY TO SECOND AS INTERVAL DAY) drops the
+    // hours) and eliding it would be a mistranslation — those refuse via
+    // the generic Cast case below (Unsupported type name → stays in Spark).
+    case Cast(child, t: DayTimeIntervalType, _, _)
+        if (child.dataType match {
+          case s: DayTimeIntervalType =>
+            t.startField <= s.startField && t.endField >= s.endField
+          case _ => false
+        }) => expr(child)
+    case Cast(child, t: YearMonthIntervalType, _, _)
+        if (child.dataType match {
+          case s: YearMonthIntervalType =>
+            t.startField <= s.startField && t.endField >= s.endField
+          case _ => false
+        }) => expr(child)
 
     case Cast(child, dt, _, evalMode) =>
       // TRY mode must render TRY_CAST (NULL on failure) — a plain CAST

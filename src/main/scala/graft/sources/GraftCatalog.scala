@@ -32,6 +32,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var defaultDir: Option[String] = None
+  private var numPartitions: Int = 4
 
   /** The single namespace, mirroring the reference's default `public`
     * schema (`src/sqldb/postgres/mod.rs:80-93` groups by table_schema;
@@ -41,6 +42,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     defaultDir = Option(options.get("dir"))
+    // same tuning knob the DSv2 provider path honors
+    // (spark.sql.catalog.<name>.partitions = N)
+    numPartitions = math.max(1, options.getInt("partitions", 4))
   }
   override def name(): String = catalogName
 
@@ -83,7 +87,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident))
       throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
     val b = backend
-    new GraftSqlTable(ident.name, b, b.schema(ident.name), numPartitions = 4)
+    new GraftSqlTable(ident.name, b, b.schema(ident.name), numPartitions)
   }
 
   // ---- read-only: DDL is the backend's job, as in the reference ----

@@ -263,32 +263,41 @@ class GraftScan(val table: String, val backend: SqlBackend,
     //     its unordered LIMIT/OFFSET can duplicate or drop rows). Costs
     //     one backend sort per partition query.
     //  3. Single partition (explicit limit, numPartitions <= 1, or empty).
+    // shared by both probes AND the partition queries (sqlWith uses the
+    // same rendering): a drift between probe and partition predicates
+    // would make bounds/counts disagree with the data the ranges see
+    lazy val probeWhere = {
+      val preds = filters.flatMap(FilterSql.render(_, backend.dialect))
+      if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
+    }
     val sqls: Seq[String] =
       if (numPartitions <= 1 || limit.isDefined) Seq(baseSql)
       else rangeKey match {
         case Some(k) =>
           // the probe shares the pushed filters, so the bounds (and hence
           // the ranges) reflect the filtered data, not the whole table
-          val preds = filters.flatMap(FilterSql.render(_, backend.dialect))
-          val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
           val bounds = backend.executeSql(
-            s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(table)}$where").head
-          if (bounds.isNullAt(0)) Seq(baseSql) // empty table
+            s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(table)}$probeWhere").head
+          if (bounds.isNullAt(0)) Seq(baseSql) // empty table (or all-NULL keys)
           else {
-            val lo = bounds.get(0).asInstanceOf[Number].longValue
-            val hi = bounds.get(1).asInstanceOf[Number].longValue
-            val stride = math.max(1L, (hi - lo) / numPartitions + 1)
-            (0 until numPartitions).map { i =>
-              val from = lo + i * stride
+            // BigInt arithmetic: hi - lo on sentinel-valued Long keys
+            // overflows and would silently plan zero partitions
+            val lo = BigInt(bounds.get(0).asInstanceOf[Number].longValue)
+            val hi = BigInt(bounds.get(1).asInstanceOf[Number].longValue)
+            val stride = ((hi - lo) / numPartitions + 1) max BigInt(1)
+            val nParts = (((hi - lo) / stride) + 1).toInt
+            (0 until nParts).map { i =>
+              val from = lo + stride * i
               val until = from + stride
-              sqlWith(Some(s"(${q(k)} >= $from AND ${q(k)} < $until)"))
-            }.take(((hi - lo) / stride + 1).toInt)
+              // SQL UNIQUE permits NULLs and a NULL key matches no range
+              // predicate — partition 0 sweeps them up
+              val nulls = if (i == 0) s" OR ${q(k)} IS NULL" else ""
+              sqlWith(Some(s"(${q(k)} >= $from AND ${q(k)} < $until$nulls)"))
+            }
           }
         case None =>
-          val preds = filters.flatMap(FilterSql.render(_, backend.dialect))
-          val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
-          val n = backend.executeSql(s"SELECT COUNT(*) FROM ${q(table)}$where")
-            .head.getLong(0)
+          val n = backend.executeSql(
+            s"SELECT COUNT(*) FROM ${q(table)}$probeWhere").head.getLong(0)
           if (n == 0) Seq(baseSql)
           else {
             val per = (n + numPartitions - 1) / numPartitions

@@ -65,29 +65,50 @@ trait SqlConnection extends Serializable {
 
 /** JVM-local handoff between driver-side prefetch and task-side read for
   * in-process backends (local mode: same JVM by construction). Entries are
-  * kept in a small LRU — NOT consumed on read — so re-executing the same
-  * plan (second action on a DataFrame reuses the cached physical scan and
-  * its fetch ids) hits the buffer again instead of falling back to a
-  * task-side fetch that could starve the shared scheduler. */
+  * kept in an LRU — NOT consumed on read — so re-executing the same plan
+  * (second action on a DataFrame reuses the cached physical scan and its
+  * fetch ids) hits the buffer again instead of falling back to a task-side
+  * fetch that could starve the shared scheduler. Eviction only ever
+  * touches entries that HAVE been read at least once: an unread prefetch
+  * belongs to an in-flight query, and evicting it would silently
+  * reintroduce the task-side-fetch hazard for scans wider than the cap —
+  * so the map can grow past the cap transiently, bounded by the partition
+  * count of in-flight queries. */
 private[sources] object FetchRegistry {
   private val ids = new java.util.concurrent.atomic.AtomicLong()
-  // sized above any realistic partition count of one query's graft scans
-  // (cap × per-partition result is the driver-memory exposure; eviction
-  // below a live query's partition count would force task-side fallback)
+  // read-entry retention size (cap × per-partition result is the
+  // steady-state driver-memory exposure)
   private val MaxEntries = 64
+  private val consumed = new java.util.HashSet[Long]()
   private val m = new java.util.LinkedHashMap[Long, java.util.concurrent.Future[Seq[Row]]](
       32, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[Long, java.util.concurrent.Future[Seq[Row]]]): Boolean =
-      size() > MaxEntries
+        e: java.util.Map.Entry[Long, java.util.concurrent.Future[Seq[Row]]]): Boolean = false
+  }
+  private def evictReadOverflow(): Unit = {
+    val it = m.entrySet().iterator()
+    while (m.size() > MaxEntries && it.hasNext) {
+      val e = it.next()
+      if (consumed.contains(e.getKey)) { consumed.remove(e.getKey); it.remove() }
+    }
   }
   def nextId(): Long = ids.incrementAndGet()
   /** Idempotent: Spark consults the reader factory more than once per plan
     * (columnar checks, AQE re-planning); only the first offer submits. */
   def putIfAbsent(id: Long, f: () => java.util.concurrent.Future[Seq[Row]]): Unit =
-    m.synchronized { if (!m.containsKey(id)) m.put(id, f()) }
+    m.synchronized {
+      if (!m.containsKey(id)) { m.put(id, f()); evictReadOverflow() }
+    }
+  /** Peek without marking read (the await barrier). */
   def get(id: Long): Option[java.util.concurrent.Future[Seq[Row]]] =
     m.synchronized { Option(m.get(id)) }
+  /** Read for consumption: marks the entry evictable. */
+  def consume(id: Long): Option[java.util.concurrent.Future[Seq[Row]]] =
+    m.synchronized {
+      val f = Option(m.get(id))
+      if (f.isDefined) { consumed.add(id); evictReadOverflow() }
+      f
+    }
 }
 
 /** Test double standing in for a remote RDBMS: a *separate* SparkSession
@@ -163,7 +184,7 @@ case class ViewBackendConnection(dir: String) extends SqlConnection {
       .foreach(id => FetchRegistry.get(id).foreach(_.get()))
 
   override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] =
-    FetchRegistry.get(id)
+    FetchRegistry.consume(id)
       .getOrElse(submit(sql)) // evicted: documented last-resort re-run
       .get().iterator
 }

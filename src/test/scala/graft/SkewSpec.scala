@@ -20,6 +20,20 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salting works on schemas with map columns (unhashable by xxhash64)") {
+    val ev = Tables.load(spark, TestSpark.Sf0001, "events") // props is a map
+      .select(col("user_id"), col("event_type"), col("props"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("tag", concat(lit("t_"), col("event_type")))
+    val plain = ev.join(dim, Seq("event_type"))
+      .select("user_id", "event_type", "tag")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(ev, dim, Seq("event_type"), saltFactor = 4)
+      .select("user_id", "event_type", "tag")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("salted two-phase aggregate equals direct groupBy") {
     val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
     val direct = li.groupBy("l_returnflag")

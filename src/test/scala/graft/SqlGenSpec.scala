@@ -243,6 +243,22 @@ class SqlGenSpec extends AnyFunSuite {
         expr("INTERVAL '45' SECOND")).as("gt")))
   }
 
+  test("ungrouped aggregate pruned to zero exprs still emits exactly one row") {
+    t("orders")
+    // the optimizer prunes the inner SUM away (COUNT(*) needs only
+    // cardinality), leaving Aggregate [] [] — which must render as a
+    // 1-row global aggregate, not a per-row constant
+    roundTrip(spark.sql(
+      "SELECT COUNT(*) AS n FROM (SELECT SUM(o_totalprice) AS s FROM orders) sub"))
+  }
+
+  test("narrowing interval cast refuses (truncation has no shared rendering)") {
+    val df = t("events").select(
+      expr("CAST(ts - TIMESTAMP '2024-01-01 00:00:00' AS INTERVAL DAY)").as("d"))
+    assert(SqlGen(df.queryExecution.analyzed).isLeft,
+      "narrowing DAY TO SECOND -> DAY cast must stay in Spark")
+  }
+
   test("interval comparison predicate pushes down (s23b shape)") {
     roundTrip(t("events")
       .filter((col("ts") - expr("TIMESTAMP '2024-01-01 00:00:00'")) >
