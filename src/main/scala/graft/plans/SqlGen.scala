@@ -487,6 +487,27 @@ object SqlGen {
         yield s"REPLACE($s, $f, $r)"
     case StringInstr(str, sub) =>
       for { s <- expr(str); u <- expr(sub) } yield s"INSTR($s, $u)"
+    case StringTrimLeft(c, None) => expr(c).map(s => s"LTRIM($s)")
+    case StringTrimRight(c, None) => expr(c).map(s => s"RTRIM($s)")
+    case StringLPad(str, len, pad) =>
+      for { s <- expr(str); l <- expr(len); p <- expr(pad) }
+        yield s"LPAD($s, $l, $p)"
+    case StringRPad(str, len, pad) =>
+      for { s <- expr(str); l <- expr(len); p <- expr(pad) }
+        yield s"RPAD($s, $l, $p)"
+    case Least(cs) => sequence(cs.map(expr)).map(ss => s"LEAST(${ss.mkString(", ")})")
+    case Greatest(cs) => sequence(cs.map(expr)).map(ss => s"GREATEST(${ss.mkString(", ")})")
+    case Pow(l, r) => for { ls <- expr(l); rs <- expr(r) } yield s"POWER($ls, $rs)"
+    case Log(c) => expr(c).map(s => s"LN($s)") // Spark's Log IS natural log
+    case Exp(c) => expr(c).map(s => s"EXP($s)")
+    case Signum(c) => expr(c).map(s => s"SIGN($s)")
+    case Sin(c) => expr(c).map(s => s"SIN($s)")
+    case Cos(c) => expr(c).map(s => s"COS($s)")
+    case Tan(c) => expr(c).map(s => s"TAN($s)")
+    case Asin(c) => expr(c).map(s => s"ASIN($s)")
+    case Acos(c) => expr(c).map(s => s"ACOS($s)")
+    case Atan(c) => expr(c).map(s => s"ATAN($s)")
+    case Atan2(l, r) => for { ls <- expr(l); rs <- expr(r) } yield s"ATAN2($ls, $rs)"
     // DATE_TRUNC(part, x): identical argument order in Spark and
     // DuckDB/Postgres, but only the FULL part names are shared — Spark
     // also accepts aliases (DD/MM/HH/YY/MON) that backends reject, so

@@ -243,6 +243,24 @@ class SqlGenSpec extends AnyFunSuite {
         expr("INTERVAL '45' SECOND")).as("gt")))
   }
 
+  test("extended math/string scalar battery round-trips") {
+    roundTrip(t("orders").limit(200).select(
+      col("o_orderkey"),
+      pow(col("o_totalprice"), 0.5).as("p"),
+      log(col("o_totalprice")).as("ln_v"),
+      exp(col("o_totalprice") / 100000).as("e"),
+      signum(col("o_totalprice") - 150000).as("sg"),
+      sin(col("o_totalprice") / 1000).as("sn"),
+      atan2(col("o_totalprice"), col("o_custkey") + 1).as("a2"),
+      acos(col("o_totalprice") % 1).as("ac"),
+      least(col("o_orderkey"), col("o_custkey")).as("lst"),
+      greatest(col("o_orderkey"), col("o_custkey"), lit(7L)).as("grt"),
+      lpad(col("o_orderstatus"), 3, "*").as("lp"),
+      rpad(col("o_orderpriority"), 12, ".").as("rp"),
+      ltrim(col("o_orderstatus")).as("lt"),
+      rtrim(col("o_orderpriority")).as("rt")))
+  }
+
   test("ungrouped aggregate pruned to zero exprs still emits exactly one row") {
     t("orders")
     // the optimizer prunes the inner SUM away (COUNT(*) needs only
