@@ -210,6 +210,40 @@ class FederationSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("concurrent federated queries complete without starving the scheduler") {
+    // two engine queries race: each factory's driver-side prefetch must
+    // finish even while the other query's scan tasks occupy slots (no
+    // circular wait: blocked tasks only ever wait on already-submitted
+    // backend jobs, which have strict FIFO priority for free slots)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future {
+        if (i % 2 == 0) remote("orders").count()
+        else remote("customer").join(remote("nation"),
+          col("c_nationkey") === col("n_nationkey")).count()
+      }
+    }
+    val results = Await.result(Future.sequence(fs), 120.seconds)
+    assert(results == Seq(150L, 1500L, 150L, 1500L))
+  }
+
+  test("a scan wider than the prefetch-registry cap still reads every row") {
+    // 100 partitions > the registry's read-entry retention (64): unread
+    // prefetches must never be evicted, so no partition falls back to the
+    // task-side fetch path
+    val df = spark.read.format("graft-sqldb")
+      .option("dir", TestSpark.Sf0001)
+      .option("table", "orders")
+      .option("partitions", "100")
+      .load()
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val want = Tables.load(spark, TestSpark.Sf0001, "orders")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("semi-join subtree fuses into backend SQL as EXISTS") {
     GraftExtensions.install(spark)
     val df = remote("customer")
