@@ -264,6 +264,34 @@ class FederationSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("correlated scalar subquery fuses after Catalyst decorrelates it") {
+    // the reference cannot push correlated subqueries at all (README.md:
+    // 49,75-86); here the pushdown rule runs post-optimizer, where
+    // Catalyst has already decorrelated the subquery into a join +
+    // aggregate — which SqlGen can render, so the WHOLE query fuses
+    GraftExtensions.install(spark)
+    remote("orders").createOrReplaceTempView("fed_orders")
+    val df = spark.sql(
+      """SELECT o_orderkey FROM fed_orders o
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice) FROM fed_orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case p: PushedSqlQuery => p
+    }
+    assert(pushed.nonEmpty,
+      "decorrelated subquery did not fuse:\n" + df.queryExecution.optimizedPlan)
+    val want = {
+      val o = Tables.load(spark, TestSpark.Sf0001, "orders")
+      o.createOrReplaceTempView("loc_orders")
+      spark.sql(
+        """SELECT o_orderkey FROM loc_orders o
+          |WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice) FROM loc_orders o2
+          |                            WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(df.collect().map(_.toString).sorted.toSeq == want)
+  }
+
   test("scalar subquery over a DIFFERENT backend blocks fusion of the outer filter") {
     GraftExtensions.install(spark)
     remote("nation").createOrReplaceTempView("fed_nation")
