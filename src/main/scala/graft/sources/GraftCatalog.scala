@@ -84,9 +84,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ok(ident.namespace) && backend.tables.contains(ident.name)
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident))
+    val b = backend // one conf/registry resolution for the whole call
+    if (!ok(ident.namespace) || !b.tables.contains(ident.name))
       throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
-    val b = backend
     new GraftSqlTable(ident.name, b, b.schema(ident.name), numPartitions)
   }
 

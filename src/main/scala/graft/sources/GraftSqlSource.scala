@@ -206,6 +206,12 @@ class GraftScan(val table: String, val backend: SqlBackend,
 
   private def baseSql: String = sqlWith(None)
 
+  /** The pushed filters, rendered once — the probes and every partition
+    * query share this, so bounds/counts cannot drift from the data the
+    * partition predicates see. */
+  private lazy val renderedFilters: Seq[String] =
+    filters.flatMap(FilterSql.render(_, backend.dialect)).toSeq
+
   /** Render the scan SQL, optionally AND-ing one extra predicate into the
     * WHERE clause (used by the range split — the predicate references the
     * table's key column directly, so it works even when the key is pruned
@@ -217,8 +223,7 @@ class GraftScan(val table: String, val backend: SqlBackend,
         if (required.isEmpty) "1" // COUNT(*)-only scans prune every column
         else required.fieldNames.map(q).mkString(", ")
     }
-    val preds =
-      filters.flatMap(FilterSql.render(_, backend.dialect)).toSeq ++ extra
+    val preds = renderedFilters ++ extra
     val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
     val group = aggregation match {
       case Some((_, g)) if g.nonEmpty => " GROUP BY " + g.mkString(", ")
@@ -232,10 +237,9 @@ class GraftScan(val table: String, val backend: SqlBackend,
   private def rangeKey: Option[String] = backend.uniqueKey(table) match {
     case Some(Seq(k)) =>
       backend.schema(table).fields.find(_.name == k).map(_.dataType) match {
-        case Some(org.apache.spark.sql.types.ByteType |
-                  org.apache.spark.sql.types.ShortType |
-                  org.apache.spark.sql.types.IntegerType |
-                  org.apache.spark.sql.types.LongType) => Some(k)
+        case Some(org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) =>
+          Some(k)
         case _ => None
       }
     case _ => None
@@ -263,13 +267,9 @@ class GraftScan(val table: String, val backend: SqlBackend,
     //     its unordered LIMIT/OFFSET can duplicate or drop rows). Costs
     //     one backend sort per partition query.
     //  3. Single partition (explicit limit, numPartitions <= 1, or empty).
-    // shared by both probes AND the partition queries (sqlWith uses the
-    // same rendering): a drift between probe and partition predicates
-    // would make bounds/counts disagree with the data the ranges see
-    lazy val probeWhere = {
-      val preds = filters.flatMap(FilterSql.render(_, backend.dialect))
-      if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
-    }
+    lazy val probeWhere =
+      if (renderedFilters.isEmpty) ""
+      else " WHERE " + renderedFilters.mkString(" AND ")
     val sqls: Seq[String] =
       if (numPartitions <= 1 || limit.isDefined) Seq(baseSql)
       else rangeKey match {
