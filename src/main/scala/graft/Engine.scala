@@ -39,14 +39,26 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    if (federation) graft.plans.GraftExtensions.install(spark)
+    if (federation) {
+      graft.plans.GraftExtensions.install(spark)
+      // 3-level catalog surface: graft_db.main.<table> resolves once a
+      // backing dir is attached (catalog plugins instantiate lazily, so
+      // registering the conf up front costs nothing until first use)
+      spark.conf.set("spark.sql.catalog.graft_db",
+        classOf[graft.sources.GraftCatalog].getName)
+    }
     spark
   }
 
   private val LocalN = """local\[(\d+)\]""".r
 
   /** Register every table under `dir` as a temp view (parquet footers are
-    * the schema source — no information_schema round trip needed). */
-  def attach(spark: SparkSession, dir: String): Unit =
+    * the schema source — no information_schema round trip needed) and
+    * point the graft_db catalog at the same dir, so both unqualified
+    * (`lineitem`) and catalog-qualified (`graft_db.main.lineitem`) names
+    * resolve. */
+  def attach(spark: SparkSession, dir: String): Unit = {
     Tables.registerAll(spark, dir)
+    spark.conf.set("graft.catalog.dir", dir)
+  }
 }

@@ -16,4 +16,12 @@ class EngineSpec extends AnyFunSuite {
     assert(n > 0)
     assert(spark.experimental.extraOptimizations.contains(graft.plans.SqlPushdownRule))
   }
+
+  test("attach also wires the catalog-qualified namespace") {
+    val spark = Engine.create(master = "local[4]")
+    Engine.attach(spark, TestSpark.Sf0001)
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_db.main.region").collect()(0).getLong(0)
+    assert(n == 5)
+  }
 }
