@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
       graft.ops.TextAnalysis.entries ++
+      graft.ops.Sampling.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.TemporalJoins.entries ++
       graft.streaming.EventStreams.entries).toMap
@@ -32,6 +33,7 @@ object SparkEntry {
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
       graft.ops.TextAnalysis.oracle ++
+      graft.ops.Sampling.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.ops.TemporalJoins.oracle ++
       graft.streaming.EventStreams.oracle).toMap

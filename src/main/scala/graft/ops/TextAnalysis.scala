@@ -97,21 +97,29 @@ object TextAnalysis {
         xxhash64(col("fp")).as("fp_digest"))
       .orderBy("doc_id")
 
+  /** The composed filter a pretraining corpus build actually runs: keep
+    * documents inside a token-length band and above a quality floor. A
+    * map-only composition of the scoring expressions — one scan, no
+    * shuffle, embarrassingly parallel at corpus scale. */
+  def filterPipeline(docs: DataFrame, minTokens: Int = 20,
+      maxTokens: Int = 2000, minQuality: Double = 0.5): DataFrame =
+    qualityScores(docs)
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("quality_score") >= minQuality)
+      .select("doc_id", "n_tokens", "quality_score")
+      .orderBy("doc_id")
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_tokens" -> ((s, d) => tokenCounts(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => qualityScores(Tables.load(s, d, "documents"))),
     "text_langid" -> ((s, d) => languageId(Tables.load(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => fingerprints(Tables.load(s, d, "documents"))),
+    "text_filter_pipeline" -> ((s, d) => filterPipeline(Tables.load(s, d, "documents"))),
   )
 
-  /** DuckDB oracles for the SQL-expressible subset. */
-  val oracle: Seq[(String, String)] = Seq(
-    "text_tokens" ->
-      """SELECT doc_id, LENGTH(text) AS n_chars2,
-        |       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
-        |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_quality" ->
+  /** Quality-score oracle text, shared: text_filter_pipeline wraps it so
+    * the two entries cannot drift. */
+  private val textQualityOracleSql: String =
       """SELECT doc_id, LENGTH(text) AS n_chars2,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |       ROUND(CAST(LENGTH(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
@@ -129,7 +137,20 @@ object TextAnalysis {
         |             + (CASE WHEN CAST(LENGTH(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
         |                          / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 3.0 AND 10.0
         |                THEN 1.0 ELSE 0.5 END) * 0.3), 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracles for the SQL-expressible subset. */
+  val oracle: Seq[(String, String)] = Seq(
+    "text_tokens" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars2,
+        |       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" -> textQualityOracleSql,
+    "text_filter_pipeline" ->
+      s"""SELECT doc_id, n_tokens, quality_score FROM ($textQualityOracleSql) q
+         |WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.5
+         |ORDER BY doc_id""".stripMargin,
     // mirror of languageId: distinct lowercase tokens intersected with each
     // stopword profile; CJK char ratio decides zh; ties break in profile
     // order (en, es, de, fr) via the CASE cascade
