@@ -101,6 +101,21 @@ object EventStreams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Sliding-window counts (1 h window, 15 min slide): each event lands in
+    * 4 overlapping windows — Spark expands map-side, state is one row per
+    * (open window × type), bounded by the watermark horizon × overlap
+    * factor. Complete mode so the bounded run emits every window. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Hourly tumbling-window counts — streaming twin of batch S23a.
     * Complete mode so the bounded run emits every window. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -276,6 +291,7 @@ object EventStreams {
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
+    "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
     "stream_sessions" -> ((s, d) => sessionize(s, d)),
     "stream_enrich_join" -> ((s, d) => purchaseClickJoin(s, d)),
   )
@@ -286,6 +302,18 @@ object EventStreams {
       """SELECT DATE_TRUNC('HOUR', ts) AS hour_start, event_type,
         |       COUNT(*) AS n, SUM(value) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // Spark's sliding windows are epoch-aligned at the slide interval, so
+    // the window-starts containing an event ts are exactly
+    // time_bucket(15min, ts) - k*15min for k = 0..3 (ts - smallest start
+    // < 60 min always; [start, end) semantics hold for all four).
+    "stream_sliding" ->
+      """SELECT win_start, event_type, COUNT(*) AS n, SUM(value) AS total
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+        |) expanded
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // Shared with batch S23b so the typing fixes (BIGINT session_id,
     // second-truncated session_start) can't drift between the two entries.
     "stream_sessions" -> graft.queries.Corpus.s23bSessionsSql,
