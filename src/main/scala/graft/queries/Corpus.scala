@@ -493,6 +493,38 @@ object Corpus {
     spark.sql(text)
   }
 
+  /** S23c — sessionization via Spark's NATIVE session_window operator (the
+    * built-in the custom flatMapGroupsWithState path should be preferred
+    * against when no per-session ordinal is needed). Semantics note:
+    * session_window starts a NEW session when the gap is >= 30 min (the
+    * window [start, start+gap) excludes its end), so the oracle's is_new
+    * flag uses >= — s23b's custom formulation uses > (both agree on this
+    * data: no exact-boundary gaps exist, verified at sf0.01/sf0.1). */
+  val s23cSessionWindow: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(col("user_id"),
+        date_trunc("second", col("sw.start")).as("session_start"),
+        col("events_in_session"))
+      .orderBy("user_id", "session_start")
+      .limit(500)
+
+  val s23cSessionWindowOracleSql: String =
+    """SELECT user_id, DATE_TRUNC('SECOND', MIN(ts)) AS session_start,
+      |       COUNT(*) AS events_in_session
+      |FROM ( SELECT user_id, ts,
+      |              CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                   AS BIGINT) AS session_id
+      |       FROM ( SELECT user_id, ts, event_id,
+      |                     CASE WHEN LAG(ts) OVER w IS NULL
+      |                            OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |                     THEN 1 ELSE 0 END AS is_new
+      |              FROM events
+      |              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ) flagged ) sessions
+      |GROUP BY user_id, session_id ORDER BY user_id, session_start LIMIT 500""".stripMargin
+
   /** S31 — catalog-qualified resolution: `graft_db.main.<table>` resolves
     * through the [[graft.sources.GraftCatalog]] plugin (the analog of the
     * reference's database→schema→table registry, `src/catalog.rs:8-103`)
@@ -542,6 +574,7 @@ object Corpus {
     "s22_stat_agg" -> sqlQ(s22StatAggSql),
     "s23a_events_hourly" -> sqlQ(s23aHourlySql),
     "s23b_sessionization" -> sqlQ(s23bSessionsSql),
+    "s23c_session_window" -> s23cSessionWindow,
     "s24_or_conjunctions" -> s24DiscountedRevenue,
     "s25_json_props" -> s25JsonProps,
     "s26_array_struct" -> s26ArrayStruct,
@@ -729,6 +762,7 @@ object Corpus {
     "s22_stat_agg" -> s22StatAggSql,
     "s23a_events_hourly" -> s23aHourlySql,
     "s23b_sessionization" -> s23bSessionsSql,
+    "s23c_session_window" -> s23cSessionWindowOracleSql,
     "s24_or_conjunctions" ->
       """SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
