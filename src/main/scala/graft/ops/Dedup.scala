@@ -97,8 +97,8 @@ object Dedup {
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / ${numHashes}.0"))
+      .withColumn("est_jaccard", // CAST: bare `/ 64.0` would type as DECIMAL
+        expr(s"CAST(aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes"))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
@@ -331,9 +331,12 @@ object Dedup {
     }),
   )
 
-  /** DuckDB oracle where expressible (the sketch pipelines have no
-    * SQL-dialect-intersection form). */
+  /** DuckDB oracle for every entry — the sketch pipelines (minhash,
+    * simhash) use generated SQL that emulates the wrapping 64-bit hash
+    * chain in HUGEINT arithmetic (HashOracleSql). */
   val oracle: Seq[(String, String)] = Seq(
+    "dedup_minhash" -> HashOracleSql.minhash,
+    "dedup_simhash" -> HashOracleSql.simhash,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -108,8 +108,11 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")),
   )
 
-  /** Metadata derivations are plain arithmetic on doc_id — oracle-able. */
+  /** Metadata derivations are plain arithmetic on doc_id; the stub
+    * decoder's splitmix digest chain is emulated in HUGEINT arithmetic
+    * (HashOracleSql), so even the fake-decode path is oracle-checked. */
   val oracle: Seq[(String, String)] = Seq(
+    "mm_features" -> HashOracleSql.mmFeatures,
     "mm_resize_meta" ->
       """SELECT doc_id,
         |       CAST(64 + (doc_id % 16) * 32 AS INT) AS width,

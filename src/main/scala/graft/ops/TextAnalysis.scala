@@ -139,8 +139,10 @@ object TextAnalysis {
         |                THEN 1.0 ELSE 0.5 END) * 0.3), 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** DuckDB oracles for the SQL-expressible subset. */
+  /** DuckDB oracles for every entry — text_fingerprint's winnowing +
+    * XXH64 digest is emulated in HUGEINT arithmetic (HashOracleSql). */
   val oracle: Seq[(String, String)] = Seq(
+    "text_fingerprint" -> HashOracleSql.fingerprint,
     "text_tokens" ->
       """SELECT doc_id, LENGTH(text) AS n_chars2,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
