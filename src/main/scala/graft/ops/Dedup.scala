@@ -132,38 +132,78 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard similarity via a distributed shingle inverted
-    * index: explode distinct shingles, drop stop-shingles (df > maxDf — the
-    * skew guard), self-join on shingle, count common shingles per pair,
-    * Jaccard = |∩| / (|a| + |b| - |∩|). Output: doc_a < doc_b, jaccard. */
+  /** Exact n-gram Jaccard similarity via a prefix-filtered inverted index
+    * (the SSJoin/PPJoin candidate bound — Chaudhuri et al. ICDE'06, Xiao et
+    * al. WWW'08): explode distinct shingles, drop stop-shingles (df > maxDf
+    * — the skew guard), rank each document's shingles rarest-first under
+    * the GLOBAL (df, sh) total order, and self-join only each document's
+    * first `size - ceil(t·size) + 1` shingles. Candidates are then verified
+    * exactly with `array_intersect` against the full per-document sets.
+    *
+    * Exactness: J(a,b) ≥ t implies |a∩b| ≥ t/(1+t)·(|a|+|b|) ≥ t·|a| (using
+    * |b| ≥ |a∩b|), so the smallest shared shingle in the global order
+    * cannot sit in either document's `ceil(t·|size|) − 1`-long suffix —
+    * the prefix join finds every qualifying pair, no false negatives.
+    *
+    * Scale rationale (100 TB): the pair-join volume drops from Σ df² to
+    * Σ df_prefix² (≈ t²·Σ df² for uniform sets — 4× fewer at t = 0.5, far
+    * more on boilerplate-heavy corpora where hot-but-under-cutoff shingles
+    * dominate and land in suffixes), and the per-pair COUNT aggregate over
+    * the join output disappears entirely — verification is a map over
+    * candidate pairs joined to the compact per-doc set arrays.
+    * Output: doc_a < doc_b, jaccard. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // the exploded index is consumed multiple times (df cutoff + sizes +
-    // both self-join sides); persist the two-long rows instead of
-    // recomputing the text-hashing chain per consumer
+    // the exploded index is consumed multiple times (df + prefix sides +
+    // set rebuild); persist the two-long rows instead of recomputing the
+    // text-hashing chain per consumer
     val exploded = shingleHashes(docs)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequency per shingle: partial-aggregated groupBy (map-side
+    // combine), consumed by the stop-shingle cutoff and the global prefix
+    // order
+    val dfs = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
     // stop-shingle removal: the hot set (df > maxDf) is small by
-    // construction, so compute it with a partial-aggregated groupBy and
-    // broadcast anti-join it away — the exploded table itself is never
-    // shuffled for this step (a df window over `sh` would shuffle+sort all
-    // of it on the skewed key)
-    val hot = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
+    // construction — broadcast anti-join BEFORE any shuffle on `sh`, so
+    // the equi-join below never sees the skewed keys (per-key volume is
+    // then bounded by maxDf)
+    val hot = dfs.filter(col("df") > maxDf).select("sh")
     val rare = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
-    // set sizes are measured on the SAME post-cutoff sets the intersection
-    // uses — sizing by the full set while intersecting only rare shingles
-    // would systematically underestimate Jaccard for boilerplate-heavy
-    // docs (two identical docs sharing 90% hot shingles must score 1.0)
-    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val common = rare.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+    // ONE aggregate builds both the prefix source and the verification
+    // sets: per doc, shingles sorted rarest-first under the global
+    // (df, sh) total order. Sizing uses the SAME post-cutoff sets the
+    // intersection uses — sizing by the full set while intersecting only
+    // rare shingles would underestimate Jaccard for boilerplate-heavy
+    // docs (two identical docs sharing 90% hot shingles must score 1.0).
+    val sets = rare.join(dfs, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(df, sh))), r -> r.sh)").as("set"))
+      .withColumn("set_size", size(col("set")).cast("long"))
+      // consumed three times (prefix + both verification join-backs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the prefix is the part of the document that CANNOT be entirely
+    // skipped by a partner with Jaccard ≥ t
+    val prefix = sets.select(col("doc_id"), col("set_size"),
+      explode(slice(col("set"), lit(1),
+        (col("set_size") - ceil(col("set_size") * threshold) + 1).cast("int"))).as("sh"))
+    // candidate pairs: shared prefix shingle + the length filter
+    // (|b| ≥ t·|a| is necessary for J ≥ t when |a| ≥ |b|)
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("set_size").as("size_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh"), col("set_size").as("size_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        greatest(col("size_a"), col("size_b")) * threshold <=
+          least(col("size_a"), col("size_b")))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verification: a map over candidate pairs joined to the compact
+    // per-doc set arrays (PPJoin-style; the pair-count aggregate over the
+    // full inverted-index join output is gone)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("set_size").as("size_b")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard", col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
