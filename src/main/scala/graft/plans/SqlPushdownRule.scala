@@ -49,7 +49,30 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** True when the subtree is only Project/Filter/Limit over one relation —
+    * exactly the surface the DSv2 scan already negotiates (prune + filter +
+    * limit pushdown). Fusing such a subtree into a [[PushedSqlQuery]] buys
+    * no extra pushdown but DOWNGRADES the scan: a PushedSqlQuery leaf is a
+    * whole-query fetch with no partitioned parallel read, no catalog
+    * statistics, and no runtime (dynamic-pruning) filtering — all of which
+    * the DSv2 path provides. At scale the partitioned read wins, so these
+    * subtrees stay on the scan path. (Residual filters the scan could not
+    * render re-evaluate in Spark — cheap relative to a single-stream
+    * whole-table fetch.) */
+  private def dsv2AlreadyExpresses(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, Project}
+    p match {
+      case Project(_, c) => dsv2AlreadyExpresses(c)
+      case Filter(_, c) => dsv2AlreadyExpresses(c)
+      case GlobalLimit(_, c) => dsv2AlreadyExpresses(c)
+      case LocalLimit(_, c) => dsv2AlreadyExpresses(c)
+      case _: DataSourceV2Relation | _: DataSourceV2ScanRelation => true
+      case _ => false
+    }
+  }
+
   private def convert(p: LogicalPlan): Option[LogicalPlan] = {
+    if (dsv2AlreadyExpresses(p)) return None
     // include plans nested in subquery EXPRESSIONS (EXISTS / IN / scalar):
     // they are not plan children, but SqlGen renders them into the same
     // SQL string, so their leaves must satisfy the same single-backend rule

@@ -191,9 +191,100 @@ class GraftScan(val table: String, val backend: SqlBackend,
     val required: StructType, val filters: Array[Filter],
     val limit: Option[Int], numPartitions: Int,
     val aggregation: Option[(Seq[String], Seq[String])] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
+
+  // ---- statistics (SupportsReportStatistics) ----
+  // Sourced from the backend's CATALOG stats (no per-query probe), so
+  // Catalyst's join planning sees a real size for federated tables and
+  // auto-broadcasts small ones — without this, a DSv2 relation defaults to
+  // sizeInBytes=Long.MaxValue and a small remote dimension can never be
+  // the build side. The estimate ignores pushed filters (a safe upper
+  // bound; V2 stats are consulted after pushdown, so there is no
+  // double-discounting) and caps at a pushed LIMIT.
+  override def estimateStatistics(): Statistics = {
+    val catalogRows = backend.estimatedRowCount(table)
+    val rows = (catalogRows, limit) match {
+      case (Some(n), Some(l)) => Some(n min l.toLong)
+      case (Some(n), None) => Some(n)
+      case (None, Some(l)) => Some(l.toLong)
+      case _ => None
+    }
+    // aggregated scans emit at most one row per group — unknowable from
+    // catalog stats; the input bound still serves as a conservative cap
+    val width = math.max(1,
+      (if (required.isEmpty) 1 else required.defaultSize))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.map(n => java.util.OptionalLong.of(n * width))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  // ---- runtime filtering (SupportsRuntimeFiltering) ----
+  // Dynamic-pruning filters (the IN-set of join keys observed on the other
+  // side of a join at run time) re-render into the backend SQL, so the
+  // remote scan reads only the keys the join can match — the federated
+  // analog of dynamic partition pruning. Dropping a filter is always safe
+  // here: the values come from the join's build side and the join itself
+  // re-checks equality, so pushing is purely an optimization.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Upper bound on a runtime IN-list rendered into backend SQL — beyond
+    * this the predicate text itself becomes the bottleneck (parse cost on
+    * the backend, statement size limits) and scanning wins. */
+  private val MaxRuntimeInValues = 1000
+
+  private def runtimeRenderable(f: Filter): Boolean = f match {
+    case sources.In(_, vs) if vs.length > MaxRuntimeInValues => false
+    case other => FilterSql.render(other, backend.dialect).isDefined
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only the scan's OUTPUT columns: Spark resolves these refs against the
+    // pruned read schema. Aggregated scans expose none — the WHERE clause
+    // a runtime filter lands in runs before the pushed GROUP BY, and the
+    // renamed agg outputs don't name base columns anyway.
+    if (aggregation.isDefined) Array.empty
+    else required.fieldNames
+      .map(n => org.apache.spark.sql.connector.expressions.Expressions.column(n))
+
+  /** Order-insensitive identity of a runtime filter (an IN list's value
+    * order is not semantic, and can differ across deliveries). */
+  private def runtimeKey(f: Filter): String = f match {
+    case sources.In(a, vs) =>
+      a + " IN " + vs.map(String.valueOf).sorted.mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    // IDEMPOTENT by filter identity: AQE re-evaluates runtime filters once
+    // per BatchScanExec copy, delivering the same predicate repeatedly.
+    // Re-planning on every delivery would mint fresh partition fetch ids
+    // after a reader factory already prefetched the previous generation —
+    // tasks would then miss the prefetch buffer and enter the task-side
+    // fetch path, which can starve the local scheduler (see
+    // ViewBackendConnection). Only a genuinely NEW predicate re-plans.
+    val ok = runtime.filter(runtimeRenderable)
+    if (ok.nonEmpty) synchronized {
+      val existing = runtimeFilters.map(runtimeKey).toSet
+      val fresh = ok.filterNot(f => existing.contains(runtimeKey(f)))
+      if (fresh.nonEmpty) {
+        runtimeFilters ++= fresh
+        // the superseded generation's prefetches will never be read — let
+        // the registry reclaim them
+        Option(plannedCache).foreach(_.foreach {
+          case gp: GraftInputPartition => FetchRegistry.release(gp.fetchId)
+        })
+        plannedCache = null // re-plan partitions under the narrowed predicate
+      }
+    }
+  }
 
   /** The SQL this scan sends (modulo partition ranges) — surfaced in
     * explain output like the reference's generated scan SQL. */
@@ -206,11 +297,13 @@ class GraftScan(val table: String, val backend: SqlBackend,
 
   private def baseSql: String = sqlWith(None)
 
-  /** The pushed filters, rendered once — the probes and every partition
-    * query share this, so bounds/counts cannot drift from the data the
-    * partition predicates see. */
-  private lazy val renderedFilters: Seq[String] =
-    filters.flatMap(FilterSql.render(_, backend.dialect)).toSeq
+  /** The pushed + runtime filters, rendered together — the probes and every
+    * partition query share one rendering pass, so bounds/counts cannot
+    * drift from the data the partition predicates see. A def (not a lazy
+    * val): runtime filters can arrive after the first rendering, and the
+    * rendering itself is deterministic string work. */
+  private def renderedFilters: Seq[String] =
+    (filters ++ runtimeFilters).flatMap(FilterSql.render(_, backend.dialect)).toSeq
 
   /** Render the scan SQL, optionally AND-ing one extra predicate into the
     * WHERE clause (used by the range split — the predicate references the
@@ -249,9 +342,20 @@ class GraftScan(val table: String, val backend: SqlBackend,
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
-  // lazy + cached so Spark's repeated planInputPartitions calls and the
-  // reader factory's prefetch see the SAME partitions (stable fetch ids)
-  private lazy val planned: Array[InputPartition] = {
+  // cached so Spark's repeated planInputPartitions calls and the reader
+  // factory's prefetch see the SAME partitions (stable fetch ids);
+  // invalidated by `filter` when a runtime predicate narrows the scan
+  @volatile private var plannedCache: Array[InputPartition] = _
+  private def planned: Array[InputPartition] = {
+    val cached = plannedCache
+    if (cached != null) cached
+    else synchronized {
+      if (plannedCache == null) plannedCache = planPartitions()
+      plannedCache
+    }
+  }
+
+  private def planPartitions(): Array[InputPartition] = {
     // Split strategy, in preference order — every branch is exactly-once,
     // and the one planning round-trip (a scalar probe) is the only backend
     // work before execution (partitions carry SQL text, never rows;
@@ -310,12 +414,30 @@ class GraftScan(val table: String, val backend: SqlBackend,
               .map(i => s"SELECT * FROM ($baseSql$order) graft_part LIMIT $per OFFSET ${i * per}")
           }
       }
-    sqls.map(sql =>
+    val parts = sqls.map(sql =>
       GraftInputPartition(FetchRegistry.nextId(), sql, required): InputPartition)
       .toArray
+    // Runtime-filter re-planning can run AFTER a reader factory was vended
+    // (Spark consults createReaderFactory during physical planning, e.g.
+    // for columnar checks, which is where the in-process double issues its
+    // driver-side prefetches). A re-plan mints fresh fetch ids, so the new
+    // generation must be prefetched too — still on the driver, still
+    // before any task launches — or tasks would miss the prefetch buffer
+    // and enter the deadlock-prone task-side fetch path.
+    if (factoryVended) {
+      val conn = backend.connection
+      parts.foreach {
+        case gp: GraftInputPartition => conn.prefetch(gp.fetchId, gp.sql, gp.schema)
+      }
+      conn.awaitPrefetched()
+    }
+    parts
   }
 
+  @volatile private var factoryVended = false
+
   override def createReaderFactory(): PartitionReaderFactory = {
+    factoryVended = true
     // Driver-side prefetch hook, issued AFTER partition planning but BEFORE
     // the engine job submits any task: in-process backends (the test
     // double) answer queries with Spark jobs on the engine's own scheduler,
@@ -406,6 +528,10 @@ object FilterSql {
       case sources.GreaterThanOrEqual(a, v) => lit(v).map(l => s"${d.quote(a)} >= $l")
       case sources.LessThan(a, v) => lit(v).map(l => s"${d.quote(a)} < $l")
       case sources.LessThanOrEqual(a, v) => lit(v).map(l => s"${d.quote(a)} <= $l")
+      case sources.In(_, vs) if vs.isEmpty =>
+        // `IN ()` is not SQL; Catalyst's In over an empty list is false
+        // (runtime pruning can legitimately produce an empty key set)
+        Some("FALSE")
       case sources.In(a, vs) =>
         val ls = vs.toSeq.map(lit)
         if (ls.forall(_.isDefined))

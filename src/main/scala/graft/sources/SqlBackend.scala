@@ -26,6 +26,13 @@ trait SqlBackend extends Serializable {
     * information_schema, which the reference already reads for schemas,
     * `src/sqldb/postgres/mod.rs:67-125`). */
   def uniqueKey(table: String): Option[Seq[String]] = None
+  /** Catalog-level row-count estimate, if the backend's catalog keeps
+    * statistics (a real RDBMS serves this from planner stats such as
+    * `pg_class.reltuples` — metadata, not a table scan; the reference
+    * already reads the same catalog surface for schemas,
+    * `src/sqldb/postgres/mod.rs:67-125`). None = no stats → the scan
+    * reports unknown and Spark falls back to its defaults. */
+  def estimatedRowCount(table: String): Option[Long] = None
   /** Driver-side query returning materialized rows (used for partition
     * planning probes and small result fetches). */
   def executeSql(sql: String): Seq[Row]
@@ -108,6 +115,13 @@ private[sources] object FetchRegistry {
       val f = Option(m.get(id))
       if (f.isDefined) { consumed.add(id); evictReadOverflow() }
       f
+    }
+  /** Mark an entry that will never be read (a superseded partition
+    * generation after runtime-filter re-planning) evictable, so orphaned
+    * prefetch results don't pin driver memory for the JVM lifetime. */
+  def release(id: Long): Unit =
+    m.synchronized {
+      if (m.containsKey(id)) { consumed.add(id); evictReadOverflow() }
     }
 }
 
@@ -214,11 +228,23 @@ class SparkViewBackend(dir: String) extends SqlBackend {
   override def schema(table: String): StructType = session.table(table).schema
   override def uniqueKey(table: String): Option[Seq[String]] =
     SparkViewBackend.uniqueKeys.get(table)
+  /** Memoized per-table counts — the double's stand-in for catalog planner
+    * stats (`pg_class.reltuples`); parquet answers the one-time count from
+    * row-group metadata, so this is the same no-table-scan class of lookup
+    * a real backend's stats query would be. */
+  @transient private lazy val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  override def estimatedRowCount(table: String): Option[Long] =
+    Some(rowCounts.computeIfAbsent(table, t => session.table(t).count()))
   /** Count of driver-side SQL executions — observability hook asserted by
     * FederationSpec to prove partition planning fetches no rows. */
   val sqlExecCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Rolling log of executed SQL — lets specs assert what actually reached
+    * the backend (e.g. a runtime IN filter from dynamic pruning). */
+  val sqlLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   override def executeSql(sql: String): Seq[Row] = {
     sqlExecCount.incrementAndGet()
+    sqlLog.add(sql)
     val s = session
     // Task threads (read-time fetches) have no active-session thread-local,
     // and driver threads have the ENGINE's session active — pin the

@@ -352,6 +352,81 @@ class FederationSpec extends AnyFunSuite {
     assert(rows == 0L) // must execute (residual filter), not crash on bad SQL
   }
 
+  // walk across adaptive/query-stage boundaries so assertions see the
+  // final physical operators (same pattern as CoLocationSpec)
+  private def finalNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("scan reports catalog statistics (row count + size) to Catalyst") {
+    val df = remote("nation")
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r
+    }.head
+    val st = rel.stats
+    assert(st.rowCount.contains(BigInt(25)), st.toString)
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < (1L << 20), st.toString)
+  }
+
+  test("catalog statistics let Catalyst auto-broadcast a small federated dimension") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // 10 KB threshold: the parquet fact (115 KB) cannot broadcast, so a
+    // broadcast join can only appear if the DSv2 side reports its true
+    // (tiny) size — without SupportsReportStatistics a V2 relation
+    // defaults to sizeInBytes=MAX and this plans as a sort-merge join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    try {
+      val fact = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      val dim = remote("supplier")
+      val joined = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      val want = fact.join(Tables.load(spark, TestSpark.Sf0001, "supplier"),
+        col("l_suppkey") === col("s_suppkey")).count()
+      assert(joined.count() == want)
+      assert(finalNodes(joined).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        joined.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("dynamic pruning pushes a runtime IN filter into the backend SQL") {
+    import scala.jdk.CollectionConverters._
+    val backend = graft.sources.SparkViewBackend.forDir(TestSpark.Sf0001)
+    val confs = Seq(
+      // force the benefit heuristic: the double has no partition metadata,
+      // so make DPP unconditional for this query shape
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      backend.sqlLog.clear()
+      val fact = remote("lineitem").select("l_orderkey", "l_quantity")
+      val dim = Tables.load(spark, TestSpark.Sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum("l_quantity").as("sq"))
+      val got = joined.collect().head.getDouble(0)
+      val inQueries = backend.sqlLog.asScala.filter(_.contains("`l_orderkey` IN ("))
+      assert(inQueries.nonEmpty,
+        "no runtime IN filter reached the backend:\n" +
+          backend.sqlLog.asScala.mkString("\n"))
+      val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum("l_quantity")).collect().head.getDouble(0)
+      assert(math.abs(got - want) < 1e-6)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partially convertible plans push the largest subtree and keep the rest in Spark") {
     GraftExtensions.install(spark)
     // window function on top is not SQL-generatable -> stays in Spark;
