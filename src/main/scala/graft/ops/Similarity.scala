@@ -186,10 +186,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Top-k over symmetric per-vector int8 quantization. At 100 TB the ANN
+    * scan is IO-bound, so int8 storage is the scale lever: 4× less to
+    * read/shuffle/cache than float32, with per-component error bounded by
+    * half a quantization step (maxabs/254). Everything stays exact across
+    * engines by construction: quantized components are integers, every
+    * dot/norm partial sum stays < 2^53, so double accumulation is exact
+    * integer arithmetic — order-independent and oracle-reproducible
+    * (unlike float32 sums, whose rounding depends on order).
+    *
+    * q_i = floor(x_i · 127/max|x| + 0.5) ∈ [-127, 127] (fits tinyint);
+    * cosine(q_a, q_b) = dot/(‖q_a‖·‖q_b‖) computed from the int vectors. */
+  def quantizedTopK(emb: DataFrame, k: Int = 10, every: Long = 50L): DataFrame = {
+    val q = emb
+      .withColumn("maxabs",
+        expr("array_max(transform(embedding, y -> abs(cast(y as double))))"))
+      // greatest(·, 1e-300) only guards the all-zero vector (float32
+      // magnitudes are ≥ 1e-45, far above the floor)
+      .withColumn("qvec", expr(
+        """transform(embedding, x ->
+          |  cast(floor(cast(x as double) * (127.0D / greatest(maxabs, 1e-300D)) + 0.5D)
+          |       as tinyint))""".stripMargin))
+      .withColumn("qnorm", expr(
+        "aggregate(transform(qvec, a -> cast(a as double) * cast(a as double)), " +
+          "0.0D, (acc, x) -> acc + x)"))
+      .filter(col("qnorm") > 0)
+      .select("vec_id", "qvec", "qnorm")
+    val qs = q.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+    val scored = q.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qvec, probe_vec, (a, b) -> cast(a as double) * cast(b as double)), " +
+          "0.0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", col("dot") / (sqrt(col("qnorm")) * sqrt(col("probe_norm"))))
+    topK(scored, k)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_lsh" -> ((s, d) => lshTopK(Tables.load(s, d, "embeddings"))),
+    "sim_topk_quantized" -> ((s, d) => quantizedTopK(Tables.load(s, d, "embeddings"))),
   )
 
   /** DuckDB oracles for the exact brute-force variant and for IVF (whose
@@ -197,6 +236,28 @@ object Similarity {
     * the whole index is SQL-expressible; list_cosine_similarity matches
     * cosine_f32's double accumulation, ties broken identically by id). */
   val oracle: Seq[(String, String)] = Seq(
+    // mirrors quantizedTopK exactly: same floor(x·127/max|x| + 0.5)
+    // quantizer, same double accumulation (exact — all intermediates are
+    // integers < 2^53), same (cosine DESC, vec_id) tie order
+    "sim_topk_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(FLOOR(CAST(x AS DOUBLE) *
+        |                (127.0 / GREATEST(list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))), 1e-300))
+        |                + 0.5) AS DOUBLE)) AS qvec
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS qnorm FROM q
+        |  WHERE list_dot_product(qvec, qvec) > 0
+        |)
+        |SELECT qid, rank, vec_id, cosine FROM (
+        |  SELECT p.vec_id AS qid, c.vec_id,
+        |         list_dot_product(c.qvec, p.qvec) / (SQRT(c.qnorm) * SQRT(p.qnorm)) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |           ORDER BY list_dot_product(c.qvec, p.qvec) / (SQRT(c.qnorm) * SQRT(p.qnorm)) DESC, c.vec_id) AS rank
+        |  FROM n c JOIN n p ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "sim_topk_brute" ->
       """SELECT qid, rank, vec_id, cosine FROM (
         |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,

@@ -36,7 +36,7 @@ object TextAnalysis {
   /** Quality scoring: length, mean token length, stopword ratio, punctuation
     * ratio, alpha ratio, and a blended [0,1] quality score. All ratios are
     * exact-arithmetic column expressions (no UDF). */
-  def qualityScores(docs: DataFrame): DataFrame = {
+  def qualityScores(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val toks = wsTokens
     val nToks = size(toks)
     val nChars = length(col("text"))
@@ -52,13 +52,34 @@ object TextAnalysis {
     val lenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     val score = least(lit(1.0),
       stopRatio * 2.0 + alphaRatio * 0.3 + lenScore * 0.3)
-    docs.select(col("doc_id"), nChars.as("n_chars2"), nToks.as("n_tokens"),
-      round(meanTokLen, 6).as("mean_tok_len"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(alphaRatio, 6).as("alpha_ratio"),
-      round(score, 6).as("quality_score"))
+    docs.select(col("doc_id") +: keep.map(col) :+ nChars.as("n_chars2") :+
+      nToks.as("n_tokens") :+
+      round(meanTokLen, 6).as("mean_tok_len") :+
+      round(stopRatio, 6).as("stop_ratio") :+
+      round(punctRatio, 6).as("punct_ratio") :+
+      round(alphaRatio, 6).as("alpha_ratio") :+
+      round(score, 6).as("quality_score"): _*)
       .orderBy("doc_id")
+  }
+
+  /** Top-k highest-quality documents per language — the "keep the best N
+    * per stratum" selection a curated pretraining mix runs. The ranking is
+    * a bounded partial+final TopK AGGREGATE, not a window: each map task
+    * keeps k candidates per language, so the exchange carries
+    * k × partitions × languages rows — a window over language would
+    * shuffle every scored document before rank() could drop any (the
+    * same shuffle discipline as [[Similarity.bruteForceTopK]]'s top-k).
+    * Score computation itself is map-only column expressions. */
+  def topQualityPerLang(docs: DataFrame, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
+    qualityScores(docs, keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(topk(col("quality_score"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("quality_score"))
+      .orderBy("lang", "rank")
   }
 
   /** Stopword/character n-gram language-ID heuristic over en/es/de/fr/zh.
@@ -115,6 +136,7 @@ object TextAnalysis {
     "text_langid" -> ((s, d) => languageId(Tables.load(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => fingerprints(Tables.load(s, d, "documents"))),
     "text_filter_pipeline" -> ((s, d) => filterPipeline(Tables.load(s, d, "documents"))),
+    "text_topk_quality" -> ((s, d) => topQualityPerLang(Tables.load(s, d, "documents"))),
   )
 
   /** Quality-score oracle text, shared: text_filter_pipeline wraps it so
@@ -149,6 +171,17 @@ object TextAnalysis {
         |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" -> textQualityOracleSql,
+    // wraps the SAME quality-score SQL (no drift) and re-ranks it with a
+    // window — the oracle can afford the full-shuffle formulation the
+    // engine's bounded TopK aggregate avoids; ties break (score DESC,
+    // doc_id) on both sides
+    "text_topk_quality" ->
+      s"""SELECT lang, CAST(rn AS INT) AS rank, doc_id, quality_score FROM (
+         |  SELECT d.lang, q.doc_id, q.quality_score,
+         |         ROW_NUMBER() OVER (PARTITION BY d.lang
+         |           ORDER BY q.quality_score DESC, q.doc_id) AS rn
+         |  FROM ($textQualityOracleSql) q JOIN documents d USING (doc_id)) t
+         |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin,
     "text_filter_pipeline" ->
       s"""SELECT doc_id, n_tokens, quality_score FROM ($textQualityOracleSql) q
          |WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.5

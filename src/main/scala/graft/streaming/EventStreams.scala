@@ -258,6 +258,28 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Streaming exact deduplication with watermark-bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one row per (user_id,
+    * event_type) while holding each key in the state store only until the
+    * watermark passes its event time + delay — the streaming form of
+    * [[graft.ops.Dedup.exact]], and the state-bounding discipline that
+    * matters at scale (a plain streaming dropDuplicates pins every key
+    * seen, forever). Only the key columns are emitted: which duplicate
+    * arrives first is scheduling-dependent, the surviving key set is not.
+    *
+    * In this bounded replay the whole file arrives in one micro-batch, so
+    * the result equals the batch DISTINCT (the oracle); on an unbounded
+    * stream, re-occurrences farther apart than the delay re-emit — the
+    * documented approximation that buys bounded state. */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable(deduped, OutputMode.Append())
+      .orderBy("user_id", "event_type")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding 30 minutes, both sides watermarked so join
     * state is evicted once the watermark passes the interval — the
@@ -294,6 +316,7 @@ object EventStreams {
     "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
     "stream_sessions" -> ((s, d) => sessionize(s, d)),
     "stream_enrich_join" -> ((s, d) => purchaseClickJoin(s, d)),
+    "stream_dedup" -> ((s, d) => dedupKeys(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -317,6 +340,11 @@ object EventStreams {
     // Shared with batch S23b so the typing fixes (BIGINT session_id,
     // second-truncated session_start) can't drift between the two entries.
     "stream_sessions" -> graft.queries.Corpus.s23bSessionsSql,
+    // bounded replay = one micro-batch, so watermark-scoped dedup equals
+    // the global DISTINCT
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s

@@ -116,6 +116,37 @@ class OpsSpec extends AnyFunSuite {
     assert(okLsh.toDouble / lsh1.length >= 0.9, s"LSH recall@1 $okLsh/${lsh1.length}")
   }
 
+  test("quantized top-k recalls planted exact duplicates at rank 1") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val planted = Similarity.withPlantedNearDupVectors(emb)
+    val got = Similarity.quantizedTopK(planted, k = 1)
+      .filter(col("qid") < 1000000).as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // int8 quantization error (≤ half a step per component) must not
+    // displace a planted scaled-copy (cosine ≈ 1) from rank 1
+    val ok = got.count { case (q, _, n, _) => n == q + 1000000L }
+    assert(ok.toDouble / got.length >= 0.9, s"quantized recall@1 $ok/${got.length}")
+    assert(got.forall(_._4 > 0.98), "planted-copy cosine should survive quantization")
+  }
+
+  test("per-language top-k quality matches the window formulation") {
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val got = graft.ops.TextAnalysis.topQualityPerLang(d, k = 3)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    // reference: full window ranking over the same scores
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val want = graft.ops.TextAnalysis.qualityScores(d, keep = Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("quality_score"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select("lang", "rank", "doc_id", "quality_score")
+      .orderBy("lang", "rank")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(Tables.load(spark, TestSpark.Sf0001, "documents"))
     val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
