@@ -70,11 +70,14 @@ class GraftSqlTable(val tableName: String, val backend: SqlBackend,
 class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
     numPartitions: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
+  private var orderBy: Seq[String] = Nil
   private var aggSql: Option[(Seq[String], StructType)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -181,16 +184,57 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  /** ORDER BY + LIMIT answered entirely by the backend (the query shape a
+    * federation layer wins biggest on: n rows cross the wire instead of
+    * the table). Complete pushdown — the scan collapses to one partition
+    * whose single backend query carries the full ORDER BY, so the global
+    * order is the backend's and Spark drops its own TopK. Declined when
+    * any sort key is more than a plain column (no shared rendering). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val rendered = orders.toSeq.map { so =>
+      so.expression() match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          val dir = if (so.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+          val nulls = if (so.nullOrdering() == NullOrdering.NULLS_FIRST)
+            "NULLS FIRST" else "NULLS LAST"
+          Some(s"${backend.dialect.quote(f.fieldNames()(0))} $dir $nulls")
+        case _ => None
+      }
+    }
+    if (rendered.exists(_.isEmpty)) false
+    else {
+      orderBy = rendered.flatten
+      limit = Some(l)
+      true
+    }
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** OFFSET composes with LIMIT/top-N in the same backend query. The limit
+    * Spark passed to pushLimit/pushTopN INCLUDES the offset rows (it is
+    * the total prefix the source must order), so a pushed offset deducts
+    * itself from the pushed limit — the same contract Spark's own JDBC
+    * scan builder implements. */
+  override def pushOffset(o: Int): Boolean = {
+    offset = Some(o)
+    limit = limit.map(l => math.max(0, l - o))
+    true
+  }
+
   override def build(): Scan =
     new GraftScan(table, backend, required, pushed, limit,
       if (aggSql.isDefined) 1 else numPartitions,
-      aggSql.map { case (selects, _) => (selects, aggGroupBy) })
+      aggSql.map { case (selects, _) => (selects, aggGroupBy) },
+      orderBy, offset)
 }
 
 class GraftScan(val table: String, val backend: SqlBackend,
     val required: StructType, val filters: Array[Filter],
     val limit: Option[Int], numPartitions: Int,
-    val aggregation: Option[(Seq[String], Seq[String])] = None)
+    val aggregation: Option[(Seq[String], Seq[String])] = None,
+    val orderBy: Seq[String] = Nil, val offset: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -322,8 +366,10 @@ class GraftScan(val table: String, val backend: SqlBackend,
       case Some((_, g)) if g.nonEmpty => " GROUP BY " + g.mkString(", ")
       case _ => ""
     }
+    val order = if (orderBy.isEmpty) "" else " ORDER BY " + orderBy.mkString(", ")
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT $cols FROM ${q(table)}$where$group$lim"
+    val off = offset.map(n => s" OFFSET $n").getOrElse("")
+    s"SELECT $cols FROM ${q(table)}$where$group$order$lim$off"
   }
 
   /** The split column: a declared single-column integral unique key. */
@@ -375,7 +421,10 @@ class GraftScan(val table: String, val backend: SqlBackend,
       if (renderedFilters.isEmpty) ""
       else " WHERE " + renderedFilters.mkString(" AND ")
     val sqls: Seq[String] =
-      if (numPartitions <= 1 || limit.isDefined) Seq(baseSql)
+      // top-N / offset scans are single-partition by construction: the
+      // global ORDER BY/OFFSET only means anything in one backend query
+      if (numPartitions <= 1 || limit.isDefined || offset.isDefined ||
+          orderBy.nonEmpty) Seq(baseSql)
       else rangeKey match {
         case Some(k) =>
           // the probe shares the pushed filters, so the bounds (and hence

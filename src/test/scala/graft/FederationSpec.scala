@@ -368,6 +368,61 @@ class FederationSpec extends AnyFunSuite {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("ORDER BY + LIMIT pushes as a complete backend top-N") {
+    val df = remote("orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+    val scan = graftScan(df)
+    assert(scan.renderedSql.contains(
+      "ORDER BY `o_totalprice` DESC NULLS LAST, `o_orderkey` ASC NULLS FIRST"),
+      scan.renderedSql)
+    assert(scan.renderedSql.endsWith("LIMIT 5"), scan.renderedSql)
+    // complete pushdown: 5 rows cross the wire and Spark keeps no TopK
+    assert(scan.planInputPartitions().length == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
+    val want = Tables.load(spark, TestSpark.Sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+  }
+
+  test("OFFSET composes with the pushed top-N in one backend query") {
+    val df = remote("orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(3).limit(4)
+    val want = Tables.load(spark, TestSpark.Sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(3).limit(4).collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+    val scan = graftScan(df)
+    assert(scan.renderedSql.contains("OFFSET 3"), scan.renderedSql)
+  }
+
+  test("top-N over an expression sort key declines the scan push, still answers") {
+    val df = remote("orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy((col("o_totalprice") * -1).asc)
+      .limit(5)
+    // the SCAN must not claim an expression sort (pushTopN declines);
+    // the whole-subtree fusion rule may still render it as one backend
+    // SQL — that path re-renders the expression itself, which is exact
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] =>
+        b.scan.asInstanceOf[GraftScan]
+    }
+    scans.foreach(s => assert(!s.renderedSql.contains("ORDER BY"), s.renderedSql))
+    val want = Tables.load(spark, TestSpark.Sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy((col("o_totalprice") * -1).asc)
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    assert(df.collect().map(_.getLong(0)).toSeq == want)
+  }
+
   test("scan reports catalog statistics (row count + size) to Catalyst") {
     val df = remote("nation")
     val rel = df.queryExecution.optimizedPlan.collect {
