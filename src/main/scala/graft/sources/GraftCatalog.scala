@@ -81,27 +81,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(ns.toSeq)
 
   override def tableExists(ident: Identifier): Boolean =
-    ok(ident.namespace) && backend.tables.contains(ident.name)
+    ok(ident.namespace) && backend.tableExists(ident.name)
 
   override def loadTable(ident: Identifier): Table = {
     val b = backend // one conf/registry resolution for the whole call
-    if (!ok(ident.namespace) || !b.tables.contains(ident.name))
+    if (!ok(ident.namespace) || !b.tableExists(ident.name))
       throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
     new GraftSqlTable(ident.name, b, b.schema(ident.name), numPartitions)
   }
 
-  // ---- read-only: DDL is the backend's job, as in the reference ----
-
-  private def readOnly: Nothing =
-    throw new UnsupportedOperationException(
-      s"catalog $catalogName is read-only (DDL belongs to the backend)")
+  // ---- DDL: rendered to backend SQL (CREATE/DROP travel the same wire
+  // as queries; the reference's catalog is discovery-only, so this is
+  // beyond-reference, completing the JDBC-parity surface) ----
 
   override def createTable(ident: Identifier,
       schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: JMap[String, String]): Table = readOnly
+      properties: JMap[String, String]): Table = {
+    if (!ok(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace.toSeq)
+    require(partitions.isEmpty,
+      s"catalog $catalogName: partitioned CREATE TABLE is not supported")
+    val b = backend
+    val d = b.dialect
+    val cols = schema.fields.map { f =>
+      s"${d.quote(f.name)} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}"
+    }.mkString(", ")
+    b.executeUpdate(s"CREATE TABLE ${d.quote(ident.name)} ($cols)")
+    new GraftSqlTable(ident.name, b, b.schema(ident.name), numPartitions)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val b = backend
+    if (ok(ident.namespace) && b.tables.contains(ident.name))
+      throw new UnsupportedOperationException(
+        s"catalog $catalogName: ${ident.name} is a discovered backend table " +
+          "and is not droppable through the catalog")
+    val existed = ok(ident.namespace) && b.tableExists(ident.name)
+    if (existed)
+      b.executeUpdate(s"DROP TABLE ${b.dialect.quote(ident.name)}")
+    existed
+  }
+
+  // ---- remaining DDL is the backend's job, as in the reference ----
+
+  private def readOnly: Nothing =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName does not support this DDL (alter/rename " +
+        "belong to the backend)")
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
   override def renameTable(from: Identifier, to: Identifier): Unit = readOnly
   override def createNamespace(ns: Array[String],
       metadata: JMap[String, String]): Unit = readOnly

@@ -58,13 +58,18 @@ class GraftSqlTableProvider extends TableProvider with DataSourceRegister {
 }
 
 class GraftSqlTable(val tableName: String, val backend: SqlBackend,
-    tableSchema: StructType, numPartitions: Int) extends Table with SupportsRead {
+    tableSchema: StructType, numPartitions: Int) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-sqldb.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, backend, tableSchema, numPartitions)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(tableName, backend, info.schema())
 }
 
 class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
@@ -535,8 +540,10 @@ class GraftReaderFactory(connection: SqlConnection)
 object FilterSql {
   import graft.plans.SqlGen.Dialect
 
-  def render(f: Filter, d: Dialect): Option[String] = {
-    def lit(v: Any): Option[String] = v match {
+  /** Scalar value → SQL literal; None = no portable rendering (keep the
+    * predicate in Spark / reject the row). Shared by filter pushdown and
+    * the INSERT writer. */
+  def literal(v: Any): Option[String] = v match {
       case null => Some("NULL")
       // backslashes are interpreted as escapes by the Spark dialect but
       // not by ANSI backends; refusing keeps the filter as a Spark
@@ -566,6 +573,9 @@ object FilterSql {
       case dt: java.time.LocalDate => Some(s"DATE '$dt'")
       case _ => None
     }
+
+  def render(f: Filter, d: Dialect): Option[String] = {
+    def lit(v: Any): Option[String] = literal(v)
     def like(attr: String, pattern: String): String =
       s"${d.quote(attr)} LIKE '${pattern.replace("'", "''")}'"
 

@@ -19,6 +19,9 @@ trait SqlBackend extends Serializable {
   /** Available table names (the catalog surface, analog of
     * `load_catalog`, `src/sqldb/postgres/mod.rs:67-125`). */
   def tables: Seq[String]
+  /** Existence check that also sees tables created AFTER discovery (DDL
+    * through [[executeUpdate]]); `tables` is the discovery-time snapshot. */
+  def tableExists(table: String): Boolean = tables.contains(table)
   def schema(table: String): StructType
   /** Primary/unique key of a table if the backend's catalog knows one —
     * lets the partition-split ORDER BY use a single key column instead of
@@ -36,6 +39,12 @@ trait SqlBackend extends Serializable {
   /** Driver-side query returning materialized rows (used for partition
     * planning probes and small result fetches). */
   def executeSql(sql: String): Seq[Row]
+  /** Driver-side DDL/DML execution (CREATE/DROP/INSERT) — the write half
+    * of the JDBC-parity surface the reference's stated model targets
+    * (`README.md:4`; the reference itself never built sinks). Backends
+    * that are read-only may leave the default. */
+  def executeUpdate(sql: String): Unit =
+    throw new UnsupportedOperationException(s"$name is read-only")
   /** A task-side connection handle for partition readers. MUST be
     * serializable by configuration only (connection string / dir) — never
     * by materialized data: it ships inside every InputPartition. */
@@ -225,6 +234,8 @@ class SparkViewBackend(dir: String) extends SqlBackend {
   }
 
   override def tables: Seq[String] = graft.Tables.names
+  override def tableExists(table: String): Boolean =
+    graft.Tables.names.contains(table) || session.catalog.tableExists(table)
   override def schema(table: String): StructType = session.table(table).schema
   override def uniqueKey(table: String): Option[Seq[String]] =
     SparkViewBackend.uniqueKeys.get(table)
@@ -265,6 +276,10 @@ class SparkViewBackend(dir: String) extends SqlBackend {
     * [[ViewBackendConnection]] for the scheduler-deadlock reasoning); a
     * JDBC backend swaps in a socket here and streams executor-side. */
   override def connection: SqlConnection = ViewBackendConnection(dir)
+  /** DDL/DML route through the same SQL surface; the backend session's
+    * catalog (temp warehouse) hosts writable tables alongside the
+    * read-only parquet views. */
+  override def executeUpdate(sql: String): Unit = { executeSql(sql); () }
   override def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow] = {
     val df = session.sql(sql)
     // types, not just arity: InternalRows decoded against a mismatched
