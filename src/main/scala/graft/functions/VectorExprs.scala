@@ -59,6 +59,65 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product over int8-quantized vectors (`array<tinyint>`), exact by
+  * construction: every product and partial sum is an integer < 2^53, so
+  * the double accumulation is exact integer arithmetic — order-free and
+  * bit-identical across engines (unlike float32 sums). Used by the
+  * quantized ANN path, where it is the pair-scoring hot loop; null on
+  * dimension mismatch like [[DotProductF32]]. */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_i8"
+  override def nullable: Boolean = true
+  // analysis-time type check: a BinaryType column ([B) looks like a byte
+  // vector but is NOT ArrayData — without this the interpreted path
+  // class-casts at runtime instead of failing at analysis
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<tinyint> inputs, got " +
+            s"${l.simpleString(10)} / ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    acc.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |  ${ev.value} = (double) $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Cosine similarity in a single pass (dot and both norms in one loop).
   * Returns 0.0 when either vector has zero norm, null on dimension
   * mismatch (a truncated cosine is confidently wrong, not approximate). */

@@ -207,9 +207,10 @@ object Similarity {
         """transform(embedding, x ->
           |  cast(floor(cast(x as double) * (127.0D / greatest(maxabs, 1e-300D)) + 0.5D)
           |       as tinyint))""".stripMargin))
-      .withColumn("qnorm", expr(
-        "aggregate(transform(qvec, a -> cast(a as double) * cast(a as double)), " +
-          "0.0D, (acc, x) -> acc + x)"))
+      // dot_i8 is the native codegen'd loop (higher-order-function
+      // lambdas would interpret per element in the pair-scoring hot path);
+      // same exact integer arithmetic either way
+      .withColumn("qnorm", dot_i8(col("qvec"), col("qvec")))
       .filter(col("qnorm") > 0)
       .select("vec_id", "qvec", "qnorm")
     val qs = q.filter(col("vec_id") % every === 0)
@@ -217,9 +218,7 @@ object Similarity {
         col("qnorm").as("probe_norm"))
     val scored = q.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qvec, probe_vec, (a, b) -> cast(a as double) * cast(b as double)), " +
-          "0.0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", dot_i8(col("qvec"), col("probe_vec")))
       .withColumn("cosine", col("dot") / (sqrt(col("qnorm")) * sqrt(col("probe_norm"))))
     topK(scored, k)
   }

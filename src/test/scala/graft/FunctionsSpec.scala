@@ -31,6 +31,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("dot_i8 is exact over the full tinyint range, null on mismatch") {
+    // Seq[Byte] → array<tinyint> (Array[Byte] would encode as BINARY,
+    // which dot_i8 rejects at analysis — see the ExpectsInputTypes note)
+    val df = Seq(
+      (Seq[Byte](127, -127, 1), Seq[Byte](127, 127, -1)),
+      (Seq[Byte](1, 2, 3), Seq[Byte](4, 5, 6)),
+    ).toDF("a", "b")
+    val got = df.select(dot_i8(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == (127 * 127 - 127 * 127 - 1).toDouble)
+    assert(got(1) == 32.0)
+    val mism = df.select(dot_i8(col("a"), typedlit(Seq[Byte](1, 2))))
+      .collect()(0).isNullAt(0)
+    assert(mism, "dimension mismatch must be null, not truncated")
+    val binErr = intercept[Exception] {
+      df.select(dot_i8(lit(Array[Byte](1, 2, 3)), lit(Array[Byte](1, 2, 3))))
+        .collect()
+    }
+    assert(binErr.getMessage != null) // BINARY rejected at analysis
+  }
+
   test("codegen and interpreted paths of cosine agree") {
     val df = Seq((Array(0.3f, -1.2f, 9.4f, 0.01f), Array(-4f, 0.5f, 2.2f, 1f)))
       .toDF("a", "b")
