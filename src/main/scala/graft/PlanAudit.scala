@@ -13,7 +13,8 @@ object PlanAudit {
   // the ANN brute/IVF scans cross the corpus with a broadcast of a tiny
   // query/centroid set — the designed one-scan plan, not an accident
   private val allowNestedLoop = Set("s20_cross_join", "s11_global_sales",
-    "s14_small_qty_revenue", "sim_topk_brute", "sim_topk_ivf")
+    "s14_small_qty_revenue", "sim_topk_brute", "sim_topk_ivf",
+    "sim_topk_quantized") // corpus × broadcast(queries): the designed one-scan plan
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
