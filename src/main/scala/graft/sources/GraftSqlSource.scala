@@ -298,8 +298,15 @@ class GraftScan(val table: String, val backend: SqlBackend,
     // only the scan's OUTPUT columns: Spark resolves these refs against the
     // pruned read schema. Aggregated scans expose none — the WHERE clause
     // a runtime filter lands in runs before the pushed GROUP BY, and the
-    // renamed agg outputs don't name base columns anyway.
-    if (aggregation.isDefined) Array.empty
+    // renamed agg outputs don't name base columns anyway. Top-N/offset
+    // scans expose none either: with isPartiallyPushed()=false Spark has
+    // deleted its own Sort/Limit/Offset, so the backend query's result IS
+    // the final answer — a runtime filter rendered into its WHERE clause
+    // would run before the ORDER BY/LIMIT and change which rows enter the
+    // top-N (a join above a fully-pushed `orderBy(c).limit(5)` with DPP
+    // would silently return rows beyond the true top 5).
+    if (aggregation.isDefined || orderBy.nonEmpty || limit.isDefined ||
+        offset.isDefined) Array.empty
     else required.fieldNames
       .map(n => org.apache.spark.sql.connector.expressions.Expressions.column(n))
 
@@ -319,6 +326,13 @@ class GraftScan(val table: String, val backend: SqlBackend,
     // tasks would then miss the prefetch buffer and enter the task-side
     // fetch path, which can starve the local scheduler (see
     // ViewBackendConnection). Only a genuinely NEW predicate re-plans.
+    // Defense-in-depth mirror of filterAttributes(): never accept a
+    // delivery that would land a WHERE clause before a pushed top-N/
+    // offset/aggregate (Spark shouldn't send one — the attribute list is
+    // empty — but a dropped runtime filter is always safe, a misplaced
+    // one is silently wrong).
+    if (aggregation.isDefined || orderBy.nonEmpty || limit.isDefined ||
+        offset.isDefined) return
     val ok = runtime.filter(runtimeRenderable)
     if (ok.nonEmpty) synchronized {
       val existing = runtimeFilters.map(runtimeKey).toSet

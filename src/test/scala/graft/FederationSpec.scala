@@ -482,6 +482,44 @@ class FederationSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("runtime filters are refused on a fully-pushed top-N scan (DPP cannot change the top-N)") {
+    import scala.jdk.CollectionConverters._
+    val backend = graft.sources.SparkViewBackend.forDir(TestSpark.Sf0001)
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      backend.sqlLog.clear()
+      // top-5 most expensive orders, fully pushed (ORDER BY + LIMIT in the
+      // backend query, Spark's own TopK deleted), then joined to a filtered
+      // dimension: a DPP IN filter rendered into the scan's WHERE would run
+      // BEFORE the top-N and return rows beyond the true top 5
+      val top = remote("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5)
+      val dim = Tables.load(spark, TestSpark.Sf0001, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val got = top.join(dim, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      val want = Tables.load(spark, TestSpark.Sf0001, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want)
+      // and no runtime IN predicate may have reached the ordered backend query
+      val tainted = backend.sqlLog.asScala
+        .filter(s => s.contains("ORDER BY") && s.contains("`o_custkey` IN ("))
+      assert(tainted.isEmpty, "runtime filter leaked into a top-N backend query:\n" +
+        tainted.mkString("\n"))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partially convertible plans push the largest subtree and keep the rest in Spark") {
     GraftExtensions.install(spark)
     // window function on top is not SQL-generatable -> stays in Spark;
