@@ -30,9 +30,41 @@ import org.apache.spark.sql.types._
   */
 object SqlGen {
 
-  /** Identifier-quoting dialect. Ansi (double quotes) fits DuckDB/Postgres
-    * backends; Spark uses backticks (round-trip tests run this one). */
-  sealed trait Dialect { def quote(n: String): String }
+  /** Backend SQL dialect. Ansi (double quotes) fits DuckDB/Postgres
+    * backends; Spark uses backticks (round-trip tests run this one).
+    * Open (not sealed): JDBC backends contribute dialects (e.g.
+    * [[graft.sources.DerbyDialect]]) without touching the generator —
+    * the reference hard-wires one dialect (Postgres `expr_to_sql`,
+    * `src/parser.rs:945-1095`); the hooks here are the divergences real
+    * backends actually have. */
+  trait Dialect {
+    def quote(n: String): String
+    /** Trailing row-selection clause. `limit` already EXCLUDES the offset
+      * rows (the scan deducts a pushed offset), so LIMIT-l-OFFSET-o and
+      * OFFSET-o-FETCH-l render the same selection. */
+    def limitOffset(limit: Option[Long], offset: Option[Long]): String =
+      limit.map(n => s" LIMIT $n").getOrElse("") +
+        offset.map(n => s" OFFSET $n").getOrElse("")
+    /** TRUE/FALSE as standalone predicates (dialects without standalone
+      * boolean literals override with tautologies). */
+    def trueLit: String = "TRUE"
+    def falseLit: String = "FALSE"
+    /** Whether the backend parses `IS NOT DISTINCT FROM`; when false the
+      * null-safe-equality filter stays a Spark residual. */
+    def supportsNullSafeEq: Boolean = true
+    /** Temporal literals (ANSI typed-literal form by default; Derby only
+      * parses the constructor-function form). `ts` is a UTC wall-clock
+      * `yyyy-MM-dd HH:mm:ss.SSSSSS` string; `d` an ISO date. */
+    def timestampLit(ts: String): String = s"TIMESTAMP '$ts'"
+    def dateLit(d: String): String = s"DATE '$d'"
+    /** Whether [[SqlGen]] may target this dialect for whole-plan fusion
+      * (the generator emits ANSI plus a few portable idioms; dialects that
+      * diverge further still get full scan-level pushdown). */
+    def fullSqlGen: Boolean = true
+    /** DDL column type for CREATE TABLE; None = not creatable on this
+      * backend (callers must reject, not guess). */
+    def typeName(dt: DataType): Option[String] = Some(dt.sql)
+  }
   case object Ansi extends Dialect {
     def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
   }

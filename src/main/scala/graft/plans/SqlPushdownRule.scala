@@ -82,6 +82,9 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     if (infos.isEmpty || infos.size != leaves.size) return None
     val backend: SqlBackend = infos.head._1
     if (!infos.forall(_._1 eq backend)) return None
+    // dialects the generator can't fully target keep scan-level pushdown
+    // only (e.g. Derby: no LIMIT/OFFSET spelling, no standalone booleans)
+    if (!backend.dialect.fullSqlGen) return None
 
     val resolver: SqlGen.TableResolver = pl => leafOf(pl).map(_._2)
 

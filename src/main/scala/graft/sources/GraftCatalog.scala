@@ -32,6 +32,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var defaultDir: Option[String] = None
+  private var defaultUrl: Option[String] = None
   private var numPartitions: Int = 4
 
   /** The single namespace, mirroring the reference's default `public`
@@ -42,6 +43,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     defaultDir = Option(options.get("dir"))
+    defaultUrl = Option(options.get("url"))
     // same tuning knob the DSv2 provider path honors
     // (spark.sql.catalog.<name>.partitions = N)
     numPartitions = math.max(1, options.getInt("partitions", 4))
@@ -49,12 +51,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   private def backend: SqlBackend = {
-    val dir = SparkSession.active.conf.getOption("graft.catalog.dir")
-      .orElse(defaultDir)
-      .getOrElse(throw new IllegalStateException(
-        s"catalog $catalogName: set graft.catalog.dir (session conf) or " +
-          s"spark.sql.catalog.$catalogName.dir"))
-    SparkViewBackend.forDir(dir)
+    val conf = SparkSession.active.conf
+    conf.getOption("graft.catalog.url").orElse(defaultUrl) match {
+      case Some(u) => JdbcBackend.forUrl(u) // production JDBC database
+      case None =>
+        val dir = conf.getOption("graft.catalog.dir")
+          .orElse(defaultDir)
+          .getOrElse(throw new IllegalStateException(
+            s"catalog $catalogName: set graft.catalog.dir / graft.catalog.url " +
+              s"(session conf) or spark.sql.catalog.$catalogName.dir/.url"))
+        SparkViewBackend.forDir(dir)
+    }
   }
 
   private def ok(ns: Array[String]): Boolean = ns.sameElements(Namespace)
@@ -102,10 +109,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchNamespaceException(ident.namespace.toSeq)
     require(partitions.isEmpty,
       s"catalog $catalogName: partitioned CREATE TABLE is not supported")
+    // table properties (provider, comment, options) have no backend DDL
+    // rendering — rejecting beats silently dropping them. Spark always
+    // passes an internal `owner` property; engine-managed keys are ignored.
+    val userProps = properties.keySet().toArray(Array.empty[String])
+      .filterNot(k => k == "owner" || k.startsWith("spark.") || k == "provider")
+    require(userProps.isEmpty,
+      s"catalog $catalogName: unsupported table properties ${userProps.mkString(", ")}")
     val b = backend
     val d = b.dialect
     val cols = schema.fields.map { f =>
-      s"${d.quote(f.name)} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}"
+      val tn = d.typeName(f.dataType).getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalogName: ${b.name} has no DDL type for column " +
+          s"${f.name}: ${f.dataType.simpleString}"))
+      s"${d.quote(f.name)} $tn${if (f.nullable) "" else " NOT NULL"}"
     }.mkString(", ")
     b.executeUpdate(s"CREATE TABLE ${d.quote(ident.name)} ($cols)")
     new GraftSqlTable(ident.name, b, b.schema(ident.name), numPartitions)
@@ -113,9 +130,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val b = backend
-    if (ok(ident.namespace) && b.tables.contains(ident.name))
+    if (ok(ident.namespace) && b.protectedTables.contains(ident.name))
       throw new UnsupportedOperationException(
-        s"catalog $catalogName: ${ident.name} is a discovered backend table " +
+        s"catalog $catalogName: ${ident.name} is a read-only backend table " +
           "and is not droppable through the catalog")
     val existed = ok(ident.namespace) && b.tableExists(ident.name)
     if (existed)

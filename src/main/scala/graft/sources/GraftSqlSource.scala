@@ -43,8 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftSqlTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-sqldb"
 
+  /** `url` selects the production JDBC backend; `dir` the in-process
+    * parquet-view double (tests / local benchmarking). */
   private def backend(options: CaseInsensitiveStringMap): SqlBackend =
-    SparkViewBackend.forDir(options.get("dir"))
+    Option(options.get("url")) match {
+      case Some(u) => JdbcBackend.forUrl(u)
+      case None => SparkViewBackend.forDir(options.get("dir"))
+    }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     backend(options).schema(options.get("table"))
@@ -386,9 +391,8 @@ class GraftScan(val table: String, val backend: SqlBackend,
       case _ => ""
     }
     val order = if (orderBy.isEmpty) "" else " ORDER BY " + orderBy.mkString(", ")
-    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    val off = offset.map(n => s" OFFSET $n").getOrElse("")
-    s"SELECT $cols FROM ${q(table)}$where$group$order$lim$off"
+    val sel = backend.dialect.limitOffset(limit.map(_.toLong), offset.map(_.toLong))
+    s"SELECT $cols FROM ${q(table)}$where$group$order$sel"
   }
 
   /** The split column: a declared single-column integral unique key. */
@@ -468,8 +472,11 @@ class GraftScan(val table: String, val backend: SqlBackend,
             }
           }
         case None =>
+          // Number, not getLong: COUNT's result type is dialect-specific
+          // (Derby says INTEGER, most others BIGINT)
           val n = backend.executeSql(
-            s"SELECT COUNT(*) FROM ${q(table)}$probeWhere").head.getLong(0)
+            s"SELECT COUNT(*) FROM ${q(table)}$probeWhere")
+            .head.get(0).asInstanceOf[Number].longValue
           if (n == 0) Seq(baseSql)
           else {
             val per = (n + numPartitions - 1) / numPartitions
@@ -479,7 +486,8 @@ class GraftScan(val table: String, val backend: SqlBackend,
               else " ORDER BY " + orderCols.map(q).mkString(", ")
             (0L until numPartitions.toLong)
               .filter(i => i * per < n)
-              .map(i => s"SELECT * FROM ($baseSql$order) graft_part LIMIT $per OFFSET ${i * per}")
+              .map(i => s"SELECT * FROM ($baseSql$order) graft_part" +
+                backend.dialect.limitOffset(Some(per), Some(i * per)))
           }
       }
     val parts = sqls.map(sql =>
@@ -556,8 +564,9 @@ object FilterSql {
 
   /** Scalar value → SQL literal; None = no portable rendering (keep the
     * predicate in Spark / reject the row). Shared by filter pushdown and
-    * the INSERT writer. */
-  def literal(v: Any): Option[String] = v match {
+    * the INSERT writer; temporal forms come from the dialect (Derby has no
+    * ANSI typed literals). */
+  def literal(v: Any, d: Dialect): Option[String] = v match {
       case null => Some("NULL")
       // backslashes are interpreted as escapes by the Spark dialect but
       // not by ANSI backends; refusing keeps the filter as a Spark
@@ -579,24 +588,23 @@ object FilterSql {
       // rendered as UTC wall-clock: both our sessions and the backend
       // double pin spark.sql.session.timeZone=UTC (and build.sbt pins the
       // JVM tz), so the literal round-trips exactly
-      case t: java.sql.Timestamp =>
-        Some(s"TIMESTAMP '${utcWallClock(t.toInstant)}'")
-      case t: java.time.Instant =>
-        Some(s"TIMESTAMP '${utcWallClock(t)}'")
-      case dt: java.sql.Date => Some(s"DATE '$dt'")
-      case dt: java.time.LocalDate => Some(s"DATE '$dt'")
+      case t: java.sql.Timestamp => Some(d.timestampLit(utcWallClock(t.toInstant)))
+      case t: java.time.Instant => Some(d.timestampLit(utcWallClock(t)))
+      case dt: java.sql.Date => Some(d.dateLit(dt.toString))
+      case dt: java.time.LocalDate => Some(d.dateLit(dt.toString))
       case _ => None
     }
 
   def render(f: Filter, d: Dialect): Option[String] = {
-    def lit(v: Any): Option[String] = literal(v)
+    def lit(v: Any): Option[String] = literal(v, d)
     def like(attr: String, pattern: String): String =
       s"${d.quote(attr)} LIKE '${pattern.replace("'", "''")}'"
 
     f match {
       case sources.EqualTo(a, v) => lit(v).map(l => s"${d.quote(a)} = $l")
-      case sources.EqualNullSafe(a, v) =>
+      case sources.EqualNullSafe(a, v) if d.supportsNullSafeEq =>
         lit(v).map(l => s"${d.quote(a)} IS NOT DISTINCT FROM $l")
+      case sources.EqualNullSafe(_, _) => None // residual on this backend
       case sources.GreaterThan(a, v) => lit(v).map(l => s"${d.quote(a)} > $l")
       case sources.GreaterThanOrEqual(a, v) => lit(v).map(l => s"${d.quote(a)} >= $l")
       case sources.LessThan(a, v) => lit(v).map(l => s"${d.quote(a)} < $l")
@@ -604,7 +612,7 @@ object FilterSql {
       case sources.In(_, vs) if vs.isEmpty =>
         // `IN ()` is not SQL; Catalyst's In over an empty list is false
         // (runtime pruning can legitimately produce an empty key set)
-        Some("FALSE")
+        Some(d.falseLit)
       case sources.In(a, vs) =>
         val ls = vs.toSeq.map(lit)
         if (ls.forall(_.isDefined))
@@ -623,8 +631,8 @@ object FilterSql {
       case sources.StringStartsWith(a, v) if likeSafe(v) => Some(like(a, v + "%"))
       case sources.StringEndsWith(a, v) if likeSafe(v) => Some(like(a, "%" + v))
       case sources.StringContains(a, v) if likeSafe(v) => Some(like(a, "%" + v + "%"))
-      case sources.AlwaysTrue() => Some("TRUE")
-      case sources.AlwaysFalse() => Some("FALSE")
+      case sources.AlwaysTrue() => Some(d.trueLit)
+      case sources.AlwaysFalse() => Some(d.falseLit)
       case _ => None // e.g. nested-column predicates: residual in Spark
     }
   }

@@ -11,23 +11,21 @@ import org.apache.spark.sql.types._
   * Spark DataSource for JDBC supports") but never built (it has no sinks,
   * SURVEY.md §2.A A10).
   *
-  * Shape: each task's [[GraftDataWriter]] renders its rows to SQL tuples
-  * (distributing the literal-rendering cost) and ships them in its commit
-  * message; [[GraftBatchWrite.commit]] then executes batched multi-row
-  * INSERT statements on the DRIVER, after every task has succeeded. That
-  * order gives all-or-nothing semantics per Spark's commit protocol
-  * without requiring backend transactions: a failed/speculative task's
-  * rows never reach the backend because nothing is inserted until global
-  * commit. The cost is that written rows funnel through the driver — the
-  * right trade for the in-process double (whose backend shares the
-  * engine's scheduler; see [[ViewBackendConnection]] for why task-side
-  * backend calls deadlock) and for dimension-scale writes. A production
-  * JDBC sink would instead stream INSERTs executor-side inside `write`
-  * within a per-task transaction, leaving the commit message empty — the
-  * interface supports both without change.
+  * Two strategies, selected per backend — see [[GraftBatchWrite]]: the
+  * production path streams transactional INSERTs executor-side (commit
+  * messages carry counts only, nothing scales with the dataset on the
+  * driver); the in-process double funnels rendered tuples through the
+  * driver at global commit (its backend shares the engine's scheduler;
+  * see [[ViewBackendConnection]] for why task-side backend calls
+  * deadlock there).
   */
 object SqlWrite {
   import graft.plans.SqlGen.{Dialect, SparkSqlDialect}
+
+  /** Rows per INSERT statement: bounds statement size (predictable parse
+    * cost on the backend) while amortizing per-statement overhead. Shared
+    * by both write strategies. */
+  val InsertBatch = 500
 
   /** Types with a portable single-literal rendering (the same surface the
     * filter pushdown accepts, minus nothing: writes must not silently
@@ -62,14 +60,19 @@ object SqlWrite {
     case x: Double if x.isNaN => "CAST('NaN' AS DOUBLE)"
     case x: Double if x.isInfinite =>
       s"CAST('${if (x > 0) "Infinity" else "-Infinity"}' AS DOUBLE)"
-    case other => FilterSql.literal(other).getOrElse(
+    case other => FilterSql.literal(other, d).getOrElse(
       throw new IllegalArgumentException(
         s"no SQL literal rendering for ${other.getClass.getName}: $other"))
   }
 }
 
-/** Rendered `(v1, v2, …)` tuples from one task, carried to global commit. */
+/** Rendered `(v1, v2, …)` tuples from one task, carried to global commit
+  * (the driver-funnel path — in-process double only). */
 case class RenderedTuples(tuples: Seq[String]) extends WriterCommitMessage
+
+/** Executor-side path's commit message: the rows are already durable in
+  * the task's committed backend transaction — only the count travels. */
+case class WroteCount(rows: Long) extends WriterCommitMessage
 
 class GraftWriteBuilder(table: String, backend: SqlBackend,
     schema: StructType) extends WriteBuilder {
@@ -86,39 +89,61 @@ class GraftWriteBuilder(table: String, backend: SqlBackend,
   }
 }
 
+/** Two write strategies behind one BatchWrite, selected by
+  * [[SqlBackend.supportsTaskSideWrites]]:
+  *
+  *  - **Executor-side streaming** (production JDBC): each task opens its
+  *    own backend transaction ([[SqlConnection.beginWrite]]), streams
+  *    batched INSERTs as rows arrive — bounded memory: at most
+  *    `InsertBatch` rendered tuples are ever held — and commits the
+  *    transaction in `DataWriter.commit`. Commit messages carry row COUNTS
+  *    only, so nothing scales with the dataset on the driver. Atomicity is
+  *    per-task (Spark's commit protocol: a failed/speculative task rolls
+  *    back and retries); a job that dies between task commits can leave
+  *    earlier tasks' rows durable — the same contract as Spark's own JDBC
+  *    sink, and the honest one without a backend-side two-phase commit.
+  *  - **Driver funnel** (in-process test double, whose backend shares the
+  *    engine's scheduler — a task-side backend call deadlocks local mode):
+  *    tasks render tuples into commit messages; global commit executes the
+  *    INSERTs driver-side. Nothing durable before global commit, so task
+  *    failures are invisible; a failure BETWEEN commit-time statements can
+  *    still leave earlier batches durable (no transactions on the double).
+  *    Driver memory scales with the written rows — dimension-scale only.
+  */
 class GraftBatchWrite(table: String, backend: SqlBackend,
     schema: StructType) extends BatchWrite {
-  /** Rows per INSERT statement: bounds statement size (predictable parse
-    * cost on the backend) while amortizing per-statement overhead. */
-  private val InsertBatch = 500
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(schema, backend.dialect)
+    GraftWriterFactory(table, schema, backend)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = backend.dialect
     val cols = schema.fieldNames.map(d.quote).mkString(", ")
     messages.iterator
-      .flatMap { case RenderedTuples(ts) => ts }
-      .grouped(InsertBatch)
+      .flatMap { case RenderedTuples(ts) => ts; case _: WroteCount => Nil }
+      .grouped(SqlWrite.InsertBatch)
       .foreach { batch =>
         backend.executeUpdate(
           s"INSERT INTO ${d.quote(table)} ($cols) VALUES ${batch.mkString(", ")}")
       }
   }
 
-  /** Nothing durable happened yet (inserts only run at commit), so abort
-    * has nothing to roll back. */
+  /** Streaming path: every task that reached DataWriter.commit committed
+    * its own transaction, and failed tasks already rolled back — nothing
+    * to undo here. Funnel path: nothing durable happened yet. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class GraftWriterFactory(schema: StructType,
-    dialect: graft.plans.SqlGen.Dialect) extends DataWriterFactory {
+case class GraftWriterFactory(table: String, schema: StructType,
+    backend: SqlBackend) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schema, dialect)
+    if (backend.supportsTaskSideWrites)
+      new StreamingSqlWriter(table, schema, backend.dialect, backend.connection)
+    else new GraftDataWriter(schema, backend.dialect)
 }
 
+/** Driver-funnel writer: renders tuples, ships them in the commit message. */
 class GraftDataWriter(schema: StructType,
     dialect: graft.plans.SqlGen.Dialect) extends DataWriter[InternalRow] {
   private val deserialize =
@@ -134,5 +159,50 @@ class GraftDataWriter(schema: StructType,
   }
   override def commit(): WriterCommitMessage = RenderedTuples(tuples.toSeq)
   override def abort(): Unit = tuples.clear()
+  override def close(): Unit = ()
+}
+
+/** Executor-side streaming writer: batched INSERTs through a task-side
+  * backend transaction, opened lazily on the first row (an empty partition
+  * never touches the backend). Memory high-water mark is one batch of
+  * rendered tuples, independent of partition size. */
+class StreamingSqlWriter(table: String, schema: StructType,
+    dialect: graft.plans.SqlGen.Dialect, connection: SqlConnection)
+    extends DataWriter[InternalRow] {
+  private val deserialize =
+    ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
+      .createDeserializer()
+  private val cols = schema.fieldNames.map(dialect.quote).mkString(", ")
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var txn: WriteTxn = _
+  private var written = 0L
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    if (txn == null) txn = connection.beginWrite()
+    txn.executeUpdate(
+      s"INSERT INTO ${dialect.quote(table)} ($cols) VALUES ${buf.mkString(", ")}")
+    written += buf.size
+    buf.clear()
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val row = deserialize(record)
+    buf += Range(0, schema.length)
+      .map(i => SqlWrite.valueLit(row.get(i), dialect))
+      .mkString("(", ", ", ")")
+    if (buf.size >= SqlWrite.InsertBatch) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    if (txn != null) txn.commit()
+    WroteCount(written)
+  }
+
+  override def abort(): Unit = {
+    buf.clear()
+    if (txn != null) txn.rollback()
+  }
+
   override def close(): Unit = ()
 }

@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, ResultSet, Types}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+import graft.plans.SqlGen.Dialect
+
+/** Derby's SQL surface, the dialect divergences that matter for pushdown:
+  * ANSI double-quote identifiers, `OFFSET … ROWS FETCH NEXT … ROWS ONLY`
+  * instead of LIMIT/OFFSET, no standalone boolean-literal predicates, no
+  * `IS NOT DISTINCT FROM`. Whole-plan fusion is declined (`fullSqlGen =
+  * false`) — the scan-level pushdown surface (projection, filters, top-N,
+  * aggregates, partition splits) all renders dialect-correctly. */
+case object DerbyDialect extends Dialect {
+  def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
+  override def limitOffset(limit: Option[Long], offset: Option[Long]): String =
+    offset.map(o => s" OFFSET $o ROWS").getOrElse("") +
+      limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+  override def trueLit: String = "(1=1)"
+  override def falseLit: String = "(1=0)"
+  override def supportsNullSafeEq: Boolean = false
+  override def fullSqlGen: Boolean = false
+  override def timestampLit(ts: String): String = s"TIMESTAMP('$ts')"
+  override def dateLit(d: String): String = s"DATE('$d')"
+  override def typeName(dt: DataType): Option[String] = dt match {
+    case StringType => Some("VARCHAR(32672)") // Derby's VARCHAR max
+    case BooleanType => Some("BOOLEAN")
+    case ShortType => Some("SMALLINT")
+    case IntegerType => Some("INTEGER")
+    case LongType => Some("BIGINT")
+    case FloatType => Some("REAL")
+    case DoubleType => Some("DOUBLE")
+    case DateType => Some("DATE")
+    case TimestampType => Some("TIMESTAMP")
+    case d: DecimalType => Some(s"DECIMAL(${d.precision},${d.scale})")
+    case BinaryType => Some("VARCHAR (32672) FOR BIT DATA")
+    case _ => None // ByteType too: Derby has no TINYINT and SMALLINT would
+                   // silently widen the round-tripped schema
+  }
+}
+
+/** The production remote backend: any JDBC database behind the
+  * [[SqlBackend]]/[[SqlConnection]] traits — the role the reference's
+  * `PostgresConnection` plays over binary COPY
+  * (`/root/reference/src/sqldb/postgres/mod.rs:24-190`). Differences are
+  * all Spark-idiomatic consequences of the trait contracts:
+  *
+  *  - catalog discovery reads `DatabaseMetaData` (tables, columns,
+  *    primary keys) instead of hand-written information_schema SQL
+  *    (`mod.rs:67-125`) — same data, driver-portable;
+  *  - `fetch` runs ON THE TASK and streams the ResultSet row-by-row
+  *    (fetch-size hinted), so result size is bounded by executor memory,
+  *    never driver memory — the executor-side execution model of
+  *    `PostgresExec::execute` (`table_provider.rs:219-233`);
+  *  - `beginWrite` opens a task-side autoCommit=false connection: the
+  *    executor-side INSERT streaming path ([[StreamingSqlWriter]]).
+  *
+  * Connections are opened per call (embedded Derby makes that free; a
+  * networked production deployment would put a pool behind `connect()` —
+  * the single seam where one would go). Instances are cached per URL so
+  * every table of one database shares a backend identity (the pushdown
+  * rule's same-backend fusion check is reference equality).
+  */
+object JdbcBackend {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, JdbcBackend]()
+  def forUrl(url: String): JdbcBackend =
+    cache.computeIfAbsent(url, u => new JdbcBackend(u))
+
+  private[sources] def dialectFor(url: String): Dialect =
+    if (url.startsWith("jdbc:derby:")) DerbyDialect
+    else graft.plans.SqlGen.Ansi
+
+  /** JDBC metadata type → Spark type. Unmapped types fail discovery loudly
+    * (a silently-skipped column would make `SELECT *` lie). */
+  private[sources] def sparkType(jdbcType: Int, precision: Int, scale: Int): DataType =
+    jdbcType match {
+      case Types.BIT | Types.BOOLEAN => BooleanType
+      case Types.TINYINT => ByteType
+      case Types.SMALLINT => ShortType
+      case Types.INTEGER => IntegerType
+      case Types.BIGINT => LongType
+      case Types.REAL => FloatType
+      case Types.FLOAT | Types.DOUBLE => DoubleType
+      case Types.DECIMAL | Types.NUMERIC => DecimalType(precision, scale)
+      case Types.CHAR | Types.VARCHAR | Types.LONGVARCHAR | Types.CLOB => StringType
+      case Types.DATE => DateType
+      case Types.TIMESTAMP => TimestampType
+      case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unmapped JDBC type $other (java.sql.Types)")
+    }
+
+  /** One ResultSet row → Row, schema-driven (the decoder analog of the
+    * reference's per-type wire readers, `binary_reader.rs:351-487`). */
+  private[sources] def convertRow(rs: ResultSet, schema: StructType): Row = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val v: Any = schema.fields(i).dataType match {
+        case BooleanType => rs.getBoolean(i + 1)
+        case ByteType => rs.getByte(i + 1)
+        case ShortType => rs.getShort(i + 1)
+        case IntegerType => rs.getInt(i + 1)
+        case LongType => rs.getLong(i + 1)
+        case FloatType => rs.getFloat(i + 1)
+        case DoubleType => rs.getDouble(i + 1)
+        case _: DecimalType => rs.getBigDecimal(i + 1)
+        case StringType => rs.getString(i + 1)
+        case DateType => rs.getDate(i + 1)
+        case TimestampType => rs.getTimestamp(i + 1)
+        case BinaryType => rs.getBytes(i + 1)
+        case other => throw new IllegalArgumentException(
+          s"unreadable column type $other")
+      }
+      vals(i) = if (rs.wasNull()) null else v
+      i += 1
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+}
+
+class JdbcBackend private (val url: String) extends SqlBackend {
+
+  override def name: String = s"jdbc(${url.takeWhile(_ != ';')})"
+  override def dialect: Dialect = JdbcBackend.dialectFor(url)
+
+  private def connect(): Connection = DriverManager.getConnection(url)
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = connect()
+    try f(c) finally c.close()
+  }
+
+  override def tables: Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getTables(null, c.getSchema, "%", Array("TABLE"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (rs.next()) out += rs.getString("TABLE_NAME")
+    out.toSeq
+  }
+
+  override def tableExists(table: String): Boolean = withConn { c =>
+    val rs = c.getMetaData.getTables(null, c.getSchema, table, Array("TABLE"))
+    rs.next()
+  }
+
+  override def schema(table: String): StructType = withConn { c =>
+    val rs = c.getMetaData.getColumns(null, c.getSchema, table, "%")
+    val fields = scala.collection.mutable.ArrayBuffer.empty[(Int, StructField)]
+    while (rs.next()) {
+      val dt = JdbcBackend.sparkType(rs.getInt("DATA_TYPE"),
+        rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"))
+      fields += ((rs.getInt("ORDINAL_POSITION"),
+        StructField(rs.getString("COLUMN_NAME"), dt,
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)))
+    }
+    require(fields.nonEmpty, s"no such table in ${name}: $table")
+    StructType(fields.sortBy(_._1).map(_._2).toSeq)
+  }
+
+  override def uniqueKey(table: String): Option[Seq[String]] = withConn { c =>
+    val rs = c.getMetaData.getPrimaryKeys(null, c.getSchema, table)
+    val cols = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+    while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+    if (cols.isEmpty) None else Some(cols.sortBy(_._1).map(_._2).toSeq)
+  }
+
+  override def executeSql(sql: String): Seq[Row] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val md = rs.getMetaData
+      val schema = StructType((1 to md.getColumnCount).map { i =>
+        StructField(md.getColumnLabel(i), JdbcBackend.sparkType(
+          md.getColumnType(i), md.getPrecision(i), md.getScale(i)))
+      })
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (rs.next()) out += JdbcBackend.convertRow(rs, schema)
+      out.toSeq
+    } finally st.close()
+  }
+
+  override def executeUpdate(sql: String): Unit = withConn { c =>
+    val st = c.createStatement()
+    try st.executeUpdate(sql) finally st.close()
+  }
+
+  override def supportsTaskSideWrites: Boolean = true
+  override def connection: SqlConnection = JdbcTaskConnection(url)
+
+  override def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow] = {
+    // single-stream fallback (whole-plan fusion is dialect-gated off for
+    // Derby; an Ansi JDBC backend reaching here still streams task-side)
+    val u = url
+    SparkSession.active.sparkContext.parallelize(Seq(sql), 1).mapPartitions { it =>
+      val ser = ExpressionEncoder(RowEncoder.encoderFor(expected)).createSerializer()
+      it.flatMap(s => JdbcTaskConnection(u).fetch(0L, s, expected).map(r => ser(r).copy()))
+    }
+  }
+}
+
+/** Task-side JDBC connection: `fetch` opens a connection ON THE TASK and
+  * streams the ResultSet (driver holds SQL text only). The connection
+  * closes with the ResultSet — or with the task, whichever comes first
+  * (completion listener), so partial reads under a Spark-side limit don't
+  * leak connections. */
+case class JdbcTaskConnection(url: String) extends SqlConnection {
+
+  override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] = {
+    val conn = DriverManager.getConnection(url)
+    val stmt = conn.createStatement()
+    stmt.setFetchSize(1000)
+    val rs = stmt.executeQuery(sql)
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      try rs.close() finally { try stmt.close() finally conn.close() }
+    }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+    new Iterator[Row] {
+      private var ready = false
+      private var done = false
+      private def advance(): Unit = if (!ready && !done) {
+        if (rs.next()) ready = true else { done = true; closeAll() }
+      }
+      override def hasNext: Boolean = { advance(); ready }
+      override def next(): Row = {
+        advance()
+        if (!ready) throw new NoSuchElementException("drained ResultSet")
+        ready = false
+        JdbcBackend.convertRow(rs, schema)
+      }
+    }
+  }
+
+  override def beginWrite(): WriteTxn = {
+    val conn = DriverManager.getConnection(url)
+    conn.setAutoCommit(false)
+    new WriteTxn {
+      override def executeUpdate(sql: String): Unit = {
+        val st = conn.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      override def commit(): Unit = try conn.commit() finally conn.close()
+      override def rollback(): Unit = try conn.rollback() finally conn.close()
+    }
+  }
+}

@@ -22,6 +22,9 @@ trait SqlBackend extends Serializable {
   /** Existence check that also sees tables created AFTER discovery (DDL
     * through [[executeUpdate]]); `tables` is the discovery-time snapshot. */
   def tableExists(table: String): Boolean = tables.contains(table)
+  /** Tables DDL must not touch (the double's read-only parquet views); a
+    * real RDBMS backend owns all its tables and protects none. */
+  def protectedTables: Seq[String] = Nil
   def schema(table: String): StructType
   /** Primary/unique key of a table if the backend's catalog knows one —
     * lets the partition-split ORDER BY use a single key column instead of
@@ -45,6 +48,13 @@ trait SqlBackend extends Serializable {
     * that are read-only may leave the default. */
   def executeUpdate(sql: String): Unit =
     throw new UnsupportedOperationException(s"$name is read-only")
+  /** Whether task-side connections may open write transactions
+    * ([[SqlConnection.beginWrite]]) — the executor-side INSERT streaming
+    * path. In-process doubles whose backend shares the engine's scheduler
+    * must leave this false (a backend call from a running task deadlocks
+    * local mode; see [[ViewBackendConnection]]), falling back to the
+    * driver-funnel write at global commit. */
+  def supportsTaskSideWrites: Boolean = false
   /** A task-side connection handle for partition readers. MUST be
     * serializable by configuration only (connection string / dir) — never
     * by materialized data: it ships inside every InputPartition. */
@@ -77,6 +87,23 @@ trait SqlConnection extends Serializable {
   /** Driver-side barrier: returns once every `prefetch` issued through this
     * connection instance has completed. */
   def awaitPrefetched(): Unit = {}
+  /** Open a write transaction ON THE TASK — the executor-side INSERT
+    * streaming path (backends advertising
+    * [[SqlBackend.supportsTaskSideWrites]]). Statements executed through
+    * the returned handle become durable only at its `commit()`, giving
+    * per-task atomicity under Spark's commit protocol: a failed or
+    * speculative task rolls back, and its rows never existed. */
+  def beginWrite(): WriteTxn =
+    throw new UnsupportedOperationException("backend has no task-side write path")
+}
+
+/** One task's backend write transaction (task-side only — never
+  * serialized). Exactly one of commit/rollback is called, exactly once;
+  * both release the underlying connection. */
+trait WriteTxn {
+  def executeUpdate(sql: String): Unit
+  def commit(): Unit
+  def rollback(): Unit
 }
 
 /** JVM-local handoff between driver-side prefetch and task-side read for
@@ -236,6 +263,7 @@ class SparkViewBackend(dir: String) extends SqlBackend {
   override def tables: Seq[String] = graft.Tables.names
   override def tableExists(table: String): Boolean =
     graft.Tables.names.contains(table) || session.catalog.tableExists(table)
+  override def protectedTables: Seq[String] = graft.Tables.names
   override def schema(table: String): StructType = session.table(table).schema
   override def uniqueKey(table: String): Option[Seq[String]] =
     SparkViewBackend.uniqueKeys.get(table)
@@ -278,8 +306,13 @@ class SparkViewBackend(dir: String) extends SqlBackend {
   override def connection: SqlConnection = ViewBackendConnection(dir)
   /** DDL/DML route through the same SQL surface; the backend session's
     * catalog (temp warehouse) hosts writable tables alongside the
-    * read-only parquet views. */
-  override def executeUpdate(sql: String): Unit = { executeSql(sql); () }
+    * read-only parquet views. Any update invalidates the memoized catalog
+    * statistics — a table grown past the broadcast threshold must not
+    * keep auto-broadcasting on a stale estimate. */
+  override def executeUpdate(sql: String): Unit = {
+    executeSql(sql)
+    rowCounts.clear()
+  }
   override def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow] = {
     val df = session.sql(sql)
     // types, not just arity: InternalRows decoded against a mismatched
