@@ -57,6 +57,13 @@ object SqlGen {
       * `yyyy-MM-dd HH:mm:ss.SSSSSS` string; `d` an ISO date. */
     def timestampLit(ts: String): String = s"TIMESTAMP '$ts'"
     def dateLit(d: String): String = s"DATE '$d'"
+    /** Regex-match rendering, or None to keep the predicate in Spark.
+      * Deliberately conservative: regex LANGUAGES diverge across engines
+      * (Java vs RE2 vs POSIX), so only a dialect whose engine matches
+      * Spark's semantics should render this (the reference pushed `~`
+      * to Postgres unconditionally, `src/parser.rs:654-688` — trading
+      * correctness on exotic patterns for coverage). */
+    def regexpMatch(subject: String, pattern: String): Option[String] = None
     /** Whether [[SqlGen]] may target this dialect for whole-plan fusion
       * (the generator emits ANSI plus a few portable idioms; dialects that
       * diverge further still get full scan-level pushdown). */
@@ -70,6 +77,9 @@ object SqlGen {
   }
   case object SparkSqlDialect extends Dialect {
     def quote(n: String): String = "`" + n.replace("`", "``") + "`"
+    // the backend IS Spark — identical regex engine, safe to push
+    override def regexpMatch(subject: String, pattern: String): Option[String] =
+      Some(s"($subject RLIKE $pattern)")
   }
 
   final case class Unsupported(what: String) {
@@ -332,6 +342,21 @@ object SqlGen {
     case Alias(child, _) => expr(child)
     case l: Literal => literal(l)
 
+    // null-safe equality, before the generic arm (the reference enumerated
+    // IsDistinctFrom, `src/parser.rs:676`); dialect-gated — Derby has no
+    // IS NOT DISTINCT FROM spelling
+    case EqualNullSafe(l, r) if currentDialect.get.supportsNullSafeEq =>
+      for { ls <- expr(l); rs <- expr(r) } yield s"($ls IS NOT DISTINCT FROM $rs)"
+
+    // regex match through the dialect hook (only rendered where the
+    // backend's regex ENGINE matches Spark's — see Dialect.regexpMatch)
+    case RLike(l, r) =>
+      for {
+        ls <- expr(l); rs <- expr(r)
+        out <- currentDialect.get.regexpMatch(ls, rs)
+          .toRight(Unsupported("regex match on this dialect"))
+      } yield out
+
     case b: BinaryOperator =>
       val op = b match {
         case _: EqualTo => "="
@@ -346,9 +371,15 @@ object SqlGen {
         case _: Remainder => "%"
         case _: And => "AND"
         case _: Or => "OR"
+        // infix &/| parse identically in Spark, DuckDB and Postgres; XOR
+        // does not (`^` vs `xor()` vs `#`) and stays in Spark
+        case _: BitwiseAnd => "&"
+        case _: BitwiseOr => "|"
         case other => return Left(Unsupported(s"operator ${other.sqlOperator}"))
       }
       for { l <- expr(b.left); r <- expr(b.right) } yield s"($l $op $r)"
+
+    case BitwiseNot(c) => expr(c).map(s => s"(~ $s)")
 
     case Not(EqualTo(l, r)) =>
       for { ls <- expr(l); rs <- expr(r) } yield s"($ls <> $rs)"
@@ -511,7 +542,14 @@ object SqlGen {
     case Substring(str, pos, len) =>
       for { s <- expr(str); p <- expr(pos); l <- expr(len) }
         yield s"SUBSTRING($s, $p, $l)"
-    case Concat(cs) => sequence(cs.map(expr)).map(ss => s"CONCAT(${ss.mkString(", ")})")
+    // Spark's concat is NULL-propagating; so is infix `||` on every ANSI
+    // backend, while CONCAT() skips NULLs on DuckDB/Postgres — so the
+    // function spelling is only safe when the backend IS Spark
+    case Concat(cs) if cs.nonEmpty =>
+      sequence(cs.map(expr)).map { ss =>
+        if (currentDialect.get == SparkSqlDialect) s"CONCAT(${ss.mkString(", ")})"
+        else ss.mkString("(", " || ", ")")
+      }
     case Coalesce(cs) => sequence(cs.map(expr)).map(ss => s"COALESCE(${ss.mkString(", ")})")
     case StringTrim(c, None) => expr(c).map(s => s"TRIM($s)")
     case StringReplace(c, find, rep) =>

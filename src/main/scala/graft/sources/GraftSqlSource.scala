@@ -150,6 +150,18 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
             val dist = if (sm.isDistinct) "DISTINCT " else ""
             (s"SUM($dist${d.quote(n)})", st)
           }
+        case (a: Avg, _) =>
+          // DOUBLE input only: every backend then agrees the result is
+          // DOUBLE computed in double arithmetic. Integer/float inputs
+          // diverge (Derby's AVG(INT) truncates to INT, AVG(REAL) stays
+          // single-precision) — those stay in Spark.
+          for {
+            n <- fieldOf(a.column); t <- fieldType(n)
+            if t == org.apache.spark.sql.types.DoubleType
+          } yield {
+            val dist = if (a.isDistinct) "DISTINCT " else ""
+            (s"AVG($dist${d.quote(n)})", org.apache.spark.sql.types.DoubleType)
+          }
         case _ => None
       }
     if (aggItems.exists(_.isEmpty)) return None

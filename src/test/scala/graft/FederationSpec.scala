@@ -520,6 +520,38 @@ class FederationSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AVG over a double column pushes as a complete backend aggregate") {
+    val df = remote("orders").groupBy("o_orderpriority")
+      .agg(avg("o_totalprice").as("ap"), count(lit(1)).as("n"))
+    val scan = graftScan(df)
+    assert(scan.renderedSql.contains("AVG(`o_totalprice`)"), scan.renderedSql)
+    assert(scan.renderedSql.contains("GROUP BY `o_orderpriority`"), scan.renderedSql)
+    val want = Tables.load(spark, TestSpark.Sf0001, "orders")
+      .groupBy("o_orderpriority").agg(avg("o_totalprice").as("ap"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
+    // AVG over an integer column must NOT push (backend arithmetic
+    // diverges); Spark computes it from its own partial aggregates
+    val intAvg = remote("orders").groupBy("o_orderpriority")
+      .agg(avg("o_custkey").as("ac"))
+    assert(!graftScan(intAvg).renderedSql.contains("AVG"),
+      graftScan(intAvg).renderedSql)
+    intAvg.collect() // still answers
+  }
+
+  test("null-safe join condition fuses into one backend query") {
+    GraftExtensions.install(spark)
+    val df = remote("nation")
+      .join(remote("region"), col("n_regionkey") <=> col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+    val pushed = df.queryExecution.optimizedPlan.collect { case p: PushedSqlQuery => p }
+    assert(pushed.size == 1, df.queryExecution.optimizedPlan.toString)
+    assert(pushed.head.sql.contains("IS NOT DISTINCT FROM"), pushed.head.sql)
+    assert(df.count() == 25)
+  }
+
   test("partially convertible plans push the largest subtree and keep the rest in Spark") {
     GraftExtensions.install(spark)
     // window function on top is not SQL-generatable -> stays in Spark;

@@ -283,4 +283,45 @@ class SqlGenSpec extends AnyFunSuite {
         expr("INTERVAL '30' MINUTE"))
       .select(col("event_id"), col("ts")))
   }
+
+  test("null-safe equality renders IS NOT DISTINCT FROM (join + predicate forms)") {
+    roundTrip(t("nation")
+      .join(t("region"), col("n_regionkey") <=> col("r_regionkey"))
+      .select(col("n_name"), col("r_name")))
+    roundTrip(t("customer")
+      .select(col("c_custkey"), (col("c_nationkey") <=> lit(3)).as("is3")))
+  }
+
+  test("bitwise and/or/not render infix; xor stays in Spark") {
+    roundTrip(t("orders").select(col("o_orderkey"),
+      (col("o_orderkey").bitwiseAND(lit(255L))).as("lo"),
+      (col("o_custkey").bitwiseOR(lit(1L))).as("odd"),
+      expr("~ o_orderkey").as("inv")))
+    val xor = t("orders").select(col("o_orderkey").bitwiseXOR(lit(5L)).as("x"))
+    assert(SqlGen(xor.queryExecution.analyzed,
+      dialect = SqlGen.SparkSqlDialect).isLeft,
+      "XOR spelling is dialect-divergent and must stay in Spark")
+  }
+
+  test("regex match renders RLIKE on the Spark dialect, refuses on Ansi") {
+    roundTrip(t("customer")
+      .filter(col("c_name").rlike("[0-9]{2}$"))
+      .select(col("c_custkey"), col("c_name")))
+    val df = t("customer").filter(col("c_name").rlike("[0-9]{2}$"))
+      .select(col("c_custkey"))
+    assert(SqlGen(df.queryExecution.analyzed, dialect = SqlGen.Ansi).isLeft,
+      "regex engines diverge across backends; Ansi must refuse")
+  }
+
+  test("concat renders NULL-propagating form per dialect") {
+    roundTrip(t("nation").select(
+      concat(col("n_name"), lit("_"), col("n_regionkey")).as("c")))
+    // Ansi spelling is infix || (CONCAT() skips NULLs on DuckDB/Postgres,
+    // which would diverge from Spark's NULL-propagating concat)
+    val df = t("nation").select(concat(col("n_name"), lit("x")).as("c"))
+    SqlGen(df.queryExecution.analyzed, dialect = SqlGen.Ansi) match {
+      case Right(sql) => assert(sql.contains("||"), sql)
+      case Left(u) => fail(u.toString)
+    }
+  }
 }
