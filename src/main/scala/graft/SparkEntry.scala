@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ops.Sampling.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.TemporalJoins.entries ++
+      graft.ops.Skew.entries ++
       graft.streaming.EventStreams.entries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.ops.Sampling.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.ops.TemporalJoins.oracle ++
+      graft.ops.Skew.oracle ++
       graft.streaming.EventStreams.oracle).toMap
 }

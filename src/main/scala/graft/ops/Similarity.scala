@@ -198,21 +198,7 @@ object Similarity {
     * q_i = floor(x_i · 127/max|x| + 0.5) ∈ [-127, 127] (fits tinyint);
     * cosine(q_a, q_b) = dot/(‖q_a‖·‖q_b‖) computed from the int vectors. */
   def quantizedTopK(emb: DataFrame, k: Int = 10, every: Long = 50L): DataFrame = {
-    val q = emb
-      .withColumn("maxabs",
-        expr("array_max(transform(embedding, y -> abs(cast(y as double))))"))
-      // greatest(·, 1e-300) only guards the all-zero vector (float32
-      // magnitudes are ≥ 1e-45, far above the floor)
-      .withColumn("qvec", expr(
-        """transform(embedding, x ->
-          |  cast(floor(cast(x as double) * (127.0D / greatest(maxabs, 1e-300D)) + 0.5D)
-          |       as tinyint))""".stripMargin))
-      // dot_i8 is the native codegen'd loop (higher-order-function
-      // lambdas would interpret per element in the pair-scoring hot path);
-      // same exact integer arithmetic either way
-      .withColumn("qnorm", dot_i8(col("qvec"), col("qvec")))
-      .filter(col("qnorm") > 0)
-      .select("vec_id", "qvec", "qnorm")
+    val q = quantize(emb)
     val qs = q.filter(col("vec_id") % every === 0)
       .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
         col("qnorm").as("probe_norm"))
@@ -223,11 +209,72 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** The composed 100 TB configuration: IVF's sub-linear candidate set ×
+    * int8 quantization's 4× IO reduction. The whole index — quantization,
+    * centroid choice, assignment, probing, scoring — runs on the int8
+    * vectors, so every cosine is exact integer arithmetic (the
+    * [[quantizedTopK]] property) and the full pipeline stays
+    * oracle-reproducible. Assignment is the same partial+final `max_by`
+    * aggregate as [[ivfTopK]] (shuffle = |corpus| rows, each carrying an
+    * int8 vector — 4× narrower than the float32 equivalent). */
+  def ivfQuantizedTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
+      nprobe: Int = 3): DataFrame = {
+    val q = quantize(emb)
+    val centroids = q.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cent_id"), col("qvec").as("cent_vec"),
+        col("qnorm").as("cent_norm"))
+    val assignments = q
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", dot_i8(col("qvec"), col("cent_vec")) /
+        (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
+          .as("cluster"),
+        first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = q.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", dot_i8(col("probe_vec"), col("cent_vec")) /
+        (sqrt(col("probe_norm")) * sqrt(col("cent_norm"))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("probe_vec"), col("probe_norm"),
+        col("cent_id").as("cluster"))
+    val scored = assignments
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot_i8(col("qvec"), col("probe_vec")) /
+        (sqrt(col("qnorm")) * sqrt(col("probe_norm"))))
+    topK(scored, k)
+  }
+
+  /** Shared int8 symmetric quantization: (vec_id, qvec: array<tinyint>,
+    * qnorm: exact self-dot). greatest(·, 1e-300) only guards the all-zero
+    * vector (float32 magnitudes are ≥ 1e-45, far above the floor); dot_i8
+    * is the native codegen'd loop (higher-order-function lambdas would
+    * interpret per element in the pair-scoring hot path). */
+  private def quantize(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("maxabs",
+        expr("array_max(transform(embedding, y -> abs(cast(y as double))))"))
+      .withColumn("qvec", expr(
+        """transform(embedding, x ->
+          |  cast(floor(cast(x as double) * (127.0D / greatest(maxabs, 1e-300D)) + 0.5D)
+          |       as tinyint))""".stripMargin))
+      .withColumn("qnorm", dot_i8(col("qvec"), col("qvec")))
+      .filter(col("qnorm") > 0)
+      .select("vec_id", "qvec", "qnorm")
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_lsh" -> ((s, d) => lshTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_quantized" -> ((s, d) => quantizedTopK(Tables.load(s, d, "embeddings"))),
+    "sim_topk_ivf_quantized" -> ((s, d) => ivfQuantizedTopK(Tables.load(s, d, "embeddings"))),
   )
 
   /** DuckDB oracles for the exact brute-force variant and for IVF (whose
@@ -256,6 +303,45 @@ object Similarity {
         |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
         |           ORDER BY list_dot_product(c.qvec, p.qvec) / (SQRT(c.qnorm) * SQRT(p.qnorm)) DESC, c.vec_id) AS rank
         |  FROM n c JOIN n p ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // same quantizer + exact-integer arithmetic as sim_topk_quantized,
+    // composed with the deterministic IVF index (centroids, assignment,
+    // probing all on the int8 vectors); sqrt/÷ are IEEE correctly-rounded
+    // on exact-integer inputs, so engine and oracle agree bit-for-bit
+    "sim_topk_ivf_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(FLOOR(CAST(x AS DOUBLE) *
+        |                (127.0 / GREATEST(list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))), 1e-300))
+        |                + 0.5) AS DOUBLE)) AS qvec
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS qnorm FROM q
+        |  WHERE list_dot_product(qvec, qvec) > 0
+        |), centroids AS (
+        |  SELECT vec_id AS cent_id, qvec AS cent_vec, qnorm AS cent_norm
+        |  FROM n WHERE vec_id % 37 = 0
+        |), assign AS (
+        |  SELECT vec_id, cluster, qvec, qnorm FROM (
+        |    SELECT e.vec_id, c.cent_id AS cluster, e.qvec, e.qnorm,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.qvec, c.cent_vec) / (SQRT(e.qnorm) * SQRT(c.cent_norm)) DESC, c.cent_id) AS r
+        |    FROM n e CROSS JOIN centroids c) t WHERE r = 1
+        |), probes AS (
+        |  SELECT qid, probe_vec, probe_norm, cluster FROM (
+        |    SELECT p.vec_id AS qid, p.qvec AS probe_vec, p.qnorm AS probe_norm, c.cent_id AS cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |             ORDER BY list_dot_product(p.qvec, c.cent_vec) / (SQRT(p.qnorm) * SQRT(c.cent_norm)) DESC, c.cent_id) AS r
+        |    FROM n p CROSS JOIN centroids c WHERE p.vec_id % 50 = 0) t WHERE r <= 3
+        |)
+        |SELECT qid, rank, vec_id, cosine FROM (
+        |  SELECT p.qid, a.vec_id,
+        |         list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY p.qid
+        |           ORDER BY list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) DESC, a.vec_id) AS rank
+        |  FROM assign a JOIN probes p USING (cluster)
+        |  WHERE a.vec_id <> p.qid) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "sim_topk_brute" ->
       """SELECT qid, rank, vec_id, cosine FROM (

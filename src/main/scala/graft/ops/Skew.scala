@@ -69,4 +69,19 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum("__n").as("n"), sum("__s").as(s"sum_$sumCol"))
   }
+
+  /** Driver-oracle entry (SURVEY §2 B14): the salt spreads rows, never
+    * results — the two-phase aggregate must equal the plain GROUP BY, so
+    * the one-phase SQL IS the oracle. lineitem's l_returnflag is the
+    * canonical 3-hot-key distribution. (Non-finite double sums would be
+    * order-sensitive; l_quantity is finite by construction.) */
+  val entries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+    "skew_agg" -> ((s, d) => saltedCountSum(
+      graft.Tables.load(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity").orderBy("l_returnflag")))
+
+  val oracle: Seq[(String, String)] = Seq(
+    "skew_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_l_quantity
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

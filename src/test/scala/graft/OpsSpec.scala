@@ -129,6 +129,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(_._4 > 0.98), "planted-copy cosine should survive quantization")
   }
 
+  test("IVF×quantized top-k keeps recall: the composed 100 TB configuration") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val planted = Similarity.withPlantedNearDupVectors(emb)
+    // the planted scaled-copy (cosine ≈ 1) must survive BOTH the IVF
+    // candidate restriction (copy and original land in the same cluster —
+    // quantized cosine preserves ≈-colinearity) and int8 scoring
+    val got = Similarity.ivfQuantizedTopK(planted, k = 1)
+      .filter(col("qid") < 1000000).as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val ok = got.count { case (q, _, n, _) => n == q + 1000000L }
+    assert(ok.toDouble / got.length >= 0.9, s"ivf×quantized recall@1 $ok/${got.length}")
+
+    // Quantization must not meaningfully degrade what the IVF candidate
+    // restriction already gives: composed recall@10 vs exact brute force
+    // within 5 points of FLOAT IVF's. (Absolute IVF recall is low on this
+    // corpus by construction — uniform random vectors have no cluster
+    // structure, so nprobe=3 of ~14 centroids caps any IVF variant; real
+    // embedding corpora cluster, which is the premise of the index.)
+    def recallOf(df: org.apache.spark.sql.DataFrame, truth: Map[Long, Set[Long]]): Double = {
+      val approx = df.as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+      val rs = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      rs.sum / rs.size
+    }
+    val truth = Similarity.bruteForceTopK(emb, k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val floatIvf = recallOf(Similarity.ivfTopK(emb, k = 10), truth)
+    val composed = recallOf(Similarity.ivfQuantizedTopK(emb, k = 10), truth)
+    assert(composed >= floatIvf - 0.05,
+      s"quantization cost too high: composed=$composed, float IVF=$floatIvf")
+  }
+
   test("per-language top-k quality matches the window formulation") {
     val d = Tables.load(spark, TestSpark.Sf0001, "documents")
     val got = graft.ops.TextAnalysis.topQualityPerLang(d, k = 3)
