@@ -8,22 +8,29 @@ import org.apache.spark.sql.functions._
 case class MediaRecord(doc_id: Long, media: Array[Byte], width: Int,
     height: Int, format: String)
 
-/** Decoded per-item features (fixed-width embedding from the decoder). */
+/** Decoded per-item features (fixed-width embedding from the decoder).
+  * `decoded` = the real codec produced them (width/height are then the
+  * image's actual dimensions, not the metadata's). */
 case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-    format: String, features: Array[Float])
+    format: String, features: Array[Float], decoded: Boolean = false)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded batch-wise. Beyond-reference surface
   * (SURVEY.md §7.2 M5).
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (`fakeDecode`) —
-  * no image/audio codec ships in this environment. Everything around it is
-  * the real Spark plumbing and is what matters at 100 TB:
+  * The decode step is REAL for images: `javax.imageio` (ships with the
+  * JDK) decodes PNG/JPEG/GIF/BMP payloads to actual dimensions and an
+  * 8-dim content feature vector (quadrant luminance + RGB means + aspect).
+  * Payloads no registered reader recognizes — including the synthetic
+  * corpus's stand-in bytes — fall back to the deterministic digest stub
+  * (`fakeDecode`, kept as the non-image fallback and the corpus's
+  * oracle-checked path). The surrounding plumbing is what matters at
+  * 100 TB:
   *  - binary payloads stay columnar (parquet BYTE_ARRAY) and are never
   *    collected to the driver;
   *  - decoding runs in `mapPartitions` over batches of rows (the Scala
-  *    analog of `mapInPandas` batch shape) so a real codec would amortize
-  *    model/codec init once per batch, not once per row;
+  *    analog of `mapInPandas` batch shape) so codec/model init amortizes
+  *    once per batch, not once per row;
   *  - outputs are typed `Dataset[MediaFeatures]` with a fixed schema, so
   *    downstream similarity/dedup ops compose directly.
   */
@@ -45,10 +52,10 @@ object Multimodal {
       element_at(typedlit(Seq("jpeg", "png", "webp")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"))
 
-  /** STUB DECODER — deterministic fake. A real implementation would hand
-    * `batch.map(_.media)` to an image/audio library here; the container has
-    * none, so features are a splitmix64 digest of the bytes, shaped like a
-    * real 8-dim feature vector. The batch loop and signature are real. */
+  /** Fallback for payloads that are not decodable images (the synthetic
+    * corpus's UTF-8 stand-in bytes take this path): a splitmix64 digest of
+    * the bytes shaped like an 8-dim feature vector — deterministic, so the
+    * corpus entries stay oracle-checked (HashOracleSql emulates the chain). */
   private def fakeDecode(r: MediaRecord): MediaFeatures = {
     import graft.functions.Mix64.mix
     var h = r.media.length.toLong * 0x9E3779B97F4A7C15L
@@ -60,14 +67,65 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.width, r.height, r.format, feats)
   }
 
+  /** Content features of a decoded image: quadrant mean luminances (BT.709
+    * weights), mean R/G/B, and aspect ratio — all in [0,1], deterministic
+    * for identical pixels. The fixed 8-dim shape matches the fallback's,
+    * so mixed corpora produce one uniform schema. */
+  private[ops] def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = new Array[Double](4)
+    val cnt = new Array[Long](4)
+    var rSum = 0.0; var gSum = 0.0; var bSum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val r = (px >> 16) & 0xFF
+        val g = (px >> 8) & 0xFF
+        val b = px & 0xFF
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        lum(q) += 0.2126 * r + 0.7152 * g + 0.0722 * b
+        cnt(q) += 1
+        rSum += r; gSum += g; bSum += b
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h.toLong
+    Array(
+      (lum(0) / math.max(cnt(0), 1L) / 255.0).toFloat,
+      (lum(1) / math.max(cnt(1), 1L) / 255.0).toFloat,
+      (lum(2) / math.max(cnt(2), 1L) / 255.0).toFloat,
+      (lum(3) / math.max(cnt(3), 1L) / 255.0).toFloat,
+      (rSum / n / 255.0).toFloat,
+      (gSum / n / 255.0).toFloat,
+      (bSum / n / 255.0).toFloat,
+      (math.min(w, h).toDouble / math.max(w, h)).toFloat)
+  }
+
+  /** Real-codec-first decode of one record: `javax.imageio` (PNG/JPEG/
+    * GIF/BMP readers ship with the JDK) yields actual dimensions +
+    * content features; unrecognized payloads fall back to the digest. */
+  private[ops] def decodeOne(r: MediaRecord): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      catch { case _: java.io.IOException => null }
+    if (img == null) fakeDecode(r)
+    else MediaFeatures(r.doc_id, img.getWidth, img.getHeight, r.format,
+      imageFeatures(img), decoded = true)
+  }
+
   /** Decode media to features, batch-wise per partition. */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        // real decoder: init codec once here, decode the whole batch
-        batch.map(fakeDecode)
+        // a model-based featurizer would init once here for the batch;
+        // ImageIO's readers are stateless statics
+        batch.map(decodeOne)
       }
     }
   }

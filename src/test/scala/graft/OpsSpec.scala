@@ -191,6 +191,42 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(_.features.length == 8))
   }
 
+  test("real image payloads decode through javax.imageio; others fall back") {
+    // a 20x10 PNG: left half black, right half white -> known features
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xFFFFFF)
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      graft.ops.MediaRecord(1L, png, 999, 999, "png"), // metadata dims lie
+      graft.ops.MediaRecord(2L, "not an image".getBytes("UTF-8"), 64, 64, "jpeg"))
+      .toDF()
+    val got = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+
+    val real = got(0)
+    assert(real.decoded, "PNG payload must take the real codec path")
+    // the decoder is authoritative over metadata for decoded images
+    assert(real.width == 20 && real.height == 10)
+    // quadrants 0/2 are the black half (lum 0), 1/3 the white half (lum 1)
+    assert(math.abs(real.features(0) - 0.0f) < 1e-3)
+    assert(math.abs(real.features(1) - 1.0f) < 1e-3)
+    assert(math.abs(real.features(2) - 0.0f) < 1e-3)
+    assert(math.abs(real.features(3) - 1.0f) < 1e-3)
+    // mean RGB = 0.5 each; aspect = 10/20
+    (4 to 6).foreach(i => assert(math.abs(real.features(i) - 0.5f) < 1e-3))
+    assert(math.abs(real.features(7) - 0.5f) < 1e-6)
+
+    val fake = got(1)
+    assert(!fake.decoded, "non-image payload must take the digest fallback")
+    assert(fake.width == 64 && fake.height == 64)
+    assert(fake.features.length == 8)
+  }
+
   test("frame sampling emits every stride-th frame") {
     val media = Multimodal.asMedia(docs(7L -> "some text"))
     val frames = Multimodal.frameSample(media, stride = 10)
