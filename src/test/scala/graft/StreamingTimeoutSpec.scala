@@ -89,6 +89,29 @@ class StreamingTimeoutSpec extends AnyFunSuite {
       streamedKeys.contains((s.uid, s.sid, s.n, s.startMs / 1000)))
     assert(carried.nonEmpty,
       s"no straddling session was emitted with its full cross-batch count (straddling=${straddling.size})")
+
+    // COMPLETENESS (closed-session equality): every session the stream is
+    // obliged to have closed must be present — (a) gap-closed sessions (a
+    // later session of the same user exists, so the closing event arrived),
+    // and (b) timeout-closed sessions whose end + gap is strictly under the
+    // final watermark (max event time - 1s delay), with a 1s margin on the
+    // boundary where Spark's strictly-greater timeout semantics decide.
+    val wmMs = truth.map(_.endMs).max - 1000
+    val lastSid = truth.groupBy(_.uid).view.mapValues(_.map(_.sid).max).toMap
+    val gapClosed = truth.filter(s => s.sid < lastSid(s.uid))
+    val mustClose = (gapClosed ++
+      truth.filter(s => s.endMs + gapMillis < wmMs - 1000))
+      .map(s => (s.uid, s.sid, s.n, s.startMs / 1000)).toSet
+    val mayClose = (gapClosed ++
+      truth.filter(s => s.endMs + gapMillis <= wmMs + 1000))
+      .map(s => (s.uid, s.sid, s.n, s.startMs / 1000)).toSet
+    val notClosed = mustClose -- streamedKeys
+    assert(notClosed.isEmpty,
+      s"sessions the watermark obliges closed were not emitted: ${notClosed.take(5)} " +
+        s"(${notClosed.size} of ${mustClose.size})")
+    val overClosed = streamedKeys -- mayClose
+    assert(overClosed.isEmpty,
+      s"sessions emitted that the watermark cannot have closed: ${overClosed.take(5)}")
   }
 
   test("a late in-watermark event extends the session backward, never splits it") {
