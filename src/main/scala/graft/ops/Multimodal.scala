@@ -40,6 +40,11 @@ object Multimodal {
     * would tune to its codec/model (mirrors Arrow batch sizing). */
   val DecodeBatchSize = 64
 
+  // in-memory ImageInputStream cache: ImageIO's default FileCache writes a
+  // temp file per decode — pure overhead for byte-array payloads (runs once
+  // per JVM at object init, i.e. once per executor)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach synthetic binary payloads + metadata to the documents table:
     * media bytes are the UTF-8 text (a deterministic stand-in for image
     * bytes); width/height/format derive from doc_id. */
@@ -105,13 +110,28 @@ object Multimodal {
       (math.min(w, h).toDouble / math.max(w, h)).toFloat)
   }
 
+  /** Magic-byte sniff for the formats the JDK's ImageIO decodes — checked
+    * BEFORE handing bytes to the codec. Probing ImageIO per record costs
+    * ~30µs even for a miss (reader registry scan + stream wrapping); a
+    * 4-byte signature check is free, and at 100 TB the non-image rows of a
+    * mixed corpus must not pay codec-probe tax. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+      (b(0) == 'B' && b(1) == 'M'))                                          // BMP
+
   /** Real-codec-first decode of one record: `javax.imageio` (PNG/JPEG/
     * GIF/BMP readers ship with the JDK) yields actual dimensions +
-    * content features; unrecognized payloads fall back to the digest. */
+    * content features; payloads without an image signature (or that the
+    * codec rejects) fall back to the digest. */
   private[ops] def decodeOne(r: MediaRecord): MediaFeatures = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-      catch { case _: java.io.IOException => null }
+      if (!looksLikeImage(r.media)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case _: java.io.IOException => null }
     if (img == null) fakeDecode(r)
     else MediaFeatures(r.doc_id, img.getWidth, img.getHeight, r.format,
       imageFeatures(img), decoded = true)

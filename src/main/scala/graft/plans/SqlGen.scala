@@ -587,6 +587,24 @@ object SqlGen {
         if SharedTruncParts.contains(fmt.toString.toLowerCase) =>
       expr(c).map(s => s"DATE_TRUNC(${sqlString(fmt.toString.toLowerCase)}, $s)")
 
+    // ---- array/struct/JSON access (SURVEY C12) — Spark-dialect only.
+    // Indexing bases (0 vs 1), out-of-bounds behavior (NULL vs error) and
+    // JSON-path semantics all diverge across engines, so these render only
+    // when the backend IS Spark (the federation double); other dialects
+    // keep them as Spark-side residuals, which is always correct. ----
+    case GetStructField(child, _, Some(name)) if currentDialect.get == SparkSqlDialect =>
+      expr(child).map(s => s"$s.${quote(name)}")
+    case GetArrayItem(arr, idx, _) if currentDialect.get == SparkSqlDialect =>
+      for { a <- expr(arr); i <- expr(idx) } yield s"$a[$i]"
+    case ElementAt(arr, idx, _, _) if currentDialect.get == SparkSqlDialect =>
+      for { a <- expr(arr); i <- expr(idx) } yield s"ELEMENT_AT($a, $i)"
+    case Size(c, _) if currentDialect.get == SparkSqlDialect =>
+      expr(c).map(s => s"SIZE($s)")
+    case ArrayContains(arr, v) if currentDialect.get == SparkSqlDialect =>
+      for { a <- expr(arr); x <- expr(v) } yield s"ARRAY_CONTAINS($a, $x)"
+    case GetJsonObject(json, path) if currentDialect.get == SparkSqlDialect =>
+      for { j <- expr(json); p <- expr(path) } yield s"GET_JSON_OBJECT($j, $p)"
+
     case other => Left(Unsupported(s"expression ${other.getClass.getSimpleName}"))
   }
 

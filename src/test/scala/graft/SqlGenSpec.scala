@@ -313,6 +313,28 @@ class SqlGenSpec extends AnyFunSuite {
       "regex engines diverge across backends; Ansi must refuse")
   }
 
+  test("array/struct/json access renders on the Spark dialect, refuses on Ansi") {
+    // documents carries props (json string) and the events table arrays —
+    // use inline data to exercise struct + array + json access in one plan
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (named_struct('a', 1, 'b', 'x'), array(10, 20, 30), '{"k": 7}'),
+        |  (named_struct('a', 2, 'b', 'y'), array(40, 50), '{"k": 8}')
+        |  AS t(s, arr, js)""".stripMargin)
+    df.createOrReplaceTempView("c12_t")
+    roundTrip(spark.table("c12_t").select(
+      col("s.a").as("sa"),
+      col("arr")(0).as("first"),
+      element_at(col("arr"), 2).as("second"),
+      size(col("arr")).as("n"),
+      array_contains(col("arr"), 40).as("has40"),
+      get_json_object(col("js"), "$.k").as("k")))
+    // indexing bases and JSON-path semantics diverge across engines:
+    // Ansi must refuse every one of these
+    val probe = spark.table("c12_t").select(col("arr")(0).as("first"))
+    assert(SqlGen(probe.queryExecution.analyzed, dialect = SqlGen.Ansi).isLeft)
+  }
+
   test("concat renders NULL-propagating form per dialect") {
     roundTrip(t("nation").select(
       concat(col("n_name"), lit("_"), col("n_regionkey")).as("c")))
