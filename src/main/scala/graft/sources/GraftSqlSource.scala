@@ -68,7 +68,8 @@ class GraftSqlTable(val tableName: String, val backend: SqlBackend,
   override def name(): String = s"graft-sqldb.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, backend, tableSchema, numPartitions)
   override def newWriteBuilder(

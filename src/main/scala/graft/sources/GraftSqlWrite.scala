@@ -75,7 +75,7 @@ case class RenderedTuples(tuples: Seq[String]) extends WriterCommitMessage
 case class WroteCount(rows: Long) extends WriterCommitMessage
 
 class GraftWriteBuilder(table: String, backend: SqlBackend,
-    schema: StructType) extends WriteBuilder {
+    schema: StructType) extends WriteBuilder with SupportsTruncate {
   // reject unwritable columns at planning, not mid-job
   schema.fields.filterNot(f => SqlWrite.writable(f.dataType)) match {
     case bad if bad.nonEmpty =>
@@ -84,8 +84,15 @@ class GraftWriteBuilder(table: String, backend: SqlBackend,
           s"to ${backend.name}.$table: no SQL literal rendering")
     case _ =>
   }
+  private var truncateFirst = false
+  /** Overwrite mode (the JDBC-sink `truncate` semantics): empty the table
+    * before the new rows land. Non-atomic across the truncate/write pair —
+    * a job that dies in between leaves the table empty, the same contract
+    * as Spark's own JDBC sink in truncate mode. */
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(table, backend, schema)
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(table, backend, schema, truncateFirst)
   }
 }
 
@@ -111,11 +118,19 @@ class GraftWriteBuilder(table: String, backend: SqlBackend,
   *    Driver memory scales with the written rows — dimension-scale only.
   */
 class GraftBatchWrite(table: String, backend: SqlBackend,
-    schema: StructType) extends BatchWrite {
+    schema: StructType, truncateFirst: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // overwrite empties the table on the DRIVER, before any task launches
+    // (the streaming path makes rows durable at task commit, so the
+    // truncate must globally precede them; TRUNCATE TABLE parses on both
+    // the Spark double and Derby, and unlike DELETE FROM it works on the
+    // double's managed tables)
+    if (truncateFirst)
+      backend.executeUpdate(s"TRUNCATE TABLE ${backend.dialect.quote(table)}")
     GraftWriterFactory(table, schema, backend)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = backend.dialect

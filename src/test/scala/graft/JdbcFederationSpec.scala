@@ -177,6 +177,55 @@ class JdbcFederationSpec extends AnyFunSuite {
     } finally backend.executeUpdate("""DROP TABLE "rt"""")
   }
 
+  test("overwrite mode truncates then writes; append keeps existing rows") {
+    backend.executeUpdate(
+      """CREATE TABLE "ow" ("id" BIGINT)""")
+    try {
+      def write(n: Int, mode: String): Unit =
+        spark.range(0, n).toDF("id").write.format("graft-sqldb")
+          .option("url", Url).option("table", "ow").mode(mode).save()
+      def count(): Long = backend.executeSql("""SELECT COUNT(*) FROM "ow"""")
+        .head.get(0).asInstanceOf[Number].longValue
+      write(100, "append"); assert(count() == 100)
+      write(50, "append"); assert(count() == 150)
+      write(30, "overwrite"); assert(count() == 30) // truncate-then-write
+    } finally backend.executeUpdate("""DROP TABLE "ow"""")
+  }
+
+  test("a streaming query lands in the JDBC backend via foreachBatch + the federated sink") {
+    backend.executeUpdate(
+      """CREATE TABLE "stream_sink" ("k" BIGINT, "n" BIGINT)""")
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      val stream = spark.readStream.format("rate")
+        .option("rowsPerSecond", "500").load()
+        .select((col("value") % 10).as("k"))
+      val q = stream.writeStream
+        .trigger(Trigger.ProcessingTime(200))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy("k").agg(count(lit(1)).as("n"))
+            .write.format("graft-sqldb").option("url", Url)
+            .option("table", "stream_sink").mode("append").save()
+        }
+        .start()
+      try {
+        // wait until at least one non-empty micro-batch has committed
+        val deadline = System.currentTimeMillis() + 30000
+        var rows = 0L
+        while (rows == 0 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(500)
+          rows = backend.executeSql("""SELECT COUNT(*) FROM "stream_sink"""")
+            .head.get(0).asInstanceOf[Number].longValue
+        }
+        assert(rows > 0, "no streaming micro-batch reached the JDBC sink")
+      } finally q.stop()
+      // every landed group key is one of the 10 the stream can produce
+      val keys = backend.executeSql("""SELECT DISTINCT "k" FROM "stream_sink"""")
+        .map(_.get(0).asInstanceOf[Number].longValue)
+      assert(keys.nonEmpty && keys.forall(k => k >= 0 && k < 10))
+    } finally backend.executeUpdate("""DROP TABLE "stream_sink"""")
+  }
+
   test("catalog plugin CREATE/DROP TABLE renders Derby DDL types") {
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_jdbc", "graft.sources.GraftCatalog")
