@@ -78,11 +78,12 @@ class GraftSqlTable(val tableName: String, val backend: SqlBackend,
     new GraftWriteBuilder(tableName, backend, info.schema())
 }
 
-class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
-    numPartitions: Int) extends ScanBuilder
+class GraftScanBuilder(table: String, private val backend: SqlBackend,
+    private var full: StructType, numPartitions: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownOffset with SupportsPushDownAggregates {
+    with SupportsPushDownOffset with SupportsPushDownAggregates
+    with SupportsPushDownJoin {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -90,9 +91,88 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
   private var offset: Option[Int] = None
   private var orderBy: Seq[String] = Nil
   private var aggSql: Option[(Seq[String], StructType)] = None
+  // when set, this builder represents a backend-side JOIN and the fragment
+  // replaces the plain table as the FROM source (SupportsPushDownJoin)
+  private var joinedFrom: Option[String] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (aggSql.isEmpty) required = requiredSchema
+
+  // ---- join pushdown (SupportsPushDownJoin): the whole equi-join — and,
+  // via the phase order of V2ScanRelationPushDown, any aggregate/top-N
+  // above it — collapses into ONE backend query. This is the
+  // Spark-idiomatic form of the reference's whole-query pushdown
+  // (`src/optimizer.rs:16-39` rewrote the plan itself); dialect-safe, so
+  // it fuses joins into backends SqlGen can't target (Derby). Enabled by
+  // spark.sql.optimizer.datasourceV2JoinPushdown. ----
+
+  override def isOtherSideCompatibleForJoin(
+      other: SupportsPushDownJoin): Boolean = other match {
+    // same backend INSTANCE: one database, one dialect, one connection
+    // config (instances are cached per dir/url, so eq is exact identity)
+    case o: GraftScanBuilder => (o.backend eq backend) &&
+      aggSql.isEmpty && o.aggSql.isEmpty &&
+      limit.isEmpty && o.limit.isEmpty && orderBy.isEmpty && o.orderBy.isEmpty
+    case _ => false
+  }
+
+  /** This side rendered as a join subquery: its current pushed filters are
+    * baked in, every column selected under its (collision-free) alias. */
+  private def sideSql(cols: Array[SupportsPushDownJoin.ColumnWithAlias]): String = {
+    val d = backend.dialect
+    val sel = cols.map { cwa =>
+      val src = d.quote(cwa.colName)
+      Option(cwa.alias) match {
+        case Some(a) if a != cwa.colName => s"$src AS ${d.quote(a)}"
+        case _ => src
+      }
+    }.mkString(", ")
+    val preds = pushed.flatMap(FilterSql.render(_, d))
+    val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
+    s"SELECT $sel FROM ${joinedFrom.getOrElse(d.quote(table))}$where"
+  }
+
+  /** Output fields contributed by one side, in Spark's requested order,
+    * renamed per alias. `forceNullable` widens the outer side of an outer
+    * join — the reader decodes against this schema, and a non-nullable
+    * field that the join NULL-extends would corrupt silently. */
+  private def sideFields(cols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      schema: StructType, forceNullable: Boolean): Seq[org.apache.spark.sql.types.StructField] =
+    cols.toSeq.map { cwa =>
+      val f = schema.fields.find(_.name == cwa.colName).getOrElse(
+        throw new IllegalArgumentException(s"join column ${cwa.colName} not in $schema"))
+      val name = Option(cwa.alias).getOrElse(cwa.colName)
+      f.copy(name = name, nullable = f.nullable || forceNullable)
+    }
+
+  override def pushDownJoin(other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.join.JoinType
+    val o = other.asInstanceOf[GraftScanBuilder]
+    val kw = joinType match {
+      case JoinType.INNER_JOIN => Some("JOIN")
+      case JoinType.LEFT_OUTER_JOIN => Some("LEFT JOIN")
+      case JoinType.RIGHT_OUTER_JOIN => Some("RIGHT JOIN")
+      case _ => None
+    }
+    val cond = V2PredicateSql.render(condition, backend.dialect)
+    if (kw.isEmpty || cond.isEmpty) return false
+    // condition references the POST-alias names, which are exactly the two
+    // subqueries' output columns — disjoint by construction, no qualifiers
+    val fragment = s"(${sideSql(leftCols)}) gj_l ${kw.get} " +
+      s"(${o.sideSql(rightCols)}) gj_r ON ${cond.get}"
+    val merged = StructType(
+      sideFields(leftCols, full, forceNullable = joinType == JoinType.RIGHT_OUTER_JOIN) ++
+        o.sideFields(rightCols, o.full, forceNullable = joinType == JoinType.LEFT_OUTER_JOIN))
+    joinedFrom = Some(fragment)
+    full = merged
+    required = merged
+    pushed = Array.empty // baked into the left subquery above
+    true
+  }
 
   // ---- aggregate pushdown (whole GROUP BY answered by the backend — the
   // reference's aggregate-pushdown scenario, tests/aggregate.rs:25-44) ----
@@ -248,16 +328,64 @@ class GraftScanBuilder(table: String, backend: SqlBackend, full: StructType,
 
   override def build(): Scan =
     new GraftScan(table, backend, required, pushed, limit,
-      if (aggSql.isDefined) 1 else numPartitions,
+      // aggregated and joined scans answer in one backend query (the
+      // reference's whole-query DatabaseExec was likewise single-stream,
+      // src/physical_plan.rs:28-132); plain scans split by key range
+      if (aggSql.isDefined || joinedFrom.isDefined) 1 else numPartitions,
       aggSql.map { case (selects, _) => (selects, aggGroupBy) },
-      orderBy, offset)
+      orderBy, offset, joinedFrom)
+}
+
+/** V2 Predicate → backend SQL for join conditions. Conservative: columns,
+  * literals, comparisons and boolean combinators — the equi-join surface
+  * plus range conditions; anything else declines the join pushdown. */
+object V2PredicateSql {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import graft.plans.SqlGen.Dialect
+
+  def render(e: V2Expr, d: Dialect): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(d.quote(f.fieldNames()(0)))
+    case l: V2Literal[_] =>
+      // V2 literals carry Catalyst-internal values (UTF8String, day counts)
+      val external = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(l.dataType)(l.value)
+      FilterSql.literal(external, d)
+    case p: Predicate => p.name() match {
+      case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") => binary(p, d, op)
+      case "!=" => binary(p, d, "<>")
+      case "AND" => binary(p, d, "AND")
+      case "OR" => binary(p, d, "OR")
+      case "NOT" if p.children().length == 1 =>
+        render(p.children()(0), d).map(s => s"(NOT $s)")
+      case "IS_NULL" if p.children().length == 1 =>
+        render(p.children()(0), d).map(s => s"($s IS NULL)")
+      case "IS_NOT_NULL" if p.children().length == 1 =>
+        render(p.children()(0), d).map(s => s"($s IS NOT NULL)")
+      case "<=>" if d.supportsNullSafeEq && p.children().length == 2 =>
+        for {
+          l <- render(p.children()(0), d); r <- render(p.children()(1), d)
+        } yield s"($l IS NOT DISTINCT FROM $r)"
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def binary(p: Predicate, d: Dialect, op: String): Option[String] =
+    if (p.children().length != 2) None
+    else for {
+      l <- render(p.children()(0), d)
+      r <- render(p.children()(1), d)
+    } yield s"($l $op $r)"
 }
 
 class GraftScan(val table: String, val backend: SqlBackend,
     val required: StructType, val filters: Array[Filter],
     val limit: Option[Int], numPartitions: Int,
     val aggregation: Option[(Seq[String], Seq[String])] = None,
-    val orderBy: Seq[String] = Nil, val offset: Option[Int] = None)
+    val orderBy: Seq[String] = Nil, val offset: Option[Int] = None,
+    val joinedFrom: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -272,7 +400,9 @@ class GraftScan(val table: String, val backend: SqlBackend,
   // bound; V2 stats are consulted after pushdown, so there is no
   // double-discounting) and caps at a pushed LIMIT.
   override def estimateStatistics(): Statistics = {
-    val catalogRows = backend.estimatedRowCount(table)
+    // a joined scan's cardinality is not a catalog fact — report unknown
+    val catalogRows =
+      if (joinedFrom.isDefined) None else backend.estimatedRowCount(table)
     val rows = (catalogRows, limit) match {
       case (Some(n), Some(l)) => Some(n min l.toLong)
       case (Some(n), None) => Some(n)
@@ -397,6 +527,7 @@ class GraftScan(val table: String, val backend: SqlBackend,
         if (required.isEmpty) "1" // COUNT(*)-only scans prune every column
         else required.fieldNames.map(q).mkString(", ")
     }
+    val src = joinedFrom.getOrElse(q(table))
     val preds = renderedFilters ++ extra
     val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
     val group = aggregation match {
@@ -405,11 +536,13 @@ class GraftScan(val table: String, val backend: SqlBackend,
     }
     val order = if (orderBy.isEmpty) "" else " ORDER BY " + orderBy.mkString(", ")
     val sel = backend.dialect.limitOffset(limit.map(_.toLong), offset.map(_.toLong))
-    s"SELECT $cols FROM ${q(table)}$where$group$order$sel"
+    s"SELECT $cols FROM $src$where$group$order$sel"
   }
 
-  /** The split column: a declared single-column integral unique key. */
-  private def rangeKey: Option[String] = backend.uniqueKey(table) match {
+  /** The split column: a declared single-column integral unique key.
+    * Joined scans have no key (and run single-partition anyway). */
+  private def rangeKey: Option[String] =
+    if (joinedFrom.isDefined) None else backend.uniqueKey(table) match {
     case Some(Seq(k)) =>
       backend.schema(table).fields.find(_.name == k).map(_.dataType) match {
         case Some(org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |

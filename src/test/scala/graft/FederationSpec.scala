@@ -541,6 +541,27 @@ class FederationSpec extends AnyFunSuite {
     intAvg.collect() // still answers
   }
 
+  test("DSv2 join pushdown collapses a join into one scan on the double too") {
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      val n = remote("nation")
+      val r = remote("region")
+      val joined = n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .select("n_name", "r_name")
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] =>
+          b.scan.asInstanceOf[GraftScan]
+      }
+      assert(scans.size == 1, joined.queryExecution.executedPlan.toString)
+      assert(scans.head.renderedSql.contains(" JOIN "), scans.head.renderedSql)
+      val got = joined.collect().map(_.toString).sorted.toSeq
+      val want = Tables.load(spark, TestSpark.Sf0001, "nation")
+        .join(Tables.load(spark, TestSpark.Sf0001, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select("n_name", "r_name").collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+  }
+
   test("null-safe join condition fuses into one backend query") {
     GraftExtensions.install(spark)
     val df = remote("nation")

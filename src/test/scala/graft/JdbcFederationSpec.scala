@@ -177,6 +177,46 @@ class JdbcFederationSpec extends AnyFunSuite {
     } finally backend.executeUpdate("""DROP TABLE "rt"""")
   }
 
+  test("DSv2 join pushdown: the whole join (and the aggregate above it) runs in Derby") {
+    backend.executeUpdate(
+      """CREATE TABLE "bonus" ("id" INTEGER NOT NULL PRIMARY KEY, "extra" DOUBLE)""")
+    (1 to 50).grouped(25).foreach { g =>
+      backend.executeUpdate(
+        s"""INSERT INTO "bonus" VALUES ${g.map(i => s"($i, ${i * 0.25})").mkString(", ")}""")
+    }
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      // plain join: collapses to ONE backend scan whose SQL joins the two
+      // subqueries ("id" collides across sides — exercises the aliasing)
+      val acct = remote("acct")
+      val bonus = remote("bonus")
+      val joined = acct.join(bonus, acct("id") === bonus("id"))
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+      }
+      assert(scans.size == 1, joined.queryExecution.executedPlan.toString)
+      assert(scans.head.renderedSql.contains(" JOIN "), scans.head.renderedSql)
+      assert(joined.count() == 50)
+
+      // join + filter + aggregate: one Derby query answers all of it
+      val agg = acct.join(bonus, acct("id") === bonus("id"))
+        .filter(col("bal") > 10.0)
+        .groupBy("flag").agg(count(lit(1)).as("n"))
+      val aggScan = graftScan(agg)
+      val sql = aggScan.renderedSql
+      assert(sql.contains(" JOIN ") && sql.contains("GROUP BY"), sql)
+      val got = agg.collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      // ids 7..50 (bal=1.5*i>10 => i>=7), evens have flag=true
+      val want = (7 to 50).groupBy(_ % 2 == 0).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want)
+
+      // left join NULL-extends the right side without corrupting decode
+      val left = acct.join(bonus, acct("id") === bonus("id"), "left")
+      assert(left.count() == 101)
+      assert(left.filter(col("extra").isNull).count() == 51)
+    } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+  }
+
   test("overwrite mode truncates then writes; append keeps existing rows") {
     backend.executeUpdate(
       """CREATE TABLE "ow" ("id" BIGINT)""")
