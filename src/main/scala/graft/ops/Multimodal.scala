@@ -82,11 +82,15 @@ object Multimodal {
     val lum = new Array[Double](4)
     val cnt = new Array[Long](4)
     var rSum = 0.0; var gSum = 0.0; var bSum = 0.0
+    // bulk row reads: per-pixel getRGB(x, y) pays a SampleModel dispatch +
+    // ColorModel conversion per call — one row per conversion pass instead
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val px = img.getRGB(x, y)
+        val px = row(x)
         val r = (px >> 16) & 0xFF
         val g = (px >> 8) & 0xFF
         val b = px & 0xFF
@@ -122,16 +126,36 @@ object Multimodal {
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
       (b(0) == 'B' && b(1) == 'M'))                                          // BMP
 
+  /** Ceiling on decoded pixel count (≈256 MB of ARGB): a tiny payload
+    * whose header declares absurd dimensions must not OOM the executor at
+    * BufferedImage allocation (decompression-bomb guard). */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Real-codec-first decode of one record: `javax.imageio` (PNG/JPEG/
     * GIF/BMP readers ship with the JDK) yields actual dimensions +
-    * content features; payloads without an image signature (or that the
-    * codec rejects) fall back to the digest. */
+    * content features; payloads without an image signature — or that the
+    * codec rejects in ANY way — fall back to the digest. The JDK readers
+    * throw more than IOException on corrupt bytes (CMMException on broken
+    * ICC profiles, IndexOutOfBounds on truncated GIFs), and one bad record
+    * must degrade, not abort a 100 TB job: the catch is NonFatal-wide.
+    * Dimensions are read from the header BEFORE pixel allocation. */
   private[ops] def decodeOne(r: MediaRecord): MediaFeatures = {
-    val img =
+    val img: java.awt.image.BufferedImage =
       if (!looksLikeImage(r.media)) null
-      else
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-        catch { case _: java.io.IOException => null }
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w.toLong * h > MaxDecodePixels) null else reader.read(0)
+          } finally reader.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) fakeDecode(r)
     else MediaFeatures(r.doc_id, img.getWidth, img.getHeight, r.format,
       imageFeatures(img), decoded = true)

@@ -69,8 +69,11 @@ object SqlGen {
       * diverge further still get full scan-level pushdown). */
     def fullSqlGen: Boolean = true
     /** DDL column type for CREATE TABLE; None = not creatable on this
-      * backend (callers must reject, not guess). */
-    def typeName(dt: DataType): Option[String] = Some(dt.sql)
+      * backend — callers must reject, not guess. No default mapping: type
+      * spellings are where dialects diverge hardest (Spark's STRING is a
+      * syntax error on Postgres), so every dialect that supports DDL
+      * enumerates its own. */
+    def typeName(dt: DataType): Option[String] = None
   }
   case object Ansi extends Dialect {
     def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
@@ -80,6 +83,8 @@ object SqlGen {
     // the backend IS Spark — identical regex engine, safe to push
     override def regexpMatch(subject: String, pattern: String): Option[String] =
       Some(s"($subject RLIKE $pattern)")
+    // ...and identical DDL: Spark's own type spellings round-trip exactly
+    override def typeName(dt: DataType): Option[String] = Some(dt.sql)
   }
 
   final case class Unsupported(what: String) {

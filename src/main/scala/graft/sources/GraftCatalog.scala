@@ -50,17 +50,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def name(): String = catalogName
 
+  /** Resolution order: the catalog's OWN options first (a catalog
+    * explicitly registered with a dir must never be silently rebound by a
+    * session-global conf meant for another catalog), then the session
+    * confs — which exist so one option-less catalog can serve every scale
+    * dir the driver points it at. */
   private def backend: SqlBackend = {
     val conf = SparkSession.active.conf
-    conf.getOption("graft.catalog.url").orElse(defaultUrl) match {
-      case Some(u) => JdbcBackend.forUrl(u) // production JDBC database
-      case None =>
-        val dir = conf.getOption("graft.catalog.dir")
-          .orElse(defaultDir)
-          .getOrElse(throw new IllegalStateException(
-            s"catalog $catalogName: set graft.catalog.dir / graft.catalog.url " +
-              s"(session conf) or spark.sql.catalog.$catalogName.dir/.url"))
-        SparkViewBackend.forDir(dir)
+    (defaultUrl, defaultDir) match {
+      case (Some(u), _) => JdbcBackend.forUrl(u)
+      case (None, Some(d)) => SparkViewBackend.forDir(d)
+      case (None, None) =>
+        conf.getOption("graft.catalog.url").map(JdbcBackend.forUrl).getOrElse {
+          val dir = conf.getOption("graft.catalog.dir")
+            .getOrElse(throw new IllegalStateException(
+              s"catalog $catalogName: set graft.catalog.dir / graft.catalog.url " +
+                s"(session conf) or spark.sql.catalog.$catalogName.dir/.url"))
+          SparkViewBackend.forDir(dir)
+        }
     }
   }
 

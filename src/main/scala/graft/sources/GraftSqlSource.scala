@@ -626,14 +626,27 @@ class GraftScan(val table: String, val backend: SqlBackend,
           if (n == 0) Seq(baseSql)
           else {
             val per = (n + numPartitions - 1) / numPartitions
-            val orderCols = backend.uniqueKey(table).getOrElse(
-              required.fieldNames.toSeq)
-            val order = if (orderCols.isEmpty) ""
-              else " ORDER BY " + orderCols.map(q).mkString(", ")
-            (0L until numPartitions.toLong)
-              .filter(i => i * per < n)
-              .map(i => s"SELECT * FROM ($baseSql$order) graft_part" +
-                backend.dialect.limitOffset(Some(per), Some(i * per)))
+            // ORDER BY must sit on the SAME query level as the row
+            // selection — an ORDER BY inside a derived table is not
+            // guaranteed to survive to the outer OFFSET/FETCH, and N
+            // independently-unordered windows drop/duplicate rows. The
+            // outer level only sees the projected columns, so the sort
+            // key is the unique key IF fully projected, else EVERY
+            // projected column (ties are then byte-identical rows, which
+            // are interchangeable across windows — the multiset union
+            // stays exact).
+            val projected = required.fieldNames.toSet
+            val orderCols = backend.uniqueKey(table)
+              .filter(_.forall(projected.contains))
+              .getOrElse(required.fieldNames.toSeq)
+            if (orderCols.isEmpty) Seq(baseSql) // no columns: single stream
+            else {
+              val order = " ORDER BY " + orderCols.map(q).mkString(", ")
+              (0L until numPartitions.toLong)
+                .filter(i => i * per < n)
+                .map(i => s"SELECT * FROM ($baseSql) graft_part$order" +
+                  backend.dialect.limitOffset(Some(per), Some(i * per)))
+            }
           }
       }
     val parts = sqls.map(sql =>

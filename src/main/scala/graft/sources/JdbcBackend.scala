@@ -137,6 +137,21 @@ class JdbcBackend private (val url: String) extends SqlBackend {
     try f(c) finally c.close()
   }
 
+  /** JDBC metadata `table` arguments are LIKE patterns: `_`/`%` in a real
+    * table name can match OTHER tables — schema("t_a") would merge the
+    * columns of "t_a" AND "tba" into one corrupt StructType. Escaping via
+    * `getSearchStringEscape` is not reliable (Derby returns the empty
+    * string — no escape at all), so every lookup post-filters its result
+    * rows on EXACT `TABLE_NAME` equality; the escape, when the driver has
+    * one, merely narrows the fetch. */
+  private def escapePattern(c: Connection, name: String): String = {
+    val esc = c.getMetaData.getSearchStringEscape
+    if (esc == null || esc.isEmpty) name
+    else name.replace(esc, esc + esc)
+      .replace("_", esc + "_")
+      .replace("%", esc + "%")
+  }
+
   override def tables: Seq[String] = withConn { c =>
     val rs = c.getMetaData.getTables(null, c.getSchema, "%", Array("TABLE"))
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -145,19 +160,25 @@ class JdbcBackend private (val url: String) extends SqlBackend {
   }
 
   override def tableExists(table: String): Boolean = withConn { c =>
-    val rs = c.getMetaData.getTables(null, c.getSchema, table, Array("TABLE"))
-    rs.next()
+    val rs = c.getMetaData.getTables(null, c.getSchema,
+      escapePattern(c, table), Array("TABLE"))
+    var found = false
+    while (!found && rs.next()) found = rs.getString("TABLE_NAME") == table
+    found
   }
 
   override def schema(table: String): StructType = withConn { c =>
-    val rs = c.getMetaData.getColumns(null, c.getSchema, table, "%")
+    val rs = c.getMetaData.getColumns(null, c.getSchema,
+      escapePattern(c, table), "%")
     val fields = scala.collection.mutable.ArrayBuffer.empty[(Int, StructField)]
     while (rs.next()) {
-      val dt = JdbcBackend.sparkType(rs.getInt("DATA_TYPE"),
-        rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"))
-      fields += ((rs.getInt("ORDINAL_POSITION"),
-        StructField(rs.getString("COLUMN_NAME"), dt,
-          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)))
+      if (rs.getString("TABLE_NAME") == table) { // exact, not LIKE-matched
+        val dt = JdbcBackend.sparkType(rs.getInt("DATA_TYPE"),
+          rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"))
+        fields += ((rs.getInt("ORDINAL_POSITION"),
+          StructField(rs.getString("COLUMN_NAME"), dt,
+            rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)))
+      }
     }
     require(fields.nonEmpty, s"no such table in ${name}: $table")
     StructType(fields.sortBy(_._1).map(_._2).toSeq)
@@ -213,9 +234,14 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
 
   override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] = {
     val conn = DriverManager.getConnection(url)
-    val stmt = conn.createStatement()
-    stmt.setFetchSize(1000)
-    val rs = stmt.executeQuery(sql)
+    // a failing executeQuery must not leak the connection: the completion
+    // listener is only registered once the query has succeeded
+    val rs = try {
+      val stmt = conn.createStatement()
+      stmt.setFetchSize(1000)
+      stmt.executeQuery(sql)
+    } catch { case t: Throwable => try conn.close() catch { case _: Throwable => }; throw t }
+    val stmt = rs.getStatement
     var closed = false
     def closeAll(): Unit = if (!closed) {
       closed = true
@@ -242,12 +268,28 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
     val conn = DriverManager.getConnection(url)
     conn.setAutoCommit(false)
     new WriteTxn {
+      // released exactly once: a failed commit rolls back BEFORE closing
+      // (closing a connection with an active transaction throws on Derby,
+      // masking the real failure), and the writer's ensuing abort() must
+      // not touch the already-released connection
+      private var done = false
       override def executeUpdate(sql: String): Unit = {
         val st = conn.createStatement()
         try st.executeUpdate(sql) finally st.close()
       }
-      override def commit(): Unit = try conn.commit() finally conn.close()
-      override def rollback(): Unit = try conn.rollback() finally conn.close()
+      override def commit(): Unit = if (!done) {
+        done = true
+        try conn.commit()
+        catch {
+          case t: Throwable =>
+            try conn.rollback() catch { case s: Throwable => t.addSuppressed(s) }
+            throw t
+        } finally conn.close()
+      }
+      override def rollback(): Unit = if (!done) {
+        done = true
+        try conn.rollback() finally conn.close()
+      }
     }
   }
 }

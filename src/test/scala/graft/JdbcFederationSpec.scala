@@ -177,6 +177,43 @@ class JdbcFederationSpec extends AnyFunSuite {
     } finally backend.executeUpdate("""DROP TABLE "rt"""")
   }
 
+  test("composite-PK table splits via outer-level ORDER BY + OFFSET/FETCH, exactly once") {
+    backend.executeUpdate(
+      """CREATE TABLE "cpk" ("a" INTEGER NOT NULL, "b" INTEGER NOT NULL,
+        | "v" DOUBLE, PRIMARY KEY ("a", "b"))""".stripMargin)
+    try {
+      (0 until 10).foreach { a =>
+        backend.executeUpdate(s"""INSERT INTO "cpk" VALUES ${
+          (0 until 20).map(b => s"($a, $b, ${a * 100.0 + b})").mkString(", ")}""")
+      }
+      val df = remote("cpk")
+      val parts = graftScan(df).planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      assert(parts.length > 1)
+      // the sort must sit on the SAME level as OFFSET/FETCH (an ORDER BY
+      // inside a derived table is not guaranteed to survive it)
+      parts.foreach { p =>
+        assert(p.sql.contains("graft_part ORDER BY"), p.sql)
+        assert(p.sql.contains("OFFSET") || p.sql.contains("FETCH"), p.sql)
+      }
+      val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+      val want = (for (a <- 0 until 10; b <- 0 until 20) yield (a, b, a * 100.0 + b)).sorted
+      assert(got == want)
+    } finally backend.executeUpdate("""DROP TABLE "cpk"""")
+  }
+
+  test("metadata lookups escape LIKE metacharacters in table names") {
+    // "s_k" must not merge columns with (or match existence of) "sak"
+    backend.executeUpdate("""CREATE TABLE "s_k" ("x" INTEGER)""")
+    backend.executeUpdate("""CREATE TABLE "sak" ("y" DOUBLE, "z" DOUBLE)""")
+    try {
+      assert(backend.schema("s_k").fieldNames.toSeq == Seq("x"))
+      assert(backend.tableExists("s_k"))
+      backend.executeUpdate("""DROP TABLE "s_k"""")
+      assert(!backend.tableExists("s_k"), "pattern matched a different table")
+    } finally backend.executeUpdate("""DROP TABLE "sak"""")
+  }
+
   test("DSv2 join pushdown: the whole join (and the aggregate above it) runs in Derby") {
     backend.executeUpdate(
       """CREATE TABLE "bonus" ("id" INTEGER NOT NULL PRIMARY KEY, "extra" DOUBLE)""")

@@ -225,6 +225,15 @@ class OpsSpec extends AnyFunSuite {
     assert(!fake.decoded, "non-image payload must take the digest fallback")
     assert(fake.width == 64 && fake.height == 64)
     assert(fake.features.length == 8)
+
+    // a payload with a valid PNG signature but corrupt body must DEGRADE
+    // to the digest, not fail the task (JDK readers throw more than
+    // IOException on broken bytes)
+    val corrupt = java.util.Arrays.copyOf(png, 40) // truncated mid-header
+    val got2 = Multimodal.decodeFeatures(
+      Seq(graft.ops.MediaRecord(3L, corrupt, 1, 1, "png")).toDF())
+      .collect()
+    assert(got2.length == 1 && !got2(0).decoded)
   }
 
   test("frame sampling emits every stride-th frame") {
