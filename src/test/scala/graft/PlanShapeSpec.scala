@@ -80,4 +80,25 @@ class PlanShapeSpec extends AnyFunSuite {
       .find(l => l.contains("HashAggregate(keys=[qid") && l.contains("vec_id")).get
     assert(!dedupLine.contains("embedding") && !dedupLine.contains("qvec"), dedupLine)
   }
+
+  test("ivfQuantizedTopK keeps the aggregate assignment and never shuffles float vectors") {
+    val nodes = allNodes(Similarity.ivfQuantizedTopK(emb))
+    val planStr = nodes.head.toString
+    // same structural property as ivfTopK: the corpus×centroids expansion
+    // collapses in a partial max_by aggregate before any exchange
+    assert(planStr.contains("max_by"), s"expected max_by assignment:\n$planStr")
+    assert(!planStr.contains("windowspecdefinition(vec_id"),
+      s"window over the corpus side found:\n$planStr")
+    // the whole pipeline runs on int8: no exchange may carry the original
+    // float32 `embedding` column — the 4× narrower qvec is the payload
+    val exchanges = nodes.collect {
+      case e: ShuffleExchangeExec => e
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("embedding"),
+        s"exchange carries float32 embedding ${names.mkString(",")}")
+    }
+  }
 }
