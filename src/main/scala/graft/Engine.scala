@@ -46,6 +46,11 @@ object Engine {
       // registering the conf up front costs nothing until first use)
       spark.conf.set("spark.sql.catalog.graft_db",
         classOf[graft.sources.GraftCatalog].getName)
+      // DSv2 join pushdown (SupportsPushDownJoin): whole equi-joins over
+      // same-backend scans — and the aggregate/top-N above them — run as
+      // one backend query. Off by default in Spark; the engine's scans
+      // negotiate it safely, so the engine turns it on.
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     }
     spark
   }
@@ -61,4 +66,12 @@ object Engine {
     Tables.registerAll(spark, dir)
     spark.conf.set("graft.catalog.dir", dir)
   }
+
+  /** Point the graft_db catalog at a live JDBC database instead of a
+    * parquet dir — `graft_db.main.<table>` then resolves through
+    * [[graft.sources.JdbcBackend]] with the full pushdown surface
+    * (projection/filter/top-N/aggregate/join) and the executor-side
+    * transactional write path. */
+  def attachJdbc(spark: SparkSession, url: String): Unit =
+    spark.conf.set("graft.catalog.url", url)
 }
