@@ -116,21 +116,38 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     case _ => false
   }
 
-  /** This side rendered as a join subquery: its current pushed filters are
-    * baked in, every column selected under its (collision-free) alias. */
-  private def sideSql(cols: Array[SupportsPushDownJoin.ColumnWithAlias]): String = {
+  /** Aliased SELECT list for this side of a join. */
+  private def selectList(cols: Array[SupportsPushDownJoin.ColumnWithAlias]): String = {
     val d = backend.dialect
-    val sel = cols.map { cwa =>
+    cols.map { cwa =>
       val src = d.quote(cwa.colName)
       Option(cwa.alias) match {
         case Some(a) if a != cwa.colName => s"$src AS ${d.quote(a)}"
         case _ => src
       }
     }.mkString(", ")
+  }
+
+  /** This side rendered as a join subquery: its current pushed filters are
+    * baked in, every column selected under its (collision-free) alias. */
+  private def sideSql(cols: Array[SupportsPushDownJoin.ColumnWithAlias]): String = {
+    val d = backend.dialect
     val preds = pushed.flatMap(FilterSql.render(_, d))
     val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
-    s"SELECT $sel FROM ${joinedFrom.getOrElse(d.quote(table))}$where"
+    s"SELECT ${selectList(cols)} FROM ${joinedFrom.getOrElse(d.quote(table))}$where"
   }
+
+  /** Parallel-read machinery for a pushed join: a predicate on the
+    * INNERMOST left base table's key splits the whole join — for INNER and
+    * LEFT joins each left-slice joins independently against the full right
+    * side, so the union of disjoint slices is exactly the join (a RIGHT
+    * join would repeat unmatched right rows per slice and stays single-
+    * stream). `probePreds` are the base table's own pushed filters (so the
+    * split probe sees the filtered key range); `mkFragment` re-renders the
+    * full join FROM-fragment with one extra predicate spliced into that
+    * innermost subquery — everything captured BY VALUE at join time, since
+    * the builder's fields mutate afterwards. */
+  private var joinSplit: Option[(Seq[String], String => String)] = None
 
   /** Output fields contributed by one side, in Spark's requested order,
     * renamed per alias. `forceNullable` widens the outer side of an outer
@@ -162,11 +179,39 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     if (kw.isEmpty || cond.isEmpty) return false
     // condition references the POST-alias names, which are exactly the two
     // subqueries' output columns — disjoint by construction, no qualifiers
-    val fragment = s"(${sideSql(leftCols)}) gj_l ${kw.get} " +
-      s"(${o.sideSql(rightCols)}) gj_r ON ${cond.get}"
+    val d = backend.dialect
+    val leftSql = sideSql(leftCols)
+    val rightSql = o.sideSql(rightCols)
+    val fragment = s"($leftSql) gj_l ${kw.get} ($rightSql) gj_r ON ${cond.get}"
+
+    // capture the split machinery BY VALUE before any field mutates:
+    // an extra predicate splices into the innermost left base table —
+    // either appended to the plain left subquery just rendered, or threaded
+    // through the previous join level's own mkFragment
+    val leftSel = selectList(leftCols)
+    val leftPreds = pushed.flatMap(FilterSql.render(_, d)).toSeq
+    val mkLeft: Option[String => String] = joinedFrom match {
+      case None =>
+        Some(e => leftSql + (if (leftPreds.nonEmpty) s" AND $e" else s" WHERE $e"))
+      case Some(_) =>
+        joinSplit.map { case (_, innerMk) =>
+          (e: String) => s"SELECT $leftSel FROM ${innerMk(e)}"
+        }
+    }
+    val probePreds: Seq[String] =
+      if (joinedFrom.isEmpty) leftPreds else joinSplit.map(_._1).getOrElse(Nil)
+    val splittable =
+      (joinType == JoinType.INNER_JOIN || joinType == JoinType.LEFT_OUTER_JOIN) &&
+        mkLeft.isDefined
+
     val merged = StructType(
       sideFields(leftCols, full, forceNullable = joinType == JoinType.RIGHT_OUTER_JOIN) ++
         o.sideFields(rightCols, o.full, forceNullable = joinType == JoinType.LEFT_OUTER_JOIN))
+    joinSplit =
+      if (splittable)
+        Some((probePreds,
+          (e: String) => s"(${mkLeft.get(e)}) gj_l ${kw.get} ($rightSql) gj_r ON ${cond.get}"))
+      else None
     joinedFrom = Some(fragment)
     full = merged
     required = merged
@@ -328,12 +373,14 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
 
   override def build(): Scan =
     new GraftScan(table, backend, required, pushed, limit,
-      // aggregated and joined scans answer in one backend query (the
-      // reference's whole-query DatabaseExec was likewise single-stream,
-      // src/physical_plan.rs:28-132); plain scans split by key range
-      if (aggSql.isDefined || joinedFrom.isDefined) 1 else numPartitions,
+      // aggregated scans answer in one backend query (the reference's
+      // whole-query DatabaseExec was likewise single-stream,
+      // src/physical_plan.rs:28-132); plain scans split by key range, and
+      // INNER/LEFT joined scans split by the left base table's key range
+      // (joinSplit) when it has one
+      if (aggSql.isDefined) 1 else numPartitions,
       aggSql.map { case (selects, _) => (selects, aggGroupBy) },
-      orderBy, offset, joinedFrom)
+      orderBy, offset, joinedFrom, joinSplit)
 }
 
 /** V2 Predicate → backend SQL for join conditions. Conservative: columns,
@@ -385,7 +432,8 @@ class GraftScan(val table: String, val backend: SqlBackend,
     val limit: Option[Int], numPartitions: Int,
     val aggregation: Option[(Seq[String], Seq[String])] = None,
     val orderBy: Seq[String] = Nil, val offset: Option[Int] = None,
-    val joinedFrom: Option[String] = None)
+    val joinedFrom: Option[String] = None,
+    val joinSplit: Option[(Seq[String], String => String)] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -520,14 +568,15 @@ class GraftScan(val table: String, val backend: SqlBackend,
     * WHERE clause (used by the range split — the predicate references the
     * table's key column directly, so it works even when the key is pruned
     * from the projection). */
-  private def sqlWith(extra: Option[String]): String = {
+  private def sqlWith(extra: Option[String],
+      srcOverride: Option[String] = None): String = {
     val cols = aggregation match {
       case Some((selects, _)) => selects.mkString(", ")
       case None =>
         if (required.isEmpty) "1" // COUNT(*)-only scans prune every column
         else required.fieldNames.map(q).mkString(", ")
     }
-    val src = joinedFrom.getOrElse(q(table))
+    val src = srcOverride.getOrElse(joinedFrom.getOrElse(q(table)))
     val preds = renderedFilters ++ extra
     val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
     val group = aggregation match {
@@ -539,10 +588,11 @@ class GraftScan(val table: String, val backend: SqlBackend,
     s"SELECT $cols FROM $src$where$group$order$sel"
   }
 
-  /** The split column: a declared single-column integral unique key.
-    * Joined scans have no key (and run single-partition anyway). */
-  private def rangeKey: Option[String] =
-    if (joinedFrom.isDefined) None else backend.uniqueKey(table) match {
+  /** The split column: a declared single-column integral unique key of
+    * `table` — for joined scans, `table` is the innermost LEFT base table
+    * (the builder object that accumulated the join chain), which is
+    * exactly the table [[joinSplit]]'s predicates splice into. */
+  private def rangeKey: Option[String] = backend.uniqueKey(table) match {
     case Some(Seq(k)) =>
       backend.schema(table).fields.find(_.name == k).map(_.dataType) match {
         case Some(org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -551,6 +601,31 @@ class GraftScan(val table: String, val backend: SqlBackend,
         case _ => None
       }
     case _ => None
+  }
+
+  /** Disjoint key-range partition SQLs: MIN/MAX probe on `table`'s key
+    * under `probeWhere`, then one query per range via `mkSql`. */
+  private def keyRangeSqls(k: String, probeWhere: String,
+      mkSql: String => String): Seq[String] = {
+    val bounds = backend.executeSql(
+      s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(table)}$probeWhere").head
+    if (bounds.isNullAt(0)) Seq(baseSql) // empty table (or all-NULL keys)
+    else {
+      // BigInt arithmetic: hi - lo on sentinel-valued Long keys
+      // overflows and would silently plan zero partitions
+      val lo = BigInt(bounds.get(0).asInstanceOf[Number].longValue)
+      val hi = BigInt(bounds.get(1).asInstanceOf[Number].longValue)
+      val stride = ((hi - lo) / numPartitions + 1) max BigInt(1)
+      val nParts = (((hi - lo) / stride) + 1).toInt
+      (0 until nParts).map { i =>
+        val from = lo + stride * i
+        val until = from + stride
+        // SQL UNIQUE permits NULLs and a NULL key matches no range
+        // predicate — partition 0 sweeps them up
+        val nulls = if (i == 0) s" OR ${q(k)} IS NULL" else ""
+        mkSql(s"(${q(k)} >= $from AND ${q(k)} < $until$nulls)")
+      }
+    }
   }
 
   override def toBatch: Batch = this
@@ -594,29 +669,27 @@ class GraftScan(val table: String, val backend: SqlBackend,
       // global ORDER BY/OFFSET only means anything in one backend query
       if (numPartitions <= 1 || limit.isDefined || offset.isDefined ||
           orderBy.nonEmpty) Seq(baseSql)
+      else if (joinedFrom.isDefined) (joinSplit, rangeKey) match {
+        // a pushed INNER/LEFT join parallelizes by slicing the innermost
+        // left base table's key range INSIDE the join fragment — each
+        // slice joins independently against the full right side, so the
+        // union of disjoint slices is exactly the join. The probe runs
+        // under the base table's own pushed filters (outer/runtime
+        // filters apply per partition at the outer level via sqlWith).
+        case (Some((probePreds, mkFragment)), Some(k)) =>
+          val pw = if (probePreds.isEmpty) ""
+            else " WHERE " + probePreds.mkString(" AND ")
+          keyRangeSqls(k, pw, pred => sqlWith(None, Some(mkFragment(pred))))
+        // RIGHT joins (unmatched right rows would repeat per slice) and
+        // keyless left tables stay single-stream, like the reference's
+        // whole-query DatabaseExec (src/physical_plan.rs:28-132)
+        case _ => Seq(baseSql)
+      }
       else rangeKey match {
         case Some(k) =>
           // the probe shares the pushed filters, so the bounds (and hence
           // the ranges) reflect the filtered data, not the whole table
-          val bounds = backend.executeSql(
-            s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(table)}$probeWhere").head
-          if (bounds.isNullAt(0)) Seq(baseSql) // empty table (or all-NULL keys)
-          else {
-            // BigInt arithmetic: hi - lo on sentinel-valued Long keys
-            // overflows and would silently plan zero partitions
-            val lo = BigInt(bounds.get(0).asInstanceOf[Number].longValue)
-            val hi = BigInt(bounds.get(1).asInstanceOf[Number].longValue)
-            val stride = ((hi - lo) / numPartitions + 1) max BigInt(1)
-            val nParts = (((hi - lo) / stride) + 1).toInt
-            (0 until nParts).map { i =>
-              val from = lo + stride * i
-              val until = from + stride
-              // SQL UNIQUE permits NULLs and a NULL key matches no range
-              // predicate — partition 0 sweeps them up
-              val nulls = if (i == 0) s" OR ${q(k)} IS NULL" else ""
-              sqlWith(Some(s"(${q(k)} >= $from AND ${q(k)} < $until$nulls)"))
-            }
-          }
+          keyRangeSqls(k, probeWhere, pred => sqlWith(Some(pred)))
         case None =>
           // Number, not getLong: COUNT's result type is dialect-specific
           // (Derby says INTEGER, most others BIGINT)

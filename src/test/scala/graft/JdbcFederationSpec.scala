@@ -251,6 +251,49 @@ class JdbcFederationSpec extends AnyFunSuite {
       val left = acct.join(bonus, acct("id") === bonus("id"), "left")
       assert(left.count() == 101)
       assert(left.filter(col("extra").isNull).count() == 51)
+
+      // the pushed join READS IN PARALLEL: the left base table's key range
+      // slices the join fragment, each slice joining independently
+      val parts = graftScan(joined).planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      assert(parts.length > 1, "pushed join did not split")
+      parts.foreach(p => assert(p.sql.contains("\"id\" >=") && p.sql.contains(" JOIN "), p.sql))
+
+      // a RIGHT join must NOT split (unmatched right rows would repeat)
+      val right = acct.join(bonus, acct("id") === bonus("id"), "right")
+      assert(right.count() == 50)
+      val rScans = right.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+      }
+      if (rScans.size == 1 && rScans.head.joinedFrom.isDefined)
+        assert(rScans.head.planInputPartitions().length == 1)
+
+      // 3-table chain: the split threads through nested fragments to the
+      // innermost left base table
+      backend.executeUpdate(
+        """CREATE TABLE "tier" ("id" INTEGER NOT NULL PRIMARY KEY, "t" INTEGER)""")
+      try {
+        backend.executeUpdate(s"""INSERT INTO "tier" VALUES ${
+          (1 to 30).map(i => s"($i, ${i % 3})").mkString(", ")}""")
+        val tier = remote("tier")
+        val chain = acct.join(bonus, acct("id") === bonus("id"))
+          .join(tier, bonus("id") === tier("id"))
+        val cScans = chain.queryExecution.executedPlan.collect {
+          case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+        }
+        assert(cScans.size == 1, chain.queryExecution.executedPlan.toString)
+        assert(chain.count() == 30)
+        val cParts = cScans.head.planInputPartitions()
+          .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+        assert(cParts.length > 1, "nested pushed join did not split")
+        // two JOINs in every partition query, range predicate included
+        cParts.foreach { p =>
+          assert(p.sql.sliding(6).count(_ == " JOIN ") == 2, p.sql)
+          assert(p.sql.contains("\"id\" >="), p.sql)
+        }
+        val ids = chain.select(acct("id")).collect().map(_.getInt(0)).sorted.toSeq
+        assert(ids == (1 to 30).toSeq)
+      } finally backend.executeUpdate("""DROP TABLE "tier"""")
     } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
   }
 
