@@ -80,13 +80,15 @@ class GraftSqlTable(val tableName: String, val backend: SqlBackend,
 
 class GraftScanBuilder(table: String, private val backend: SqlBackend,
     private var full: StructType, numPartitions: Int) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownV2Filters
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset with SupportsPushDownAggregates
     with SupportsPushDownJoin {
 
   private var required: StructType = full
-  private var pushed: Array[Filter] = Array.empty
+  private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  private var pushedV2Sql: Seq[String] = Nil
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
   private var orderBy: Seq[String] = Nil
@@ -132,7 +134,7 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     * baked in, every column selected under its (collision-free) alias. */
   private def sideSql(cols: Array[SupportsPushDownJoin.ColumnWithAlias]): String = {
     val d = backend.dialect
-    val preds = pushed.flatMap(FilterSql.render(_, d))
+    val preds = staticPredSql
     val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
     s"SELECT ${selectList(cols)} FROM ${joinedFrom.getOrElse(d.quote(table))}$where"
   }
@@ -189,7 +191,7 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     // either appended to the plain left subquery just rendered, or threaded
     // through the previous join level's own mkFragment
     val leftSel = selectList(leftCols)
-    val leftPreds = pushed.flatMap(FilterSql.render(_, d)).toSeq
+    val leftPreds = staticPredSql
     val mkLeft: Option[String => String] = joinedFrom match {
       case None =>
         Some(e => leftSql + (if (leftPreds.nonEmpty) s" AND $e" else s" WHERE $e"))
@@ -215,7 +217,9 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     joinedFrom = Some(fragment)
     full = merged
     required = merged
-    pushed = Array.empty // baked into the left subquery above
+    // baked into the left subquery above
+    pushedV2 = Array.empty
+    pushedV2Sql = Nil
     true
   }
 
@@ -318,17 +322,29 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     }
   private var aggGroupBy: Seq[String] = Nil
 
-  /** Capability negotiation: a filter is pushed iff it renders to the
-    * backend dialect; everything else is returned as a residual for Spark
-    * to re-evaluate (exactness contract as in the reference: Exact filters
-    * are NOT re-checked by Spark). */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, residual) = filters.partition(f =>
-      FilterSql.render(f, backend.dialect).isDefined)
-    pushed = ok
-    residual
+  /** Capability negotiation over V2 predicates (Spark prefers V1
+    * `SupportsPushDownFilters` when a source implements both, so ONLY the
+    * V2 interface is implemented here): a predicate is pushed iff it
+    * renders to the backend dialect via [[V2PredicateSql]]; everything
+    * else is returned as a residual for Spark to re-evaluate (exactness
+    * contract as in the reference: pushed predicates are NOT re-checked).
+    * The V2 surface reaches past V1 source filters to expression
+    * predicates — arithmetic, CAST, a whitelisted function set; the
+    * reference's classifier stopped at columns/literals/binary-ops
+    * (`table_provider.rs:241-306`). */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val rendered = predicates.map(p => p -> V2PredicateSql.render(p, backend.dialect))
+    pushedV2 = rendered.collect { case (p, Some(_)) => p }
+    pushedV2Sql = rendered.collect { case (_, Some(sql)) => sql }.toSeq
+    rendered.collect { case (p, None) => p } // residuals
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = pushedV2
+
+  /** Every static predicate this builder has accepted, rendered. */
+  private def staticPredSql: Seq[String] = pushedV2Sql
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
@@ -372,7 +388,7 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
   }
 
   override def build(): Scan =
-    new GraftScan(table, backend, required, pushed, limit,
+    new GraftScan(table, backend, required, Array.empty, limit,
       // aggregated scans answer in one backend query (the reference's
       // whole-query DatabaseExec was likewise single-stream,
       // src/physical_plan.rs:28-132); plain scans split by key range, and
@@ -380,15 +396,18 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
       // (joinSplit) when it has one
       if (aggSql.isDefined) 1 else numPartitions,
       aggSql.map { case (selects, _) => (selects, aggGroupBy) },
-      orderBy, offset, joinedFrom, joinSplit)
+      orderBy, offset, joinedFrom, joinSplit, pushedV2Sql)
 }
 
-/** V2 Predicate → backend SQL for join conditions. Conservative: columns,
-  * literals, comparisons and boolean combinators — the equi-join surface
-  * plus range conditions; anything else declines the join pushdown. */
+/** V2 expression → backend SQL — used for join-pushdown conditions AND the
+  * `SupportsPushDownV2Filters` static-predicate path, which reaches past
+  * the V1 surface to expression filters (arithmetic, casts, a conservative
+  * function set). The reference's classifier stopped at columns/literals/
+  * binary-ops/cast (`table_provider.rs:241-306`). Conservative by
+  * construction: any unrecognized name declines (residual in Spark), and
+  * functions are whitelisted to spellings the target dialects share. */
 object V2PredicateSql {
-  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal}
-  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.expressions.{Cast => V2Cast, Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal}
   import graft.plans.SqlGen.Dialect
 
   def render(e: V2Expr, d: Dialect): Option[String] = e match {
@@ -399,31 +418,68 @@ object V2PredicateSql {
       val external = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToScalaConverter(l.dataType)(l.value)
       FilterSql.literal(external, d)
-    case p: Predicate => p.name() match {
-      case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") => binary(p, d, op)
-      case "!=" => binary(p, d, "<>")
-      case "AND" => binary(p, d, "AND")
-      case "OR" => binary(p, d, "OR")
-      case "NOT" if p.children().length == 1 =>
-        render(p.children()(0), d).map(s => s"(NOT $s)")
-      case "IS_NULL" if p.children().length == 1 =>
-        render(p.children()(0), d).map(s => s"($s IS NULL)")
-      case "IS_NOT_NULL" if p.children().length == 1 =>
-        render(p.children()(0), d).map(s => s"($s IS NOT NULL)")
-      case "<=>" if d.supportsNullSafeEq && p.children().length == 2 =>
+    case c: V2Cast =>
+      // the dialect's DDL type map doubles as the CAST-target whitelist:
+      // it names exactly the types the backend spells the same way
+      for {
+        in <- render(c.expression(), d)
+        t <- d.typeName(c.dataType())
+      } yield s"CAST($in AS $t)"
+    case g: GeneralScalarExpression => g.name() match {
+      case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>" |
+                 "+" | "-" | "*" | "/" | "%") if g.children().length == 2 =>
+        binary(g, d, op)
+      case "!=" => binary(g, d, "<>")
+      case "AND" => binary(g, d, "AND")
+      case "OR" => binary(g, d, "OR")
+      case "-" if g.children().length == 1 =>
+        render(g.children()(0), d).map(s => s"(- $s)")
+      case "NOT" if g.children().length == 1 =>
+        render(g.children()(0), d).map(s => s"(NOT $s)")
+      case "IS_NULL" if g.children().length == 1 =>
+        render(g.children()(0), d).map(s => s"($s IS NULL)")
+      case "IS_NOT_NULL" if g.children().length == 1 =>
+        render(g.children()(0), d).map(s => s"($s IS NOT NULL)")
+      case "<=>" if d.supportsNullSafeEq && g.children().length == 2 =>
         for {
-          l <- render(p.children()(0), d); r <- render(p.children()(1), d)
+          l <- render(g.children()(0), d); r <- render(g.children()(1), d)
         } yield s"($l IS NOT DISTINCT FROM $r)"
+      case "IN" if g.children().length >= 2 =>
+        val rendered = g.children().toSeq.map(render(_, d))
+        if (rendered.exists(_.isEmpty)) None
+        else Some(s"(${rendered.head.get} IN (${rendered.tail.flatten.mkString(", ")}))")
+      // string-prefix predicates render as LIKE only when the literal is
+      // free of LIKE metacharacters (escape syntax is dialect-divergent —
+      // same guard as the V1 path)
+      case "STARTS_WITH" => like(g, d, v => v + "%")
+      case "ENDS_WITH" => like(g, d, v => "%" + v)
+      case "CONTAINS" => like(g, d, v => "%" + v + "%")
+      // scalar functions every target dialect spells identically
+      case fn @ ("ABS" | "UPPER" | "LOWER" | "COALESCE" | "SQRT" | "FLOOR" | "CEIL") =>
+        val rendered = g.children().toSeq.map(render(_, d))
+        if (rendered.isEmpty || rendered.exists(_.isEmpty)) None
+        else Some(s"$fn(${rendered.flatten.mkString(", ")})")
       case _ => None
     }
     case _ => None
   }
 
-  private def binary(p: Predicate, d: Dialect, op: String): Option[String] =
-    if (p.children().length != 2) None
+  private def like(g: GeneralScalarExpression, d: Dialect,
+      pattern: String => String): Option[String] = g.children() match {
+    case Array(col, l: V2Literal[_]) =>
+      val v = String.valueOf(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(l.dataType)(l.value))
+      if (!FilterSql.likeSafe(v)) None
+      else render(col, d).map(c =>
+        s"$c LIKE '${pattern(v).replace("'", "''")}'")
+    case _ => None
+  }
+
+  private def binary(g: GeneralScalarExpression, d: Dialect, op: String): Option[String] =
+    if (g.children().length != 2) None
     else for {
-      l <- render(p.children()(0), d)
-      r <- render(p.children()(1), d)
+      l <- render(g.children()(0), d)
+      r <- render(g.children()(1), d)
     } yield s"($l $op $r)"
 }
 
@@ -433,7 +489,8 @@ class GraftScan(val table: String, val backend: SqlBackend,
     val aggregation: Option[(Seq[String], Seq[String])] = None,
     val orderBy: Seq[String] = Nil, val offset: Option[Int] = None,
     val joinedFrom: Option[String] = None,
-    val joinSplit: Option[(Seq[String], String => String)] = None)
+    val joinSplit: Option[(Seq[String], String => String)] = None,
+    val preRendered: Seq[String] = Nil)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -562,7 +619,8 @@ class GraftScan(val table: String, val backend: SqlBackend,
     * val): runtime filters can arrive after the first rendering, and the
     * rendering itself is deterministic string work. */
   private def renderedFilters: Seq[String] =
-    (filters ++ runtimeFilters).flatMap(FilterSql.render(_, backend.dialect)).toSeq
+    preRendered ++
+      (filters ++ runtimeFilters).flatMap(FilterSql.render(_, backend.dialect)).toSeq
 
   /** Render the scan SQL, optionally AND-ing one extra predicate into the
     * WHERE clause (used by the range split — the predicate references the
@@ -817,6 +875,7 @@ object FilterSql {
       case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
         Some(n.toString)
       case dec: java.math.BigDecimal => Some(dec.toPlainString)
+      case dec: scala.math.BigDecimal => Some(dec.bigDecimal.toPlainString)
       // rendered as UTC wall-clock: both our sessions and the backend
       // double pin spark.sql.session.timeZone=UTC (and build.sbt pins the
       // JVM tz), so the literal round-trips exactly
@@ -869,7 +928,7 @@ object FilterSql {
     }
   }
 
-  private def likeSafe(s: String): Boolean =
+  private[sources] def likeSafe(s: String): Boolean =
     !s.exists(c => c == '%' || c == '_' || c == '\\' || c == '\'')
 
   private val utcFmt = java.time.format.DateTimeFormatter

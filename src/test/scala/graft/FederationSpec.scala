@@ -52,12 +52,49 @@ class FederationSpec extends AnyFunSuite {
       .filter(col("p_size") > 10 && col("p_brand").startsWith("Brand#1")).count()
     assert(df.count() == want)
 
-    // sqrt is not renderable -> must NOT appear in backend SQL, result still right
+    // sqrt IS renderable since the V2-predicate path (whitelisted function)
     val df2 = remote("part").filter(sqrt(col("p_size")) > 3)
-    assert(!graftScan(df2).renderedSql.toUpperCase.contains("SQRT"))
+    assert(graftScan(df2).renderedSql.toUpperCase.contains("SQRT"))
     val want2 = Tables.load(spark, TestSpark.Sf0001, "part")
       .filter(sqrt(col("p_size")) > 3).count()
     assert(df2.count() == want2)
+
+    // a non-whitelisted function must NOT appear in backend SQL, result still right
+    val df3 = remote("part").filter(crc32(col("p_name")) % 2 === 0)
+    assert(!graftScan(df3).renderedSql.toUpperCase.contains("CRC32"),
+      graftScan(df3).renderedSql)
+    val want3 = Tables.load(spark, TestSpark.Sf0001, "part")
+      .filter(crc32(col("p_name")) % 2 === 0).count()
+    assert(df3.count() == want3)
+  }
+
+  test("V2 predicates push expression filters past the V1 surface") {
+    // arithmetic inside the predicate: V1 source filters can't express
+    // this; the V2 path renders it into the backend WHERE clause
+    val df = remote("lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .filter(col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 50000.0)
+    val scan = graftScan(df)
+    assert(scan.renderedSql.contains("`l_extendedprice` *"), scan.renderedSql)
+    val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .filter(col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 50000.0)
+      .count()
+    assert(df.count() == want && want > 0)
+
+    // CAST renders through the dialect's type map
+    val cast = remote("orders").select("o_orderkey")
+      .filter(col("o_orderkey").cast("string") === "7")
+    assert(graftScan(cast).renderedSql.contains("CAST("), graftScan(cast).renderedSql)
+    assert(cast.count() == 1)
+
+    // unknown functions stay residual and still answer
+    val residual = remote("part").select("p_partkey", "p_name")
+      .filter(sha2(col("p_name"), 256).startsWith("a"))
+    assert(!graftScan(residual).renderedSql.toLowerCase.contains("sha2"),
+      graftScan(residual).renderedSql)
+    val wantResidual = Tables.load(spark, TestSpark.Sf0001, "part")
+      .filter(sha2(col("p_name"), 256).startsWith("a")).count()
+    assert(residual.count() == wantResidual)
   }
 
   test("limit pushdown reaches the backend SQL") {

@@ -114,6 +114,14 @@ class JdbcFederationSpec extends AnyFunSuite {
       .contains("\"c\" > DATE('2026-01-02')"))
   }
 
+  test("V2 expression predicates reach Derby (ABS, arithmetic)") {
+    val df = remote("acct").filter(abs(col("bal") - 75.0) < 15.0)
+    val sql = graftScan(df).renderedSql
+    assert(sql.contains("ABS("), sql)
+    // bal = 1.5*i, |1.5i - 75| < 15  =>  40 < i < 60  =>  41..59
+    assert(df.count() == 19)
+  }
+
   test("top-N pushes as Derby OFFSET/FETCH; Spark's own sort is dropped") {
     val df = remote("acct").orderBy(col("bal").desc).limit(3)
     val sql = graftScan(df).renderedSql
