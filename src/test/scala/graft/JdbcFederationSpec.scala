@@ -267,6 +267,17 @@ class JdbcFederationSpec extends AnyFunSuite {
       assert(parts.length > 1, "pushed join did not split")
       parts.foreach(p => assert(p.sql.contains("\"id\" >=") && p.sql.contains(" JOIN "), p.sql))
 
+      // top-N above the join: ORDER BY + FETCH land in the SAME backend
+      // query as the join (single partition by construction)
+      val top = acct.join(bonus, acct("id") === bonus("id"))
+        .orderBy(col("extra").desc).limit(4)
+      val topScan = graftScan(top)
+      assert(topScan.renderedSql.contains(" JOIN "), topScan.renderedSql)
+      assert(topScan.renderedSql.contains("ORDER BY \"extra\" DESC"), topScan.renderedSql)
+      assert(topScan.renderedSql.contains("FETCH NEXT 4 ROWS ONLY"), topScan.renderedSql)
+      assert(top.select("extra").collect().map(_.getDouble(0)).toSeq ==
+        Seq(12.5, 12.25, 12.0, 11.75))
+
       // a RIGHT join must NOT split (unmatched right rows would repeat)
       val right = acct.join(bonus, acct("id") === bonus("id"), "right")
       assert(right.count() == 50)
