@@ -143,18 +143,23 @@ object Multimodal {
     val img: java.awt.image.BufferedImage =
       if (!looksLikeImage(r.media)) null
       else try {
+        // the stream must close explicitly — reader.dispose() does not
+        // close it, and a leaked ImageInputStream pins a file descriptor
+        // per record
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) null
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-            if (w.toLong * h > MaxDecodePixels) null else reader.read(0)
-          } finally reader.dispose()
-        }
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+              if (w.toLong * h > MaxDecodePixels) null else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) fakeDecode(r)
     else MediaFeatures(r.doc_id, img.getWidth, img.getHeight, r.format,

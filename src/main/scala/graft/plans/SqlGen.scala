@@ -74,6 +74,14 @@ object SqlGen {
       * syntax error on Postgres), so every dialect that supports DDL
       * enumerates its own. */
     def typeName(dt: DataType): Option[String] = None
+    /** CAST target type, or None to keep the cast in Spark. NOT the same
+      * set as [[typeName]]: a type can be creatable but not a legal cast
+      * target (Derby forbids numeric→VARCHAR). Only casts Spark itself
+      * deems lossless (canUpCast) reach this hook. */
+    def castTypeName(dt: DataType): Option[String] = typeName(dt)
+    /** Remainder rendering; None = residual (Derby spells it MOD() with
+      * integer-only, differently-signed semantics — not worth guessing). */
+    def remainder(l: String, r: String): Option[String] = Some(s"($l % $r)")
   }
   case object Ansi extends Dialect {
     def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""

@@ -388,7 +388,7 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
   }
 
   override def build(): Scan =
-    new GraftScan(table, backend, required, Array.empty, limit,
+    new GraftScan(table, backend, required, limit,
       // aggregated scans answer in one backend query (the reference's
       // whole-query DatabaseExec was likewise single-stream,
       // src/physical_plan.rs:28-132); plain scans split by key range, and
@@ -419,15 +419,20 @@ object V2PredicateSql {
         .createToScalaConverter(l.dataType)(l.value)
       FilterSql.literal(external, d)
     case c: V2Cast =>
-      // the dialect's DDL type map doubles as the CAST-target whitelist:
-      // it names exactly the types the backend spells the same way
+      // castTypeName, not typeName: legal CAST targets are a narrower set
+      // than creatable DDL types (Derby forbids numeric→VARCHAR)
       for {
         in <- render(c.expression(), d)
-        t <- d.typeName(c.dataType())
+        t <- d.castTypeName(c.dataType())
       } yield s"CAST($in AS $t)"
     case g: GeneralScalarExpression => g.name() match {
+      case "%" if g.children().length == 2 =>
+        for {
+          l <- render(g.children()(0), d); r <- render(g.children()(1), d)
+          out <- d.remainder(l, r)
+        } yield out
       case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>" |
-                 "+" | "-" | "*" | "/" | "%") if g.children().length == 2 =>
+                 "+" | "-" | "*" | "/") if g.children().length == 2 =>
         binary(g, d, op)
       case "!=" => binary(g, d, "<>")
       case "AND" => binary(g, d, "AND")
@@ -484,7 +489,7 @@ object V2PredicateSql {
 }
 
 class GraftScan(val table: String, val backend: SqlBackend,
-    val required: StructType, val filters: Array[Filter],
+    val required: StructType,
     val limit: Option[Int], numPartitions: Int,
     val aggregation: Option[(Seq[String], Seq[String])] = None,
     val orderBy: Seq[String] = Nil, val offset: Option[Int] = None,
@@ -620,7 +625,7 @@ class GraftScan(val table: String, val backend: SqlBackend,
     * rendering itself is deterministic string work. */
   private def renderedFilters: Seq[String] =
     preRendered ++
-      (filters ++ runtimeFilters).flatMap(FilterSql.render(_, backend.dialect)).toSeq
+      runtimeFilters.flatMap(FilterSql.render(_, backend.dialect)).toSeq
 
   /** Render the scan SQL, optionally AND-ing one extra predicate into the
     * WHERE clause (used by the range split — the predicate references the

@@ -28,6 +28,17 @@ case object DerbyDialect extends Dialect {
   override def fullSqlGen: Boolean = false
   override def timestampLit(ts: String): String = s"TIMESTAMP('$ts')"
   override def dateLit(d: String): String = s"DATE('$d')"
+  // Derby's CAST compatibility matrix forbids numeric→VARCHAR: a cast
+  // target may only render when EVERY source Spark would upcast from is
+  // legal for it on Derby. Spark upcasts any atomic to string, so
+  // StringType MUST be excluded even though it is DDL-creatable.
+  override def castTypeName(dt: DataType): Option[String] = dt match {
+    case ShortType | IntegerType | LongType | FloatType | DoubleType |
+         TimestampType => typeName(dt)
+    case d: DecimalType => typeName(d)
+    case _ => None
+  }
+  override def remainder(l: String, r: String): Option[String] = None // no % operator
   override def typeName(dt: DataType): Option[String] = dt match {
     case StringType => Some("VARCHAR(32672)") // Derby's VARCHAR max
     case BooleanType => Some("BOOLEAN")

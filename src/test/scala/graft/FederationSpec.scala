@@ -579,6 +579,7 @@ class FederationSpec extends AnyFunSuite {
   }
 
   test("DSv2 join pushdown collapses a join into one scan on the double too") {
+    val prevJoinConf = spark.conf.get("spark.sql.optimizer.datasourceV2JoinPushdown")
     spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     try {
       val n = remote("nation")
@@ -596,7 +597,7 @@ class FederationSpec extends AnyFunSuite {
         .join(Tables.load(spark, TestSpark.Sf0001, "region"), col("n_regionkey") === col("r_regionkey"))
         .select("n_name", "r_name").collect().map(_.toString).sorted.toSeq
       assert(got == want)
-    } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+    } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", prevJoinConf)
   }
 
   test("null-safe join condition fuses into one backend query") {

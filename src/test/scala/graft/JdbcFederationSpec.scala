@@ -120,6 +120,22 @@ class JdbcFederationSpec extends AnyFunSuite {
     assert(sql.contains("ABS("), sql)
     // bal = 1.5*i, |1.5i - 75| < 15  =>  40 < i < 60  =>  41..59
     assert(df.count() == 19)
+
+    // Derby has no % operator: a modulo predicate must stay a Spark
+    // residual (pushing it would make the scan throw at execution)
+    val mod = remote("acct").filter(col("id") % 2 === 0)
+    assert(!graftScan(mod).renderedSql.contains("%"), graftScan(mod).renderedSql)
+    assert(mod.count() == 50)
+
+    // Derby forbids numeric→VARCHAR CAST: the string-cast predicate
+    // (a legal Spark upcast) must stay residual too
+    val cast = remote("acct").filter(col("id").cast("string") === "7")
+    assert(!graftScan(cast).renderedSql.contains("VARCHAR"), graftScan(cast).renderedSql)
+    assert(cast.count() == 1)
+
+    // a numeric-widening CAST is Derby-legal and may push
+    val up = remote("acct").filter(col("id").cast("bigint") > 95L)
+    assert(up.count() == 6)
   }
 
   test("top-N pushes as Derby OFFSET/FETCH; Spark's own sort is dropped") {
@@ -229,6 +245,7 @@ class JdbcFederationSpec extends AnyFunSuite {
       backend.executeUpdate(
         s"""INSERT INTO "bonus" VALUES ${g.map(i => s"($i, ${i * 0.25})").mkString(", ")}""")
     }
+    val prevJoinConf = spark.conf.get("spark.sql.optimizer.datasourceV2JoinPushdown")
     spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     try {
       // plain join: collapses to ONE backend scan whose SQL joins the two
@@ -313,7 +330,7 @@ class JdbcFederationSpec extends AnyFunSuite {
         val ids = chain.select(acct("id")).collect().map(_.getInt(0)).sorted.toSeq
         assert(ids == (1 to 30).toSeq)
       } finally backend.executeUpdate("""DROP TABLE "tier"""")
-    } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+    } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", prevJoinConf)
   }
 
   test("overwrite mode truncates then writes; append keeps existing rows") {
