@@ -541,6 +541,28 @@ object Corpus {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** S32 — federated WRITE round-trip (SURVEY §2.A A10 under the driver
+    * oracle, not just specs): the top-100 orders stream through the DSv2
+    * sink into a backend table (executor-rendered INSERT tuples, dialect
+    * literals) and come back through the DSv2 scan. The oracle reads the
+    * same rows straight from the source table, so any value corrupted by
+    * the literal render → SQL parse → storage → scan round-trip
+    * hash-mismatches. Idempotent (DROP + CREATE) because Verify and both
+    * Bench passes re-run entries in one session. */
+  val s32FederatedWrite: Q = (spark, dir) => {
+    val backend = graft.sources.SparkViewBackend.forDir(dir)
+    backend.executeUpdate("DROP TABLE IF EXISTS fed_sink")
+    backend.executeUpdate(
+      "CREATE TABLE fed_sink (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+    Tables.load(spark, dir, "orders")
+      .orderBy("o_orderkey").limit(100)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.format("graft-sqldb").option("dir", dir).option("table", "fed_sink")
+      .mode("append").save()
+    spark.read.format("graft-sqldb").option("dir", dir).option("table", "fed_sink")
+      .load().orderBy("o_orderkey")
+  }
+
   /** queries keyed for SparkEntry; insertion order = corpus order. */
   val queries: Seq[(String, Q)] = Seq(
     "s01_pricing_summary" -> s01PricingSummary,
@@ -582,6 +604,7 @@ object Corpus {
     "s27b_right_outer" -> s27bRightOuter,
     "s30_pivot" -> s30Pivot,
     "s31_catalog" -> s31Catalog,
+    "s32_federated_write" -> s32FederatedWrite,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -803,5 +826,10 @@ object Corpus {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > TIMESTAMP '1995-01-01 00:00:00'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the write round-trip must hand back exactly the source rows: the
+    // oracle IS the source selection
+    "s32_federated_write" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
   )
 }
