@@ -22,14 +22,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   *  - column pruning   → `SupportsPushDownRequiredColumns` (reference:
   *    projection indices → SELECT list, `table_provider.rs:87-98`)
-  *  - filter pushdown  → `SupportsPushDownFilters` with capability
-  *    negotiation; unsupported filters stay in Spark as residuals
-  *    (reference classifier `supports_filter_pushdown`,
-  *    `table_provider.rs:241-306`)
-  *  - limit pushdown   → `SupportsPushDownLimit` (`table_provider.rs:110-113`)
-  *  - partitioned read → COUNT probe + LIMIT/OFFSET ranges, one SQL query
-  *    per partition (reference `table_provider.rs:123-156`; its fixed
-  *    4-way split is an option here)
+  *  - filter pushdown  → `SupportsPushDownV2Filters` with capability
+  *    negotiation (arithmetic/CAST/function predicates beyond the
+  *    reference's classifier, `table_provider.rs:241-306`); unsupported
+  *    predicates stay in Spark as residuals
+  *  - limit pushdown   → `SupportsPushDownLimit` (`table_provider.rs:110-113`),
+  *    plus complete top-N/offset, aggregates, and whole equi-joins
+  *    (`SupportsPushDownJoin`) with parallel key-range-sliced reads
+  *  - partitioned read → key-range or COUNT+OFFSET/FETCH splits, one SQL
+  *    query per partition (reference `table_provider.rs:123-156`; its
+  *    fixed 4-way split is an option here)
   *
   * Partitions carry SQL text only (never rows); each `PartitionReader`
   * drains its partition query through a `SqlConnection` (reference

@@ -29,7 +29,12 @@ object SqlGenProps extends Properties("SqlGen") {
     op <- Gen.oneOf[(Column, Double) => Column](
       (x: Column, y: Double) => x < y, (x: Column, y: Double) => x <= y,
       (x: Column, y: Double) => x > y, (x: Column, y: Double) => x >= y,
-      (x: Column, y: Double) => x === y, (x: Column, y: Double) => x =!= y)
+      (x: Column, y: Double) => x === y, (x: Column, y: Double) => x =!= y,
+      // round-5 operator rows: null-safe equality and bitwise over the
+      // (integralized) column must round-trip like any comparison
+      (x: Column, y: Double) => x <=> y,
+      (x: Column, y: Double) => x.cast("long").bitwiseAND(lit(y.toLong)) > 0,
+      (x: Column, y: Double) => x.cast("long").bitwiseOR(lit(y.toLong)) =!= 0)
   } yield op(col(c), v)
 
   private val genStrPredicate: Gen[Column] = for {
