@@ -254,10 +254,17 @@ object Dedup {
     * (singletons keep their own id). */
   def dedupGroups(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 20, collectThreshold: Long = 1000000L): DataFrame = {
+      maxIter: Int = 20, collectThreshold: Long = -1L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = docs.sparkSession
     import spark.implicits._
+    // -1 = take the deployment-tunable session conf (a driver-memory knob
+    // belongs in config, not code): max reduced-edge-list size the driver
+    // union-find may collect before the distributed path takes over
+    val threshold =
+      if (collectThreshold >= 0) collectThreshold
+      else spark.conf.getOption("graft.dedup.collectThreshold")
+        .map(_.toLong).getOrElse(1000000L)
     // pairs is typically an expensive near-dup pipeline: pin its (small)
     // result once so every consumer reuses it
     val p = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
@@ -271,7 +278,7 @@ object Dedup {
     // propagation (the GraphX connectedComponents algorithm) runs with
     // rounds bounded by component diameter.
     val labels: DataFrame =
-      if (nPairs <= collectThreshold) {
+      if (nPairs <= threshold) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x

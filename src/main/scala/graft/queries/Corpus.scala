@@ -552,8 +552,19 @@ object Corpus {
   val s32FederatedWrite: Q = (spark, dir) => {
     val backend = graft.sources.SparkViewBackend.forDir(dir)
     backend.executeUpdate("DROP TABLE IF EXISTS fed_sink")
+    // explicit location, wiped first: a managed table's directory outlives
+    // the session-temp catalog that knew about it, and a stale dir from a
+    // previous JVM would fail CREATE with LOCATION_ALREADY_EXISTS
+    val loc = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fed_sink_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(loc)
     backend.executeUpdate(
-      "CREATE TABLE fed_sink (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+      "CREATE TABLE fed_sink (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING) " +
+        s"USING parquet LOCATION '${loc.getAbsolutePath}'")
     Tables.load(spark, dir, "orders")
       .orderBy("o_orderkey").limit(100)
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
