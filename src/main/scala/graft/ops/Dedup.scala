@@ -338,7 +338,7 @@ object Dedup {
     // small (collected) label sets broadcast; large ones shuffle-join
     val labelSide = labels.select(col("id").as("doc_id"), col("label"))
     val joined = docs.select(col(idCol).as("doc_id")).join(
-      if (nPairs <= collectThreshold) broadcast(labelSide) else labelSide,
+      if (nPairs <= threshold) broadcast(labelSide) else labelSide,
       Seq("doc_id"), "left")
     val out = joined
       .select(col("doc_id"),

@@ -76,8 +76,9 @@ object SqlGen {
     def typeName(dt: DataType): Option[String] = None
     /** CAST target type, or None to keep the cast in Spark. NOT the same
       * set as [[typeName]]: a type can be creatable but not a legal cast
-      * target (Derby forbids numeric→VARCHAR). Only casts Spark itself
-      * deems lossless (canUpCast) reach this hook. */
+      * target (Derby forbids numeric→VARCHAR). The V2 renderer enforces
+      * that only casts Spark deems lossless (canUpCast) reach this hook —
+      * ANSI mode offers every cast, semantics-divergent ones included. */
     def castTypeName(dt: DataType): Option[String] = typeName(dt)
     /** Remainder rendering; None = residual (Derby spells it MOD() with
       * integer-only, differently-signed semantics — not worth guessing). */
@@ -381,7 +382,14 @@ object SqlGen {
         case _: Subtract => "-"
         case _: Multiply => "*"
         case _: Divide => "/"
-        case _: Remainder => "%"
+        case r: Remainder =>
+          // the % spelling is dialect-owned (Derby has none) — route
+          // through the same hook the V2 predicate path uses
+          return (for {
+            l <- expr(r.left); rs <- expr(r.right)
+            out <- currentDialect.get.remainder(l, rs)
+              .toRight(Unsupported("remainder on this dialect"))
+          } yield out)
         case _: And => "AND"
         case _: Or => "OR"
         // infix &/| parse identically in Spark, DuckDB and Postgres; XOR

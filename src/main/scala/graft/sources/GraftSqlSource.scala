@@ -421,10 +421,19 @@ object V2PredicateSql {
         .createToScalaConverter(l.dataType)(l.value)
       FilterSql.literal(external, d)
     case c: V2Cast =>
-      // castTypeName, not typeName: legal CAST targets are a narrower set
-      // than creatable DDL types (Derby forbids numeric→VARCHAR)
+      // Two gates. (1) LOSSLESS only: under ANSI mode (Spark 4's default)
+      // V2ExpressionBuilder offers EVERY cast, including ones whose
+      // runtime semantics diverge across engines (boolean→int spellings,
+      // string→numeric parse rules, overflow behavior) — only casts Spark
+      // deems an upcast are semantics-free enough to hand to a foreign
+      // engine. (2) castTypeName, not typeName: legal CAST targets are a
+      // narrower set than creatable DDL types (Derby forbids
+      // numeric→VARCHAR). A null source type (2-arg connector Cast)
+      // declines.
       for {
         in <- render(c.expression(), d)
+        from <- Option(c.expressionDataType())
+        if org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, c.dataType())
         t <- d.castTypeName(c.dataType())
       } yield s"CAST($in AS $t)"
     case g: GeneralScalarExpression => g.name() match {

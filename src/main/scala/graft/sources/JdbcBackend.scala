@@ -35,7 +35,8 @@ case object DerbyDialect extends Dialect {
   override def castTypeName(dt: DataType): Option[String] = dt match {
     case ShortType | IntegerType | LongType | FloatType | DoubleType |
          TimestampType => typeName(dt)
-    case d: DecimalType => typeName(d)
+    // Derby's DECIMAL tops out at precision 31 (Spark's at 38)
+    case d: DecimalType if d.precision <= 31 => typeName(d)
     case _ => None
   }
   override def remainder(l: String, r: String): Option[String] = None // no % operator

@@ -136,6 +136,19 @@ class JdbcFederationSpec extends AnyFunSuite {
     // a numeric-widening CAST is Derby-legal and may push
     val up = remote("acct").filter(col("id").cast("bigint") > 95L)
     assert(up.count() == 6)
+
+    // non-upcast casts (offered by ANSI-mode translation) must stay
+    // residual: boolean->int is Derby-illegal and semantics-divergent
+    val bc = remote("acct").filter(col("flag").cast("int") === 1)
+    assert(!graftScan(bc).renderedSql.contains("CAST(\"flag\""),
+      graftScan(bc).renderedSql)
+    assert(bc.count() == 50)
+
+    // decimal targets past Derby's precision-31 ceiling must stay residual
+    val bigDec = remote("acct").filter(col("id").cast("decimal(38,0)") === java.math.BigDecimal.valueOf(7))
+    assert(!graftScan(bigDec).renderedSql.contains("DECIMAL(38"),
+      graftScan(bigDec).renderedSql)
+    assert(bigDec.count() == 1)
   }
 
   test("top-N pushes as Derby OFFSET/FETCH; Spark's own sort is dropped") {
