@@ -73,8 +73,12 @@ object Skew {
   /** Driver-oracle entry (SURVEY §2 B14): the salt spreads rows, never
     * results — the two-phase aggregate must equal the plain GROUP BY, so
     * the one-phase SQL IS the oracle. lineitem's l_returnflag is the
-    * canonical 3-hot-key distribution. (Non-finite double sums would be
-    * order-sensitive; l_quantity is finite by construction.) */
+    * canonical 3-hot-key distribution. The double SUMs match the one-phase
+    * oracle BIT-FOR-BIT only because l_quantity is INTEGER-VALUED (every
+    * partial sum is exact in binary, so regrouping cannot change it) — a
+    * fractional double column would make the salted two-phase total
+    * order-sensitive and hash-mismatch intermittently; such an entry must
+    * sum as decimal instead. */
   val entries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
     "skew_agg" -> ((s, d) => saltedCountSum(
       graft.Tables.load(s, d, "lineitem").select("l_returnflag", "l_quantity"),

@@ -116,7 +116,12 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     // config (instances are cached per dir/url, so eq is exact identity)
     case o: GraftScanBuilder => (o.backend eq backend) &&
       aggSql.isEmpty && o.aggSql.isEmpty &&
-      limit.isEmpty && o.limit.isEmpty && orderBy.isEmpty && o.orderBy.isEmpty
+      limit.isEmpty && o.limit.isEmpty &&
+      // offset mirrors the limit/orderBy guards: sideSql never renders a
+      // pushed offset, so accepting one here would silently drop it
+      // (unreachable under current phase ordering — defense in depth)
+      offset.isEmpty && o.offset.isEmpty &&
+      orderBy.isEmpty && o.orderBy.isEmpty
     case _ => false
   }
 
@@ -199,7 +204,13 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
         Some(e => leftSql + (if (leftPreds.nonEmpty) s" AND $e" else s" WHERE $e"))
       case Some(_) =>
         joinSplit.map { case (_, innerMk) =>
-          (e: String) => s"SELECT $leftSel FROM ${innerMk(e)}"
+          // must mirror sideSql exactly: predicates pushed onto the
+          // already-joined builder (none under today's phase order, but
+          // a future phase-order change must not silently widen the
+          // range-split fragments relative to the single-stream one)
+          val where =
+            if (leftPreds.isEmpty) "" else " WHERE " + leftPreds.mkString(" AND ")
+          (e: String) => s"SELECT $leftSel FROM ${innerMk(e)}$where"
         }
     }
     val probePreds: Seq[String] =

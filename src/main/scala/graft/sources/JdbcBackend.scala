@@ -57,6 +57,17 @@ case object DerbyDialect extends Dialect {
   }
 }
 
+/** Default dialect for UNRECOGNIZED JDBC drivers: ANSI double-quote
+  * rendering for the scan-level surface (projection/filter/limit — every
+  * piece is plain ANSI and failures are loud), but no whole-plan fusion,
+  * no null-safe-eq, no DDL/CAST type names. Known-compatible drivers opt
+  * in to more via their own dialect ([[DerbyDialect]], [[PostgresDialect]]). */
+case object ConservativeAnsiDialect extends Dialect {
+  def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
+  override def fullSqlGen: Boolean = false
+  override def supportsNullSafeEq: Boolean = false
+}
+
 /** The production remote backend: any JDBC database behind the
   * [[SqlBackend]]/[[SqlConnection]] traits — the role the reference's
   * `PostgresConnection` plays over binary COPY
@@ -86,11 +97,19 @@ object JdbcBackend {
 
   private[sources] def dialectFor(url: String): Dialect =
     if (url.startsWith("jdbc:derby:")) DerbyDialect
-    else graft.plans.SqlGen.Ansi
+    else if (url.startsWith("jdbc:postgresql:")) PostgresDialect
+    // unknown drivers get ANSI scan-level pushdown ONLY: whole-plan fusion
+    // and null-safe-eq rendering are opt-in per recognized dialect — an
+    // unrecognized driver must not land in the most aggressive tier by
+    // accident (e.g. MySQL's backtick quoting would mis-parse every query)
+    else ConservativeAnsiDialect
 
   /** JDBC metadata type → Spark type. Unmapped types fail discovery loudly
-    * (a silently-skipped column would make `SELECT *` lie). */
-  private[sources] def sparkType(jdbcType: Int, precision: Int, scale: Int): DataType =
+    * (a silently-skipped column would make `SELECT *` lie). `typeName` is
+    * the driver's TYPE_NAME — needed where a backend hides a real type
+    * behind Types.OTHER (Postgres uuid). */
+  private[graft] def sparkType(jdbcType: Int, precision: Int, scale: Int,
+      typeName: String = ""): DataType =
     jdbcType match {
       case Types.BIT | Types.BOOLEAN => BooleanType
       case Types.TINYINT => ByteType
@@ -99,13 +118,26 @@ object JdbcBackend {
       case Types.BIGINT => LongType
       case Types.REAL => FloatType
       case Types.FLOAT | Types.DOUBLE => DoubleType
-      case Types.DECIMAL | Types.NUMERIC => DecimalType(precision, scale)
+      case Types.DECIMAL | Types.NUMERIC =>
+        // an unconstrained Postgres NUMERIC reports no precision — the
+        // reference defaults it to Decimal(38,4) (`datatypes.rs:160-162`);
+        // same fallback for any bounds Spark's DecimalType can't carry
+        if (precision >= 1 && precision <= DecimalType.MAX_PRECISION &&
+            scale >= 0 && scale <= precision) DecimalType(precision, scale)
+        else DecimalType(38, 4)
       case Types.CHAR | Types.VARCHAR | Types.LONGVARCHAR | Types.CLOB => StringType
       case Types.DATE => DateType
+      case Types.TIME => TimeType(math.min(math.max(scale, 0), 6))
       case Types.TIMESTAMP => TimestampType
       case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => BinaryType
+      // Postgres surfaces uuid as OTHER/"uuid"; its text form round-trips
+      // (the reference punted to Binary with a TODO, `datatypes.rs:170`)
+      case Types.OTHER if typeName.equalsIgnoreCase("uuid") => StringType
+      case Types.ARRAY => throw new IllegalArgumentException(
+        s"array column type '$typeName' not supported by the federation " +
+          "layer — project it away or cast it backend-side")
       case other => throw new IllegalArgumentException(
-        s"unmapped JDBC type $other (java.sql.Types)")
+        s"unmapped JDBC type $other '$typeName' (java.sql.Types)")
     }
 
   /** One ResultSet row → Row, schema-driven (the decoder analog of the
@@ -125,6 +157,7 @@ object JdbcBackend {
         case _: DecimalType => rs.getBigDecimal(i + 1)
         case StringType => rs.getString(i + 1)
         case DateType => rs.getDate(i + 1)
+        case _: TimeType => rs.getObject(i + 1, classOf[java.time.LocalTime])
         case TimestampType => rs.getTimestamp(i + 1)
         case BinaryType => rs.getBytes(i + 1)
         case other => throw new IllegalArgumentException(
@@ -139,7 +172,10 @@ object JdbcBackend {
 
 class JdbcBackend private (val url: String) extends SqlBackend {
 
-  override def name: String = s"jdbc(${url.takeWhile(_ != ';')})"
+  // strip both Derby-style ';attr=...' attributes and query-param URLs
+  // ('?user=x&password=y') — credentials must not leak into error
+  // messages or logs through the backend's display name
+  override def name: String = s"jdbc(${url.takeWhile(c => c != ';' && c != '?')})"
   override def dialect: Dialect = JdbcBackend.dialectFor(url)
 
   private def connect(): Connection = DriverManager.getConnection(url)
@@ -186,7 +222,8 @@ class JdbcBackend private (val url: String) extends SqlBackend {
     while (rs.next()) {
       if (rs.getString("TABLE_NAME") == table) { // exact, not LIKE-matched
         val dt = JdbcBackend.sparkType(rs.getInt("DATA_TYPE"),
-          rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"))
+          rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"),
+          String.valueOf(rs.getString("TYPE_NAME")))
         fields += ((rs.getInt("ORDINAL_POSITION"),
           StructField(rs.getString("COLUMN_NAME"), dt,
             rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)))
@@ -210,7 +247,8 @@ class JdbcBackend private (val url: String) extends SqlBackend {
       val md = rs.getMetaData
       val schema = StructType((1 to md.getColumnCount).map { i =>
         StructField(md.getColumnLabel(i), JdbcBackend.sparkType(
-          md.getColumnType(i), md.getPrecision(i), md.getScale(i)))
+          md.getColumnType(i), md.getPrecision(i), md.getScale(i),
+          String.valueOf(md.getColumnTypeName(i))))
       })
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       while (rs.next()) out += JdbcBackend.convertRow(rs, schema)
