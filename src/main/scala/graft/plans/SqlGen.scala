@@ -83,6 +83,45 @@ object SqlGen {
     /** Remainder rendering; None = residual (Derby spells it MOD() with
       * integer-only, differently-signed semantics — not worth guessing). */
     def remainder(l: String, r: String): Option[String] = Some(s"($l % $r)")
+
+    // ---- whole-plan fusion capability gates (each "false"/None keeps the
+    // construct — and therefore the subtree containing it — in Spark; the
+    // generator emits ANSI-plus-portable-idioms and these hooks are the
+    // divergences probed against real backends) ----
+
+    /** FULL OUTER JOIN (Derby has no FULL join at all). */
+    def supportsFullJoin: Boolean = true
+    /** Aggregate FILTER (WHERE …) clause. */
+    def supportsAggFilter: Boolean = true
+    /** Window functions with PARTITION BY / ORDER BY (Derby implements
+      * only a bare ROW_NUMBER() OVER () — not worth a partial rendering). */
+    def supportsWindowFunctions: Boolean = true
+    /** ANSI INTERVAL literals and date/time ± interval arithmetic (Derby
+      * has no interval types whatsoever). */
+    def supportsIntervals: Boolean = true
+    /** TRY_CAST spelling (DuckDB/Spark yes; Derby and Postgres no). */
+    def supportsTryCast: Boolean = true
+    /** Per-function availability, consulted with the SQL spelling the
+      * generator emits (e.g. "ROUND", "STDDEV_SAMP"). Backends with gaps
+      * override with their probed surface. */
+    def supportsFunction(name: String): Boolean = true
+    /** Whether CAST(from AS to) parses AND preserves Spark's semantics on
+      * this backend (Derby rejects string→numeric outright; its DECIMAL
+      * ceiling is 31). The generic type spelling is still [[SqlGen]]'s. */
+    def castAllowed(from: DataType, to: DataType): Boolean = true
+    /** SUM/AVG argument rewrites for dialects whose aggregates keep the
+      * argument's type instead of widening like Spark (Derby AVG(INT)
+      * truncates, SUM(INT) overflows at 2^31). None = the aggregate has no
+      * faithful rendering on this backend and stays in Spark. */
+    def sumArg(arg: String, dt: DataType): Option[String] = Some(arg)
+    def avgArg(arg: String, dt: DataType): Option[String] = Some(arg)
+    /** True for remote backends whose DSv2 scan path (partitioned parallel
+      * reads, runtime filtering, statistics) should keep every subtree the
+      * scan surface can already express; whole-plan fusion then triggers
+      * only for shapes the scan path cannot push (semi/anti joins, set
+      * ops, DISTINCT/exotic aggregates). The in-process view backend keeps
+      * false: its "fetch" is a local exchange, so fusion is pure win. */
+    def scanPreferred: Boolean = false
   }
   case object Ansi extends Dialect {
     def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
@@ -214,15 +253,19 @@ object SqlGen {
       } yield s"SELECT * FROM ($c) ${nextAlias()} ORDER BY ${os.mkString(", ")}"
 
     case GlobalLimit(IntegerLiteral(n), child) =>
-      // analyzed limit is GlobalLimit(LocalLimit(child)); collapse both
+      // analyzed limit is GlobalLimit(LocalLimit(child)); collapse both.
+      // The row-selection clause is dialect-owned (Derby spells it
+      // OFFSET…FETCH, not LIMIT).
       val inner = child match {
         case LocalLimit(IntegerLiteral(_), c) => c
         case c => c
       }
-      gen(inner, R).map(c => s"SELECT * FROM ($c) ${nextAlias()} LIMIT $n")
+      gen(inner, R).map(c => s"SELECT * FROM ($c) ${nextAlias()}" +
+        currentDialect.get.limitOffset(Some(n), None))
 
     case Offset(IntegerLiteral(n), child) =>
-      gen(child, R).map(c => s"SELECT * FROM ($c) ${nextAlias()} OFFSET $n")
+      gen(child, R).map(c => s"SELECT * FROM ($c) ${nextAlias()}" +
+        currentDialect.get.limitOffset(None, Some(n)))
 
     case Distinct(child) =>
       gen(child, R).map(c => s"SELECT DISTINCT * FROM ($c) ${nextAlias()}")
@@ -257,7 +300,8 @@ object SqlGen {
         case Inner => "JOIN"
         case LeftOuter => "LEFT OUTER JOIN"
         case RightOuter => "RIGHT OUTER JOIN"
-        case FullOuter => "FULL OUTER JOIN"
+        case FullOuter if currentDialect.get.supportsFullJoin => "FULL OUTER JOIN"
+        case FullOuter => return Left(Unsupported("FULL JOIN on this dialect"))
         case Cross => "CROSS JOIN"
         case other => return Left(Unsupported(s"join type $other"))
       }
@@ -267,7 +311,8 @@ object SqlGen {
         on <- condition match {
           case Some(c) => expr(c).map(w => s" ON $w")
           case None if joinType == Cross => Right("")
-          case None => Right(" ON TRUE")
+          // tautology via the dialect (Derby pre-10.7 had no TRUE literal)
+          case None => Right(s" ON ${currentDialect.get.trueLit}")
         }
       } yield s"SELECT * FROM ($l) ${nextAlias()} $kw ($r) ${nextAlias()}$on"
 
@@ -357,10 +402,21 @@ object SqlGen {
     case l: Literal => literal(l)
 
     // null-safe equality, before the generic arm (the reference enumerated
-    // IsDistinctFrom, `src/parser.rs:676`); dialect-gated — Derby has no
-    // IS NOT DISTINCT FROM spelling
-    case EqualNullSafe(l, r) if currentDialect.get.supportsNullSafeEq =>
-      for { ls <- expr(l); rs <- expr(r) } yield s"($ls IS NOT DISTINCT FROM $rs)"
+    // IsDistinctFrom, `src/parser.rs:676`). Dialects without the IS NOT
+    // DISTINCT FROM spelling (Derby) get the CASE expansion — unlike the
+    // tempting `(a = b OR (a IS NULL AND b IS NULL))`, it is faithful in
+    // VALUE position too (yields false, never NULL, when exactly one side
+    // is NULL — Spark's <=> semantics). This matters beyond style: Spark
+    // rewrites EXCEPT/INTERSECT into null-safe-eq anti/semi joins, so this
+    // rendering is what lets set ops fuse into one backend query.
+    case EqualNullSafe(l, r) =>
+      for { ls <- expr(l); rs <- expr(r) } yield
+        if (currentDialect.get.supportsNullSafeEq)
+          s"($ls IS NOT DISTINCT FROM $rs)"
+        else
+          s"((CASE WHEN $ls IS NULL AND $rs IS NULL THEN 1 " +
+            s"WHEN $ls IS NULL OR $rs IS NULL THEN 0 " +
+            s"WHEN $ls = $rs THEN 1 ELSE 0 END) = 1)"
 
     // regex match through the dialect hook (only rendered where the
     // backend's regex ENGINE matches Spark's — see Dialect.regexpMatch)
@@ -449,7 +505,15 @@ object SqlGen {
       // TRY mode must render TRY_CAST (NULL on failure) — a plain CAST
       // would turn Spark's try_cast semantics into a backend error
       val kw = if (evalMode == EvalMode.TRY) "TRY_CAST" else "CAST"
-      for {
+      if (evalMode == EvalMode.TRY && !currentDialect.get.supportsTryCast)
+        Left(Unsupported("TRY_CAST on this dialect"))
+      else if (!currentDialect.get.castAllowed(child.dataType, dt))
+        // backend cast matrices are narrower than the spelling (Derby
+        // rejects string→numeric, caps DECIMAL at 31) — a disallowed pair
+        // would error at runtime, so it stays a Spark residual instead
+        Left(Unsupported(
+          s"cast ${child.dataType.simpleString}→${dt.simpleString} on this dialect"))
+      else for {
         c <- expr(child)
         t <- sqlType(dt)
       } yield s"$kw($c AS $t)"
@@ -459,7 +523,12 @@ object SqlGen {
     // date/time ± interval arithmetic (reference renders year-month
     // interval literals, `src/parser.rs:645-647`; the full arithmetic
     // surface here). All four "+interval" nodes and both timestamp/date
-    // differences share infix +/- in Spark, DuckDB, and Postgres.
+    // differences share infix +/- in Spark, DuckDB, and Postgres —
+    // dialects without interval types (Derby) keep the whole family local.
+    case (_: TimestampAddInterval | _: TimestampAddYMInterval |
+          _: DateAddYMInterval | _: DateAddInterval | _: SubtractTimestamps |
+          _: SubtractDates) if !currentDialect.get.supportsIntervals =>
+      Left(Unsupported("interval arithmetic on this dialect"))
     case TimestampAddInterval(start, interval, _) =>
       for { s <- expr(start); i <- expr(interval) } yield s"($s + $i)"
     case TimestampAddYMInterval(ts, interval, _) =>
@@ -495,6 +564,8 @@ object SqlGen {
     // but todo!() there; full rendering here). Ranking/offset functions
     // take no frame clause in ANSI SQL, so their implicit Catalyst frame
     // is dropped; aggregate window functions keep an explicit frame.
+    case WindowExpression(_, _) if !currentDialect.get.supportsWindowFunctions =>
+      Left(Unsupported("window functions on this dialect"))
     case WindowExpression(fn, spec) =>
       val (fnSql, frameAllowed) = fn match {
         case _: RowNumber => (Right("ROW_NUMBER()"): Res[String], false)
@@ -514,55 +585,74 @@ object SqlGen {
       } yield s"$f OVER ($s)"
 
     case ae: AggregateExpression =>
+      val dial = currentDialect.get
       val d = if (ae.isDistinct) "DISTINCT " else ""
+      def statFn(name: String, args: Expression*): Res[String] =
+        if (!dial.supportsFunction(name))
+          Left(Unsupported(s"function $name on this dialect"))
+        else sequence(args.map(expr)).map(ss => s"$name(${ss.mkString(", ")})")
       val base: Res[String] = ae.aggregateFunction match {
         // try_sum / try_avg (EvalMode.TRY inside NumericEvalContext) return
         // NULL where these would error — no shared SQL form, stay in Spark
         case Sum(c, ctx) if ctx.evalMode != EvalMode.TRY =>
-          expr(c).map(s => s"SUM($d$s)")
+          for {
+            s <- expr(c)
+            // dialect rewrite: Spark widens SUM(INT)→LONG / AVG(INT)→DOUBLE,
+            // Derby keeps the argument type (truncating AVG, overflowing
+            // SUM) — the hook casts the ARGUMENT so both engines accumulate
+            // in the same type, or declines when no faithful form exists
+            a <- dial.sumArg(s, c.dataType)
+              .toRight(Unsupported(s"SUM over ${c.dataType.simpleString} on this dialect"))
+          } yield s"SUM($d$a)"
         case Average(c, mode) if mode != EvalMode.TRY =>
-          expr(c).map(s => s"AVG($d$s)")
+          for {
+            s <- expr(c)
+            a <- dial.avgArg(s, c.dataType)
+              .toRight(Unsupported(s"AVG over ${c.dataType.simpleString} on this dialect"))
+          } yield s"AVG($d$a)"
         case Min(c) => expr(c).map(s => s"MIN($d$s)")
         case Max(c) => expr(c).map(s => s"MAX($d$s)")
         case Count(Seq(Literal(1, IntegerType))) => Right("COUNT(*)")
         case Count(cs) => sequence(cs.map(expr)).map(ss => s"COUNT($d${ss.mkString(", ")})")
         // statistical aggregates (reference surface parser.rs:879-891,
         // enumerated todo!() there) — names shared by Spark/DuckDB/Postgres
-        case StddevSamp(c, _) => expr(c).map(s => s"STDDEV_SAMP($s)")
-        case StddevPop(c, _) => expr(c).map(s => s"STDDEV_POP($s)")
-        case VarianceSamp(c, _) => expr(c).map(s => s"VAR_SAMP($s)")
-        case VariancePop(c, _) => expr(c).map(s => s"VAR_POP($s)")
-        case Corr(l, r, _) =>
-          for { ls <- expr(l); rs <- expr(r) } yield s"CORR($ls, $rs)"
-        case CovSample(l, r, _) =>
-          for { ls <- expr(l); rs <- expr(r) } yield s"COVAR_SAMP($ls, $rs)"
-        case CovPopulation(l, r, _) =>
-          for { ls <- expr(l); rs <- expr(r) } yield s"COVAR_POP($ls, $rs)"
+        // and (minus CORR/COVAR) Derby 10.16, hence the per-name gate
+        case StddevSamp(c, _) => statFn("STDDEV_SAMP", c)
+        case StddevPop(c, _) => statFn("STDDEV_POP", c)
+        case VarianceSamp(c, _) => statFn("VAR_SAMP", c)
+        case VariancePop(c, _) => statFn("VAR_POP", c)
+        case Corr(l, r, _) => statFn("CORR", l, r)
+        case CovSample(l, r, _) => statFn("COVAR_SAMP", l, r)
+        case CovPopulation(l, r, _) => statFn("COVAR_POP", l, r)
         case other => Left(Unsupported(s"aggregate ${other.prettyName}"))
       }
-      // agg FILTER (WHERE pred) — shared by Spark, DuckDB, and Postgres;
-      // dropping it would silently widen the aggregate's input
+      // agg FILTER (WHERE pred) — shared by Spark, DuckDB, and Postgres
+      // (not Derby); dropping it would silently widen the aggregate's input
       ae.filter match {
         case None => base
+        case Some(_) if !dial.supportsAggFilter =>
+          Left(Unsupported("aggregate FILTER on this dialect"))
         case Some(f) =>
           for { b <- base; fs <- expr(f) } yield s"$b FILTER (WHERE $fs)"
       }
 
-    // common scalar functions shared by Spark and the target dialects
-    case Upper(c) => expr(c).map(s => s"UPPER($s)")
-    case Lower(c) => expr(c).map(s => s"LOWER($s)")
-    case Length(c) => expr(c).map(s => s"LENGTH($s)")
-    case Abs(c, _) => expr(c).map(s => s"ABS($s)")
-    case Sqrt(c) => expr(c).map(s => s"SQRT($s)")
-    case Ceil(c) => expr(c).map(s => s"CEIL($s)")
-    case Floor(c) => expr(c).map(s => s"FLOOR($s)")
-    case Year(c) => expr(c).map(s => s"YEAR($s)")
-    case Month(c) => expr(c).map(s => s"MONTH($s)")
-    case DayOfMonth(c) => expr(c).map(s => s"DAY($s)")
-    case Round(c, IntegerLiteral(n), _) => expr(c).map(s => s"ROUND($s, $n)")
-    case Substring(str, pos, len) =>
-      for { s <- expr(str); p <- expr(pos); l <- expr(len) }
-        yield s"SUBSTRING($s, $p, $l)"
+    // common scalar functions shared by Spark and the target dialects —
+    // each rendering routes through the per-name dialect gate (Derby's
+    // probed surface lacks ROUND/POWER/REPLACE/SUBSTRING/INSTR/LPAD/RPAD/
+    // LEAST/GREATEST/DATE_TRUNC; gated names stay Spark residuals there)
+    case Upper(c) => fnCall("UPPER", c)
+    case Lower(c) => fnCall("LOWER", c)
+    case Length(c) => fnCall("LENGTH", c)
+    case Abs(c, _) => fnCall("ABS", c)
+    case Sqrt(c) => fnCall("SQRT", c)
+    case Ceil(c) => fnCall("CEIL", c)
+    case Floor(c) => fnCall("FLOOR", c)
+    case Year(c) => fnCall("YEAR", c)
+    case Month(c) => fnCall("MONTH", c)
+    case DayOfMonth(c) => fnCall("DAY", c)
+    case Round(c, IntegerLiteral(n), _) =>
+      gate("ROUND")(expr(c).map(s => s"ROUND($s, $n)"))
+    case Substring(str, pos, len) => fnCall("SUBSTRING", str, pos, len)
     // Spark's concat is NULL-propagating; so is infix `||` on every ANSI
     // backend, while CONCAT() skips NULLs on DuckDB/Postgres — so the
     // function spelling is only safe when the backend IS Spark
@@ -571,34 +661,27 @@ object SqlGen {
         if (currentDialect.get == SparkSqlDialect) s"CONCAT(${ss.mkString(", ")})"
         else ss.mkString("(", " || ", ")")
       }
-    case Coalesce(cs) => sequence(cs.map(expr)).map(ss => s"COALESCE(${ss.mkString(", ")})")
-    case StringTrim(c, None) => expr(c).map(s => s"TRIM($s)")
-    case StringReplace(c, find, rep) =>
-      for { s <- expr(c); f <- expr(find); r <- expr(rep) }
-        yield s"REPLACE($s, $f, $r)"
-    case StringInstr(str, sub) =>
-      for { s <- expr(str); u <- expr(sub) } yield s"INSTR($s, $u)"
-    case StringTrimLeft(c, None) => expr(c).map(s => s"LTRIM($s)")
-    case StringTrimRight(c, None) => expr(c).map(s => s"RTRIM($s)")
-    case StringLPad(str, len, pad) =>
-      for { s <- expr(str); l <- expr(len); p <- expr(pad) }
-        yield s"LPAD($s, $l, $p)"
-    case StringRPad(str, len, pad) =>
-      for { s <- expr(str); l <- expr(len); p <- expr(pad) }
-        yield s"RPAD($s, $l, $p)"
-    case Least(cs) => sequence(cs.map(expr)).map(ss => s"LEAST(${ss.mkString(", ")})")
-    case Greatest(cs) => sequence(cs.map(expr)).map(ss => s"GREATEST(${ss.mkString(", ")})")
-    case Pow(l, r) => for { ls <- expr(l); rs <- expr(r) } yield s"POWER($ls, $rs)"
-    case Log(c) => expr(c).map(s => s"LN($s)") // Spark's Log IS natural log
-    case Exp(c) => expr(c).map(s => s"EXP($s)")
-    case Signum(c) => expr(c).map(s => s"SIGN($s)")
-    case Sin(c) => expr(c).map(s => s"SIN($s)")
-    case Cos(c) => expr(c).map(s => s"COS($s)")
-    case Tan(c) => expr(c).map(s => s"TAN($s)")
-    case Asin(c) => expr(c).map(s => s"ASIN($s)")
-    case Acos(c) => expr(c).map(s => s"ACOS($s)")
-    case Atan(c) => expr(c).map(s => s"ATAN($s)")
-    case Atan2(l, r) => for { ls <- expr(l); rs <- expr(r) } yield s"ATAN2($ls, $rs)"
+    case Coalesce(cs) => fnCall("COALESCE", cs: _*)
+    case StringTrim(c, None) => fnCall("TRIM", c)
+    case StringReplace(c, find, rep) => fnCall("REPLACE", c, find, rep)
+    case StringInstr(str, sub) => fnCall("INSTR", str, sub)
+    case StringTrimLeft(c, None) => fnCall("LTRIM", c)
+    case StringTrimRight(c, None) => fnCall("RTRIM", c)
+    case StringLPad(str, len, pad) => fnCall("LPAD", str, len, pad)
+    case StringRPad(str, len, pad) => fnCall("RPAD", str, len, pad)
+    case Least(cs) => fnCall("LEAST", cs: _*)
+    case Greatest(cs) => fnCall("GREATEST", cs: _*)
+    case Pow(l, r) => fnCall("POWER", l, r)
+    case Log(c) => fnCall("LN", c) // Spark's Log IS natural log
+    case Exp(c) => fnCall("EXP", c)
+    case Signum(c) => fnCall("SIGN", c)
+    case Sin(c) => fnCall("SIN", c)
+    case Cos(c) => fnCall("COS", c)
+    case Tan(c) => fnCall("TAN", c)
+    case Asin(c) => fnCall("ASIN", c)
+    case Acos(c) => fnCall("ACOS", c)
+    case Atan(c) => fnCall("ATAN", c)
+    case Atan2(l, r) => fnCall("ATAN2", l, r)
     // DATE_TRUNC(part, x): identical argument order in Spark and
     // DuckDB/Postgres, but only the FULL part names are shared — Spark
     // also accepts aliases (DD/MM/HH/YY/MON) that backends reject, so
@@ -606,7 +689,8 @@ object SqlGen {
     // parser.rs:768-806)
     case TruncTimestamp(Literal(fmt: org.apache.spark.unsafe.types.UTF8String, _), c, _)
         if SharedTruncParts.contains(fmt.toString.toLowerCase) =>
-      expr(c).map(s => s"DATE_TRUNC(${sqlString(fmt.toString.toLowerCase)}, $s)")
+      gate("DATE_TRUNC")(
+        expr(c).map(s => s"DATE_TRUNC(${sqlString(fmt.toString.toLowerCase)}, $s)"))
 
     // ---- array/struct/JSON access (SURVEY C12) — Spark-dialect only.
     // Indexing bases (0 vs 1), out-of-bounds behavior (NULL vs error) and
@@ -628,6 +712,14 @@ object SqlGen {
 
     case other => Left(Unsupported(s"expression ${other.getClass.getSimpleName}"))
   }
+
+  /** `NAME(args…)` through the dialect's per-function gate. */
+  private def fnCall(name: String, args: Expression*): Res[String] =
+    gate(name)(sequence(args.map(expr)).map(ss => s"$name(${ss.mkString(", ")})"))
+
+  private def gate(name: String)(r: => Res[String]): Res[String] =
+    if (currentDialect.get.supportsFunction(name)) r
+    else Left(Unsupported(s"function $name on this dialect"))
 
   /** LAG/LEAD(input [, offset [, default]]) [IGNORE NULLS]; a NULL default
     * is omitted. IGNORE NULLS is shared Spark/DuckDB/Postgres-15+ syntax. */
@@ -702,13 +794,17 @@ object SqlGen {
     case (micros: Long, TimestampType) =>
       val inst = Instant.EPOCH.plusSeconds(Math.floorDiv(micros, 1000000L))
         .plusNanos(Math.floorMod(micros, 1000000L) * 1000L)
-      Right(s"TIMESTAMP '${tsFmt.format(inst)}'")
+      // dialect-owned spelling: Derby only parses the constructor form
+      Right(currentDialect.get.timestampLit(tsFmt.format(inst)))
     case (days: Int, DateType) =>
-      Right(s"DATE '${LocalDate.ofEpochDay(days.toLong)}'")
+      Right(currentDialect.get.dateLit(LocalDate.ofEpochDay(days.toLong).toString))
     // interval literals (reference `src/parser.rs:645-647` renders the
     // year-month case; day-time + calendar added here). The single-unit
     // quoted form INTERVAL '<n>' <unit> parses in Spark (typed interval),
-    // DuckDB, and Postgres alike.
+    // DuckDB, and Postgres alike — but not on interval-less dialects.
+    case (_, _: YearMonthIntervalType | _: DayTimeIntervalType |
+             CalendarIntervalType) if !currentDialect.get.supportsIntervals =>
+      Left(Unsupported("interval literal on this dialect"))
     case (months: Int, _: YearMonthIntervalType) =>
       Right(s"INTERVAL '$months' MONTH")
     case (micros: Long, _: DayTimeIntervalType) =>

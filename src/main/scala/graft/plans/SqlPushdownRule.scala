@@ -71,6 +71,55 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** For `scanPreferred` (remote JDBC) backends: true when the subtree is
+    * within the grammar the DSv2 scan surface already negotiates —
+    * project/filter/limit/offset/top-N, basic aggregates, and INNER/LEFT/
+    * RIGHT joins (`SupportsPushDownJoin` with parallel key-range splits).
+    * Fusing those into a [[PushedSqlQuery]] would trade a partitioned
+    * parallel read for a single-stream fetch — a downgrade at scale — so
+    * they stay on the scan path. Anything OUTSIDE the grammar (semi/anti
+    * joins, set ops, DISTINCT/FILTER/statistical aggregates, windows,
+    * subquery expressions) cannot push scan-level at all; for those,
+    * computing backend-side and fetching the (reduced) result single-
+    * stream moves strictly fewer bytes than fetching every input row. */
+  private def scanSurfaceCovers(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def noSubqueryExpr(e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      !e.exists(_.exists {
+        case _: Exists | _: InSubquery | _: ScalarSubquery => true
+        case _ => false
+      })
+    def basic(fs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) =
+      fs.forall(!_.exists {
+        case ae: AggregateExpression =>
+          ae.isDistinct || ae.filter.isDefined || !(ae.aggregateFunction match {
+            case _: Sum | _: Average | _: Min | _: Max | _: Count => true
+            case _ => false
+          })
+        case _ => false
+      })
+    p match {
+      case Project(l, c) if noSubqueryExpr(l) => scanSurfaceCovers(c)
+      case Filter(cond, c) if noSubqueryExpr(Seq(cond)) => scanSurfaceCovers(c)
+      case GlobalLimit(_, c) => scanSurfaceCovers(c)
+      case LocalLimit(_, c) => scanSurfaceCovers(c)
+      case o: Offset => scanSurfaceCovers(o.child)
+      case Sort(_, true, c, _) => scanSurfaceCovers(c)
+      case SubqueryAlias(_, c) => scanSurfaceCovers(c)
+      case Aggregate(g, aggs, c, _)
+          if basic(aggs) && !g.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BaseGroupingSets]) =>
+        scanSurfaceCovers(c)
+      case Join(l, r, Inner | LeftOuter | RightOuter, _, _) =>
+        scanSurfaceCovers(l) && scanSurfaceCovers(r)
+      case _: DataSourceV2Relation | _: DataSourceV2ScanRelation => true
+      case _ => false
+    }
+  }
+
   private def convert(p: LogicalPlan): Option[LogicalPlan] = {
     if (dsv2AlreadyExpresses(p)) return None
     // include plans nested in subquery EXPRESSIONS (EXISTS / IN / scalar):
@@ -82,9 +131,13 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     if (infos.isEmpty || infos.size != leaves.size) return None
     val backend: SqlBackend = infos.head._1
     if (!infos.forall(_._1 eq backend)) return None
-    // dialects the generator can't fully target keep scan-level pushdown
-    // only (e.g. Derby: no LIMIT/OFFSET spelling, no standalone booleans)
+    // dialects the generator can't target at all keep scan-level pushdown
+    // only (unrecognized JDBC drivers)
     if (!backend.dialect.fullSqlGen) return None
+    // remote backends with partitioned scan reads: fuse only subtrees the
+    // scan surface can't express (see scanSurfaceCovers) — fusion there
+    // would downgrade a parallel read to a single-stream fetch
+    if (backend.dialect.scanPreferred && scanSurfaceCovers(p)) return None
 
     val resolver: SqlGen.TableResolver = pl => leafOf(pl).map(_._2)
 

@@ -13,10 +13,16 @@ import graft.plans.SqlGen.Dialect
 
 /** Derby's SQL surface, the dialect divergences that matter for pushdown:
   * ANSI double-quote identifiers, `OFFSET … ROWS FETCH NEXT … ROWS ONLY`
-  * instead of LIMIT/OFFSET, no standalone boolean-literal predicates, no
-  * `IS NOT DISTINCT FROM`. Whole-plan fusion is declined (`fullSqlGen =
-  * false`) — the scan-level pushdown surface (projection, filters, top-N,
-  * aggregates, partition splits) all renders dialect-correctly. */
+  * instead of LIMIT/OFFSET, constructor-form temporal literals, no
+  * `IS NOT DISTINCT FROM`, no FULL JOIN / windows / intervals / agg
+  * FILTER, and a reduced function set. Whole-plan fusion IS enabled
+  * (`fullSqlGen = true`) behind those capability gates — every hook below
+  * was probed against embedded Derby 10.16, so what renders parses, and
+  * what doesn't parse declines at plan time (stays a Spark residual)
+  * instead of erroring at run time. With `scanPreferred = true` the fusion
+  * path triggers only for shapes the DSv2 scan surface cannot push
+  * (semi/anti joins, set ops, DISTINCT/statistical aggregates); plain
+  * project/filter/agg/equi-join trees keep the partitioned parallel scan. */
 case object DerbyDialect extends Dialect {
   def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
   override def limitOffset(limit: Option[Long], offset: Option[Long]): String =
@@ -25,7 +31,55 @@ case object DerbyDialect extends Dialect {
   override def trueLit: String = "(1=1)"
   override def falseLit: String = "(1=0)"
   override def supportsNullSafeEq: Boolean = false
-  override def fullSqlGen: Boolean = false
+  override def fullSqlGen: Boolean = true
+  override def scanPreferred: Boolean = true
+  override def supportsFullJoin: Boolean = false
+  override def supportsAggFilter: Boolean = false
+  override def supportsWindowFunctions: Boolean = false
+  override def supportsIntervals: Boolean = false
+  override def supportsTryCast: Boolean = false
+  /** Probed allowlist (embedded Derby 10.16): notably ABSENT are ROUND,
+    * POWER, REPLACE, SUBSTRING (Derby spells SUBSTR), INSTR (LOCATE),
+    * LPAD/RPAD, LEAST/GREATEST, DATE_TRUNC, CORR, COVAR_SAMP/POP. */
+  private val fns = Set("ABS", "UPPER", "LOWER", "LENGTH", "SQRT", "CEIL",
+    "FLOOR", "YEAR", "MONTH", "DAY", "COALESCE", "TRIM", "LTRIM", "RTRIM",
+    "LN", "EXP", "SIGN", "SIN", "COS", "TAN", "ASIN", "ACOS", "ATAN",
+    "ATAN2", "STDDEV_SAMP", "STDDEV_POP", "VAR_SAMP", "VAR_POP")
+  override def supportsFunction(name: String): Boolean = fns(name)
+  /** Derby's cast matrix, restricted to pairs that also preserve Spark's
+    * semantics: numeric↔numeric (DECIMAL ≤ 31 digits) and temporal↔
+    * temporal. String sources are out (Derby rejects string→numeric and
+    * its string→temporal parse rules differ); string/binary targets are
+    * out (bare VARCHAR needs a length). */
+  override def castAllowed(from: DataType, to: DataType): Boolean = {
+    def numeric(dt: DataType) = dt match {
+      case ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case d: DecimalType => d.precision <= 31
+      case _ => false
+    }
+    def temporal(dt: DataType) = dt == DateType || dt == TimestampType
+    (numeric(from) && numeric(to)) || (temporal(from) && temporal(to))
+  }
+  /** Spark widens SUM(INT)→LONG and AVG(INT)→DOUBLE; Derby keeps the
+    * argument type (AVG(INT) TRUNCATES — probed). Casting the argument
+    * makes both engines accumulate in the same type. Decimal AVG declines:
+    * Derby's result scale rule is undocumented, and a scale mismatch would
+    * silently truncate. */
+  override def sumArg(arg: String, dt: DataType): Option[String] = dt match {
+    case ShortType | IntegerType | LongType => Some(s"CAST($arg AS BIGINT)")
+    case FloatType => Some(s"CAST($arg AS DOUBLE)")
+    case DoubleType => Some(arg)
+    // Spark's sum(decimal(p,s)) is decimal(p+10,s); Derby promotes to its
+    // 31-digit ceiling, so the widened precision must still fit
+    case d: DecimalType if d.precision + 10 <= 31 => Some(arg)
+    case _ => None
+  }
+  override def avgArg(arg: String, dt: DataType): Option[String] = dt match {
+    case ShortType | IntegerType | LongType | FloatType =>
+      Some(s"CAST($arg AS DOUBLE)")
+    case DoubleType => Some(arg)
+    case _ => None
+  }
   override def timestampLit(ts: String): String = s"TIMESTAMP('$ts')"
   override def dateLit(d: String): String = s"DATE('$d')"
   // Derby's CAST compatibility matrix forbids numeric→VARCHAR: a cast

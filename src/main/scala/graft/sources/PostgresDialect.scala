@@ -32,6 +32,28 @@ import graft.plans.SqlGen.Dialect
 case object PostgresDialect extends Dialect {
   def quote(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
 
+  /** A remote JDBC backend: subtrees the DSv2 scan surface can express
+    * keep the partitioned parallel read; whole-plan fusion handles the
+    * rest (semi/anti, set ops, DISTINCT aggregates, windows…). */
+  override def scanPreferred: Boolean = true
+  /** Postgres has no TRY_CAST spelling. */
+  override def supportsTryCast: Boolean = false
+  /** Gaps in the generator's emitted-name surface: INSTR does not exist
+    * (Postgres spells it strpos with swapped args) and ROUND(double, n)
+    * has no two-argument double overload (numeric only — rendering it
+    * would be a runtime error). Everything else the generator emits is
+    * native. */
+  override def supportsFunction(name: String): Boolean =
+    name != "INSTR" && name != "ROUND"
+  /** AVG over integer types yields NUMERIC on Postgres but DOUBLE on
+    * Spark; casting the argument aligns both the wire type and the
+    * accumulation semantics. */
+  override def avgArg(arg: String, dt: DataType): Option[String] = dt match {
+    case ShortType | IntegerType | LongType | FloatType =>
+      Some(s"CAST($arg AS DOUBLE PRECISION)")
+    case other => super.avgArg(arg, other)
+  }
+
   /** `(?p)` = partial newline-sensitivity: `.` and negated brackets stop
     * matching newline (Java's default) while `^`/`$` keep anchoring at
     * string boundaries only (also Java's default — full `(?n)` would move
