@@ -363,20 +363,28 @@ object Dedup {
     // 2-hop propagation — while the expected groups stay SQL-expressible
     // (MIN(doc_id) per text) for DuckDB. The minhash-pair grouping variant
     // stays spec-covered (OpsSpec chain/star cases).
-    "dedup_groups" -> ((s, d) => {
-      val base = Tables.load(s, d, "documents").select("doc_id", "text")
-      val docs = base
-        .unionAll(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        .unionAll(base.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("text").orderBy("doc_id")
-      val pairs = docs
-        .withColumn("next_id", lead(col("doc_id"), 1).over(w))
-        .filter(col("next_id").isNotNull)
-        .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
-      dedupGroups(docs, pairs).orderBy("doc_id")
-    }),
+    "dedup_groups" -> groupsEntry(-1L),
+    // collectThreshold=0 forces the DISTRIBUTED min-label-propagation
+    // branch — the path that actually runs at 100 TB — under the same
+    // oracle as the driver union-find shortcut (chains a→b→c must close
+    // transitively in both)
+    "dedup_groups_dist" -> groupsEntry(0L),
   )
+
+  private def groupsEntry(threshold: Long)
+      : (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
+    val base = Tables.load(s, d, "documents").select("doc_id", "text")
+    val docs = base
+      .unionAll(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(base.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text").orderBy("doc_id")
+    val pairs = docs
+      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
+    dedupGroups(docs, pairs, collectThreshold = threshold).orderBy("doc_id")
+  }
 
   /** DuckDB oracle for every entry — the sketch pipelines (minhash,
     * simhash) use generated SQL that emulates the wrapping 64-bit hash
@@ -450,14 +458,19 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin
     },
     // closure of the planted chains = min doc_id over identical text
-    "dedup_groups" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents
-        |)
-        |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS group_id,
-        |       doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_keep
-        |FROM all_docs ORDER BY doc_id""".stripMargin,
+    "dedup_groups" -> groupsOracle,
+    "dedup_groups_dist" -> groupsOracle,
   )
+
+  /** Shared by both threshold branches: the oracle doesn't care which
+    * closure algorithm ran, only that chains a→b→c collapse to min(id). */
+  private def groupsOracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      |)
+      |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS group_id,
+      |       doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_keep
+      |FROM all_docs ORDER BY doc_id""".stripMargin
 }

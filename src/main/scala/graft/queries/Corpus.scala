@@ -574,6 +574,31 @@ object Corpus {
       .load().orderBy("o_orderkey")
   }
 
+  /** S33 — decimal money end-to-end (SURVEY C7/C13 over DecimalType; the
+    * reference maps NUMERIC → Decimal(38,4), `src/sqldb/postgres/
+    * datatypes.rs:160-162`, but its parquet fixtures are double-typed so
+    * decimals never flow through its tests — here they do). Money columns
+    * cast to DECIMAL(18,4) at the scan, a decimal-literal predicate, and
+    * exact decimal aggregation. Output types are PINNED on both sides
+    * (DECIMAL(38,8) keeps the full product scale, so no rounding step
+    * exists whose half-even/half-up mode could diverge between engines —
+    * decimal arithmetic is exact, making this entry hash-stable in a way
+    * float aggregates are not). */
+  val s33DecimalMoney: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,4)").as("price_dec"),
+        col("l_discount").cast("decimal(18,4)").as("disc_dec"))
+      .filter(col("price_dec") > lit(new java.math.BigDecimal("1000.0000")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("price_dec") * (lit(1) - col("disc_dec")))
+          .cast("decimal(38,8)").as("rev_dec"),
+        min(col("price_dec")).cast("decimal(18,4)").as("min_price"),
+        max(col("disc_dec")).cast("decimal(18,4)").as("max_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** queries keyed for SparkEntry; insertion order = corpus order. */
   val queries: Seq[(String, Q)] = Seq(
     "s01_pricing_summary" -> s01PricingSummary,
@@ -616,6 +641,7 @@ object Corpus {
     "s30_pivot" -> s30Pivot,
     "s31_catalog" -> s31Catalog,
     "s32_federated_write" -> s32FederatedWrite,
+    "s33_decimal_money" -> s33DecimalMoney,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -842,5 +868,16 @@ object Corpus {
     "s32_federated_write" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "s33_decimal_money" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
+        |            AS DECIMAL(38,8)) AS rev_dec,
+        |       CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_price,
+        |       CAST(MAX(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_disc,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE CAST(l_extendedprice AS DECIMAL(18,4)) > 1000.0000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -257,6 +257,11 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     case _ => None
   }
 
+  /** Statistical V2 aggregates with a shared SQL spelling; availability is
+    * still per-dialect via `supportsFunction` (Derby lacks CORR/COVAR). */
+  private val StatAggNames = Set("STDDEV_SAMP", "STDDEV_POP", "VAR_SAMP",
+    "VAR_POP", "CORR", "COVAR_SAMP", "COVAR_POP")
+
   /** Translate a V2 Aggregation to (select items, GROUP BY items, result
     * schema); None if any piece is beyond the backend's negotiated
     * surface. Memoized per Aggregation instance: Spark calls
@@ -305,6 +310,21 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
             val dist = if (a.isDistinct) "DISTINCT " else ""
             (s"AVG($dist${d.quote(n)})", org.apache.spark.sql.types.DoubleType)
           }
+        // statistical aggregates, name-gated per dialect (Derby 10.16 has
+        // the STDDEV/VAR family but not CORR/COVAR — probed; Spark offers
+        // these only under complete pushdown, so there is no partial-agg
+        // merge problem). DOUBLE columns only: on integer inputs Spark
+        // wraps the child in a cast, which fieldOf declines anyway.
+        case (g: GeneralAggregateFunc, _)
+            if StatAggNames(g.name) && !g.isDistinct &&
+              g.orderingWithinGroups.isEmpty && d.supportsFunction(g.name) =>
+          val cols = g.children.toSeq.map(fieldOf)
+          for {
+            ns <- if (cols.exists(_.isEmpty)) None else Some(cols.flatten)
+            if ns.nonEmpty &&
+              ns.forall(n => fieldType(n).contains(org.apache.spark.sql.types.DoubleType))
+          } yield (s"${g.name}(${ns.map(d.quote).mkString(", ")})",
+            org.apache.spark.sql.types.DoubleType)
         case _ => None
       }
     if (aggItems.exists(_.isEmpty)) return None

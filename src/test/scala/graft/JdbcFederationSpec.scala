@@ -168,6 +168,30 @@ class JdbcFederationSpec extends AnyFunSuite {
     assert(got == Map(Some(true) -> 50L, Some(false) -> 50L, None -> 1L))
   }
 
+  test("statistical aggregates push scan-level where the dialect has them") {
+    // Derby 10.16 has the STDDEV/VAR family (probed) but not CORR/COVAR —
+    // the per-name dialect gate decides per aggregate
+    val df = remote("acct").agg(stddev_samp(col("bal")).as("sd"),
+      var_pop(col("bal")).as("vp"))
+    val sql = graftScan(df).renderedSql
+    assert(sql.contains("STDDEV_SAMP(\"bal\")") && sql.contains("VAR_POP(\"bal\")"), sql)
+    val want = spark.range(1, 101).select((col("id") * 1.5).as("bal"))
+      .agg(stddev_samp(col("bal")), var_pop(col("bal"))).collect().head
+    val got = df.collect().head
+    // Derby's accumulation order differs — compare to relative 1e-9
+    assert(math.abs(got.getDouble(0) - want.getDouble(0)) < 1e-9 * want.getDouble(0))
+    assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-9 * want.getDouble(1))
+
+    // CORR is off Derby's surface: the aggregate must stay in Spark (the
+    // scan fetches the bare column, no pushed CORR), and still answer
+    // correctly. (Plan-string check: this plan shuffles, so AQE wraps it
+    // and the scan node is not collectible pre-execution.)
+    val dfc = remote("acct").agg(corr(col("bal"), col("bal")).as("c"))
+    val plan = dfc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CORR(") && plan.contains("SELECT \"bal\" FROM \"acct\""), plan)
+    assert(math.abs(dfc.collect().head.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("executor-side write: commit messages carry counts, rows are durable per task") {
     backend.executeUpdate(
       """CREATE TABLE "sink" ("k" INTEGER, "v" VARCHAR(32672))""")
@@ -212,6 +236,34 @@ class JdbcFederationSpec extends AnyFunSuite {
         (0L until 500L).map(_ * 2.5).sum)
       assert(back.rdd.getNumPartitions > 1) // PK range split on read-back
     } finally backend.executeUpdate("""DROP TABLE "rt"""")
+  }
+
+  test("decimal column write + read-back round-trip preserves type and value") {
+    // closes the reference's type matrix end-to-end (NUMERIC ↔ Decimal,
+    // `datatypes.rs:160-162`): discovery maps Derby DECIMAL(12,2) →
+    // DecimalType(12,2), the INSERT renders exact decimal literals, and
+    // the read decodes getBigDecimal — no double hop anywhere
+    backend.executeUpdate(
+      """CREATE TABLE "money" ("id" INTEGER NOT NULL PRIMARY KEY, "amt" DECIMAL(12,2))""")
+    try {
+      val rows = (1 to 200).map(i =>
+        org.apache.spark.sql.Row(i, new java.math.BigDecimal(s"$i.${10 + i % 90}")))
+      val schema = StructType(Seq(StructField("id", IntegerType, false),
+        StructField("amt", DecimalType(12, 2))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema)
+      df.write.format("graft-sqldb").option("url", Url)
+        .option("table", "money").mode("append").save()
+      val back = remote("money")
+      assert(back.schema("amt").dataType == DecimalType(12, 2))
+      // exact sum in decimal — any literal-rendering or decode drift fails
+      val want = rows.map(_.get(1).asInstanceOf[java.math.BigDecimal])
+        .reduce(_ add _)
+      assert(back.agg(sum(col("amt"))).collect().head
+        .getDecimal(0).compareTo(want) == 0)
+      val r7 = back.filter(col("id") === 7).collect().head
+      assert(r7.getDecimal(1).compareTo(new java.math.BigDecimal("7.17")) == 0)
+    } finally backend.executeUpdate("""DROP TABLE "money"""")
   }
 
   test("composite-PK table splits via outer-level ORDER BY + OFFSET/FETCH, exactly once") {
