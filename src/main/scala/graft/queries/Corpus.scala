@@ -599,6 +599,40 @@ object Corpus {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** S34 — runtime-pruned federated join (VERDICT r5 §next 8): the FACT
+    * side is a federated scan (`graft-sqldb`), the dim side a selective
+    * parquet filter; Spark's dynamic-pruning planning hands the dim's join
+    * keys to the scan as a runtime V2 filter, which renders into the
+    * backend SQL as `l_orderkey IN (…)` — the backend then never produces
+    * the non-qualifying fact rows at all. At 100 TB this is the difference
+    * between shipping the whole fact table over the wire and shipping the
+    * ~20% that joins. Runs in its own session: the view-double backend has
+    * no partition statistics, so DPP's benefit heuristic is conf-forced
+    * (a real backend's catalog row counts make it automatic); session
+    * isolation keeps that conf from touching other entries' plans.
+    * `FederationSpec`/`CorpusSpec` assert the IN-list actually reaches the
+    * backend; this entry makes the same path a BENCH line. */
+  val s34RuntimePrunedJoin: Q = (spark0, dir) => {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10000")
+    val fact = spark.read.format("graft-sqldb").option("dir", dir)
+      .option("table", "lineitem").load()
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val dim = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      // prices carry exactly 2 decimals, so the TRUE sum has 2 decimals;
+      // rounding the float sum there erases the ~1e-7 partial-sum-order
+      // difference between Spark and the oracle (sum_qty is integer-valued
+      // and already exact)
+      .agg(sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
   /** queries keyed for SparkEntry; insertion order = corpus order. */
   val queries: Seq[(String, Q)] = Seq(
     "s01_pricing_summary" -> s01PricingSummary,
@@ -642,6 +676,7 @@ object Corpus {
     "s31_catalog" -> s31Catalog,
     "s32_federated_write" -> s32FederatedWrite,
     "s33_decimal_money" -> s33DecimalMoney,
+    "s34_runtime_pruned_join" -> s34RuntimePrunedJoin,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -879,5 +914,11 @@ object Corpus {
         |FROM lineitem
         |WHERE CAST(l_extendedprice AS DECIMAL(18,4)) > 1000.0000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s34_runtime_pruned_join" ->
+      """SELECT o_orderpriority, SUM(l_quantity) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
   )
 }

@@ -519,6 +519,21 @@ class FederationSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("s34 bench entry drives the runtime IN filter into the backend SQL") {
+    // the BENCH-visible twin of the DPP spec above: the driver-oracle
+    // entry itself (own session, conf-forced benefit heuristic) must
+    // reach the backend with a pruned fact query
+    import scala.jdk.CollectionConverters._
+    val backend = graft.sources.SparkViewBackend.forDir(TestSpark.Sf0001)
+    backend.sqlLog.clear()
+    val df = SparkEntry.queries("s34_runtime_pruned_join")(spark, TestSpark.Sf0001)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "1-URGENT")
+    assert(backend.sqlLog.asScala.exists(_.contains("`l_orderkey` IN (")),
+      "no runtime IN filter reached the backend:\n" +
+        backend.sqlLog.asScala.mkString("\n"))
+  }
+
   test("runtime filters are refused on a fully-pushed top-N scan (DPP cannot change the top-N)") {
     import scala.jdk.CollectionConverters._
     val backend = graft.sources.SparkViewBackend.forDir(TestSpark.Sf0001)
