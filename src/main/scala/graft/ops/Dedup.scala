@@ -301,11 +301,17 @@ object Dedup {
         val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
           .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
           .persist(lvl)
+        // localCheckpoint (not persist): each round's result becomes a
+        // LogicalRDD LEAF, so the next round's plan is O(1) regardless of
+        // iteration count. With persist alone the logical plan still nests
+        // the whole history — the jump self-join would DOUBLE it per round,
+        // and driver-side analysis grows from ~1 s to ~30 s by round 5
+        // (measured at sf0.1). On a fault-tolerant cluster run, swap for
+        // reliable `checkpoint()` against the configured checkpoint dir —
+        // same lineage truncation, executor-loss-safe.
         var lab = edges.select(col("src").as("id")).distinct()
           .withColumn("label", col("id"))
-        // track the actual persisted handle: unpersisting a Project over a
-        // cached plan is a no-op, so unpersist the cached DataFrame itself
-        var cachedHandle: DataFrame = lab.persist(lvl)
+          .localCheckpoint()
         var changed = 1L
         var i = 0
         while (changed > 0 && i < maxIter) {
@@ -313,25 +319,34 @@ object Dedup {
             .join(lab.select(col("id").as("dst"), col("label")), Seq("dst"))
             .groupBy(col("src").as("id"))
             .agg(min("label").as("nlabel"))
+          // pointer jump: also adopt the label OF my current label
+          // (labels are node ids, so it's a self-join). Plain neighbor
+          // propagation moves a min one hop per round — O(diameter), and
+          // near-dup chains from sequential pair generators can be tens of
+          // hops long. The jump halves the remaining distance each round
+          // instead: O(log diameter). Same fixpoint (at convergence every
+          // edge and every label pointer is label-constant, so each
+          // component is uniformly labeled with its min id).
+          val jump = lab.select(col("id").as("label"), col("label").as("jlabel"))
           val updated = lab
             .join(neighborMin, Seq("id"), "left")
+            .join(jump, Seq("label"), "left")
             .select(col("id"), col("label").as("old"),
-              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-            .persist(lvl)
+              least(col("label"), coalesce(col("nlabel"), col("label")),
+                coalesce(col("jlabel"), col("label"))).as("label"))
+            .localCheckpoint() // eager: materializes + truncates lineage
           changed = updated.filter(col("label") =!= col("old")).count()
-          cachedHandle.unpersist() // materialized `updated` no longer needs it
-          cachedHandle = updated
           lab = updated.select("id", "label")
           i += 1
         }
         if (changed > 0)
           System.err.println(s"[dedupGroups] WARNING: label propagation hit " +
-            s"maxIter=$maxIter before convergence — components wider than " +
-            s"$maxIter hops are split; raise maxIter")
+            s"maxIter=$maxIter before convergence — with pointer jumping " +
+            s"that bounds component diameter at ~2^$maxIter hops; raise maxIter")
         edges.unpersist()
-        // the final round's cache stays pinned until the session drops it:
-        // the returned plan's lineage runs through every round, so
-        // unpersisting here would force a full recompute at consumption
+        // `lab` is the final round's localCheckpoint — a materialized
+        // LogicalRDD leaf, so consumers neither recompute the loop nor
+        // carry its lineage; the blocks free with the reference
         lab
       }
 

@@ -115,6 +115,18 @@ object SqlGen {
       * faithful rendering on this backend and stays in Spark. */
     def sumArg(arg: String, dt: DataType): Option[String] = Some(arg)
     def avgArg(arg: String, dt: DataType): Option[String] = Some(arg)
+    /** LISTAGG rendering (C13's string-concatenation aggregate; the
+      * reference's Postgres target spells it string_agg). Inputs are
+      * pre-rendered SQL; `order` items carry direction + null ordering.
+      * Default is the STRING_AGG(x, sep ORDER BY …) spelling shared by
+      * DuckDB and Postgres; Spark overrides with LISTAGG … WITHIN GROUP;
+      * Derby 10.16 has neither spelling (probed) and returns None. */
+    def listAgg(distinct: Boolean, arg: String, delim: String,
+        order: Seq[String]): Option[String] = {
+      val d = if (distinct) "DISTINCT " else ""
+      val o = if (order.isEmpty) "" else s" ORDER BY ${order.mkString(", ")}"
+      Some(s"STRING_AGG($d$arg, $delim$o)")
+    }
     /** True for remote backends whose DSv2 scan path (partitioned parallel
       * reads, runtime filtering, statistics) should keep every subtree the
       * scan surface can already express; whole-plan fusion then triggers
@@ -133,6 +145,12 @@ object SqlGen {
       Some(s"($subject RLIKE $pattern)")
     // ...and identical DDL: Spark's own type spellings round-trip exactly
     override def typeName(dt: DataType): Option[String] = Some(dt.sql)
+    override def listAgg(distinct: Boolean, arg: String, delim: String,
+        order: Seq[String]): Option[String] = {
+      val d = if (distinct) "DISTINCT " else ""
+      val wg = if (order.isEmpty) "" else s" WITHIN GROUP (ORDER BY ${order.mkString(", ")})"
+      Some(s"LISTAGG($d$arg, $delim)$wg")
+    }
   }
 
   final case class Unsupported(what: String) {
@@ -624,6 +642,14 @@ object SqlGen {
         case Corr(l, r, _) => statFn("CORR", l, r)
         case CovSample(l, r, _) => statFn("COVAR_SAMP", l, r)
         case CovPopulation(l, r, _) => statFn("COVAR_POP", l, r)
+        case la: ListAgg =>
+          for {
+            a <- expr(la.child)
+            dl <- expr(la.delimiter)
+            os <- sequence(la.orderExpressions.map(sortItem))
+            out <- dial.listAgg(ae.isDistinct, a, dl, os)
+              .toRight(Unsupported("LISTAGG on this dialect"))
+          } yield out
         case other => Left(Unsupported(s"aggregate ${other.prettyName}"))
       }
       // agg FILTER (WHERE pred) — shared by Spark, DuckDB, and Postgres

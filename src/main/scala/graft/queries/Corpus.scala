@@ -633,6 +633,17 @@ object Corpus {
         count(lit(1)).as("n"))
   }
 
+  /** S35 — LISTAGG / string_agg (SURVEY C13's string-concatenation
+    * aggregate; the reference's Postgres target spells it string_agg).
+    * WITHIN GROUP ordering makes the concatenation deterministic — an
+    * unordered listagg would be partition-order-dependent and can never
+    * be oracle-checked. */
+  val s35ListAggSql: String =
+    """SELECT n_regionkey,
+      |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+      |       count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   /** queries keyed for SparkEntry; insertion order = corpus order. */
   val queries: Seq[(String, Q)] = Seq(
     "s01_pricing_summary" -> s01PricingSummary,
@@ -677,6 +688,7 @@ object Corpus {
     "s32_federated_write" -> s32FederatedWrite,
     "s33_decimal_money" -> s33DecimalMoney,
     "s34_runtime_pruned_join" -> s34RuntimePrunedJoin,
+    "s35_listagg" -> sqlQ(s35ListAggSql),
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -920,5 +932,10 @@ object Corpus {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+    "s35_listagg" ->
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |       COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
   )
 }

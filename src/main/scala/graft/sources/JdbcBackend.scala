@@ -82,6 +82,9 @@ case object DerbyDialect extends Dialect {
   }
   override def timestampLit(ts: String): String = s"TIMESTAMP('$ts')"
   override def dateLit(d: String): String = s"DATE('$d')"
+  // no LISTAGG or STRING_AGG spelling at all in 10.16 (probed)
+  override def listAgg(distinct: Boolean, arg: String, delim: String,
+      order: Seq[String]): Option[String] = None
   // Derby's CAST compatibility matrix forbids numeric→VARCHAR: a cast
   // target may only render when EVERY source Spark would upcast from is
   // legal for it on Derby. Spark upcasts any atomic to string, so

@@ -221,6 +221,23 @@ class SqlGenSpec extends AnyFunSuite {
     roundTrip(df)
   }
 
+  test("listagg renders WITHIN GROUP on Spark, STRING_AGG on Ansi, declines on Derby") {
+    Tables.registerAll(spark, TestSpark.Sf0001)
+    val df = spark.sql(
+      "SELECT n_regionkey, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names " +
+        "FROM nation GROUP BY n_regionkey")
+    val sparkSql = SqlGen(df.queryExecution.analyzed,
+      dialect = SqlGen.SparkSqlDialect).toOption.get
+    assert(sparkSql.contains("LISTAGG(") && sparkSql.contains("WITHIN GROUP"), sparkSql)
+    roundTrip(df)
+    // DuckDB/Postgres spelling
+    val ansiSql = SqlGen(df.queryExecution.analyzed, dialect = SqlGen.Ansi).toOption.get
+    assert(ansiSql.contains("STRING_AGG(") && ansiSql.contains("ORDER BY"), ansiSql)
+    // Derby 10.16 has neither spelling — the subtree must stay in Spark
+    assert(SqlGen(df.queryExecution.analyzed,
+      dialect = graft.sources.DerbyDialect).isLeft)
+  }
+
   test("left anti join renders NOT EXISTS") {
     val df = t("customer")
       .join(t("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
