@@ -25,6 +25,7 @@ object SparkEntry {
       graft.ops.Multimodal.entries ++
       graft.ops.TemporalJoins.entries ++
       graft.ops.Skew.entries ++
+      graft.plans.MaterializedViews.entries ++
       graft.streaming.EventStreams.entries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.ops.Multimodal.oracle ++
       graft.ops.TemporalJoins.oracle ++
       graft.ops.Skew.oracle ++
+      graft.plans.MaterializedViews.oracle ++
       graft.streaming.EventStreams.oracle).toMap
 }

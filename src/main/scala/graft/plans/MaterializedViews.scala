@@ -1,0 +1,381 @@
+package graft.plans
+
+import java.io.File
+import java.security.MessageDigest
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Aggregate materialized views with transparent roll-up rewrite — the
+  * classic OLAP accelerant (the reference's RDBMS targets ship it as
+  * CREATE MATERIALIZED VIEW; Spark has no built-in equivalent, so this is
+  * a custom `Rule[LogicalPlan]` per the brief's extension ladder).
+  *
+  * A view pre-aggregates a base file-source table by a dimension set,
+  * storing per measure the four derivable partials (SUM/COUNT/MIN/MAX)
+  * plus COUNT(*). [[MvRewriteRule]] then rewrites any query aggregate
+  * over the SAME base whose group-by columns are a subset of the view's
+  * dimensions, whose filters touch only dimensions, and whose aggregates
+  * are derivable (SUM→SUM of sums, COUNT→SUM of counts, MIN/MAX→MIN/MAX,
+  * AVG→SUM/SUM) into a roll-up over the view scan.
+  *
+  * The 100 TB story: a fact table at that scale is ~10^12 rows; a
+  * dimensional roll-up is bounded by the dimension-value cross product
+  * (here |returnflag|×|linestatus| = 3×2 = 6 rows at ANY
+  * fact scale), so every matching dashboard/report query drops from a
+  * full parquet scan + shuffle to a sub-second scan of kilobytes. The
+  * rewrite is correctness-preserving by construction (partial aggregates
+  * re-aggregate associatively); anything outside the derivable surface —
+  * non-dimension filters, DISTINCT, measure expressions the view never
+  * recorded — declines and runs against the base table unchanged.
+  *
+  * Staleness contract (same as every MV system): the view is a snapshot;
+  * [[MaterializedViews.ensure]] fingerprints the base files (path, size,
+  * mtime) into the view location, so a changed base auto-invalidates at
+  * the next ensure(); writes to the base between ensure() calls are the
+  * user's refresh responsibility. */
+final case class MvDef(
+    name: String,
+    basePaths: Set[String],
+    dims: Set[String],
+    /** normalized measure-expression key → measure alias `k`; the view
+      * stores sum_k / cnt_k / min_k / max_k for each. */
+    measureKeys: Map[String, String],
+    mvPath: String)
+
+object MaterializedViews {
+
+  private val defs = TrieMap.empty[String, MvDef] // keyed by mvPath
+  private val relCache = TrieMap.empty[(SparkSession, String), LogicalRelation]
+
+  private[plans] def isEmpty: Boolean = defs.isEmpty
+  private[plans] def candidatesFor(paths: Set[String]): Seq[MvDef] =
+    defs.values.filter(_.basePaths == paths).toSeq
+
+  /** Structural expression key, exprId-free: two expressions over the same
+    * base relation get equal keys iff they are the same tree over the same
+    * column names. Order-sensitive on purpose — a commuted operand order
+    * declines the rewrite (safe) rather than risking a false match. Keys
+    * are computed from OPTIMIZED expressions on both sides, so constant
+    * folding (e.g. a cast-wrapped literal) normalizes identically at
+    * record time and match time. */
+  private[plans] def exprKey(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case al: Alias => exprKey(al.child)
+    case l: Literal => String.valueOf(l.value) + ":" + l.dataType.simpleString
+    case _ =>
+      e.getClass.getSimpleName +
+        e.children.map(exprKey).mkString("(", ",", ")")
+  }
+
+  private def relationPaths(p: LogicalPlan): Option[Set[String]] = p match {
+    case s: SubqueryAlias => relationPaths(s.child)
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Fingerprint of the base table's files — (path, length, mtime) per
+    * file — plus the view definition. Lands in the view's storage path, so
+    * re-ensure() over changed data computes a fresh view instead of
+    * serving a stale one. */
+  private def fingerprint(basePaths: Set[String], dims: Seq[String],
+      measureKeys: Seq[(String, String)]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    def feedFile(f: File): Unit =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(feedFile)
+      else feed(s"${f.getPath}:${f.length}:${f.lastModified};")
+    basePaths.toSeq.sorted.foreach { p =>
+      feed(p)
+      val local = p.stripPrefix("file:")
+      val f = new File(local)
+      if (f.exists) feedFile(f)
+    }
+    dims.foreach(feed)
+    measureKeys.foreach { case (k, v) => feed(s"$k=$v;") }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Create (or reuse, when the fingerprinted parquet already exists) a
+    * materialized view and register it for rewrite. `base` must be a
+    * plain file-source table scan; `measures` are (alias, expression)
+    * pairs over the base columns. Idempotent across JVMs: the view path
+    * encodes the definition + base-file fingerprint, and an existing
+    * `_SUCCESS` marker skips recompute. */
+  def ensure(spark: SparkSession, name: String, base: DataFrame,
+      dims: Seq[String], measures: Seq[(String, Column)]): MvDef = synchronized {
+    require(dims.nonEmpty && measures.nonEmpty, "need dims and measures")
+    val reserved = Set("cnt") ++ measures.flatMap { case (k, _) =>
+      Seq(s"sum_$k", s"cnt_$k", s"min_$k", s"max_$k") }
+    require(dims.forall(d => !reserved.contains(d)),
+      s"dimension names collide with derived measure columns: $reserved")
+    val basePaths = relationPaths(base.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException(
+        "materialized-view base must be a plain file-source table scan"))
+    // measure keys from the OPTIMIZED projection — the same constant
+    // folding the rewrite rule sees at match time
+    val measureKeys: Seq[(String, String)] =
+      base.select(measures.map { case (k, c) => c.as(k) }: _*)
+        .queryExecution.optimizedPlan match {
+        case Project(pl, _) => pl.map {
+          case al: Alias => exprKey(al.child) -> al.name
+          case other => exprKey(other) -> other.name
+        }
+        case other => throw new IllegalStateException(
+          s"unexpected measure plan shape: ${other.nodeName}")
+      }
+    val fp = fingerprint(basePaths, dims, measureKeys)
+    val mvPath = new File(new File(
+      sys.props("java.io.tmpdir"), "graft-mv"), s"$name-$fp").getPath
+    if (!new File(mvPath, "_SUCCESS").exists()) {
+      val aggCols = count(lit(1)).as("cnt") +: measures.flatMap { case (k, c) =>
+        Seq(sum(c).as(s"sum_$k"), count(c).as(s"cnt_$k"),
+          min(c).as(s"min_$k"), max(c).as(s"max_$k")) }
+      base.groupBy(dims.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    // a re-ensure over changed base data gets a new fingerprint: retire
+    // same-name defs pointing at older snapshots of the same base
+    defs.filterInPlace((_, d) => !(d.name == name && d.basePaths == basePaths &&
+      d.mvPath != mvPath))
+    val d = MvDef(name, basePaths, dims.toSet, measureKeys.toMap, mvPath)
+    defs.put(mvPath, d)
+    d
+  }
+
+  /** Drop a view from the rewrite registry (its parquet stays on disk). */
+  def drop(name: String): Unit =
+    defs.filterInPlace((_, d) => d.name != name)
+
+  /** A fresh-exprId copy of the view's relation for splicing into a query
+    * plan (two rewrites in one plan must not share attribute ids). */
+  private[plans] def freshRelation(spark: SparkSession,
+      mvPath: String): LogicalRelation = {
+    val base = relCache.getOrElseUpdate((spark, mvPath),
+      spark.read.parquet(mvPath).queryExecution.analyzed match {
+        case l: LogicalRelation => l
+        case other => throw new IllegalStateException(
+          s"unexpected view plan: ${other.nodeName}")
+      })
+    base.newInstance()
+  }
+
+  /** Runtime installation on an existing session (mirrors
+    * [[GraftExtensions.install]]). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule
+
+  // ---- driver-oracle entries -------------------------------------------
+
+  private def discPrice: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** The oracle entry runs the query against the BASE table; the installed
+    * rewrite serves it from the 42-row view. `MaterializedViewSpec` pins
+    * that the plan actually scans the view — without that, a silently
+    * dead rewrite would still pass this oracle. */
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "mv_rollup" -> ((spark0: SparkSession, dir: String) => {
+      val spark = spark0.newSession() // scope the rewrite rule to the entry
+      install(spark)
+      val li = graft.Tables.load(spark, dir, "lineitem")
+      ensure(spark, "li_pricing", li,
+        dims = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          "qty" -> col("l_quantity"),
+          "price" -> col("l_extendedprice"),
+          "disc_price" -> discPrice))
+      import org.apache.spark.sql.functions.avg
+      li.filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          sum(discPrice).as("sum_disc_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }))
+
+  val oracle: Seq[(String, String)] = Seq(
+    "mv_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       AVG(l_extendedprice) AS avg_price,
+        |       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |       MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}
+
+/** Rewrites derivable aggregates over a registered base table into
+  * roll-ups over the materialized view. Declines (leaves the plan
+  * untouched) on anything outside the provably-derivable surface. */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MaterializedViews.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** Aggregate(child = [attr-only Project | deterministic Filter |
+    * SubqueryAlias]* over a file-source relation) → filters + leaf. */
+  private def destructure(p: LogicalPlan,
+      filters: List[Expression]): Option[(List[Expression], LogicalRelation)] =
+    p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        destructure(c, filters)
+      case Filter(cond, c) if cond.deterministic &&
+          cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+        destructure(c, cond :: filters)
+      case s: SubqueryAlias => destructure(s.child, filters)
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        Some((filters, l))
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (filters, leaf) = destructure(agg.child, Nil).getOrElse(return None)
+    val paths = leaf.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.map(_.toString).toSet
+    val candidates = MaterializedViews.candidatesFor(paths)
+    if (candidates.isEmpty) return None
+    candidates.view.flatMap(tryOne(agg, filters, _)).headOption
+  }
+
+  private def tryOne(agg: Aggregate, filters: List[Expression],
+      mv: MvDef): Option[LogicalPlan] = {
+    // group-by columns must be plain dimension attributes
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if mv.dims.contains(a.name) => a
+      case _ => return None
+    }
+    val groupNames = groupAttrs.map(_.name).toSet
+    // filters may touch dimensions only (a filter on a measure would need
+    // pre-aggregation rows the view no longer has)
+    if (!filters.forall(_.references.forall(a => mv.dims.contains(a.name))))
+      return None
+
+    val spark = SparkSession.active
+    val mvRel = MaterializedViews.freshRelation(spark, mv.mvPath)
+    val mvAttr: Map[String, Attribute] = mvRel.output.map(a => a.name -> a).toMap
+    // the view must carry every referenced column (schema drift guard)
+    def attr(name: String): Option[Attribute] = mvAttr.get(name)
+
+    def sumOf(a: Attribute): Expression =
+      Sum(a).toAggregateExpression()
+    def measureOf(e: Expression): Option[String] =
+      mv.measureKeys.get(MaterializedViews.exprKey(e))
+    // an ungrouped COUNT over an empty (or fully filtered) view must be 0,
+    // not the NULL an empty SUM yields
+    def countGuard(e: Expression): Expression =
+      if (agg.groupingExpressions.isEmpty) Coalesce(Seq(e, Literal(0L))) else e
+
+    def rewriteAggExpr(ae: AggregateExpression): Option[Expression] = {
+      if (ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
+          attr("cnt").map(a => countGuard(sumOf(a)))
+        case Count(Seq(e)) if !ae.isDistinct =>
+          measureOf(e).flatMap(k => attr(s"cnt_$k")).map(a => countGuard(sumOf(a)))
+        case s: Sum if !ae.isDistinct =>
+          measureOf(s.child).flatMap(k => attr(s"sum_$k")).flatMap { a =>
+            // re-summing keeps the eval context (ANSI overflow etc.); cast
+            // recovers the exact query type where SUM widens per level
+            // (decimal); totals fit by the query's own type contract
+            val re = s.withNewChildren(Seq(a))
+              .asInstanceOf[Sum].toAggregateExpression()
+            if (re.dataType == ae.dataType) Some(re)
+            else if (Cast.canCast(re.dataType, ae.dataType))
+              Some(Cast(re, ae.dataType))
+            else None
+          }
+        case m: Min => // DISTINCT is a no-op for MIN/MAX
+          measureOf(m.child).flatMap(k => attr(s"min_$k"))
+            .map(a => Min(a).toAggregateExpression())
+        case m: Max =>
+          measureOf(m.child).flatMap(k => attr(s"max_$k"))
+            .map(a => Max(a).toAggregateExpression())
+        case a: Average if !ae.isDistinct && ae.dataType == DoubleType =>
+          // AVG(double) = SUM(sum_k)/SUM(cnt_k); null semantics line up:
+          // a group with no non-null measure has sum_k NULL → NULL, and
+          // cnt_k > 0 whenever sum_k is non-null (no 0-divisor case)
+          measureOf(a.child).flatMap { k =>
+            (attr(s"sum_$k"), attr(s"cnt_$k")) match {
+              case (Some(s), Some(c)) => Some(Divide(
+                Cast(sumOf(s), DoubleType), Cast(sumOf(c), DoubleType)))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAggExpr(ae)
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        attr(a.name)
+      case _: AttributeReference => None
+      case l: Literal => Some(l)
+      case _ if !e.deterministic => None
+      case _ =>
+        val kids = e.children.map(rewriteExpr)
+        if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        attr(a.name) match {
+          case Some(ma) => Alias(ma, a.name)(exprId = a.exprId)
+          case None => return None
+        }
+      case al: Alias =>
+        rewriteExpr(al.child) match {
+          case Some(e) => Alias(e, al.name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    // output contract: same exprIds and types as the plan we replace
+    if (newAggExprs.map(_.dataType) != agg.aggregateExpressions.map(_.dataType))
+      return None
+    val newGroup = groupAttrs.map(a => attr(a.name) match {
+      case Some(ma) => ma
+      case None => return None
+    })
+    val newFilters = filters.map { f =>
+      f.transform { case a: AttributeReference => mvAttr(a.name) }
+    }
+    // explicit pruning Project: this rule runs after ColumnPruning, so
+    // nothing downstream would otherwise narrow the view scan
+    val needed = AttributeSet(newAggExprs.flatMap(_.references) ++
+      newFilters.flatMap(_.references) ++ newGroup)
+    val pruned = Project(mvRel.output.filter(needed.contains), mvRel)
+    val filtered = newFilters.foldLeft(pruned: LogicalPlan)(
+      (p, c) => Filter(c, p))
+    val out = Aggregate(newGroup, newAggExprs, filtered)
+    if (out.resolved) Some(out) else None
+  }
+}

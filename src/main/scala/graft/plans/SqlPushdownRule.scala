@@ -158,6 +158,7 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
   * [[GraftExtensions.install]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => MvRewriteRule)
     e.injectOptimizerRule(_ => SqlPushdownRule)
     e.injectPlannerStrategy(_ => PushedSqlStrategy)
   }
@@ -166,6 +167,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Runtime installation on an existing session. */
   def install(spark: SparkSession): Unit = {
+    MaterializedViews.install(spark)
     if (!spark.experimental.extraOptimizations.contains(SqlPushdownRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SqlPushdownRule

@@ -1,0 +1,185 @@
+package graft
+
+import graft.plans.MaterializedViews
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized-view roll-up rewrite: positive cases must SCAN THE VIEW
+  * (not just return correct rows — a dead rewrite returns correct rows
+  * too), negative cases must keep scanning the base table. */
+class MaterializedViewSpec extends AnyFunSuite {
+
+  // the rewrite rule is session-scoped; keep it off the shared session so
+  // other suites' aggregates are never rewritten under them
+  private lazy val spark: SparkSession = {
+    val s = TestSpark.spark.newSession()
+    MaterializedViews.install(s)
+    s
+  }
+  private lazy val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+
+  private def discPrice =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  private lazy val mv = MaterializedViews.ensure(spark, "spec_li", li,
+    dims = Seq("l_returnflag", "l_linestatus"),
+    measures = Seq(
+      "qty" -> col("l_quantity"),
+      "price" -> col("l_extendedprice"),
+      "disc_price" -> discPrice))
+
+  // read paths from the optimized LOGICAL plan: the physical tree hides
+  // its file scans behind AdaptiveSparkPlanExec until execution
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def scansView(df: DataFrame): Boolean = {
+    val ps = scannedPaths(df)
+    ps.nonEmpty && ps.forall(_.contains("graft-mv"))
+  }
+
+  private def assertSameAsBase(df: DataFrame, base: => DataFrame): Unit = {
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val want = base.collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  /** The same query text against a session WITHOUT the rewrite rule. */
+  private def baseline(q: DataFrame => DataFrame): DataFrame =
+    q(Tables.load(TestSpark.spark, TestSpark.Sf0001, "lineitem"))
+
+  test("roll-up over fewer dims scans the view and matches the base") {
+    mv
+    def q(t: DataFrame): DataFrame = t
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        count(lit(1)).as("n"))
+    val df = q(li)
+    assert(scansView(df), df.queryExecution.executedPlan.toString)
+    assertSameAsBase(df, baseline(q))
+  }
+
+  test("dimension-only filter is applied against the view") {
+    mv
+    def q(t: DataFrame): DataFrame = t
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(sum(discPrice).as("sum_disc_price"), count(lit(1)).as("n"))
+    val df = q(li)
+    assert(scansView(df), df.queryExecution.executedPlan.toString)
+    assertSameAsBase(df, baseline(q))
+  }
+
+  test("AVG derives as SUM/SUM with matching null semantics") {
+    mv
+    def q(t: DataFrame): DataFrame = t
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(avg("l_extendedprice").as("avg_price"),
+        avg("l_quantity").as("avg_qty"))
+    val df = q(li)
+    assert(scansView(df), df.queryExecution.executedPlan.toString)
+    // doubles: compare at oracle precision (re-associated sums)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      math.round(r.getDouble(2) * 1e6), math.round(r.getDouble(3) * 1e6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = baseline(q).collect().map(r => (r.getString(0), r.getString(1),
+      math.round(r.getDouble(2) * 1e6), math.round(r.getDouble(3) * 1e6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+  }
+
+  test("ungrouped COUNT over a fully-filtered view is 0, not NULL") {
+    mv
+    val df = li.filter(col("l_linestatus") === "NO_SUCH_STATUS")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    assert(scansView(df), df.queryExecution.executedPlan.toString)
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1)) // empty SUM stays NULL (matches base semantics)
+  }
+
+  test("grouping column appears in output with its original exprId intact") {
+    mv
+    // ORDER BY above the aggregate references the pre-rewrite attribute;
+    // resolution after rewrite proves the exprIds were preserved
+    val df = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_extendedprice").as("s"))
+      .orderBy(col("l_returnflag").desc, col("l_linestatus"))
+      .limit(5)
+    assert(scansView(df), df.queryExecution.executedPlan.toString)
+    assert(df.collect().length == 5)
+  }
+
+  test("negative: filter on a non-dimension column keeps the base scan") {
+    mv
+    val df = li.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+    assert(!scansView(df), df.queryExecution.executedPlan.toString)
+  }
+
+  test("negative: non-dimension group-by keeps the base scan") {
+    mv
+    val df = li.groupBy("l_suppkey").agg(sum("l_quantity").as("s"))
+    assert(!scansView(df), df.queryExecution.executedPlan.toString)
+  }
+
+  test("negative: unrecorded measure expression keeps the base scan") {
+    mv
+    val df = li.groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice") * col("l_tax")).as("s"))
+    assert(!scansView(df), df.queryExecution.executedPlan.toString)
+  }
+
+  test("negative: DISTINCT aggregate keeps the base scan") {
+    mv
+    val df = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_quantity")).as("n"))
+    assert(!scansView(df), df.queryExecution.executedPlan.toString)
+  }
+
+  test("negative: dropped view no longer rewrites") {
+    mv
+    MaterializedViews.ensure(spark, "spec_drop_me", li,
+      dims = Seq("l_returnflag"), measures = Seq("qty" -> col("l_quantity")))
+    MaterializedViews.drop("spec_drop_me")
+    // spec_li remains registered, so this still rewrites — but through
+    // the surviving def, proving drop() removed only its own name
+    val df = li.groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+    assert(scansView(df))
+  }
+
+  test("oracle entry mv_rollup matches a DuckDB-equivalent plain aggregate") {
+    val (name, fn) = MaterializedViews.entries.head
+    assert(name == "mv_rollup")
+    val df = fn(TestSpark.spark, TestSpark.Sf0001)
+    assert(scansView(df), df.queryExecution.executedPlan.toString)
+    def q(t: DataFrame): DataFrame = t
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        sum(discPrice).as("sum_disc_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      math.round(r.getDouble(2) * 1e6), math.round(r.getDouble(3) * 1e6),
+      math.round(r.getDouble(4) * 1e6), r.getDouble(5), r.getDouble(6),
+      r.getLong(7))).toSeq
+    val want = baseline(q).collect().map(r => (r.getString(0), r.getString(1),
+      math.round(r.getDouble(2) * 1e6), math.round(r.getDouble(3) * 1e6),
+      math.round(r.getDouble(4) * 1e6), r.getDouble(5), r.getDouble(6),
+      r.getLong(7))).toSeq
+    assert(got == want)
+  }
+}
