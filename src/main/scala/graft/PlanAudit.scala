@@ -21,7 +21,10 @@ object PlanAudit {
   // and probe scan)
   private[graft] val allowNestedLoop = Set("s20_cross_join", "s11_global_sales",
     "s14_small_qty_revenue", "sim_topk_brute", "sim_topk_ivf",
-    "sim_topk_quantized", "sim_topk_ivf_quantized")
+    "sim_topk_quantized", "sim_topk_ivf_quantized",
+    // trained-quantizer IVF: corpus × broadcast(centroids) assignment and
+    // query × broadcast(centroids) probe — the designed one-scan plans
+    "sim_topk_ivf_kmeans")
 
   /** Plan every batch entry against `dir`; returns (per-query report
     * lines, flagged antipatterns). Clears the session cache between

@@ -16,6 +16,7 @@ object GraftFunctions {
 
   def dot_f32(a: Column, b: Column): Column = c(DotProductF32(e(a), e(b)))
   def dot_i8(a: Column, b: Column): Column = c(DotProductI8(e(a), e(b)))
+  def dot_i8f64(a: Column, b: Column): Column = c(DotProductI8F64(e(a), e(b)))
   def cosine_f32(a: Column, b: Column): Column = c(CosineSimF32(e(a), e(b)))
   def minhash_sig(hashes: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     c(MinHashSignature(e(hashes), numHashes, seed))
@@ -56,6 +57,9 @@ object GraftFunctions {
     }, "built-in")
     reg.createOrReplaceTempFunction("dot_i8", es => {
       arity("dot_i8", es, 2, 2); DotProductI8(es(0), es(1))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("dot_i8f64", es => {
+      arity("dot_i8f64", es, 2, 2); DotProductI8F64(es(0), es(1))
     }, "built-in")
     reg.createOrReplaceTempFunction("minhash_sig", es => {
       arity("minhash_sig", es, 1, 3)

@@ -252,6 +252,172 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF with k-means-TRAINED coarse centroids — real ANN indexes train
+    * their quantizer (FAISS IVF runs Lloyd's); the stride-37 centroids of
+    * [[ivfTopK]] are a placement heuristic. This runs `iters` rounds of
+    * distributed Lloyd's over the int8-quantized corpus:
+    *
+    *  - assignment: one corpus scan × broadcast(centroids), partial+final
+    *    `max_by` aggregate (shuffle = |corpus| int8 rows, same discipline
+    *    as [[ivfQuantizedTopK]]);
+    *  - update: posexplode to (cluster, dim) and partial-aggregated
+    *    SUM/COUNT — the shuffle after map-side combine is
+    *    k × dim × partitions rows, independent of corpus size; the k × dim
+    *    means are collected to the driver (bounded by k, not data — the
+    *    standard Spark Lloyd's step) and re-broadcast as literals, which
+    *    also truncates the per-iteration lineage.
+    *
+    * Exactness: every updated mean is RE-QUANTIZED to scaled integers —
+    * component = floor(sum·scale/count + 0.5), where the dimension sums
+    * are exact integers, the division is a single correctly-rounded op,
+    * and the result is an integer ≤ 127·scale. Centroids therefore stay
+    * integer-valued through every iteration, so every dot/norm in
+    * assignment, probing, and scoring is exact integer arithmetic in
+    * doubles (< 2^53) — order-free and bit-identical to the DuckDB
+    * oracle, like the rest of the quantized family. (Cosine is
+    * scale-invariant, so the ×scale factor never affects ranking.)
+    * Empty clusters keep their previous centroid. */
+  def kmeansIvfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
+      nprobe: Int = 3, nCentroids: Int = 16, iters: Int = 2,
+      scale: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val q = quantize(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: the first nCentroids stride-37 seeds, pre-scaled
+    // so every centroid generation lives on the same integer grid
+    var cents: Array[(Long, Array[Double])] = q
+      .filter(col("vec_id") % 37 === 0).orderBy("vec_id").limit(nCentroids)
+      .select("vec_id", "qvec").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Byte](1).map(b => b.toDouble * scale).toArray))
+
+    def centDf(cs: Array[(Long, Array[Double])]): DataFrame =
+      spark.createDataFrame(cs.toSeq.map { case (id, v) =>
+        (id, v.toSeq, v.map(x => x * x).sum) // exact-integer self-dot
+      }).toDF("cent_id", "cent_vec", "cent_norm")
+
+    def assignTo(cs: Array[(Long, Array[Double])]): DataFrame = q
+      .crossJoin(broadcast(centDf(cs)))
+      .withColumn("cent_cos", dot_i8f64(col("qvec"), col("cent_vec")) /
+        (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
+          .as("cluster"),
+        first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
+
+    for (_ <- 1 to iters) {
+      val means = assignTo(cents)
+        .select(col("cluster"), posexplode(col("qvec")))
+        // (sum(v) * scale) / count + 0.5 — shape mirrored EXACTLY in the
+        // oracle SQL so the one inexact division rounds identically
+        .groupBy("cluster", "pos")
+        .agg(floor(sum(col("col").cast("double")) * lit(scale.toDouble) /
+          count(lit(1)) + lit(0.5)).as("m"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("vec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble).toArray)
+        .toMap
+      cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
+    }
+
+    val cdf = centDf(cents)
+    val assignments = assignTo(cents)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = q.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("cent_cos", dot_i8f64(col("probe_vec"), col("cent_vec")) /
+        (sqrt(col("probe_norm")) * sqrt(col("cent_norm"))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("probe_vec"), col("probe_norm"),
+        col("cent_id").as("cluster"))
+    val scored = assignments
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot_i8(col("qvec"), col("probe_vec")) /
+        (sqrt(col("qnorm")) * sqrt(col("probe_norm"))))
+    topK(scored, k)
+  }
+
+  /** DuckDB rendering of [[kmeansIvfTopK]]: the quantizer, seeded init,
+    * each Lloyd round (assignment + scaled-integer mean re-quantization),
+    * probing, and scoring unrolled as a CTE chain with the same constants
+    * and the same expression shapes, so every intermediate is the same
+    * exact integer (or the same correctly-rounded division). */
+  def kmeansIvfSql(k: Int = 10, every: Long = 50L, nprobe: Int = 3,
+      nCentroids: Int = 16, iters: Int = 2, scale: Int = 64,
+      dim: Int = 64): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cluster, qvec, qnorm FROM (
+         |    SELECT e.vec_id, c.cent_id AS cluster, e.qvec, e.qnorm,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_dot_product(e.qvec, c.cent_vec) /
+         |                      (SQRT(e.qnorm) * SQRT(list_dot_product(c.cent_vec, c.cent_vec))) DESC,
+         |                      c.cent_id) AS r
+         |    FROM n e CROSS JOIN $cents c) t WHERE r = 1
+         |)""".stripMargin
+    def updateCte(assign: String, prev: String, mName: String,
+        cName: String): String =
+      s"""$mName AS (
+         |  SELECT cluster, i AS pos,
+         |         FLOOR(SUM(qvec[i + 1]) * $scale.0 / COUNT(*) + 0.5) AS m
+         |  FROM $assign CROSS JOIN range($dim) t(i)
+         |  GROUP BY cluster, i
+         |), $cName AS (
+         |  SELECT p.cent_id,
+         |         COALESCE(m.vec, p.cent_vec) AS cent_vec
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cluster, list(m ORDER BY pos) AS vec
+         |    FROM $mName GROUP BY cluster) m ON m.cluster = p.cent_id
+         |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        updateCte(s"a$i", s"c${i - 1}", s"m$i", s"c$i")
+    }.mkString(",\n")
+    val cf = s"c$iters"
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x ->
+       |           CAST(FLOOR(CAST(x AS DOUBLE) *
+       |                (127.0 / GREATEST(list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))), 1e-300))
+       |                + 0.5) AS DOUBLE)) AS qvec
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS qnorm FROM q
+       |  WHERE list_dot_product(qvec, qvec) > 0
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(qvec, x -> x * $scale.0) AS cent_vec
+       |  FROM n WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $nCentroids
+       |),
+       |$rounds,
+       |${assignCte("af", cf)},
+       |probes AS (
+       |  SELECT qid, probe_vec, probe_norm, cluster FROM (
+       |    SELECT p.vec_id AS qid, p.qvec AS probe_vec, p.qnorm AS probe_norm,
+       |           c.cent_id AS cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |             ORDER BY list_dot_product(p.qvec, c.cent_vec) /
+       |                      (SQRT(p.qnorm) * SQRT(list_dot_product(c.cent_vec, c.cent_vec))) DESC,
+       |                      c.cent_id) AS r
+       |    FROM n p CROSS JOIN $cf c WHERE p.vec_id % $every = 0) t WHERE r <= $nprobe
+       |)
+       |SELECT qid, rank, vec_id, cosine FROM (
+       |  SELECT p.qid, a.vec_id,
+       |         list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) AS cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY p.qid
+       |           ORDER BY list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) DESC, a.vec_id) AS rank
+       |  FROM af a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.qid) t
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** Shared int8 symmetric quantization: (vec_id, qvec: array<tinyint>,
     * qnorm: exact self-dot). greatest(·, 1e-300) only guards the all-zero
     * vector (float32 magnitudes are ≥ 1e-45, far above the floor); dot_i8
@@ -275,6 +441,7 @@ object Similarity {
     "sim_topk_lsh" -> ((s, d) => lshTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_quantized" -> ((s, d) => quantizedTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf_quantized" -> ((s, d) => ivfQuantizedTopK(Tables.load(s, d, "embeddings"))),
+    "sim_topk_ivf_kmeans" -> ((s, d) => kmeansIvfTopK(Tables.load(s, d, "embeddings"))),
   )
 
   /** DuckDB oracles for the exact brute-force variant and for IVF (whose
@@ -282,6 +449,9 @@ object Similarity {
     * the whole index is SQL-expressible; list_cosine_similarity matches
     * cosine_f32's double accumulation, ties broken identically by id). */
   val oracle: Seq[(String, String)] = Seq(
+    // generated CTE chain unrolling the trained-quantizer pipeline with
+    // the same constants as the entry's defaults
+    "sim_topk_ivf_kmeans" -> kmeansIvfSql(),
     // mirrors quantizedTopK exactly: same floor(x·127/max|x| + 0.5)
     // quantizer, same double accumulation (exact — all intermediates are
     // integers < 2^53), same (cosine DESC, vec_id) tie order

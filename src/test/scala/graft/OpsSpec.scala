@@ -164,6 +164,28 @@ class OpsSpec extends AnyFunSuite {
       s"quantization cost too high: composed=$composed, float IVF=$floatIvf")
   }
 
+  test("k-means IVF trains centroids and keeps planted-duplicate recall") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val planted = Similarity.withPlantedNearDupVectors(emb)
+    val got = Similarity.kmeansIvfTopK(planted, k = 1)
+      .filter(col("qid") < 1000000).as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // a planted scaled-copy (cosine ≈ 1) lands in its original's cluster
+    // under ANY centroid set, so trained centroids must keep recall@1
+    val ok = got.count { case (q, _, n, _) => n == q + 1000000L }
+    assert(ok.toDouble / got.length >= 0.9, s"kmeans recall@1 $ok/${got.length}")
+
+    // training must actually move at least one centroid off its seed:
+    // iters=0 (pure seeds) and iters=2 must differ in some assignment-
+    // derived ranking, or Lloyd's silently became a no-op
+    val seeded = Similarity.kmeansIvfTopK(emb, k = 5, iters = 0)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val trained = Similarity.kmeansIvfTopK(emb, k = 5, iters = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(seeded != trained,
+      "2 Lloyd rounds changed no ranking — training looks like a no-op")
+  }
+
   test("per-language top-k quality matches the window formulation") {
     val d = Tables.load(spark, TestSpark.Sf0001, "documents")
     val got = graft.ops.TextAnalysis.topQualityPerLang(d, k = 3)
