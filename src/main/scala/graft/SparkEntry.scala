@@ -25,6 +25,7 @@ object SparkEntry {
       graft.ops.Multimodal.entries ++
       graft.ops.TemporalJoins.entries ++
       graft.ops.Skew.entries ++
+      graft.ops.HeavyHitters.entries ++
       graft.plans.MaterializedViews.entries ++
       graft.streaming.EventStreams.entries).toMap
 
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.ops.Multimodal.oracle ++
       graft.ops.TemporalJoins.oracle ++
       graft.ops.Skew.oracle ++
+      graft.ops.HeavyHitters.oracle ++
       graft.plans.MaterializedViews.oracle ++
       graft.streaming.EventStreams.oracle).toMap
 }

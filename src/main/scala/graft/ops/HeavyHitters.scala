@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Aggregators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Heavy-hitter queries over the [[Aggregators.FrequentItems]] SpaceSaving
+  * sketch. The driver-oracle entry runs the sketch in its exact regime
+  * (capacity ≥ distinct keys → merge-order-free exact counts) against a
+  * plain GROUP BY top-k oracle; the approximate regime's bounds are
+  * spec-tested in `AggregatorsSpec` where exactness is impossible. */
+object HeavyHitters {
+
+  /** Top-k items of `itemCol` by frequency with SpaceSaving state bounded
+    * by `capacity` per task — output (rank, item, cnt, err). */
+  def topItems(df: DataFrame, itemCol: String, k: Int = 20,
+      capacity: Int = 1 << 16): DataFrame = {
+    val freq = udaf(new Aggregators.FrequentItems(k, capacity),
+      Encoders.STRING)
+    df.select(col(itemCol).cast("string").as("item"))
+      .agg(freq(col("item")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("s.item").as("item"), col("s.cnt").as("cnt"),
+        col("s.err").as("err"))
+      .orderBy("rank")
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "approx_top_parts" -> ((s, d) =>
+      topItems(Tables.load(s, d, "lineitem"), "l_partkey")))
+
+  // capacity 65536 exceeds the part-key cardinality at every test scale
+  // factor, so the sketch is exact and err is identically 0; ties at the
+  // k boundary break by (cnt DESC, item ASC) on both sides
+  val oracle: Seq[(String, String)] = Seq(
+    "approx_top_parts" ->
+      """SELECT rank, item, cnt, 0 AS err FROM (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS item, COUNT(*) AS cnt,
+        |         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+        |                            CAST(l_partkey AS VARCHAR)) AS rank
+        |  FROM lineitem GROUP BY 1) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin)
+}
