@@ -180,6 +180,87 @@ object MaterializedViews {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewriteRule
 
+  // ---- streaming maintenance -------------------------------------------
+
+  /** Maintain a roll-up view from a STREAM: each micro-batch's partial
+    * aggregate folds into a versioned parquet snapshot (read current →
+    * union → re-aggregate → write next version → atomically advance a
+    * CURRENT marker). The snapshot is dimension-bounded, so the per-batch
+    * rewrite is O(|dims cross product| + |batch|) regardless of how much
+    * history the view summarizes — the Kappa-style serving pattern: the
+    * stream folds forever, batch queries read kilobytes.
+    *
+    * Restart-safe: the marker records the last folded batch id, and a
+    * replayed micro-batch (foreachBatch retries after failure/restart)
+    * is skipped instead of double-counted. The marker advances by
+    * tmp-file rename AFTER the snapshot write succeeds, so a crash
+    * between the two leaves the previous consistent version current. */
+  def maintainStream(stream: DataFrame, viewPath: String, dims: Seq[String],
+      measures: Seq[(String, Column)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, viewPath, dims, measures)
+      }
+      .start()
+
+  private[graft] def mergeBatch(batch: DataFrame, id: Long, viewPath: String,
+      dims: Seq[String], measures: Seq[(String, Column)]): Unit = synchronized {
+    val dir = new File(viewPath)
+    dir.mkdirs()
+    val marker = new File(dir, "CURRENT")
+    val (curVer, lastBatch): (Long, Long) =
+      if (marker.exists) {
+        val Array(v, b) = new String(
+          java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim.split(' ')
+        (v.toLong, b.toLong)
+      } else (-1L, -1L)
+    if (id <= lastBatch) return // replayed batch — already folded
+    val aggCols = count(lit(1)).as("cnt") +: measures.flatMap { case (k, c) =>
+      Seq(sum(c).as(s"sum_$k"), count(c).as(s"cnt_$k"),
+        min(c).as(s"min_$k"), max(c).as(s"max_$k")) }
+    val partial = batch.groupBy(dims.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val merged =
+      if (curVer < 0) partial
+      else {
+        val reAgg = sum(col("cnt")).as("cnt") +: measures.flatMap {
+          case (k, _) => Seq(
+            sum(col(s"sum_$k")).as(s"sum_$k"),
+            sum(col(s"cnt_$k")).as(s"cnt_$k"),
+            min(col(s"min_$k")).as(s"min_$k"),
+            max(col(s"max_$k")).as(s"max_$k"))
+        }
+        batch.sparkSession.read.parquet(s"$viewPath/v$curVer")
+          .unionByName(partial)
+          .groupBy(dims.map(col): _*)
+          .agg(reAgg.head, reAgg.tail: _*)
+      }
+    val nextVer = curVer + 1
+    merged.write.mode("overwrite").parquet(s"$viewPath/v$nextVer")
+    val tmp = new File(dir, s".CURRENT.$nextVer.tmp")
+    java.nio.file.Files.write(tmp.toPath, s"$nextVer $id".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // GC: keep current + previous (a reader may hold the prior version)
+    val old = new File(dir, s"v${nextVer - 2}")
+    if (nextVer >= 2 && old.exists)
+      old.listFiles().foreach(_.delete())
+    if (nextVer >= 2) old.delete()
+  }
+
+  /** Read the current snapshot of a stream-maintained view. */
+  def readView(spark: SparkSession, viewPath: String): DataFrame = {
+    val marker = new File(viewPath, "CURRENT")
+    require(marker.exists, s"no CURRENT marker under $viewPath")
+    val ver = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .trim.split(' ')(0)
+    spark.read.parquet(s"$viewPath/v$ver")
+  }
+
   // ---- driver-oracle entries -------------------------------------------
 
   private def discPrice: Column =

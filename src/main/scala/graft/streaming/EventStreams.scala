@@ -311,16 +311,46 @@ object EventStreams {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Stream-maintained roll-up view (the streaming half of the
+    * materialized-view surface): the event stream folds into a versioned
+    * per-event-type summary snapshot via
+    * [[graft.plans.MaterializedViews.maintainStream]]; the entry returns
+    * the final snapshot, which must equal the batch aggregate of every
+    * event — proving the incremental partial-merge arithmetic. The view
+    * path fingerprints the source file, so a changed sf dir folds fresh
+    * while a re-run over the same data is a no-op (replayed batch ids are
+    * skipped, not double-counted). */
+  def streamMvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val fp = Integer.toHexString(
+      (dir + java.nio.file.Files.size(src) +
+        java.nio.file.Files.getLastModifiedTime(src)).hashCode)
+    val viewPath = new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-smv"), s"events-$fp").getPath
+    val q = graft.plans.MaterializedViews.maintainStream(
+      eventStream(spark, dir).select(col("event_type"), col("value")),
+      viewPath, dims = Seq("event_type"), measures = Seq("v" -> col("value")))
+    try q.processAllAvailable() finally q.stop()
+    graft.plans.MaterializedViews.readView(spark, viewPath)
+      .orderBy("event_type")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
     "stream_sessions" -> ((s, d) => sessionize(s, d)),
     "stream_enrich_join" -> ((s, d) => purchaseClickJoin(s, d)),
     "stream_dedup" -> ((s, d) => dedupKeys(s, d)),
+    "stream_mv_rollup" -> ((s, d) => streamMvRollup(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
   val oracle: Seq[(String, String)] = Seq(
+    "stream_mv_rollup" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       SUM(value) AS sum_v, COUNT(value) AS cnt_v,
+        |       MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_hourly" ->
       """SELECT DATE_TRUNC('HOUR', ts) AS hour_start, event_type,
         |       COUNT(*) AS n, SUM(value) AS total

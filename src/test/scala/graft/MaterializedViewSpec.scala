@@ -157,6 +157,47 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(scansView(df))
   }
 
+  test("stream maintenance folds batches incrementally and skips replays") {
+    import TestSpark.spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_smv_spec").toString
+    val dims = Seq("k")
+    val measures = Seq("v" -> col("v"))
+    def b(rows: (String, Double)*) = rows.toDF("k", "v")
+    MaterializedViews.mergeBatch(b("a" -> 1.0, "b" -> 2.0), 0L, path, dims, measures)
+    MaterializedViews.mergeBatch(b("a" -> 3.0, "c" -> 4.0), 1L, path, dims, measures)
+    // a REPLAYED batch (foreachBatch retry semantics) must not double-count
+    MaterializedViews.mergeBatch(b("a" -> 3.0, "c" -> 4.0), 1L, path, dims, measures)
+    MaterializedViews.mergeBatch(b("a" -> 0.5), 2L, path, dims, measures)
+    val got = MaterializedViews.readView(TestSpark.spark, path)
+      .orderBy("k")
+      .select("k", "cnt", "sum_v", "cnt_v", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("a", 3L, 4.5, 3L, 0.5, 3.0),
+      ("b", 1L, 2.0, 1L, 2.0, 2.0),
+      ("c", 1L, 4.0, 1L, 4.0, 4.0)))
+    // GC keeps only current + previous snapshot versions
+    val vs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(vs == Seq("v1", "v2"), vs.toString)
+  }
+
+  test("stream-maintained rollup equals the batch aggregate of all events") {
+    val got = graft.streaming.EventStreams
+      .streamMvRollup(TestSpark.spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getLong(3))).toSeq
+    val want = Tables.load(TestSpark.spark, TestSpark.Sf0001, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("s"),
+        count(col("value")).as("cv"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("oracle entry mv_rollup matches a DuckDB-equivalent plain aggregate") {
     val (name, fn) = MaterializedViews.entries.head
     assert(name == "mv_rollup")
