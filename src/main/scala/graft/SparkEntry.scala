@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ops.TemporalJoins.entries ++
       graft.ops.Skew.entries ++
       graft.ops.HeavyHitters.entries ++
+      graft.ops.Layout.entries ++
       graft.plans.MaterializedViews.entries ++
       graft.streaming.EventStreams.entries).toMap
 
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.ops.TemporalJoins.oracle ++
       graft.ops.Skew.oracle ++
       graft.ops.HeavyHitters.oracle ++
+      graft.ops.Layout.oracle ++
       graft.plans.MaterializedViews.oracle ++
       graft.streaming.EventStreams.oracle).toMap
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering: correctness (pure reorganization) and the pruning
+  * claim itself — file-level min/max ranges must let a predicate on ANY
+  * z column skip most files, where a linear sort clusters only its
+  * leading column. Asserted from the written files' actual footer-backed
+  * ranges, not from plan text. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val nFiles = 8
+  private lazy val zPath = Layout.ensureZOrdered(
+    spark, TestSpark.Sf0001, "lineitem", Seq("l_orderkey", "l_partkey"), nFiles)
+  private lazy val linearPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def candidates(path: String, c: String, lo: Double, hi: Double): Int =
+    Layout.fileRanges(spark, path, c).count { case (_, mn, mx) =>
+      mx >= lo && mn <= hi }
+
+  test("z-ordered copy holds exactly the base rows") {
+    val base = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .collect().map(_.toString).sorted.toSeq
+    val z = spark.read.parquet(zPath).collect().map(_.toString).sorted.toSeq
+    assert(z == base)
+    assert(spark.read.parquet(zPath).schema ==
+      Tables.load(spark, TestSpark.Sf0001, "lineitem").schema)
+  }
+
+  test("both z columns prune files; linear sort prunes only its leader") {
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    val Seq(okMax, pkMax) = li
+      .agg(max("l_orderkey").cast("double"), max("l_partkey").cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toSeq
+    // a ~1/4-span band on each dimension
+    val (okLo, okHi) = (okMax * 0.25, okMax * 0.5)
+    val (pkLo, pkHi) = (pkMax * 0.25, pkMax * 0.5)
+
+    // leading-column band: both layouts prune
+    assert(candidates(zPath, "l_orderkey", okLo, okHi) < nFiles)
+    assert(candidates(linearPath, "l_orderkey", okLo, okHi) < nFiles)
+
+    // NON-leading column band: the linear layout cannot prune at all —
+    // every file spans ~the full partkey range — while z-order must skip
+    // at least some files
+    val zPk = candidates(zPath, "l_partkey", pkLo, pkHi)
+    val linPk = candidates(linearPath, "l_partkey", pkLo, pkHi)
+    assert(linPk == nFiles,
+      s"linear layout unexpectedly clustered partkey: $linPk/$nFiles")
+    assert(zPk < linPk, s"z-order pruned nothing on partkey: $zPk/$nFiles")
+  }
+
+  test("runtime scan skips row groups via pushed min/max predicates") {
+    val df = spark.read.parquet(zPath)
+      .filter(col("l_partkey") <= 50)
+    val n = df.count()
+    val total = spark.read.parquet(zPath).count()
+    assert(n > 0 && n < total)
+    // the scan's output row count reflects row-group pruning: surviving
+    // groups only, which must be a strict subset of the table
+    val scanRows = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    assert(scanRows < total,
+      s"scan read every row ($scanRows of $total) — no row-group skipping")
+  }
+
+  test("oracle entry zorder_scan equals the same query on the base table") {
+    val (name, fn) = Layout.entries.head
+    assert(name == "zorder_scan")
+    val got = fn(spark, TestSpark.Sf0001).collect().map(_.toString).toSeq
+    val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .filter(col("l_orderkey").between(1000, 3000) &&
+        col("l_partkey").between(100, 1000))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+}
