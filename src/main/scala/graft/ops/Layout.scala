@@ -62,6 +62,9 @@ object Layout {
         .head,
       zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
         .tail: _*).head()
+    zCols.zipWithIndex.foreach { case (c, i) =>
+      require(!stats.isNullAt(2 * i),
+        s"z-order column $c has no non-null values — cannot cluster on it") }
     val cells = zCols.zipWithIndex.map { case (c, i) =>
       cellOf(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits) }
     df.withColumn("__z", zOrderKey(cells, bits))

@@ -67,12 +67,20 @@ object MaterializedViews {
     * are computed from OPTIMIZED expressions on both sides, so constant
     * folding (e.g. a cast-wrapped literal) normalizes identically at
     * record time and match time. */
-  private[plans] def exprKey(e: Expression): String = e match {
+  private[graft] def exprKey(e: Expression): String = e match {
     case a: AttributeReference => a.name
     case al: Alias => exprKey(al.child)
-    case l: Literal => String.valueOf(l.value) + ":" + l.dataType.simpleString
+    // Literal.sql is a stable rendering even for array/binary-backed
+    // values (String.valueOf would print object identities)
+    case l: Literal => l.sql + ":" + l.dataType.simpleString
+    case c: Cast =>
+      // target type AND eval mode are part of the semantics: try_cast
+      // and ansi cast differ exactly where a rewrite must not equate them
+      s"Cast[${c.dataType.simpleString},${c.evalMode}](${exprKey(c.child)})"
     case _ =>
-      e.getClass.getSimpleName +
+      // dataType in the key guards same-named operators whose semantics
+      // ride on a type parameter rather than on children
+      e.getClass.getSimpleName + ":" + e.dataType.simpleString +
         e.children.map(exprKey).mkString("(", ",", ")")
   }
 
@@ -376,7 +384,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def rewriteAggExpr(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.nonEmpty) return None
       ae.aggregateFunction match {
-        case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
+        case Count(Seq(Literal(v, _))) if v != null && !ae.isDistinct =>
+          // COUNT(*) / COUNT(lit): non-null literal only — COUNT(NULL)
+          // is identically 0, not the row count
           attr("cnt").map(a => countGuard(sumOf(a)))
         case Count(Seq(e)) if !ae.isDistinct =>
           measureOf(e).flatMap(k => attr(s"cnt_$k")).map(a => countGuard(sumOf(a)))

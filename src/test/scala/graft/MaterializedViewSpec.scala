@@ -157,6 +157,32 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(scansView(df))
   }
 
+  test("COUNT of a NULL literal stays correct under the rewrite") {
+    mv
+    def q(t: DataFrame): DataFrame = t.groupBy("l_returnflag")
+      .agg(count(lit(null)).as("n_null"), count(lit(1)).as("n"))
+    assertSameAsBase(q(li), baseline(q)) // n_null must be 0, never cnt
+  }
+
+  test("exprKey separates cast from try_cast and exotic literals are stable") {
+    val df = li.select(
+      col("l_quantity").cast("decimal(18,4)").as("c"),
+      col("l_quantity").try_cast("decimal(18,4)").as("t"))
+    val Seq(cK, tK) = df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.map {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+          MaterializedViews.exprKey(a.child)
+      }
+    assert(cK != tK, s"cast/try_cast keys collide: $cK")
+    // array-backed literal values must render stably, not as object refs
+    val arr = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    assert(MaterializedViews.exprKey(arr) == MaterializedViews.exprKey(arr.copy()))
+    assert(!MaterializedViews.exprKey(arr).contains("@"))
+  }
+
   test("stream maintenance folds batches incrementally and skips replays") {
     import TestSpark.spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_smv_spec").toString
