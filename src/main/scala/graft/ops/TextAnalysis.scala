@@ -130,7 +130,54 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "quality_score")
       .orderBy("doc_id")
 
+  // PII patterns restricted to the Java↔RE2 shared-semantics subset (no
+  // backreferences/lookaround; \b and bounded quantifiers agree), so the
+  // engine (Java regex) and the DuckDB oracle (RE2) scrub identically —
+  // the same compatibility discipline as the RLIKE pushdown gate
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val LongIdRe = "\\b\\d{13,19}\\b" // card/account-like runs
+
+  /** PII detection + redaction: per-document match counts (from the
+    * original text) and a scrubbed copy with emails → [EMAIL],
+    * IPv4s → [IP], 13–19-digit runs → [ID], applied in that fixed order.
+    * Pure per-row regex work — map-only, no shuffle, 100 TB streams
+    * through (the shape of every at-scale PII pass); replacements cannot
+    * create new matches, so one sequential pass is a fixpoint. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      // long counts: the DuckDB oracle's len() is BIGINT
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(LongIdRe)).cast("long").as("n_ids"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"),
+        LongIdRe, "[ID]").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus documents carry no PII, so the oracle entry SYNTHESIZES a
+    * deterministic email + IP + card-like id per document (from doc_id)
+    * before scrubbing — both engines then exercise every pattern on every
+    * row instead of vacuously agreeing on no-ops. */
+  def piiEntry(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val withPii = docs.select(col("doc_id"), concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@corp.example from 10.0."),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" card 4111111111111"),
+      (lit(100) + col("doc_id") % 900).cast("string")).as("text"))
+    scrubPii(withPii)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_pii_scrub" -> ((s, d) => piiEntry(s, d)),
     "text_tokens" -> ((s, d) => tokenCounts(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => qualityScores(Tables.load(s, d, "documents"))),
     "text_langid" -> ((s, d) => languageId(Tables.load(s, d, "documents"))),
@@ -164,6 +211,27 @@ object TextAnalysis {
   /** DuckDB oracles for every entry — text_fingerprint's winnowing +
     * XXH64 digest is emulated in HUGEINT arithmetic (HashOracleSql). */
   val oracle: Seq[(String, String)] = Seq(
+    // DuckDB string literals do NOT process backslashes, so the Scala
+    // pattern text embeds verbatim; 'g' makes regexp_replace global like
+    // Spark's default
+    "text_pii_scrub" -> {
+      val syn = """text || ' contact user' || doc_id || '@corp.example from 10.0.' ||
+                  |              (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+                  |              ' card 4111111111111' || (100 + doc_id % 900)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         $syn AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |       len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+         |       len(regexp_extract_all(text, '$LongIdRe')) AS n_ids,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$EmailRe', '[EMAIL]', 'g'),
+         |         '$Ipv4Re', '[IP]', 'g'),
+         |         '$LongIdRe', '[ID]', 'g') AS clean_text
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "text_fingerprint" -> HashOracleSql.fingerprint,
     "text_tokens" ->
       """SELECT doc_id, LENGTH(text) AS n_chars2,

@@ -186,6 +186,24 @@ class OpsSpec extends AnyFunSuite {
       "2 Lloyd rounds changed no ranking — training looks like a no-op")
   }
 
+  test("PII scrub counts and redacts emails, IPs, and long digit runs") {
+    val d = docs(
+      1L -> "mail me at a.b+c@x-corp.io or 192.168.0.1 card 4111111111111111",
+      2L -> "no pii here, just 12 words and version 1.2",
+      3L -> "two mails x@y.de z@w.fr one ip 10.0.0.255")
+    val got = graft.ops.TextAnalysis.scrubPii(d).collect()
+    val r1 = got.find(_.getLong(0) == 1L).get
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((1L, 1L, 1L)))
+    assert(r1.getString(4) ==
+      "mail me at [EMAIL] or [IP] card [ID]")
+    val r2 = got.find(_.getLong(0) == 2L).get
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((0L, 0L, 0L)))
+    assert(r2.getString(4).contains("version 1.2"), "1.2 is not an IP")
+    val r3 = got.find(_.getLong(0) == 3L).get
+    assert((r3.getLong(1), r3.getLong(2)) == ((2L, 1L)))
+    assert(r3.getString(4) == "two mails [EMAIL] [EMAIL] one ip [IP]")
+  }
+
   test("per-language top-k quality matches the window formulation") {
     val d = Tables.load(spark, TestSpark.Sf0001, "documents")
     val got = graft.ops.TextAnalysis.topQualityPerLang(d, k = 3)
