@@ -39,6 +39,10 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SQL-surface registration of the native expressions (dot_i8,
+    // cosine_f32, minhash_sig, …): a spark.sql user gets the full
+    // function set without touching the Column API
+    graft.functions.GraftFunctions.register(spark)
     if (federation) {
       graft.plans.GraftExtensions.install(spark)
       // 3-level catalog surface: graft_db.main.<table> resolves once a

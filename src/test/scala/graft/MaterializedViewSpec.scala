@@ -157,6 +157,23 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(scansView(df))
   }
 
+  test("SUM over a decimal measure restores the exact query type") {
+    // SUM widens decimals per level: stored sum is DECIMAL(28,4), the
+    // re-sum is DECIMAL(38,4), and the rewrite must cast back to the
+    // query's own SUM type for an exprId+type-identical output
+    val dec = col("l_extendedprice").cast("decimal(18,4)")
+    MaterializedViews.ensure(spark, "spec_dec", li,
+      dims = Seq("l_returnflag"), measures = Seq("money" -> dec))
+    def q(t: DataFrame): DataFrame = t.groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("s"))
+    val df = q(li)
+    assert(scansView(df), df.queryExecution.executedPlan.toString)
+    assert(df.schema("s").dataType ==
+      org.apache.spark.sql.types.DecimalType(28, 4))
+    assertSameAsBase(df, baseline(q)) // decimal sums are exact — hash-equal
+    MaterializedViews.drop("spec_dec")
+  }
+
   test("COUNT of a NULL literal stays correct under the rewrite") {
     mv
     def q(t: DataFrame): DataFrame = t.groupBy("l_returnflag")
