@@ -101,6 +101,27 @@ object Layout {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .toSeq
 
+  /** Small-file compaction (the OPTIMIZE-compact half of lakehouse table
+    * maintenance; [[writeZOrdered]] is the clustering half): rewrite a
+    * parquet directory into ceil(bytes/target) files. Small files are a
+    * 100 TB operational killer — each costs a task, a footer read, and an
+    * open per scan, so a million 1 MB files turns every query into task-
+    * scheduling overhead. Uses coalesce (no shuffle) when shrinking the
+    * file count, repartition otherwise. Writes to `dst` — compaction into
+    * place would delete the inputs of a concurrently running scan. */
+  def compact(spark: SparkSession, src: String, dst: String,
+      targetBytes: Long = 128L << 20): Long = {
+    require(src != dst, "compact writes to a NEW directory")
+    val bytes = new File(src).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(src)
+    val current = df.rdd.getNumPartitions
+    val sized = if (n <= current) df.coalesce(n) else df.repartition(n)
+    sized.write.mode("overwrite").parquet(dst)
+    n.toLong
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // box query over the z-ordered copy: identical rows to the base table
     // (layout is pure reorganization), pruned scan at execution

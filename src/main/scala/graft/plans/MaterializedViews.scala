@@ -57,8 +57,12 @@ object MaterializedViews {
   private val relCache = TrieMap.empty[(SparkSession, String), LogicalRelation]
 
   private[plans] def isEmpty: Boolean = defs.isEmpty
+  /** Matching views, coarsest (fewest dimensions → fewest rows) first, so
+    * when several subsume a query the cheapest wins; name-tiebroken for
+    * run-to-run plan determinism (TrieMap iteration order is not). */
   private[plans] def candidatesFor(paths: Set[String]): Seq[MvDef] =
     defs.values.filter(_.basePaths == paths).toSeq
+      .sortBy(d => (d.dims.size, d.name))
 
   /** Structural expression key, exprId-free: two expressions over the same
     * base relation get equal keys iff they are the same tree over the same

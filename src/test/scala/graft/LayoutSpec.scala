@@ -74,6 +74,22 @@ class LayoutSpec extends AnyFunSuite {
       s"scan read every row ($scanRows of $total) — no row-group skipping")
   }
 
+  test("compaction bin-packs small files to the target size, rows intact") {
+    val small = java.nio.file.Files.createTempDirectory("graft_small").toString
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    li.repartition(40).write.mode("overwrite").parquet(small) // 40 shards
+    val bytes = new java.io.File(small).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val n = Layout.compact(spark, small, dst, targetBytes = bytes / 4 + 1)
+    assert(n == 4)
+    val files = new java.io.File(dst).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 output files, got $files")
+    assert(spark.read.parquet(dst).collect().map(_.toString).sorted.toSeq ==
+      li.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("oracle entry zorder_scan equals the same query on the base table") {
     val (name, fn) = Layout.entries.head
     assert(name == "zorder_scan")
