@@ -28,9 +28,32 @@ object HeavyHitters {
       .orderBy("rank")
   }
 
+  /** Per-group top-k — the realistic grouped form (top tokens per
+    * language, top domains per crawl, …): one bounded sketch buffer per
+    * (task × group) rides the shuffle, never the exploded item stream. */
+  def topItemsByGroup(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 10, capacity: Int = 1 << 16): DataFrame = {
+    val freq = udaf(new Aggregators.FrequentItems(k, capacity),
+      Encoders.STRING)
+    df.select(col(groupCol).as("grp"), col(itemCol).cast("string").as("item"))
+      .groupBy("grp")
+      .agg(freq(col("item")).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.item").as("item"), col("s.cnt").as("cnt"),
+        col("s.err").as("err"))
+      .orderBy("grp", "rank")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "approx_top_parts" -> ((s, d) =>
-      topItems(Tables.load(s, d, "lineitem"), "l_partkey")))
+      topItems(Tables.load(s, d, "lineitem"), "l_partkey")),
+    "approx_top_tokens_by_lang" -> ((s, d) =>
+      topItemsByGroup(
+        Tables.load(s, d, "documents")
+          .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok")),
+        "lang", "tok", k = 5, capacity = 1 << 10)
+        .withColumnRenamed("grp", "lang")))
 
   // capacity 65536 exceeds the part-key cardinality at every test scale
   // factor, so the sketch is exact and err is identically 0; ties at the
@@ -42,5 +65,16 @@ object HeavyHitters {
         |         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
         |                            CAST(l_partkey AS VARCHAR)) AS rank
         |  FROM lineitem GROUP BY 1) t
-        |WHERE rank <= 20 ORDER BY rank""".stripMargin)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // capacity 1024 >> the ~31-word synthetic vocabulary → exact regime;
+    // whitespace split mirrors the engine's \s+ on trimmed text
+    "approx_top_tokens_by_lang" ->
+      """SELECT lang, rank, item, cnt, 0 AS err FROM (
+        |  SELECT lang, tok AS item, COUNT(*) AS cnt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY COUNT(*) DESC, tok) AS INT) AS rank
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents) u
+        |  GROUP BY lang, tok) t
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
 }
