@@ -282,7 +282,26 @@ object MaterializedViews {
     * rewrite serves it from the 42-row view. `MaterializedViewSpec` pins
     * that the plan actually scans the view — without that, a silently
     * dead rewrite would still pass this oracle. */
+  private def rollupQuery(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.avg
+    li.filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        sum(discPrice).as("sum_disc_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // the SAME query without the rewrite rule — its bench delta against
+    // mv_rollup is the measured value of the view, and its oracle row
+    // keeps the pair honest (identical results, different plans)
+    "mv_rollup_base" -> ((spark: SparkSession, dir: String) =>
+      rollupQuery(graft.Tables.load(spark, dir, "lineitem"))),
     "mv_rollup" -> ((spark0: SparkSession, dir: String) => {
       val spark = spark0.newSession() // scope the rewrite rule to the entry
       install(spark)
@@ -293,32 +312,27 @@ object MaterializedViews {
           "qty" -> col("l_quantity"),
           "price" -> col("l_extendedprice"),
           "disc_price" -> discPrice))
-      import org.apache.spark.sql.functions.avg
-      li.filter(col("l_linestatus") === "F")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          avg(col("l_extendedprice")).as("avg_price"),
-          sum(discPrice).as("sum_disc_price"),
-          min(col("l_quantity")).as("min_qty"),
-          max(col("l_quantity")).as("max_qty"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")
+      rollupQuery(li)
     }))
 
+  private val rollupOracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(l_quantity) AS sum_qty,
+      |       AVG(l_extendedprice) AS avg_price,
+      |       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+      |       MIN(l_quantity) AS min_qty,
+      |       MAX(l_quantity) AS max_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // both entries share one oracle text: identical results, different
+  // plans — the differ proves the rewrite changes nothing but the scan
   val oracle: Seq[(String, String)] = Seq(
-    "mv_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       SUM(l_quantity) AS sum_qty,
-        |       AVG(l_extendedprice) AS avg_price,
-        |       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-        |       MIN(l_quantity) AS min_qty,
-        |       MAX(l_quantity) AS max_qty,
-        |       COUNT(*) AS n
-        |FROM lineitem
-        |WHERE l_linestatus = 'F'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    "mv_rollup_base" -> rollupOracleSql,
+    "mv_rollup" -> rollupOracleSql)
 }
 
 /** Rewrites derivable aggregates over a registered base table into

@@ -242,8 +242,7 @@ class MaterializedViewSpec extends AnyFunSuite {
   }
 
   test("oracle entry mv_rollup matches a DuckDB-equivalent plain aggregate") {
-    val (name, fn) = MaterializedViews.entries.head
-    assert(name == "mv_rollup")
+    val fn = MaterializedViews.entries.toMap.apply("mv_rollup")
     val df = fn(TestSpark.spark, TestSpark.Sf0001)
     assert(scansView(df), df.queryExecution.executedPlan.toString)
     def q(t: DataFrame): DataFrame = t
