@@ -277,12 +277,29 @@ object Similarity {
     * oracle, like the rest of the quantized family. (Cosine is
     * scale-invariant, so the ×scale factor never affects ranking.)
     * Empty clusters keep their previous centroid. */
-  def kmeansIvfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
-      nprobe: Int = 3, nCentroids: Int = 16, iters: Int = 2,
-      scale: Int = 64): DataFrame = {
-    val spark = emb.sparkSession
-    val q = quantize(emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def centroidsDf(spark: SparkSession,
+      cs: Array[(Long, Array[Double])]): DataFrame =
+    spark.createDataFrame(cs.toSeq.map { case (id, v) =>
+      (id, v.toSeq, v.map(x => x * x).sum) // exact-integer self-dot
+    }).toDF("cent_id", "cent_vec", "cent_norm")
+
+  /** Nearest-centroid assignment of the quantized corpus `q`: one scan ×
+    * broadcast(centroids), partial+final max_by aggregate. */
+  private def assignQ(q: DataFrame,
+      cs: Array[(Long, Array[Double])]): DataFrame = q
+    .crossJoin(broadcast(centroidsDf(q.sparkSession, cs)))
+    .withColumn("cent_cos", dot_i8f64(col("qvec"), col("cent_vec")) /
+      (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
+    .groupBy("vec_id")
+    .agg(
+      max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
+        .as("cluster"),
+      first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
+
+  /** `iters` rounds of distributed Lloyd's over the quantized corpus —
+    * see [[kmeansIvfTopK]] for the exactness argument. */
+  private def trainCentroids(q: DataFrame, nCentroids: Int, iters: Int,
+      scale: Int): Array[(Long, Array[Double])] = {
     // deterministic init: the first nCentroids stride-37 seeds, pre-scaled
     // so every centroid generation lives on the same integer grid
     var cents: Array[(Long, Array[Double])] = q
@@ -290,24 +307,8 @@ object Similarity {
       .select("vec_id", "qvec").collect()
       .map(r => (r.getLong(0),
         r.getSeq[Byte](1).map(b => b.toDouble * scale).toArray))
-
-    def centDf(cs: Array[(Long, Array[Double])]): DataFrame =
-      spark.createDataFrame(cs.toSeq.map { case (id, v) =>
-        (id, v.toSeq, v.map(x => x * x).sum) // exact-integer self-dot
-      }).toDF("cent_id", "cent_vec", "cent_norm")
-
-    def assignTo(cs: Array[(Long, Array[Double])]): DataFrame = q
-      .crossJoin(broadcast(centDf(cs)))
-      .withColumn("cent_cos", dot_i8f64(col("qvec"), col("cent_vec")) /
-        (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
-          .as("cluster"),
-        first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
-
     for (_ <- 1 to iters) {
-      val means = assignTo(cents)
+      val means = assignQ(q, cents)
         .select(col("cluster"), posexplode(col("qvec")))
         // (sum(v) * scale) / count + 0.5 — shape mirrored EXACTLY in the
         // oracle SQL so the one inexact division rounds identically
@@ -322,14 +323,17 @@ object Similarity {
         .toMap
       cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
     }
+    cents
+  }
 
-    val cdf = centDf(cents)
-    val assignments = assignTo(cents)
+  /** Probe ranking: each query's `nprobe` nearest clusters. `queries` has
+    * (qid, probe_vec, probe_norm); the query set is broadcast-small by
+    * contract, so the window never sees scale. */
+  private def probeClusters(queries: DataFrame, cdf: DataFrame,
+      nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val probes = q.filter(col("vec_id") % every === 0)
-      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
-        col("qnorm").as("probe_norm"))
+    queries
       .crossJoin(broadcast(cdf))
       .withColumn("cent_cos", dot_i8f64(col("probe_vec"), col("cent_vec")) /
         (sqrt(col("probe_norm")) * sqrt(col("cent_norm"))))
@@ -337,12 +341,73 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("probe_vec"), col("probe_norm"),
         col("cent_id").as("cluster"))
+  }
+
+  private def scoreAndTop(assignments: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val scored = assignments
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cosine", dot_i8(col("qvec"), col("probe_vec")) /
         (sqrt(col("qnorm")) * sqrt(col("probe_norm"))))
     topK(scored, k)
+  }
+
+  def kmeansIvfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
+      nprobe: Int = 3, nCentroids: Int = 16, iters: Int = 2,
+      scale: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val q = quantize(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroids(q, nCentroids, iters, scale)
+    val queries = q.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+    scoreAndTop(assignQ(q, cents),
+      probeClusters(queries, centroidsDf(spark, cents), nprobe), k)
+  }
+
+  /** Persist a trained IVF index: centroids + the assigned int8 corpus
+    * PARTITIONED BY CLUSTER. Build once, query many — the 100 TB serving
+    * shape: at query time only the probed clusters' partitions are read
+    * from disk (partition pruning on the cluster directory column), i.e.
+    * ~nprobe/nCentroids of the index bytes, instead of re-deriving
+    * quantization + assignment per query batch. */
+  def buildKmeansIvfIndex(emb: DataFrame, path: String, nCentroids: Int = 16,
+      iters: Int = 2, scale: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    val q = quantize(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroids(q, nCentroids, iters, scale)
+    assignQ(q, cents).write.partitionBy("cluster")
+      .mode("overwrite").parquet(s"$path/assign")
+    centroidsDf(spark, cents).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    q.unpersist()
+  }
+
+  /** Serve top-k from a persisted index. `queries`: (qid, probe_vec
+    * array<tinyint>, probe_norm). Reads ONLY the probed clusters'
+    * partitions (the probed-cluster set is bounded by nCentroids, so the
+    * driver-side IN-list is O(k), not O(queries)). */
+  def queryKmeansIvfIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val cdf = spark.read.parquet(s"$path/centroids")
+    val probes = probeClusters(queries, cdf, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)) // bounded by nCentroids
+    val raw = spark.read.parquet(s"$path/assign")
+    // filter in the partition column's INFERRED type (directory values
+    // read back int when they fit) and only then normalize to long — a
+    // cast under the filter would defeat partition pruning
+    val vals: Seq[Any] = raw.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt).toSeq
+      case _ => probed.toSeq
+    }
+    val assign = raw.filter(col("cluster").isin(vals: _*))
+      .withColumn("cluster", col("cluster").cast("long"))
+    scoreAndTop(assign, probes, k)
   }
 
   /** DuckDB rendering of [[kmeansIvfTopK]]: the quantizer, seeded init,

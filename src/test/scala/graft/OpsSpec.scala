@@ -186,6 +186,27 @@ class OpsSpec extends AnyFunSuite {
       "2 Lloyd rounds changed no ranking — training looks like a no-op")
   }
 
+  test("persisted IVF index serves identically and prunes to probed clusters") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.buildKmeansIvfIndex(emb, path)
+    // queries straight from the index (it stores the quantized vectors)
+    val queries = spark.read.parquet(s"$path/assign")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+    val served = Similarity.queryKmeansIvfIndex(spark, path, queries)
+    val direct = Similarity.kmeansIvfTopK(emb)
+    assert(served.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
+    // the assign scan must carry a partition filter on cluster — probed
+    // partitions only, not the whole index
+    val plan = served.queryExecution.sparkPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cluster".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"no partition pruning on the index scan:\n$plan")
+  }
+
   test("PII scrub counts and redacts emails, IPs, and long digit runs") {
     val d = docs(
       1L -> "mail me at a.b+c@x-corp.io or 192.168.0.1 card 4111111111111111",
