@@ -579,11 +579,21 @@ object Corpus {
     * datatypes.rs:160-162`, but its parquet fixtures are double-typed so
     * decimals never flow through its tests — here they do). Money columns
     * cast to DECIMAL(18,4) at the scan, a decimal-literal predicate, and
-    * exact decimal aggregation. Output types are PINNED on both sides
-    * (DECIMAL(38,8) keeps the full product scale, so no rounding step
-    * exists whose half-even/half-up mode could diverge between engines —
-    * decimal arithmetic is exact, making this entry hash-stable in a way
-    * float aggregates are not). */
+    * exact decimal aggregation. The ARITHMETIC is all-decimal and the
+    * intermediate types are pinned (DECIMAL(38,8) keeps the full product
+    * scale, so no rounding step exists whose half-even/half-up mode could
+    * diverge between engines), but the DRIVER-VISIBLE columns are the
+    * exact decimals rendered as strings. Measured reason (round-6 red row,
+    * r7 diagnosis): DuckDB 1.0.0's pandas fetch (`.df()`) converts
+    * DECIMAL columns to float64 ("1008506245.1815"), while reading this
+    * entry's parquet output back with pandas keeps `Decimal` objects
+    * ("1008506245.18150000") — so any harness that fetches the oracle via
+    * pandas and the engine output via parquet canonicalizes the SAME exact
+    * value two different ways and the hash diverges. A terminal
+    * decimal→string cast on BOTH sides is the only surface that renders
+    * identically across every fetch path (fetchall / Arrow / pandas),
+    * verified against all three; the full 8-digit scale stays visible, so
+    * exactness is still what's being checked. */
   val s33DecimalMoney: Q = (spark, dir) =>
     Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"),
@@ -593,9 +603,9 @@ object Corpus {
       .groupBy(col("l_returnflag"))
       .agg(
         sum(col("price_dec") * (lit(1) - col("disc_dec")))
-          .cast("decimal(38,8)").as("rev_dec"),
-        min(col("price_dec")).cast("decimal(18,4)").as("min_price"),
-        max(col("disc_dec")).cast("decimal(18,4)").as("max_disc"),
+          .cast("decimal(38,8)").cast("string").as("rev_dec"),
+        min(col("price_dec")).cast("decimal(18,4)").cast("string").as("min_price"),
+        max(col("disc_dec")).cast("decimal(18,4)").cast("string").as("max_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -917,11 +927,11 @@ object Corpus {
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
     "s33_decimal_money" ->
       """SELECT l_returnflag,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
         |                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
-        |            AS DECIMAL(38,8)) AS rev_dec,
-        |       CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_price,
-        |       CAST(MAX(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_disc,
+        |            AS DECIMAL(38,8)) AS VARCHAR) AS rev_dec,
+        |       CAST(CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS min_price,
+        |       CAST(CAST(MAX(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS max_disc,
         |       COUNT(*) AS n
         |FROM lineitem
         |WHERE CAST(l_extendedprice AS DECIMAL(18,4)) > 1000.0000

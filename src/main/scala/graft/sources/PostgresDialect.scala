@@ -19,8 +19,10 @@ import graft.plans.SqlGen.Dialect
   *    surface was written against.
   *  - Regex CAN push (`~`), but only for patterns inside the Java↔ARE
   *    shared-semantics subset ([[PgRegex]]) and only with `(?p)` partial
-  *    newline-sensitivity prepended, which pins Postgres' `.`/`[^…]` to
-  *    Java's no-match-on-newline default. The reference pushed `~`
+  *    newline-sensitivity prepended, which pins Postgres' `.` to Java's
+  *    no-match-on-newline default. Negated bracket classes are DECLINED:
+  *    Java's `[^a]` does match newline while `(?p)` stops brackets-with-^
+  *    from matching it, so no prefix aligns them. The reference pushed `~`
   *    unconditionally (`src/parser.rs:668-676`), accepting wrong answers
   *    on exotic patterns; the subset gate keeps pushdown exact.
   *  - The DDL type map mirrors the reference's conversion table
@@ -54,11 +56,14 @@ case object PostgresDialect extends Dialect {
     case other => super.avgArg(arg, other)
   }
 
-  /** `(?p)` = partial newline-sensitivity: `.` and negated brackets stop
-    * matching newline (Java's default) while `^`/`$` keep anchoring at
-    * string boundaries only (also Java's default — full `(?n)` would move
-    * them to every line). Only vets LITERAL patterns: a computed pattern
-    * expression can't be checked against the shared subset. */
+  /** `(?p)` = partial newline-sensitivity: `.` stops matching newline
+    * (Java's default) while `^`/`$` keep anchoring at string boundaries
+    * only (also Java's default — full `(?n)` would move them to every
+    * line). NOTE `(?p)` also stops NEGATED BRACKET classes from matching
+    * newline, which Java's `[^a]` DOES match — that's why
+    * [[PgRegex.sharedSemantics]] declines `[^…]` outright rather than
+    * relying on this prefix. Only vets LITERAL patterns: a computed
+    * pattern expression can't be checked against the shared subset. */
   override def regexpMatch(subject: String, pattern: String): Option[String] =
     if (pattern.length >= 2 && pattern.head == '\'' && pattern.last == '\'') {
       val raw = pattern.substring(1, pattern.length - 1).replace("''", "'")
@@ -103,13 +108,18 @@ case object PostgresDialect extends Dialect {
   * construction: anything not provably identical in both engines declines
   * (the predicate then stays a Spark residual — correct, just unpushed).
   *
-  * Allowed: plain characters, `.`, bracket classes, `^`, alternation,
-  * greedy/non-greedy quantifiers (`* + ? {m,n}`), plain and `(?:` groups,
-  * class shorthands `\d \s \w` (+negations), and escaped metacharacters.
+  * Allowed: plain characters, `.`, positive bracket classes, `^`,
+  * alternation, greedy/non-greedy quantifiers (`* + ? {m,n}`), plain and
+  * `(?:` groups, class shorthands `\d \s \w` (+negations), and escaped
+  * metacharacters.
   *
   * Declined, with the divergence each would smuggle in:
   *  - `$`            Java also matches before a FINAL trailing newline;
   *                   Postgres `(?p)` anchors at end-of-string only
+  *  - `[^…]`         negated bracket class: Java's `[^a]` matches newline
+  *                   but `(?p)` makes Postgres' never match it (and
+  *                   WITHOUT `(?p)` the `.` semantics break instead, so
+  *                   no prefix fixes both) — decline
   *  - `\b`           word boundary in Java, BACKSPACE in ARE (`\y` is
   *                   ARE's boundary — spelled differently, so neither pushes)
   *  - `\A \z \Z \y \m \M`, backreferences `\1`…  — one engine only
@@ -139,6 +149,11 @@ private[sources] object PgRegex {
           // plain groups and (?: agree; every other (?… construct diverges
           if (i + 1 < p.length && p.charAt(i + 1) == '?' &&
               (i + 2 >= p.length || p.charAt(i + 2) != ':')) return false
+          i += 1
+        case '[' =>
+          // this '[' is unescaped (the '\\' arm consumes escaped pairs),
+          // so it opens a bracket class; '^' right after it negates it
+          if (i + 1 < p.length && p.charAt(i + 1) == '^') return false
           i += 1
         case _ => i += 1
       }

@@ -134,6 +134,11 @@ class PostgresDialectSpec extends AnyFunSuite {
     assert(re("\\p{L}+").isEmpty)         // Java-only property class
     assert(re("\\yx").isEmpty)            // ARE-only boundary
     assert(re("trailing\\").isEmpty)      // dangling escape
+    // negated bracket class: Java's [^a] matches \n, (?p) brackets don't
+    assert(re("a[^bc]d").isEmpty)
+    assert(re("[^x]").isEmpty)
+    assert(re("x[\\^a]y").isDefined)      // escaped ^ inside class: literal
+    assert(re("x[a^]y").isDefined)        // non-leading ^ in class: literal
     // a computed (non-literal) pattern cannot be vetted
     assert(d.regexpMatch("\"name\"", "\"pat\"").isEmpty)
   }
