@@ -80,7 +80,7 @@ class GraftSqlTable(val tableName: String, val backend: SqlBackend,
     new GraftWriteBuilder(tableName, backend, info.schema())
 }
 
-class GraftScanBuilder(table: String, private val backend: SqlBackend,
+class GraftScanBuilder(private val table: String, private val backend: SqlBackend,
     private var full: StructType, numPartitions: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownV2Filters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -146,17 +146,16 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     s"SELECT ${selectList(cols)} FROM ${joinedFrom.getOrElse(d.quote(table))}$where"
   }
 
-  /** Parallel-read machinery for a pushed join: a predicate on the
-    * INNERMOST left base table's key splits the whole join — for INNER and
-    * LEFT joins each left-slice joins independently against the full right
-    * side, so the union of disjoint slices is exactly the join (a RIGHT
-    * join would repeat unmatched right rows per slice and stays single-
-    * stream). `probePreds` are the base table's own pushed filters (so the
-    * split probe sees the filtered key range); `mkFragment` re-renders the
-    * full join FROM-fragment with one extra predicate spliced into that
-    * innermost subquery — everything captured BY VALUE at join time, since
-    * the builder's fields mutate afterwards. */
-  private var joinSplit: Option[(Seq[String], String => String)] = None
+  /** Parallel-read machinery for a pushed join: slicing ONE base table —
+    * the innermost LEFT table for INNER/LEFT joins, the RIGHT table for
+    * RIGHT joins — splits the whole join, because each slice of that side
+    * joins independently against the full other side and the union of
+    * disjoint slices is exactly the join. (Slicing the left side of a
+    * RIGHT join would repeat unmatched right rows per slice, and vice
+    * versa — hence the side flip. FULL joins can slice neither side.)
+    * Everything is captured BY VALUE at join time, since the builder's
+    * fields mutate afterwards. */
+  private var joinSplit: Option[JoinSplit] = None
 
   /** Output fields contributed by one side, in Spark's requested order,
     * renamed per alias. `forceNullable` widens the outer side of an outer
@@ -193,40 +192,62 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
     val rightSql = o.sideSql(rightCols)
     val fragment = s"($leftSql) gj_l ${kw.get} ($rightSql) gj_r ON ${cond.get}"
 
-    // capture the split machinery BY VALUE before any field mutates:
-    // an extra predicate splices into the innermost left base table —
-    // either appended to the plain left subquery just rendered, or threaded
-    // through the previous join level's own mkFragment
+    // capture the split machinery BY VALUE before any field mutates: an
+    // extra predicate (key-range slice) or tail clause (deterministic
+    // ORDER BY + OFFSET/FETCH window) lands on the innermost base-table
+    // subquery of the sliced side — where every base column is in scope,
+    // projected or not — either appended to the side subquery just
+    // rendered, or threaded through the previous join level's own
+    // rewriters
     val leftSel = selectList(leftCols)
     val leftPreds = staticPredSql
-    val mkLeft: Option[String => String] = joinedFrom match {
-      case None =>
-        Some(e => leftSql + (if (leftPreds.nonEmpty) s" AND $e" else s" WHERE $e"))
+    // left-side rewriters (INNER/LEFT joins slice the innermost left table)
+    val mkLeft: Option[JoinSplit.Inner] = joinedFrom match {
+      case None => Some(JoinSplit.Inner(
+        table,
+        leftPreds,
+        e => leftSql + (if (leftPreds.nonEmpty) s" AND $e" else s" WHERE $e"),
+        sfx => leftSql + sfx))
       case Some(_) =>
-        joinSplit.map { case (_, innerMk) =>
+        joinSplit.map { js =>
           // must mirror sideSql exactly: predicates pushed onto the
           // already-joined builder (none under today's phase order, but
           // a future phase-order change must not silently widen the
           // range-split fragments relative to the single-stream one)
           val where =
             if (leftPreds.isEmpty) "" else " WHERE " + leftPreds.mkString(" AND ")
-          (e: String) => s"SELECT $leftSel FROM ${innerMk(e)}$where"
+          JoinSplit.Inner(
+            js.probeTable,
+            js.probePreds,
+            e => s"SELECT $leftSel FROM ${js.mkPred(e)}$where",
+            sfx => s"SELECT $leftSel FROM ${js.mkSuffix(sfx)}$where")
         }
     }
-    val probePreds: Seq[String] =
-      if (joinedFrom.isEmpty) leftPreds else joinSplit.map(_._1).getOrElse(Nil)
-    val splittable =
-      (joinType == JoinType.INNER_JOIN || joinType == JoinType.LEFT_OUTER_JOIN) &&
-        mkLeft.isDefined
+    // right-side rewriters (RIGHT joins slice the right table; only a
+    // plain right side — a right-side join chain stays single-stream)
+    val rightPreds = o.staticPredSql
+    val mkRight: Option[JoinSplit.Inner] =
+      if (o.joinedFrom.isEmpty) Some(JoinSplit.Inner(
+        o.table,
+        rightPreds,
+        e => rightSql + (if (rightPreds.nonEmpty) s" AND $e" else s" WHERE $e"),
+        sfx => rightSql + sfx))
+      else None
 
     val merged = StructType(
       sideFields(leftCols, full, forceNullable = joinType == JoinType.RIGHT_OUTER_JOIN) ++
         o.sideFields(rightCols, o.full, forceNullable = joinType == JoinType.LEFT_OUTER_JOIN))
-    joinSplit =
-      if (splittable)
-        Some((probePreds,
-          (e: String) => s"(${mkLeft.get(e)}) gj_l ${kw.get} ($rightSql) gj_r ON ${cond.get}"))
-      else None
+    joinSplit = joinType match {
+      case JoinType.INNER_JOIN | JoinType.LEFT_OUTER_JOIN =>
+        mkLeft.map(in => JoinSplit(in.probeTable, in.probePreds,
+          e => s"(${in.mkPred(e)}) gj_l ${kw.get} ($rightSql) gj_r ON ${cond.get}",
+          sfx => s"(${in.mkSuffix(sfx)}) gj_l ${kw.get} ($rightSql) gj_r ON ${cond.get}"))
+      case JoinType.RIGHT_OUTER_JOIN =>
+        mkRight.map(in => JoinSplit(in.probeTable, in.probePreds,
+          e => s"($leftSql) gj_l ${kw.get} (${in.mkPred(e)}) gj_r ON ${cond.get}",
+          sfx => s"($leftSql) gj_l ${kw.get} (${in.mkSuffix(sfx)}) gj_r ON ${cond.get}"))
+      case _ => None
+    }
     joinedFrom = Some(fragment)
     full = merged
     required = merged
@@ -425,8 +446,8 @@ class GraftScanBuilder(table: String, private val backend: SqlBackend,
       // aggregated scans answer in one backend query (the reference's
       // whole-query DatabaseExec was likewise single-stream,
       // src/physical_plan.rs:28-132); plain scans split by key range, and
-      // INNER/LEFT joined scans split by the left base table's key range
-      // (joinSplit) when it has one
+      // joined scans split via joinSplit's probe-table rewriters (key
+      // range, or ordered windows when that table is keyless)
       if (aggSql.isDefined) 1 else numPartitions,
       aggSql.map { case (selects, _) => (selects, aggGroupBy) },
       orderBy, offset, joinedFrom, joinSplit, pushedV2Sql)
@@ -530,18 +551,48 @@ object V2PredicateSql {
     } yield s"($l $op $r)"
 }
 
+/** By-value carrier of a pushed join's parallel-split machinery.
+  * `probeTable` is the base table whose key range / row count the split
+  * probe hits (under `probePreds`, that table's own pushed filters);
+  * `mkPred` renders the full join FROM-fragment with a key-range
+  * predicate spliced into that table's innermost subquery, `mkSuffix`
+  * with an ORDER BY + OFFSET/FETCH window clause appended to it (the
+  * deterministic fallback when the table declares no integral key). */
+private[sources] case class JoinSplit(probeTable: String,
+    probePreds: Seq[String],
+    mkPred: String => String,
+    mkSuffix: String => String)
+
+private[sources] object JoinSplit {
+  /** One side's innermost-subquery rewriters, before the fragment that
+    * wraps them in the join is assembled. Same fields as [[JoinSplit]],
+    * but the rewriters return the side SUBQUERY, not the FROM fragment. */
+  case class Inner(probeTable: String, probePreds: Seq[String],
+      mkPred: String => String, mkSuffix: String => String)
+}
+
 class GraftScan(val table: String, val backend: SqlBackend,
     val required: StructType,
     val limit: Option[Int], numPartitions: Int,
     val aggregation: Option[(Seq[String], Seq[String])] = None,
     val orderBy: Seq[String] = Nil, val offset: Option[Int] = None,
     val joinedFrom: Option[String] = None,
-    val joinSplit: Option[(Seq[String], String => String)] = None,
+    val joinSplit: Option[JoinSplit] = None,
     val preRendered: Seq[String] = Nil)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
+
+  /** True iff NOTHING was pushed into this scan — no filters (static or
+    * runtime), no aggregate, no limit/offset/top-N, no join fragment.
+    * Column pruning alone keeps a scan pristine: dropping a projection
+    * changes no row semantics. [[graft.plans.MvRewriteRule]] keys on this
+    * to rewrite a post-pushdown federated relation safely — any absorbed
+    * state would be invisible to the rule and silently dropped. */
+  def pristine: Boolean =
+    preRendered.isEmpty && runtimeFilters.isEmpty && aggregation.isEmpty &&
+      limit.isEmpty && offset.isEmpty && orderBy.isEmpty && joinedFrom.isEmpty
 
   // ---- statistics (SupportsReportStatistics) ----
   // Sourced from the backend's CATALOG stats (no per-query probe), so
@@ -694,12 +745,11 @@ class GraftScan(val table: String, val backend: SqlBackend,
   }
 
   /** The split column: a declared single-column integral unique key of
-    * `table` — for joined scans, `table` is the innermost LEFT base table
-    * (the builder object that accumulated the join chain), which is
-    * exactly the table [[joinSplit]]'s predicates splice into. */
-  private def rangeKey: Option[String] = backend.uniqueKey(table) match {
+    * `t` — the scanned table for plain scans, [[JoinSplit.probeTable]]
+    * (the table the split rewriters splice into) for joined scans. */
+  private def rangeKeyOf(t: String): Option[String] = backend.uniqueKey(t) match {
     case Some(Seq(k)) =>
-      backend.schema(table).fields.find(_.name == k).map(_.dataType) match {
+      backend.schema(t).fields.find(_.name == k).map(_.dataType) match {
         case Some(org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
                   org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) =>
           Some(k)
@@ -708,12 +758,12 @@ class GraftScan(val table: String, val backend: SqlBackend,
     case _ => None
   }
 
-  /** Disjoint key-range partition SQLs: MIN/MAX probe on `table`'s key
+  /** Disjoint key-range partition SQLs: MIN/MAX probe on table `t`'s key
     * under `probeWhere`, then one query per range via `mkSql`. */
-  private def keyRangeSqls(k: String, probeWhere: String,
+  private def keyRangeSqls(t: String, k: String, probeWhere: String,
       mkSql: String => String): Seq[String] = {
     val bounds = backend.executeSql(
-      s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(table)}$probeWhere").head
+      s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(t)}$probeWhere").head
     if (bounds.isNullAt(0)) Seq(baseSql) // empty table (or all-NULL keys)
     else {
       // BigInt arithmetic: hi - lo on sentinel-valued Long keys
@@ -774,27 +824,55 @@ class GraftScan(val table: String, val backend: SqlBackend,
       // global ORDER BY/OFFSET only means anything in one backend query
       if (numPartitions <= 1 || limit.isDefined || offset.isDefined ||
           orderBy.nonEmpty) Seq(baseSql)
-      else if (joinedFrom.isDefined) (joinSplit, rangeKey) match {
-        // a pushed INNER/LEFT join parallelizes by slicing the innermost
-        // left base table's key range INSIDE the join fragment — each
-        // slice joins independently against the full right side, so the
-        // union of disjoint slices is exactly the join. The probe runs
-        // under the base table's own pushed filters (outer/runtime
+      else if (joinedFrom.isDefined) joinSplit match {
+        // a pushed join parallelizes by slicing ONE base table INSIDE the
+        // join fragment (innermost left for INNER/LEFT, right for RIGHT)
+        // — each slice joins independently against the full other side,
+        // so the union of disjoint slices is exactly the join. The probe
+        // runs under that table's own pushed filters (outer/runtime
         // filters apply per partition at the outer level via sqlWith).
-        case (Some((probePreds, mkFragment)), Some(k)) =>
-          val pw = if (probePreds.isEmpty) ""
-            else " WHERE " + probePreds.mkString(" AND ")
-          keyRangeSqls(k, pw, pred => sqlWith(None, Some(mkFragment(pred))))
-        // RIGHT joins (unmatched right rows would repeat per slice) and
-        // keyless left tables stay single-stream, like the reference's
-        // whole-query DatabaseExec (src/physical_plan.rs:28-132)
-        case _ => Seq(baseSql)
+        // The reference's whole-query DatabaseExec stayed single-stream
+        // here (src/physical_plan.rs:28-132).
+        case Some(js) =>
+          val pw = if (js.probePreds.isEmpty) ""
+            else " WHERE " + js.probePreds.mkString(" AND ")
+          rangeKeyOf(js.probeTable) match {
+            case Some(k) =>
+              keyRangeSqls(js.probeTable, k, pw,
+                pred => sqlWith(None, Some(js.mkPred(pred))))
+            case None =>
+              // keyless probe side: deterministic ORDER BY + OFFSET/FETCH
+              // windows at the innermost-subquery level. Sort columns are
+              // the declared unique key if any, else EVERY base column —
+              // all in scope at that level whether projected or not
+              // (unlike the plain-scan fallback below, which sorts the
+              // outer projected level), and the table-qualified spelling
+              // can never be captured by a side alias. Ties are then
+              // full-row duplicates, whose window assignment is
+              // interchangeable: the joined multiset stays exact.
+              val n = backend.executeSql(
+                s"SELECT COUNT(*) FROM ${q(js.probeTable)}$pw")
+                .head.get(0).asInstanceOf[Number].longValue
+              if (n == 0) Seq(baseSql)
+              else {
+                val per = (n + numPartitions - 1) / numPartitions
+                val orderCols = backend.uniqueKey(js.probeTable)
+                  .getOrElse(backend.schema(js.probeTable).fieldNames.toSeq)
+                val order = " ORDER BY " +
+                  orderCols.map(c => s"${q(js.probeTable)}.${q(c)}").mkString(", ")
+                (0L until numPartitions.toLong)
+                  .filter(i => i * per < n)
+                  .map(i => sqlWith(None, Some(js.mkSuffix(
+                    order + backend.dialect.limitOffset(Some(per), Some(i * per))))))
+              }
+          }
+        case None => Seq(baseSql)
       }
-      else rangeKey match {
+      else rangeKeyOf(table) match {
         case Some(k) =>
           // the probe shares the pushed filters, so the bounds (and hence
           // the ranges) reflect the filtered data, not the whole table
-          keyRangeSqls(k, probeWhere, pred => sqlWith(Some(pred)))
+          keyRangeSqls(table, k, probeWhere, pred => sqlWith(Some(pred)))
         case None =>
           // Number, not getLong: COUNT's result type is dialect-specific
           // (Derby says INTEGER, most others BIGINT)

@@ -360,14 +360,24 @@ class JdbcFederationSpec extends AnyFunSuite {
       assert(top.select("extra").collect().map(_.getDouble(0)).toSeq ==
         Seq(12.5, 12.25, 12.0, 11.75))
 
-      // a RIGHT join must NOT split (unmatched right rows would repeat)
+      // a RIGHT join must NOT split on the LEFT key (unmatched right rows
+      // would repeat per slice) — it splits on the RIGHT table's key
+      // instead: every right row lands in exactly one slice, and each
+      // slice right-joins the full left side, so the union is exact
       val right = acct.join(bonus, acct("id") === bonus("id"), "right")
       assert(right.count() == 50)
       val rScans = right.queryExecution.executedPlan.collect {
         case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
       }
-      if (rScans.size == 1 && rScans.head.joinedFrom.isDefined)
-        assert(rScans.head.planInputPartitions().length == 1)
+      assert(rScans.size == 1 && rScans.head.joinedFrom.isDefined,
+        "RIGHT join did not push: " + right.queryExecution.executedPlan)
+      val rParts = rScans.head.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      assert(rParts.length > 1, "pushed RIGHT join did not split")
+      rParts.foreach(p =>
+        assert(p.sql.contains("RIGHT JOIN") && p.sql.contains("\"id\" >="), p.sql))
+      val rIds = right.select(bonus("id")).collect().map(_.getInt(0)).sorted.toSeq
+      assert(rIds == (1 to 50), "right-key slices dropped/duplicated rows")
 
       // 3-table chain: the split threads through nested fragments to the
       // innermost left base table
@@ -396,6 +406,47 @@ class JdbcFederationSpec extends AnyFunSuite {
         assert(ids == (1 to 30).toSeq)
       } finally backend.executeUpdate("""DROP TABLE "tier"""")
     } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", prevJoinConf)
+  }
+
+  test("pushed-join slicing: a KEYLESS left table splits via ordered windows inside the fragment") {
+    // no PK anywhere: the key-range strategy has nothing to slice on, so
+    // the join falls back to deterministic ORDER BY + OFFSET/FETCH windows
+    // over the left base table INSIDE the join fragment. Duplicate rows
+    // included on purpose: window exactness must hold for multisets.
+    backend.executeUpdate("""CREATE TABLE "nk" ("id" INTEGER NOT NULL, "w" DOUBLE)""")
+    backend.executeUpdate("""CREATE TABLE "nkdim" ("id" INTEGER NOT NULL, "lab" VARCHAR(8))""")
+    val prevJoinConf = spark.conf.get("spark.sql.optimizer.datasourceV2JoinPushdown")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      backend.executeUpdate(s"""INSERT INTO "nk" VALUES ${
+        ((1 to 40) ++ Seq(5, 5, 17)).map(i => s"($i, ${i * 0.5})").mkString(", ")}""")
+      backend.executeUpdate(s"""INSERT INTO "nkdim" VALUES ${
+        (1 to 40).map(i => s"($i, 'd_$i')").mkString(", ")}""")
+      val nk = remote("nk")
+      val dim = remote("nkdim")
+      val j = nk.join(dim, nk("id") === dim("id"))
+      val scan = graftScan(j)
+      assert(scan.joinedFrom.isDefined, "join did not push")
+      val parts = scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      assert(parts.length > 1, "keyless pushed join did not split")
+      parts.foreach { p =>
+        assert(p.sql.contains(" JOIN "), p.sql)
+        assert(p.sql.contains("OFFSET") || p.sql.contains("FETCH"), p.sql)
+        // the window's sort is table-qualified so a side alias can never
+        // shadow the base column it orders by
+        assert(p.sql.contains("\"nk\".\"id\""), p.sql)
+      }
+      // multiset-exact union: the duplicated ids join once per copy
+      val got = j.select(nk("id"), col("lab")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      val want = ((1 to 40) ++ Seq(5, 5, 17)).sorted.map(i => (i, s"d_$i")).toSeq
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", prevJoinConf)
+      backend.executeUpdate("""DROP TABLE "nk"""")
+      backend.executeUpdate("""DROP TABLE "nkdim"""")
+    }
   }
 
   test("overwrite mode truncates then writes; append keeps existing rows") {
