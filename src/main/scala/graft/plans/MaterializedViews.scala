@@ -11,8 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+import graft.sources.{GraftScan, GraftSqlTable, SqlBackend}
 
 /** Aggregate materialized views with transparent roll-up rewrite — the
   * classic OLAP accelerant (the reference's RDBMS targets ship it as
@@ -88,11 +91,33 @@ object MaterializedViews {
         e.children.map(exprKey).mkString("(", ",", ")")
   }
 
+  /** Identity string for a FEDERATED base table: backend name (stable per
+    * dir/url — instances are cached on it) + table. Plays the role file
+    * rootPaths play for parquet bases in [[MvDef.basePaths]]. */
+  private[plans] def fedIdentity(backend: SqlBackend, table: String): String =
+    s"graft-sqldb:${backend.name}#$table"
+
   private def relationPaths(p: LogicalPlan): Option[Set[String]] = p match {
     case s: SubqueryAlias => relationPaths(s.child)
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation =>
         Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+    // an ANALYZED federated scan (ensure() destructures pre-optimization,
+    // so this is always the unpushed relation form)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable => Some(Set(fedIdentity(t.backend, t.tableName)))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The federated leaf's backend+table, when the base is one. */
+  private def fedLeaf(p: LogicalPlan): Option[(SqlBackend, String)] = p match {
+    case s: SubqueryAlias => fedLeaf(s.child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable => Some((t.backend, t.tableName))
       case _ => None
     }
     case _ => None
@@ -103,7 +128,7 @@ object MaterializedViews {
     * re-ensure() over changed data computes a fresh view instead of
     * serving a stale one. */
   private def fingerprint(basePaths: Set[String], dims: Seq[String],
-      measureKeys: Seq[(String, String)]): String = {
+      measureKeys: Seq[(String, String)], baseVersion: String = ""): String = {
     val md = MessageDigest.getInstance("SHA-256")
     def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
     def feedFile(f: File): Unit =
@@ -115,6 +140,7 @@ object MaterializedViews {
       val f = new File(local)
       if (f.exists) feedFile(f)
     }
+    feed(baseVersion)
     dims.foreach(feed)
     measureKeys.foreach { case (k, v) => feed(s"$k=$v;") }
     md.digest().take(8).map("%02x".format(_)).mkString
@@ -133,9 +159,22 @@ object MaterializedViews {
       Seq(s"sum_$k", s"cnt_$k", s"min_$k", s"max_$k") }
     require(dims.forall(d => !reserved.contains(d)),
       s"dimension names collide with derived measure columns: $reserved")
-    val basePaths = relationPaths(base.queryExecution.analyzed).getOrElse(
+    val analyzed = base.queryExecution.analyzed
+    val basePaths = relationPaths(analyzed).getOrElse(
       throw new IllegalArgumentException(
-        "materialized-view base must be a plain file-source table scan"))
+        "materialized-view base must be a plain file-source or graft-sqldb table scan"))
+    // a federated base has no files to fingerprint; a COUNT(*) probe is
+    // the change signal instead (one scalar query at ensure() time).
+    // Weaker than the per-file walk — a same-cardinality mutation goes
+    // undetected until the user re-ensures — which is the classic manual-
+    // refresh MV contract every RDBMS ships.
+    val baseVersion = fedLeaf(analyzed) match {
+      case Some((backend, t)) =>
+        "rows=" + backend.executeSql(
+          s"SELECT COUNT(*) FROM ${backend.dialect.quote(t)}")
+          .head.get(0).toString
+      case None => ""
+    }
     // measure keys from the OPTIMIZED projection — the same constant
     // folding the rewrite rule sees at match time
     val measureKeys: Seq[(String, String)] =
@@ -148,7 +187,7 @@ object MaterializedViews {
         case other => throw new IllegalStateException(
           s"unexpected measure plan shape: ${other.nodeName}")
       }
-    val fp = fingerprint(basePaths, dims, measureKeys)
+    val fp = fingerprint(basePaths, dims, measureKeys, baseVersion)
     val mvPath = new File(new File(
       sys.props("java.io.tmpdir"), "graft-mv"), s"$name-$fp").getPath
     if (!new File(mvPath, "_SUCCESS").exists()) {
@@ -313,7 +352,27 @@ object MaterializedViews {
           "price" -> col("l_extendedprice"),
           "disc_price" -> discPrice))
       rollupQuery(li)
+    }),
+    // the SAME roll-up over a FEDERATED base (graft-sqldb): the rewrite
+    // rule must run BEFORE V2ScanRelationPushDown absorbs the dim filter
+    // into the scan, so this entry builds its session with class-based
+    // GraftExtensions (operator-optimization-batch injection) instead of
+    // extraOptimizations. At 100 TB the delta is even starker than the
+    // parquet pair's: the base query ships the backend's aggregate over
+    // the wire every run, the view serves 6 rows from local kilobytes.
+    "mv_rollup_fed" -> ((spark0: SparkSession, dir: String) => {
+      val spark = GraftExtensions.newSession()
+      val li = spark.read.format("graft-sqldb").option("dir", dir)
+        .option("table", "lineitem").load()
+      ensure(spark, "li_pricing_fed", li,
+        dims = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          "qty" -> col("l_quantity"),
+          "price" -> col("l_extendedprice"),
+          "disc_price" -> discPrice))
+      rollupQuery(li)
     }))
+
 
   private val rollupOracleSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -328,11 +387,12 @@ object MaterializedViews {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  // both entries share one oracle text: identical results, different
+  // all three entries share one oracle text: identical results, different
   // plans — the differ proves the rewrite changes nothing but the scan
   val oracle: Seq[(String, String)] = Seq(
     "mv_rollup_base" -> rollupOracleSql,
-    "mv_rollup" -> rollupOracleSql)
+    "mv_rollup" -> rollupOracleSql,
+    "mv_rollup_fed" -> rollupOracleSql)
 }
 
 /** Rewrites derivable aggregates over a registered base table into
@@ -347,9 +407,22 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** Aggregate(child = [attr-only Project | deterministic Filter |
-    * SubqueryAlias]* over a file-source relation) → filters + leaf. */
+    * SubqueryAlias]* over a base relation) → filters + base identity.
+    *
+    * Three leaf forms. A file-source [[LogicalRelation]] and a federated
+    * [[DataSourceV2Relation]] are both PRE-pushdown: every filter in the
+    * query is still a visible Filter node above them, so the dims-only
+    * check below sees the complete predicate set. (The V2 relation form
+    * only survives to this rule when it runs in the operator-optimization
+    * batch — class-based [[GraftExtensions]] injection — which executes
+    * BEFORE V2ScanRelationPushDown.) A [[DataSourceV2ScanRelation]] is
+    * POST-pushdown (the `extraOptimizations` injection path): filters the
+    * scan absorbed are invisible here, so it matches only when the
+    * [[GraftScan]] is PRISTINE — nothing pushed — which makes the visible
+    * Filter nodes the complete set again. A non-pristine scan declines:
+    * rewriting it could silently drop absorbed predicates. */
   private def destructure(p: LogicalPlan,
-      filters: List[Expression]): Option[(List[Expression], LogicalRelation)] =
+      filters: List[Expression]): Option[(List[Expression], Set[String])] =
     p match {
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         destructure(c, filters)
@@ -358,14 +431,24 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         destructure(c, cond :: filters)
       case s: SubqueryAlias => destructure(s.child, filters)
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
-        Some((filters, l))
+        Some((filters,
+          l.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+            .map(_.toString).toSet))
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSqlTable =>
+          Some((filters, Set(MaterializedViews.fedIdentity(t.backend, t.tableName))))
+        case _ => None
+      }
+      case s: DataSourceV2ScanRelation => s.scan match {
+        case g: GraftScan if g.pristine =>
+          Some((filters, Set(MaterializedViews.fedIdentity(g.backend, g.table))))
+        case _ => None
+      }
       case _ => None
     }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (filters, leaf) = destructure(agg.child, Nil).getOrElse(return None)
-    val paths = leaf.relation.asInstanceOf[HadoopFsRelation]
-      .location.rootPaths.map(_.toString).toSet
+    val (filters, paths) = destructure(agg.child, Nil).getOrElse(return None)
     val candidates = MaterializedViews.candidatesFor(paths)
     if (candidates.isEmpty) return None
     candidates.view.flatMap(tryOne(agg, filters, _)).headOption

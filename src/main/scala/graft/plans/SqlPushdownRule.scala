@@ -165,6 +165,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** A NEW session (sharing the current context) whose optimizer runs the
+    * graft rules in the OPERATOR-OPTIMIZATION batch — i.e. before
+    * V2ScanRelationPushDown — which [[install]]'s `extraOptimizations`
+    * placement cannot do. Required for MV rewrite over federated bases
+    * with filters: after pushdown the scan has absorbed them and the
+    * rewrite must decline. `getOrCreate` only applies builder extensions
+    * to a new session, so the active/default slots are cleared for the
+    * call and restored after. */
+  def newSession(): SparkSession = {
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    finally {
+      default.foreach(SparkSession.setDefaultSession)
+      active.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   /** Runtime installation on an existing session. */
   def install(spark: SparkSession): Unit = {
     MaterializedViews.install(spark)

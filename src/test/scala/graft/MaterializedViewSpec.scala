@@ -51,9 +51,19 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  /** The same query text against a session WITHOUT the rewrite rule. */
-  private def baseline(q: DataFrame => DataFrame): DataFrame =
-    q(Tables.load(TestSpark.spark, TestSpark.Sf0001, "lineitem"))
+  /** The same query text against a session WITHOUT the rewrite rule. A
+    * FRESH session, not the shared one: suites that call
+    * GraftExtensions.install on TestSpark.spark leave MvRewriteRule in
+    * its extraOptimizations, and the view registry is global — the shared
+    * session's "baseline" could then itself be served from the view,
+    * turning every equality here into view-vs-view. The assert keeps that
+    * failure mode loud. */
+  private def baseline(q: DataFrame => DataFrame): DataFrame = {
+    val s = TestSpark.spark.newSession() // fresh (empty) extraOptimizations
+    val df = q(Tables.load(s, TestSpark.Sf0001, "lineitem"))
+    assert(!scansView(df), "baseline itself was served from the view")
+    df
+  }
 
   test("roll-up over fewer dims scans the view and matches the base") {
     mv
@@ -264,5 +274,90 @@ class MaterializedViewSpec extends AnyFunSuite {
       math.round(r.getDouble(4) * 1e6), r.getDouble(5), r.getDouble(6),
       r.getLong(7))).toSeq
     assert(got == want)
+  }
+
+  // ---- federated (DSv2) bases ------------------------------------------
+
+  private def fedLineitem(s: SparkSession): DataFrame =
+    s.read.format("graft-sqldb").option("dir", TestSpark.Sf0001)
+      .option("table", "lineitem").load()
+
+  test("federated base: FILTERED roll-up rewrites to the view under class-based extensions") {
+    // class-based injection runs MvRewriteRule in the operator-optimization
+    // batch, BEFORE V2ScanRelationPushDown absorbs the dim filter — the
+    // rule sees Filter over DataSourceV2Relation and the full predicate set
+    val s = graft.plans.GraftExtensions.newSession()
+    val fed = fedLineitem(s)
+    MaterializedViews.ensure(s, "spec_fed", fed,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("qty" -> col("l_quantity")))
+    try {
+      def q(t: DataFrame): DataFrame = t
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      val df = q(fed)
+      assert(scansView(df), df.queryExecution.optimizedPlan.toString)
+      // the backend is a view over the same parquet files the baseline reads
+      assertSameAsBase(df, baseline(q))
+    } finally MaterializedViews.drop("spec_fed")
+  }
+
+  test("federated base: pristine post-pushdown scan rewrites; an absorbed filter declines") {
+    // extraOptimizations injection runs AFTER pushdown. An expression
+    // measure keeps the backend from absorbing the aggregate, so the
+    // Aggregate survives over a PRISTINE scan → rewrite fires. A filtered
+    // query's predicate is absorbed into the scan → not pristine → the
+    // rewrite must decline (it cannot see the absorbed predicate) and the
+    // query answers from the backend.
+    val s = TestSpark.spark.newSession()
+    MaterializedViews.install(s)
+    val fed = fedLineitem(s)
+    MaterializedViews.ensure(s, "spec_fed_post", fed,
+      dims = Seq("l_returnflag"),
+      measures = Seq("disc_price" -> discPrice))
+    try {
+      def q(t: DataFrame): DataFrame =
+        t.groupBy("l_returnflag").agg(sum(discPrice).as("s"))
+      val df = q(fed)
+      assert(scansView(df), df.queryExecution.optimizedPlan.toString)
+      val got = df.collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4))).sorted.toSeq
+      val want = baseline(q).collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4))).sorted.toSeq
+      assert(got == want)
+
+      def qf(t: DataFrame): DataFrame = t
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_returnflag").agg(sum(discPrice).as("s"))
+      val dff = qf(fed)
+      assert(!scansView(dff), dff.queryExecution.optimizedPlan.toString)
+      val gotF = dff.collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4))).sorted.toSeq
+      val wantF = baseline(qf).collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4))).sorted.toSeq
+      assert(gotF == wantF)
+    } finally MaterializedViews.drop("spec_fed_post")
+  }
+
+  test("oracle entry mv_rollup_fed serves from the view and matches the parquet baseline") {
+    val fn = MaterializedViews.entries.toMap.apply("mv_rollup_fed")
+    val df = fn(TestSpark.spark, TestSpark.Sf0001)
+    assert(scansView(df), df.queryExecution.optimizedPlan.toString)
+    def q(t: DataFrame): DataFrame = t
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        sum(discPrice).as("sum_disc_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+    def canon(d: DataFrame) = d.collect().map(r => (r.getString(0), r.getString(1),
+      math.round(r.getDouble(2) * 1e6), math.round(r.getDouble(3) * 1e6),
+      math.round(r.getDouble(4) * 1e6), r.getDouble(5), r.getDouble(6),
+      r.getLong(7))).toSeq
+    assert(canon(df) == canon(baseline(q)))
   }
 }

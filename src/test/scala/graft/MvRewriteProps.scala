@@ -81,7 +81,13 @@ class MvRewriteProps extends AnyFunSuite {
 
   test("random roll-ups equal the base plan and fire exactly when derivable") {
     mv
-    val base = Tables.load(TestSpark.spark, TestSpark.Sf0001, "lineitem")
+    // fresh session: the SHARED session may have MvRewriteRule in its
+    // extraOptimizations (GraftExtensions.install from another suite) and
+    // the view registry is global — the comparand must be unrewritable
+    val baseSession = TestSpark.spark.newSession()
+    val base = Tables.load(baseSession, TestSpark.Sf0001, "lineitem")
+    assert(!scansView(base.groupBy("l_returnflag").agg(sum("l_quantity"))),
+      "base comparand itself is served from the view")
     var fired = 0
     var declined = 0
     val prop = Prop.forAll(genShape) { s =>
