@@ -383,7 +383,58 @@ object Similarity {
       .mode("overwrite").parquet(s"$path/assign")
     centroidsDf(spark, cents).write.mode("overwrite")
       .parquet(s"$path/centroids")
+    // trained-base size, the denominator of the staleness contract below
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "TRAINED"), q.count().toString)
     q.unpersist()
+  }
+
+  private def loadCentroids(spark: SparkSession,
+      path: String): Array[(Long, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").select("cent_id", "cent_vec")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Append new vectors into an EXISTING index without retraining or
+    * rewriting: quantize, assign against the persisted (frozen) centroids,
+    * and append partition-wise — only the appended rows' cluster
+    * directories gain files; the trained base and the centroids are
+    * untouched. Queries see appended vectors immediately (the serving
+    * path reads whole cluster partitions).
+    *
+    * The price of frozen centroids is drift: appended data the training
+    * never saw can land in poorly-fitting clusters, decaying recall.
+    * [[kmeansIvfIndexStale]] makes that measurable instead of silent —
+    * the analog of the MV fingerprint contract, adapted to an index whose
+    * "fingerprint" is how far the corpus has outgrown the training. */
+  def appendToKmeansIvfIndex(emb: DataFrame, path: String): Unit =
+    assignQ(quantize(emb), loadCentroids(emb.sparkSession, path))
+      .write.partitionBy("cluster").mode("append").parquet(s"$path/assign")
+
+  /** True when appended rows exceed `maxAppendFraction` of the trained
+    * base — the re-train trigger. Reads the TRAINED marker plus parquet
+    * footer row counts (a metadata-only count, no data scan). */
+  def kmeansIvfIndexStale(spark: SparkSession, path: String,
+      maxAppendFraction: Double = 0.2): Boolean = {
+    val trained = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "TRAINED")), "UTF-8").trim.toLong
+    val total = spark.read.parquet(s"$path/assign").count()
+    total - trained > maxAppendFraction * trained
+  }
+
+  /** Recall@k of an approximate top-k against the brute-force truth on
+    * the SAME (qid, vec_id) universe: |approx ∩ exact| / |exact|,
+    * averaged over queries. The oracle rows pin each pipeline's EXACT
+    * output; this pins the QUALITY axis — how much of the true top-k the
+    * bucketed search keeps — so nprobe/nCentroids tuning has a measured
+    * trade-off, not just a latency curve. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
+        "left_semi")
+      .count().toDouble
+    val total = exact.count()
+    require(total > 0, "empty exact top-k")
+    hit / total
   }
 
   /** Serve top-k from a persisted index. `queries`: (qid, probe_vec

@@ -207,6 +207,69 @@ class OpsSpec extends AnyFunSuite {
       s"no partition pruning on the index scan:\n$plan")
   }
 
+  test("index append: new vectors are served without retraining; staleness trips at the threshold") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfappend").toString
+    Similarity.buildKmeansIvfIndex(emb, path)
+    val centsBefore = spark.read.parquet(s"$path/centroids")
+      .orderBy("cent_id").collect().map(_.toString).toSeq
+    assert(!Similarity.kmeansIvfIndexStale(spark, path))
+    // appended vectors: exact COPIES of existing ones under fresh ids —
+    // each lands in its twin's cluster and scores cosine 1.0 against it
+    val appended = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    Similarity.appendToKmeansIvfIndex(appended, path)
+    // no rebuild: centroids byte-identical, trained marker unchanged
+    val centsAfter = spark.read.parquet(s"$path/centroids")
+      .orderBy("cent_id").collect().map(_.toString).toSeq
+    assert(centsBefore == centsAfter, "append retrained the centroids")
+    // queries now see their appended twin as the (tied-)top neighbor
+    val queries = spark.read.parquet(s"$path/assign")
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000000L)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+    val served = Similarity.queryKmeansIvfIndex(spark, path, queries)
+    val twinHits = served
+      .filter(col("vec_id") === col("qid") + 5000000L && col("rank") === 1)
+      .count()
+    val nq = queries.count()
+    assert(twinHits == nq,
+      s"only $twinHits of $nq queries surfaced their appended twin at rank 1")
+    // the appended fraction here is 1/50 of the base — far under the
+    // default 20% trigger; appending 25% of the base must trip it
+    assert(!Similarity.kmeansIvfIndexStale(spark, path))
+    val bulk = emb.filter(col("vec_id") % 4 === 1)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    Similarity.appendToKmeansIvfIndex(bulk, path)
+    assert(Similarity.kmeansIvfIndexStale(spark, path),
+      "25% appended rows did not trip the re-train trigger")
+  }
+
+  test("kmeans-IVF recall@k against brute force stays above the pinned floor") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb)
+    val ivf = Similarity.kmeansIvfTopK(emb)
+    val r = Similarity.recallAtK(ivf, exact)
+    info(f"kmeans-IVF recall@10 vs brute force: $r%.3f")
+    // floor pinned from measurement; nprobe=3 of 16 clusters reads ~19%
+    // of the corpus per query, so recall well above that fraction is the
+    // clustering actually working
+    assert(r >= 0.55, f"recall@10 collapsed: $r%.3f")
+    // the persisted index must serve the SAME pipeline (recall identical)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfrecall").toString
+    Similarity.buildKmeansIvfIndex(emb, path)
+    val queries = spark.read.parquet(s"$path/assign")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+    val servedRecall = Similarity.recallAtK(
+      Similarity.queryKmeansIvfIndex(spark, path, queries), exact)
+    assert(math.abs(servedRecall - r) < 1e-9,
+      f"persisted-index recall $servedRecall%.3f != in-memory $r%.3f")
+  }
+
   test("PII scrub counts and redacts emails, IPs, and long digit runs") {
     val d = docs(
       1L -> "mail me at a.b+c@x-corp.io or 192.168.0.1 card 4111111111111111",
