@@ -164,7 +164,20 @@ object JdbcBackend {
   /** JDBC metadata type → Spark type. Unmapped types fail discovery loudly
     * (a silently-skipped column would make `SELECT *` lie). `typeName` is
     * the driver's TYPE_NAME — needed where a backend hides a real type
-    * behind Types.OTHER (Postgres uuid). */
+    * behind Types.OTHER (Postgres uuid).
+    *
+    * Covers the reference's conversion table (`datatypes.rs:141-176`)
+    * with these DELIBERATE divergences — the one place they are listed;
+    * `PostgresDialectSpec` asserts a verdict per row:
+    *  - uuid → String (text form round-trips; the reference punted to
+    *    Binary with a TODO, `datatypes.rs:172`)
+    *  - interval → loud decline (the reference guessed
+    *    `Interval(DayTime)` with a TODO; Spark's CalendarInterval is not
+    *    a first-class row value on enough of the surface to serve it
+    *    honestly — cast backend-side to text or seconds instead)
+    *  - ARRAY / inet / name / oid / other exotic OTHER names → loud
+    *    decline, the reference's own policy for types off its match
+    *    (`datatypes.rs:94`, its commented-out rows) */
   private[graft] def sparkType(jdbcType: Int, precision: Int, scale: Int,
       typeName: String = ""): DataType =
     jdbcType match {
@@ -197,34 +210,60 @@ object JdbcBackend {
         s"unmapped JDBC type $other '$typeName' (java.sql.Types)")
     }
 
-  /** One ResultSet row → Row, schema-driven (the decoder analog of the
-    * reference's per-type wire readers, `binary_reader.rs:351-487`). */
-  private[sources] def convertRow(rs: ResultSet, schema: StructType): Row = {
-    val vals = new Array[Any](schema.length)
-    var i = 0
-    while (i < schema.length) {
-      val v: Any = schema.fields(i).dataType match {
-        case BooleanType => rs.getBoolean(i + 1)
-        case ByteType => rs.getByte(i + 1)
-        case ShortType => rs.getShort(i + 1)
-        case IntegerType => rs.getInt(i + 1)
-        case LongType => rs.getLong(i + 1)
-        case FloatType => rs.getFloat(i + 1)
-        case DoubleType => rs.getDouble(i + 1)
-        case _: DecimalType => rs.getBigDecimal(i + 1)
-        case StringType => rs.getString(i + 1)
-        case DateType => rs.getDate(i + 1)
-        case _: TimeType => rs.getObject(i + 1, classOf[java.time.LocalTime])
-        case TimestampType => rs.getTimestamp(i + 1)
-        case BinaryType => rs.getBytes(i + 1)
+  /** Rows decoded per fill of the task-side batch buffer (and the JDBC
+    * fetchSize, so the driver's own wire blocks align with it). The
+    * reference's binary COPY reader batched 65,536 rows
+    * (`binary_reader.rs:24-209`); JDBC rows are already materialized
+    * objects, so a smaller block bounds memory on wide rows while still
+    * amortizing the per-row iterator machinery. */
+  private[sources] val BatchRows = 1024
+
+  /** Schema-compiled column decoders: ONE per-column closure chosen at
+    * schema time instead of a dataType pattern-match per CELL — the
+    * row-decode hot path does width × rows virtual calls and nothing
+    * else. This is the JDBC-shaped analog of the reference's per-type
+    * wire readers (`binary_reader.rs:351-487`), which likewise dispatch
+    * once per column, then decode values in a tight loop. */
+  private[sources] def decoders(
+      schema: StructType): Array[(ResultSet, Int) => Any] =
+    schema.fields.map { f =>
+      f.dataType match {
+        case BooleanType => (rs: ResultSet, i: Int) => rs.getBoolean(i)
+        case ByteType => (rs: ResultSet, i: Int) => rs.getByte(i)
+        case ShortType => (rs: ResultSet, i: Int) => rs.getShort(i)
+        case IntegerType => (rs: ResultSet, i: Int) => rs.getInt(i)
+        case LongType => (rs: ResultSet, i: Int) => rs.getLong(i)
+        case FloatType => (rs: ResultSet, i: Int) => rs.getFloat(i)
+        case DoubleType => (rs: ResultSet, i: Int) => rs.getDouble(i)
+        case _: DecimalType => (rs: ResultSet, i: Int) => rs.getBigDecimal(i)
+        case StringType => (rs: ResultSet, i: Int) => rs.getString(i)
+        case DateType => (rs: ResultSet, i: Int) => rs.getDate(i)
+        case _: TimeType => (rs: ResultSet, i: Int) =>
+          rs.getObject(i, classOf[java.time.LocalTime])
+        case TimestampType => (rs: ResultSet, i: Int) => rs.getTimestamp(i)
+        case BinaryType => (rs: ResultSet, i: Int) => rs.getBytes(i)
         case other => throw new IllegalArgumentException(
           s"unreadable column type $other")
       }
+    }
+
+  /** One ResultSet row → Row through pre-compiled decoders. */
+  private[sources] def decodeRow(rs: ResultSet,
+      ds: Array[(ResultSet, Int) => Any]): Row = {
+    val vals = new Array[Any](ds.length)
+    var i = 0
+    while (i < ds.length) {
+      val v = ds(i)(rs, i + 1)
       vals(i) = if (rs.wasNull()) null else v
       i += 1
     }
-    Row.fromSeq(vals.toIndexedSeq)
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
   }
+
+  /** One ResultSet row → Row, schema-driven (kept for one-off rows; bulk
+    * paths compile [[decoders]] once and loop [[decodeRow]]). */
+  private[sources] def convertRow(rs: ResultSet, schema: StructType): Row =
+    decodeRow(rs, decoders(schema))
 }
 
 class JdbcBackend private (val url: String) extends SqlBackend {
@@ -307,8 +346,9 @@ class JdbcBackend private (val url: String) extends SqlBackend {
           md.getColumnType(i), md.getPrecision(i), md.getScale(i),
           String.valueOf(md.getColumnTypeName(i))))
       })
+      val ds = JdbcBackend.decoders(schema)
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (rs.next()) out += JdbcBackend.convertRow(rs, schema)
+      while (rs.next()) out += JdbcBackend.decodeRow(rs, ds)
       out.toSeq
     } finally st.close()
   }
@@ -336,7 +376,22 @@ class JdbcBackend private (val url: String) extends SqlBackend {
   * streams the ResultSet (driver holds SQL text only). The connection
   * closes with the ResultSet — or with the task, whichever comes first
   * (completion listener), so partial reads under a Spark-side limit don't
-  * leak connections. */
+  * leak connections.
+  *
+  * The decode is BATCHED: rows are pulled in [[JdbcBackend.BatchRows]]
+  * blocks through schema-compiled [[JdbcBackend.decoders]] into a
+  * reusable buffer, with the JDBC fetchSize aligned to the block so the
+  * driver's wire round-trips amortize the same way. Pushdown minimizes
+  * what ships; this path is for the rows that DO ship — the reference's
+  * answer there is decoding Postgres binary COPY straight into 65,536-row
+  * columnar batches (`binary_reader.rs:24-209`). A JDBC ResultSet can't
+  * expose the wire buffer, so batch-decode-into-a-block is the strongest
+  * JDBC-portable form; a `jdbc:postgresql:` URL could go further by
+  * swapping this loop for pgjdbc's CopyManager (`COPY (sql) TO STDOUT
+  * (FORMAT BINARY)`) feeding the same Row buffer — that slot is exactly
+  * [[JdbcBackend.decodeRow]]'s caller, and nothing upstream would
+  * change. Untestable here (no live Postgres in the environment), so it
+  * stays a documented seam rather than dead code. */
 case class JdbcTaskConnection(url: String) extends SqlConnection {
 
   override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] = {
@@ -345,7 +400,7 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
     // listener is only registered once the query has succeeded
     val rs = try {
       val stmt = conn.createStatement()
-      stmt.setFetchSize(1000)
+      stmt.setFetchSize(JdbcBackend.BatchRows)
       stmt.executeQuery(sql)
     } catch { case t: Throwable => try conn.close() catch { case _: Throwable => }; throw t }
     val stmt = rs.getStatement
@@ -355,18 +410,33 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
       try rs.close() finally { try stmt.close() finally conn.close() }
     }
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+    val ds = JdbcBackend.decoders(schema)
     new Iterator[Row] {
-      private var ready = false
-      private var done = false
-      private def advance(): Unit = if (!ready && !done) {
-        if (rs.next()) ready = true else { done = true; closeAll() }
+      private val buf = new Array[Row](JdbcBackend.BatchRows)
+      private var n = 0
+      private var pos = 0
+      private var drained = false
+      private def fill(): Unit = if (pos >= n && !drained) {
+        pos = 0
+        n = 0
+        while (n < buf.length && rs.next()) {
+          buf(n) = JdbcBackend.decodeRow(rs, ds)
+          n += 1
+        }
+        // a short fill means the ResultSet is done: release the
+        // connection NOW — the buffered tail serves without it, so the
+        // backend's connection slot frees up to a block earlier than the
+        // consumer finishes
+        if (n < buf.length) { drained = true; closeAll() }
       }
-      override def hasNext: Boolean = { advance(); ready }
+      override def hasNext: Boolean = { fill(); pos < n }
       override def next(): Row = {
-        advance()
-        if (!ready) throw new NoSuchElementException("drained ResultSet")
-        ready = false
-        JdbcBackend.convertRow(rs, schema)
+        fill()
+        if (pos >= n) throw new NoSuchElementException("drained ResultSet")
+        val r = buf(pos)
+        buf(pos) = null // no liveness past handoff: the block is reused
+        pos += 1
+        r
       }
     }
   }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.DriverManager
 
-import graft.sources.{DerbyDialect, GraftScan, JdbcBackend, WroteCount}
+import graft.sources.{DerbyDialect, GraftScan, JdbcBackend, JdbcTaskConnection, WroteCount}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
@@ -447,6 +447,37 @@ class JdbcFederationSpec extends AnyFunSuite {
       backend.executeUpdate("""DROP TABLE "nk"""")
       backend.executeUpdate("""DROP TABLE "nkdim"""")
     }
+  }
+
+  test("task-side fetch decodes in batches: boundary crossings, exact multiple, empty") {
+    backend.executeUpdate("""CREATE TABLE "batchy" ("id" INTEGER NOT NULL, "v" DOUBLE)""")
+    try {
+      // 2600 rows: two full 1024-blocks + a 552 tail
+      (1 to 2600).grouped(250).foreach { g =>
+        backend.executeUpdate(s"""INSERT INTO "batchy" VALUES ${
+          g.map(i => s"($i, ${i * 0.25})").mkString(", ")}""")
+      }
+      val schema = backend.schema("batchy")
+      def fetchAll(sql: String): Seq[org.apache.spark.sql.Row] =
+        JdbcTaskConnection(Url).fetch(0L, sql, schema).toSeq
+      val rows = fetchAll("""SELECT "id", "v" FROM "batchy" ORDER BY "id"""")
+      assert(rows.length == 2600)
+      assert(rows.map(_.getInt(0)) == (1 to 2600))
+      assert(rows(1023).getDouble(1) == 1024 * 0.25) // last row of block 1
+      assert(rows(1024).getDouble(1) == 1025 * 0.25) // first row of block 2
+      // exact multiple of the block size: the extra fill sees a clean end
+      val exact = fetchAll(
+        """SELECT "id", "v" FROM "batchy" WHERE "id" <= 2048 ORDER BY "id"""")
+      assert(exact.length == 2048 && exact.last.getInt(0) == 2048)
+      // empty result closes without serving anything
+      assert(fetchAll("""SELECT "id", "v" FROM "batchy" WHERE "id" < 0""").isEmpty)
+      // end-to-end through the scan (keyless table → window fallback):
+      // every row exactly once, correct values
+      val df = remote("batchy")
+      assert(df.count() == 2600)
+      assert(df.agg(sum(col("v"))).collect().head.getDouble(0) ==
+        (1 to 2600).map(_ * 0.25).sum)
+    } finally backend.executeUpdate("""DROP TABLE "batchy"""")
   }
 
   test("overwrite mode truncates then writes; append keeps existing rows") {
