@@ -191,4 +191,65 @@ class PostgresDialectSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("array column type '_int4'"))
   }
+
+  test("the FULL reference conversion table carries an explicit verdict per row") {
+    import java.sql.Types
+    // reference datatypes.rs:141-176 row by row, as pgjdbc surfaces each
+    // (JDBC code + TYPE_NAME). Verdict = a Spark type, or a LOUD decline
+    // at discovery — never a silent skip. Deliberate divergences are
+    // documented on JdbcBackend.sparkType's scaladoc.
+    val mapped = Seq(
+      ("smallint / int2", Types.SMALLINT, 5, 0, "int2", ShortType),
+      ("integer / int4", Types.INTEGER, 10, 0, "int4", IntegerType),
+      ("bigint / int8", Types.BIGINT, 19, 0, "int8", LongType),
+      ("boolean (pgjdbc: BIT)", Types.BIT, 1, 0, "bool", BooleanType),
+      ("\"char\" / character", Types.CHAR, 1, 0, "bpchar", StringType),
+      ("character varying", Types.VARCHAR, 255, 0, "varchar", StringType),
+      ("text", Types.VARCHAR, 2147483647, 0, "text", StringType),
+      ("bytea", Types.BINARY, 2147483647, 0, "bytea", BinaryType),
+      ("date", Types.DATE, 13, 0, "date", DateType),
+      ("double precision", Types.DOUBLE, 17, 17, "float8", DoubleType),
+      ("real", Types.REAL, 8, 8, "float4", FloatType),
+      ("numeric unconstrained", Types.NUMERIC, 0, 0, "numeric",
+        DecimalType(38, 4)), // the reference's own default, datatypes.rs:160-162
+      ("numeric(18,4)", Types.NUMERIC, 18, 4, "numeric", DecimalType(18, 4)),
+      ("time [without time zone]", Types.TIME, 8, 0, "time", TimeType(0)),
+      ("time(6)", Types.TIME, 15, 6, "time", TimeType(6)),
+      ("timestamp [without time zone]", Types.TIMESTAMP, 29, 6,
+        "timestamp", TimestampType), // µs precision, like the reference
+      ("timestamp with time zone", Types.TIMESTAMP, 35, 6,
+        "timestamptz", TimestampType),
+      ("uuid", Types.OTHER, 0, 0, "uuid", StringType))
+    mapped.foreach { case (row, code, p, s, tn, want) =>
+      assert(JdbcBackend.sparkType(code, p, s, tn) == want, row)
+    }
+    // loud declines: the reference's commented-out rows (anyarray/ARRAY,
+    // inet, name, oid) plus interval, where it guessed a unit with a TODO
+    Seq(("anyarray/ARRAY", Types.ARRAY, "_float8"),
+      ("inet", Types.OTHER, "inet"),
+      ("name", Types.OTHER, "name"),
+      ("oid", Types.OTHER, "oid"),
+      ("interval", Types.OTHER, "interval")).foreach { case (row, code, tn) =>
+      val e = intercept[IllegalArgumentException](
+        JdbcBackend.sparkType(code, 0, 0, tn))
+      assert(e.getMessage.contains(tn), s"$row decline does not name '$tn'")
+    }
+    // TOTALITY over the whole java.sql.Types surface: every constant gets
+    // a verdict — a non-null Spark type or an IllegalArgumentException
+    // carrying the offending name — never null, never a different crash
+    val allCodes = classOf[Types].getFields
+      .filter(f => java.lang.reflect.Modifier.isStatic(f.getModifiers) &&
+        f.getType == java.lang.Integer.TYPE)
+      .map(f => f.getName -> f.getInt(null)).toSeq
+    assert(allCodes.size > 30, "reflection found too few Types constants")
+    allCodes.foreach { case (name, code) =>
+      try assert(JdbcBackend.sparkType(code, 10, 2, name.toLowerCase) != null,
+        s"$name mapped to null")
+      catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty,
+            s"$name: decline without a message")
+      }
+    }
+  }
 }
