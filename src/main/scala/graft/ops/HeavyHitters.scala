@@ -45,15 +45,40 @@ object HeavyHitters {
       .orderBy("grp", "rank")
   }
 
+  /** Exact-regime guard for the ORACLE entries: the driver compares the
+    * sketch against an exact GROUP BY, which is only valid while every
+    * distinct key fits one sketch (err ≡ 0, merge-order-free). Past that
+    * the sketch is legitimately approximate and merge-order-dependent —
+    * fail FAST and LOUD instead of flaking the gate at a bigger scale
+    * factor. `cardinality` is any cheap UPPER BOUND on the distinct keys
+    * a single sketch sees. */
+  private def requireExactRegime(cardinality: Long, capacity: Int,
+      what: String): Unit =
+    require(cardinality <= capacity,
+      s"$what: up to $cardinality distinct keys exceed sketch capacity " +
+        s"$capacity — the exact-regime oracle no longer holds at this " +
+        "scale factor; raise the capacity or retire the oracle entry")
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "approx_top_parts" -> ((s, d) =>
-      topItems(Tables.load(s, d, "lineitem"), "l_partkey")),
-    "approx_top_tokens_by_lang" -> ((s, d) =>
-      topItemsByGroup(
-        Tables.load(s, d, "documents")
-          .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok")),
-        "lang", "tok", k = 5, capacity = 1 << 10)
-        .withColumnRenamed("grp", "lang")))
+    "approx_top_parts" -> ((s, d) => {
+      // distinct l_partkey is bounded by |part| — a parquet footer count,
+      // no scan (at sf1 |part|=200k > 65536: this trips rather than flakes)
+      requireExactRegime(Tables.load(s, d, "part").count(), 1 << 16,
+        "approx_top_parts")
+      topItems(Tables.load(s, d, "lineitem"), "l_partkey")
+    }),
+    "approx_top_tokens_by_lang" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      // per-group sketches: the bound is the LARGEST per-language
+      // vocabulary (synthetic ~31 words at every test SF — one small agg)
+      requireExactRegime(
+        toks.groupBy("lang").agg(countDistinct("tok").as("n"))
+          .agg(max("n")).collect().head.getLong(0),
+        1 << 10, "approx_top_tokens_by_lang")
+      topItemsByGroup(toks, "lang", "tok", k = 5, capacity = 1 << 10)
+        .withColumnRenamed("grp", "lang")
+    }))
 
   // capacity 65536 exceeds the part-key cardinality at every test scale
   // factor, so the sketch is exact and err is identically 0; ties at the

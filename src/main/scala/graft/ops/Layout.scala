@@ -76,13 +76,16 @@ object Layout {
 
   /** Idempotent z-ordered copy of a base table, fingerprinted by the base
     * files + layout definition (same contract as the materialized-view
-    * store: changed base data -> fresh path). */
+    * store: changed base data -> fresh path). The file part reuses the MV
+    * store's per-file (path, length, mtime) walk — the previous
+    * directory-level length/mtime probe missed in-place file rewrites
+    * that leave the directory entry untouched (ADVICE r6). */
   def ensureZOrdered(spark: SparkSession, dir: String, table: String,
       zCols: Seq[String], numFiles: Int = 8): String = synchronized {
     val src = new File(s"$dir/$table.parquet")
     val fp = Integer.toHexString(
-      (dir + table + zCols.mkString(",") + numFiles +
-        src.length + src.lastModified).hashCode)
+      (dir + table + zCols.mkString(",") + numFiles).hashCode) + "-" +
+      graft.plans.MaterializedViews.filesFingerprint(Seq(src.getPath))
     val path = new File(new File(
       sys.props("java.io.tmpdir"), "graft-zorder"), s"$table-$fp").getPath
     if (!new File(path, "_SUCCESS").exists())

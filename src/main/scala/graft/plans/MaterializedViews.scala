@@ -127,19 +127,30 @@ object MaterializedViews {
     * file — plus the view definition. Lands in the view's storage path, so
     * re-ensure() over changed data computes a fresh view instead of
     * serving a stale one. */
-  private def fingerprint(basePaths: Set[String], dims: Seq[String],
-      measureKeys: Seq[(String, String)], baseVersion: String = ""): String = {
+  /** SHA-256 over (path, length, mtime) of every file under `paths`
+    * (recursive, name-sorted) — the shared change-detection walk for
+    * derived-data stores (this MV store, `Layout.ensureZOrdered`).
+    * Per-FILE on purpose: a directory's own length/mtime is filesystem-
+    * dependent and an in-place file rewrite may not bump it. */
+  private[graft] def filesFingerprint(paths: Seq[String]): String = {
     val md = MessageDigest.getInstance("SHA-256")
     def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
     def feedFile(f: File): Unit =
       if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(feedFile)
       else feed(s"${f.getPath}:${f.length}:${f.lastModified};")
-    basePaths.toSeq.sorted.foreach { p =>
+    paths.sorted.foreach { p =>
       feed(p)
-      val local = p.stripPrefix("file:")
-      val f = new File(local)
+      val f = new File(p.stripPrefix("file:"))
       if (f.exists) feedFile(f)
     }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  private def fingerprint(basePaths: Set[String], dims: Seq[String],
+      measureKeys: Seq[(String, String)], baseVersion: String = ""): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    feed(filesFingerprint(basePaths.toSeq))
     feed(baseVersion)
     dims.foreach(feed)
     measureKeys.foreach { case (k, v) => feed(s"$k=$v;") }
