@@ -276,6 +276,60 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ensureIncremental folds only appended files; any other change recomputes") {
+    import graft.plans.MaterializedViews.{ensureIncremental => inc}
+    val tbl = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/itbl"
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_orderkey")
+    li.filter(col("l_orderkey") % 4 =!= 0).write.parquet(tbl)
+    def base = spark.read.parquet(tbl)
+    val dims = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq("qty" -> col("l_quantity"),
+      "money" -> col("l_extendedprice").cast("decimal(18,4)"))
+    try {
+      val (d1, how1) = inc(spark, "spec_incr", base, dims, ms)
+      assert(how1 == "full", "first ensure must be a full compute")
+      // the base GROWS: new files only
+      li.filter(col("l_orderkey") % 4 === 0).write.mode("append").parquet(tbl)
+      val (d2, how2) = inc(spark, "spec_incr", base, dims, ms)
+      assert(how2 == "incremental", "append-only growth must fold")
+      assert(d2.mvPath != d1.mvPath)
+      // folded view == full aggregate over the whole base, types included
+      val got = spark.read.parquet(d2.mvPath)
+        .orderBy(dims.map(col): _*)
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_qty", "cnt_qty",
+          "min_qty", "max_qty", "sum_money")
+        .collect().map(_.toString).toSeq
+      val want = base.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_money"))
+        .orderBy(dims.map(col): _*)
+        .collect().map(_.toString).toSeq
+      assert(got == want, "folded snapshot diverges from a full recompute")
+      // sum-of-sums must NOT widen the stored decimal past the full type
+      assert(spark.read.parquet(d2.mvPath).schema("sum_money").dataType ==
+        org.apache.spark.sql.types.DecimalType(28, 4))
+      // the folded view serves the rewrite like any other
+      val q = base.groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      assert(scansView(q), q.queryExecution.optimizedPlan.toString)
+      // unchanged base → same fingerprint, same path, nothing recomputed
+      val (d3, how3) = inc(spark, "spec_incr", base, dims, ms)
+      assert(how3 == "reuse" && d3.mvPath == d2.mvPath)
+      // a DELETED file breaks the additions-only premise: MIN/MAX cannot
+      // un-see rows, so this must take the full path
+      val victim = new java.io.File(tbl).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      val (d4, how4) = inc(spark, "spec_incr", base, dims, ms)
+      assert(how4 == "full" && d4.mvPath != d2.mvPath)
+    } finally MaterializedViews.drop("spec_incr")
+  }
+
   // ---- federated (DSv2) bases ------------------------------------------
 
   private def fedLineitem(s: SparkSession): DataFrame =
