@@ -125,6 +125,59 @@ object Layout {
     n.toLong
   }
 
+  /** Bucketed + per-bucket-sorted copy of a base table, registered in the
+    * session catalog — the CO-LOCATED JOIN lever. Two tables bucketed on
+    * their join keys into the same bucket count sort-merge-join with ZERO
+    * shuffle exchanges: the scan itself reports the hash partitioning the
+    * join needs. At 100 TB a fact-fact join shuffles BOTH sides — the
+    * single largest movable cost in such a plan — and bucketing moves
+    * that shuffle to WRITE time, paid once and amortized over every
+    * subsequent join/aggregate on the key.
+    *
+    * Fingerprinted like the z-ordered copy (per-file walk + definition):
+    * a changed base produces a fresh bucket table. The data lives at an
+    * explicit external LOCATION, so a NEW session (fresh in-memory
+    * catalog) re-registers the existing files with external-table DDL
+    * carrying the same CLUSTERED BY spec — no rewrite. Returns the
+    * catalog table name. */
+  def ensureBucketed(spark: SparkSession, dir: String, table: String,
+      keys: Seq[String], buckets: Int = 8): String = synchronized {
+    val src = new File(s"$dir/$table.parquet")
+    val fp = Integer.toHexString(
+      (dir + table + keys.mkString(",") + buckets).hashCode) + "_" +
+      graft.plans.MaterializedViews.filesFingerprint(Seq(src.getPath))
+    val tbl = s"graft_bkt_${table}_$fp"
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = new File(new File(
+        sys.props("java.io.tmpdir"), "graft-bkt"), tbl)
+      val keyList = keys.mkString(", ")
+      if (new File(loc, "_SUCCESS").exists()) {
+        // files already bucketed by an earlier session: register, don't
+        // rewrite (the bucket spec must match the written layout — the
+        // fingerprinted name guarantees it)
+        val schemaDdl = Tables.load(spark, dir, table).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $tbl ($schemaDdl) USING parquet
+             |CLUSTERED BY ($keyList) SORTED BY ($keyList)
+             |INTO $buckets BUCKETS
+             |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+      } else {
+        // pre-partition on the bucket keys so each task holds few
+        // buckets — fewer files per bucket, more of the merge-sort
+        // pre-done at write time
+        Tables.load(spark, dir, table)
+          .repartition(buckets, keys.map(col): _*)
+          .write
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .option("path", loc.getAbsolutePath)
+          .mode("overwrite")
+          .saveAsTable(tbl)
+      }
+    }
+    tbl
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // box query over the z-ordered copy: identical rows to the base table
     // (layout is pure reorganization), pruned scan at execution
@@ -137,6 +190,27 @@ object Layout {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+    // fact-fact join over co-bucketed copies: the join runs with zero
+    // shuffle exchanges (LayoutSpec pins the plan; the only exchange in
+    // the query is the aggregate's). Broadcast is disabled in the entry's
+    // own session because this is the 100 TB shape — neither side of a
+    // fact-fact join fits a broadcast there, and the entry must measure
+    // the plan that scale actually gets.
+    "bucketed_join" -> ((spark0, d) => {
+      val spark = spark0.newSession()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lt = ensureBucketed(spark, d, "lineitem", Seq("l_orderkey"))
+      val ot = ensureBucketed(spark, d, "orders", Seq("o_orderkey"))
+      spark.table(lt)
+        .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("sum_qty"),
+          // prices carry 2 decimals (see s34): rounding erases the
+          // partial-sum-order float noise between Spark and the oracle
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracle: Seq[(String, String)] = Seq(
@@ -145,5 +219,10 @@ object Layout {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000
         |  AND l_partkey BETWEEN 100 AND 1000
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderpriority, SUM(l_quantity) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

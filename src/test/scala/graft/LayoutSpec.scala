@@ -90,6 +90,54 @@ class LayoutSpec extends AnyFunSuite {
       li.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("bucketed co-located join: zero shuffle exchanges under the join, same result") {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val lt = Layout.ensureBucketed(s, TestSpark.Sf0001, "lineitem", Seq("l_orderkey"))
+    val ot = Layout.ensureBucketed(s, TestSpark.Sf0001, "orders", Seq("o_orderkey"))
+    def q(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+        .orderBy("o_orderpriority")
+    // count exchanges in AQE's FINAL plan only (its toString repeats the
+    // initial plan below a marker line)
+    def shuffles(df: org.apache.spark.sql.DataFrame): (Int, String, Seq[String]) = {
+      val rows = df.collect().map(_.toString).toSeq // finalize AQE's plan
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      ("Exchange".r.findAllIn(plan).length, plan, rows)
+    }
+    val (bktEx, bktPlan, bktRows) = shuffles(q(s.table(lt), s.table(ot)))
+    val (plainEx, _, plainRows) = shuffles(q(
+      Tables.load(s, TestSpark.Sf0001, "lineitem"),
+      Tables.load(s, TestSpark.Sf0001, "orders")))
+    assert(bktRows == plainRows, "bucketed join changed the result")
+    // the bucketed scans feed the SortMergeJoin directly: the only
+    // exchanges left are the aggregate's and the orderBy's — the plain
+    // plan carries two more, one per join input
+    assert(bktPlan.contains("Bucketed: true"), bktPlan)
+    assert(bktEx == 2, s"bucketed plan has $bktEx exchanges, want 2:\n$bktPlan")
+    assert(plainEx == bktEx + 2,
+      s"plain plan has $plainEx exchanges, expected ${bktEx + 2}")
+    // a FRESH session (empty in-memory catalog) re-registers the written
+    // files via external DDL — same zero-shuffle plan, no rewrite
+    val s2 = TestSpark.spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val before = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-bkt"), lt)
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    val lt2 = Layout.ensureBucketed(s2, TestSpark.Sf0001, "lineitem", Seq("l_orderkey"))
+    assert(lt2 == lt)
+    val after = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-bkt"), lt)
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before == after, "re-registration rewrote the bucket files")
+    val ot2 = Layout.ensureBucketed(s2, TestSpark.Sf0001, "orders", Seq("o_orderkey"))
+    val (bktEx2, _, bktRows2) = shuffles(q(s2.table(lt2), s2.table(ot2)))
+    assert(bktEx2 == 2 && bktRows2 == plainRows)
+  }
+
   test("oracle entry zorder_scan equals the same query on the base table") {
     val (name, fn) = Layout.entries.head
     assert(name == "zorder_scan")
