@@ -758,27 +758,71 @@ class GraftScan(val table: String, val backend: SqlBackend,
     case _ => None
   }
 
-  /** Disjoint key-range partition SQLs: MIN/MAX probe on table `t`'s key
-    * under `probeWhere`, then one query per range via `mkSql`. */
+  /** Disjoint key-range partition SQLs on table `t`'s key under
+    * `probeWhere`, one query per range via `mkSql`.
+    *
+    * DENSE keys (value span within 10× the row count) take a single
+    * COUNT/MIN/MAX probe and uniform value strides — Spark's own JDBC
+    * strategy, and the reference's spirit. SPARSE keys are where that
+    * strategy collapses: a table keyed by, say, snowflake ids spanning
+    * 2^40 values piles every row into one or two strides and leaves the
+    * rest empty. Those instead probe the ACTUAL key quantiles — one
+    * `ORDER BY k OFFSET i·per FETCH 1` per interior boundary, an index
+    * seek on any real RDBMS's unique key — and slice [q_i, q_{i+1})
+    * between them: balanced partitions under ANY key distribution, at
+    * the price of numPartitions-1 scalar probes at planning. */
   private def keyRangeSqls(t: String, k: String, probeWhere: String,
       mkSql: String => String): Seq[String] = {
     val bounds = backend.executeSql(
-      s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(t)}$probeWhere").head
-    if (bounds.isNullAt(0)) Seq(baseSql) // empty table (or all-NULL keys)
+      s"SELECT COUNT(${q(k)}), MIN(${q(k)}), MAX(${q(k)}) FROM ${q(t)}$probeWhere").head
+    if (bounds.isNullAt(1)) Seq(baseSql) // empty table (or all-NULL keys)
     else {
       // BigInt arithmetic: hi - lo on sentinel-valued Long keys
       // overflows and would silently plan zero partitions
-      val lo = BigInt(bounds.get(0).asInstanceOf[Number].longValue)
-      val hi = BigInt(bounds.get(1).asInstanceOf[Number].longValue)
-      val stride = ((hi - lo) / numPartitions + 1) max BigInt(1)
-      val nParts = (((hi - lo) / stride) + 1).toInt
-      (0 until nParts).map { i =>
-        val from = lo + stride * i
-        val until = from + stride
-        // SQL UNIQUE permits NULLs and a NULL key matches no range
-        // predicate — partition 0 sweeps them up
-        val nulls = if (i == 0) s" OR ${q(k)} IS NULL" else ""
-        mkSql(s"(${q(k)} >= $from AND ${q(k)} < $until$nulls)")
+      val n = BigInt(bounds.get(0).asInstanceOf[Number].longValue)
+      val lo = BigInt(bounds.get(1).asInstanceOf[Number].longValue)
+      val hi = BigInt(bounds.get(2).asInstanceOf[Number].longValue)
+      val sparse = (hi - lo + 1) > n * 10
+      if (!sparse) {
+        val stride = ((hi - lo) / numPartitions + 1) max BigInt(1)
+        val nParts = (((hi - lo) / stride) + 1).toInt
+        (0 until nParts).map { i =>
+          val from = lo + stride * i
+          val until = from + stride
+          // SQL UNIQUE permits NULLs and a NULL key matches no range
+          // predicate — partition 0 sweeps them up
+          val nulls = if (i == 0) s" OR ${q(k)} IS NULL" else ""
+          mkSql(s"(${q(k)} >= $from AND ${q(k)} < $until$nulls)")
+        }
+      } else {
+        val per = (n + numPartitions - 1) / numPartitions
+        // probes exclude NULL keys explicitly: COUNT(k) counted only
+        // non-nulls, and dialects disagree on where NULLs sort
+        val pw = if (probeWhere.isEmpty) s" WHERE ${q(k)} IS NOT NULL"
+          else s"$probeWhere AND ${q(k)} IS NOT NULL"
+        val cuts = (1 until numPartitions)
+          .map(i => BigInt(i) * per).filter(_ < n)
+          .map { off =>
+            BigInt(backend.executeSql(
+              s"SELECT ${q(k)} FROM ${q(t)}$pw ORDER BY ${q(k)}" +
+                backend.dialect.limitOffset(Some(1L), Some(off.toLong)))
+              .head.get(0).asInstanceOf[Number].longValue)
+          }.distinct // duplicate quantiles (heavy keys) collapse a cut
+        val edges: Seq[(Option[BigInt], Option[BigInt])] =
+          ((None +: cuts.map(Some(_))) :+ None).sliding(2).map {
+            pair => (pair.head, pair.last)
+          }.toSeq
+        edges.zipWithIndex.map { case ((from, until), i) =>
+          val range = (from.map(f => s"${q(k)} >= $f"),
+              until.map(u => s"${q(k)} < $u")) match {
+            case (Some(l), Some(h)) => s"$l AND $h"
+            case (Some(l), None) => l
+            case (None, Some(h)) => h
+            case (None, None) => s"${q(k)} IS NOT NULL" // single cutless range
+          }
+          val nulls = if (i == 0) s" OR ${q(k)} IS NULL" else ""
+          mkSql(s"($range$nulls)")
+        }
       }
     }
   }
@@ -806,11 +850,13 @@ class GraftScan(val table: String, val backend: SqlBackend,
     // work before execution (partitions carry SQL text, never rows;
     // reference `PostgresExec::execute` likewise defers each fetch):
     //
-    //  1. Declared single integral unique key → MIN/MAX probe + disjoint
-    //     key-range predicates (the strategy of Spark's own JDBC
+    //  1. Declared single integral unique key → COUNT/MIN/MAX probe +
+    //     disjoint key-range predicates (the strategy of Spark's own JDBC
     //     partitioning): index-friendly range seeks on a real RDBMS, no
-    //     backend sorts. Caveat (same as JDBC's): range sizes follow the
-    //     key distribution, and a sparse key skews partitions.
+    //     backend sorts. Where Spark's JDBC source stops — uniform value
+    //     strides skew under sparse keys — a key whose span exceeds 10×
+    //     the row count switches to probed QUANTILE boundaries
+    //     (keyRangeSqls): balanced partitions under any distribution.
     //  2. Composite / non-integral key → COUNT probe + key-ordered
     //     LIMIT/OFFSET ranges (the reference's split, made deterministic:
     //     its unordered LIMIT/OFFSET can duplicate or drop rows). Costs

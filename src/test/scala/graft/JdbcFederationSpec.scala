@@ -449,6 +449,32 @@ class JdbcFederationSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse skewed integral key splits by probed quantiles, not value stride") {
+    // snowflake-id shape: 100 keys near 1 and 100 keys near 10^10 — a
+    // uniform value stride piles every row into the two edge partitions
+    // and plans the rest empty; quantile probing balances them
+    backend.executeUpdate(
+      """CREATE TABLE "sparse" ("id" BIGINT NOT NULL PRIMARY KEY, "v" INTEGER)""")
+    try {
+      backend.executeUpdate(s"""INSERT INTO "sparse" VALUES ${
+        ((1L to 100L) ++ (10000000001L to 10000000100L))
+          .map(i => s"($i, ${i % 97})").mkString(", ")}""")
+      val df = remote("sparse")
+      val parts = graftScan(df).planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      assert(parts.length > 1, "sparse key did not split")
+      // execute each partition's SQL directly: disjoint, covering, and
+      // BALANCED — no partition may hold the majority of the rows
+      val perPart = parts.map(p => backend.executeSql(p.sql).length)
+      assert(perPart.sum == 200,
+        s"partition union lost/duplicated rows: ${perPart.toSeq}")
+      assert(perPart.max <= 120,
+        s"quantile split left a skewed partition: ${perPart.toSeq}")
+      val ids = df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == ((1L to 100L) ++ (10000000001L to 10000000100L)))
+    } finally backend.executeUpdate("""DROP TABLE "sparse"""")
+  }
+
   test("task-side fetch decodes in batches: boundary crossings, exact multiple, empty") {
     backend.executeUpdate("""CREATE TABLE "batchy" ("id" INTEGER NOT NULL, "v" DOUBLE)""")
     try {
