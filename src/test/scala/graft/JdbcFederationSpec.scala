@@ -506,6 +506,54 @@ class JdbcFederationSpec extends AnyFunSuite {
     } finally backend.executeUpdate("""DROP TABLE "batchy"""")
   }
 
+  test("exactly-once sink: replayed micro-batches land once; a stream flows through it") {
+    backend.executeUpdate("""CREATE TABLE "eo_sink" ("k" BIGINT, "n" BIGINT)""")
+    try {
+      import TestSpark.spark.implicits._
+      val write = graft.streaming.ExactlyOnceSink(Url, "eo_sink") _
+      def b(rows: (Long, Long)*) = rows.toDF("k", "n")
+      def landed(): Seq[(Long, Long)] =
+        backend.executeSql("""SELECT "k", "n" FROM "eo_sink"""")
+          .map(r => (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue)).sorted
+      write(b(1L -> 10L, 2L -> 20L), 0L)
+      write(b(1L -> 10L, 2L -> 20L), 0L) // foreachBatch retry: same id
+      assert(landed() == Seq(1L -> 10L, 2L -> 20L),
+        "replayed batch double-landed")
+      write(b(3L -> 30L), 1L)
+      write(b(3L -> 30L), 1L) // replay of the second batch
+      write(b(1L -> 10L, 2L -> 20L), 0L) // late replay of the FIRST batch
+      assert(landed() == Seq(1L -> 10L, 2L -> 20L, 3L -> 30L))
+      // an actual stream drives the same body end-to-end
+      import org.apache.spark.sql.streaming.Trigger
+      val q = spark.readStream.format("rate")
+        .option("rowsPerSecond", "200").load()
+        .select((col("value") % 5).as("k"), lit(1L).as("n"))
+        .writeStream.trigger(Trigger.ProcessingTime(200))
+        .foreachBatch(write)
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        var n = 0L
+        while (n <= 3 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(500)
+          n = backend.executeSql("""SELECT COUNT(*) FROM "eo_sink"""")
+            .head.get(0).asInstanceOf[Number].longValue
+        }
+        assert(n > 3, "stream produced no rows through the exactly-once sink")
+      } finally q.stop()
+      // marker table recorded every published batch id exactly once
+      val ids = backend.executeSql(
+        """SELECT "batch_id", COUNT(*) FROM "eo_sink__batches" GROUP BY "batch_id"""")
+        .map(r => r.get(1).asInstanceOf[Number].longValue)
+      assert(ids.nonEmpty && ids.forall(_ == 1L))
+    } finally {
+      backend.executeUpdate("""DROP TABLE "eo_sink"""")
+      backend.executeUpdate("""DROP TABLE "eo_sink__staging"""")
+      backend.executeUpdate("""DROP TABLE "eo_sink__batches"""")
+    }
+  }
+
   test("overwrite mode truncates then writes; append keeps existing rows") {
     backend.executeUpdate(
       """CREATE TABLE "ow" ("id" BIGINT)""")
