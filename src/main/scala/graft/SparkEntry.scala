@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ops.Similarity.entries ++
       graft.ops.TextAnalysis.entries ++
       graft.ops.Sampling.entries ++
+      graft.ops.Curation.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.TemporalJoins.entries ++
       graft.ops.Skew.entries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       graft.ops.Similarity.oracle ++
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Sampling.oracle ++
+      graft.ops.Curation.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.ops.TemporalJoins.oracle ++
       graft.ops.Skew.oracle ++

@@ -188,7 +188,7 @@ object TextAnalysis {
 
   /** Quality-score oracle text, shared: text_filter_pipeline wraps it so
     * the two entries cannot drift. */
-  private val textQualityOracleSql: String =
+  private[ops] val textQualityOracleSql: String =
       """SELECT doc_id, LENGTH(text) AS n_chars2,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |       ROUND(CAST(LENGTH(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)

@@ -270,6 +270,23 @@ class OpsSpec extends AnyFunSuite {
       f"persisted-index recall $servedRecall%.3f != in-memory $r%.3f")
   }
 
+  test("curate_corpus: gate, dedup, and split compose; planted duplicates all removed") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val out = graft.ops.Curation.curate(docs).collect()
+    assert(out.nonEmpty)
+    val nDocs = out.map(_.getLong(2)).sum
+    val dups = out.map(_.getLong(3)).sum
+    // every source doc carries exactly ONE planted exact copy, and copies
+    // share the gate verdict — so kept == gated sources and each kept doc
+    // removed exactly one duplicate
+    assert(dups == nDocs, s"dups_removed $dups != n_docs $nDocs")
+    assert(nDocs == graft.ops.TextAnalysis.filterPipeline(docs).count(),
+      "composite gate disagrees with the standalone filter pipeline")
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    // quality average is a real number in (0, 1]
+    out.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
+  }
+
   test("PII scrub counts and redacts emails, IPs, and long digit runs") {
     val d = docs(
       1L -> "mail me at a.b+c@x-corp.io or 192.168.0.1 card 4111111111111111",
