@@ -28,12 +28,20 @@ import org.apache.spark.sql.functions._
   * `dups_removed`, or the entry is vacuous. */
 object Curation {
 
+  /** Exact planted copies under `doc_id + 1_000_000` — ENTRY scaffolding
+    * (the production pipeline curates real data with real duplicates; the
+    * synthetic corpus needs them planted to exercise the dedup stage). */
+  def withPlantedExactDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    base.unionAll(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+  }
+
   def curate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 2000,
       minQuality: Double = 0.5): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"), col("lang"))
-    val planted = base.unionAll(base.select(
-      (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
-    val gated = TextAnalysis.qualityScores(planted, keep = Seq("lang", "text"))
+    val gated = TextAnalysis.qualityScores(
+      docs.select(col("doc_id"), col("text"), col("lang")),
+      keep = Seq("lang", "text"))
       .filter(col("n_tokens").between(minTokens, maxTokens) &&
         col("quality_score") >= minQuality)
       .select(col("doc_id"), col("lang"), col("text"),
@@ -57,7 +65,8 @@ object Curation {
   }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "curate_corpus" -> ((s, d) => curate(Tables.load(s, d, "documents"))))
+    "curate_corpus" -> ((s, d) =>
+      curate(withPlantedExactDups(Tables.load(s, d, "documents")))))
 
   /** DuckDB mirror: quality metrics once per SOURCE document (planted
     * copies share their source's text, hence its metrics), the same gate,

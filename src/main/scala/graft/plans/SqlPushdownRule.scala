@@ -173,7 +173,10 @@ object GraftExtensions {
     * rewrite must decline. `getOrCreate` only applies builder extensions
     * to a new session, so the active/default slots are cleared for the
     * call and restored after. */
-  def newSession(): SparkSession = {
+  def newSession(): SparkSession = synchronized {
+    // synchronized: the active/default slots are process-global — two
+    // concurrent builders interleaving clear/restore would leak the
+    // wrong session into one of them
     val active = SparkSession.getActiveSession
     val default = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()

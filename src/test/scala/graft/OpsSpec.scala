@@ -272,7 +272,8 @@ class OpsSpec extends AnyFunSuite {
 
   test("curate_corpus: gate, dedup, and split compose; planted duplicates all removed") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
-    val out = graft.ops.Curation.curate(docs).collect()
+    val out = graft.ops.Curation.curate(
+      graft.ops.Curation.withPlantedExactDups(docs)).collect()
     assert(out.nonEmpty)
     val nDocs = out.map(_.getLong(2)).sum
     val dups = out.map(_.getLong(3)).sum
