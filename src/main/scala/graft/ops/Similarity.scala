@@ -384,9 +384,29 @@ object Similarity {
     centroidsDf(spark, cents).write.mode("overwrite")
       .parquet(s"$path/centroids")
     // trained-base size, the denominator of the staleness contract below
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "TRAINED"), q.count().toString)
+    // — written through the Hadoop FS layer like the index parquet, so
+    // an HDFS/S3 index path carries its marker WITH the index instead of
+    // stranding it on one driver's local disk
+    writeTrained(spark, path, q.count())
     q.unpersist()
+  }
+
+  private def trainedMarker(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "TRAINED")
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def writeTrained(spark: SparkSession, path: String, n: Long): Unit = {
+    val (p, fs) = trainedMarker(spark, path)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readTrained(spark: SparkSession, path: String): Long = {
+    val (p, fs) = trainedMarker(spark, path)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim.toLong
+    finally in.close()
   }
 
   private def loadCentroids(spark: SparkSession,
@@ -415,8 +435,7 @@ object Similarity {
     * footer row counts (a metadata-only count, no data scan). */
   def kmeansIvfIndexStale(spark: SparkSession, path: String,
       maxAppendFraction: Double = 0.2): Boolean = {
-    val trained = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "TRAINED")), "UTF-8").trim.toLong
+    val trained = readTrained(spark, path)
     val total = spark.read.parquet(s"$path/assign").count()
     total - trained > maxAppendFraction * trained
   }

@@ -287,7 +287,13 @@ object MaterializedViews {
       case (Some(paths), Some(old), Some(recorded), Some(cur))
           if recorded.forall { case (p, lm) => cur.get(p).contains(lm) } =>
         val added = (cur.keySet -- recorded.keySet).toSeq.sorted
-        if (added.isEmpty) (ensure(spark, name, base, dims, measures), "reuse")
+        if (added.isEmpty) {
+          // unchanged base — but a changed DEFINITION (different measure
+          // set) still full-recomputes under a new fingerprint inside
+          // ensure(); label by what actually happened, not the premise
+          val d = ensure(spark, name, base, dims, measures)
+          (d, if (d.mvPath == old.mvPath) "reuse" else "full")
+        }
         else {
           // the definition part of the key must match too, else fall back
           val d = incrementalFold(spark, name, base, old, added, paths,

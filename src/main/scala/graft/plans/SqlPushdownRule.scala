@@ -185,8 +185,19 @@ object GraftExtensions {
       .withExtensions(new GraftExtensions().apply(_))
       .getOrCreate()
     finally {
-      default.foreach(SparkSession.setDefaultSession)
-      active.foreach(SparkSession.setActiveSession)
+      // restore EXACTLY the prior state: getOrCreate installed the new
+      // session into both slots, so when a slot was previously empty it
+      // must be CLEARED, not left pointing at the extension session —
+      // otherwise every later plain getOrCreate() in the process would
+      // silently inherit the graft optimizer rules
+      default match {
+        case Some(s) => SparkSession.setDefaultSession(s)
+        case None => SparkSession.clearDefaultSession()
+      }
+      active match {
+        case Some(s) => SparkSession.setActiveSession(s)
+        case None => SparkSession.clearActiveSession()
+      }
     }
   }
 

@@ -130,7 +130,12 @@ case object PostgresDialect extends Dialect {
   */
 private[sources] object PgRegex {
   def sharedSemantics(p: String): Boolean = {
-    if (p.contains("[[:")) return false
+    // "[[" opens ARE's POSIX bracket constructs — character classes
+    // [[:alpha:]], collating elements [[.x.]], equivalence classes
+    // [[=a=]] — none of which Java regex has (it parses a nested class
+    // instead). A literal '[' inside a plain class is rare enough that
+    // declining every "[[" is cheap conservatism, not lost coverage.
+    if (p.contains("[[")) return false
     var i = 0
     while (i < p.length) {
       p.charAt(i) match {

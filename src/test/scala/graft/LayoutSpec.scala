@@ -120,13 +120,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(bktEx == 2, s"bucketed plan has $bktEx exchanges, want 2:\n$bktPlan")
     assert(plainEx == bktEx + 2,
       s"plain plan has $plainEx exchanges, expected ${bktEx + 2}")
-    // a FRESH session (empty in-memory catalog) re-registers the written
-    // files via external DDL — same zero-shuffle plan, no rewrite
+    // the catalog-less registration path: newSession() SHARES the
+    // external catalog (SharedState), so a "fresh session" still sees the
+    // table — to drive the external-DDL branch a fresh JVM takes, DROP
+    // the catalog entries (external tables: metadata only, files stay)
+    // and re-ensure
     val s2 = TestSpark.spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val before = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft-bkt"), lt)
       .listFiles().map(f => f.getName -> f.lastModified).toMap
+    s2.sql(s"DROP TABLE $lt")
+    s2.sql(s"DROP TABLE $ot")
+    assert(!s2.catalog.tableExists(lt), "DROP left the catalog entry")
     val lt2 = Layout.ensureBucketed(s2, TestSpark.Sf0001, "lineitem", Seq("l_orderkey"))
     assert(lt2 == lt)
     val after = new java.io.File(new java.io.File(
@@ -135,7 +141,8 @@ class LayoutSpec extends AnyFunSuite {
     assert(before == after, "re-registration rewrote the bucket files")
     val ot2 = Layout.ensureBucketed(s2, TestSpark.Sf0001, "orders", Seq("o_orderkey"))
     val (bktEx2, _, bktRows2) = shuffles(q(s2.table(lt2), s2.table(ot2)))
-    assert(bktEx2 == 2 && bktRows2 == plainRows)
+    assert(bktEx2 == 2 && bktRows2 == plainRows,
+      s"DDL-re-registered bucket tables lost the zero-shuffle join: $bktEx2")
   }
 
   test("oracle entry zorder_scan equals the same query on the base table") {

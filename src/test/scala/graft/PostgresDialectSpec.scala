@@ -137,6 +137,10 @@ class PostgresDialectSpec extends AnyFunSuite {
     // negated bracket class: Java's [^a] matches \n, (?p) brackets don't
     assert(re("a[^bc]d").isEmpty)
     assert(re("[^x]").isEmpty)
+    // ARE POSIX bracket constructs Java parses as nested classes
+    assert(re("[[.a.]]x").isEmpty)    // collating element
+    assert(re("[[=a=]]x").isEmpty)    // equivalence class
+    assert(re("a[[b]c]").isEmpty)     // any "[[": conservative decline
     assert(re("x[\\^a]y").isDefined)      // escaped ^ inside class: literal
     assert(re("x[a^]y").isDefined)        // non-leading ^ in class: literal
     // a computed (non-literal) pattern cannot be vetted
