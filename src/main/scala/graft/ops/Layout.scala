@@ -55,7 +55,24 @@ object Layout {
     * repartitionByRange + sortWithinPartitions on the Morton key — each
     * output file covers a compact hypercube of the z-column space. */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      numFiles: Int = 8, bits: Int = 16): Unit = {
+      numFiles: Int = 8, bits: Int = 16): Unit =
+    zOrderedWrite(df, path, zCols, numFiles, bits, "overwrite")
+
+  /** Append new rows to a z-ordered table WITHOUT re-clustering history —
+    * the write half of the lakehouse maintenance cadence (cheap clustered
+    * appends, periodic [[compact]]/[[writeZOrdered]] re-cluster). The
+    * appended batch is z-ordered among ITSELF into its own files: each
+    * new file is still a value-space hypercube of the new rows, so
+    * footer min/max pruning keeps working file-locally; only the global
+    * clustering (fewer, tighter hypercubes) degrades as the appended
+    * fraction grows. Cost is O(|batch|), never O(|table|) — the property
+    * that makes nightly appends to a 100 TB clustered table affordable. */
+  def appendZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int = 2, bits: Int = 16): Unit =
+    zOrderedWrite(df, path, zCols, numFiles, bits, "append")
+
+  private def zOrderedWrite(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int, mode: String): Unit = {
     require(zCols.nonEmpty)
     val stats = df.agg(
       zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
@@ -71,7 +88,7 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
   }
 
   /** Idempotent z-ordered copy of a base table, fingerprinted by the base

@@ -74,6 +74,47 @@ class LayoutSpec extends AnyFunSuite {
       s"scan read every row ($scanRows of $total) — no row-group skipping")
   }
 
+  test("z-ordered append adds self-clustered files without touching history") {
+    val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val path = java.nio.file.Files.createTempDirectory("graft_zappend").toString
+    val history = li.filter(col("l_orderkey") % 5 =!= 0)
+    val batch = li.filter(col("l_orderkey") % 5 === 0)
+    Layout.writeZOrdered(history, path, Seq("l_orderkey", "l_partkey"))
+    val before = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    Layout.appendZOrdered(batch, path, Seq("l_orderkey", "l_partkey"))
+    // history untouched: O(|batch|), never a rewrite
+    val after = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "append rewrote history files")
+    assert(after.size > before.size, "append added no files")
+    // content exact: union of history and batch, nothing lost or doubled
+    val got = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val want = li.collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // the appended files are hypercubes of the BATCH: both z columns'
+    // per-file ranges must be narrower than the batch's full span for at
+    // least the majority of new files (self-clustering, not random)
+    val newFiles = after.keySet -- before.keySet
+    // a 2-file Morton range split halves on whichever column owns the
+    // leading interleaved bit — assert SOME z column's per-file ranges
+    // narrowed (that is what footer pruning consumes)
+    val narrowed = Seq("l_orderkey", "l_partkey").exists { c =>
+      val ranges = Layout.fileRanges(spark, path, c)
+        .filter { case (f, _, _) => newFiles.exists(f.contains) }
+      assert(ranges.size > 1, "append produced a single file — nothing to prune")
+      val spans = ranges.map { case (_, mn, mx) => mx - mn }
+      val full = batch.agg((max(col(c)) - min(col(c))).cast("double"))
+        .head.getDouble(0)
+      spans.max < full * 0.75
+    }
+    assert(narrowed, "no z column's per-file ranges narrowed — appended files are not clustered")
+  }
+
   test("compaction bin-packs small files to the target size, rows intact") {
     val small = java.nio.file.Files.createTempDirectory("graft_small").toString
     val li = Tables.load(spark, TestSpark.Sf0001, "lineitem")
