@@ -1,0 +1,236 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PgCopyDecoder
+
+/** Golden-fixture tests for the PGCOPY binary decoder: bytes are
+  * synthesized exactly as a Postgres server frames them (big-endian,
+  * signature + flags + extension, i16 field count, i32 per-column length,
+  * −1 sentinels for NULL and trailer) and decoded back to Rows — the
+  * serverless proof the reference never had for its reader
+  * (`/root/reference/src/sqldb/postgres/binary_reader.rs:490-523` needs a
+  * live `postgresql://…/bench`). Every fixture writer mirrors the wire
+  * rules of `binary_reader.rs:351-487`.
+  */
+class PgCopyDecoderSpec extends AnyFunSuite {
+
+  /** Builder for PGCOPY wire bytes. */
+  private class Wire {
+    private val bytes = new ByteArrayOutputStream()
+    private val out = new DataOutputStream(bytes)
+    def header(flags: Int = 0, extension: Array[Byte] = Array.empty): this.type = {
+      out.write("PGCOPY\n".getBytes("US-ASCII"))
+      out.write(Array(0xff.toByte, '\r'.toByte, '\n'.toByte, 0x00.toByte))
+      out.writeInt(flags)
+      out.writeInt(extension.length)
+      out.write(extension)
+      this
+    }
+    def tuple(fields: (DataOutputStream => Unit)*): this.type = {
+      out.writeShort(fields.length)
+      fields.foreach(_(out))
+      this
+    }
+    /** Raw field-count word — for framing-violation fixtures. */
+    def fieldCount(n: Int): this.type = { out.writeShort(n); this }
+    def trailer(): this.type = { out.writeShort(-1); this }
+    def build(): ByteArrayInputStream = new ByteArrayInputStream(bytes.toByteArray)
+  }
+
+  private val NULL: DataOutputStream => Unit = _.writeInt(-1)
+  private def boolF(v: Boolean): DataOutputStream => Unit =
+    o => { o.writeInt(1); o.writeByte(if (v) 1 else 0) }
+  private def int2F(v: Short): DataOutputStream => Unit = o => { o.writeInt(2); o.writeShort(v) }
+  private def int4F(v: Int): DataOutputStream => Unit = o => { o.writeInt(4); o.writeInt(v) }
+  private def int8F(v: Long): DataOutputStream => Unit = o => { o.writeInt(8); o.writeLong(v) }
+  private def float4F(v: Float): DataOutputStream => Unit = o => { o.writeInt(4); o.writeFloat(v) }
+  private def float8F(v: Double): DataOutputStream => Unit = o => { o.writeInt(8); o.writeDouble(v) }
+  private def textF(v: String): DataOutputStream => Unit = o => {
+    val b = v.getBytes("UTF-8"); o.writeInt(b.length); o.write(b)
+  }
+  private def byteaF(v: Array[Byte]): DataOutputStream => Unit =
+    o => { o.writeInt(v.length); o.write(v) }
+  /** `date`: i32 days since 2000-01-01. */
+  private def dateF(daysSince2000: Int): DataOutputStream => Unit =
+    o => { o.writeInt(4); o.writeInt(daysSince2000) }
+  /** `timestamp`: i64 micros since 2000-01-01T00:00Z. */
+  private def tsF(microsSince2000: Long): DataOutputStream => Unit =
+    o => { o.writeInt(8); o.writeLong(microsSince2000) }
+  /** `time`: i64 micros since midnight (8 wire bytes — the shape the
+    * reference got wrong, `binary_reader.rs:437`). */
+  private def timeF(micros: Long): DataOutputStream => Unit =
+    o => { o.writeInt(8); o.writeLong(micros) }
+  private def uuidF(hi: Long, lo: Long): DataOutputStream => Unit =
+    o => { o.writeInt(16); o.writeLong(hi); o.writeLong(lo) }
+  /** NUMERIC: base-10000 digit groups + weight + sign + dscale
+    * (`binary_reader.rs:439-456`). */
+  private def numericF(groups: Seq[Int], weight: Int, sign: Int,
+      dscale: Int): DataOutputStream => Unit = o => {
+    o.writeInt(8 + 2 * groups.length)
+    o.writeShort(groups.length)
+    o.writeShort(weight)
+    o.writeShort(sign)
+    o.writeShort(dscale)
+    groups.foreach(o.writeShort)
+  }
+
+  private def decode(w: Wire, schema: StructType,
+      uuidCols: Set[String] = Set.empty): Seq[Row] =
+    PgCopyDecoder.rows(w.build(), schema, uuidCols).toSeq
+
+  test("every supported type round-trips one tuple") {
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("s", ShortType),
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("t", StringType), StructField("bin", BinaryType),
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("tm", TimeType(6)), StructField("u", StringType),
+      StructField("n", DecimalType(12, 2))))
+    val w = new Wire().header()
+      .tuple(boolF(true), int2F(7), int4F(-42), int8F(1L << 40),
+        float4F(1.5f), float8F(-2.25),
+        textF("naïve ✓"), byteaF(Array[Byte](0, 1, -1)),
+        dateF(0),            // 2000-01-01
+        tsF(86400000000L),   // 2000-01-02T00:00Z
+        timeF(3661000001L),  // 01:01:01.000001
+        uuidF(0x123456789abcdef0L, 0x0fedcba987654321L),
+        numericF(Seq(1234, 5600), weight = 1, sign = 0x0000, dscale = 2)) // 12345600 grp → 1234.56? see below
+      .trailer()
+    val r = decode(w, schema, uuidCols = Set("u")).head
+    assert(r.getBoolean(0) === true)
+    assert(r.getShort(1) === 7)
+    assert(r.getInt(2) === -42)
+    assert(r.getLong(3) === (1L << 40))
+    assert(r.getFloat(4) === 1.5f)
+    assert(r.getDouble(5) === -2.25)
+    assert(r.getString(6) === "naïve ✓")
+    assert(r.getAs[Array[Byte]](7).toSeq === Seq[Byte](0, 1, -1))
+    assert(r.getAs[java.time.LocalDate](8) === java.time.LocalDate.of(2000, 1, 1))
+    assert(r.getAs[java.time.Instant](9) ===
+      java.time.Instant.parse("2000-01-02T00:00:00Z"))
+    assert(r.getAs[java.time.LocalTime](10) === java.time.LocalTime.of(1, 1, 1, 1000))
+    assert(r.getString(11) === "12345678-9abc-def0-0fed-cba987654321")
+    // groups (1234)(5600) at weight 1 = 1234·10000¹ + 5600·10000⁰ … as the
+    // INTEGER part — i.e. 12345600.00: the weight is the exponent of the
+    // first group, so a true 1234.56 is groups (1234)(5600) at weight 0
+    assert(r.getAs[java.math.BigDecimal](12) ===
+      new java.math.BigDecimal("12345600.00"))
+  }
+
+  test("NUMERIC: weights, fractional groups, negatives, zero, rescale") {
+    val schema = StructType(Seq(StructField("n", DecimalType(20, 4))))
+    def one(groups: Seq[Int], weight: Int, sign: Int, dscale: Int): java.math.BigDecimal =
+      decode(new Wire().header()
+        .tuple(numericF(groups, weight, sign, dscale)).trailer(), schema)
+        .head.getAs[java.math.BigDecimal](0)
+    // 1234.5600: integer group + fractional group
+    assert(one(Seq(1234, 5600), 0, 0x0000, 4) === new java.math.BigDecimal("1234.5600"))
+    // pure fraction 0.0001 = group 1 at weight −1 (10000⁻¹)
+    assert(one(Seq(1), -1, 0x0000, 4) === new java.math.BigDecimal("0.0001"))
+    // deep fraction 0.00000001 would need weight −2 → rounds at scale 4
+    assert(one(Seq(1), -2, 0x0000, 8) === new java.math.BigDecimal("0.0000"))
+    // trailing-zero groups elided by the server: 50000000 = group 5000·10000¹
+    assert(one(Seq(5000), 1, 0x0000, 0) === new java.math.BigDecimal("50000000.0000"))
+    // negative
+    assert(one(Seq(42), 0, 0x4000, 0) === new java.math.BigDecimal("-42.0000"))
+    // zero ships as zero groups (`binary_reader.rs:453-456`)
+    assert(one(Seq(), 0, 0x0000, 0) === new java.math.BigDecimal("0.0000"))
+    // NaN (sign 0xC000) declines loudly instead of decoding garbage
+    val ex = intercept[IllegalStateException] { one(Seq(), 0, 0xC000, 0) }
+    assert(ex.getMessage.contains("NaN"))
+  }
+
+  test("NULLs, var-len offsets, and multi-tuple streams interleave") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("t", StringType),
+      StructField("n", DecimalType(10, 2))))
+    val w = new Wire().header()
+      .tuple(int4F(1), textF(""), NULL)
+      .tuple(int4F(2), NULL, numericF(Seq(7), 0, 0x0000, 0))
+      .tuple(NULL, textF("after a null id — offsets must not shift"), NULL)
+      .trailer()
+    val rs = decode(w, schema)
+    assert(rs.map(r => (r.get(0), r.get(1))) === Seq(
+      (1, ""), (2, null),
+      (null, "after a null id — offsets must not shift")))
+    assert(rs(1).getAs[java.math.BigDecimal](2) === new java.math.BigDecimal("7.00"))
+    assert(rs(0).isNullAt(2) && rs(2).isNullAt(2))
+  }
+
+  test("header extension area is skipped; EOF without trailer tolerated") {
+    val schema = StructType(Seq(StructField("i", IntegerType)))
+    val w = new Wire().header(extension = Array.fill[Byte](13)(0x55))
+      .tuple(int4F(9)) // no trailer() — stream just ends
+    assert(decode(w, schema).map(_.getInt(0)) === Seq(9))
+  }
+
+  test("bad signature and OID flag decline loudly") {
+    val schema = StructType(Seq(StructField("i", IntegerType)))
+    val bad = new ByteArrayInputStream(
+      ("NOTPGCOPYxx" + "\u0000" * 4).getBytes("ISO-8859-1"))
+    assert(intercept[IllegalStateException] {
+      PgCopyDecoder.rows(bad, schema).toSeq
+    }.getMessage.contains("signature"))
+
+    assert(intercept[IllegalStateException] {
+      decode(new Wire().header(flags = 0x10000).tuple(int4F(1)).trailer(), schema)
+    }.getMessage.contains("OID"))
+  }
+
+  test("tuple width mismatch names both widths") {
+    val schema = StructType(Seq(StructField("i", IntegerType)))
+    val w = new Wire().header().fieldCount(3)
+    val ex = intercept[IllegalStateException] {
+      PgCopyDecoder.rows(w.build(), schema).toSeq
+    }
+    assert(ex.getMessage.contains("3 fields") && ex.getMessage.contains("schema has 1"))
+  }
+
+  test("fixed-width framing mismatch (schema drift) declines loudly") {
+    // int8 bytes under an IntegerType schema: a silent 4-byte read would
+    // desync every later column — the decoder must refuse
+    val schema = StructType(Seq(StructField("i", IntegerType)))
+    val w = new Wire().header().tuple(int8F(5L)).trailer()
+    val ex = intercept[IllegalStateException] { decode(w, schema) }
+    assert(ex.getMessage.contains("expected 4 wire bytes, got 8"))
+  }
+
+  test("pre-1970 timestamps and dates shift exactly (floor semantics)") {
+    val schema = StructType(Seq(StructField("dt", DateType), StructField("ts", TimestampType)))
+    // 1969-12-31 = day −10958 from 2000-01-01; 1969-12-31T23:59:59.999999Z
+    val w = new Wire().header()
+      .tuple(dateF(-10958), tsF(-946684800000001L + 1000000L - 1000000L))
+      .trailer()
+    val r = decode(w, schema).head
+    assert(r.getAs[java.time.LocalDate](0) === java.time.LocalDate.of(1969, 12, 31))
+    assert(r.getAs[java.time.Instant](1) ===
+      java.time.Instant.parse("1969-12-31T23:59:59.999999Z"))
+  }
+
+  test("decoded rows load into a DataFrame with the discovery schema") {
+    // end-to-end shape check: the Rows this decoder emits are accepted by
+    // the same createDataFrame path the ResultSet decoder feeds
+    val spark = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("bal", DecimalType(12, 2)), StructField("since", DateType)))
+    val w = new Wire().header()
+      .tuple(int4F(1), textF("acme"), numericF(Seq(1234, 5600), 0, 0x0000, 4), dateF(365))
+      .tuple(int4F(2), NULL, NULL, NULL)
+      .trailer()
+    val rows = PgCopyDecoder.rows(w.build(), schema).toSeq
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = df.orderBy("id").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[java.math.BigDecimal]("bal") === new java.math.BigDecimal("1234.56"))
+    assert(got(0).getAs[java.sql.Date]("since").toLocalDate === java.time.LocalDate.of(2000, 12, 31))
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(3))
+  }
+}
