@@ -8,37 +8,58 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation — the COMPOSED form of the pipeline
   * the individual oracle entries pin piecewise: quality gate
   * ([[TextAnalysis.qualityScores]] thresholds) → exact dedup keep-first
-  * (content-hash groupBy, [[Dedup.exact]]'s mechanics) → deterministic
-  * train/val/test split ([[Sampling.deterministicSplit]]) → bounded
-  * per-(lang, split) accounting. A user of the reference curating a
-  * pretraining corpus runs exactly this chain; the composite entry proves
-  * the pieces compose into ONE declarative plan, not four jobs.
+  * (content-hash groupBy, [[Dedup.exact]]'s mechanics) → MinHash-LSH
+  * near-dedup keep-first ([[Dedup.minHashPairs]]'s banded pipeline) →
+  * deterministic train/val/test split ([[Sampling.deterministicSplit]])
+  * → bounded per-(lang, split) accounting. A user of the reference
+  * curating a pretraining corpus runs exactly this chain; the composite
+  * entry proves the pieces compose into ONE declarative plan, not five
+  * jobs.
   *
-  * Scale shape: the gate is map-only and fuses into the scan; the dedup
-  * is one shuffle on a 32-byte content hash (never the text) with
-  * partial-aggregating `min_by`, so the keep-first decision needs no
-  * second join; the split is a pure map on the kept id; the accounting
+  * Near-dedup keep-first rule: a document is dropped iff it is
+  * similar (est_jaccard ≥ threshold) to ANY lower-id document — i.e.
+  * every pair (doc_a < doc_b) removes doc_b. Deterministic, one
+  * semi-join, and engine-independent (no union-find tie-breaks to
+  * disagree on); dropped docs are counted in their OWN (lang, split)
+  * bucket as `near_dups_removed`, so corpus accounting still sums to
+  * the gated total.
+  *
+  * Scale shape: the gate is map-only and fuses into the scan; the exact
+  * dedup is one shuffle on a 32-byte content hash (never the text) with
+  * partial-aggregating `min_by`; the near-dup stage shuffles banded
+  * (id, band, hash) triples and signature rows, never text (the
+  * [[Dedup.minHashPairs]] discipline); the removal is a left-anti join
+  * on ids; the split is a pure map on the kept id; the accounting
   * aggregate is bounded by |langs| × 3. Nothing is driver-side,
   * all-pairs, or text-keyed.
   *
-  * The synthetic corpus has no exact duplicates (verified in
-  * [[Dedup.withPlantedNearDups]]), so — as for the near-dup entries —
-  * every document gets an exact planted copy under `doc_id + 1_000_000`;
-  * the dedup stage must remove precisely those, visible as
-  * `dups_removed`, or the entry is vacuous. */
+  * The synthetic corpus has no exact or near duplicates (verified in
+  * [[Dedup.withPlantedNearDups]]), so the entry plants BOTH kinds —
+  * exact copies under +1_000_000, truncated near-copies under
+  * +2_000_000; the exact stage must remove precisely the former
+  * (`dups_removed`) and the near stage the latter (`near_dups_removed`),
+  * or the entry is vacuous. */
 object Curation {
 
-  /** Exact planted copies under `doc_id + 1_000_000` — ENTRY scaffolding
-    * (the production pipeline curates real data with real duplicates; the
-    * synthetic corpus needs them planted to exercise the dedup stage). */
-  def withPlantedExactDups(docs: DataFrame): DataFrame = {
+  /** ENTRY scaffolding (the production pipeline curates real data with
+    * real duplicates): every document gets an exact copy under
+    * `doc_id + 1_000_000` AND a near-copy (last ~10% of characters
+    * dropped — [[Dedup.withPlantedNearDups]]'s perturbation) under
+    * `doc_id + 2_000_000`. */
+  def withPlantedDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
-    base.unionAll(base.select(
-      (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+    base
+      .unionAll(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      .unionAll(base.select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"),
+        col("lang")))
   }
 
   def curate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 2000,
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5, nearBands: Int = 16,
+      nearThreshold: Double = 0.5): DataFrame = {
     val gated = TextAnalysis.qualityScores(
       docs.select(col("doc_id"), col("text"), col("lang")),
       keep = Seq("lang", "text"))
@@ -46,60 +67,86 @@ object Curation {
         col("quality_score") >= minQuality)
       .select(col("doc_id"), col("lang"), col("text"),
         col("n_tokens"), col("quality_score"))
+    // exact keep-first: text rides inside the min_by struct (identical
+    // within a hash group) so the near-dup stage can shingle it without
+    // a join back to the source
     val kept = gated
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(
-        min_by(struct(col("doc_id"), col("lang"), col("n_tokens"),
-          col("quality_score")), col("doc_id")).as("r"),
+        min_by(struct(col("doc_id"), col("lang"), col("text"),
+          col("n_tokens"), col("quality_score")), col("doc_id")).as("r"),
         count(lit(1)).as("n_copies"))
       .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
-        col("r.n_tokens").as("n_tokens"),
+        col("r.text").as("text"), col("r.n_tokens").as("n_tokens"),
         col("r.quality_score").as("quality_score"), col("n_copies"))
-    Sampling.deterministicSplit(kept)
+    // near-dup keep-first: every LSH pair (doc_a < doc_b) marks doc_b
+    val removed = Dedup.minHashPairs(kept, nearBands, nearThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val flagged = Sampling.deterministicSplit(
+      kept.select("doc_id", "lang", "n_tokens", "quality_score", "n_copies"))
+      .join(removed.withColumn("is_removed", lit(1)), Seq("doc_id"), "left_outer")
+    flagged
       .groupBy(col("lang"), col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_copies") - 1).as("dups_removed"),
-        sum(col("n_tokens")).as("sum_tokens"),
-        round(avg(col("quality_score")), 6).as("avg_quality"))
+      .agg(
+        count(when(col("is_removed").isNull, 1)).as("n_docs"),
+        sum(when(col("is_removed").isNull, col("n_copies") - 1)).as("dups_removed"),
+        count(col("is_removed")).as("near_dups_removed"),
+        sum(when(col("is_removed").isNull, col("n_tokens"))).as("sum_tokens"),
+        round(avg(when(col("is_removed").isNull, col("quality_score"))), 6)
+          .as("avg_quality"))
       .orderBy("lang", "split")
   }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "curate_corpus" -> ((s, d) =>
-      curate(withPlantedExactDups(Tables.load(s, d, "documents")))))
+      curate(withPlantedDups(Tables.load(s, d, "documents")))))
 
-  /** DuckDB mirror: quality metrics once per SOURCE document (planted
-    * copies share their source's text, hence its metrics), the same gate,
+  /** DuckDB mirror: quality metrics per PLANTED document (near-copies
+    * have their own truncated text, so metrics are computed on the
+    * planted union, not joined from the source), the same gate,
     * keep-first via `arg_min` per text (the engine hashes the text first
-    * — SHA-256-collision-equivalent), the same split arithmetic as the
+    * — SHA-256-collision-equivalent), the identical minhash signature
+    * chain over the kept docs ([[HashOracleSql.minhashPairCtes]]), the
+    * same drop-doc_b rule, the same split arithmetic as the
     * `sample_split` oracle, and every SUM cast back to BIGINT (DuckDB
     * sums to HUGEINT, the round-1 incident class). */
   val oracle: Seq[(String, String)] = Seq(
     "curate_corpus" ->
-      s"""WITH q AS (${TextAnalysis.textQualityOracleSql}),
+      s"""WITH p AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)),
+         |         lang
+         |  FROM documents),
+         |q AS (${TextAnalysis.textQualityOracleSqlFrom("p")}),
          |g AS (
-         |  SELECT u.doc_id, u.lang, u.text, q.n_tokens, q.quality_score
-         |  FROM (SELECT doc_id, doc_id AS src_id, text, lang FROM documents
-         |        UNION ALL
-         |        SELECT doc_id + 1000000, doc_id, text, lang FROM documents) u
-         |  JOIN q ON q.doc_id = u.src_id
+         |  SELECT p.doc_id, p.lang, p.text, q.n_tokens, q.quality_score
+         |  FROM p JOIN q USING (doc_id)
          |  WHERE q.n_tokens BETWEEN 20 AND 2000 AND q.quality_score >= 0.5),
          |k AS (
          |  SELECT MIN(doc_id) AS doc_id,
          |         arg_min(lang, doc_id) AS lang,
+         |         text,
          |         arg_min(n_tokens, doc_id) AS n_tokens,
          |         arg_min(quality_score, doc_id) AS quality_score,
          |         COUNT(*) AS n_copies
          |  FROM g GROUP BY text),
+         |${HashOracleSql.minhashPairCtes("k")},
+         |removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
          |s AS (
-         |  SELECT k.*,
-         |         CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 800 THEN 'train'
-         |              WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 900 THEN 'val'
+         |  SELECT k.*, removed.doc_id IS NOT NULL AS is_removed,
+         |         CASE WHEN ((k.doc_id % 1000003) * 2654435761) % 1000 < 800 THEN 'train'
+         |              WHEN ((k.doc_id % 1000003) * 2654435761) % 1000 < 900 THEN 'val'
          |              ELSE 'test' END AS split
-         |  FROM k)
-         |SELECT lang, split, COUNT(*) AS n_docs,
-         |       CAST(SUM(n_copies - 1) AS BIGINT) AS dups_removed,
-         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-         |       ROUND(AVG(quality_score), 6) AS avg_quality
+         |  FROM k LEFT JOIN removed USING (doc_id))
+         |SELECT lang, split,
+         |       COUNT(*) FILTER (WHERE NOT is_removed) AS n_docs,
+         |       CAST(SUM(n_copies - 1) FILTER (WHERE NOT is_removed) AS BIGINT) AS dups_removed,
+         |       COUNT(*) FILTER (WHERE is_removed) AS near_dups_removed,
+         |       CAST(SUM(n_tokens) FILTER (WHERE NOT is_removed) AS BIGINT) AS sum_tokens,
+         |       ROUND(AVG(quality_score) FILTER (WHERE NOT is_removed), 6) AS avg_quality
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin)
 }

@@ -143,10 +143,14 @@ object HashOracleSql {
     s"SELECT doc_id, si, sh FROM (${stages(leads, combine)})"
   }
 
-  /** dedup_minhash: 64-slot signatures via a seeds cross join (one staged
-    * mix chain over shingle×seed rows), signed min per slot, 16 bands of 4
-    * joined on the slice values, signature agreement / 64 >= 0.5. */
-  lazy val minhash: String = {
+  /** The minhash CTE chain from a (doc_id, text) CTE to a `pairs` CTE of
+    * (doc_a < doc_b, est_jaccard ≥ 0.5): 64-slot signatures via a seeds
+    * cross join (one staged mix chain over shingle×seed rows), signed min
+    * per slot, 16 bands of 4 joined on the slice values, signature
+    * agreement / 64. Splices after a `WITH` — shared by the standalone
+    * [[minhash]] oracle and the composed curate_corpus oracle
+    * (`Curation.oracle`), which runs the SAME chain over its kept docs. */
+  private[ops] def minhashPairCtes(docsCte: String): String = {
     val seeds = (0 until 64)
       .map(j => s"($j, CAST('${u64(42L + (j + 1) * Mix64.Golden)}' AS HUGEINT))")
       .mkString(",")
@@ -156,8 +160,7 @@ object HashOracleSql {
     val mixed = stages(expanded, mixSteps("xj", "hj", "mh"))
     // CAST: DuckDB types bare `x / 64.0` as DECIMAL, Spark as DOUBLE
     val agree = "CAST(len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)"
-    s"""WITH docs2 AS ($planted),
-       |shing AS (${shingleSql("docs2")}),
+    s"""shing AS (${shingleSql(docsCte)}),
        |slot AS (SELECT doc_id, j, min(${toSigned("hj")}) AS m
        |         FROM ($mixed) GROUP BY doc_id, j),
        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM slot GROUP BY doc_id),
@@ -165,12 +168,19 @@ object HashOracleSql {
        |         FROM slot GROUP BY doc_id, j // 4),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM band a JOIN band b ON a.band = b.band AND a.slice = b.slice
-       |         WHERE a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, $agree / 64.0 AS est_jaccard
-       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-       |WHERE $agree / 64.0 >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |         WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, $agree / 64.0 AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE $agree / 64.0 >= 0.5)""".stripMargin
   }
+
+  /** dedup_minhash: the pair chain over the planted-near-dup corpus. */
+  lazy val minhash: String =
+    s"""WITH docs2 AS ($planted),
+       |${minhashPairCtes("docs2")}
+       |SELECT doc_a, doc_b, est_jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** dedup_simhash: one more mix per shingle, 64 per-bit vote sums,
     * signature reconstruction, pigeonhole 16-bit chunk join, Hamming <= 3.

@@ -187,7 +187,11 @@ object TextAnalysis {
   )
 
   /** Quality-score oracle text, shared: text_filter_pipeline wraps it so
-    * the two entries cannot drift. */
+    * the two entries cannot drift; curate_corpus runs it over its
+    * planted-dup CTE via [[textQualityOracleSqlFrom]]. */
+  private[ops] def textQualityOracleSqlFrom(table: String): String =
+    textQualityOracleSql.replace("FROM documents ", s"FROM $table ")
+
   private[ops] val textQualityOracleSql: String =
       """SELECT doc_id, LENGTH(text) AS n_chars2,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

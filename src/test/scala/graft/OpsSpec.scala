@@ -270,22 +270,39 @@ class OpsSpec extends AnyFunSuite {
       f"persisted-index recall $servedRecall%.3f != in-memory $r%.3f")
   }
 
-  test("curate_corpus: gate, dedup, and split compose; planted duplicates all removed") {
+  test("curate_corpus: gate, exact dedup, near dedup, and split compose") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
-    val out = graft.ops.Curation.curate(
-      graft.ops.Curation.withPlantedExactDups(docs)).collect()
+    val planted = graft.ops.Curation.withPlantedDups(docs)
+    val out = graft.ops.Curation.curate(planted).collect()
     assert(out.nonEmpty)
-    val nDocs = out.map(_.getLong(2)).sum
-    val dups = out.map(_.getLong(3)).sum
-    // every source doc carries exactly ONE planted exact copy, and copies
-    // share the gate verdict — so kept == gated sources and each kept doc
-    // removed exactly one duplicate
-    assert(dups == nDocs, s"dups_removed $dups != n_docs $nDocs")
-    assert(nDocs == graft.ops.TextAnalysis.filterPipeline(docs).count(),
-      "composite gate disagrees with the standalone filter pipeline")
+    // columns: lang, split, n_docs, dups_removed, near_dups_removed,
+    //          sum_tokens, avg_quality
+    val nKept = out.map(_.getLong(2)).sum
+    val exactDups = out.map(_.getLong(3)).sum
+    val nearRemoved = out.map(_.getLong(4)).sum
+    // independent recomputation of the gate + exact-stage group count
+    val gated = graft.ops.TextAnalysis.qualityScores(
+        planted.select(col("doc_id"), col("text"), col("lang")),
+        keep = Seq("lang", "text"))
+      .filter(col("n_tokens").between(20, 2000) && col("quality_score") >= 0.5)
+    val gatedGroups = gated.groupBy("text").count()
+    val gatedSources = gated.filter(col("doc_id") < 1000000L).count()
+    val gatedNear = gated.filter(col("doc_id") >= 2000000L).count()
+    // conservation: every exact-stage group is either kept or near-removed
+    assert(nKept + nearRemoved == gatedGroups.count(),
+      s"kept $nKept + near-removed $nearRemoved != groups ${gatedGroups.count()}")
+    // every gated near-copy pairs with its (lower-id) source -> removed;
+    // genuine source-source pairs may remove a few sources beyond that
+    assert(nearRemoved >= gatedNear,
+      s"near-removed $nearRemoved < planted gated near-copies $gatedNear")
+    assert(nKept <= gatedSources,
+      "a planted near-copy survived the near-dedup stage")
+    // exact copies share their source's gate verdict, so each KEPT source
+    // accounts for exactly one removed exact copy
+    assert(exactDups == nKept, s"dups_removed $exactDups != n_docs $nKept")
     assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
     // quality average is a real number in (0, 1]
-    out.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
+    out.foreach(r => assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0))
   }
 
   test("PII scrub counts and redacts emails, IPs, and long digit runs") {
