@@ -408,6 +408,71 @@ class JdbcFederationSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", prevJoinConf)
   }
 
+  test("FULL joins decompose into N sliced LEFT-join partitions plus one anti partition") {
+    // FULL = (A LEFT JOIN B) ∪ALL (NULLs ++ (B ANTI A)): the LEFT branch
+    // keeps the DSv2 join pushdown WITH key-range slicing, the anti
+    // branch fuses to ONE NOT-EXISTS backend query — N+1 partition
+    // queries that union to exactly the FULL join, on a backend (Derby)
+    // that has no FULL JOIN of its own
+    backend.executeUpdate(
+      """CREATE TABLE "fl" ("id" INTEGER NOT NULL PRIMARY KEY, "lv" DOUBLE)""")
+    backend.executeUpdate(
+      """CREATE TABLE "fr" ("rid" INTEGER NOT NULL PRIMARY KEY, "rv" DOUBLE)""")
+    TestSpark.spark // materialize the shared context newSession() builds on
+    val s = graft.plans.GraftExtensions.newSession()
+    val prevJoinConf = s.conf.get("spark.sql.optimizer.datasourceV2JoinPushdown")
+    s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      backend.executeUpdate(s"""INSERT INTO "fl" VALUES ${
+        (1 to 100).map(i => s"($i, ${i * 1.0})").mkString(", ")}""")
+      backend.executeUpdate(s"""INSERT INTO "fr" VALUES ${
+        (51 to 150).map(i => s"($i, ${i * 2.0})").mkString(", ")}""")
+      def rd(t: String) = s.read.format("graft-sqldb")
+        .option("url", Url).option("table", t).load()
+      val l = rd("fl"); val r = rd("fr")
+      val df = l.join(r, l("id") === r("rid"), "full")
+
+      // the optimized plan holds the decomposition, not a FULL join
+      assert(!df.queryExecution.optimizedPlan.toString.contains("FullOuter"),
+        df.queryExecution.optimizedPlan.toString)
+      // exactly one fused anti partition, rendered as NOT EXISTS with
+      // typed NULLs for the left columns
+      val anti = df.queryExecution.executedPlan.collect {
+        case p: graft.plans.PushedSqlExec => p
+      }
+      assert(anti.size == 1, df.queryExecution.executedPlan.toString)
+      assert(anti.head.sql.contains("NOT EXISTS") &&
+        anti.head.sql.contains("CAST(NULL AS"), anti.head.sql)
+      // the LEFT branch is a pushed join read in parallel key-range slices
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] =>
+          b.scan.asInstanceOf[GraftScan]
+      }
+      assert(scans.size == 1 && scans.head.joinedFrom.isDefined,
+        "LEFT branch did not push as a joined scan:\n" +
+          df.queryExecution.executedPlan.toString)
+      val parts = scans.head.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      assert(parts.length > 1, "pushed LEFT-join branch did not slice")
+      parts.foreach(p =>
+        assert(p.sql.contains("LEFT JOIN") && p.sql.contains("\"id\" >="), p.sql))
+
+      // the N+1 partition queries union to the full-join truth:
+      // matched 51..100, left-only 1..50, right-only 101..150
+      val rows = df.select(l("id"), r("rid")).collect()
+        .map(x => (if (x.isNullAt(0)) -1 else x.getInt(0),
+          if (x.isNullAt(1)) -1 else x.getInt(1))).sorted.toSeq
+      val want = ((1 to 50).map(i => (i, -1)) ++
+        (51 to 100).map(i => (i, i)) ++
+        (101 to 150).map(i => (-1, i))).sorted
+      assert(rows == want, "partition union differs from FULL join semantics")
+    } finally {
+      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", prevJoinConf)
+      backend.executeUpdate("""DROP TABLE "fl"""")
+      backend.executeUpdate("""DROP TABLE "fr"""")
+    }
+  }
+
   test("pushed-join slicing: a KEYLESS left table splits via ordered windows inside the fragment") {
     // no PK anywhere: the key-range strategy has nothing to slice on, so
     // the join falls back to deterministic ORDER BY + OFFSET/FETCH windows
@@ -551,6 +616,81 @@ class JdbcFederationSpec extends AnyFunSuite {
       backend.executeUpdate("""DROP TABLE "eo_sink"""")
       backend.executeUpdate("""DROP TABLE "eo_sink__staging"""")
       backend.executeUpdate("""DROP TABLE "eo_sink__batches"""")
+    }
+  }
+
+  test("exactly-once sink crash windows: staged-unpublished, publish race, task-retry dups") {
+    backend.executeUpdate("""CREATE TABLE "eo_crash" ("k" BIGINT, "n" BIGINT)""")
+    try {
+      import TestSpark.spark.implicits._
+      val sink = graft.streaming.ExactlyOnceSink
+      val write = sink(Url, "eo_crash") _
+      def b(rows: (Long, Long)*) = rows.toDF("k", "n")
+      def targetRows(): Seq[(Long, Long)] =
+        backend.executeSql("""SELECT "k", "n" FROM "eo_crash"""")
+          .map(r => (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue)).sorted
+      def stagingCount(): Long =
+        backend.executeSql("""SELECT COUNT(*) FROM "eo_crash__staging"""")
+          .head.get(0).asInstanceOf[Number].longValue
+      def markerCount(id: Long): Long =
+        backend.executeSql(
+          s"""SELECT COUNT(*) FROM "eo_crash__batches" WHERE "batch_id" = $id""")
+          .head.get(0).asInstanceOf[Number].longValue
+
+      // window (a): batch 1 lands in staging, crash BEFORE publish — the
+      // replay of the same id must put exactly one copy in the target
+      write(b(1L -> 10L), 0L) // normal batch 0 bootstraps the side tables
+      b(2L -> 20L).write.format("graft-sqldb").option("url", Url)
+        .option("table", "eo_crash__staging").mode("append").save()
+      assert(stagingCount() == 1 && markerCount(1L) == 0,
+        "crash simulation precondition: staged but unpublished")
+      write(b(2L -> 20L), 1L) // the replay
+      assert(targetRows() == Seq(1L -> 10L, 2L -> 20L),
+        "staged-but-unpublished crash replay lost or doubled the batch")
+      assert(markerCount(1L) == 1)
+
+      // window (b): two CONCURRENT publishes of one id — the loser must
+      // hit the marker-PK branch, roll back whole, and swallow only
+      // after confirming the winner's marker row
+      backend.executeUpdate("""DELETE FROM "eo_crash__staging"""")
+      backend.executeUpdate("""INSERT INTO "eo_crash__staging" VALUES (3, 30)""")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val racers = Seq.fill(2)(new Thread(() =>
+        try sink.publish(backend, "eo_crash", "eo_crash__staging",
+          "eo_crash__batches", 2L)
+        catch { case t: Throwable => errs.add(t) }))
+      racers.foreach(_.start()); racers.foreach(_.join())
+      assert(errs.isEmpty,
+        s"publish race leaked an error: ${Option(errs.peek()).map(_.toString)}")
+      assert(targetRows().count(_ == (3L, 30L)) == 1,
+        "concurrent publishes duplicated the batch")
+      assert(markerCount(2L) == 1)
+
+      // window (c): a task that committed its backend transaction but
+      // died unreported re-attempts and double-lands its partition —
+      // the count verification must truncate and re-land
+      var landings = 0
+      sink.landVerified(backend, "eo_crash__staging", 2L, () => {
+        landings += 1
+        val times = if (landings == 1) 2 else 1 // first attempt: retry dup
+        (1 to times).foreach(_ => backend.executeUpdate(
+          """INSERT INTO "eo_crash__staging" VALUES (4, 40), (5, 50)"""))
+      })
+      assert(landings == 2, "staging surplus from a task retry went undetected")
+      assert(stagingCount() == 2, "re-land left the duplicated partition")
+
+      // persistent duplication gives up loudly instead of publishing it
+      val ex = intercept[IllegalStateException] {
+        sink.landVerified(backend, "eo_crash__staging", 1L, () =>
+          backend.executeUpdate(
+            """INSERT INTO "eo_crash__staging" VALUES (6, 60), (6, 60)"""))
+      }
+      assert(ex.getMessage.contains("task-retry"))
+    } finally {
+      backend.executeUpdate("""DROP TABLE "eo_crash"""")
+      backend.executeUpdate("""DROP TABLE "eo_crash__staging"""")
+      backend.executeUpdate("""DROP TABLE "eo_crash__batches"""")
     }
   }
 
