@@ -800,7 +800,11 @@ object SqlGen {
   private def sqlString(s: String): String = "'" + s.replace("'", "''") + "'"
 
   private def literal(l: Literal): Res[String] = (l.value, l.dataType) match {
-    case (null, _) => Right("NULL")
+    // typed where the dialect can name the type: a bare NULL in a SELECT
+    // list does not parse on Derby (and loses its type everywhere), which
+    // matters for the FULL-join decomposition's NULL-extended columns
+    case (null, dt) => Right(currentDialect.get.typeName(dt)
+      .map(t => s"CAST(NULL AS $t)").getOrElse("NULL"))
     case (v: Boolean, BooleanType) => Right(if (v) "TRUE" else "FALSE")
     case (v, ByteType | ShortType | IntegerType | LongType) => Right(v.toString)
     case (v: Float, FloatType) if v.isNaN || v.isInfinite =>

@@ -24,7 +24,49 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
   */
 object SqlPushdownRule extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = attempt(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    attempt(rewriteFullJoins(plan))
+
+  /** FULL-join decomposition for scan-preferred (remote JDBC) backends:
+    *
+    *   A FULL JOIN B  =  (A LEFT JOIN B)  ∪ALL  (NULLs ++ (B ANTI A))
+    *
+    * The reference executed every pushed query single-stream
+    * (`src/physical_plan.rs:55-61`); a native FULL fusion would inherit
+    * that, and naive key-range slicing is wrong for FULL (either side's
+    * unmatched rows would repeat per slice). The decomposition instead
+    * hands each half to the machinery that already parallelizes it: the
+    * LEFT branch takes DSv2 join pushdown WITH key-range slicing (N
+    * partition queries), and the anti branch whole-plan-fuses to one
+    * NOT-EXISTS backend query — N + 1 partitions that union to exactly
+    * the FULL join. On dialects WITHOUT native FULL JOIN (Derby) this is
+    * also what makes a federated FULL join expressible at all. */
+  private def rewriteFullJoins(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, Project, Union}
+    plan.transformUpWithSubqueries {
+      case j @ Join(l, r, FullOuter, Some(cond), hint) if cond.deterministic &&
+          backendOf(j).exists(b =>
+            b.dialect.fullSqlGen && b.dialect.scanPreferred) =>
+        val leftJoin = Join(l, r, LeftOuter, Some(cond), hint)
+        val nulls = l.output.map(a => Alias(Literal(null, a.dataType), a.name)())
+        val anti = Project(nulls ++ r.output,
+          Join(r, l, LeftAnti, Some(cond), JoinHint.NONE))
+        // Union resolves output to the head child's attribute ids (the
+        // original join's), nullability widened by the NULL branch
+        Union(Seq(leftJoin, anti))
+    }
+  }
+
+  /** The single graft backend behind every leaf of `p`, if there is one. */
+  private def backendOf(p: LogicalPlan): Option[SqlBackend] = {
+    val leaves = (p +: p.subqueriesAll).flatMap(_.collectLeaves())
+    val infos = leaves.flatMap(leafOf)
+    if (infos.nonEmpty && infos.size == leaves.size &&
+      infos.forall(_._1 eq infos.head._1)) Some(infos.head._1)
+    else None
+  }
 
   private def attempt(p: LogicalPlan): LogicalPlan = p match {
     case _: PushedSqlQuery => p
@@ -115,6 +157,12 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
         scanSurfaceCovers(c)
       case Join(l, r, Inner | LeftOuter | RightOuter, _, _) =>
         scanSurfaceCovers(l) && scanSurfaceCovers(r)
+      // a Union with ANY scan-expressible branch must not fuse whole —
+      // that would downgrade the branch's partitioned parallel read to a
+      // slice of a single-stream query; the recursion in [[attempt]]
+      // still fuses the non-expressible branches individually (this is
+      // what keeps the FULL-join decomposition's LEFT branch parallel)
+      case Union(children, false, false) => children.exists(scanSurfaceCovers)
       case _: DataSourceV2Relation | _: DataSourceV2ScanRelation => true
       case _ => false
     }
