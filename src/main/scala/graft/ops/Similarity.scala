@@ -440,6 +440,27 @@ object Similarity {
     total - trained > maxAppendFraction * trained
   }
 
+  /** The index lifecycle in ONE entrypoint: (re)train when the index is
+    * missing or [[kmeansIvfIndexStale]], no-op otherwise. `corpus` is the
+    * FULL current corpus (trained base + everything appended since) — a
+    * rebuild re-reads the data, not the index, so drifted appends get
+    * centroids that actually fit them and recall recovers to its trained
+    * level. Returns true iff a (re)build ran, so callers (and the spec)
+    * observe the decision. The staleness check is metadata-only; the
+    * periodic-maintenance loop calls this after every append batch and
+    * pays the training scans only when the threshold trips — the same
+    * ensure-then-serve cadence as [[graft.plans.MaterializedViews]]. */
+  def ensureFresh(corpus: DataFrame, path: String,
+      maxAppendFraction: Double = 0.2, nCentroids: Int = 16,
+      iters: Int = 2, scale: Int = 64): Boolean = {
+    val spark = corpus.sparkSession
+    val (p, fs) = trainedMarker(spark, path)
+    val rebuild = !fs.exists(p) ||
+      kmeansIvfIndexStale(spark, path, maxAppendFraction)
+    if (rebuild) buildKmeansIvfIndex(corpus, path, nCentroids, iters, scale)
+    rebuild
+  }
+
   /** Recall@k of an approximate top-k against the brute-force truth on
     * the SAME (qid, vec_id) universe: |approx ∩ exact| / |exact|,
     * averaged over queries. The oracle rows pin each pipeline's EXACT

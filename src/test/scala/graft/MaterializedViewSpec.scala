@@ -330,6 +330,53 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally MaterializedViews.drop("spec_incr")
   }
 
+  test("a compacted (rewritten-in-place) base forces a full rebuild, not a stale serve") {
+    // Layout.compact — the engine's own lakehouse cadence — replaces every
+    // base file with the SAME rows in new files; the incremental premise
+    // ("the base only grew") is false and the per-file fingerprint must
+    // retire the old snapshot and rebuild, even though no row changed
+    import graft.plans.MaterializedViews.{ensureIncremental => inc}
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val tbl = root + "/ctbl"
+    Tables.load(spark, TestSpark.Sf0001, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .repartition(4).write.parquet(tbl)
+    def base = spark.read.parquet(tbl)
+    val dims = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq("qty" -> col("l_quantity"))
+    try {
+      val (d1, how1) = inc(spark, "spec_compact", base, dims, ms)
+      assert(how1 == "full")
+      // compact to a scratch dir, then swap the files into the base path
+      val packed = root + "/packed"
+      graft.ops.Layout.compact(spark, tbl, packed, targetBytes = 1L << 30)
+      new java.io.File(tbl).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+      new java.io.File(packed).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(tbl, s"compact-$i.parquet"))
+        }
+      val (d2, how2) = inc(spark, "spec_compact", base, dims, ms)
+      assert(how2 == "full", "a rewritten base must take the full path")
+      assert(d2.mvPath != d1.mvPath, "compacted base reused the stale snapshot")
+      // the rebuilt view equals a fresh aggregate of the compacted base
+      val got = spark.read.parquet(d2.mvPath)
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_qty")
+        .collect().map(_.toString).sorted.toSeq
+      val want = base.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_qty")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "rebuilt view diverges from the compacted base")
+      // and the rewrite serves from the NEW snapshot
+      val q = base.groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scansView(q), q.queryExecution.optimizedPlan.toString)
+      assert(scannedPaths(q).forall(_.contains(d2.mvPath.split('/').last)),
+        "rewrite still points at the retired snapshot")
+    } finally MaterializedViews.drop("spec_compact")
+  }
+
   // ---- federated (DSv2) bases ------------------------------------------
 
   private def fedLineitem(s: SparkSession): DataFrame =

@@ -270,6 +270,49 @@ class OpsSpec extends AnyFunSuite {
       f"persisted-index recall $servedRecall%.3f != in-memory $r%.3f")
   }
 
+  test("ensureFresh: no-op while fresh, auto-retrains on drift, recall recovers") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivffresh").toString
+    // first call on a missing index trains it
+    assert(Similarity.ensureFresh(emb, path), "missing index must build")
+    def indexQueries() = spark.read.parquet(s"$path/assign")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
+        col("qnorm").as("probe_norm"))
+    val preDrift = Similarity.recallAtK(
+      Similarity.queryKmeansIvfIndex(spark, path, indexQueries()),
+      Similarity.bruteForceTopK(emb))
+    // fresh index: the second call is a metadata-only no-op
+    val centsBefore = spark.read.parquet(s"$path/centroids")
+      .orderBy("cent_id").collect().map(_.toString).toSeq
+    assert(!Similarity.ensureFresh(emb, path), "fresh index must not retrain")
+    assert(spark.read.parquet(s"$path/centroids").orderBy("cent_id")
+      .collect().map(_.toString).toSeq == centsBefore)
+    // drift: append NEGATED vectors (the opposite cosine mode — data the
+    // training never saw) at 100% of the trained base, tripping staleness
+    val drifted = emb.select((col("vec_id") + 9000000L).as("vec_id"),
+      expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    Similarity.appendToKmeansIvfIndex(drifted, path)
+    assert(Similarity.kmeansIvfIndexStale(spark, path))
+    val corpus2 = emb.unionByName(drifted)
+    // the retrain benefit is measured on the SAME grown corpus: frozen
+    // original-trained centroids serving the two-mode data vs retrained
+    // ones (pre-drift recall is NOT the bar — the corpus doubled under
+    // fixed nprobe/nCentroids, so the probed fraction halved)
+    val exact2 = Similarity.bruteForceTopK(corpus2)
+    val frozenRecall = Similarity.recallAtK(
+      Similarity.queryKmeansIvfIndex(spark, path, indexQueries()), exact2)
+    assert(Similarity.ensureFresh(corpus2, path), "stale index must retrain")
+    assert(!Similarity.kmeansIvfIndexStale(spark, path),
+      "retrain did not reset the staleness baseline")
+    val postRetrain = Similarity.recallAtK(
+      Similarity.queryKmeansIvfIndex(spark, path, indexQueries()), exact2)
+    info(f"recall@10 pre-drift $preDrift%.3f, frozen-on-drifted " +
+      f"$frozenRecall%.3f -> post-retrain $postRetrain%.3f")
+    assert(postRetrain >= frozenRecall,
+      f"retrain did not recover recall: $postRetrain%.3f < $frozenRecall%.3f")
+  }
+
   test("curate_corpus: gate, exact dedup, near dedup, and split compose") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
     val planted = graft.ops.Curation.withPlantedDups(docs)
