@@ -648,6 +648,28 @@ object Corpus {
     * WITHIN GROUP ordering makes the concatenation deterministic — an
     * unordered listagg would be partition-order-dependent and can never
     * be oracle-checked. */
+  /** S36 — interval year-month arithmetic, the reference's Q4 blocker
+    * class (`README.md:52` "DateIntervalExpr does not support
+    * IntervalYearMonth"; literal support stopped at year-month,
+    * `parser.rs:645-647`): a window bound computed as timestamp +
+    * INTERVAL '6' MONTH, a shifted due-date column (+ INTERVAL '3'
+    * MONTH), a conditional count against it, and a MAX over the shifted
+    * timestamps. Both engines clamp month-end arithmetic identically
+    * (Jan 31 + 1 month = Feb 28), so the results compare exactly. */
+  val s36IntervalWindow: Q = (spark, dir) => {
+    val o = Tables.load(spark, dir, "orders")
+    val winStart = "TIMESTAMP '1996-01-01 00:00:00'"
+    o.filter(col("o_orderdate") >= expr(winStart) &&
+        col("o_orderdate") < expr(s"$winStart + INTERVAL '6' MONTH"))
+      .withColumn("due", col("o_orderdate") + expr("INTERVAL '3' MONTH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("due") < ts("1996-08-01 00:00:00"), 1))
+          .as("n_due_before_aug96"),
+        max(col("due")).as("latest_due"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val s35ListAggSql: String =
     """SELECT n_regionkey,
       |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
@@ -699,10 +721,20 @@ object Corpus {
     "s33_decimal_money" -> s33DecimalMoney,
     "s34_runtime_pruned_join" -> s34RuntimePrunedJoin,
     "s35_listagg" -> sqlQ(s35ListAggSql),
+    "s36_interval_window" -> s36IntervalWindow,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
   val oracleSql: Seq[(String, String)] = Seq(
+    "s36_interval_window" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       COUNT(*) FILTER (WHERE o_orderdate + INTERVAL 3 MONTH
+        |                              < TIMESTAMP '1996-08-01 00:00:00') AS n_due_before_aug96,
+        |       MAX(o_orderdate + INTERVAL 3 MONTH) AS latest_due
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00' + INTERVAL 6 MONTH
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
