@@ -76,7 +76,14 @@ object HeavyHitters {
       // exploded token, which is the cost the sketch entry exists to
       // avoid; a 2x margin on the estimate dwarfs HLL's ~5% error while
       // still tripping LONG before a real regime exit (the synthetic
-      // vocabulary is ~31 words against capacity 1024)
+      // vocabulary is ~31 words against capacity 1024).
+      // NOTE: unlike approx_top_parts' exact footer count, this guard is
+      // PROBABILISTIC — an HLL misestimate beyond the 2x margin could in
+      // principle pass a genuinely over-capacity vocabulary (the flake
+      // the guard exists to prevent) or trip spuriously near the
+      // boundary. Acceptable at a ~33x capacity ratio; a deployment
+      // running near capacity/2 should widen the margin or pay for the
+      // exact count.
       val bound = toks.groupBy("lang")
         .agg(approx_count_distinct("tok").as("n"))
         .agg(max("n")).collect().headOption

@@ -220,7 +220,16 @@ object GraftExtensions {
     * with filters: after pushdown the scan has absorbed them and the
     * rewrite must decline. `getOrCreate` only applies builder extensions
     * to a new session, so the active/default slots are cleared for the
-    * call and restored after. */
+    * call and restored after.
+    *
+    * CONCURRENCY CAVEAT: the lock below serializes newSession() callers
+    * only. An UNRELATED concurrent `SparkSession.builder().getOrCreate()`
+    * elsewhere in the process does not take it and can observe the
+    * cleared slots (building a session it didn't need) or capture the
+    * extensions-laden session as its own default. Fine for the
+    * single-threaded entry/test usage this serves; a long-lived
+    * multi-tenant process should build its sessions up front instead of
+    * interleaving getOrCreate with this call. */
   def newSession(): SparkSession = synchronized {
     // synchronized: the active/default slots are process-global — two
     // concurrent builders interleaving clear/restore would leak the
