@@ -68,16 +68,19 @@ object PgCopyDecoder {
   private val Float32Reader = fixed(4, "float4")(_.readFloat())
   private val Float64Reader = fixed(8, "float8")(_.readDouble())
   /** Postgres `date`: i32 days since 2000-01-01 → shift to the Unix epoch
-    * (`binary_reader.rs:426-428`). */
+    * (`binary_reader.rs:426-428`). Emitted as [[java.sql.Date]]: the scan's
+    * row serializer (`RowEncoder.encoderFor`, non-lenient, java8API unset)
+    * accepts only the java.sql external types — same as the ResultSet path. */
   private val DateReader = fixed(4, "date")(in =>
-    java.time.LocalDate.ofEpochDay(EpochDays.toLong + in.readInt()))
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(EpochDays.toLong + in.readInt())))
   /** Postgres `timestamp`: i64 microseconds since 2000-01-01 → shift
     * (`binary_reader.rs:430-432`). floorDiv/floorMod keep pre-1970
-    * instants exact (negative micros must round toward −∞). */
+    * instants exact (negative micros must round toward −∞). Emitted as
+    * [[java.sql.Timestamp]] for the same serializer contract as dates. */
   private val TimestampReader = fixed(8, "timestamp")(in => {
     val micros = EpochMicros + in.readLong()
-    java.time.Instant.ofEpochSecond(
-      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
   })
   /** Postgres `time` (no zone): i64 microseconds since midnight — 8 wire
     * bytes. DIVERGENCE: the reference read 4 (`binary_reader.rs:437`),

@@ -111,8 +111,8 @@ class PgCopyDecoderSpec extends AnyFunSuite {
     assert(r.getDouble(5) === -2.25)
     assert(r.getString(6) === "naïve ✓")
     assert(r.getAs[Array[Byte]](7).toSeq === Seq[Byte](0, 1, -1))
-    assert(r.getAs[java.time.LocalDate](8) === java.time.LocalDate.of(2000, 1, 1))
-    assert(r.getAs[java.time.Instant](9) ===
+    assert(r.getAs[java.sql.Date](8).toLocalDate === java.time.LocalDate.of(2000, 1, 1))
+    assert(r.getAs[java.sql.Timestamp](9).toInstant ===
       java.time.Instant.parse("2000-01-02T00:00:00Z"))
     assert(r.getAs[java.time.LocalTime](10) === java.time.LocalTime.of(1, 1, 1, 1000))
     assert(r.getString(11) === "12345678-9abc-def0-0fed-cba987654321")
@@ -208,9 +208,38 @@ class PgCopyDecoderSpec extends AnyFunSuite {
       .tuple(dateF(-10958), tsF(-946684800000001L + 1000000L - 1000000L))
       .trailer()
     val r = decode(w, schema).head
-    assert(r.getAs[java.time.LocalDate](0) === java.time.LocalDate.of(1969, 12, 31))
-    assert(r.getAs[java.time.Instant](1) ===
+    assert(r.getAs[java.sql.Date](0).toLocalDate === java.time.LocalDate.of(1969, 12, 31))
+    assert(r.getAs[java.sql.Timestamp](1).toInstant ===
       java.time.Instant.parse("1969-12-31T23:59:59.999999Z"))
+  }
+
+  test("decoded rows pass the scan's actual row serializer (encoder contract)") {
+    // The COPY fast path feeds decoded Rows straight into
+    // ExpressionEncoder(RowEncoder.encoderFor(schema)) — non-lenient, with
+    // spark.sql.datetime.java8API.enabled unset — the serializer built at
+    // JdbcBackend.fetch. That encoder accepts ONLY the java.sql external
+    // types for DateType/TimestampType; java.time values ClassCastException
+    // at runtime. This test drives every temporal + decimal + binary column
+    // through the real serializer so the contract can never silently drift.
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val schema = StructType(Seq(
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("n", DecimalType(12, 2)), StructField("bin", BinaryType),
+      StructField("t", StringType)))
+    val w = new Wire().header()
+      .tuple(dateF(0), tsF(86400000000L),
+        numericF(Seq(1234, 5600), 0, 0x0000, 2), byteaF(Array[Byte](7)), textF("x"))
+      .tuple(NULL, NULL, NULL, NULL, NULL)
+      .trailer()
+    val ser = ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+    val internal = PgCopyDecoder.rows(w.build(), schema).map(ser(_).copy()).toSeq
+    assert(internal.length === 2)
+    // days since Unix epoch for 2000-01-01 = 10957; micros for 2000-01-02T00:00Z
+    assert(internal.head.getInt(0) === 10957)
+    assert(internal.head.getLong(1) === 946684800000000L + 86400000000L)
+    assert(internal.head.getDecimal(2, 12, 2).toJavaBigDecimal ===
+      new java.math.BigDecimal("1234.56"))
+    assert(internal(1).isNullAt(0) && internal(1).isNullAt(1) && internal(1).isNullAt(2))
   }
 
   test("decoded rows load into a DataFrame with the discovery schema") {
