@@ -34,9 +34,6 @@ object Engine {
         shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries INT64 TIMESTAMP(NANOS); set here so table
-      // loading doesn't depend on call order (Tables.load also sets it)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // SQL-surface registration of the native expressions (dot_i8,

@@ -395,9 +395,9 @@ object Corpus {
   /** S23b — sessionization with a 30-minute gap via window functions.
     * Output typing is pinned engine-neutral: SUM over INT is HUGEINT in
     * DuckDB (Arrow decimal128) but BIGINT in Spark, so session_id is CAST
-    * explicitly; session_start is second-truncated because the parquet ts
-    * is TIMESTAMP(NANOS) — a ns-reading oracle keeps sub-µs digits Spark
-    * already truncated away on read. */
+    * explicitly; session_start is second-truncated because the source's
+    * physical ts precision has differed across driver regens (NANOS, then
+    * micros) — truncation keeps the oracle engine-neutral either way. */
   val s23bSessionsSql: String =
     """SELECT user_id, session_id, COUNT(*) AS events_in_session,
       |       DATE_TRUNC('SECOND', MIN(ts)) AS session_start

@@ -145,6 +145,43 @@ object PgCopyDecoder {
     }
   }
 
+  /** Postgres array (`array_send`): i32 ndim, i32 has-nulls flag, u32
+    * element OID, then per dimension i32 size + i32 lower bound, then each
+    * element as i32 length (−1 = NULL) + payload — the element payloads use
+    * the same per-type encodings as top-level fields. The reference
+    * enumerates `BOOL/INT2..FLOAT8/TIMESTAMP _ARRAY → List<T>`
+    * (`datatypes.rs:28-80`) but its decode is knowingly broken ("no
+    * offsets included", `binary_reader.rs:308-320`) — this follows the
+    * wire. ndim = 0 is an empty array; only 1-D arrays map to Spark
+    * `ArrayType` (a 2-D wire array would need a nested ArrayType column —
+    * decline loudly rather than flatten). The has-nulls flag is advisory;
+    * per-element −1 framing is authoritative. */
+  private def arrayReader(elem: WireReader, tpe: String): WireReader = new WireReader {
+    def read(in: DataInputStream, len: Int): Any = {
+      val ndim = in.readInt()
+      val _hasNulls = in.readInt()
+      val _elemOid = in.readInt()
+      if (ndim == 0) return scala.collection.immutable.ArraySeq.empty[Any]
+      if (ndim != 1) throw new IllegalStateException(
+        s"PGCOPY $tpe array column: $ndim-dimensional wire array cannot map " +
+          "to a flat ArrayType (declare a nested type or flatten backend-side)")
+      val n = in.readInt()
+      val _lowerBound = in.readInt()
+      // framing sanity: the declared field length must at least hold the
+      // 20 header bytes plus one length word per element
+      if (n < 0 || len < 20 + 4L * n) throw new IllegalStateException(
+        s"PGCOPY $tpe array column: $n elements cannot fit the declared $len wire bytes")
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val el = in.readInt()
+        out(i) = if (el == -1) null else elem.read(in, el)
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
   private def readerFor(f: StructField, uuidCols: Set[String]): WireReader =
     f.dataType match {
       case BooleanType => BoolReader
@@ -160,6 +197,10 @@ object PgCopyDecoder {
       case DateType => DateReader
       case TimestampType => TimestampReader
       case _: TimeType => TimeReader
+      // element payloads reuse the scalar readers; an array of uuid keeps
+      // the column name, so uuidCols detection carries into the elements
+      case ArrayType(et, _) =>
+        arrayReader(readerFor(StructField(f.name, et), uuidCols), et.simpleString)
       case other => throw new IllegalArgumentException(
         s"PGCOPY decode of column '${f.name}': no wire reader for $other")
     }

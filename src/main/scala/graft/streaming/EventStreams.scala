@@ -33,14 +33,13 @@ object EventStreams {
 
   private val sinkCounter = new AtomicInteger(0)
 
-  /** Raw parquet schema of events (ts is INT64 nanos — see Tables.load). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Era-check the source once per file version (same loud-failure guard
+    // as the batch path — a silent unit mismatch here corrupts every
+    // window/session/join interval downstream, which is exactly the
+    // round-9 failure class). Also sets the legacy nanosAsLong conf for
+    // old INT64-nanos files before any read below.
+    graft.Tables.loadEvents(spark, dir)
     // The file-stream source requires a directory to monitor; the testdata
     // keeps one parquet file per table in a shared dir, so stage a per-table
     // directory (hard link — no data copy) the source can list.
@@ -72,8 +71,14 @@ object EventStreams {
             dst, java.nio.file.Files.getLastModifiedTime(src))
       }
     }
+    // The file-stream source requires an explicit schema, but nothing says
+    // it must be hard-coded: derive it from the staged file's own footer
+    // (one batch-read of metadata), then normalize ts exactly like the
+    // batch loader — so a data-format rotation is absorbed in one place
+    // (Tables.tsToTimestamp) instead of silently corrupting time.
+    val rawSchema = spark.read.parquet(stage.toString).schema
     spark.readStream.schema(rawSchema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.tsToTimestamp(rawSchema("ts").dataType))
   }
 
   /** Run a bounded streaming query to completion into a memory sink and
@@ -174,7 +179,8 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
     runToTable(sessions.toDF(), OutputMode.Append())
       // second-truncated to match the oracle's engine-neutral precision
-      // (the parquet ts is TIMESTAMP(NANOS); see s23bSessionsSql note).
+      // (source physical encodings differ in sub-second precision across
+      // driver regens; see s23bSessionsSql note).
       .select(col("user_id"), col("session_id"), col("events_in_session"),
         date_trunc("second", col("session_start")).as("session_start"))
       .orderBy("user_id", "session_id")

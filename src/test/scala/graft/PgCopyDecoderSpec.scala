@@ -79,6 +79,25 @@ class PgCopyDecoderSpec extends AnyFunSuite {
     groups.foreach(o.writeShort)
   }
 
+  /** Array field (`array_send` framing): ndim, has-nulls, element OID,
+    * per-dim size + lower bound, then the elements with their own length
+    * words — the scalar field writers above already emit exactly that. */
+  private def arrayF(elemOid: Int, hasNulls: Boolean, ndim: Int,
+      elems: (DataOutputStream => Unit)*): DataOutputStream => Unit = o => {
+    val body = new ByteArrayOutputStream()
+    val bo = new DataOutputStream(body)
+    bo.writeInt(ndim)
+    bo.writeInt(if (hasNulls) 1 else 0)
+    bo.writeInt(elemOid)
+    if (ndim > 0) {
+      bo.writeInt(elems.length)
+      bo.writeInt(1) // Postgres default lower bound
+    }
+    elems.foreach(_(bo))
+    o.writeInt(body.size)
+    o.write(body.toByteArray)
+  }
+
   private def decode(w: Wire, schema: StructType,
       uuidCols: Set[String] = Set.empty): Seq[Row] =
     PgCopyDecoder.rows(w.build(), schema, uuidCols).toSeq
@@ -240,6 +259,72 @@ class PgCopyDecoderSpec extends AnyFunSuite {
     assert(internal.head.getDecimal(2, 12, 2).toJavaBigDecimal ===
       new java.math.BigDecimal("1234.56"))
     assert(internal(1).isNullAt(0) && internal(1).isNullAt(1) && internal(1).isNullAt(2))
+  }
+
+  test("arrays: every reference-enumerated element type round-trips") {
+    // the reference maps BOOL/INT2..FLOAT8/TIMESTAMP _ARRAY → List<T>
+    // (`datatypes.rs:28-80`) but its decoder is knowingly broken
+    // (`binary_reader.rs:308-320`); these are the wire-true fixtures
+    val schema = StructType(Seq(
+      StructField("ls", ArrayType(LongType)),
+      StructField("ts", ArrayType(StringType)),
+      StructField("fs", ArrayType(DoubleType)),
+      StructField("stamps", ArrayType(TimestampType))))
+    val w = new Wire().header()
+      .tuple(
+        arrayF(20, hasNulls = true, ndim = 1, int8F(1L), NULL, int8F(3L)),
+        arrayF(25, hasNulls = false, ndim = 1, textF("a"), textF("naïve ✓"), textF("")),
+        arrayF(701, hasNulls = false, ndim = 1, float8F(-2.25), float8F(0.5)),
+        arrayF(1114, hasNulls = false, ndim = 1, tsF(86400000000L)))
+      .trailer()
+    val r = decode(w, schema).head
+    assert(r.getAs[Seq[Any]](0) === Seq(1L, null, 3L))
+    assert(r.getAs[Seq[String]](1) === Seq("a", "naïve ✓", ""))
+    assert(r.getAs[Seq[Double]](2) === Seq(-2.25, 0.5))
+    assert(r.getAs[Seq[java.sql.Timestamp]](3).map(_.toInstant) ===
+      Seq(java.time.Instant.parse("2000-01-02T00:00:00Z")))
+  }
+
+  test("arrays: empty (ndim 0), NULL column, and framing guards") {
+    val schema = StructType(Seq(StructField("ls", ArrayType(LongType))))
+    // empty array ships as ndim = 0 with no dimension words at all
+    val empty = decode(new Wire().header()
+      .tuple(arrayF(20, hasNulls = false, ndim = 0)).trailer(), schema).head
+    assert(empty.getAs[Seq[Any]](0) === Seq.empty)
+    // a NULL array column is the ordinary −1 length sentinel
+    val nul = decode(new Wire().header().tuple(NULL).trailer(), schema).head
+    assert(nul.isNullAt(0))
+    // 2-D wire arrays cannot map to a flat ArrayType — decline loudly
+    val twoD = intercept[IllegalStateException] {
+      decode(new Wire().header()
+        .tuple(arrayF(20, hasNulls = false, ndim = 2, int8F(1L))).trailer(), schema)
+    }
+    assert(twoD.getMessage.contains("2-dimensional"))
+    // an element count the declared byte length cannot hold — decline,
+    // never read past the field into the next column's bytes
+    val lying = intercept[IllegalStateException] {
+      decode(new Wire().header().tuple { o =>
+        o.writeInt(20) // field length: exactly the header, no room for elements
+        o.writeInt(1); o.writeInt(0); o.writeInt(20)
+        o.writeInt(1000000); o.writeInt(1)
+      }.trailer(), schema)
+    }
+    assert(lying.getMessage.contains("cannot fit"))
+  }
+
+  test("arrays: decoded rows load into a DataFrame (encoder contract)") {
+    val spark = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("xs", ArrayType(LongType))))
+    val w = new Wire().header()
+      .tuple(int4F(1), arrayF(20, hasNulls = false, ndim = 1, int8F(10L), int8F(20L)))
+      .tuple(int4F(2), NULL)
+      .trailer()
+    val rows = PgCopyDecoder.rows(w.build(), schema).toSeq
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val got = df.orderBy("id").collect()
+    assert(got(0).getAs[Seq[Long]]("xs") === Seq(10L, 20L))
+    assert(got(1).isNullAt(1))
   }
 
   test("decoded rows load into a DataFrame with the discovery schema") {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Stream ≡ batch equivalence over the SAME files: each streaming entry
+  * with a batch twin must produce exactly the batch answer on a bounded
+  * replay. This is the guard class that catches ingestion corruption (the
+  * round-9 silent 1000× time compression) even without the external
+  * oracle — if either path misreads time, windows/sessions/join intervals
+  * diverge and the set comparison fails by name. */
+class StreamBatchEquivalenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  /** Canonical row rendering with doubles rounded (stream and batch may
+    * reduce float sums in different orders). */
+  private def canon(df: DataFrame): Set[String] = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        format_number(col(f.name), 6).as(f.name)
+      else col(f.name).cast("string").as(f.name)
+    }
+    df.select(cols.toSeq: _*).collect().map(_.toString).toSet
+  }
+
+  test("stream_hourly equals the batch hourly aggregate (s23a twin)") {
+    val stream = EventStreams.hourlyCounts(spark, dir)
+    val batch = Tables.loadEvents(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val (s, b) = (canon(stream), canon(batch))
+    assert(s.nonEmpty)
+    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+  }
+
+  test("stream_sessions equals the batch sessionization (s23b twin)") {
+    Tables.registerAll(spark, dir)
+    val stream = EventStreams.sessionize(spark, dir)
+    val batch = spark.sql(graft.queries.Corpus.s23bSessionsSql)
+    val (s, b) = (canon(stream), canon(batch))
+    assert(s.nonEmpty)
+    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+  }
+
+  test("stream_enrich_join equals the batch interval join (s29 twin)") {
+    val ev = Tables.loadEvents(spark, dir)
+      .withColumn("ts2", date_trunc("second", col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts2").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts2").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / 1000000L)
+          .cast("long").as("gap_s"))
+    val stream = EventStreams.purchaseClickJoin(spark, dir)
+    val (s, b) = (canon(stream), canon(batch))
+    assert(s.nonEmpty)
+    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+  }
+}

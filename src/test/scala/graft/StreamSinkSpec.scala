@@ -12,15 +12,6 @@ class StreamSinkSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("windowed aggregate streams to a parquet sink exactly once") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-
     // stage the events file into a streamable dir (hard link, no copy)
     val in = Files.createTempDirectory("graft_sink_in")
     try Files.createLink(in.resolve("events.parquet"),
@@ -32,8 +23,11 @@ class StreamSinkSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_sink_out").toString
     val cp = Files.createTempDirectory("graft_sink_cp").toString
 
-    val agg = spark.readStream.schema(schema).parquet(in.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // schema from the staged file's own footer, ts normalized exactly like
+    // the engine's loader — encoding-agnostic, same as EventStreams
+    val rawSchema = spark.read.parquet(in.toString).schema
+    val agg = spark.readStream.schema(rawSchema).parquet(in.toString)
+      .withColumn("ts", Tables.tsToTimestamp(rawSchema("ts").dataType))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
