@@ -175,8 +175,11 @@ object JdbcBackend {
     *    `Interval(DayTime)` with a TODO; Spark's CalendarInterval is not
     *    a first-class row value on enough of the surface to serve it
     *    honestly — cast backend-side to text or seconds instead)
-    *  - ARRAY / inet / name / oid / other exotic OTHER names → loud
-    *    decline, the reference's own policy for types off its match
+    *  - ARRAY of a reference-enumerated element (`datatypes.rs:28-80`
+    *    lists `BOOL/INT2..FLOAT8/TIMESTAMP _ARRAY → List<T>`) →
+    *    `ArrayType(element)`; arrays of any other element, and inet /
+    *    name / oid / other exotic OTHER names → loud decline, the
+    *    reference's own policy for types off its match
     *    (`datatypes.rs:94`, its commented-out rows) */
   private[graft] def sparkType(jdbcType: Int, precision: Int, scale: Int,
       typeName: String = ""): DataType =
@@ -203,12 +206,65 @@ object JdbcBackend {
       // Postgres surfaces uuid as OTHER/"uuid"; its text form round-trips
       // (the reference punted to Binary with a TODO, `datatypes.rs:170`)
       case Types.OTHER if typeName.equalsIgnoreCase("uuid") => StringType
-      case Types.ARRAY => throw new IllegalArgumentException(
-        s"array column type '$typeName' not supported by the federation " +
-          "layer — project it away or cast it backend-side")
+      case Types.ARRAY => arrayElementType(typeName) match {
+        case Some(et) => ArrayType(et)
+        case None => throw new IllegalArgumentException(
+          s"array column type '$typeName' not supported by the federation " +
+            "layer — project it away or cast it backend-side")
+      }
       case other => throw new IllegalArgumentException(
         s"unmapped JDBC type $other '$typeName' (java.sql.Types)")
     }
+
+  /** Array element type from the driver's TYPE_NAME: pgjdbc reports an
+    * array column as `_<elem>` (Postgres catalog convention); other
+    * drivers report `<elem>[]` or `<ELEM> ARRAY`. Only the element set
+    * the reference enumerates (`datatypes.rs:28-80`) plus text/date/
+    * numeric maps — anything else declines at discovery. */
+  private[graft] def arrayElementType(typeName: String): Option[DataType] = {
+    val t = typeName.trim.toLowerCase
+    val elem =
+      if (t.startsWith("_")) t.drop(1)
+      else if (t.endsWith("[]")) t.dropRight(2).trim
+      else if (t.endsWith(" array")) t.dropRight(6).trim
+      else t
+    elem match {
+      case "bool" | "boolean" => Some(BooleanType)
+      case "int2" | "smallint" => Some(ShortType)
+      case "int4" | "int" | "integer" => Some(IntegerType)
+      case "int8" | "bigint" => Some(LongType)
+      case "float4" | "real" => Some(FloatType)
+      case "float8" | "double precision" | "double" => Some(DoubleType)
+      case "text" | "varchar" | "bpchar" | "char" | "character varying" => Some(StringType)
+      case "date" => Some(DateType)
+      case "timestamp" | "timestamptz" => Some(TimestampType)
+      // unconstrained elements: same default the reference applies to
+      // bare NUMERIC (`datatypes.rs:160-162`)
+      case "numeric" | "decimal" => Some(DecimalType(38, 4))
+      case _ => None
+    }
+  }
+
+  /** Element normalizer for the ResultSet array path: drivers box array
+    * elements inconsistently (pgjdbc hands int2[] back as Integer[]), so
+    * each element is coerced to the exact external type the row encoder
+    * accepts for the declared element DataType. */
+  private def elementConverter(et: DataType): AnyRef => Any = et match {
+    case BooleanType => { case b: java.lang.Boolean => b.booleanValue(); case v => v }
+    case ShortType => { case n: java.lang.Number => n.shortValue(); case v => v }
+    case IntegerType => { case n: java.lang.Number => n.intValue(); case v => v }
+    case LongType => { case n: java.lang.Number => n.longValue(); case v => v }
+    case FloatType => { case n: java.lang.Number => n.floatValue(); case v => v }
+    case DoubleType => { case n: java.lang.Number => n.doubleValue(); case v => v }
+    case StringType => v => v.toString
+    case d: DecimalType => {
+      case bd: java.math.BigDecimal => bd.setScale(d.scale, java.math.RoundingMode.HALF_UP)
+      case n: java.lang.Number =>
+        new java.math.BigDecimal(n.toString).setScale(d.scale, java.math.RoundingMode.HALF_UP)
+      case v => v
+    }
+    case _ => v => v // Date / Timestamp already arrive as java.sql externals
+  }
 
   /** Rows decoded per fill of the task-side batch buffer (and the JDBC
     * fetchSize, so the driver's own wire blocks align with it). The
@@ -224,7 +280,7 @@ object JdbcBackend {
     * else. This is the JDBC-shaped analog of the reference's per-type
     * wire readers (`binary_reader.rs:351-487`), which likewise dispatch
     * once per column, then decode values in a tight loop. */
-  private[sources] def decoders(
+  private[graft] def decoders(
       schema: StructType): Array[(ResultSet, Int) => Any] =
     schema.fields.map { f =>
       f.dataType match {
@@ -242,13 +298,29 @@ object JdbcBackend {
           rs.getObject(i, classOf[java.time.LocalTime])
         case TimestampType => (rs: ResultSet, i: Int) => rs.getTimestamp(i)
         case BinaryType => (rs: ResultSet, i: Int) => rs.getBytes(i)
+        case ArrayType(et, _) =>
+          val conv = elementConverter(et)
+          (rs: ResultSet, i: Int) => {
+            val a = rs.getArray(i)
+            if (a == null) null
+            else {
+              // drivers return boxed Object[]; a primitive array would mean
+              // no SQL NULL elements, so box it through the generic path
+              val objs: Array[AnyRef] = a.getArray match {
+                case arr: Array[AnyRef] => arr
+                case arr: Array[_] => arr.map(_.asInstanceOf[AnyRef])
+              }
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                objs.map(v => if (v == null) null else conv(v)))
+            }
+          }
         case other => throw new IllegalArgumentException(
           s"unreadable column type $other")
       }
     }
 
   /** One ResultSet row → Row through pre-compiled decoders. */
-  private[sources] def decodeRow(rs: ResultSet,
+  private[graft] def decodeRow(rs: ResultSet,
       ds: Array[(ResultSet, Int) => Any]): Row = {
     val vals = new Array[Any](ds.length)
     var i = 0

@@ -182,7 +182,7 @@ class PostgresDialectSpec extends AnyFunSuite {
 
   // ---- discovery-side type map (reference datatypes.rs:141-176) ----
 
-  test("JDBC discovery maps NUMERIC defaults, TIME, uuid, and rejects arrays loudly") {
+  test("JDBC discovery maps NUMERIC defaults, TIME, uuid, and array elements") {
     import java.sql.Types
     // constrained NUMERIC keeps its bounds; unconstrained → Decimal(38,4)
     assert(JdbcBackend.sparkType(Types.NUMERIC, 18, 4) == DecimalType(18, 4))
@@ -190,10 +190,57 @@ class PostgresDialectSpec extends AnyFunSuite {
     assert(JdbcBackend.sparkType(Types.NUMERIC, 131089, 0) == DecimalType(38, 4))
     assert(JdbcBackend.sparkType(Types.TIME, 8, 0) == TimeType(0))
     assert(JdbcBackend.sparkType(Types.OTHER, 0, 0, "uuid") == StringType)
+    // the reference-enumerated _ARRAY set (`datatypes.rs:28-80`) maps to
+    // ArrayType(element) across the driver naming conventions
+    assert(JdbcBackend.sparkType(Types.ARRAY, 0, 0, "_int4") == ArrayType(IntegerType))
+    assert(JdbcBackend.sparkType(Types.ARRAY, 0, 0, "_bool") == ArrayType(BooleanType))
+    assert(JdbcBackend.sparkType(Types.ARRAY, 0, 0, "_timestamp") == ArrayType(TimestampType))
+    assert(JdbcBackend.sparkType(Types.ARRAY, 0, 0, "int8[]") == ArrayType(LongType))
+    assert(JdbcBackend.sparkType(Types.ARRAY, 0, 0, "INTEGER ARRAY") == ArrayType(IntegerType))
+    assert(JdbcBackend.sparkType(Types.ARRAY, 0, 0, "_numeric") == ArrayType(DecimalType(38, 4)))
+    // an element off the enumerated set still declines loudly by name
     val e = intercept[IllegalArgumentException] {
-      JdbcBackend.sparkType(Types.ARRAY, 0, 0, "_int4")
+      JdbcBackend.sparkType(Types.ARRAY, 0, 0, "_inet")
     }
-    assert(e.getMessage.contains("array column type '_int4'"))
+    assert(e.getMessage.contains("array column type '_inet'"))
+  }
+
+  test("ResultSet array decode normalizes driver boxing per element type") {
+    import java.sql.ResultSet
+    // pgjdbc-shaped fake: a one-column ResultSet whose getArray returns a
+    // java.sql.Array of Integer[] under a declared ShortType element (the
+    // documented boxing mismatch), plus NULL element and NULL column cases
+    def sqlArray(elems: Array[AnyRef]): java.sql.Array =
+      java.lang.reflect.Proxy.newProxyInstance(
+        getClass.getClassLoader, Array(classOf[java.sql.Array]),
+        (_, m, _) => m.getName match {
+          case "getArray" => elems
+          case "free" => null
+          case n => throw new UnsupportedOperationException(n)
+        }).asInstanceOf[java.sql.Array]
+    def rsOf(value: java.sql.Array): ResultSet =
+      java.lang.reflect.Proxy.newProxyInstance(
+        getClass.getClassLoader, Array(classOf[ResultSet]),
+        (_, m, _) => m.getName match {
+          case "getArray" => value
+          case "wasNull" => java.lang.Boolean.valueOf(value == null)
+          case n => throw new UnsupportedOperationException(n)
+        }).asInstanceOf[ResultSet]
+
+    val schema = StructType(Seq(StructField("xs", ArrayType(ShortType))))
+    val ds = JdbcBackend.decoders(schema)
+    val boxed = sqlArray(Array[AnyRef](
+      java.lang.Integer.valueOf(7), null, java.lang.Integer.valueOf(-2)))
+    val row = JdbcBackend.decodeRow(rsOf(boxed), ds)
+    assert(row.getAs[Seq[Any]](0) === Seq(7.toShort, null, (-2).toShort))
+    assert(JdbcBackend.decodeRow(rsOf(null), ds).isNullAt(0))
+    // decimal elements rescale to the declared element scale
+    val dec = JdbcBackend.decoders(
+      StructType(Seq(StructField("ns", ArrayType(DecimalType(38, 4))))))
+    val decRow = JdbcBackend.decodeRow(
+      rsOf(sqlArray(Array[AnyRef](new java.math.BigDecimal("1.5")))), dec)
+    assert(decRow.getAs[Seq[java.math.BigDecimal]](0) ===
+      Seq(new java.math.BigDecimal("1.5000")))
   }
 
   test("the FULL reference conversion table carries an explicit verdict per row") {
@@ -227,9 +274,12 @@ class PostgresDialectSpec extends AnyFunSuite {
     mapped.foreach { case (row, code, p, s, tn, want) =>
       assert(JdbcBackend.sparkType(code, p, s, tn) == want, row)
     }
-    // loud declines: the reference's commented-out rows (anyarray/ARRAY,
+    // the reference's enumerated _ARRAY rows (`datatypes.rs:28-80`) now
+    // map instead of declining
+    assert(JdbcBackend.sparkType(Types.ARRAY, 0, 0, "_float8") == ArrayType(DoubleType))
+    // loud declines: the reference's commented-out rows (anyarray,
     // inet, name, oid) plus interval, where it guessed a unit with a TODO
-    Seq(("anyarray/ARRAY", Types.ARRAY, "_float8"),
+    Seq(("anyarray", Types.ARRAY, "anyarray"),
       ("inet", Types.OTHER, "inet"),
       ("name", Types.OTHER, "name"),
       ("oid", Types.OTHER, "oid"),
