@@ -46,6 +46,46 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
   }
 
+  test("stream_sliding equals the batch window expansion") {
+    // Spark's sliding windows are epoch-aligned at the slide interval:
+    // the 4 windows containing ts start at floor(ts, 15min) - k*15min
+    val stream = EventStreams.slidingCounts(spark, dir)
+    val ev = Tables.loadEvents(spark, dir)
+    val batch = ev
+      .select(col("ts"), col("event_type"), col("value"),
+        explode(expr("array(0, 1, 2, 3)")).as("k"))
+      .withColumn("win_start",
+        expr("timestamp_micros(unix_micros(ts) div 900000000 * 900000000) - make_interval(0,0,0,0,0, k * 15, 0)"))
+      .drop("ts")
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val (s, b) = (canon(stream), canon(batch))
+    assert(s.nonEmpty)
+    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+  }
+
+  test("stream_dedup equals batch DISTINCT on the bounded replay") {
+    val stream = EventStreams.dedupKeys(spark, dir)
+    val batch = Tables.loadEvents(spark, dir)
+      .select("user_id", "event_type").distinct()
+    val (s, b) = (canon(stream), canon(batch))
+    assert(s.nonEmpty)
+    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+  }
+
+  test("stream_mv_rollup equals the batch aggregate of every event") {
+    val stream = EventStreams.streamMvRollup(spark, dir)
+      .select("event_type", "cnt", "sum_v", "cnt_v", "min_v", "max_v")
+    val batch = Tables.loadEvents(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"),
+        count("value").as("cnt_v"), min("value").as("min_v"),
+        max("value").as("max_v"))
+    val (s, b) = (canon(stream), canon(batch))
+    assert(s.nonEmpty)
+    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+  }
+
   test("stream_enrich_join equals the batch interval join (s29 twin)") {
     val ev = Tables.loadEvents(spark, dir)
       .withColumn("ts2", date_trunc("second", col("ts")))
