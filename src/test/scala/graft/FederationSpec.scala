@@ -34,6 +34,22 @@ class FederationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("array-typed columns ride the DSv2 scan end-to-end") {
+    // embeddings.embedding is ArrayType(FloatType) — arrays must survive
+    // schema negotiation, the task-side row fetch, and the scan's row
+    // encoder (round 10 opened array columns in JDBC discovery too)
+    val df = remote("embeddings").select("vec_id", "embedding")
+    val got = df.collect()
+    assert(got.length == Tables.load(spark, TestSpark.Sf0001, "embeddings").count())
+    val first = got.minBy(_.getLong(0))
+    val want = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding").orderBy("vec_id").head()
+    assert(first.getAs[scala.collection.Seq[Float]](1).toSeq ==
+      want.getAs[scala.collection.Seq[Float]](1).toSeq)
+    // projection still prunes around the array column
+    assert(graftScan(df).renderedSql.contains("`vec_id`, `embedding`"))
+  }
+
   test("column pruning reaches the backend SQL") {
     val df = remote("customer").select("c_custkey", "c_acctbal")
     val scan = graftScan(df)
