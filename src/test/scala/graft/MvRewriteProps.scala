@@ -72,10 +72,16 @@ class MvRewriteProps extends AnyFunSuite {
       }
     }.flatten.forall(_.contains("graft-mv"))
 
-  // compare at oracle precision: AVG/double-SUM re-association noise
+  // compare doubles at RELATIVE precision (10 significant digits):
+  // AVG/double-SUM re-association noise scales with the magnitude of the
+  // sum, so an absolute epsilon fails on large totals (a ~1e8 SUM of
+  // l_extendedprice carries ~1e-4 absolute noise between the view's
+  // partial-fold order and the base plan's order)
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map {
-      case d: Double => (math.rint(d * 1e6) / 1e6).toString
+      case d: Double =>
+        val v = if (d == 0.0) 0.0 else d // normalize -0.0
+        String.format(java.util.Locale.ROOT, "%.9e", Double.box(v))
       case x => String.valueOf(x)
     }.mkString("|")).sorted.toSeq
 
