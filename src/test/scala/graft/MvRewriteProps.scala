@@ -72,18 +72,28 @@ class MvRewriteProps extends AnyFunSuite {
       }
     }.flatten.forall(_.contains("graft-mv"))
 
-  // compare doubles at RELATIVE precision (10 significant digits):
-  // AVG/double-SUM re-association noise scales with the magnitude of the
-  // sum, so an absolute epsilon fails on large totals (a ~1e8 SUM of
-  // l_extendedprice carries ~1e-4 absolute noise between the view's
-  // partial-fold order and the base plan's order)
-  private def canon(df: DataFrame): Seq[String] =
-    df.collect().map(_.toSeq.map {
-      case d: Double =>
-        val v = if (d == 0.0) 0.0 else d // normalize -0.0
-        String.format(java.util.Locale.ROOT, "%.9e", Double.box(v))
-      case x => String.valueOf(x)
-    }.mkString("|")).sorted.toSeq
+  // Compare doubles NUMERICALLY at relative tolerance — never by rounded
+  // rendering. View-fold vs base-plan double SUMs legitimately differ by
+  // re-association noise that scales with the total (~1e-4 absolute on the
+  // ~1.6e8 sums this data produces), and ANY fixed-precision string
+  // rendering turns that noise into a seed-dependent knife-edge: two values
+  // a hair either side of a rounding boundary render differently even
+  // though they are equal to 1e-12 relative. Rows pair by their EXACT
+  // fields (group keys, counts — doubles excluded from the key).
+  private def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().map(_.toSeq).toSeq
+  private def pairKey(r: Seq[Any]): String = r.map {
+    case _: Double => ""
+    case x => String.valueOf(x)
+  }.mkString("|")
+  private def sameRows(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
+    a.size == b.size && a.sortBy(pairKey).zip(b.sortBy(pairKey)).forall {
+      case (x, y) => x.size == y.size && x.zip(y).forall {
+        case (dx: Double, dy: Double) =>
+          dx == dy ||
+            math.abs(dx - dy) <= 1e-9 * math.max(math.abs(dx), math.abs(dy))
+        case (vx, vy) => vx == vy
+      }
+    }
 
   test("random roll-ups equal the base plan and fire exactly when derivable") {
     mv
@@ -101,8 +111,19 @@ class MvRewriteProps extends AnyFunSuite {
       val expectFire = !s.nonDimFilter && s.aggIdx.forall(aggs(_)._2)
       val servedFromView = scansView(rewritten)
       if (servedFromView) fired += 1 else declined += 1
-      val equal = canon(rewritten) == canon(build(base, s))
-      if (!equal) System.err.println(s"MISMATCH for $s")
+      val (cr, cb) = (rows(rewritten), rows(build(base, s)))
+      val equal = sameRows(cr, cb)
+      if (!equal) {
+        val scanned = rewritten.queryExecution.optimizedPlan.collect {
+          case l: LogicalRelation => l.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        }.flatten
+        System.err.println(s"MISMATCH for $s served from $scanned\n" +
+          s"  rewritten: ${cr.sortBy(pairKey).take(4)}\n" +
+          s"  base:      ${cb.sortBy(pairKey).take(4)}")
+      }
       if (servedFromView != expectFire)
         System.err.println(s"fire=$servedFromView expected=$expectFire for $s")
       equal && servedFromView == expectFire
