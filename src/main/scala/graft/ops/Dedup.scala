@@ -182,17 +182,30 @@ object Dedup {
       // consumed three times (prefix + both verification join-backs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the prefix is the part of the document that CANNOT be entirely
-    // skipped by a partner with Jaccard ≥ t
+    // skipped by a partner with Jaccard ≥ t; positions ride along for the
+    // positional filter below
     val prefix = sets.select(col("doc_id"), col("set_size"),
-      explode(slice(col("set"), lit(1),
-        (col("set_size") - ceil(col("set_size") * threshold) + 1).cast("int"))).as("sh"))
+      posexplode(slice(col("set"), lit(1),
+        (col("set_size") - ceil(col("set_size") * threshold) + 1).cast("int")))
+        .as(Seq("pos", "sh")))
     // candidate pairs: shared prefix shingle + the length filter
-    // (|b| ≥ t·|a| is necessary for J ≥ t when |a| ≥ |b|)
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("set_size").as("size_a"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("sh"), col("set_size").as("size_b")), Seq("sh"))
+    // (|b| ≥ t·|a| is necessary for J ≥ t when |a| ≥ |b|) + the PPJoin
+    // POSITIONAL filter: a shared token at 0-based positions (i, j) caps
+    // the overlap at 1 + min(|a|−i−1, |b|−j−1) (every other shared token
+    // sits after it in the global order), and J ≥ t needs overlap ≥
+    // t/(1+t)·(|a|+|b|). Lossless: a qualifying pair's EARLIEST shared
+    // token has the smallest (i, j), hence the loosest cap — that join row
+    // always survives even when later shared-token rows are pruned.
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"),
+        col("set_size").as("size_a"), col("pos").as("pos_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh"),
+        col("set_size").as("size_b"), col("pos").as("pos_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
         greatest(col("size_a"), col("size_b")) * threshold <=
-          least(col("size_a"), col("size_b")))
+          least(col("size_a"), col("size_b")) &&
+        lit(1) + least(col("size_a") - col("pos_a") - 1,
+          col("size_b") - col("pos_b") - 1) >=
+          ceil(lit(threshold / (1 + threshold)) * (col("size_a") + col("size_b"))))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     // exact verification: a map over candidate pairs joined to the compact
