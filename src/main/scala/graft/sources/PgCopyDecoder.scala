@@ -36,7 +36,7 @@ import org.apache.spark.sql.types._
 object PgCopyDecoder {
 
   /** `PGCOPY\n\377\r\n\0` — `binary_reader.rs:18`. */
-  private[sources] val Magic: Array[Byte] =
+  private[graft] val Magic: Array[Byte] =
     "PGCOPY\n".getBytes("US-ASCII") ++ Array(0xff.toByte, '\r'.toByte, '\n'.toByte, 0x00.toByte)
   /** Days from 1970-01-01 to 2000-01-01 (`binary_reader.rs:19`). */
   private[sources] val EpochDays = 10957

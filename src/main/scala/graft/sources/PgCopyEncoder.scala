@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.io.{DataOutputStream, OutputStream}
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Encoder for the PostgreSQL binary `COPY` wire format — the write-side
+  * inverse of [[PgCopyDecoder]], and the piece the reference never had at
+  * all (its write surface is absent; `src/sqldb/postgres/mod.rs` only
+  * reads). Binary COPY is the bulk-ingest path a 100 TB pipeline actually
+  * uses against Postgres-family backends: one framed stream per task
+  * instead of per-row INSERT round trips. The encoder plugs into the same
+  * documented pgjdbc `CopyManager` seam as the read side
+  * (`JdbcBackend.decodeRow`'s caller); until a live server is reachable it
+  * is proven by byte-exact round trips through [[PgCopyDecoder]] and
+  * golden wire fixtures.
+  *
+  * Framing mirrors the decoder: 11-byte signature, u32 flags = 0, u32
+  * extension length = 0, per tuple an i16 field count then per field an
+  * i32 byte length (−1 = NULL) and the big-endian payload, i16 −1 trailer.
+  * Per-type encodings are the exact inverses of the decoder's readers,
+  * including the 8-byte `time` and the base-10000 NUMERIC.
+  */
+object PgCopyEncoder {
+
+  /** Postgres type OIDs for array element headers (`pg_type.oid`) — needed
+    * by a real server to interpret `array_send` payloads. */
+  private val ElementOid: Map[DataType, Int] = Map(
+    BooleanType -> 16, ShortType -> 21, IntegerType -> 23, LongType -> 20,
+    FloatType -> 700, DoubleType -> 701, StringType -> 25, BinaryType -> 17,
+    DateType -> 1082, TimestampType -> 1114)
+
+  private type FieldWriter = (DataOutputStream, Any) => Unit
+
+  private def fixed(n: Int)(f: (DataOutputStream, Any) => Unit): FieldWriter =
+    (o, v) => { o.writeInt(n); f(o, v) }
+
+  /** NUMERIC: decompose a BigDecimal into base-10000 digit groups with the
+    * weight of the first group — the exact inverse of the decoder's
+    * reconstruction (Σ groupᵢ · 10000^(weight−i), rescaled). Leading and
+    * trailing zero groups are elided the way a server elides them. */
+  private def writeNumeric(o: DataOutputStream, v: JBigDecimal): Unit = {
+    val dscale = math.max(v.scale, 0)
+    val neg = v.signum < 0
+    val abs = v.abs.stripTrailingZeros
+    if (abs.signum == 0) { // zero ships as zero groups
+      o.writeInt(8)
+      o.writeShort(0); o.writeShort(0); o.writeShort(0); o.writeShort(dscale)
+      return
+    }
+    // align the fractional digit count to a multiple of 4 so digits split
+    // exactly into base-10000 groups around the decimal point
+    val scaleUp = ((abs.scale % 4) + 4) % 4 match {
+      case 0 => abs
+      case r => abs.setScale(abs.scale + (4 - r))
+    }
+    val unscaled = scaleUp.unscaledValue // positive
+    val fracGroups = scaleUp.scale / 4
+    var digits = unscaled
+    val tenK = java.math.BigInteger.valueOf(10000L)
+    var groups = List.empty[Int]
+    while (digits.signum != 0) {
+      val Array(q, r) = digits.divideAndRemainder(tenK)
+      groups = r.intValue :: groups
+      digits = q
+    }
+    if (groups.isEmpty) groups = List(0)
+    // weight = exponent (base 10000) of the FIRST group
+    var weight = groups.length - 1 - fracGroups
+    // elide leading zero groups (weight unchanged beyond the drop) and
+    // trailing zero groups (pure representation, value carried by weight)
+    var gs = groups
+    while (gs.nonEmpty && gs.head == 0) { gs = gs.tail; weight -= 1 }
+    while (gs.nonEmpty && gs.last == 0) gs = gs.init
+    o.writeInt(8 + 2 * gs.length)
+    o.writeShort(gs.length)
+    o.writeShort(weight)
+    o.writeShort(if (neg) 0x4000 else 0x0000)
+    o.writeShort(dscale)
+    gs.foreach(o.writeShort)
+  }
+
+  private def scalarWriter(dt: DataType, uuid: Boolean): FieldWriter = dt match {
+    case BooleanType => fixed(1)((o, v) => o.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0))
+    case ShortType => fixed(2)((o, v) => o.writeShort(v.asInstanceOf[Short]))
+    case IntegerType => fixed(4)((o, v) => o.writeInt(v.asInstanceOf[Int]))
+    case LongType => fixed(8)((o, v) => o.writeLong(v.asInstanceOf[Long]))
+    case FloatType => fixed(4)((o, v) => o.writeFloat(v.asInstanceOf[Float]))
+    case DoubleType => fixed(8)((o, v) => o.writeDouble(v.asInstanceOf[Double]))
+    case StringType if uuid => fixed(16) { (o, v) =>
+      val u = java.util.UUID.fromString(v.toString)
+      o.writeLong(u.getMostSignificantBits); o.writeLong(u.getLeastSignificantBits)
+    }
+    case StringType => (o, v) => {
+      val b = v.toString.getBytes("UTF-8")
+      o.writeInt(b.length); o.write(b)
+    }
+    case BinaryType => (o, v) => {
+      val b = v.asInstanceOf[Array[Byte]]
+      o.writeInt(b.length); o.write(b)
+    }
+    case DateType => fixed(4) { (o, v) =>
+      val days = v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      o.writeInt((days - PgCopyDecoder.EpochDays).toInt)
+    }
+    case TimestampType => fixed(8) { (o, v) =>
+      val t = v.asInstanceOf[java.sql.Timestamp]
+      // floorDiv keeps pre-1970 instants exact (getNanos is always the
+      // non-negative sub-second part, so seconds must round toward −∞)
+      val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      o.writeLong(micros - PgCopyDecoder.EpochMicros)
+    }
+    case _: TimeType => fixed(8) { (o, v) =>
+      o.writeLong(v.asInstanceOf[java.time.LocalTime].toNanoOfDay / 1000L)
+    }
+    case _: DecimalType => (o, v) =>
+      writeNumeric(o, v.asInstanceOf[JBigDecimal])
+    case other => throw new IllegalArgumentException(
+      s"PGCOPY encode: no wire writer for $other")
+  }
+
+  private def writerFor(f: StructField, uuidCols: Set[String]): FieldWriter =
+    f.dataType match {
+      case ArrayType(et, _) =>
+        val elem = scalarWriter(et, uuidCols.contains(f.name))
+        val oid = if (uuidCols.contains(f.name) && et == StringType) 2950
+          else ElementOid.getOrElse(et, 0)
+        (o, v) => {
+          val elems = v.asInstanceOf[scala.collection.Seq[Any]]
+          // body framed separately: the field length prefix needs the size
+          val bytes = new java.io.ByteArrayOutputStream()
+          val bo = new DataOutputStream(bytes)
+          if (elems.isEmpty) { bo.writeInt(0); bo.writeInt(0); bo.writeInt(oid) }
+          else {
+            bo.writeInt(1)
+            bo.writeInt(if (elems.exists(_ == null)) 1 else 0)
+            bo.writeInt(oid)
+            bo.writeInt(elems.length)
+            bo.writeInt(1) // Postgres default lower bound
+            elems.foreach {
+              case null => bo.writeInt(-1)
+              case e => elem(bo, e)
+            }
+          }
+          o.writeInt(bytes.size)
+          bytes.writeTo(o)
+        }
+      case dt => scalarWriter(dt, uuidCols.contains(f.name))
+    }
+
+  /** Encode `rows` onto `out` as one complete PGCOPY stream (header,
+    * tuples, trailer). `uuidCols` names StringType columns that must ship
+    * as 16-byte uuids — the same contract as the decoder's. */
+  def write(rows: Iterator[Row], schema: StructType, out: OutputStream,
+      uuidCols: Set[String] = Set.empty): Unit = {
+    val o = new DataOutputStream(out)
+    o.write(PgCopyDecoder.Magic)
+    o.writeInt(0) // flags: no OIDs
+    o.writeInt(0) // no header extension
+    val writers = schema.fields.map(writerFor(_, uuidCols))
+    val width = writers.length
+    rows.foreach { row =>
+      o.writeShort(width)
+      var i = 0
+      while (i < width) {
+        if (row.isNullAt(i)) o.writeInt(-1) else writers(i)(o, row.get(i))
+        i += 1
+      }
+    }
+    o.writeShort(-1)
+    o.flush()
+  }
+
+  /** Convenience: encode to a byte array (fixtures, small batches). */
+  def bytes(rows: Seq[Row], schema: StructType,
+      uuidCols: Set[String] = Set.empty): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    write(rows.iterator, schema, out, uuidCols)
+    out.toByteArray
+  }
+}
