@@ -153,9 +153,40 @@ class GraftBatchWrite(table: String, backend: SqlBackend,
 case class GraftWriterFactory(table: String, schema: StructType,
     backend: SqlBackend) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (backend.supportsTaskSideWrites)
-      new StreamingSqlWriter(table, schema, backend.dialect, backend.connection)
-    else new GraftDataWriter(schema, backend.dialect)
+    if (backend.supportsTaskSideWrites) {
+      val conn = backend.connection
+      // binary bulk-ingest fast path when the backend offers one (COPY
+      // FROM STDIN on Postgres-family URLs); INSERT streaming otherwise
+      conn.copyWrite(table, schema, backend.dialect)
+        .map(new CopyStreamWriter(schema, _): DataWriter[InternalRow])
+        .getOrElse(new StreamingSqlWriter(table, schema, backend.dialect, conn))
+    } else new GraftDataWriter(schema, backend.dialect)
+}
+
+/** Binary-COPY writer: rows stream through [[PgCopyEncoder]] onto the
+  * channel's wire stream — no literal rendering, no statement parsing on
+  * the backend, one framed stream per task inside the channel's
+  * transaction (per-task atomicity identical to [[StreamingSqlWriter]]). */
+class CopyStreamWriter(schema: StructType, channel: CopyWriteChannel)
+    extends DataWriter[InternalRow] {
+  private val deserialize =
+    ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
+      .createDeserializer()
+  private val stream =
+    new PgCopyEncoder.Stream(channel.out, schema, channel.uuidCols)
+  private var written = 0L
+
+  override def write(record: InternalRow): Unit = {
+    stream.writeRow(deserialize(record))
+    written += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    stream.finish()
+    channel.commit()
+    WroteCount(written)
+  }
+  override def abort(): Unit = channel.rollback()
+  override def close(): Unit = ()
 }
 
 /** Driver-funnel writer: renders tuples, ships them in the commit message. */

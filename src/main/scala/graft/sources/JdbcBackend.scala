@@ -569,6 +569,71 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
     }
   }
 
+  /** Binary-COPY bulk-ingest channel, the write-side mirror of
+    * [[copyFetch]]: `COPY table (cols) FROM STDIN (FORMAT BINARY)` through
+    * pgjdbc's `PGCopyOutputStream`, fed by [[PgCopyEncoder]], inside a
+    * task-side autoCommit=false transaction (same per-task atomicity as
+    * the INSERT path). Reflective for the same reason as the read side —
+    * pgjdbc isn't on this sandbox's classpath; its absence, or a
+    * non-Postgres URL, returns None → INSERT streaming fallback. */
+  override def copyWrite(table: String, schema: StructType,
+      dialect: graft.plans.SqlGen.Dialect): Option[CopyWriteChannel] = {
+    if (!url.startsWith("jdbc:postgresql:")) return None
+    val pgStreamCls =
+      try Class.forName("org.postgresql.copy.PGCopyOutputStream")
+      catch { case _: ClassNotFoundException => return None }
+    val pgConnCls = Class.forName("org.postgresql.PGConnection")
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      // which StringType columns are uuid on the backend: Describe-only
+      // metadata probe, nothing executes (same trick as copyFetch)
+      val colList = schema.fieldNames.map(dialect.quote).mkString(", ")
+      val uuids: Set[String] = {
+        val ps = conn.prepareStatement(
+          s"SELECT $colList FROM ${dialect.quote(table)}")
+        try {
+          val md = ps.getMetaData
+          if (md == null) Set.empty
+          else (1 to md.getColumnCount)
+            .filter(i => "uuid".equalsIgnoreCase(md.getColumnTypeName(i)))
+            .map(md.getColumnLabel(_)).toSet
+        } finally ps.close()
+      }
+      val copySql =
+        s"COPY ${dialect.quote(table)} ($colList) FROM STDIN (FORMAT BINARY)"
+      val stream = pgStreamCls
+        .getConstructor(pgConnCls, classOf[String])
+        .newInstance(conn.unwrap(pgConnCls.asInstanceOf[Class[AnyRef]]), copySql)
+        .asInstanceOf[java.io.OutputStream]
+      Some(new CopyWriteChannel {
+        private var done = false
+        override val out: java.io.OutputStream = stream
+        override val uuidCols: Set[String] = uuids
+        override def commit(): Unit = if (!done) {
+          done = true
+          // closing the copy stream sends CopyDone; the rows become
+          // durable only at the transaction commit that follows
+          try stream.close()
+          finally {
+            try conn.commit() finally conn.close()
+          }
+        }
+        override def rollback(): Unit = if (!done) {
+          done = true
+          // ending the COPY then rolling back undoes it transactionally;
+          // if the stream refuses to close, closing the connection aborts
+          // the COPY at the protocol level anyway
+          try stream.close() catch { case _: Exception => }
+          try conn.rollback() finally conn.close()
+        }
+      })
+    } catch { case t: Throwable =>
+      try conn.close() catch { case s: Throwable => t.addSuppressed(s) }
+      throw t
+    }
+  }
+
   override def beginWrite(): WriteTxn = {
     val conn = DriverManager.getConnection(url)
     conn.setAutoCommit(false)

@@ -150,18 +150,21 @@ object PgCopyEncoder {
       case dt => scalarWriter(dt, uuidCols.contains(f.name))
     }
 
-  /** Encode `rows` onto `out` as one complete PGCOPY stream (header,
-    * tuples, trailer). `uuidCols` names StringType columns that must ship
-    * as 16-byte uuids — the same contract as the decoder's. */
-  def write(rows: Iterator[Row], schema: StructType, out: OutputStream,
-      uuidCols: Set[String] = Set.empty): Unit = {
-    val o = new DataOutputStream(out)
+  /** Incremental PGCOPY stream: the header goes out at construction, rows
+    * as they arrive, and the trailer at [[finish]] — the shape a task-side
+    * writer needs (rows stream through, nothing buffers). `uuidCols` names
+    * StringType columns that must ship as 16-byte uuids — the same
+    * contract as the decoder's. */
+  final class Stream(out: OutputStream, schema: StructType,
+      uuidCols: Set[String] = Set.empty) {
+    private val o = new DataOutputStream(out)
+    private val writers = schema.fields.map(writerFor(_, uuidCols))
+    private val width = writers.length
     o.write(PgCopyDecoder.Magic)
     o.writeInt(0) // flags: no OIDs
     o.writeInt(0) // no header extension
-    val writers = schema.fields.map(writerFor(_, uuidCols))
-    val width = writers.length
-    rows.foreach { row =>
+
+    def writeRow(row: Row): Unit = {
       o.writeShort(width)
       var i = 0
       while (i < width) {
@@ -169,8 +172,22 @@ object PgCopyEncoder {
         i += 1
       }
     }
-    o.writeShort(-1)
-    o.flush()
+
+    /** Trailer + flush. The underlying stream stays open — its lifecycle
+      * (a COPY end, a file close) belongs to the caller. */
+    def finish(): Unit = {
+      o.writeShort(-1)
+      o.flush()
+    }
+  }
+
+  /** Encode `rows` onto `out` as one complete PGCOPY stream (header,
+    * tuples, trailer). */
+  def write(rows: Iterator[Row], schema: StructType, out: OutputStream,
+      uuidCols: Set[String] = Set.empty): Unit = {
+    val s = new Stream(out, schema, uuidCols)
+    rows.foreach(s.writeRow)
+    s.finish()
   }
 
   /** Convenience: encode to a byte array (fixtures, small batches). */

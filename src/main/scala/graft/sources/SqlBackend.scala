@@ -95,6 +95,26 @@ trait SqlConnection extends Serializable {
     * speculative task rolls back, and its rows never existed. */
   def beginWrite(): WriteTxn =
     throw new UnsupportedOperationException("backend has no task-side write path")
+
+  /** Optional task-side BINARY bulk-ingest channel (`COPY … FROM STDIN
+    * (FORMAT BINARY)` on Postgres-family backends): rows stream as framed
+    * wire bytes instead of rendered INSERT literals — the actual
+    * bulk-load path at scale. `None` (the default) sends the caller to
+    * the INSERT streaming path; implementations keep the same per-task
+    * transaction contract as [[beginWrite]]. */
+  def copyWrite(table: String, schema: StructType,
+      dialect: graft.plans.SqlGen.Dialect): Option[CopyWriteChannel] = None
+}
+
+/** One task's open binary-ingest channel: encode onto `out`, then exactly
+  * one of commit/rollback, exactly once — both release the connection.
+  * `uuidCols` reports which StringType columns the BACKEND types as uuid
+  * (they must ship as 16 raw bytes, not text). */
+trait CopyWriteChannel {
+  def out: java.io.OutputStream
+  def uuidCols: Set[String]
+  def commit(): Unit
+  def rollback(): Unit
 }
 
 /** One task's backend write transaction (task-side only — never

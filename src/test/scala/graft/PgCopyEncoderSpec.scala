@@ -121,6 +121,58 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     assert(!buf.hasRemaining)
   }
 
+  test("incremental Stream produces byte-identical output to batch write") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    val rows = Seq(Row(1L, "a"), Row(2L, null), Row(null, "c"))
+    val batch = PgCopyEncoder.bytes(rows, schema)
+    val out = new java.io.ByteArrayOutputStream()
+    val s = new PgCopyEncoder.Stream(out, schema)
+    rows.foreach(s.writeRow)
+    s.finish()
+    assert(out.toByteArray.toSeq === batch.toSeq)
+  }
+
+  test("copyWrite channel gates: non-Postgres URL and absent driver both decline") {
+    import graft.sources.JdbcTaskConnection
+    val schema = StructType(Seq(StructField("i", IntegerType)))
+    val d = graft.sources.ConservativeAnsiDialect
+    // Derby URL: wrong family — INSERT fallback
+    assert(JdbcTaskConnection("jdbc:derby:memory:copywrite;create=true")
+      .copyWrite("t", schema, d).isEmpty)
+    // Postgres URL in this sandbox: pgjdbc absent — must decline BEFORE
+    // attempting any connection (no server exists to refuse one)
+    assert(JdbcTaskConnection("jdbc:postgresql://nowhere/db")
+      .copyWrite("t", schema, d).isEmpty)
+  }
+
+  test("CopyStreamWriter streams a task's rows as one framed COPY payload") {
+    import graft.sources.{CopyStreamWriter, CopyWriteChannel, WroteCount}
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val sink = new java.io.ByteArrayOutputStream()
+    var committed = 0
+    var rolledBack = 0
+    val channel = new CopyWriteChannel {
+      override val out: java.io.OutputStream = sink
+      override val uuidCols: Set[String] = Set.empty
+      override def commit(): Unit = committed += 1
+      override def rollback(): Unit = rolledBack += 1
+    }
+    val ser = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      .resolveAndBind().createSerializer()
+    val w = new CopyStreamWriter(schema, channel)
+    Seq(Row(1L, "acme"), Row(2L, null)).foreach(r => w.write(ser(r).copy()))
+    val msg = w.commit()
+    assert(msg === WroteCount(2) && committed === 1 && rolledBack === 0)
+    // the bytes on the channel are a complete, decodable PGCOPY stream —
+    // exactly what a Postgres server receives
+    val got = PgCopyDecoder.rows(
+      new ByteArrayInputStream(sink.toByteArray), schema).toSeq
+    assert(got.map(r => (r.get(0), r.get(1))) === Seq((1L, "acme"), (2L, null)))
+  }
+
   test("encoded rows straight from a DataFrame round-trip") {
     val spark = TestSpark.spark
     import spark.implicits._
