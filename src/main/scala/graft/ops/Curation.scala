@@ -79,6 +79,11 @@ object Curation {
       .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
         col("r.text").as("text"), col("r.n_tokens").as("n_tokens"),
         col("r.quality_score").as("quality_score"), col("n_copies"))
+      // consumed twice (near-dup mining shingles the text, the accounting
+      // aggregates the metadata): without this, the quality gate + hash
+      // dedup shuffle — the expensive half at corpus scale — recomputes
+      // for each consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup keep-first: every LSH pair (doc_a < doc_b) marks doc_b
     val removed = Dedup.minHashPairs(kept, nearBands, nearThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
