@@ -171,6 +171,20 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     val got = PgCopyDecoder.rows(
       new ByteArrayInputStream(sink.toByteArray), schema).toSeq
     assert(got.map(r => (r.get(0), r.get(1))) === Seq((1L, "acme"), (2L, null)))
+
+    // abort path: a failed/speculative task rolls the channel back and
+    // never commits (Spark's commit protocol calls exactly one of the two)
+    var aborted = 0
+    val abortChannel = new CopyWriteChannel {
+      override val out: java.io.OutputStream = new java.io.ByteArrayOutputStream()
+      override val uuidCols: Set[String] = Set.empty
+      override def commit(): Unit = fail("abort path must not commit")
+      override def rollback(): Unit = aborted += 1
+    }
+    val w2 = new CopyStreamWriter(schema, abortChannel)
+    w2.write(ser(Row(3L, "x")).copy())
+    w2.abort()
+    assert(aborted === 1)
   }
 
   test("encoded rows straight from a DataFrame round-trip") {
