@@ -181,31 +181,41 @@ object Dedup {
       .withColumn("set_size", size(col("set")).cast("long"))
       // consumed three times (prefix + both verification join-backs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ALL candidate-bound arithmetic runs in exact LONG arithmetic on a
+    // floored scaled threshold tS/1e6 ≤ t: double products like
+    // ceil(0.8/1.8 · 63) land on 28.000000000000004 → ceil 29 and silently
+    // DROP an exactly-at-threshold pair (the float knife-edge class).
+    // Flooring the scale only loosens every bound (a smaller threshold
+    // admits more candidates), so the filters stay lossless for the true
+    // t; exactness is restored by the verification stage regardless.
+    val tS = math.floor(threshold * 1000000).toLong
     // the prefix is the part of the document that CANNOT be entirely
-    // skipped by a partner with Jaccard ≥ t; positions ride along for the
-    // positional filter below
+    // skipped by a partner with Jaccard ≥ t (length size − ceil(t·size) + 1,
+    // the ceil taken on integers); positions ride along for the positional
+    // filter below
     val prefix = sets.select(col("doc_id"), col("set_size"),
       posexplode(slice(col("set"), lit(1),
-        (col("set_size") - ceil(col("set_size") * threshold) + 1).cast("int")))
+        expr(s"cast(set_size - ((set_size * $tS + 999999) div 1000000) + 1 as int)")))
         .as(Seq("pos", "sh")))
     // candidate pairs: shared prefix shingle + the length filter
     // (|b| ≥ t·|a| is necessary for J ≥ t when |a| ≥ |b|) + the PPJoin
     // POSITIONAL filter: a shared token at 0-based positions (i, j) caps
     // the overlap at 1 + min(|a|−i−1, |b|−j−1) (every other shared token
     // sits after it in the global order), and J ≥ t needs overlap ≥
-    // t/(1+t)·(|a|+|b|). Lossless: a qualifying pair's EARLIEST shared
-    // token has the smallest (i, j), hence the loosest cap — that join row
-    // always survives even when later shared-token rows are pruned.
+    // t/(1+t)·(|a|+|b|) ⟺ overlap·(1e6+tS) ≥ tS·(|a|+|b|) in longs.
+    // Lossless: a qualifying pair's EARLIEST shared token has the smallest
+    // (i, j), hence the loosest cap — that join row always survives even
+    // when later shared-token rows are pruned.
     val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"),
         col("set_size").as("size_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh"),
         col("set_size").as("size_b"), col("pos").as("pos_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
-        greatest(col("size_a"), col("size_b")) * threshold <=
-          least(col("size_a"), col("size_b")) &&
-        lit(1) + least(col("size_a") - col("pos_a") - 1,
-          col("size_b") - col("pos_b") - 1) >=
-          ceil(lit(threshold / (1 + threshold)) * (col("size_a") + col("size_b"))))
+        greatest(col("size_a"), col("size_b")) * tS <=
+          least(col("size_a"), col("size_b")) * 1000000L &&
+        (lit(1) + least(col("size_a") - col("pos_a") - 1,
+          col("size_b") - col("pos_b") - 1)) * (1000000L + tS) >=
+          lit(tS) * (col("size_a") + col("size_b")))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     // exact verification: a map over candidate pairs joined to the compact

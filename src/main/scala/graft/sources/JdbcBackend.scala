@@ -483,19 +483,9 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
     val baseConnCls = Class.forName("org.postgresql.core.BaseConnection")
     val conn = DriverManager.getConnection(url)
     try {
-      // uuid columns arrive as 16 raw bytes, not text: learn which
+      // uuid columns travel as 16 raw bytes, not text: learn which
       // StringType columns those are from a Describe-only metadata probe
-      // (prepareStatement + getMetaData executes nothing)
-      val uuidCols: Set[String] = {
-        val ps = conn.prepareStatement(sql)
-        try {
-          val md = ps.getMetaData
-          if (md == null) Set.empty
-          else (1 to md.getColumnCount)
-            .filter(i => "uuid".equalsIgnoreCase(md.getColumnTypeName(i)))
-            .map(md.getColumnLabel(_)).toSet
-        } finally ps.close()
-      }
+      val uuidCols: Set[String] = JdbcTaskConnection.uuidColumns(conn, sql)
       val copySql = s"COPY ($sql) TO STDOUT (FORMAT BINARY)"
       val in = pgStreamCls
         .getConstructor(baseConnCls, classOf[String])
@@ -579,6 +569,10 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
   override def copyWrite(table: String, schema: StructType,
       dialect: graft.plans.SqlGen.Dialect): Option[CopyWriteChannel] = {
     if (!url.startsWith("jdbc:postgresql:")) return None
+    // every column must be wire-encodable BEFORE anything opens: a throw
+    // after the COPY stream exists would leak the connection, and the
+    // INSERT path may well handle the schema (it gates separately)
+    if (!PgCopyEncoder.supports(schema)) return None
     val pgStreamCls =
       try Class.forName("org.postgresql.copy.PGCopyOutputStream")
       catch { case _: ClassNotFoundException => return None }
@@ -587,19 +581,10 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
     try {
       conn.setAutoCommit(false)
       // which StringType columns are uuid on the backend: Describe-only
-      // metadata probe, nothing executes (same trick as copyFetch)
+      // metadata probe, nothing executes (shared with copyFetch)
       val colList = schema.fieldNames.map(dialect.quote).mkString(", ")
-      val uuids: Set[String] = {
-        val ps = conn.prepareStatement(
-          s"SELECT $colList FROM ${dialect.quote(table)}")
-        try {
-          val md = ps.getMetaData
-          if (md == null) Set.empty
-          else (1 to md.getColumnCount)
-            .filter(i => "uuid".equalsIgnoreCase(md.getColumnTypeName(i)))
-            .map(md.getColumnLabel(_)).toSet
-        } finally ps.close()
-      }
+      val uuids: Set[String] = JdbcTaskConnection.uuidColumns(conn,
+        s"SELECT $colList FROM ${dialect.quote(table)}")
       val copySql =
         s"COPY ${dialect.quote(table)} ($colList) FROM STDIN (FORMAT BINARY)"
       val stream = pgStreamCls
@@ -612,12 +597,17 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
         override val uuidCols: Set[String] = uuids
         override def commit(): Unit = if (!done) {
           done = true
-          // closing the copy stream sends CopyDone; the rows become
-          // durable only at the transaction commit that follows
+          // closing the copy stream sends CopyDone; the transaction commit
+          // follows ONLY if the close succeeded — committing after a failed
+          // close could make the rows durable while the task reports
+          // failure, and Spark's retry would then duplicate them
           try stream.close()
-          finally {
-            try conn.commit() finally conn.close()
+          catch { case t: Throwable =>
+            try conn.rollback() catch { case s: Throwable => t.addSuppressed(s) }
+            finally { try conn.close() catch { case s: Throwable => t.addSuppressed(s) } }
+            throw t
           }
+          try conn.commit() finally conn.close()
         }
         override def rollback(): Unit = if (!done) {
           done = true
@@ -661,5 +651,24 @@ case class JdbcTaskConnection(url: String) extends SqlConnection {
         try conn.rollback() finally conn.close()
       }
     }
+  }
+}
+
+object JdbcTaskConnection {
+  /** Which columns of `sql`'s projection the backend types as uuid — a
+    * Describe-only metadata probe (prepareStatement + getMetaData executes
+    * nothing). SHARED by the COPY read and write paths: uuid columns ship
+    * as 16 raw wire bytes, and the two sides diverging on which columns
+    * those are would be framing corruption, not a clean error. */
+  private[sources] def uuidColumns(conn: java.sql.Connection,
+      sql: String): Set[String] = {
+    val ps = conn.prepareStatement(sql)
+    try {
+      val md = ps.getMetaData
+      if (md == null) Set.empty
+      else (1 to md.getColumnCount)
+        .filter(i => "uuid".equalsIgnoreCase(md.getColumnTypeName(i)))
+        .map(md.getColumnLabel(_)).toSet
+    } finally ps.close()
   }
 }

@@ -26,11 +26,36 @@ import org.apache.spark.sql.types._
 object PgCopyEncoder {
 
   /** Postgres type OIDs for array element headers (`pg_type.oid`) — needed
-    * by a real server to interpret `array_send` payloads. */
-  private val ElementOid: Map[DataType, Int] = Map(
-    BooleanType -> 16, ShortType -> 21, IntegerType -> 23, LongType -> 20,
-    FloatType -> 700, DoubleType -> 701, StringType -> 25, BinaryType -> 17,
-    DateType -> 1082, TimestampType -> 1114)
+    * by a real server to interpret `array_send` payloads. CAVEAT: the
+    * server's `array_recv` checks the element OID against the COLUMN's
+    * declared element type, and this client-side map cannot see the column
+    * (a varchar[] column wants 1043, not text's 25) — which is one reason
+    * [[SqlWrite.writable]] keeps ArrayType off the write surface for now;
+    * these OIDs serve the default text/timestamp/numeric spellings. */
+  private def elementOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case ByteType | ShortType => 21
+    case IntegerType => 23
+    case LongType => 20
+    case FloatType => 700
+    case DoubleType => 701
+    case StringType => 25
+    case BinaryType => 17
+    case DateType => 1082
+    case TimestampType => 1114
+    case _: TimeType => 1083
+    case _: DecimalType => 1700
+    case _ => 0
+  }
+
+  /** Can every column of `schema` be encoded? The write path asks BEFORE
+    * opening a COPY — a constructor throw after the stream opened would
+    * leak the connection and fail a write the INSERT path handles. */
+  def supports(schema: StructType): Boolean =
+    schema.fields.forall { f =>
+      try { writerFor(f, Set.empty); true }
+      catch { case _: IllegalArgumentException => false }
+    }
 
   private type FieldWriter = (DataOutputStream, Any) => Unit
 
@@ -84,6 +109,9 @@ object PgCopyEncoder {
 
   private def scalarWriter(dt: DataType, uuid: Boolean): FieldWriter = dt match {
     case BooleanType => fixed(1)((o, v) => o.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0))
+    // Postgres has no 1-byte integer: a ByteType column lands in an int2
+    // backend column (DDL maps it so), hence 2 wire bytes
+    case ByteType => fixed(2)((o, v) => o.writeShort(v.asInstanceOf[Byte].toShort))
     case ShortType => fixed(2)((o, v) => o.writeShort(v.asInstanceOf[Short]))
     case IntegerType => fixed(4)((o, v) => o.writeInt(v.asInstanceOf[Int]))
     case LongType => fixed(8)((o, v) => o.writeLong(v.asInstanceOf[Long]))
@@ -126,7 +154,7 @@ object PgCopyEncoder {
       case ArrayType(et, _) =>
         val elem = scalarWriter(et, uuidCols.contains(f.name))
         val oid = if (uuidCols.contains(f.name) && et == StringType) 2950
-          else ElementOid.getOrElse(et, 0)
+          else elementOid(et)
         (o, v) => {
           val elems = v.asInstanceOf[scala.collection.Seq[Any]]
           // body framed separately: the field length prefix needs the size

@@ -71,6 +71,26 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(j - 6.0 / 8.0) < 1e-12)
   }
 
+  test("ngram jaccard keeps an exactly-at-threshold pair at t = 0.8") {
+    // Regression for the float knife-edge in the PPJoin candidate bounds:
+    // sizes 35 and 28 with overlap 28 give J = 28/35 = 0.8 exactly, and
+    // |a|+|b| = 63 makes ceil(0.8/1.8·63) overshoot in doubles
+    // (28.000000000000004 → 29), pruning the pair before verification —
+    // the bounds must run in exact integer arithmetic.
+    val a = (1 to 37).map(i => s"w$i").mkString(" ") // 35 shingles
+    val b = (1 to 30).map(i => s"w$i").mkString(" ") // 28, all shared
+    val d = docs(1L -> a, 2L -> b)
+    val got = Dedup.ngramJaccardPairs(d, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1, s"exactly-at-threshold pair dropped: ${got.toSeq}")
+    assert(math.abs(got(0)._3 - 0.8) < 1e-12)
+    // and strictly-below-threshold still excludes (the filter is a bound,
+    // not a widener): overlap 27 of sizes 35/29 → J = 27/37 < 0.8
+    val c = ((1 to 29).map(i => s"w$i") ++ Seq("zz1", "zz2")).mkString(" ")
+    val d2 = docs(1L -> a, 3L -> c)
+    assert(Dedup.ngramJaccardPairs(d2, threshold = 0.8).count() == 0)
+  }
+
   test("simhash pairs finds case/whitespace variants via chunk pigeonhole") {
     // simhash with maxHamming=3 targets near-identical content; a robust
     // deterministic case is canonicalization variance (case + whitespace),

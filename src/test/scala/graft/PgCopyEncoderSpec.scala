@@ -121,6 +121,26 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     assert(!buf.hasRemaining)
   }
 
+  test("ByteType encodes as int2 wire bytes; supports() gates unencodable schemas") {
+    // Postgres has no 1-byte integer — ByteType lands in an int2 column,
+    // so it must ship 2 wire bytes (SqlWrite.writable admits ByteType; the
+    // COPY path crashing on it would regress writes the INSERT path handles)
+    val schema = StructType(Seq(StructField("b", ByteType)))
+    val got = PgCopyDecoder.rows(
+      new ByteArrayInputStream(PgCopyEncoder.bytes(
+        Seq(Row(7.toByte), Row((-3).toByte), Row(null)), schema)),
+      // decode under ShortType: that is the wire/backend type
+      StructType(Seq(StructField("b", ShortType)))).toSeq
+    assert(got.map(_.get(0)) === Seq(7.toShort, (-3).toShort, null))
+    // the channel must be declined BEFORE anything opens for schemas the
+    // encoder cannot frame — the caller then falls back to INSERT streaming
+    assert(PgCopyEncoder.supports(schema))
+    assert(!PgCopyEncoder.supports(StructType(Seq(
+      StructField("m", MapType(StringType, StringType))))))
+    assert(!PgCopyEncoder.supports(StructType(Seq(
+      StructField("nested", ArrayType(ArrayType(LongType)))))))
+  }
+
   test("incremental Stream produces byte-identical output to batch write") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("t", StringType)))

@@ -47,9 +47,10 @@ object ProfileNgram {
       .withColumn("set_size", size(col("set")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("rarest-first sets")(println("  docs=" + sets.count()))
+    val tS = math.floor(threshold * 1000000).toLong
     val prefix = sets.select(col("doc_id"), col("set_size"),
       posexplode(slice(col("set"), lit(1),
-        (col("set_size") - ceil(col("set_size") * threshold) + 1).cast("int")))
+        expr(s"cast(set_size - ((set_size * $tS + 999999) div 1000000) + 1 as int)")))
         .as(Seq("pos", "sh")))
     t("prefix postings")(println("  rows=" + prefix.count()))
     val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"),
@@ -57,11 +58,11 @@ object ProfileNgram {
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh"),
         col("set_size").as("size_b"), col("pos").as("pos_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
-        greatest(col("size_a"), col("size_b")) * threshold <=
-          least(col("size_a"), col("size_b")) &&
-        lit(1) + least(col("size_a") - col("pos_a") - 1,
-          col("size_b") - col("pos_b") - 1) >=
-          ceil(lit(threshold / (1 + threshold)) * (col("size_a") + col("size_b"))))
+        greatest(col("size_a"), col("size_b")) * tS <=
+          least(col("size_a"), col("size_b")) * 1000000L &&
+        (lit(1) + least(col("size_a") - col("pos_a") - 1,
+          col("size_b") - col("pos_b") - 1)) * (1000000L + tS) >=
+          lit(tS) * (col("size_a") + col("size_b")))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     t("prefix join + positional + dedup")(println("  cand=" + cand.count()))

@@ -24,7 +24,10 @@ class StreamSinkSpec extends AnyFunSuite {
     val cp = Files.createTempDirectory("graft_sink_cp").toString
 
     // schema from the staged file's own footer, ts normalized exactly like
-    // the engine's loader — encoding-agnostic, same as EventStreams
+    // the engine's loader — encoding-agnostic, same as EventStreams.
+    // loadEvents first: it sets the legacy nanosAsLong conf, without which
+    // the bare footer read below would throw on an INT64-nanos regen
+    Tables.loadEvents(spark, TestSpark.Sf0001)
     val rawSchema = spark.read.parquet(in.toString).schema
     val agg = spark.readStream.schema(rawSchema).parquet(in.toString)
       .withColumn("ts", Tables.tsToTimestamp(rawSchema("ts").dataType))
