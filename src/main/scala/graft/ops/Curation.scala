@@ -41,6 +41,25 @@ import org.apache.spark.sql.functions._
   * or the entry is vacuous. */
 object Curation {
 
+  // Cache discipline: curate() is lazy (both consumers of the persisted
+  // kept-set live inside the ONE returned plan, so the earliest safe
+  // unpersist is after the caller's action — outside this function).
+  // Bench/test sessions invoke curate repeatedly; without a bound each
+  // call would pin another copy of the kept set for the session's
+  // lifetime. Each call therefore releases the previous call's cache, so
+  // at most one curated kept-set is pinned at any time, and
+  // [[releaseCache]] lets a caller drop even that once its action is done.
+  private[this] var lastKept: Option[DataFrame] = None
+  private def trackKept(kept: DataFrame): DataFrame = synchronized {
+    lastKept.foreach(_.unpersist(blocking = false))
+    lastKept = Some(kept)
+    kept
+  }
+  def releaseCache(): Unit = synchronized {
+    lastKept.foreach(_.unpersist(blocking = false))
+    lastKept = None
+  }
+
   /** ENTRY scaffolding (the production pipeline curates real data with
     * real duplicates): every document gets an exact copy under
     * `doc_id + 1_000_000` AND a near-copy (last ~10% of characters
@@ -84,6 +103,7 @@ object Curation {
       // dedup shuffle — the expensive half at corpus scale — recomputes
       // for each consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackKept(kept)
     // near-dup keep-first: every LSH pair (doc_a < doc_b) marks doc_b
     val removed = Dedup.minHashPairs(kept, nearBands, nearThreshold)
       .select(col("doc_b").as("doc_id")).distinct()

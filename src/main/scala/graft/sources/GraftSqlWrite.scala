@@ -154,13 +154,35 @@ case class GraftWriterFactory(table: String, schema: StructType,
     backend: SqlBackend) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (backend.supportsTaskSideWrites) {
-      val conn = backend.connection
       // binary bulk-ingest fast path when the backend offers one (COPY
-      // FROM STDIN on Postgres-family URLs); INSERT streaming otherwise
-      conn.copyWrite(table, schema, backend.dialect)
-        .map(new CopyStreamWriter(schema, _): DataWriter[InternalRow])
-        .getOrElse(new StreamingSqlWriter(table, schema, backend.dialect, conn))
+      // FROM STDIN on Postgres-family URLs); INSERT streaming otherwise.
+      // The choice — and every backend touch behind it (connection,
+      // metadata probe, COPY transaction) — is deferred to the first row:
+      // empty partitions commit WroteCount(0) without a backend round trip.
+      new LazyOpenWriter(() => {
+        val conn = backend.connection
+        conn.copyWrite(table, schema, backend.dialect)
+          .map(new CopyStreamWriter(schema, _): DataWriter[InternalRow])
+          .getOrElse(new StreamingSqlWriter(table, schema, backend.dialect, conn))
+      })
     } else new GraftDataWriter(schema, backend.dialect)
+}
+
+/** Defers writer construction to the first row, so a task with an empty
+  * partition never opens a backend connection or COPY transaction (the
+  * eager form cost one empty COPY round trip per empty partition — at
+  * 1000 executors with AQE-coalesced empty splits, a connection storm). */
+class LazyOpenWriter(make: () => DataWriter[InternalRow])
+    extends DataWriter[InternalRow] {
+  private var inner: DataWriter[InternalRow] = _
+  override def write(record: InternalRow): Unit = {
+    if (inner == null) inner = make()
+    inner.write(record)
+  }
+  override def commit(): WriterCommitMessage =
+    if (inner == null) WroteCount(0L) else inner.commit()
+  override def abort(): Unit = if (inner != null) inner.abort()
+  override def close(): Unit = if (inner != null) inner.close()
 }
 
 /** Binary-COPY writer: rows stream through [[PgCopyEncoder]] onto the

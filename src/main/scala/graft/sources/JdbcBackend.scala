@@ -304,14 +304,22 @@ object JdbcBackend {
             val a = rs.getArray(i)
             if (a == null) null
             else {
-              // drivers return boxed Object[]; a primitive array would mean
-              // no SQL NULL elements, so box it through the generic path
-              val objs: Array[AnyRef] = a.getArray match {
-                case arr: Array[AnyRef] => arr
-                case arr: Array[_] => arr.map(_.asInstanceOf[AnyRef])
+              try {
+                // drivers return boxed Object[]; a primitive array would mean
+                // no SQL NULL elements, so box it through the generic path
+                val objs: Array[AnyRef] = a.getArray match {
+                  case arr: Array[AnyRef] => arr
+                  case arr: Array[_] => arr.map(_.asInstanceOf[AnyRef])
+                }
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                  objs.map(v => if (v == null) null else conv(v)))
+              } finally {
+                // LOB-backed drivers hold server-side resources per getArray
+                // until freed; optional per JDBC, so a driver that doesn't
+                // support it is fine to ignore
+                try a.free()
+                catch { case _: java.sql.SQLFeatureNotSupportedException => }
               }
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                objs.map(v => if (v == null) null else conv(v)))
             }
           }
         case other => throw new IllegalArgumentException(

@@ -16,15 +16,30 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
-  /** Canonical row rendering with doubles rounded (stream and batch may
-    * reduce float sums in different orders). */
-  private def canon(df: DataFrame): Set[String] = {
-    val cols = df.schema.fields.map { f =>
-      if (f.dataType == org.apache.spark.sql.types.DoubleType)
-        format_number(col(f.name), 6).as(f.name)
-      else col(f.name).cast("string").as(f.name)
+  /** Stream and batch reduce double sums in different orders, so doubles
+    * must be compared numerically at relative tolerance — ANY fixed-precision
+    * string rendering (the former format_number canon) turns reduction-order
+    * noise into a shuffle-order-dependent knife-edge. Rows pair by their
+    * exact non-double fields (same pattern as MvRewriteProps.sameRows). */
+  private def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().map(_.toSeq).toSeq
+  private def pairKey(r: Seq[Any]): String = r.map {
+    case _: Double => ""
+    case x => String.valueOf(x)
+  }.mkString("|")
+  private def assertSame(stream: DataFrame, batch: DataFrame): Unit = {
+    val cols = stream.columns.toSeq.map(col)
+    val s = rows(stream)
+    val b = rows(batch.select(cols: _*))
+    assert(s.nonEmpty)
+    assert(s.size == b.size, s"row counts differ: stream=${s.size} batch=${b.size}")
+    s.sortBy(pairKey).zip(b.sortBy(pairKey)).zipWithIndex.foreach { case ((x, y), i) =>
+      val ok = x.size == y.size && x.zip(y).forall {
+        case (dx: Double, dy: Double) =>
+          dx == dy || math.abs(dx - dy) <= 1e-9 * math.max(math.abs(dx), math.abs(dy))
+        case (vx, vy) => vx == vy
+      }
+      assert(ok, s"row $i differs:\n  stream: $x\n  batch:  $y")
     }
-    df.select(cols.toSeq: _*).collect().map(_.toString).toSet
   }
 
   test("stream_hourly equals the batch hourly aggregate (s23a twin)") {
@@ -32,18 +47,14 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val batch = Tables.loadEvents(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
-    val (s, b) = (canon(stream), canon(batch))
-    assert(s.nonEmpty)
-    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+    assertSame(stream, batch)
   }
 
   test("stream_sessions equals the batch sessionization (s23b twin)") {
     Tables.registerAll(spark, dir)
     val stream = EventStreams.sessionize(spark, dir)
     val batch = spark.sql(graft.queries.Corpus.s23bSessionsSql)
-    val (s, b) = (canon(stream), canon(batch))
-    assert(s.nonEmpty)
-    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+    assertSame(stream, batch)
   }
 
   test("stream_sliding equals the batch window expansion") {
@@ -59,18 +70,14 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .drop("ts")
       .groupBy("win_start", "event_type")
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
-    val (s, b) = (canon(stream), canon(batch))
-    assert(s.nonEmpty)
-    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+    assertSame(stream, batch)
   }
 
   test("stream_dedup equals batch DISTINCT on the bounded replay") {
     val stream = EventStreams.dedupKeys(spark, dir)
     val batch = Tables.loadEvents(spark, dir)
       .select("user_id", "event_type").distinct()
-    val (s, b) = (canon(stream), canon(batch))
-    assert(s.nonEmpty)
-    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+    assertSame(stream, batch)
   }
 
   test("stream_mv_rollup equals the batch aggregate of every event") {
@@ -81,9 +88,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"),
         count("value").as("cnt_v"), min("value").as("min_v"),
         max("value").as("max_v"))
-    val (s, b) = (canon(stream), canon(batch))
-    assert(s.nonEmpty)
-    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+    assertSame(stream, batch)
   }
 
   test("stream_enrich_join equals the batch interval join (s29 twin)") {
@@ -101,8 +106,6 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
         ((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / 1000000L)
           .cast("long").as("gap_s"))
     val stream = EventStreams.purchaseClickJoin(spark, dir)
-    val (s, b) = (canon(stream), canon(batch))
-    assert(s.nonEmpty)
-    assert(s == b, s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+    assertSame(stream, batch)
   }
 }
