@@ -45,6 +45,8 @@ object PgCopyEncoder {
     case TimestampType => 1114
     case _: TimeType => 1083
     case _: DecimalType => 1700
+    case CalendarIntervalType | _: DayTimeIntervalType |
+         _: YearMonthIntervalType => 1186
     case _ => 0
   }
 
@@ -145,6 +147,27 @@ object PgCopyEncoder {
     }
     case _: DecimalType => (o, v) =>
       writeNumeric(o, v.asInstanceOf[JBigDecimal])
+    // Postgres `interval_recv`: i64 microseconds, i32 days, i32 months —
+    // the inverse of the decoder's three interval readers. multiplyExact/
+    // addExact fail loudly on a Duration beyond ±~292k years instead of
+    // shipping a silently wrapped value.
+    case CalendarIntervalType => fixed(16) { (o, v) =>
+      val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+      o.writeLong(ci.microseconds); o.writeInt(ci.days); o.writeInt(ci.months)
+    }
+    case _: DayTimeIntervalType => fixed(16) { (o, v) =>
+      val d = v.asInstanceOf[java.time.Duration]
+      val micros = Math.addExact(
+        Math.multiplyExact(d.getSeconds, 1000000L), d.getNano / 1000L)
+      o.writeLong(micros); o.writeInt(0); o.writeInt(0)
+    }
+    case _: YearMonthIntervalType => fixed(16) { (o, v) =>
+      val p = v.asInstanceOf[java.time.Period]
+      if (p.getDays != 0) throw new IllegalStateException(
+        s"PGCOPY interval: a year-month column cannot carry ${p.getDays} days")
+      o.writeLong(0L); o.writeInt(0)
+      o.writeInt(Math.toIntExact(p.toTotalMonths))
+    }
     case other => throw new IllegalArgumentException(
       s"PGCOPY encode: no wire writer for $other")
   }

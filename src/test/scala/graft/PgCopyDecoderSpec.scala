@@ -79,6 +79,12 @@ class PgCopyDecoderSpec extends AnyFunSuite {
     groups.foreach(o.writeShort)
   }
 
+  /** `interval` (`interval_send`): i64 microseconds, i32 days, i32 months
+    * — 16 wire bytes. The reference has no wire arm for interval at all
+    * (`datatypes.rs:158` maps it at discovery only). */
+  private def intervalF(micros: Long, days: Int, months: Int): DataOutputStream => Unit =
+    o => { o.writeInt(16); o.writeLong(micros); o.writeInt(days); o.writeInt(months) }
+
   /** Array field (`array_send` framing): ndim, has-nulls, element OID,
     * per-dim size + lower bound, then the elements with their own length
     * words — the scalar field writers above already emit exactly that. */
@@ -259,6 +265,59 @@ class PgCopyDecoderSpec extends AnyFunSuite {
     assert(internal.head.getDecimal(2, 12, 2).toJavaBigDecimal ===
       new java.math.BigDecimal("1234.56"))
     assert(internal(1).isNullAt(0) && internal(1).isNullAt(1) && internal(1).isNullAt(2))
+  }
+
+  test("interval: 16-byte wire form lands in all three Spark interval types") {
+    import org.apache.spark.unsafe.types.CalendarInterval
+    // interval '1 year 2 mons 3 days 04:05:06.789' as a server sends it:
+    // months = 14, days = 3, micros = 4h5m6.789s = 14_706_789_000
+    val full = new Wire().header()
+      .tuple(intervalF(14706789000L, 3, 14)).trailer()
+    val ci = decode(full,
+      StructType(Seq(StructField("iv", CalendarIntervalType)))).head
+      .getAs[CalendarInterval](0)
+    assert(ci === new CalendarInterval(14, 3, 14706789000L))
+
+    // month-free interval → DayTimeIntervalType (java.time.Duration),
+    // days folded at 24 h/day — Spark's own day-time arithmetic
+    val dt = decode(new Wire().header()
+        .tuple(intervalF(-5000001L, 2, 0)).trailer(),
+      StructType(Seq(StructField("iv", DayTimeIntervalType())))).head
+      .getAs[java.time.Duration](0)
+    assert(dt === java.time.Duration.ofDays(2).minusSeconds(5).minusNanos(1000))
+
+    // time-free interval → YearMonthIntervalType (java.time.Period)
+    val ym = decode(new Wire().header()
+        .tuple(intervalF(0L, 0, 26)).trailer(),
+      StructType(Seq(StructField("iv", YearMonthIntervalType())))).head
+      .getAs[java.time.Period](0)
+    assert(ym === java.time.Period.of(2, 2, 0))
+
+    // NULL column is the ordinary sentinel
+    val nul = decode(new Wire().header().tuple(NULL).trailer(),
+      StructType(Seq(StructField("iv", CalendarIntervalType)))).head
+    assert(nul.isNullAt(0))
+  }
+
+  test("interval: wire values outside the declared column shape decline loudly") {
+    // months on a day-time column would silently vanish from a Duration
+    val m = intercept[IllegalStateException] {
+      decode(new Wire().header().tuple(intervalF(0L, 0, 7)).trailer(),
+        StructType(Seq(StructField("iv", DayTimeIntervalType()))))
+    }
+    assert(m.getMessage.contains("months"))
+    // days/micros on a year-month column likewise
+    val d = intercept[IllegalStateException] {
+      decode(new Wire().header().tuple(intervalF(1L, 0, 12)).trailer(),
+        StructType(Seq(StructField("iv", YearMonthIntervalType()))))
+    }
+    assert(d.getMessage.contains("year-month"))
+    // wrong wire width (schema drift) refuses rather than desyncs
+    val w = intercept[IllegalStateException] {
+      decode(new Wire().header().tuple(int8F(5L)).trailer(),
+        StructType(Seq(StructField("iv", CalendarIntervalType))))
+    }
+    assert(w.getMessage.contains("expected 16 wire bytes, got 8"))
   }
 
   test("arrays: every reference-enumerated element type round-trips") {

@@ -101,6 +101,53 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     assert(got(1).isNullAt(1))
   }
 
+  test("intervals round-trip in all three Spark interval types") {
+    import org.apache.spark.unsafe.types.CalendarInterval
+    val schema = StructType(Seq(
+      StructField("ci", CalendarIntervalType),
+      StructField("dt", DayTimeIntervalType()),
+      StructField("ym", YearMonthIntervalType())))
+    val rows = Seq(
+      Row(new CalendarInterval(14, 3, 14706789000L),
+        java.time.Duration.ofHours(49).plusNanos(123456000L),
+        java.time.Period.of(2, 2, 0)),
+      Row(new CalendarInterval(-1, -2, -3L),
+        java.time.Duration.ofSeconds(-5).minusNanos(1000),
+        java.time.Period.ofMonths(-26).normalized()),
+      Row(null, null, null))
+    val got = roundTrip(rows, schema)
+    assert(got(0).getAs[CalendarInterval](0) === new CalendarInterval(14, 3, 14706789000L))
+    assert(got(0).getAs[java.time.Duration](1) ===
+      java.time.Duration.ofHours(49).plusNanos(123456000L))
+    assert(got(0).getAs[java.time.Period](2) === java.time.Period.of(2, 2, 0))
+    assert(got(1).getAs[CalendarInterval](0) === new CalendarInterval(-1, -2, -3L))
+    assert(got(1).getAs[java.time.Duration](1) ===
+      java.time.Duration.ofSeconds(-5).minusNanos(1000))
+    assert(got(1).getAs[java.time.Period](2) === java.time.Period.ofMonths(-26).normalized())
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1) && got(2).isNullAt(2))
+    // the channel gate now admits interval schemas
+    assert(PgCopyEncoder.supports(schema))
+    // sub-microsecond Duration precision cannot cross the wire undetected?
+    // it CAN be silently truncated by /1000 — document the contract: Spark's
+    // own DayTimeIntervalType is microsecond-precision, so a Duration from a
+    // Spark row never carries sub-µs nanos; the encoder floors them.
+    val wire = PgCopyEncoder.bytes(
+      Seq(Row(new CalendarInterval(0, 0, 1L), java.time.Duration.ZERO,
+        java.time.Period.ZERO)), schema)
+    // field length word for each interval column must say 16
+    val buf = java.nio.ByteBuffer.wrap(wire)
+    buf.position(11 + 8 + 2) // header + flags/ext + field count
+    assert(buf.getInt === 16)
+  }
+
+  test("year-month encoder refuses a Period that carries days") {
+    val schema = StructType(Seq(StructField("ym", YearMonthIntervalType())))
+    val ex = intercept[IllegalStateException] {
+      PgCopyEncoder.bytes(Seq(Row(java.time.Period.of(1, 0, 5))), schema)
+    }
+    assert(ex.getMessage.contains("days"))
+  }
+
   test("wire details a server checks: signature, flags, trailer, element OID") {
     val schema = StructType(Seq(StructField("xs", ArrayType(LongType))))
     val bytes = PgCopyEncoder.bytes(Seq(Row(Seq(5L))), schema)
