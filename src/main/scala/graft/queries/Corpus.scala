@@ -574,6 +574,46 @@ object Corpus {
       .load().orderBy("o_orderkey")
   }
 
+  /** S37 — federated key-matched UPSERT under the driver oracle: the
+    * MERGE-semantics write path ([[graft.sources.GraftMergeBatchWrite]])
+    * exercised end-to-end on the in-process double (emulated
+    * overwrite-merge publish; the ANSI MERGE rendering itself is
+    * live-tested against Derby in MergeUpsertSpec). Seed the target with
+    * the top-50 orders, then upsert orders 26..75 with re-stated totals
+    * (+1000): keys 1..25 survive unchanged, 26..50 update in place,
+    * 51..75 insert — all three MERGE outcomes in one final state the
+    * oracle recomputes relationally. Idempotent (DROP + CREATE) because
+    * Verify and both Bench passes re-run entries in one session. */
+  val s37Upsert: Q = (spark, dir) => {
+    val backend = graft.sources.SparkViewBackend.forDir(dir)
+    backend.executeUpdate("DROP TABLE IF EXISTS fed_upsert")
+    // explicit location, wiped first — same stale-managed-dir reasoning
+    // as s32's sink table
+    val loc = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fed_upsert_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(loc)
+    backend.executeUpdate(
+      "CREATE TABLE fed_upsert (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING) " +
+        s"USING parquet LOCATION '${loc.getAbsolutePath}'")
+    val src = Tables.load(spark, dir, "orders")
+      .orderBy("o_orderkey")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    src.limit(50)
+      .write.format("graft-sqldb").option("dir", dir).option("table", "fed_upsert")
+      .mode("append").save()
+    src.offset(25).limit(50)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .write.format("graft-sqldb").option("dir", dir).option("table", "fed_upsert")
+      .option("upsertKeys", "o_orderkey")
+      .mode("append").save()
+    spark.read.format("graft-sqldb").option("dir", dir).option("table", "fed_upsert")
+      .load().orderBy("o_orderkey")
+  }
+
   /** S33 — decimal money end-to-end (SURVEY C7/C13 over DecimalType; the
     * reference maps NUMERIC → Decimal(38,4), `src/sqldb/postgres/
     * datatypes.rs:160-162`, but its parquet fixtures are double-typed so
@@ -722,6 +762,7 @@ object Corpus {
     "s34_runtime_pruned_join" -> s34RuntimePrunedJoin,
     "s35_listagg" -> sqlQ(s35ListAggSql),
     "s36_interval_window" -> s36IntervalWindow,
+    "s37_upsert" -> s37Upsert,
   )
 
   /** DuckDB oracle SQL per key (FIXTURES.md §3 text). */
@@ -957,6 +998,19 @@ object Corpus {
     "s32_federated_write" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    // the upsert's final state recomputed relationally: updates win over
+    // the seed by key, unmatched seed rows survive, new keys insert
+    "s37_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+        |              FROM orders ORDER BY o_orderkey LIMIT 50),
+        |     up AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, o_orderpriority
+        |            FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 25)
+        |SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
+        |  SELECT * FROM up
+        |  UNION ALL
+        |  SELECT * FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM up WHERE up.o_orderkey = b.o_orderkey)
+        |) ORDER BY o_orderkey""".stripMargin,
     "s33_decimal_money" ->
       """SELECT l_returnflag,
         |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -77,7 +77,10 @@ class GraftSqlTable(val tableName: String, val backend: SqlBackend,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(tableName, backend, info.schema())
+    // `upsertKeys` (comma-separated) switches the write to key-matched
+    // MERGE semantics — see [[GraftMergeBatchWrite]]
+    new GraftWriteBuilder(tableName, backend, info.schema(),
+      Option(info.options.get("upsertKeys")), info.queryId())
 }
 
 class GraftScanBuilder(private val table: String, private val backend: SqlBackend,

@@ -48,6 +48,31 @@ object SqlWrite {
     "'" + body.replace("'", "''") + "'"
   }
 
+  /** ANSI `MERGE INTO` (SQL:2003) for key-matched upsert: every non-key
+    * column of a matched row is replaced, unmatched rows insert — i.e.
+    * full-row replace by key, the semantics real pipelines mean by
+    * "upsert". A key-only schema degenerates to insert-if-absent (no
+    * UPDATE clause at all — some engines reject an empty SET list).
+    * CONTRACT: the source must be key-unique; the SQL standard (and both
+    * Derby and Postgres) reject two source rows matching one target row. */
+  def renderMerge(target: String, source: String, keys: Seq[String],
+      cols: Seq[String], d: Dialect): String = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val missing = keys.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"upsert keys [${missing.mkString(", ")}] are not in the written columns [${cols.mkString(", ")}]")
+    val on = keys.map(k => s"t.${d.quote(k)} = s.${d.quote(k)}").mkString(" AND ")
+    val nonKeys = cols.filterNot(keys.contains)
+    val update =
+      if (nonKeys.isEmpty) ""
+      else " WHEN MATCHED THEN UPDATE SET " +
+        nonKeys.map(c => s"${d.quote(c)} = s.${d.quote(c)}").mkString(", ")
+    s"MERGE INTO ${d.quote(target)} t USING ${d.quote(source)} s ON $on" +
+      update +
+      s" WHEN NOT MATCHED THEN INSERT (${cols.map(d.quote).mkString(", ")})" +
+      s" VALUES (${cols.map(c => s"s.${d.quote(c)}").mkString(", ")})"
+  }
+
   /** Value → SQL literal for INSERT VALUES. Unlike the filter path this
     * must render EVERY value of a writable type, so non-finite floats get
     * the portable CAST form and backslash strings the dialect escape. */
@@ -75,7 +100,8 @@ case class RenderedTuples(tuples: Seq[String]) extends WriterCommitMessage
 case class WroteCount(rows: Long) extends WriterCommitMessage
 
 class GraftWriteBuilder(table: String, backend: SqlBackend,
-    schema: StructType) extends WriteBuilder with SupportsTruncate {
+    schema: StructType, upsertKeys: Option[String] = None,
+    queryId: String = "") extends WriteBuilder with SupportsTruncate {
   // reject unwritable columns at planning, not mid-job
   schema.fields.filterNot(f => SqlWrite.writable(f.dataType)) match {
     case bad if bad.nonEmpty =>
@@ -91,8 +117,14 @@ class GraftWriteBuilder(table: String, backend: SqlBackend,
     * as Spark's own JDBC sink in truncate mode. */
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftBatchWrite(table, backend, schema, truncateFirst)
+    override def toBatch: BatchWrite = upsertKeys match {
+      case Some(ks) =>
+        require(!truncateFirst,
+          "truncate + upsertKeys is contradictory: an emptied table has no rows to match — use a plain overwrite")
+        val keys = ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        new GraftMergeBatchWrite(table, backend, schema, keys, queryId)
+      case None => new GraftBatchWrite(table, backend, schema, truncateFirst)
+    }
   }
 }
 
@@ -148,6 +180,113 @@ class GraftBatchWrite(table: String, backend: SqlBackend,
     * its own transaction, and failed tasks already rolled back — nothing
     * to undo here. Funnel path: nothing durable happened yet. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Key-matched upsert ("MERGE"): rows land in a PER-JOB staging table
+  * through the ordinary parallel task writers (INSERT streaming or binary
+  * COPY — nothing new on the hot path), then one driver-side set operation
+  * folds staging into the target at global commit:
+  *
+  *  - **MERGE path** (backends advertising [[SqlBackend.supportsMerge]]):
+  *    ANSI `MERGE INTO target USING staging` inside ONE backend
+  *    transaction — the target flips atomically, and the statement never
+  *    moves rows through Spark. This is the stage-then-merge pattern real
+  *    bulk pipelines use (COPY into staging, MERGE to publish).
+  *  - **Emulated path** (the in-process double — Spark SQL has no MERGE
+  *    for v1 tables): materialize `staging ∪ (target ⟕̸ staging)` into a
+  *    scratch table, then `INSERT OVERWRITE` the target from it (reading
+  *    the target while overwriting it is illegal in Spark, hence the
+  *    materialization). Not atomic across the two statements — acceptable
+  *    for the test double; production backends take the MERGE path.
+  *
+  * Scale shape: landing is the unchanged executor-parallel write path;
+  * the publish is one backend-side relational operation whose cost lives
+  * in the backend, not the driver. CONTRACT (the SQL standard's): the
+  * written rows must be key-unique — two source rows matching one target
+  * row is an error on every MERGE-bearing engine. */
+class GraftMergeBatchWrite(table: String, backend: SqlBackend,
+    schema: StructType, keys: Seq[String], queryId: String) extends BatchWrite {
+  private val d = backend.dialect
+  private val cols = schema.fieldNames.toSeq
+  // validate at construction (driver, before any task): key/column drift
+  // must not survive to a half-landed job
+  SqlWrite.renderMerge(table, "staging_probe", keys, cols, d)
+  // per-job staging name: concurrent upserts into one target get distinct
+  // landing zones (queryId is Spark's per-write UUID)
+  private val staging =
+    table + "__up_" + queryId.filter(_.isLetterOrDigit).takeRight(8)
+
+  private def dropIgnore(name: String): Unit =
+    try backend.executeUpdate(s"DROP TABLE ${d.quote(name)}")
+    catch { case _: Exception => }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val colList = cols.map(d.quote).mkString(", ")
+    if (!backend.supportsMerge) {
+      // the emulated publish overwrites the WHOLE target, so a column
+      // subset would silently drop the unwritten columns — refuse here,
+      // before any task runs (the MERGE path handles subsets natively)
+      val tgt = backend.schema(table).fieldNames.toSeq
+      require(tgt == cols,
+        s"emulated upsert rewrites the whole target: written columns [${cols.mkString(", ")}] " +
+          s"must be exactly the target's [${tgt.mkString(", ")}]")
+    }
+    dropIgnore(staging)
+    // clone the written columns' types from the target itself — no
+    // Spark→backend DDL type map to drift, and a missing target column
+    // fails here rather than mid-job
+    backend.executeUpdate(
+      if (d == graft.plans.SqlGen.SparkSqlDialect)
+        s"CREATE TABLE ${d.quote(staging)} AS SELECT $colList FROM ${d.quote(table)} LIMIT 0"
+      else
+        s"CREATE TABLE ${d.quote(staging)} AS SELECT $colList FROM ${d.quote(table)} WITH NO DATA")
+    GraftWriterFactory(staging, schema, backend)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val q = d.quote _
+    val colList = cols.map(q).mkString(", ")
+    // driver-funnel tuples (non-task-side backends) land into staging now;
+    // task-side backends already committed their staging transactions
+    messages.iterator
+      .flatMap { case RenderedTuples(ts) => ts; case _: WroteCount => Nil }
+      .grouped(SqlWrite.InsertBatch)
+      .foreach { batch =>
+        backend.executeUpdate(
+          s"INSERT INTO ${q(staging)} ($colList) VALUES ${batch.mkString(", ")}")
+      }
+    try {
+      if (backend.supportsMerge) {
+        val txn = backend.connection.beginWrite()
+        try {
+          txn.executeUpdate(SqlWrite.renderMerge(table, staging, keys, cols, d))
+          txn.commit()
+        } catch { case t: Throwable =>
+          try txn.rollback() catch { case s: Throwable => t.addSuppressed(s) }
+          throw t
+        }
+      } else {
+        val merged = staging + "_m"
+        val keyEq = keys.map(k => s"s.${q(k)} = t.${q(k)}").mkString(" AND ")
+        dropIgnore(merged)
+        backend.executeUpdate(
+          s"CREATE TABLE ${q(merged)} AS SELECT $colList FROM ${q(staging)} " +
+            s"UNION ALL SELECT ${cols.map(c => s"t.${q(c)}").mkString(", ")} " +
+            s"FROM ${q(table)} t WHERE NOT EXISTS " +
+            s"(SELECT 1 FROM ${q(staging)} s WHERE $keyEq)")
+        try backend.executeUpdate(
+          s"INSERT OVERWRITE TABLE ${q(table)} SELECT $colList FROM ${q(merged)}")
+        finally dropIgnore(merged)
+      }
+    } finally dropIgnore(staging)
+  }
+
+  /** Task transactions into staging rolled back or committed per Spark's
+    * protocol; the target was never touched — dropping staging undoes the
+    * whole job. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    dropIgnore(staging)
 }
 
 case class GraftWriterFactory(table: String, schema: StructType,

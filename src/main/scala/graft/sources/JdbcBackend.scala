@@ -439,6 +439,11 @@ class JdbcBackend private (val url: String) extends SqlBackend {
   }
 
   override def supportsTaskSideWrites: Boolean = true
+  /** MERGE is rendered only for dialects known to parse it (Derby 10.11+,
+    * Postgres 15+); an unrecognized driver gets the emulated
+    * overwrite-merge instead of a statement that may not exist there. */
+  override def supportsMerge: Boolean =
+    dialect == DerbyDialect || dialect == PostgresDialect
   override def connection: SqlConnection = JdbcTaskConnection(url)
 
   override def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow] = {

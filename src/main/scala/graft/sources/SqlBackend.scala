@@ -55,6 +55,11 @@ trait SqlBackend extends Serializable {
     * local mode; see [[ViewBackendConnection]]), falling back to the
     * driver-funnel write at global commit. */
   def supportsTaskSideWrites: Boolean = false
+  /** Whether the backend parses ANSI `MERGE INTO` (SQL:2003). Backends
+    * without it (the in-process double — Spark SQL has no MERGE for v1
+    * tables) get upsert via the staged overwrite-merge emulation in
+    * [[GraftMergeBatchWrite]]. */
+  def supportsMerge: Boolean = false
   /** A task-side connection handle for partition readers. MUST be
     * serializable by configuration only (connection string / dir) — never
     * by materialized data: it ships inside every InputPartition. */

@@ -63,11 +63,31 @@ object ExactlyOnceSink {
     * truncating `<table>__batches` (and deciding what the already-landed
     * rows now mean) — the same contract every batch-id-keyed idempotent
     * sink carries, stated instead of implied. */
-  def apply(url: String, table: String)(batch: DataFrame, id: Long): Unit = {
+  def apply(url: String, table: String)(batch: DataFrame, id: Long): Unit =
+    run(url, table, batch, id, upsertKeys = Nil)
+
+  /** Exactly-once UPSERT variant: the publish folds the staged batch into
+    * the target with ANSI MERGE on `keys` instead of appending — the sink
+    * for streams that RE-state rows (dimension refreshes, late-arriving
+    * corrections) rather than append facts. Same staging + marker
+    * machinery, same replay/zombie guarantees; additionally idempotent BY
+    * KEY, so a re-stated row updates in place. The batch must be
+    * key-unique (the MERGE contract); `table` must exist on a
+    * MERGE-bearing backend ([[SqlBackend.supportsMerge]]). */
+  def upsert(url: String, table: String, keys: Seq[String])(
+      batch: DataFrame, id: Long): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    run(url, table, batch, id, upsertKeys = keys)
+  }
+
+  private def run(url: String, table: String, batch: DataFrame, id: Long,
+      upsertKeys: Seq[String]): Unit = {
     val backend = JdbcBackend.forUrl(url)
     val q = backend.dialect.quote _
     val staging = s"${table}__staging"
     val marker = s"${table}__batches"
+    if (upsertKeys.nonEmpty) require(backend.supportsMerge,
+      s"${backend.name} has no MERGE rendering — the upsert sink needs one")
     ensureTable(backend, marker,
       s"CREATE TABLE ${q(marker)} (${q("batch_id")} BIGINT NOT NULL PRIMARY KEY)")
     // clone the target's shape so INSERT-SELECT * lines up by position
@@ -82,7 +102,7 @@ object ExactlyOnceSink {
         batch.write.format("graft-sqldb").option("url", url)
           .option("table", staging).mode("append").save())
     } finally batch.unpersist()
-    publish(backend, table, staging, marker, id)
+    publish(backend, table, staging, marker, id, upsertKeys)
     // best-effort: leftovers are also cleared by the next batch's step 1
     try backend.executeUpdate(s"DELETE FROM ${q(staging)}")
     catch { case _: Throwable => }
@@ -124,16 +144,21 @@ object ExactlyOnceSink {
     }
   }
 
-  /** Step 3: the atomic publish. Safe to race: the marker PK aborts the
-    * loser's whole transaction, and the loser confirms the winner's
-    * marker row before swallowing the failure. */
+  /** Step 3: the atomic publish — append (`upsertKeys` empty) or MERGE.
+    * Safe to race: the marker PK aborts the loser's whole transaction, and
+    * the loser confirms the winner's marker row before swallowing the
+    * failure. */
   private[graft] def publish(backend: SqlBackend, table: String,
-      staging: String, marker: String, id: Long): Unit = {
+      staging: String, marker: String, id: Long,
+      upsertKeys: Seq[String] = Nil): Unit = {
     val q = backend.dialect.quote _
     val txn = backend.connection.beginWrite()
     try {
       txn.executeUpdate(
-        s"INSERT INTO ${q(table)} SELECT * FROM ${q(staging)}")
+        if (upsertKeys.isEmpty)
+          s"INSERT INTO ${q(table)} SELECT * FROM ${q(staging)}"
+        else graft.sources.SqlWrite.renderMerge(table, staging, upsertKeys,
+          backend.schema(table).fieldNames.toSeq, backend.dialect))
       txn.executeUpdate(s"INSERT INTO ${q(marker)} VALUES ($id)")
       txn.commit()
     } catch {
