@@ -94,8 +94,20 @@ object SqlGen {
     /** Aggregate FILTER (WHERE …) clause. */
     def supportsAggFilter: Boolean = true
     /** Window functions with PARTITION BY / ORDER BY (Derby implements
-      * only a bare ROW_NUMBER() OVER () — not worth a partial rendering). */
+      * only a bare ROW_NUMBER() OVER (); see [[orderedRowNumberIdiom]] for
+      * the one shape that still renders there). */
     def supportsWindowFunctions: Boolean = true
+    /** Whether an UN-partitioned `ROW_NUMBER() OVER (ORDER BY …)` may
+      * render as the ordered-subquery pagination idiom
+      * `SELECT *, ROW_NUMBER() OVER () FROM (… ORDER BY …) t` on a dialect
+      * whose only window support is the bare form (Derby — probed 10.16:
+      * any PARTITION BY or in-OVER ORDER BY is a syntax error, while the
+      * idiom returns subquery order). The guarantee is the backend's
+      * materialization behavior, not the SQL standard, so only dialects
+      * whose engine demonstrably preserves derived-table order (live-spec
+      * pinned for Derby in DerbyFusionSpec) may opt in. Consulted ONLY
+      * when [[supportsWindowFunctions]] is false. */
+    def orderedRowNumberIdiom: Boolean = false
     /** ANSI INTERVAL literals and date/time ± interval arithmetic (Derby
       * has no interval types whatsoever). */
     def supportsIntervals: Boolean = true
@@ -352,7 +364,7 @@ object SqlGen {
 
     case SubqueryAlias(_, child) => gen(child, R)
 
-    case Window(winExprs, _, _, child, _) =>
+    case Window(winExprs, partSpec, ordSpec, child, _) =>
       // Window output = child.output ++ window columns; partition/order/
       // frame live inside each WindowExpression's WindowSpecDefinition.
       // Attrs the child already exposes are covered by `*`.
@@ -361,9 +373,32 @@ object SqlGen {
         case a: AttributeReference => childIds.contains(a.exprId)
         case _ => false
       }
+      val dial = currentDialect.get
       // the analyzer re-appends child attrs to windowExpressions; if that
       // is ALL of them, the wrapper would render "SELECT *,  FROM (...)"
       if (newExprs.isEmpty) gen(child, R)
+      else if (!dial.supportsWindowFunctions && dial.orderedRowNumberIdiom &&
+          partSpec.isEmpty && ordSpec.nonEmpty &&
+          newExprs.forall {
+            case Alias(WindowExpression(_: RowNumber, _), _) => true
+            case _ => false
+          })
+        // the pagination idiom: number rows of an ORDERED derived table
+        // with the bare ROW_NUMBER the dialect does have — semantically
+        // Spark's row_number() OVER (ORDER BY …) without PARTITION BY
+        // (ties numbered arbitrarily in both engines)
+        for {
+          c <- gen(child, R)
+          os <- sequence(ordSpec.map(sortItem))
+        } yield {
+          val items = newExprs.map(e =>
+            s"ROW_NUMBER() OVER () AS ${quote(s"c${e.exprId.id}")}")
+          // the star must be alias-qualified: Derby rejects a bare
+          // `SELECT *, expr` select list (probed 10.16)
+          val ordered = nextAlias()
+          s"SELECT $ordered.*, ${items.mkString(", ")} FROM (SELECT * FROM ($c) " +
+            s"${nextAlias()} ORDER BY ${os.mkString(", ")}) $ordered"
+        }
       else for {
         c <- gen(child, R)
         items <- sequence(newExprs.map(namedItem))

@@ -36,6 +36,11 @@ case object DerbyDialect extends Dialect {
   override def supportsFullJoin: Boolean = false
   override def supportsAggFilter: Boolean = false
   override def supportsWindowFunctions: Boolean = false
+  // probed 10.16: bare ROW_NUMBER() OVER () works and follows a derived
+  // table's ORDER BY; OVER (ORDER BY …) is "Feature not implemented" and
+  // OVER (PARTITION BY …) a syntax error — so exactly the un-partitioned
+  // row_number shape renders, via the ordered-subquery idiom
+  override def orderedRowNumberIdiom: Boolean = true
   override def supportsIntervals: Boolean = false
   override def supportsTryCast: Boolean = false
   /** Probed allowlist (embedded Derby 10.16): notably ABSENT are ROUND,

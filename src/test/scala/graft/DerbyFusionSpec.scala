@@ -140,6 +140,51 @@ class DerbyFusionSpec extends AnyFunSuite {
       (1 to 40).filter(i => i % 5 <= 2).map(i => math.round(i * 10.0 / 10) * 10.0).sum)
   }
 
+  test("un-partitioned row_number fuses via the ordered-subquery idiom") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // top-k-by-salary: the classic pagination shape. Derby has no
+    // OVER (ORDER BY …) — probed 10.16 — but its bare ROW_NUMBER() OVER ()
+    // numbers a derived table in its ORDER BY order, which is exactly this
+    // window's semantics. The whole subtree must land as ONE backend query.
+    val df = remote("emp")
+      .withColumn("rn", row_number().over(W.orderBy(desc("sal"), asc("id"))))
+      .filter(col("rn") <= 3)
+      .select(col("id"), col("sal"), col("rn"))
+    val p = pushed(df)
+    assert(p.size == 1, df.queryExecution.executedPlan.toString)
+    assert(scans(df).isEmpty, "the window subtree must fuse whole")
+    assert(p.head.sql.contains("ROW_NUMBER() OVER ()"), p.head.sql)
+    assert(p.head.sql.contains("ORDER BY"), p.head.sql)
+    assert(!p.head.sql.contains("OVER (ORDER"), "in-OVER ordering cannot parse on Derby")
+    // ids 40,39,38 have the top salaries (sal = id*10.0)
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(2))).sortBy(_._2).toSeq ===
+      Seq((40, 1), (39, 2), (38, 3)))
+  }
+
+  test("partitioned / non-row_number windows decline fusion and stay correct in Spark") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // PARTITION BY is a Derby syntax error — the dialect gate must keep
+    // the window in Spark (scan-level pushdown still feeds it)
+    val part = remote("emp")
+      .withColumn("rn", row_number().over(W.partitionBy("dept").orderBy(desc("sal"))))
+      .filter(col("rn") === 1)
+      .select(col("dept"), col("id"))
+    assert(pushed(part).isEmpty,
+      "partitioned window must not render for Derby:\n" +
+        part.queryExecution.executedPlan)
+    // per dept d ∈ 0..4 the max-sal employee is the largest id ≡ d (mod 5)
+    assert(part.collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq ===
+      Seq((0, 40), (1, 36), (2, 37), (3, 38), (4, 39)))
+
+    // RANK over an ordered window: Derby has no RANK at all → decline
+    val rk = remote("emp")
+      .withColumn("r", rank().over(W.orderBy(desc("sal"))))
+      .filter(col("r") <= 2)
+    assert(pushed(rk).isEmpty,
+      "rank() must not render for Derby:\n" + rk.queryExecution.executedPlan)
+    assert(rk.collect().map(_.getInt(0)).sorted.toSeq === Seq(39, 40))
+  }
+
   test("EXCEPT fuses into one backend query (as the optimizer's anti join)") {
     // Spark rewrites EXCEPT → Distinct + null-safe-eq LeftAnti before the
     // fusion rule runs, so the backend receives NOT EXISTS with the CASE
