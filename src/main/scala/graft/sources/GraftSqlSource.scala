@@ -1055,6 +1055,8 @@ object FilterSql {
       // JVM tz), so the literal round-trips exactly
       case t: java.sql.Timestamp => Some(d.timestampLit(utcWallClock(t.toInstant)))
       case t: java.time.Instant => Some(d.timestampLit(utcWallClock(t)))
+      // TimestampNTZ external type: already a wall-clock, no zone shift
+      case t: java.time.LocalDateTime => Some(d.timestampLit(ntzFmt.format(t)))
       case dt: java.sql.Date => Some(d.dateLit(dt.toString))
       case dt: java.time.LocalDate => Some(d.dateLit(dt.toString))
       case _ => None
@@ -1109,4 +1111,6 @@ object FilterSql {
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
     .withZone(java.time.ZoneOffset.UTC)
   private def utcWallClock(i: java.time.Instant): String = utcFmt.format(i)
+  private val ntzFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 }

@@ -33,7 +33,8 @@ object SqlWrite {
     * rather than per-row). */
   def writable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | StringType | DateType | TimestampType => true
+         FloatType | DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
   }

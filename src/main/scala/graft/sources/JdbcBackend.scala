@@ -62,7 +62,8 @@ case object DerbyDialect extends Dialect {
       case d: DecimalType => d.precision <= 31
       case _ => false
     }
-    def temporal(dt: DataType) = dt == DateType || dt == TimestampType
+    def temporal(dt: DataType) =
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType
     (numeric(from) && numeric(to)) || (temporal(from) && temporal(to))
   }
   /** Spark widens SUM(INT)→LONG and AVG(INT)→DOUBLE; Derby keeps the
@@ -111,7 +112,10 @@ case object DerbyDialect extends Dialect {
     case FloatType => Some("REAL")
     case DoubleType => Some("DOUBLE")
     case DateType => Some("DATE")
-    case TimestampType => Some("TIMESTAMP")
+    // both Spark timestamp flavors land in Derby's zoneless TIMESTAMP;
+    // NTZ is the lossless direction (wall-clock in, wall-clock out), TZ
+    // relies on the pinned UTC session (build.sbt/session config)
+    case TimestampType | TimestampNTZType => Some("TIMESTAMP")
     case d: DecimalType => Some(s"DECIMAL(${d.precision},${d.scale})")
     case BinaryType => Some("VARCHAR (32672) FOR BIT DATA")
     case _ => None // ByteType too: Derby has no TINYINT and SMALLINT would
@@ -302,6 +306,12 @@ object JdbcBackend {
         case _: TimeType => (rs: ResultSet, i: Int) =>
           rs.getObject(i, classOf[java.time.LocalTime])
         case TimestampType => (rs: ResultSet, i: Int) => rs.getTimestamp(i)
+        // NTZ: take the zoneless wall-clock directly — getTimestamp would
+        // route through the JVM default zone's calendar first
+        case TimestampNTZType => (rs: ResultSet, i: Int) => {
+          val t = rs.getTimestamp(i)
+          if (t == null) null else t.toLocalDateTime
+        }
         case BinaryType => (rs: ResultSet, i: Int) => rs.getBytes(i)
         case ArrayType(et, _) =>
           val conv = elementConverter(et)

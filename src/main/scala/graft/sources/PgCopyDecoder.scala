@@ -82,6 +82,18 @@ object PgCopyDecoder {
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
   })
+  /** Postgres `timestamp` read as NTZ: the wire value IS a wall-clock
+    * (timestamp-without-time-zone sends no zone), so Spark's
+    * TimestampNTZType is the lossless mapping — same 8 bytes, emitted as
+    * [[java.time.LocalDateTime]] (NTZ's external type) with no instant
+    * reinterpretation. */
+  private val TimestampNtzReader = fixed(8, "timestamp")(in => {
+    val micros = EpochMicros + in.readLong()
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC)
+  })
   /** Postgres `time` (no zone): i64 microseconds since midnight — 8 wire
     * bytes. DIVERGENCE: the reference read 4 (`binary_reader.rs:437`),
     * which desyncs the framing on real servers; this follows the wire. */
@@ -231,6 +243,7 @@ object PgCopyDecoder {
       case BinaryType => BinaryReader
       case DateType => DateReader
       case TimestampType => TimestampReader
+      case TimestampNTZType => TimestampNtzReader
       case _: TimeType => TimeReader
       case CalendarIntervalType => CalendarIntervalReader
       case _: DayTimeIntervalType => DayTimeIntervalReader

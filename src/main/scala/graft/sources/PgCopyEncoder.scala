@@ -42,7 +42,7 @@ object PgCopyEncoder {
     case StringType => 25
     case BinaryType => 17
     case DateType => 1082
-    case TimestampType => 1114
+    case TimestampType | TimestampNTZType => 1114
     case _: TimeType => 1083
     case _: DecimalType => 1700
     case CalendarIntervalType | _: DayTimeIntervalType |
@@ -140,6 +140,15 @@ object PgCopyEncoder {
       // floorDiv keeps pre-1970 instants exact (getNanos is always the
       // non-negative sub-second part, so seconds must round toward −∞)
       val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      o.writeLong(micros - PgCopyDecoder.EpochMicros)
+    }
+    // NTZ is the direct mapping for Postgres `timestamp`: the external
+    // LocalDateTime IS the wall-clock the wire carries — no zone math
+    case TimestampNTZType => fixed(8) { (o, v) =>
+      val t = v.asInstanceOf[java.time.LocalDateTime]
+      val micros = Math.addExact(Math.multiplyExact(
+        t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        (t.getNano / 1000).toLong)
       o.writeLong(micros - PgCopyDecoder.EpochMicros)
     }
     case _: TimeType => fixed(8) { (o, v) =>

@@ -81,7 +81,9 @@ case object PostgresDialect extends Dialect {
     case FloatType => Some("REAL")
     case DoubleType => Some("DOUBLE PRECISION")
     case DateType => Some("DATE")
-    case TimestampType => Some("TIMESTAMP")
+    // Postgres TIMESTAMP is zoneless: the exact type NTZ models; TZ
+    // works under the pinned UTC session (same note as Derby)
+    case TimestampType | TimestampNTZType => Some("TIMESTAMP")
     // Postgres NUMERIC takes any Spark precision (its ceiling is 1000
     // digits vs Spark's 38 — no Derby-style cap needed)
     case d: DecimalType => Some(s"NUMERIC(${d.precision},${d.scale})")

@@ -266,6 +266,33 @@ class JdbcFederationSpec extends AnyFunSuite {
     } finally backend.executeUpdate("""DROP TABLE "money"""")
   }
 
+  test("timestamp_ntz column writes through the JDBC sink as the wall-clock") {
+    // NTZ ↔ backend TIMESTAMP (zoneless) is the lossless direction of the
+    // temporal matrix: the INSERT literal must be the LocalDateTime
+    // verbatim — a session-zone shift anywhere would move the wall-clock.
+    // Discovery reads Derby TIMESTAMP back as TimestampType under the
+    // pinned UTC session, so the instant must equal the wall-clock @ UTC.
+    backend.executeUpdate(
+      """CREATE TABLE "ntz" ("id" INTEGER NOT NULL PRIMARY KEY, "at" TIMESTAMP)""")
+    try {
+      val t1 = java.time.LocalDateTime.of(2024, 6, 1, 12, 34, 56, 123456000)
+      val t2 = java.time.LocalDateTime.of(1969, 12, 31, 23, 59, 59, 999999000)
+      val schema = StructType(Seq(StructField("id", IntegerType, false),
+        StructField("at", TimestampNTZType)))
+      val rows = Seq(org.apache.spark.sql.Row(1, t1),
+        org.apache.spark.sql.Row(2, t2), org.apache.spark.sql.Row(3, null))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+        .write.format("graft-sqldb").option("url", Url)
+        .option("table", "ntz").mode("append").save()
+      val got = remote("ntz").orderBy("id").collect()
+      assert(got(0).getAs[java.sql.Timestamp](1).toInstant ===
+        t1.toInstant(java.time.ZoneOffset.UTC))
+      assert(got(1).getAs[java.sql.Timestamp](1).toInstant ===
+        t2.toInstant(java.time.ZoneOffset.UTC))
+      assert(got(2).isNullAt(1))
+    } finally backend.executeUpdate("""DROP TABLE "ntz"""")
+  }
+
   test("composite-PK table splits via outer-level ORDER BY + OFFSET/FETCH, exactly once") {
     backend.executeUpdate(
       """CREATE TABLE "cpk" ("a" INTEGER NOT NULL, "b" INTEGER NOT NULL,

@@ -88,6 +88,28 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     assert(got.getAs[java.sql.Timestamp](1).toInstant === ts.toInstant)
   }
 
+  test("timestamp_ntz round-trips as the zoneless wall-clock, incl. pre-1970") {
+    // Postgres `timestamp` (without tz) sends no zone — NTZ is the
+    // lossless Spark mapping; the wire value must be the wall-clock
+    // verbatim, never shifted through a session zone
+    val schema = StructType(Seq(
+      StructField("a", TimestampNTZType), StructField("b", TimestampNTZType)))
+    val t1 = java.time.LocalDateTime.of(2024, 6, 1, 12, 34, 56, 123456000)
+    val t2 = java.time.LocalDateTime.of(1969, 12, 31, 23, 59, 59, 999999000)
+    val got = roundTrip(Seq(Row(t1, t2), Row(null, t1)), schema)
+    assert(got(0).getAs[java.time.LocalDateTime](0) === t1)
+    assert(got(0).getAs[java.time.LocalDateTime](1) === t2)
+    assert(got(1).isNullAt(0))
+    // and the 8 wire bytes match the TZ encoding of the same UTC instant:
+    // both flavors are micros-since-2000 on the wire
+    val tz = StructType(Seq(StructField("a", TimestampType)))
+    val asTz = PgCopyEncoder.bytes(Seq(Row(
+      java.sql.Timestamp.from(t1.toInstant(java.time.ZoneOffset.UTC)))), tz)
+    val asNtz = PgCopyEncoder.bytes(Seq(Row(t1)),
+      StructType(Seq(StructField("a", TimestampNTZType))))
+    assert(asTz.toSeq === asNtz.toSeq, "NTZ and UTC-TZ wire bytes must agree")
+  }
+
   test("arrays round-trip: elements, null elements, empty, null column") {
     val schema = StructType(Seq(
       StructField("ls", ArrayType(LongType)), StructField("ss", ArrayType(StringType))))

@@ -1,0 +1,145 @@
+package graft.pgwire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.concurrent.TrieMap
+
+/** Minimal Postgres v3 wire SERVER: startup, simple Query, and both COPY
+  * sub-protocols — enough for the graft COPY channels to be protocol-
+  * tested against real sockets and real framing (r10 verdict stretch 7).
+  *
+  * Transactional contract under test: COPY payloads received inside
+  * BEGIN…COMMIT publish to [[committed]] only at COMMIT; ROLLBACK or a
+  * disconnect drops them — so the channel's commit/rollback ordering is
+  * observable, not assumed. `COPY … TO STDOUT` serves bytes staged in
+  * [[copyOut]], deliberately fragmented so frame reassembly is exercised. */
+final class MiniPgServer {
+  private val ss = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  def port: Int = ss.getLocalPort
+
+  /** copy-statement SQL → payloads made durable by a COMMIT (or an
+    * autocommit COPY). */
+  val committed = TrieMap.empty[String, Vector[Array[Byte]]]
+  /** copy-statement SQL → bytes to serve for `COPY … TO STDOUT`. */
+  val copyOut = TrieMap.empty[String, Array[Byte]]
+  private val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  /** Every Query message received, in arrival order. */
+  def eventLog: Seq[String] = events.toArray(Array.empty[String]).toSeq
+
+  @volatile private var running = true
+  locally {
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = ss.accept()
+          val t = new Thread(() => serve(s))
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Exception => () /* socket closed on stop() */ }
+      }
+    }, "mini-pg-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+  def stop(): Unit = {
+    running = false
+    try ss.close() catch { case _: Exception => () }
+  }
+
+  private def cstr(s: String): Array[Byte] = (s + "\u0000").getBytes("UTF-8")
+  private def msg(out: DataOutputStream, t: Char, payload: Array[Byte] = Array.empty): Unit = {
+    out.writeByte(t); out.writeInt(4 + payload.length); out.write(payload); out.flush()
+  }
+  private def ready(out: DataOutputStream, inTxn: Boolean): Unit =
+    msg(out, 'Z', Array((if (inTxn) 'T' else 'I').toByte))
+  private def complete(out: DataOutputStream, tag: String): Unit =
+    msg(out, 'C', cstr(tag))
+  private def error(out: DataOutputStream, m: String): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('S'); b.write(cstr("ERROR"), 0, cstr("ERROR").length)
+    b.write('M'); b.write(cstr(m), 0, cstr(m).length)
+    b.write(0)
+    msg(out, 'E', b.toByteArray)
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      // StartupMessage: int32 len, int32 protocol, (key\0value\0)*\0
+      val len = in.readInt()
+      val proto = in.readInt()
+      val rest = new Array[Byte](len - 8)
+      in.readFully(rest)
+      if (proto != 196608) { error(out, s"unsupported protocol $proto"); return }
+      msg(out, 'R', Array[Byte](0, 0, 0, 0)) // AuthenticationOk
+      ready(out, inTxn = false)
+
+      var inTxn = false
+      var txnBuf = Vector.empty[(String, Array[Byte])]
+      def publish(): Unit = {
+        txnBuf.foreach { case (sql, bytes) =>
+          committed.updateWith(sql)(v => Some(v.getOrElse(Vector.empty) :+ bytes))
+        }
+        txnBuf = Vector.empty
+      }
+
+      while (true) {
+        val t = in.readByte().toChar
+        val l = in.readInt()
+        val payload = new Array[Byte](l - 4)
+        in.readFully(payload)
+        t match {
+          case 'X' => return
+          case 'Q' =>
+            val sql = new String(payload, 0, payload.length - 1, "UTF-8").trim
+            events.add(sql)
+            val up = sql.toUpperCase(java.util.Locale.ROOT)
+            if (up == "BEGIN") { inTxn = true; complete(out, "BEGIN"); ready(out, inTxn) }
+            else if (up == "COMMIT") { publish(); inTxn = false; complete(out, "COMMIT"); ready(out, inTxn) }
+            else if (up == "ROLLBACK") { txnBuf = Vector.empty; inTxn = false; complete(out, "ROLLBACK"); ready(out, inTxn) }
+            else if (up.startsWith("COPY") && up.contains("FROM STDIN")) {
+              msg(out, 'G', Array[Byte](1, 0, 0)) // CopyInResponse: binary
+              val buf = new ByteArrayOutputStream()
+              var done = false
+              var failed: String = null
+              while (!done) {
+                val ct = in.readByte().toChar
+                val cl = in.readInt()
+                val cp = new Array[Byte](cl - 4)
+                in.readFully(cp)
+                ct match {
+                  case 'd' => buf.write(cp, 0, cp.length)
+                  case 'c' => done = true
+                  case 'f' => done = true; failed = new String(cp, "UTF-8")
+                  case other => done = true; failed = s"unexpected '$other' during CopyIn"
+                }
+              }
+              if (failed != null) { error(out, failed); ready(out, inTxn) }
+              else {
+                val bytes = buf.toByteArray
+                if (inTxn) txnBuf :+= ((sql, bytes))
+                else committed.updateWith(sql)(v => Some(v.getOrElse(Vector.empty) :+ bytes))
+                complete(out, "COPY 0"); ready(out, inTxn)
+              }
+            }
+            else if (up.startsWith("COPY") && up.contains("TO STDOUT")) {
+              copyOut.get(sql) match {
+                case None => error(out, s"no copy-out fixture for: $sql"); ready(out, inTxn)
+                case Some(bytes) =>
+                  msg(out, 'H', Array[Byte](1, 0, 0)) // CopyOutResponse: binary
+                  // fragment deliberately: reassembly is part of the test
+                  bytes.grouped(7).foreach(chunk => msg(out, 'd', chunk))
+                  msg(out, 'c')
+                  complete(out, "COPY 0"); ready(out, inTxn)
+              }
+            }
+            else { complete(out, "OK"); ready(out, inTxn) }
+          case other =>
+            error(out, s"unsupported message '$other'"); ready(out, inTxn)
+        }
+      }
+    } catch { case _: Exception => () /* disconnect: any open txnBuf drops */ }
+    finally { try sock.close() catch { case _: Exception => () } }
+  }
+}
