@@ -222,17 +222,25 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     assert(out.toByteArray.toSeq === batch.toSeq)
   }
 
-  test("copyWrite channel gates: non-Postgres URL and absent driver both decline") {
+  test("copyWrite channel gates: non-Postgres URL declines; a dead server fails loudly") {
     import graft.sources.JdbcTaskConnection
     val schema = StructType(Seq(StructField("i", IntegerType)))
     val d = graft.sources.ConservativeAnsiDialect
     // Derby URL: wrong family — INSERT fallback
     assert(JdbcTaskConnection("jdbc:derby:memory:copywrite;create=true")
       .copyWrite("t", schema, d).isEmpty)
-    // Postgres URL in this sandbox: pgjdbc absent — must decline BEFORE
-    // attempting any connection (no server exists to refuse one)
-    assert(JdbcTaskConnection("jdbc:postgresql://nowhere/db")
-      .copyWrite("t", schema, d).isEmpty)
+    // Postgres URL with the copy classes PRESENT (the pgwire protocol
+    // fakes ship on the test classpath since r11): the channel proceeds
+    // to the connection, and a refused connection PROPAGATES — never a
+    // silent INSERT fallback once the stream family is chosen. (The
+    // classes-absent → None branch is a bare Class.forName guard, no
+    // longer exercisable in-process.)
+    graft.pgwire.FakePgDriver.ensureRegistered()
+    val deadPort = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    intercept[java.sql.SQLException] {
+      JdbcTaskConnection(s"jdbc:postgresql://127.0.0.1:$deadPort/db")
+        .copyWrite("t", schema, d)
+    }
   }
 
   test("CopyStreamWriter streams a task's rows as one framed COPY payload") {
