@@ -97,6 +97,45 @@ class PgWireProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE upsert choreography on the wire: stage via COPY, publish in one transaction") {
+    // the stage-then-merge pattern end-to-end: staging table created from
+    // the target, task lands rows through the binary COPY channel inside
+    // its own transaction, then ONE driver-side transaction runs the
+    // MERGE publish, and staging is dropped — every step observed in the
+    // server's query log, in order
+    withServer { (server, url) =>
+      val backend = graft.sources.JdbcBackend.forUrl(url)
+      assert(backend.supportsMerge, "Postgres-family backend must take the MERGE path")
+      val bw = new graft.sources.GraftMergeBatchWrite(
+        "tgt", backend, schema, Seq("id"), "q1r11xyz")
+      val factory = bw.createBatchWriterFactory(null)
+      val ser = ExpressionEncoder(RowEncoder.encoderFor(schema))
+        .resolveAndBind().createSerializer()
+      val w = factory.createWriter(0, 0L)
+      rows.foreach(r => w.write(ser(r).copy()))
+      val msg = w.commit()
+      bw.commit(Array(msg))
+
+      val staging = "tgt__up_q1r11xyz"
+      val log = server.eventLog
+      val iCreate = log.indexWhere(_.startsWith(s"""CREATE TABLE "$staging""""))
+      val iCopy = log.indexWhere(s => s.startsWith("COPY") && s.contains(staging))
+      val iMerge = log.indexWhere(_.startsWith("""MERGE INTO "tgt""""))
+      val iDrop = log.lastIndexWhere(_ == s"""DROP TABLE "$staging"""")
+      assert(iCreate >= 0 && iCopy > iCreate && iMerge > iCopy && iDrop > iMerge,
+        s"stage-then-merge order violated: $log")
+      // the task's COPY transaction committed BEFORE the merge ran
+      assert(log.indexOf("COMMIT", iCopy) < iMerge, s"task txn not closed before MERGE: $log")
+      // ...and the MERGE itself ran inside its own BEGIN..COMMIT
+      assert(log.lastIndexWhere(_ == "BEGIN", iMerge) > iCopy, s"MERGE outside a txn: $log")
+      assert(log.indexOf("COMMIT", iMerge) > iMerge, s"MERGE txn never committed: $log")
+      // the staged bytes the server holds are the golden encoding
+      val copySql = server.committed.keys.find(_.contains(staging))
+        .getOrElse(fail(s"staged COPY not durable; log=$log"))
+      assert(server.committed(copySql).head.toSeq === PgCopyEncoder.bytes(rows, schema).toSeq)
+    }
+  }
+
   test("copyWrite surfaces a server ErrorResponse instead of committing") {
     withServer { (server, url) =>
       val ch = JdbcTaskConnection(url).copyWrite("events_sink", schema, PostgresDialect).get

@@ -173,6 +173,8 @@ object FakePgDriver {
           case "isWrapperFor" => java.lang.Boolean.TRUE
           // uuid-column probe: null metadata → documented Set.empty fallback
           case "prepareStatement" => nullMetadataStatement()
+          // DDL/MERGE statements (staging create, merge publish, drops)
+          case "createStatement" => simpleStatement(wire)
           case "toString" => "FakePgConnection(" + wire + ")"
           case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
           case "equals" => java.lang.Boolean.valueOf(proxy eq args(0))
@@ -186,6 +188,18 @@ object FakePgDriver {
       Array(classOf[java.sql.Connection], classOf[org.postgresql.core.BaseConnection]),
       handler).asInstanceOf[java.sql.Connection]
   }
+
+  private def simpleStatement(wire: PgWireClient): AnyRef =
+    java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array[Class[_]](classOf[java.sql.Statement]),
+      (_: AnyRef, m: java.lang.reflect.Method, args: Array[AnyRef]) => m.getName match {
+        case "executeUpdate" =>
+          wire.simpleCommand(args(0).asInstanceOf[String]); Integer.valueOf(0)
+        case "close" => null
+        case other => throw new UnsupportedOperationException(
+          s"fake pg statement does not implement: $other")
+      })
 
   private def nullMetadataStatement(): AnyRef =
     java.lang.reflect.Proxy.newProxyInstance(
