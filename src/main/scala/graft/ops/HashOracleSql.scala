@@ -182,6 +182,23 @@ object HashOracleSql {
        |SELECT doc_a, doc_b, est_jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** text_contamination: the same n=3 shingle-hash emulation over both
+    * the corpus and the fixture benchmark (30% prefixes of every 50th
+    * document), then distinct-shared-shingle counts per document — the
+    * DuckDB mirror of [[TextAnalysis.contamination]]'s broadcast
+    * semi-join + count. */
+  lazy val contamination: String =
+    s"""WITH bench_docs AS (
+       |  SELECT doc_id,
+       |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.3) AS INT), 1)) AS text
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT doc_id, text FROM documents),
+       |bsh AS (SELECT DISTINCT sh FROM (${shingleSql("bench_docs")}) _),
+       |csh AS (SELECT DISTINCT doc_id, sh FROM (${shingleSql("corpus")}) _)
+       |SELECT doc_id, count(*) AS n_contaminated
+       |FROM csh WHERE sh IN (SELECT sh FROM bsh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** dedup_simhash: one more mix per shingle, 64 per-bit vote sums,
     * signature reconstruction, pigeonhole 16-bit chunk join, Hamming <= 3.
     * Arithmetic >> then & 65535 == unsigned (u >> k) % 65536 for the

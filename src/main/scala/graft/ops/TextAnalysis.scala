@@ -176,7 +176,44 @@ object TextAnalysis {
     scrubPii(withPii)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an evaluation set — the standard pre-training hygiene
+    * step (a benchmark answer quoted inside a training document inflates
+    * eval scores). Counts DISTINCT shared shingles per document.
+    *
+    * 100 TB shape: benchmark n-gram sets are tiny (benchmarks are 1e3–1e6
+    * grams), so the benchmark side is a distinct + BROADCAST; the corpus
+    * streams map-only through shingle hashing (the same native
+    * WordShingleHashes expression the dedup family uses — longs end to
+    * end, no token strings) into a broadcast semi-join, and the only
+    * shuffle is the partial+final count over the SURVIVING (contaminated)
+    * gram rows. The corpus itself never shuffles. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val bench = Dedup.shingleHashes(benchmark, n)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    Dedup.shingleHashes(docs, n)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** ENTRY scaffolding: the corpus is near-random text with no natural
+    * benchmark overlap, so the fixture takes the first ~30% of every
+    * 50th document as the "benchmark" — those source documents must come
+    * back flagged (they contain their own prefix), everything else stays
+    * clean modulo genuine shingle collisions. */
+  private[ops] def contaminationEntry(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val benchmark = docs.filter(col("doc_id") % 50 === 0).select(
+      col("doc_id"),
+      expr("substring(text, 1, greatest(cast(length(text) * 0.3 as int), 1))").as("text"))
+    contamination(docs, benchmark)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_contamination" -> ((s, d) => contaminationEntry(s, d)),
     "text_pii_scrub" -> ((s, d) => piiEntry(s, d)),
     "text_tokens" -> ((s, d) => tokenCounts(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => qualityScores(Tables.load(s, d, "documents"))),
@@ -215,6 +252,7 @@ object TextAnalysis {
   /** DuckDB oracles for every entry — text_fingerprint's winnowing +
     * XXH64 digest is emulated in HUGEINT arithmetic (HashOracleSql). */
   val oracle: Seq[(String, String)] = Seq(
+    "text_contamination" -> HashOracleSql.contamination,
     // DuckDB string literals do NOT process backslashes, so the Scala
     // pattern text embeds verbatim; 'g' makes regexp_replace global like
     // Spark's default

@@ -386,6 +386,33 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getString(4) == "two mails [EMAIL] [EMAIL] one ip [IP]")
   }
 
+  test("contamination flags exactly the documents containing benchmark n-grams") {
+    // doc 1 quotes the benchmark verbatim mid-document, doc 2 shares a
+    // 2-word overlap only (below the 3-gram window), doc 3 is clean
+    val bench = docs(100L -> "the quick brown fox jumps")
+    val corpus = docs(
+      1L -> "prefix words then the quick brown fox jumps and a suffix tail",
+      2L -> "quick brown cows sleep deeply under warm skies tonight",
+      3L -> "completely unrelated sentence with no shared trigrams at all")
+    val got = graft.ops.TextAnalysis.contamination(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the quick brown fox jumps" = 3 trigrams, all present inside doc 1
+    assert(got == Map(1L -> 3L), s"got $got")
+
+    // the entry fixture: every benchmark-source document (doc_id %50 == 0
+    // with a >=3-token 30% prefix) must come back flagged
+    val entry = graft.ops.TextAnalysis.entries.toMap
+      .apply("text_contamination")(spark, TestSpark.Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val expected = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .filter(size(split(trim(expr(
+        "substring(text, 1, greatest(cast(length(text) * 0.3 as int), 1))")), "\\s+")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.subsetOf(entry),
+      s"benchmark sources not all flagged: missing ${expected -- entry}")
+  }
+
   test("per-language top-k quality matches the window formulation") {
     val d = Tables.load(spark, TestSpark.Sf0001, "documents")
     val got = graft.ops.TextAnalysis.topQualityPerLang(d, k = 3)
