@@ -194,40 +194,69 @@ object PgCopyDecoder {
 
   /** Postgres array (`array_send`): i32 ndim, i32 has-nulls flag, u32
     * element OID, then per dimension i32 size + i32 lower bound, then each
-    * element as i32 length (−1 = NULL) + payload — the element payloads use
-    * the same per-type encodings as top-level fields. The reference
-    * enumerates `BOOL/INT2..FLOAT8/TIMESTAMP _ARRAY → List<T>`
-    * (`datatypes.rs:28-80`) but its decode is knowingly broken ("no
-    * offsets included", `binary_reader.rs:308-320`) — this follows the
-    * wire. ndim = 0 is an empty array; only 1-D arrays map to Spark
-    * `ArrayType` (a 2-D wire array would need a nested ArrayType column —
-    * decline loudly rather than flatten). The has-nulls flag is advisory;
-    * per-element −1 framing is authoritative. */
-  private def arrayReader(elem: WireReader, tpe: String): WireReader = new WireReader {
-    def read(in: DataInputStream, len: Int): Any = {
-      val ndim = in.readInt()
-      val _hasNulls = in.readInt()
-      val _elemOid = in.readInt()
-      if (ndim == 0) return scala.collection.immutable.ArraySeq.empty[Any]
-      if (ndim != 1) throw new IllegalStateException(
-        s"PGCOPY $tpe array column: $ndim-dimensional wire array cannot map " +
-          "to a flat ArrayType (declare a nested type or flatten backend-side)")
-      val n = in.readInt()
-      val _lowerBound = in.readInt()
-      // framing sanity: the declared field length must at least hold the
-      // 20 header bytes plus one length word per element
-      if (n < 0 || len < 20 + 4L * n) throw new IllegalStateException(
-        s"PGCOPY $tpe array column: $n elements cannot fit the declared $len wire bytes")
-      val out = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        val el = in.readInt()
-        out(i) = if (el == -1) null else elem.read(in, el)
-        i += 1
+    * element as i32 length (−1 = NULL) + payload, flattened row-major (the
+    * last dimension varies fastest) — the element payloads use the same
+    * per-type encodings as top-level fields. The reference enumerates
+    * `BOOL/INT2..FLOAT8/TIMESTAMP _ARRAY → List<T>` (`datatypes.rs:28-80`)
+    * but its decode is knowingly broken ("no offsets included",
+    * `binary_reader.rs:308-320`) — this follows the wire, including
+    * multi-dimensional arrays: an ndim-D wire array maps to a depth-ndim
+    * nested `ArrayType`, reshaped from the flat element stream. The wire's
+    * ndim must equal the declared column's nesting depth — mismatches
+    * decline loudly rather than flatten or pad. ndim = 0 is the empty
+    * array at any depth (Postgres normalizes every zero-element array to
+    * `{}` with no dimensions, so inner structure of an empty nested array
+    * is not representable on the wire). The has-nulls flag is advisory;
+    * per-element −1 framing is authoritative. Only leaf elements can be
+    * NULL — Postgres arrays are rectangular with no sub-array slots. */
+  private def arrayReader(elem: WireReader, depth: Int, tpe: String): WireReader =
+    new WireReader {
+      def read(in: DataInputStream, len: Int): Any = {
+        val ndim = in.readInt()
+        val _hasNulls = in.readInt()
+        val _elemOid = in.readInt()
+        if (ndim == 0) return scala.collection.immutable.ArraySeq.empty[Any]
+        if (ndim != depth) throw new IllegalStateException(
+          s"PGCOPY $tpe array column: $ndim-dimensional wire array cannot map " +
+            s"to a depth-$depth ArrayType (declare the column with matching " +
+            "nesting or flatten backend-side)")
+        val dims = new Array[Int](ndim)
+        var total = 1L
+        var d = 0
+        while (d < ndim) {
+          dims(d) = in.readInt()
+          val _lowerBound = in.readInt()
+          if (dims(d) < 0) throw new IllegalStateException(
+            s"PGCOPY $tpe array column: negative dimension size ${dims(d)}")
+          total *= dims(d)
+          d += 1
+        }
+        // framing sanity: the declared field length must at least hold the
+        // 12 header bytes, 8 per dimension, plus one length word per element
+        if (total > Int.MaxValue || len < 12 + 8L * ndim + 4L * total)
+          throw new IllegalStateException(
+            s"PGCOPY $tpe array column: $total elements cannot fit the declared $len wire bytes")
+        val n = total.toInt
+        val flat = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val el = in.readInt()
+          flat(i) = if (el == -1) null else elem.read(in, el)
+          i += 1
+        }
+        // regroup the row-major stream innermost-first: each pass wraps
+        // runs of dims(d) values into one sub-array of the next level up
+        var cur: IndexedSeq[Any] = scala.collection.immutable.ArraySeq.unsafeWrapArray(flat)
+        d = ndim - 1
+        while (d >= 1) {
+          val w = dims(d)
+          cur = if (cur.isEmpty) IndexedSeq.empty
+                else cur.grouped(w).map(g => g: Any).toIndexedSeq
+          d -= 1
+        }
+        cur
       }
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
-  }
 
   private def readerFor(f: StructField, uuidCols: Set[String]): WireReader =
     f.dataType match {
@@ -249,9 +278,17 @@ object PgCopyDecoder {
       case _: DayTimeIntervalType => DayTimeIntervalReader
       case _: YearMonthIntervalType => YearMonthIntervalReader
       // element payloads reuse the scalar readers; an array of uuid keeps
-      // the column name, so uuidCols detection carries into the elements
+      // the column name, so uuidCols detection carries into the elements.
+      // Nesting depth is taken from the declared type (ArrayType(ArrayType(
+      // int)) = depth 2) and must match the wire's ndim.
       case ArrayType(et, _) =>
-        arrayReader(readerFor(StructField(f.name, et), uuidCols), et.simpleString)
+        var leaf: DataType = et
+        var depth = 1
+        while (leaf.isInstanceOf[ArrayType]) {
+          depth += 1
+          leaf = leaf.asInstanceOf[ArrayType].elementType
+        }
+        arrayReader(readerFor(StructField(f.name, leaf), uuidCols), depth, leaf.simpleString)
       case other => throw new IllegalArgumentException(
         s"PGCOPY decode of column '${f.name}': no wire reader for $other")
     }

@@ -183,23 +183,60 @@ object PgCopyEncoder {
 
   private def writerFor(f: StructField, uuidCols: Set[String]): FieldWriter =
     f.dataType match {
-      case ArrayType(et, _) =>
-        val elem = scalarWriter(et, uuidCols.contains(f.name))
-        val oid = if (uuidCols.contains(f.name) && et == StringType) 2950
-          else elementOid(et)
+      case at: ArrayType =>
+        // nesting depth → wire ndim; the element writer is for the leaf
+        // scalar. Postgres multi-dim arrays are rectangular and have no
+        // sub-array slots, so a jagged or null-sub-array value has no wire
+        // form — decline loudly rather than pad or flatten.
+        var leaf: DataType = at.elementType
+        var depth = 1
+        while (leaf.isInstanceOf[ArrayType]) {
+          depth += 1
+          leaf = leaf.asInstanceOf[ArrayType].elementType
+        }
+        val elem = scalarWriter(leaf, uuidCols.contains(f.name))
+        val oid = if (uuidCols.contains(f.name) && leaf == StringType) 2950
+          else elementOid(leaf)
         (o, v) => {
-          val elems = v.asInstanceOf[scala.collection.Seq[Any]]
+          // flatten row-major, learning each dimension's size from the
+          // first sub-array seen at that level and checking every sibling
+          val dims = new Array[Int](depth)
+          val seen = new Array[Boolean](depth)
+          val flat = new scala.collection.mutable.ArrayBuffer[Any]()
+          def walk(x: Any, level: Int): Unit =
+            if (level == depth) flat += x
+            else {
+              if (x == null) throw new IllegalStateException(
+                s"PGCOPY array: a NULL sub-array at depth $level has no wire " +
+                  "form (Postgres arrays are rectangular; only leaf elements may be NULL)")
+              val s = x.asInstanceOf[scala.collection.Seq[Any]]
+              if (!seen(level)) { dims(level) = s.length; seen(level) = true }
+              else if (s.length != dims(level)) throw new IllegalStateException(
+                s"PGCOPY array: jagged nested array (sub-array of ${s.length} " +
+                  s"elements where ${dims(level)} expected at depth $level) — " +
+                  "Postgres multidimensional arrays are rectangular")
+              s.foreach(walk(_, level + 1))
+            }
+          walk(v, 0)
           // body framed separately: the field length prefix needs the size
           val bytes = new java.io.ByteArrayOutputStream()
           val bo = new DataOutputStream(bytes)
-          if (elems.isEmpty) { bo.writeInt(0); bo.writeInt(0); bo.writeInt(oid) }
-          else {
-            bo.writeInt(1)
-            bo.writeInt(if (elems.exists(_ == null)) 1 else 0)
+          if (flat.isEmpty) {
+            // Postgres normalizes every zero-element array to `{}` (ndim 0,
+            // no dimension words) — inner structure of [[],[]] is dropped
+            // the same way the server drops it
+            bo.writeInt(0); bo.writeInt(0); bo.writeInt(oid)
+          } else {
+            bo.writeInt(depth)
+            bo.writeInt(if (flat.exists(_ == null)) 1 else 0)
             bo.writeInt(oid)
-            bo.writeInt(elems.length)
-            bo.writeInt(1) // Postgres default lower bound
-            elems.foreach {
+            var d = 0
+            while (d < depth) {
+              bo.writeInt(dims(d))
+              bo.writeInt(1) // Postgres default lower bound
+              d += 1
+            }
+            flat.foreach {
               case null => bo.writeInt(-1)
               case e => elem(bo, e)
             }

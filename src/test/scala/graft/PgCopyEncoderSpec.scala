@@ -206,8 +206,93 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     assert(PgCopyEncoder.supports(schema))
     assert(!PgCopyEncoder.supports(StructType(Seq(
       StructField("m", MapType(StringType, StringType))))))
-    assert(!PgCopyEncoder.supports(StructType(Seq(
+    // nested arrays ARE encodable since the multi-dim wire arm landed
+    assert(PgCopyEncoder.supports(StructType(Seq(
       StructField("nested", ArrayType(ArrayType(LongType)))))))
+  }
+
+  test("multi-dim arrays: 2-D round trip, wire framing, leaf nulls") {
+    // Postgres `array_send` flattens row-major with one dims(size, lb)
+    // pair per dimension — a 2×3 int8[][] must decode back into the same
+    // nested shape through the decoder's reshape
+    val schema = StructType(Seq(
+      StructField("grid", ArrayType(ArrayType(LongType)))))
+    val v = Seq(Seq(1L, 2L, 3L), Seq(4L, null, 6L))
+    val wire = PgCopyEncoder.bytes(Seq(Row(v)), schema)
+    val buf = java.nio.ByteBuffer.wrap(wire)
+    buf.position(11 + 8 + 2) // header + flags/ext + field count
+    val fieldLen = buf.getInt
+    assert(buf.getInt === 2) // ndim
+    assert(buf.getInt === 1) // has-nulls (leaf null present)
+    assert(buf.getInt === 20) // int8 element OID
+    assert(buf.getInt === 2 && buf.getInt === 1) // dim 0: size 2, lb 1
+    assert(buf.getInt === 3 && buf.getInt === 1) // dim 1: size 3, lb 1
+    // 12 header + 2×8 dims + 6 length words + 5 payloads
+    assert(fieldLen === 12 + 16 + 6 * 4 + 5 * 8)
+    val got = PgCopyDecoder.rows(
+      new ByteArrayInputStream(wire), schema).toSeq.head.getAs[Seq[Seq[Any]]](0)
+    assert(got === v)
+  }
+
+  test("multi-dim arrays: 3-D round trip and string leaves") {
+    val schema = StructType(Seq(
+      StructField("cube", ArrayType(ArrayType(ArrayType(StringType))))))
+    val v = Seq(
+      Seq(Seq("a", "b"), Seq("c", null)),
+      Seq(Seq("naïve ✓", ""), Seq("e", "f")))
+    val got = PgCopyDecoder.rows(
+      new ByteArrayInputStream(PgCopyEncoder.bytes(Seq(Row(v)), schema)),
+      schema).toSeq.head.getAs[Seq[Any]](0)
+    assert(got === v)
+  }
+
+  test("multi-dim arrays: jagged and null-sub-array values decline loudly") {
+    val schema = StructType(Seq(
+      StructField("grid", ArrayType(ArrayType(LongType)))))
+    val jagged = intercept[IllegalStateException] {
+      PgCopyEncoder.bytes(Seq(Row(Seq(Seq(1L, 2L), Seq(3L)))), schema)
+    }
+    assert(jagged.getMessage.contains("rectangular"))
+    val nullSub = intercept[IllegalStateException] {
+      PgCopyEncoder.bytes(Seq(Row(Seq(Seq(1L), null))), schema)
+    }
+    assert(nullSub.getMessage.contains("NULL sub-array"))
+  }
+
+  test("multi-dim arrays: zero-element shapes normalize to {} like the server") {
+    // Postgres stores every zero-element array as ndim 0 — [[],[]] has no
+    // wire form that preserves the outer count, so it collapses to []
+    val schema = StructType(Seq(
+      StructField("grid", ArrayType(ArrayType(LongType)))))
+    for (degenerate <- Seq(Seq.empty[Seq[Long]], Seq(Seq.empty[Long], Seq.empty[Long]))) {
+      val wire = PgCopyEncoder.bytes(Seq(Row(degenerate)), schema)
+      val buf = java.nio.ByteBuffer.wrap(wire)
+      buf.position(11 + 8 + 2)
+      assert(buf.getInt === 12) // field length: bare array header
+      assert(buf.getInt === 0) // ndim 0
+      val got = PgCopyDecoder.rows(
+        new ByteArrayInputStream(wire), schema).toSeq.head.getAs[Seq[Any]](0)
+      assert(got === Seq.empty)
+    }
+  }
+
+  test("multi-dim arrays: wire ndim must match declared nesting depth") {
+    // a 1-D wire array landing in a nested column (or vice versa) is a
+    // schema mismatch, not something to pad or flatten
+    val flat = StructType(Seq(StructField("xs", ArrayType(LongType))))
+    val nested = StructType(Seq(StructField("xs", ArrayType(ArrayType(LongType)))))
+    val oneD = PgCopyEncoder.bytes(Seq(Row(Seq(1L, 2L))), flat)
+    val ex = intercept[IllegalStateException] {
+      PgCopyDecoder.rows(new ByteArrayInputStream(oneD), nested).toSeq
+    }
+    assert(ex.getMessage.contains("1-dimensional") &&
+      ex.getMessage.contains("depth-2"))
+    val twoD = PgCopyEncoder.bytes(Seq(Row(Seq(Seq(1L), Seq(2L)))), nested)
+    val ex2 = intercept[IllegalStateException] {
+      PgCopyDecoder.rows(new ByteArrayInputStream(twoD), flat).toSeq
+    }
+    assert(ex2.getMessage.contains("2-dimensional") &&
+      ex2.getMessage.contains("depth-1"))
   }
 
   test("incremental Stream produces byte-identical output to batch write") {

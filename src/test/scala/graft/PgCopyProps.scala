@@ -140,4 +140,25 @@ object PgCopyProps extends Properties("PgCopyDecoder") {
         }
       }
     }
+
+  property("random rectangular 2-D arrays round-trip encoder->decoder") = {
+    // any rectangular shape (incl. degenerate 0×k / k×0, which Postgres
+    // normalizes to `{}`) with leaf NULLs anywhere must survive the
+    // flatten → dims framing → reshape cycle
+    val leaf = Gen.option(Gen.choose(Long.MinValue, Long.MaxValue))
+    val genGrid = for {
+      rows <- Gen.choose(0, 5)
+      cols <- Gen.choose(0, 5)
+      grid <- Gen.listOfN(rows, Gen.listOfN(cols, leaf))
+    } yield grid.map(_.map(_.map(Long.box).orNull))
+    val schema = StructType(Seq(StructField("g", ArrayType(ArrayType(LongType)))))
+    forAll(genGrid) { grid =>
+      val wire = graft.sources.PgCopyEncoder.bytes(
+        Seq(org.apache.spark.sql.Row(grid)), schema)
+      val got = PgCopyDecoder.rows(new ByteArrayInputStream(wire), schema)
+        .toSeq.head.getAs[scala.collection.Seq[scala.collection.Seq[Any]]](0)
+      val expect = if (grid.isEmpty || grid.head.isEmpty) Seq.empty else grid
+      got == expect
+    }
+  }
 }
