@@ -64,6 +64,14 @@ object PlanAudit {
     // SpaceSaving partial sketches: measured 2 records at 6k rows and 4
     // at 600k — shuffle rows ≈ partitions × k, essentially constant
     "approx_top_parts" -> ShuffleBudget("lineitem", 0.001, 2000L),
+    // postings of 5 query terms (tf partial+final) + tiny df agg + per-doc
+    // score agg + top-k heap rows; measured 8.8/doc at sf0.01 and the 10×
+    // stress ratio is 9.99 (linear) — a corpus-wide token shuffle (lost
+    // map-side postings filter) is ~80/doc already at this vocabulary
+    "search_keyword_topk" -> ShuffleBudget("documents", 25.0, 2000L),
+    // the chunker itself is zero-shuffle (spec-asserted); the entry's only
+    // exchange is the presentation orderBy, ∝ output windows (~2.7/doc)
+    "text_chunk" -> ShuffleBudget("documents", 9.0, 1000L),
   )
 
   /** Executes entry `name` against `dir` through the noop sink and returns

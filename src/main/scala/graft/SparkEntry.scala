@@ -21,6 +21,8 @@ object SparkEntry {
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
       graft.ops.TextAnalysis.entries ++
+      graft.ops.Chunking.entries ++
+      graft.ops.Search.entries ++
       graft.ops.Sampling.entries ++
       graft.ops.Curation.entries ++
       graft.ops.Multimodal.entries ++
@@ -38,6 +40,8 @@ object SparkEntry {
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
       graft.ops.TextAnalysis.oracle ++
+      graft.ops.Chunking.oracle ++
+      graft.ops.Search.oracle ++
       graft.ops.Sampling.oracle ++
       graft.ops.Curation.oracle ++
       graft.ops.Multimodal.oracle ++

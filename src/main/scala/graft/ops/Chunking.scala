@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sliding-window document chunking — the op that turns a cleaned corpus
+  * into model-ready training windows. Every LLM data pipeline ends with
+  * it: fixed-size token windows with overlap, stable chunk ids, and the
+  * source offsets kept so a chunk can be traced back to its document.
+  * (The reference has no text surface at all — this belongs to the
+  * driver-mandated training-pipeline tier next to
+  * [[TextAnalysis]]/[[Curation]].)
+  *
+  * Semantics (deterministic, engine-reproducible):
+  *  - tokens are the whitespace-split words of `trim(text)` — the same
+  *    tokenization [[TextAnalysis]] counts;
+  *  - window starts at token offsets 0, stride, 2·stride, … while the
+  *    offset is inside the document, so consecutive chunks overlap by
+  *    (chunk − stride) tokens and the final chunk may be short (tail
+  *    policy: keep, never pad — short tails carry real text);
+  *  - `chunk_id` is the window ordinal, `chunk_start` the token offset,
+  *    `chunk_tokens` the actual window length — all plain integers, so
+  *    any engine reading the same documents derives the same chunks;
+  *  - zero-token documents produce no chunks (there is nothing to train
+  *    on; the row count is the pipeline's own accounting signal).
+  *
+  * Scale: one map-side projection + `posexplode` — NO shuffle anywhere.
+  * Output volume is Σ ceil(tokens/stride) rows ≈ (1/stride + overlap
+  * factor) × corpus tokens, linear in the corpus; at 100 TB this is a
+  * streaming pass whose parallelism is the scan's. The token array is
+  * built once per document and sliced per window map-side; nothing
+  * document-sized crosses an exchange (the orderBy in the corpus entry
+  * is presentation-only for the oracle differ).
+  */
+object Chunking {
+
+  /** Whitespace tokens with empties dropped: split on `\s+` then filter
+    * zero-length strings. The filter (rather than `trim` + split) makes
+    * tab/newline-padded and all-whitespace documents behave — SQL `trim`
+    * strips only spaces, so a trailing tab would otherwise smuggle an
+    * empty token into the first window. */
+  private def toks(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Explode `docs` into overlapping token windows.
+    *
+    * @param chunkTokens window size in tokens
+    * @param stride      start-to-start distance (≤ chunkTokens ⇒ overlap)
+    */
+  def chunk(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    docs
+      .select(col(idCol), toks(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col(idCol), col("n"), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "chunk_start")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(chunkTokens), col("n") - col("chunk_start"))
+          .cast("long").as("chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_chunk" -> ((s, d) =>
+      chunk(Tables.load(s, d, "documents"))
+        .orderBy("doc_id", "chunk_id")),
+  )
+
+  val oracle: Seq[(String, String)] = Seq(
+    // same windows from the same whitespace tokens: list slicing is
+    // 1-based inclusive in DuckDB, hence the +1/least bounds mirroring
+    // Spark's slice(toks, start+1, chunkTokens)
+    "text_chunk" ->
+      """SELECT doc_id,
+        |       CAST(s // 24 AS BIGINT) AS chunk_id,
+        |       CAST(s AS BIGINT) AS chunk_start,
+        |       CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
+        |       array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+        |FROM (SELECT doc_id, t, len(t) AS n,
+        |             unnest(generate_series(0, len(t) - 1, 24)) AS s
+        |      FROM (SELECT doc_id,
+        |                   list_filter(string_split_regex(text, '\s+'),
+        |                               x -> length(x) > 0) AS t
+        |            FROM documents)
+        |      WHERE len(t) > 0)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+  )
+}

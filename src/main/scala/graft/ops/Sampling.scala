@@ -38,10 +38,50 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Per-mille bucket for stratified sampling — a DIFFERENT multiplier
+    * than [[splitBucket]] (xxhash's PRIME32_2) so the sampling decision is
+    * independent of the train/val/test assignment: a doc's survival must
+    * not correlate with which split it lands in. Same overflow headroom:
+    * id % 1000003 < 2^20, × 2246822519 < 2^52. */
+  def sampleBucket(idCol: String): org.apache.spark.sql.Column =
+    pmod((col(idCol) % 1000003L) * 2246822519L, lit(1000L))
+
+  /** Stratified downsampling: keep each row iff its [[sampleBucket]] falls
+    * under the per-mille target of its stratum. The canonical corpus use:
+    * rebalance a source-language mix by downsampling the dominant stratum
+    * hard and the tail strata lightly — deterministic (rerun-stable,
+    * order-free, reproducible by any engine from the id alone), exact in
+    * expectation per stratum, and a pure map-side filter: NO shuffle, no
+    * per-stratum pass, no driver state. At 100 TB this is one scan with
+    * the filter pushed to the row level; contrast `df.stat.sampleBy`,
+    * whose Bernoulli draw is seed+partition-order dependent.
+    *
+    * @param perMille  stratum value → keep rate in per-mille
+    * @param defaultPerMille keep rate for strata not in the map
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      perMille: Map[String, Int], defaultPerMille: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require((perMille.values ++ Seq(defaultPerMille)).forall(r => r >= 0 && r <= 1000),
+      "per-mille rates must be in [0, 1000]")
+    val rate = perMille.foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(sampleBucket(idCol) < rate)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sample_split" -> ((s, d) =>
       deterministicSplit(Tables.load(s, d, "documents"))
         .select("doc_id", "split")
+        .orderBy("doc_id")),
+    // rebalance the synthetic corpus's en-heavy mix: keep 25% of en, 90%
+    // of every other language — the keep decision is the hash bucket, so
+    // the oracle reproduces the exact kept set
+    "sample_stratified" -> ((s, d) =>
+      stratifiedSample(Tables.load(s, d, "documents"),
+        strataCol = "lang", perMille = Map("en" -> 250), defaultPerMille = 900)
+        .select("doc_id", "lang")
         .orderBy("doc_id")),
   )
 
@@ -53,6 +93,13 @@ object Sampling {
         |            ELSE 'test' END AS split
         |FROM (SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 1000 AS b
         |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |             ((doc_id % 1000003) * 2246822519) % 1000 AS b
+        |      FROM documents) t
+        |WHERE b < CASE WHEN lang = 'en' THEN 250 ELSE 900 END
         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -33,22 +33,16 @@ object EventStreams {
 
   private val sinkCounter = new AtomicInteger(0)
 
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // Era-check the source once per file version (same loud-failure guard
-    // as the batch path — a silent unit mismatch here corrupts every
-    // window/session/join interval downstream, which is exactly the
-    // round-9 failure class). Also sets the legacy nanosAsLong conf for
-    // old INT64-nanos files before any read below.
-    graft.Tables.loadEvents(spark, dir)
-    // The file-stream source requires a directory to monitor; the testdata
-    // keeps one parquet file per table in a shared dir, so stage a per-table
-    // directory (hard link — no data copy) the source can list.
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
+  /** Stage `<dir>/<table>.parquet` into a per-table directory the
+    * file-stream source can monitor (hard link — no data copy), with the
+    * stale-inode guard. Returns the staged directory path. */
+  private def stageTableDir(dir: String, table: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+      s"graft_stream_${table}_${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(stage)
-    val dst = stage.resolve("events.parquet")
+    val dst = stage.resolve(s"$table.parquet")
     // re-stage if the source file was replaced since last staged: a hard
     // link shares the inode, so size/mtime diverging means dst points at
     // a STALE old inode and would silently serve outdated events
@@ -71,6 +65,20 @@ object EventStreams {
             dst, java.nio.file.Files.getLastModifiedTime(src))
       }
     }
+    stage
+  }
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // Era-check the source once per file version (same loud-failure guard
+    // as the batch path — a silent unit mismatch here corrupts every
+    // window/session/join interval downstream, which is exactly the
+    // round-9 failure class). Also sets the legacy nanosAsLong conf for
+    // old INT64-nanos files before any read below.
+    graft.Tables.loadEvents(spark, dir)
+    // The file-stream source requires a directory to monitor; the testdata
+    // keeps one parquet file per table in a shared dir, so stage a per-table
+    // directory the source can list.
+    val stage = stageTableDir(dir, "events")
     // The file-stream source requires an explicit schema, but nothing says
     // it must be hard-coded: derive it from the staged file's own footer
     // (one batch-read of metadata), then normalize ts exactly like the
@@ -79,6 +87,14 @@ object EventStreams {
     val rawSchema = spark.read.parquet(stage.toString).schema
     spark.readStream.schema(rawSchema).parquet(stage.toString)
       .withColumn("ts", graft.Tables.tsToTimestamp(rawSchema("ts").dataType))
+  }
+
+  /** The documents table as a file stream — the arrival shape of a crawl
+    * pipeline (new document files landing in a directory). */
+  private def documentStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageTableDir(dir, "documents")
+    val rawSchema = spark.read.parquet(stage.toString).schema
+    spark.readStream.schema(rawSchema).parquet(stage.toString)
   }
 
   /** Run a bounded streaming query to completion into a memory sink and
@@ -341,6 +357,19 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Streaming chunking — the pipeline-tier twin of [[graft.ops.Chunking]]:
+    * documents arriving as a file stream are windowed into training chunks
+    * incrementally. Chunking is STATELESS (a per-document explode), so the
+    * streaming plan is the batch plan run per micro-batch: no state store,
+    * no watermark, Append mode — at scale this is the always-on ingest
+    * chunker that keeps up with a crawl by partition parallelism alone,
+    * and the bounded replay must equal batch chunking exactly (it shares
+    * `text_chunk`'s DuckDB oracle). */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    runToTable(graft.ops.Chunking.chunk(documentStream(spark, dir)),
+      OutputMode.Append)
+      .orderBy("doc_id", "chunk_id")
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
@@ -348,6 +377,7 @@ object EventStreams {
     "stream_enrich_join" -> ((s, d) => purchaseClickJoin(s, d)),
     "stream_dedup" -> ((s, d) => dedupKeys(s, d)),
     "stream_mv_rollup" -> ((s, d) => streamMvRollup(s, d)),
+    "stream_chunk" -> ((s, d) => chunkDocuments(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -376,6 +406,10 @@ object EventStreams {
     // Shared with batch S23b so the typing fixes (BIGINT session_id,
     // second-truncated session_start) can't drift between the two entries.
     "stream_sessions" -> graft.queries.Corpus.s23bSessionsSql,
+    // stateless per-document explode: the bounded streaming replay equals
+    // batch chunking, so the oracle IS the batch entry's (shared by
+    // reference — any chunking-semantics change moves both or neither)
+    "stream_chunk" -> graft.ops.Chunking.oracle.toMap.apply("text_chunk"),
     // bounded replay = one micro-batch, so watermark-scoped dedup equals
     // the global DISTINCT
     "stream_dedup" ->

@@ -1,0 +1,176 @@
+package graft
+
+import graft.ops.{Chunking, Sampling, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-11 pipeline additions: sliding-window chunking,
+  * inverted-index keyword search, and stratified sampling. */
+class ChunkSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  /** Every node of the FINAL adaptive plan (unwraps AQE/stage/reuse
+    * boundaries, which hide their inner plans from TreeNode.collect). */
+  private def finalNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: QueryStageExec => flatten(s.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  // ---- chunking -----------------------------------------------------
+
+  test("chunk windows a known document with overlap and a short tail") {
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; tail is 1 token
+    val d = docs(1L -> (0 until 10).map(i => s"t$i").mkString(" "))
+    val got = Chunking.chunk(d, chunkTokens = 4, stride = 3)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got === Array(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 4L, "t6 t7 t8 t9"),
+      (1L, 3L, 9L, 1L, "t9")))
+  }
+
+  test("chunk: empty and whitespace-only documents produce no chunks") {
+    val d = docs(1L -> "", 2L -> "   \t  ", 3L -> "one")
+    val got = Chunking.chunk(d).as[(Long, Long, Long, Long, String)].collect()
+    assert(got === Array((3L, 0L, 0L, 1L, "one")))
+  }
+
+  test("chunk: a document shorter than the window is one whole chunk") {
+    val d = docs(7L -> "a b c")
+    val got = Chunking.chunk(d, chunkTokens = 32, stride = 24)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got === Array((7L, 0L, 0L, 3L, "a b c")))
+  }
+
+  test("chunk coverage invariants hold on the corpus") {
+    // per doc: chunk count = floor((n-1)/stride)+1, the last window
+    // reaches the document end, no window exceeds the declared width,
+    // and no window is empty
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val n = d.select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n"))
+      .where(col("n") > 0)
+    val per = Chunking.chunk(d, chunkTokens = 32, stride = 24)
+      .groupBy("doc_id")
+      .agg(count("*").as("chunks"),
+        max(col("chunk_start") + col("chunk_tokens")).as("reach"),
+        min("chunk_tokens").as("shortest"),
+        max("chunk_tokens").as("widest"))
+      .join(n, "doc_id")
+    val bad = per.where(expr(
+      "chunks != (n - 1) DIV 24 + 1 OR reach != n OR widest > 32 OR shortest < 1"))
+    assert(bad.count() === 0)
+    assert(per.count() > 0)
+  }
+
+  test("chunk plans with zero shuffles (map-side explode only)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val chunked = Chunking.chunk(d)
+    chunked.write.format("noop").mode("overwrite").save()
+    val shuffles = finalNodes(chunked).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"chunking must not shuffle:\n${chunked.queryExecution.executedPlan}")
+  }
+
+  // ---- keyword search ----------------------------------------------
+
+  test("keywordTopK scores tf × (1e6 DIV (df+1)) exactly and breaks ties by id") {
+    val d = docs(1L -> "a b a", 2L -> "a c", 3L -> "b b b")
+    val got = Search.keywordTopK(d, Seq("a", "b"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // df(a)=2, df(b)=2 → w = 1e6 DIV 3 = 333333
+    // doc1: (2+1)·w = 999999 matched 2; doc3: 3·w = 999999 matched 1; doc2: w
+    assert(got === Array(
+      (1L, 999999L, 3L, 2L),
+      (3L, 999999L, 3L, 1L),
+      (2L, 333333L, 1L, 1L)))
+  }
+
+  test("keywordTopK: k truncates after the (score, id) total order") {
+    val d = docs(1L -> "a", 2L -> "a", 3L -> "a a")
+    val got = Search.keywordTopK(d, Seq("a"), k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(3L, 1L))
+  }
+
+  test("keywordTopK: terms absent from the corpus match nothing") {
+    val d = docs(1L -> "a b")
+    assert(Search.keywordTopK(d, Seq("zz", "qq")).count() === 0)
+  }
+
+  test("keywordTopK is case-insensitive over the text") {
+    val d = docs(1L -> "Vector VECTOR vector")
+    val got = Search.keywordTopK(d, Seq("vector"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 1 && got(0)._3 === 3L)
+  }
+
+  test("keywordTopK plan: df joins back broadcast; top-k is TakeOrdered") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val q = Search.keywordTopK(d, Seq("vector", "stream", "merge"))
+    q.collect()
+    val nodes = finalNodes(q)
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      s"df side must broadcast:\n${q.queryExecution.executedPlan}")
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"top-k must plan as TakeOrderedAndProject:\n${q.queryExecution.executedPlan}")
+  }
+
+  // ---- stratified sampling -----------------------------------------
+
+  test("stratifiedSample honors per-stratum rates at the boundary values") {
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "fr"), (4L, "de"))
+      .toDF("doc_id", "lang")
+    // en → 0‰ (drop all), everything else 1000‰ (keep all)
+    val got = Sampling.stratifiedSample(d, "lang", Map("en" -> 0), 1000)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Array(3L, 4L))
+  }
+
+  test("stratifiedSample is deterministic across reruns and repartitioning") {
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val a = Sampling.stratifiedSample(d, "lang", Map("en" -> 250), 900)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(d.repartition(13), "lang", Map("en" -> 250), 900)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("stratifiedSample keep decision is independent of the split assignment") {
+    // same id hashed by both buckets: the pair (splitBucket, sampleBucket)
+    // must not be degenerate (different multipliers → different buckets
+    // for most ids); a correlated pair would bias the sampled train set
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val differing = d.select(
+      Sampling.splitBucket("doc_id").as("s"),
+      Sampling.sampleBucket("doc_id").as("k"))
+      .where(col("s") =!= col("k")).count()
+    assert(differing > 0)
+  }
+
+  test("stratifiedSample rejects out-of-range rates") {
+    val d = docs(1L -> "x").withColumn("lang", lit("en"))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(d, "lang", Map("en" -> 1001), 900)
+    }
+  }
+}

@@ -108,6 +108,55 @@ class Round11StressSpec extends AnyFunSuite {
     assert(math.abs(perRow10 - perRow1) / perRow1 < 0.05,
       f"per-row wire bytes drifted: $perRow1%.2f -> $perRow10%.2f")
   }
+
+  test("chunking: 10x id-shifted corpus -> exactly 10x chunks, still zero shuffle") {
+    // chunking is per-document, so ten id-shifted exact copies must emit
+    // exactly ten times the windows — and the plan must stay shuffle-free
+    // at any scale (the whole op is a map-side explode)
+    def copyI(i: Int): DataFrame = baseDocs.select(
+      (col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text"))
+    val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
+    // shuffle is measured over a full noop-sink materialization: a count()
+    // would charge the chunker for count's own partial-agg exchange
+    val sh1 = PlanAudit.measureShuffle(spark) {
+      graft.ops.Chunking.chunk(copyI(0))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sh10 = PlanAudit.measureShuffle(spark) {
+      graft.ops.Chunking.chunk(tenX)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val chunks1 = graft.ops.Chunking.chunk(copyI(0)).count()
+    val chunks10 = graft.ops.Chunking.chunk(tenX).count()
+    info(s"chunks: 1x=$chunks1 10x=$chunks10; shuffle rows: 1x=$sh1 10x=$sh10")
+    assert(chunks1 > 0 && chunks10 == 10 * chunks1,
+      s"chunk output must grow exactly 10x: $chunks1 -> $chunks10")
+    assert(sh1 == 0 && sh10 == 0,
+      s"chunking shuffled rows ($sh1 / $sh10) — the map-side-only plan regressed")
+  }
+
+  test("keyword search: 10x corpus -> ~10x postings shuffle, output stays k") {
+    // the exploded token stream is filtered to query-term postings before
+    // any exchange, so shuffle volume tracks matching postings (linear),
+    // and the result is always the k-row top slice
+    def copyI(i: Int): DataFrame = baseDocs.select(
+      (col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text"))
+    val terms = Seq("vector", "stream", "merge", "window", "filter")
+    val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
+    var rows1 = 0L
+    val sh1 = PlanAudit.measureShuffle(spark) {
+      rows1 = graft.ops.Search.keywordTopK(copyI(0), terms).count()
+    }
+    var rows10 = 0L
+    val sh10 = PlanAudit.measureShuffle(spark) {
+      rows10 = graft.ops.Search.keywordTopK(tenX, terms).count()
+    }
+    val ratio = sh10.toDouble / sh1
+    info(f"shuffle rows: 1x=$sh1 10x=$sh10 ratio=$ratio%.2f")
+    assert(rows1 == 20 && rows10 == 20, s"top-k must stay k rows: $rows1 / $rows10")
+    assert(ratio <= 13.0,
+      f"search shuffle grew $ratio%.1fx at 10x data — postings filter not map-side")
+  }
 }
 
 /** Closure home for the executor-side encode (a suite-member lambda would
