@@ -258,6 +258,39 @@ object PgCopyDecoder {
       }
     }
 
+  /** Postgres composite / `record` (`record_send`): i32 field count, then
+    * per field a u32 type OID, an i32 length (−1 = NULL), and the payload
+    * in the field type's own send format. The reference enumerates struct
+    * types only as default-value stubs it can never decode
+    * (`binary_reader.rs:98-100`); this follows the wire, mapping a record
+    * column to a Spark [[StructType]] by POSITION (the wire carries no
+    * field names — the declared schema is the authority, the same contract
+    * as top-level tuples). A field-count mismatch declines loudly; the
+    * per-field OID is advisory (the server's composite-type registration
+    * is not visible here), the declared field type's reader is
+    * authoritative — exactly how the array decoder treats element OIDs. */
+  private def recordReader(fields: Array[WireReader], tpe: String): WireReader =
+    new WireReader {
+      def read(in: DataInputStream, len: Int): Any = {
+        val n = in.readInt()
+        if (n != fields.length) throw new IllegalStateException(
+          s"PGCOPY $tpe record column: wire carries $n fields but the " +
+            s"declared StructType has ${fields.length}")
+        // framing sanity: 4 count bytes + 8 (oid + length word) per field
+        if (len < 4 + 8L * n) throw new IllegalStateException(
+          s"PGCOPY $tpe record column: $n fields cannot fit the declared $len wire bytes")
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val _oid = in.readInt()
+          val fl = in.readInt()
+          vals(i) = if (fl == -1) null else fields(i).read(in, fl)
+          i += 1
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }
+
   private def readerFor(f: StructField, uuidCols: Set[String]): WireReader =
     f.dataType match {
       case BooleanType => BoolReader
@@ -289,6 +322,8 @@ object PgCopyDecoder {
           leaf = leaf.asInstanceOf[ArrayType].elementType
         }
         arrayReader(readerFor(StructField(f.name, leaf), uuidCols), depth, leaf.simpleString)
+      case st: StructType =>
+        recordReader(st.fields.map(readerFor(_, uuidCols)), f.name)
       case other => throw new IllegalArgumentException(
         s"PGCOPY decode of column '${f.name}': no wire reader for $other")
     }

@@ -181,8 +181,66 @@ object PgCopyEncoder {
       s"PGCOPY encode: no wire writer for $other")
   }
 
+  /** Postgres composite / `record` (`record_send`): i32 field count, then
+    * per field a u32 type OID, an i32 length (−1 = NULL), and the payload
+    * in the field type's own send format — the write-side inverse of the
+    * decoder's [[PgCopyDecoder]] record arm. Fields are positional (the
+    * wire carries no names). A server's `record_recv` additionally checks
+    * the OIDs against the DECLARED composite type, which this client-side
+    * map cannot see — the same documented caveat as array element OIDs. */
+  private def recordWriter(st: StructType, uuidCols: Set[String]): FieldWriter = {
+    val writers = st.fields.map(writerFor(_, uuidCols))
+    val oids = st.fields.map(f => f.dataType match {
+      case _: StructType => 2249 // pg_type: anonymous record
+      case ArrayType(et, _) => arrayOidFor(et)
+      case dt => elementOid(dt)
+    })
+    (o, v) => {
+      val row = v.asInstanceOf[Row]
+      if (row.length != writers.length) throw new IllegalStateException(
+        s"PGCOPY record: row has ${row.length} fields but the declared " +
+          s"StructType has ${writers.length}")
+      val bytes = new java.io.ByteArrayOutputStream()
+      val bo = new DataOutputStream(bytes)
+      bo.writeInt(writers.length)
+      var i = 0
+      while (i < writers.length) {
+        bo.writeInt(oids(i))
+        if (row.isNullAt(i)) bo.writeInt(-1) else writers(i)(bo, row.get(i))
+        i += 1
+      }
+      o.writeInt(bytes.size)
+      bytes.writeTo(o)
+    }
+  }
+
+  /** OID of the ARRAY type over element type `et` (pg_type `typarray`) —
+    * needed when an array is itself a record field. Nested arrays share
+    * the same array OID (Postgres arrays are one type at any ndim). */
+  private def arrayOidFor(et: DataType): Int = {
+    var leaf = et
+    while (leaf.isInstanceOf[ArrayType]) leaf = leaf.asInstanceOf[ArrayType].elementType
+    leaf match {
+      case BooleanType => 1000
+      case ByteType | ShortType => 1005
+      case IntegerType => 1007
+      case LongType => 1016
+      case FloatType => 1021
+      case DoubleType => 1022
+      case StringType => 1009
+      case BinaryType => 1001
+      case DateType => 1182
+      case TimestampType | TimestampNTZType => 1115
+      case _: TimeType => 1183
+      case _: DecimalType => 1231
+      case _: StructType => 2287 // _record
+      case _ => 0
+    }
+  }
+
   private def writerFor(f: StructField, uuidCols: Set[String]): FieldWriter =
     f.dataType match {
+      case st: StructType => recordWriter(st, uuidCols)
       case at: ArrayType =>
         // nesting depth → wire ndim; the element writer is for the leaf
         // scalar. Postgres multi-dim arrays are rectangular and have no
@@ -194,9 +252,15 @@ object PgCopyEncoder {
           depth += 1
           leaf = leaf.asInstanceOf[ArrayType].elementType
         }
-        val elem = scalarWriter(leaf, uuidCols.contains(f.name))
-        val oid = if (uuidCols.contains(f.name) && leaf == StringType) 2950
-          else elementOid(leaf)
+        val elem = leaf match {
+          case st: StructType => recordWriter(st, uuidCols)
+          case dt => scalarWriter(dt, uuidCols.contains(f.name))
+        }
+        val oid = leaf match {
+          case _: StructType => 2249
+          case StringType if uuidCols.contains(f.name) => 2950
+          case dt => elementOid(dt)
+        }
         (o, v) => {
           // flatten row-major, learning each dimension's size from the
           // first sub-array seen at that level and checking every sibling

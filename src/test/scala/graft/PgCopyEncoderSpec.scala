@@ -276,6 +276,71 @@ class PgCopyEncoderSpec extends AnyFunSuite {
     }
   }
 
+  test("record (composite) columns: wire framing a server would accept") {
+    // record_send: i32 field count, then per field u32 OID + i32 length +
+    // payload — the reference enumerates struct types only as stubs it can
+    // never decode (binary_reader.rs:98-100)
+    val schema = StructType(Seq(StructField("r", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))))
+    val wire = PgCopyEncoder.bytes(Seq(Row(Row(7, "hi"))), schema)
+    val buf = java.nio.ByteBuffer.wrap(wire)
+    buf.position(11 + 8 + 2) // header + flags/ext + field count
+    assert(buf.getInt === 4 + (4 + 4 + 4) + (4 + 4 + 2)) // column length
+    assert(buf.getInt === 2) // record field count
+    assert(buf.getInt === 23) // int4 OID
+    assert(buf.getInt === 4 && buf.getInt === 7)
+    assert(buf.getInt === 25) // text OID
+    assert(buf.getInt === 2)
+    val b = new Array[Byte](2); buf.get(b)
+    assert(new String(b, "UTF-8") === "hi")
+    assert(buf.getShort === -1) // trailer
+    val got = PgCopyDecoder.rows(
+      new ByteArrayInputStream(wire), schema).toSeq.head.getStruct(0)
+    assert(got === Row(7, "hi"))
+  }
+
+  test("record columns: null fields, null records, and nesting round-trip") {
+    val inner = StructType(Seq(
+      StructField("x", LongType), StructField("tags", ArrayType(StringType))))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("r", StructType(Seq(
+        StructField("n", DecimalType(10, 2)),
+        StructField("sub", inner)))),
+      StructField("rs", ArrayType(inner))))
+    val rows = Seq(
+      Row(1, Row(new java.math.BigDecimal("12.34"),
+        Row(5L, Seq("a", null, "c"))), Seq(Row(1L, Seq("t")), null)),
+      Row(2, Row(null, null), Seq.empty),
+      Row(3, null, null))
+    val got = PgCopyDecoder.rows(
+      new ByteArrayInputStream(PgCopyEncoder.bytes(rows, schema)), schema).toSeq
+    assert(got(0).getInt(0) === 1)
+    assert(got(0).getStruct(1).getDecimal(0) === new java.math.BigDecimal("12.34"))
+    assert(got(0).getStruct(1).getStruct(1) === Row(5L, Seq("a", null, "c")))
+    assert(got(0).getSeq[Any](2) === Seq(Row(1L, Seq("t")), null))
+    assert(got(1).getStruct(1) === Row(null, null))
+    assert(got(1).getSeq[Any](2) === Seq.empty)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+    // supports() now admits struct schemas; maps still decline
+    assert(PgCopyEncoder.supports(schema))
+    assert(!PgCopyEncoder.supports(StructType(Seq(
+      StructField("m", MapType(StringType, LongType))))))
+  }
+
+  test("record columns: wire field count must match the declared StructType") {
+    val schema2 = StructType(Seq(StructField("r", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType))))))
+    val schema3 = StructType(Seq(StructField("r", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType),
+      StructField("c", IntegerType))))))
+    val wire = PgCopyEncoder.bytes(Seq(Row(Row(1, 2))), schema2)
+    val ex = intercept[IllegalStateException] {
+      PgCopyDecoder.rows(new ByteArrayInputStream(wire), schema3).toSeq
+    }
+    assert(ex.getMessage.contains("2 fields") && ex.getMessage.contains("3"))
+  }
+
   test("multi-dim arrays: wire ndim must match declared nesting depth") {
     // a 1-D wire array landing in a nested column (or vice versa) is a
     // schema mismatch, not something to pad or flatten
