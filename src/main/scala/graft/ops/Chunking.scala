@@ -47,25 +47,28 @@ object Chunking {
     *
     * @param chunkTokens window size in tokens
     * @param stride      start-to-start distance (≤ chunkTokens ⇒ overlap)
+    * @param keep        extra columns carried through to every chunk row
+    *                    (metadata a downstream trainer needs per window)
     */
   def chunk(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+      chunkTokens: Int = 32, stride: Int = 24,
+      keep: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val carried = keep.map(col)
     docs
-      .select(col(idCol), toks(col(textCol)).as("toks"))
+      .select(col(idCol) +: carried :+ toks(col(textCol)).as("toks"): _*)
       .withColumn("n", size(col("toks")))
       .where(col("n") > 0)
-      .select(col(idCol), col("n"), col("toks"),
+      .select(Seq(col(idCol)) ++ carried ++ Seq(col("n"), col("toks"),
         posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
-          .as(Seq("chunk_id", "chunk_start")))
-      .select(
-        col(idCol),
+          .as(Seq("chunk_id", "chunk_start"))): _*)
+      .select(Seq(col(idCol)) ++ carried ++ Seq(
         col("chunk_id").cast("long").as("chunk_id"),
         col("chunk_start").cast("long").as("chunk_start"),
         least(lit(chunkTokens), col("n") - col("chunk_start"))
           .cast("long").as("chunk_tokens"),
         array_join(slice(col("toks"), col("chunk_start") + 1, lit(chunkTokens)), " ")
-          .as("chunk_text"))
+          .as("chunk_text")): _*)
   }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -76,9 +76,13 @@ object Curation {
         col("lang")))
   }
 
-  def curate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 2000,
-      minQuality: Double = 0.5, nearBands: Int = 16,
-      nearThreshold: Double = 0.5): DataFrame = {
+  /** The shared front half of the pipeline: gate → exact keep-first dedup
+    * → near-dup marking. Returns the persisted kept set (doc_id, lang,
+    * text, n_tokens, quality_score, n_copies) and the marked-for-removal
+    * near-dup ids. */
+  private def gateAndDedup(docs: DataFrame, minTokens: Int, maxTokens: Int,
+      minQuality: Double, nearBands: Int, nearThreshold: Double)
+      : (DataFrame, DataFrame) = {
     val gated = TextAnalysis.qualityScores(
       docs.select(col("doc_id"), col("text"), col("lang")),
       keep = Seq("lang", "text"))
@@ -98,15 +102,23 @@ object Curation {
       .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
         col("r.text").as("text"), col("r.n_tokens").as("n_tokens"),
         col("r.quality_score").as("quality_score"), col("n_copies"))
-      // consumed twice (near-dup mining shingles the text, the accounting
-      // aggregates the metadata): without this, the quality gate + hash
-      // dedup shuffle — the expensive half at corpus scale — recomputes
-      // for each consumer
+      // consumed twice (near-dup mining shingles the text, the second
+      // consumer aggregates or chunks): without this, the quality gate +
+      // hash dedup shuffle — the expensive half at corpus scale —
+      // recomputes for each consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackKept(kept)
     // near-dup keep-first: every LSH pair (doc_a < doc_b) marks doc_b
     val removed = Dedup.minHashPairs(kept, nearBands, nearThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
+    (kept, removed)
+  }
+
+  def curate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 2000,
+      minQuality: Double = 0.5, nearBands: Int = 16,
+      nearThreshold: Double = 0.5): DataFrame = {
+    val (kept, removed) = gateAndDedup(
+      docs, minTokens, maxTokens, minQuality, nearBands, nearThreshold)
     val flagged = Sampling.deterministicSplit(
       kept.select("doc_id", "lang", "n_tokens", "quality_score", "n_copies"))
       .join(removed.withColumn("is_removed", lit(1)), Seq("doc_id"), "left_outer")
@@ -122,9 +134,34 @@ object Curation {
       .orderBy("lang", "split")
   }
 
+  /** The pipeline's OUTPUT artifact, not just its accounting: the
+    * surviving train-split documents exploded into training windows.
+    * Same chain as [[curate]] (gate → exact keep-first → near-dup
+    * removal → deterministic split), then the train slice flows through
+    * [[Chunking.chunk]] with `lang` carried per window — the exact rows a
+    * trainer's data loader reads. One declarative plan end-to-end; the
+    * removal is a broadcast-able left-anti join on ids, the split and the
+    * chunker are map-side, so the back half adds ZERO wide stages beyond
+    * curate's own. */
+  def curateToChunks(docs: DataFrame, minTokens: Int = 20,
+      maxTokens: Int = 2000, minQuality: Double = 0.5, nearBands: Int = 16,
+      nearThreshold: Double = 0.5, chunkTokens: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val (kept, removed) = gateAndDedup(
+      docs, minTokens, maxTokens, minQuality, nearBands, nearThreshold)
+    val train = Sampling.deterministicSplit(kept)
+      .where(col("split") === "train")
+      .join(removed, Seq("doc_id"), "left_anti")
+    Chunking.chunk(train, chunkTokens = chunkTokens, stride = stride,
+      keep = Seq("lang"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "curate_corpus" -> ((s, d) =>
-      curate(withPlantedDups(Tables.load(s, d, "documents")))))
+      curate(withPlantedDups(Tables.load(s, d, "documents")))),
+    "curate_to_chunks" -> ((s, d) =>
+      curateToChunks(withPlantedDups(Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "chunk_id")))
 
   /** DuckDB mirror: quality metrics per PLANTED document (near-copies
     * have their own truncated text, so metrics are computed on the
@@ -135,32 +172,38 @@ object Curation {
     * same drop-doc_b rule, the same split arithmetic as the
     * `sample_split` oracle, and every SUM cast back to BIGINT (DuckDB
     * sums to HUGEINT, the round-1 incident class). */
+  /** Shared oracle preamble: planted union → quality gate → keep-first →
+    * minhash pair mining → removal set. Both composed entries build on
+    * exactly these CTEs, so the two oracles cannot drift apart. */
+  private def plantedKeptCtes: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)),
+       |         lang
+       |  FROM documents),
+       |q AS (${TextAnalysis.textQualityOracleSqlFrom("p")}),
+       |g AS (
+       |  SELECT p.doc_id, p.lang, p.text, q.n_tokens, q.quality_score
+       |  FROM p JOIN q USING (doc_id)
+       |  WHERE q.n_tokens BETWEEN 20 AND 2000 AND q.quality_score >= 0.5),
+       |k AS (
+       |  SELECT MIN(doc_id) AS doc_id,
+       |         arg_min(lang, doc_id) AS lang,
+       |         text,
+       |         arg_min(n_tokens, doc_id) AS n_tokens,
+       |         arg_min(quality_score, doc_id) AS quality_score,
+       |         COUNT(*) AS n_copies
+       |  FROM g GROUP BY text),
+       |${HashOracleSql.minhashPairCtes("k")},
+       |removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""".stripMargin
+
   val oracle: Seq[(String, String)] = Seq(
     "curate_corpus" ->
-      s"""WITH p AS (
-         |  SELECT doc_id, text, lang FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text, lang FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 2000000,
-         |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)),
-         |         lang
-         |  FROM documents),
-         |q AS (${TextAnalysis.textQualityOracleSqlFrom("p")}),
-         |g AS (
-         |  SELECT p.doc_id, p.lang, p.text, q.n_tokens, q.quality_score
-         |  FROM p JOIN q USING (doc_id)
-         |  WHERE q.n_tokens BETWEEN 20 AND 2000 AND q.quality_score >= 0.5),
-         |k AS (
-         |  SELECT MIN(doc_id) AS doc_id,
-         |         arg_min(lang, doc_id) AS lang,
-         |         text,
-         |         arg_min(n_tokens, doc_id) AS n_tokens,
-         |         arg_min(quality_score, doc_id) AS quality_score,
-         |         COUNT(*) AS n_copies
-         |  FROM g GROUP BY text),
-         |${HashOracleSql.minhashPairCtes("k")},
-         |removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+      s"""$plantedKeptCtes,
          |s AS (
          |  SELECT k.*, removed.doc_id IS NOT NULL AS is_removed,
          |         CASE WHEN ((k.doc_id % 1000003) * 2654435761) % 1000 < 800 THEN 'train'
@@ -173,5 +216,28 @@ object Curation {
          |       COUNT(*) FILTER (WHERE is_removed) AS near_dups_removed,
          |       CAST(SUM(n_tokens) FILTER (WHERE NOT is_removed) AS BIGINT) AS sum_tokens,
          |       ROUND(AVG(quality_score) FILTER (WHERE NOT is_removed), 6) AS avg_quality
-         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    // the same kept set, train slice only, exploded into the text_chunk
+    // windows with lang carried per row
+    "curate_to_chunks" ->
+      s"""$plantedKeptCtes,
+         |train AS (
+         |  SELECT k.doc_id, k.lang, k.text
+         |  FROM k LEFT JOIN removed USING (doc_id)
+         |  WHERE removed.doc_id IS NULL
+         |    AND ((k.doc_id % 1000003) * 2654435761) % 1000 < 800),
+         |tok AS (
+         |  SELECT doc_id, lang,
+         |         list_filter(string_split_regex(text, '\\s+'),
+         |                     x -> length(x) > 0) AS t
+         |  FROM train)
+         |SELECT doc_id, lang,
+         |       CAST(s // 24 AS BIGINT) AS chunk_id,
+         |       CAST(s AS BIGINT) AS chunk_start,
+         |       CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
+         |       array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+         |FROM (SELECT doc_id, lang, t, len(t) AS n,
+         |             unnest(generate_series(0, len(t) - 1, 24)) AS s
+         |      FROM tok WHERE len(t) > 0)
+         |ORDER BY doc_id, chunk_id""".stripMargin)
 }

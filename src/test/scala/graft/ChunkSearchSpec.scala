@@ -135,6 +135,27 @@ class ChunkSearchSpec extends AnyFunSuite {
       s"top-k must plan as TakeOrderedAndProject:\n${q.queryExecution.executedPlan}")
   }
 
+  // ---- curated chunk output ----------------------------------------
+
+  test("curateToChunks emits windows for exactly the kept train documents") {
+    import graft.ops.Curation
+    val planted = Curation.withPlantedDups(
+      Tables.load(spark, TestSpark.Sf0001, "documents"))
+    // the accounting entry says how many train docs survive; the chunk
+    // artifact must cover exactly that many distinct documents, and every
+    // one of them chunked (the gate guarantees >= minTokens tokens)
+    val trainDocs = Curation.curate(planted)
+      .where(col("split") === "train")
+      .agg(sum("n_docs")).as[Long].collect().head
+    val chunks = Curation.curateToChunks(planted)
+    val chunkDocs = chunks.select("doc_id").distinct().count()
+    assert(chunkDocs === trainDocs, "chunked docs != surviving train docs")
+    // carried metadata is present and every window respects the width
+    assert(chunks.where(col("lang").isNull).count() === 0)
+    assert(chunks.where(col("chunk_tokens") > 32 or col("chunk_tokens") < 1)
+      .count() === 0)
+  }
+
   // ---- stratified sampling -----------------------------------------
 
   test("stratifiedSample honors per-stratum rates at the boundary values") {

@@ -108,4 +108,13 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val stream = EventStreams.purchaseClickJoin(spark, dir)
     assertSame(stream, batch)
   }
+
+  test("stream_chunk equals the batch chunker (text_chunk twin)") {
+    // stateless per-document explode: the bounded replay must be the
+    // batch answer exactly — no doubles, so plain set equality by rows
+    val stream = EventStreams.chunkDocuments(spark, dir)
+    val batch = graft.ops.Chunking.chunk(
+      Tables.load(spark, dir, "documents"))
+    assertSame(stream, batch)
+  }
 }
