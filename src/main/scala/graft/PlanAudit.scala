@@ -25,7 +25,10 @@ object PlanAudit {
     "sim_topk_quantized", "sim_topk_ivf_quantized",
     // trained-quantizer IVF: corpus × broadcast(centroids) assignment and
     // query × broadcast(centroids) probe — the designed one-scan plans
-    "sim_topk_ivf_kmeans")
+    "sim_topk_ivf_kmeans",
+    // the scalar min-token-mass crosses as a broadcast 1-row nested loop
+    // before the per-stratum rate table joins back broadcast-hash
+    "sample_token_budget")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets

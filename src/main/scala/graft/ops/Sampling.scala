@@ -70,7 +70,39 @@ object Sampling {
     df.where(sampleBucket(idCol) < rate)
   }
 
+  /** Token-budget domain mixing: downsample every stratum (source/domain)
+    * to the SMALLEST stratum's token mass — the corpus-mixing op behind
+    * every "N% web, M% code, K% books" recipe, here with the equal-mass
+    * target so the rates derive from the data alone. Keep rate per
+    * stratum = min(1000, ⌊1000·min_total/total⌋) per-mille, applied via
+    * the decorrelated [[sampleBucket]] hash — all integer arithmetic, so
+    * the kept set is engine-reproducible exactly.
+    *
+    * Scale: one partial+final aggregate over (stratum → token total) —
+    * |strata| rows — then the rate table joins back BROADCAST and the keep
+    * decision is a map-side filter. The scalar min crosses as a broadcast
+    * 1-row nested loop (allowlisted by name in PlanAudit, the same pattern
+    * as the ANN scalar thresholds). Token mass, not doc count, is the
+    * budgeted unit — doc-count balancing misallocates when domains have
+    * different document lengths. */
+  def tokenBudgetSample(docs: DataFrame, strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val withTok = docs.withColumn("n_tok", size(toks).cast("long"))
+    val totals = withTok.groupBy(strataCol).agg(sum("n_tok").as("total"))
+    val rates = totals
+      .crossJoin(broadcast(totals.agg(min(col("total")).as("min_total"))))
+      .select(col(strataCol),
+        least(lit(1000L), expr("min_total * 1000 DIV total")).as("rate"))
+    withTok.join(broadcast(rates), strataCol)
+      .where(sampleBucket(idCol) < col("rate"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sample_token_budget" -> ((s, d) =>
+      tokenBudgetSample(Tables.load(s, d, "documents"))
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")),
     "sample_split" -> ((s, d) =>
       deterministicSplit(Tables.load(s, d, "documents"))
         .select("doc_id", "split")
@@ -86,6 +118,21 @@ object Sampling {
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    "sample_token_budget" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total
+        |        FROM tok GROUP BY source),
+        |r AS (SELECT source,
+        |             least(1000, (SELECT MIN(total) FROM tot) * 1000 // total) AS rate
+        |      FROM tot)
+        |SELECT t.doc_id, t.source, t.n_tok
+        |FROM tok t JOIN r USING (source)
+        |WHERE ((t.doc_id % 1000003) * 2246822519) % 1000 < r.rate
+        |ORDER BY t.doc_id""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |       CASE WHEN b < 800 THEN 'train'

@@ -41,9 +41,12 @@ object Search {
   def keywordTopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // the token stream is lowercased, so the probe set must be too — a
+    // mixed-case query term would otherwise silently match nothing
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val postings = docs
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
-      .where(col("term").isInCollection(queryTerms))
+      .where(col("term").isInCollection(terms))
     val tf = postings.groupBy(idCol, "term").agg(count("*").as("tf"))
     val df = tf.groupBy("term").agg(count("*").as("df")) // docs containing term
     tf.join(broadcast(df), "term")

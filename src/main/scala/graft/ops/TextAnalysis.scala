@@ -212,7 +212,50 @@ object TextAnalysis {
     contamination(docs, benchmark)
   }
 
+  /** Repetition quality metrics (the Gopher/MassiveText filter family):
+    * duplicate-token mass and most-frequent-bigram dominance per document.
+    * Everything stays in EXACT integer counts — the thresholds compare
+    * cross-multiplied integers (`100·top > 18·total`), never a float
+    * ratio, so any engine agrees bit-for-bit.
+    *
+    * 100 TB shape: token/distinct counts are map-side array expressions
+    * (no shuffle); the bigram dominance needs one partial+final count on
+    * exploded (doc, gram) pairs and a bounded per-doc max — shuffle volume
+    * is the corpus token stream, linear, text itself never shuffled (grams
+    * travel as strings only after the per-doc-and-gram partial count
+    * collapses repeats map-side). */
+  def repetitionMetrics(docs: DataFrame,
+      topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = docs.select(
+      col("doc_id"), toks.as("t"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+    val bigrams = base
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+    base.select("doc_id", "n_tokens", "n_distinct_tokens")
+      .join(bigrams, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("n_tokens") > 0 && (
+          coalesce(col("top_bigram_n"), lit(0L)) * 100 >
+            coalesce(col("n_bigrams"), lit(0L)) * topBigramPctMax ||
+          (col("n_tokens") - col("n_distinct_tokens")) * 100 >
+            col("n_tokens") * dupTokenPctMax)).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_repetition" -> ((s, d) =>
+      repetitionMetrics(Tables.load(s, d, "documents"))),
     "text_contamination" -> ((s, d) => contaminationEntry(s, d)),
     "text_pii_scrub" -> ((s, d) => piiEntry(s, d)),
     "text_tokens" -> ((s, d) => tokenCounts(Tables.load(s, d, "documents"))),
@@ -252,6 +295,35 @@ object TextAnalysis {
   /** DuckDB oracles for every entry — text_fingerprint's winnowing +
     * XXH64 digest is emulated in HUGEINT arithmetic (HashOracleSql). */
   val oracle: Seq[(String, String)] = Seq(
+    // same tokenization as text_chunk's oracle; the bigram at 1-based
+    // token position i is t[i] || ' ' || t[i+1], thresholds compared as
+    // cross-multiplied integers exactly like the engine
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, t, len(t) AS n_tokens,
+        |         len(list_distinct(t)) AS n_distinct_tokens
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '\s+'),
+        |                           x -> length(x) > 0) AS t
+        |        FROM documents)),
+        |bi AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM base WHERE len(t) >= 2)),
+        |bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY doc_id, gram),
+        |top AS (SELECT doc_id, MAX(c) AS top_bigram_n,
+        |               SUM(c) AS n_bigrams FROM bc GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(b.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+        |       CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |       CAST(COALESCE(top.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       b.n_tokens > 0 AND
+        |         (COALESCE(top.top_bigram_n, 0) * 100 > COALESCE(top.n_bigrams, 0) * 18
+        |          OR (b.n_tokens - b.n_distinct_tokens) * 100 > b.n_tokens * 30)
+        |         AS is_repetitive
+        |FROM base b LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_contamination" -> HashOracleSql.contamination,
     // DuckDB string literals do NOT process backslashes, so the Scala
     // pattern text embeds verbatim; 'g' makes regexp_replace global like

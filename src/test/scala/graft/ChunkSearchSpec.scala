@@ -188,6 +188,61 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(differing > 0)
   }
 
+  test("repetitionMetrics counts duplicate mass and bigram dominance exactly") {
+    import graft.ops.TextAnalysis
+    val d = docs(
+      1L -> "a b a b a b",  // bigrams: "a b"×3, "b a"×2 → top 3 of 5
+      2L -> (0 until 12).map(i => s"t$i").mkString(" "), // 12 distinct
+      3L -> "solo",         // one token: no bigrams
+      4L -> "")             // empty: zero everything, not repetitive
+    val got = TextAnalysis.repetitionMetrics(d)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got === Array(
+      // 3·100 > 5·18 → repetitive; dup tokens (6−2)·100 > 6·30 too
+      (1L, 6L, 2L, 3L, 5L, true),
+      // 1·100 > 11·18 is false (a SHORT distinct doc would flag — 1 of 3
+      // bigrams is 33% dominance; length gating is the filter pipeline's
+      // job, this op reports the counts)
+      (2L, 12L, 12L, 1L, 11L, false),
+      // single token: 1·100 > 1·30 is false; no bigrams
+      (3L, 1L, 1L, 0L, 0L, false),
+      (4L, 0L, 0L, 0L, 0L, false)))
+  }
+
+  test("repetitionMetrics boundary: threshold compares are strict") {
+    import graft.ops.TextAnalysis
+    // exactly 18% top bigram: 100·top == 18·total must NOT flag
+    // (50 bigrams, top one 9 times → 9·100 = 50·18)
+    val text = ((0 until 9).map(_ => "p q") ++ (0 until 33).map(i => s"u$i"))
+      .mkString(" ")
+    val n = text.split(" ").length
+    val got = TextAnalysis.repetitionMetrics(docs(1L -> text), dupTokenPctMax = 1000)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got(0)._2 === n.toLong && got(0)._5 === (n - 1).toLong)
+    assert(got(0)._4 === 9L, s"top bigram miscounted: ${got(0)}")
+    assert((got(0)._4 * 100 > got(0)._5 * 18) === got(0)._6)
+  }
+
+  test("tokenBudgetSample equalizes token mass across strata within quantization") {
+    import graft.ops.Sampling
+    // stratum A has ~4x the token mass of B → A keeps ~25%, B keeps all
+    val d = (1L to 200L).map(i => (i, "t " * 20, "A")) ++
+      (201L to 250L).map(i => (i, "t " * 20, "B"))
+    val df = d.toDF("doc_id", "text", "source")
+    val kept = Sampling.tokenBudgetSample(df)
+    val mass = kept.groupBy("source").agg(sum("n_tok").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(mass("B") === 50L * 20)
+    // A's kept mass ≈ B's total: within the per-mille quantization plus
+    // hash-bucket variance at 200 docs (binomial σ ≈ 6 docs)
+    assert(math.abs(mass("A") - mass("B")) <= 200L,
+      s"token mass not equalized: $mass")
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudgetSample(df.repartition(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("stratifiedSample rejects out-of-range rates") {
     val d = docs(1L -> "x").withColumn("lang", lit("en"))
     intercept[IllegalArgumentException] {
