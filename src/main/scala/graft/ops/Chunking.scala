@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * [[TextAnalysis]]/[[Curation]].)
   *
   * Semantics (deterministic, engine-reproducible):
-  *  - tokens are the whitespace-split words of `trim(text)` — the same
-  *    tokenization [[TextAnalysis]] counts;
+  *  - tokens are the whitespace-run-split words of the text with empty
+  *    strings filtered (see [[toks]]);
   *  - window starts at token offsets 0, stride, 2·stride, … while the
   *    offset is inside the document, so consecutive chunks overlap by
   *    (chunk − stride) tokens and the final chunk may be short (tail
