@@ -135,6 +135,30 @@ class Round11StressSpec extends AnyFunSuite {
       s"chunking shuffled rows ($sh1 / $sh10) — the map-side-only plan regressed")
   }
 
+  test("repetition metrics: 10x id-shifted corpus -> exactly 10x rows, ~10x gram shuffle") {
+    // metrics are per-document, so id-shifted exact copies must yield
+    // identical per-copy results; the only shuffle is the (doc, gram)
+    // partial+final count — linear in the token stream
+    def copyI(i: Int): DataFrame = baseDocs.select(
+      (col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text"))
+    val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
+    val sh1 = PlanAudit.measureShuffle(spark) {
+      graft.ops.TextAnalysis.repetitionMetrics(copyI(0))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sh10 = PlanAudit.measureShuffle(spark) {
+      graft.ops.TextAnalysis.repetitionMetrics(tenX)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val rows1 = graft.ops.TextAnalysis.repetitionMetrics(copyI(0)).count()
+    val rows10 = graft.ops.TextAnalysis.repetitionMetrics(tenX).count()
+    val ratio = sh10.toDouble / sh1
+    info(f"rows: 1x=$rows1 10x=$rows10; shuffle rows: 1x=$sh1 10x=$sh10 ratio=$ratio%.2f")
+    assert(rows10 == 10 * rows1, s"per-doc metrics must grow exactly 10x: $rows1 -> $rows10")
+    assert(ratio <= 13.0,
+      f"repetition shuffle grew $ratio%.1fx at 10x data — gram counting went super-linear")
+  }
+
   test("keyword search: 10x corpus -> ~10x postings shuffle, output stays k") {
     // the exploded token stream is filtered to query-term postings before
     // any exchange, so shuffle volume tracks matching postings (linear),
