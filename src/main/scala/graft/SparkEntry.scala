@@ -23,6 +23,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.entries ++
       graft.ops.Chunking.entries ++
       graft.ops.Search.entries ++
+      graft.ops.Profile.entries ++
       graft.ops.Sampling.entries ++
       graft.ops.Curation.entries ++
       graft.ops.Multimodal.entries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Chunking.oracle ++
       graft.ops.Search.oracle ++
+      graft.ops.Profile.oracle ++
       graft.ops.Sampling.oracle ++
       graft.ops.Curation.oracle ++
       graft.ops.Multimodal.oracle ++

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the ANALYZE-style statistics pass every pipeline
+  * runs before trusting a new dataset: per-column row/null/distinct
+  * counts and value bounds, in long format (one row per column). The
+  * reference's catalog surfaces only type metadata from
+  * `information_schema` (`src/sqldb/postgres/mod.rs:99-104`); this adds
+  * the data-derived statistics tier the optimizer and the data engineer
+  * both read (the same numbers `GraftCatalog`'s broadcast-sizing
+  * consumes as table-level row counts).
+  *
+  * Scale shape: ONE scan, two bounded aggregates. Each row explodes
+  * map-side into one (column-id, typed value slot) record per profiled
+  * column — values stay in a slot of their OWN type (one slot per
+  * distinct column type), so min/max order natively, never
+  * lexicographically. The first aggregate hash-counts (column, value)
+  * combos (count-only buffer → HashAggregate, partial+final; the shuffle
+  * carries distinct values per column, not rows); the second reduces
+  * those ~Σ|distinct| combos to one row per column: n_distinct is a row
+  * count, n_not_null a sum of combo counts — exact COUNT(DISTINCT)
+  * without ever mixing distinct and plain aggregates in one Expand (that
+  * mixed plan degenerates to a SortAggregate over the expanded rows —
+  * measured 5× slower at sf0.1). At 100 TB the drop-in knob is
+  * `approx_count_distinct` (HLL, no expansion at all); the exact form is
+  * kept here because the oracle must agree to the digit. Bounds render
+  * `CAST(… AS STRING)` AFTER aggregation so heterogeneous columns share
+  * one output schema.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val types = cols.map(c => df.schema(c).dataType)
+    val slotTypes = types.distinct
+    val slotNames = slotTypes.indices.map(j => s"v$j")
+    // one struct per profiled column: its value in its type's slot, the
+    // other slots null — array+explode is the map-side Expand
+    val records = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("gid") +: slotTypes.zipWithIndex.map { case (t, j) =>
+        (if (types(i) == t) col(c) else lit(null).cast(t)).as(s"v$j")
+      }: _*)
+    }
+    val combos = df
+      .select(explode(array(records: _*)).as("e"))
+      .select(col("e.gid").as("gid") +: slotNames.map(n => col(s"e.$n").as(n)): _*)
+      .groupBy(col("gid") +: slotNames.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val isNullRec = slotNames.map(col(_).isNull).reduce(_ && _)
+    val perCol = combos
+      .groupBy("gid")
+      .agg(
+        sum("cnt").as("n_rows"),
+        sum(when(isNullRec, 0L).otherwise(col("cnt"))).as("n_not_null"),
+        count(when(!isNullRec, 1)).as("n_distinct"),
+        coalesce(slotTypes.indices.map(j =>
+          min(col(s"v$j")).cast("string")): _*).as("min_value"),
+        coalesce(slotTypes.indices.map(j =>
+          max(col(s"v$j")).cast("string")): _*).as("max_value"))
+    val nameOf = element_at(
+      array(cols.map(lit): _*), col("gid") + 1)
+    perCol.select(
+      nameOf.as("column_name"), col("n_rows"), col("n_not_null"),
+      (col("n_rows") - col("n_not_null")).as("n_null"),
+      col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy("column_name")
+  }
+
+  private val LineitemCols =
+    Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "table_profile" -> ((s, d) =>
+      profile(Tables.load(s, d, "lineitem"), LineitemCols)),
+  )
+
+  val oracle: Seq[(String, String)] = Seq(
+    // one SELECT per column (the oracle can afford N scans; the engine
+    // must not) — same CAST-after-aggregate rendering
+    "table_profile" -> LineitemCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+         |       COUNT($c) AS n_not_null,
+         |       (SELECT COUNT(*) FROM lineitem) - COUNT($c) AS n_null,
+         |       COUNT(DISTINCT $c) AS n_distinct,
+         |       CAST(MIN($c) AS VARCHAR) AS min_value,
+         |       CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+  )
+}

@@ -243,6 +243,27 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(again === kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("profile computes exact per-column statistics in one scan") {
+    import graft.ops.Profile
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val d = Seq((1L, "a", Some(1.5)), (2L, "b", None), (3L, "a", Some(-2.0)))
+      .toDF("id", "s", "v")
+    val got = Profile.profile(d, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
+    assert(got === Array(
+      ("id", 3L, 3L, 0L, 3L, "1", "3"),
+      ("s", 3L, 3L, 0L, 2L, "a", "b"),
+      ("v", 3L, 2L, 1L, 2L, "-2.0", "1.5")))
+    // one scan: the profiled parquet table is read exactly once
+    val p = Profile.profile(
+      Tables.load(spark, TestSpark.Sf0001, "lineitem"),
+      Seq("l_orderkey", "l_quantity"))
+    p.collect()
+    val scans = finalNodes(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1,
+      s"profile must scan once, found ${scans.size}:\n${p.queryExecution.executedPlan}")
+  }
+
   test("stratifiedSample rejects out-of-range rates") {
     val d = docs(1L -> "x").withColumn("lang", lit("en"))
     intercept[IllegalArgumentException] {
