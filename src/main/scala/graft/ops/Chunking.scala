@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *    on; the row count is the pipeline's own accounting signal).
   *
   * Scale: one map-side projection + `posexplode` — NO shuffle anywhere.
+  * Per-document memory is O(document tokens) (the token array is
+  * materialized once per row) — the bound shared by any whole-document
+  * tokenizer; pathological single documents beyond executor memory need
+  * a byte-range pre-split upstream, not a different chunker.
   * Output volume is Σ ceil(tokens/stride) rows ≈ (1/stride + overlap
   * factor) × corpus tokens, linear in the corpus; at 100 TB this is a
   * streaming pass whose parallelism is the scan's. The token array is
