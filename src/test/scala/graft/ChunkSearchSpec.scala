@@ -135,6 +135,50 @@ class ChunkSearchSpec extends AnyFunSuite {
       s"top-k must plan as TakeOrderedAndProject:\n${q.queryExecution.executedPlan}")
   }
 
+  test("chunk matches an in-memory reference on random corpora") {
+    // oracle-independent guard: for seeded random corpora and several
+    // (window, stride) shapes, the distributed chunker must equal a
+    // straight-line Scala sliding window
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val corpus = (1L to 60L).map { id =>
+      id -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for ((c, s) <- Seq((4, 3), (5, 5), (3, 1), (2, 7))) {
+      val got = Chunking.chunk(docs(corpus: _*), chunkTokens = c, stride = s)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = corpus.flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        (0 until t.length by s).zipWithIndex.map { case (start, ci) =>
+          (id, ci.toLong, start.toLong, math.min(c, t.length - start).toLong,
+            t.slice(start, start + c).mkString(" "))
+        }
+      }.toSet
+      assert(got === want, s"chunk($c, $s) diverged from the reference")
+    }
+  }
+
+  test("keywordTopK matches an in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff")
+    val corpus = (1L to 80L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val terms = Seq("a", "ccc", "ff")
+    val got = Search.keywordTopK(docs(corpus: _*), terms, k = 25)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val tf = corpus.map { case (id, text) =>
+      id -> terms.map(t => t -> text.split("\\s+").count(_ == t).toLong)
+        .filter(_._2 > 0).toMap
+    }.filter(_._2.nonEmpty)
+    val df_ = terms.map(t => t -> tf.count(_._2.contains(t)).toLong).toMap
+    val want = tf.map { case (id, m) =>
+      (id, m.map { case (t, f) => f * (1000000L / (df_(t) + 1)) }.sum,
+        m.values.sum, m.size.toLong)
+    }.sortBy { case (id, score, _, _) => (-score, id) }.take(25)
+    assert(got === want)
+  }
+
   // ---- curated chunk output ----------------------------------------
 
   test("curateToChunks emits windows for exactly the kept train documents") {
