@@ -97,6 +97,29 @@ class PgWireProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("copyFetch: nested types (2-D array, record) survive wire fragmentation") {
+    // the newest codec arms driven through the production socket path:
+    // multi-byte nested payloads split across the server's deliberately
+    // tiny CopyData frames must reassemble into the exact nested rows
+    withServer { (server, url) =>
+      val nested = StructType(Seq(
+        StructField("id", LongType),
+        StructField("grid", ArrayType(ArrayType(LongType))),
+        StructField("r", StructType(Seq(
+          StructField("a", IntegerType),
+          StructField("tags", ArrayType(StringType)))))))
+      val nrows = Seq(
+        Row(1L, Seq(Seq(1L, 2L, 3L), Seq(4L, null, 6L)), Row(7, Seq("x", "naïve ✓"))),
+        Row(2L, Seq.empty, Row(null, Seq.empty)),
+        Row(3L, null, null))
+      val innerSql = """SELECT "id", "grid", "r" FROM "t""""
+      server.copyOut.put(s"COPY ($innerSql) TO STDOUT (FORMAT BINARY)",
+        PgCopyEncoder.bytes(nrows, nested))
+      val got = JdbcTaskConnection(url).fetch(0L, innerSql, nested).toSeq
+      assert(got === nrows)
+    }
+  }
+
   test("MERGE upsert choreography on the wire: stage via COPY, publish in one transaction") {
     // the stage-then-merge pattern end-to-end: staging table created from
     // the target, task lands rows through the binary COPY channel inside
