@@ -159,6 +159,64 @@ class Round11StressSpec extends AnyFunSuite {
       f"repetition shuffle grew $ratio%.1fx at 10x data — gram counting went super-linear")
   }
 
+  test("table profile: shuffle carries per-partition distincts, a fraction of the row stream") {
+    // the profile shuffle carries each partition's DISTINCT (column,
+    // value) combos — duplicated partitions each re-ship their own
+    // distinct set (ratio tracks partition count, i.e. linear), but the
+    // volume must stay a small fraction of the exploded row stream
+    // (cols × rows) at every scale, or partial aggregation stopped
+    // collapsing repeats
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    val base = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val tenX = (0 until 10).map(_ => base).reduce(_ unionByName _)
+    val rows1 = base.count()
+    val sh1 = PlanAudit.measureShuffle(spark) {
+      graft.ops.Profile.profile(base, cols)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sh10 = PlanAudit.measureShuffle(spark) {
+      graft.ops.Profile.profile(tenX, cols)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val outRows = graft.ops.Profile.profile(tenX, cols).count()
+    val ratio = sh10.toDouble / sh1
+    info(f"shuffle rows: 1x=$sh1 10x=$sh10 ratio=$ratio%.2f " +
+      f"(exploded stream 10x = ${10 * rows1 * cols.size})")
+    assert(outRows === cols.size.toLong)
+    assert(ratio <= 13.0, f"profile shuffle grew $ratio%.1fx — super-linear")
+    assert(sh10 <= (10 * rows1 * cols.size) / 5,
+      s"shuffle $sh10 is not a small fraction of the exploded stream — " +
+        "map-side partial aggregation stopped collapsing repeats")
+  }
+
+  test("token-budget sampling: shuffle is partials x strata, never document rows") {
+    // the only exchanges carry per-partition per-stratum partial totals
+    // and the scalar min — bounded by partitions × |strata|, independent
+    // of how many documents each partition holds
+    def copyI(i: Int): DataFrame = Tables.load(
+      spark, "/root/testdata/sf0.01", "documents")
+      .select((col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        col("text"), col("source"))
+    val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
+    val docs10 = tenX.count()
+    val parts10 = tenX.rdd.getNumPartitions.toLong
+    val sh1 = PlanAudit.measureShuffle(spark) {
+      graft.ops.Sampling.tokenBudgetSample(copyI(0))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sh10 = PlanAudit.measureShuffle(spark) {
+      graft.ops.Sampling.tokenBudgetSample(tenX)
+        .write.format("noop").mode("overwrite").save()
+    }
+    info(s"shuffle rows: 1x=$sh1 10x=$sh10 (docs=$docs10, partitions=$parts10)")
+    // measured ~41 partial/agg rows per input partition (strata partials
+    // across the two aggregates) — the bound is per-PARTITION, with slack
+    assert(sh10 <= parts10 * 60 + 100,
+      s"token-budget shuffle $sh10 exceeds the per-partition partials bound")
+    assert(sh10 < docs10 / 10,
+      s"token-budget shuffle $sh10 tracks document rows ($docs10) — keep filter not map-side")
+  }
+
   test("keyword search: 10x corpus -> ~10x postings shuffle, output stays k") {
     // the exploded token stream is filtered to query-term postings before
     // any exchange, so shuffle volume tracks matching postings (linear),
