@@ -75,9 +75,71 @@ object Chunking {
           .as("chunk_text")): _*)
   }
 
+  /** Sequence packing: assign every chunk to a fixed-capacity training
+    * sequence by GLOBAL token offset — `seq_id = ⌊tokens-before/capacity⌋`
+    * over the canonical (doc_id, chunk_id) order, `seq_offset` the
+    * position inside its sequence. This is offset packing (each sequence
+    * holds ~capacity tokens; a chunk starting near the boundary may run
+    * past it), the deterministic rule a SQL window can mirror exactly —
+    * greedy first-fit bin packing is order-history-dependent and
+    * irreproducible across engines.
+    *
+    * Scale: the global running sum uses the two-phase zipWithIndex
+    * pattern, NOT a single-partition window (the plan Spark gives an
+    * un-partitioned `SUM OVER (ORDER BY …)` funnels the corpus through
+    * one task): range-repartition + in-partition sort gives the global
+    * order; pass 1 reduces each partition to ONE token subtotal
+    * (collected: |partitions| longs — bounded driver state); pass 2
+    * streams each partition with its broadcast prefix offset. The sorted
+    * input is persisted between the passes, so the explode/sort runs
+    * once. Output is invariant to where the range boundaries fall — the
+    * running sum depends only on the global order, so the range
+    * partitioner's sampled bounds cannot perturb results. */
+  def packChunks(chunks: DataFrame, capacity: Int = 4096): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = chunks.sparkSession
+    val keys = Seq(col("doc_id"), col("chunk_id"))
+    val sorted = chunks
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = sorted.schema
+    val tokAt = schema.fieldIndex("chunk_tokens")
+    // pass 1: one subtotal per partition
+    val subtotals = sorted.queryExecution.toRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(tokAt))
+        Iterator.single(i -> s)
+      }.collect().sortBy(_._1).map(_._2)
+    val prefixes = subtotals.scanLeft(0L)(_ + _)
+    val prefixB = spark.sparkContext.broadcast(prefixes)
+    val cap = capacity.toLong
+    // pass 2: stream with the partition's starting offset
+    val packed = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = prefixB.value(i)
+      it.map { r =>
+        val t = r.getLong(tokAt)
+        val out = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(),
+          org.apache.spark.sql.catalyst.InternalRow(cum / cap, cum % cap))
+        cum += t
+        out: org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("seq_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_offset", org.apache.spark.sql.types.LongType, nullable = false)))
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, packed, outSchema)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_chunk" -> ((s, d) =>
       chunk(Tables.load(s, d, "documents"))
+        .orderBy("doc_id", "chunk_id")),
+    "chunk_pack" -> ((s, d) =>
+      packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
+        .select("doc_id", "chunk_id", "chunk_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")),
   )
 
@@ -99,5 +161,30 @@ object Chunking {
         |            FROM documents)
         |      WHERE len(t) > 0)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // the oracle can afford the single-partition window the engine's
+    // two-phase prefix-sum avoids: tokens-before over the same canonical
+    // order, then the same integer div/mod
+    "chunk_pack" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         CAST(s // 24 AS BIGINT) AS chunk_id,
+        |         CAST(least(32, n - s) AS BIGINT) AS chunk_tokens
+        |  FROM (SELECT doc_id, t, len(t) AS n,
+        |               unnest(generate_series(0, len(t) - 1, 24)) AS s
+        |        FROM (SELECT doc_id,
+        |                     list_filter(string_split_regex(text, '\s+'),
+        |                                 x -> length(x) > 0) AS t
+        |              FROM documents)
+        |        WHERE len(t) > 0)),
+        |w AS (
+        |  SELECT doc_id, chunk_id, chunk_tokens,
+        |         COALESCE(SUM(chunk_tokens) OVER (
+        |           ORDER BY doc_id, chunk_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM ch)
+        |SELECT doc_id, chunk_id, chunk_tokens,
+        |       CAST(cb // 256 AS BIGINT) AS seq_id,
+        |       CAST(cb % 256 AS BIGINT) AS seq_offset
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

@@ -179,6 +179,49 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("packChunks matches the single-partition window formulation") {
+    // the two-phase prefix sum must equal the window SQL the oracle runs
+    // — computed here via Spark's own window over the same canonical
+    // order (acceptable at test scale, the exact plan packChunks avoids)
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Chunking.chunk(
+      Tables.load(spark, TestSpark.Sf0001, "documents"))
+    val got = Chunking.packChunks(chunks, capacity = 100)
+      .select("doc_id", "chunk_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = chunks
+      .withColumn("cb", coalesce(sum("chunk_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("cb") / 100).cast("long").as("seq_id"),
+        (col("cb") % 100).as("seq_offset"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("packChunks invariants: offsets advance by tokens, sequences near capacity") {
+    val chunks = Chunking.chunk(
+      Tables.load(spark, TestSpark.Sf0001, "documents"))
+    val packed = Chunking.packChunks(chunks, capacity = 100)
+    // every sequence except the last holds ≥ capacity − max_chunk + 1
+    // tokens under offset packing (a new sequence starts only once the
+    // previous crossed its boundary)
+    val per = packed.groupBy("seq_id").agg(sum("chunk_tokens").as("toks"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    val maxChunk = 32
+    per.dropRight(1).foreach { case (sid, toks) =>
+      assert(toks >= 100 - maxChunk + 1,
+        s"sequence $sid underfilled with $toks tokens")
+    }
+    // offsets are always inside the capacity
+    assert(packed.where(col("seq_offset") >= 100 or col("seq_offset") < 0)
+      .count() === 0)
+    // total token conservation
+    val total = chunks.agg(sum("chunk_tokens")).as[Long].head()
+    assert(packed.agg(sum("chunk_tokens")).as[Long].head() === total)
+  }
+
   // ---- curated chunk output ----------------------------------------
 
   test("curateToChunks emits windows for exactly the kept train documents") {
