@@ -26,6 +26,25 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int = 3): Column =
     c(WordShingleHashes(e(text), n))
 
+  /** Distributed Bloom-filter build over a LongType column — Spark's own
+    * `BloomFilterAggregate` (the runtime-filter machinery behind
+    * InjectRuntimeFilter), planned partial+final like any aggregate: each
+    * task ORs into a local sketch, partials merge by bitwise OR, and only
+    * the final `numBits/8`-byte sketch ever reaches the driver. */
+  def bloom_agg(items: Column, expectedItems: Long, numBits: Long): Column =
+    c(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      e(items),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
+  /** Bloom membership probe (`BloomFilterMightContain`): no false
+    * negatives, false positives at the sketch's configured rate. Spark
+    * requires `bloom` to be foldable or a scalar subquery — pass
+    * `bloomDf.scalar()` (Spark 4's subquery Column API). */
+  def might_contain(bloom: Column, item: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      e(bloom), e(item)))
+
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   import org.apache.spark.sql.types.{IntegerType, LongType}
 

@@ -62,6 +62,26 @@ object Dedup {
     docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(perturbed)
   }
 
+  /** (doc_id, sig) → one row per LSH band, keyed by xxhash64 of the band's
+    * signature slice; the banding used by [[minHashPairs]] and the
+    * persisted incremental index ([[buildMinhashIndex]]/[[probeMinhashIndex]]
+    * MUST band identically or probes would miss snapshot candidates). */
+  private def bandKeys(sigs: DataFrame, bands: Int): DataFrame = {
+    val rows = 64 / bands
+    sigs.select(
+      col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** (doc_id, text) → (doc_id, sig): the 64-slot MinHash signature used by
+    * the pair pipeline and the incremental index. */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    shingleHashes(docs)
+      .withColumn("sig", minhash_sig(col("shingles")))
+      .filter(col("sig").isNotNull)
+      .select("doc_id", "sig")
+
   /** MinHash + LSH banding near-dup pairs.
     * numHashes=64 split into `bands` bands of 64/bands rows; two documents
     * become candidates iff some band agrees (bucket join on (band, hash));
@@ -73,21 +93,14 @@ object Dedup {
     // make every band hash the empty slice — i.e. a full cross join
     require(bands > 0 && numHashes % bands == 0,
       s"bands must divide $numHashes, got $bands")
-    val rows = numHashes / bands
-    val sigs = shingleHashes(docs)
-      .withColumn("sig", minhash_sig(col("shingles")))
-      .filter(col("sig").isNotNull)
-      .select("doc_id", "sig")
+    val sigs = minhashSigs(docs)
       // consumed 3× (banding + two pair join-backs): persist the compact
       // (id, 64-long sig) rows instead of re-running the text hashing
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate generation carries only (doc_id, band, band_hash) through
     // the shuffle — signatures join back in AFTER pair dedup, so the wide
     // sig arrays are never part of the self-join payload
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "band_hash")))
+    val banded = bandKeys(sigs, bands)
     val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
@@ -264,6 +277,141 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental EXACT dedup: the rows of `newBatch` whose content does not
+    * already exist in `snapshot` (a prior corpus) — the production shape
+    * for continuous ingestion, where each new crawl is deduped against a
+    * 100 TB corpus WITHOUT reshuffling that corpus.
+    *
+    * Scale design: a Bloom filter over the snapshot's 64-bit content
+    * hashes is built fully distributed (partial sketches OR-merge; only
+    * the final `numBits/8`-byte sketch crosses to the driver, like the
+    * ANN centroid sets) and re-enters the plan as a scalar subquery, so
+    * the probe is a map-side codegen'd filter over the new batch. Rows
+    * the Bloom rejects are DEFINITELY new (no false negatives) and bypass
+    * every exchange; only the suspects — true re-crawls plus the fp-rate
+    * sliver of fresh rows — enter the exact confirm anti-join on a
+    * 256-bit content hash. The anti-join's left side shrinks from |batch|
+    * to |dups| + fpp·|batch|; its right side is the snapshot HASH column
+    * only (32 bytes/row, never document text), which a production
+    * deployment keeps as a hash index bucketed by `__h` (Layout
+    * .ensureBucketed) so the confirm join co-locates without a snapshot
+    * shuffle. Exactness does not depend on the sketch: a clamped/undersized
+    * bloom only sends more rows to the exact confirm.
+    *
+    * The batch is scanned twice (both sides of the suspect split) — map
+    * side only; the alternative, nulling the join key for bloom-negative
+    * rows inside ONE anti-join, would funnel every bypass row through the
+    * null partition of the exchange (the exact skew this op exists to
+    * avoid). */
+  def incremental(newBatch: DataFrame, snapshot: DataFrame,
+      expectedSnapshotItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_agg, might_contain}
+    val bloom = snapshot.agg(bloom_agg(xxhash64(col("text")),
+      expectedSnapshotItems, optimalBits(expectedSnapshotItems, fpp)).as("bf"))
+    suspectSplitDedup(newBatch, snapshot,
+      might_contain(bloom.scalar(), xxhash64(col("text"))))
+  }
+
+  /** optimal bits for the target fp rate: n·ln(1/p)/ln²2. Spark clamps to
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumBits internally — a
+    * clamp raises the realized fp rate (more exact-confirm traffic),
+    * never affects the result. */
+  private def optimalBits(items: Long, fpp: Double): Long =
+    math.max(64L, math.ceil(items *
+      math.log(1.0 / fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+
+  /** The suspect-split plan shared by batch and streaming incremental
+    * dedup: bloom-negatives bypass every exchange, suspects enter the
+    * exact 256-bit-hash anti-join. */
+  private[graft] def suspectSplitDedup(newBatch: DataFrame, snapshot: DataFrame,
+      suspectProbe: org.apache.spark.sql.Column): DataFrame = {
+    val probed = newBatch.withColumn("__suspect", suspectProbe)
+    val bypass = probed.filter(!col("__suspect")).drop("__suspect")
+    val confirmed = probed.filter(col("__suspect")).drop("__suspect")
+      .withColumn("__h", sha2(col("text"), 256))
+      .join(snapshot.select(sha2(col("text"), 256).as("__h")), Seq("__h"), "left_anti")
+      .drop("__h")
+    bypass.unionByName(confirmed)
+  }
+
+  /** Materialize the snapshot bloom as bytes — for plans that cannot carry
+    * a scalar subquery (a streaming micro-batch re-plans per batch; the
+    * sketch must be a foldable literal there). Same distributed
+    * partial+final build; only the final sketch is collected — a bounded
+    * driver materialization like the ANN centroid sets. */
+  def snapshotBloomBytes(snapshot: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Array[Byte] = {
+    import graft.functions.GraftFunctions.bloom_agg
+    snapshot.agg(bloom_agg(xxhash64(col("text")),
+        expectedItems, optimalBits(expectedItems, fpp)))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Persisted MinHash near-dup index over a corpus snapshot — the
+    * incremental counterpart of [[minHashPairs]]: build once over the
+    * corpus, then probe each new crawl against the stored bands without
+    * re-signaturing (or even reading) the corpus text. Layout:
+    * `dir/sigs` = (doc_id, sig: array<long>) and `dir/bands` =
+    * (doc_id, band, band_hash). At 100 TB the bands table is the
+    * candidate-join side — keep it bucketed by (band, band_hash)
+    * (Layout.ensureBucketed) so probes co-locate; it holds `bands` longs
+    * per document, not signatures or text. */
+  def buildMinhashIndex(snapshot: DataFrame, dir: String, bands: Int = 16): Unit = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val sigs = minhashSigs(snapshot)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    bandKeys(sigs, bands).write.mode("overwrite").parquet(s"$dir/bands")
+    sigs.unpersist()
+  }
+
+  /** Probe a new batch against a stored MinHash index: banded bucket join
+    * against `dir/bands` (candidates only — the new batch's band keys are
+    * the ONLY corpus-side shuffle), then signature-agreement verification
+    * against `dir/sigs`. Same banding and estimator as [[minHashPairs]],
+    * so probing `new` against an index over `snap` returns exactly the
+    * cross-(snap, new) slice of `minHashPairs(snap ∪ new)`.
+    * Output: (snap_id, new_id, est_jaccard ≥ threshold). */
+  def probeMinhashIndex(newBatch: DataFrame, dir: String, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newBatch.sparkSession
+    val idxSigs = spark.read.parquet(s"$dir/sigs")
+    val idxBands = spark.read.parquet(s"$dir/bands")
+    val newSigs = minhashSigs(newBatch)
+      // consumed twice (banding + verification join-back)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandKeys(newSigs, bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
+      .join(idxBands.select(col("doc_id").as("snap_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("snap_id", "new_id")
+      .dropDuplicates("snap_id", "new_id")
+    cand
+      .join(idxSigs.select(col("doc_id").as("snap_id"), col("sig").as("sig_a")), Seq("snap_id"))
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_b")), Seq("new_id"))
+      .withColumn("est_jaccard", // CAST: bare `/ 64.0` would type as DECIMAL
+        expr("CAST(aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE) / 64"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("snap_id", "new_id", "est_jaccard")
+      .orderBy("snap_id", "new_id")
+  }
+
+  /** Fingerprinted idempotent index location for a testdata corpus: the
+    * name keys on the source parquet's (path, length, mtime), so a
+    * regenerated corpus gets a fresh index instead of silently probing a
+    * stale one (the round-9 failure class). */
+  def ensureMinhashIndex(spark: SparkSession, sfDir: String, bands: Int = 16): String =
+    synchronized {
+      val src = s"$sfDir/documents.parquet"
+      val fp = Integer.toHexString((sfDir + bands).hashCode) + "_" +
+        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+      val dir = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-mhidx"), s"documents_$fp")
+      if (!new java.io.File(dir, "bands/_SUCCESS").exists())
+        buildMinhashIndex(Tables.load(spark, sfDir, "documents"), dir.getPath, bands)
+      dir.getPath
+    }
+
   /** Connected components over near-dup pairs: assigns every document the
     * smallest doc_id reachable through pair edges (transitive closure), so
     * a chain a~b, b~c becomes one keep-group even when a~c was never
@@ -407,6 +555,31 @@ object Dedup {
     // oracle as the driver union-find shortcut (chains a→b→c must close
     // transitively in both)
     "dedup_groups_dist" -> groupsEntry(0L),
+    // Incremental ingestion: snapshot = the documents table; new crawl =
+    // every third document re-crawled verbatim (id+1M — must be dropped)
+    // plus the rest with genuinely new text (id+2M — must survive). The
+    // bloom prefilter is invisible to the oracle: semantics are the exact
+    // anti-join.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "lang")
+      val recrawl = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
+      val fresh = docs.filter(col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" incremental-crawl")).as("text"), col("lang"))
+      incremental(recrawl.unionAll(fresh), docs)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // Incremental near-dedup: probe a perturbed re-crawl (the planted
+    // near-dup perturbation, id+1M) against a PERSISTED MinHash index of
+    // the snapshot — index reuse, not corpus re-signaturing.
+    "dedup_incr_minhash" -> ((s, d) => {
+      val dir = ensureMinhashIndex(s, d)
+      val newBatch = Tables.load(s, d, "documents").select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
+      probeMinhashIndex(newBatch, dir)
+    }),
   )
 
   private def groupsEntry(threshold: Long)
@@ -498,6 +671,22 @@ object Dedup {
     // closure of the planted chains = min doc_id over identical text
     "dedup_groups" -> groupsOracle,
     "dedup_groups_dist" -> groupsOracle,
+    // the bloom prefilter is semantics-free: the oracle is the plain
+    // exact anti-join of the new crawl against the snapshot
+    "dedup_incremental" ->
+      """WITH newbatch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' incremental-crawl' AS text, lang
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |)
+        |SELECT doc_id, lang FROM newbatch
+        |ANTI JOIN documents USING (text)
+        |ORDER BY doc_id""".stripMargin,
+    // probing new against an index over snap ≡ the cross-(snap, new)
+    // slice of the full pair pipeline over snap ∪ new
+    "dedup_incr_minhash" -> HashOracleSql.incrMinhash,
   )
 
   /** Shared by both threshold branches: the oracle doesn't care which

@@ -182,6 +182,17 @@ object HashOracleSql {
        |SELECT doc_a, doc_b, est_jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dedup_incr_minhash: probing the perturbed re-crawl (ids +1M) against
+    * a stored index over the snapshot ≡ the cross-(snapshot, new) slice
+    * of the SAME pair chain over snapshot ∪ new — snapshot ids sit below
+    * 1M and new ids at/above it, so the slice is an id-range filter. */
+  lazy val incrMinhash: String =
+    s"""WITH docs2 AS ($planted),
+       |${minhashPairCtes("docs2")}
+       |SELECT doc_a AS snap_id, doc_b AS new_id, est_jaccard FROM pairs
+       |WHERE doc_a < 1000000 AND doc_b >= 1000000
+       |ORDER BY snap_id, new_id""".stripMargin
+
   /** text_contamination: the same n=3 shingle-hash emulation over both
     * the corpus and the fixture benchmark (30% prefixes of every 50th
     * document), then distinct-shared-shingle counts per document — the

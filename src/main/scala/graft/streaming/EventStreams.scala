@@ -370,6 +370,35 @@ object EventStreams {
       OutputMode.Append)
       .orderBy("doc_id", "chunk_id")
 
+  /** Streaming incremental dedup — the always-on ingest twin of the batch
+    * `dedup_incremental` entry: documents arriving as a file stream are
+    * deduped against a STATIC prior-corpus snapshot. The bloom sketch is
+    * built ONCE from the snapshot (distributed partial+final; only the
+    * sketch is collected) and enters the streaming plan as a foldable
+    * binary literal — a micro-batch re-plans per batch and cannot carry a
+    * scalar subquery — so the probe stays a map-side codegen'd filter in
+    * every batch; bloom-negatives bypass the stream-static anti-join
+    * entirely, and only suspects join the snapshot's 32-byte hash column.
+    * Same planted construction as the batch entry (every third document a
+    * verbatim re-crawl, the rest genuinely new), so the bounded replay
+    * shares its oracle and must equal the batch result exactly. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+    val bloom = graft.ops.Dedup.snapshotBloomBytes(snapshot)
+    val stream = documentStream(spark, dir).select("doc_id", "text", "lang")
+    val recrawl = stream.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
+    val fresh = stream.filter(col("doc_id") % 3 =!= 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" incremental-crawl")).as("text"), col("lang"))
+    val deduped = graft.ops.Dedup.suspectSplitDedup(
+      recrawl.unionByName(fresh), snapshot,
+      graft.functions.GraftFunctions.might_contain(lit(bloom), xxhash64(col("text"))))
+    runToTable(deduped, OutputMode.Append())
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
@@ -378,6 +407,7 @@ object EventStreams {
     "stream_dedup" -> ((s, d) => dedupKeys(s, d)),
     "stream_mv_rollup" -> ((s, d) => streamMvRollup(s, d)),
     "stream_chunk" -> ((s, d) => chunkDocuments(s, d)),
+    "stream_incr_dedup" -> ((s, d) => incrementalDedup(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -415,6 +445,11 @@ object EventStreams {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // bounded replay over the whole table = the batch construction, so the
+    // oracle IS the batch entry's (shared by reference — semantics drift
+    // would move both or neither)
+    "stream_incr_dedup" ->
+      graft.ops.Dedup.oracle.toMap.apply("dedup_incremental"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s
