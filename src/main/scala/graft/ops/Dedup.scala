@@ -412,6 +412,71 @@ object Dedup {
       dir.getPath
     }
 
+  /** Persisted hyperplane-LSH index over an embedding snapshot — the
+    * vector twin of [[buildMinhashIndex]], closing the incremental story
+    * across all three dedup modalities (exact / text-near / vector-near).
+    * Layout: `dir/buckets` = (id, table_idx, bucket) and `dir/vecs` =
+    * (id, vec). The PLANES are not stored: they are deterministic from
+    * (tables, bits, dim, seed) — those parameters are part of the index
+    * contract, exactly as the engine's plan-literal planes are
+    * ([[Lsh.hyperplanes]]); a probe with different parameters would
+    * bucket differently and miss, so pass the build-time values. */
+  def buildEmbeddingIndex(snapshot: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64,
+      tables: Int = 4, bits: Int = 12, seed: Long = 42L): Unit = {
+    val planes = Lsh.hyperplanes(tables, bits, dim, seed)
+    val vecs = snapshot.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    Lsh.bucketize(snapshot, vecCol, planes)
+      .select(col(idCol).as("id"), col("table_idx"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+  }
+
+  /** Probe a new vector batch against a stored LSH index: bucket the new
+    * batch with the SAME deterministic planes, bucket-join against the
+    * stored buckets (three-long rows — the only corpus-side volume), then
+    * verify candidates with the codegen'd cosine kernel against stored
+    * vectors. Probing `new` against an index over `snap` ≡ the
+    * cross-(snap, new) slice of `embeddingNearDupPairs(snap ∪ new)`.
+    * Output: (snap_id, new_id, cosine ≥ threshold). */
+  def probeEmbeddingIndex(newBatch: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64,
+      threshold: Double = 0.9, tables: Int = 4, bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val spark = newBatch.sparkSession
+    val planes = Lsh.hyperplanes(tables, bits, dim, seed)
+    val idxBuckets = spark.read.parquet(s"$dir/buckets")
+    val idxVecs = spark.read.parquet(s"$dir/vecs")
+    val newVecs = newBatch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = Lsh.bucketize(newBatch, vecCol, planes)
+      .select(col(idCol).as("new_id"), col("table_idx"), col("bucket"))
+      .join(idxBuckets.select(col("id").as("snap_id"), col("table_idx"), col("bucket")),
+        Seq("table_idx", "bucket"))
+      .select("snap_id", "new_id")
+      .dropDuplicates("snap_id", "new_id")
+    cand
+      .join(idxVecs.select(col("id").as("snap_id"), col("vec").as("vec_a")), Seq("snap_id"))
+      .join(newVecs.select(col("id").as("new_id"), col("vec").as("vec_b")), Seq("new_id"))
+      .withColumn("cosine", cosine_f32(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("snap_id", "new_id", "cosine")
+      .orderBy("snap_id", "new_id")
+  }
+
+  /** Fingerprinted idempotent embedding-index location (same staleness
+    * contract as [[ensureMinhashIndex]]). */
+  def ensureEmbeddingIndex(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val src = s"$sfDir/embeddings.parquet"
+      val fp = Integer.toHexString(sfDir.hashCode) + "_" +
+        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+      val dir = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-embidx"), s"embeddings_$fp")
+      if (!new java.io.File(dir, "buckets/_SUCCESS").exists())
+        buildEmbeddingIndex(Tables.load(spark, sfDir, "embeddings"), dir.getPath)
+      dir.getPath
+    }
+
   /** Connected components over near-dup pairs: assigns every document the
     * smallest doc_id reachable through pair edges (transitive closure), so
     * a chain a~b, b~c becomes one keep-group even when a~c was never
@@ -580,6 +645,15 @@ object Dedup {
         expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
       probeMinhashIndex(newBatch, dir)
     }),
+    // Vector twin: probe perturbed embeddings (the planted vector
+    // perturbation, id+1M) against a PERSISTED hyperplane-LSH index.
+    "dedup_incr_embedding" -> ((s, d) => {
+      val dir = ensureEmbeddingIndex(s, d)
+      val newBatch = Tables.load(s, d, "embeddings").select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"))
+      probeEmbeddingIndex(newBatch, dir)
+    }),
   )
 
   private def groupsEntry(threshold: Long)
@@ -687,6 +761,34 @@ object Dedup {
     // probing new against an index over snap ≡ the cross-(snap, new)
     // slice of the full pair pipeline over snap ∪ new
     "dedup_incr_minhash" -> HashOracleSql.incrMinhash,
+    // same slice identity for the vector index: the dedup_embedding
+    // oracle's construction with the candidate join restricted to
+    // cross-(snapshot, new) id ranges
+    "dedup_incr_embedding" -> {
+      val buckets = Lsh.bucketizeSql("emb2",
+        Lsh.hyperplanes(tables = 4, bits = 12, dim = 64, seed = 42L))
+      s"""WITH emb2 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(x * CAST(1.02 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS REAL)) AS embedding
+         |  FROM embeddings
+         |),
+         |buckets AS (
+         |  $buckets
+         |),
+         |cand AS (SELECT DISTINCT a.vec_id AS snap_id, b.vec_id AS new_id
+         |         FROM buckets a JOIN buckets b ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+         |         WHERE a.vec_id < 1000000 AND b.vec_id >= 1000000),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM emb2)
+         |SELECT snap_id, new_id, list_cosine_similarity(va.vec, vb.vec) AS cosine
+         |FROM cand
+         |JOIN v va ON va.vec_id = snap_id
+         |JOIN v vb ON vb.vec_id = new_id
+         |WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.9
+         |ORDER BY snap_id, new_id""".stripMargin
+    },
   )
 
   /** Shared by both threshold branches: the oracle doesn't care which

@@ -130,6 +130,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("embedding-index probe == cross slice of the full embedding pair pipeline") {
+    val snap = TestSpark.spark.read
+      .parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .limit(100)
+    val newBatch = snap.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embidx_spec").toString
+    graft.ops.Dedup.buildEmbeddingIndex(snap, dir)
+    val probed = graft.ops.Dedup.probeEmbeddingIndex(newBatch, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val full = graft.ops.Dedup.embeddingNearDupPairs(
+      snap.select("vec_id", "embedding")
+        .unionAll(newBatch.select("vec_id", "embedding"))
+        .withColumn("label", lit(0)))
+      .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      .select(col("id_a").as("snap_id"), col("id_b").as("new_id"), col("cosine"))
+      .orderBy("snap_id", "new_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(probed == full)
+    // every planted perturbed vector is found against its source
+    val found = probed.map(p => (p._1, p._2)).toSet
+    val ids = snap.select("vec_id").as[Long].collect()
+    val expected = ids.map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(found), s"missing planted pairs: ${expected -- found}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("a second probe reuses the stored index without rewriting it") {
     val snap = corpus(10)
     val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_reuse").toString
