@@ -75,6 +75,22 @@ object PlanAudit {
     // the chunker itself is zero-shuffle (spec-asserted); the entry's only
     // exchange is the presentation orderBy, ∝ output windows (~2.7/doc)
     "text_chunk" -> ShuffleBudget("documents", 9.0, 1000L),
+    // bloom partials (|tasks| sketch records) + suspects-only anti-join
+    // + presentation orderBy; measured 0.668/row at n=500 and 0.667/row
+    // at n=5000 — flat. A lost bloom bypass (full batch into the
+    // anti-join) roughly doubles it; 2.5/row catches that with margin
+    "dedup_incremental" -> ShuffleBudget("documents", 2.5, 500L),
+    // measured 2.224/row (n=500) and 2.200/row (n=5000) — the stored-band
+    // side broadcasts at these sizes, so only candidates + verified pairs
+    // + orderBy shuffle. Budget 40/row admits the shuffle-join regime
+    // (16 band rows/doc each side) while a quadratic candidate blowup
+    // (lost banding → ~n²/2 pairs) overshoots by >6× already at n=500
+    "dedup_incr_minhash" -> ShuffleBudget("documents", 40.0, 1000L),
+    // measured 2.798/row (n=500) rising to 4.947/row (n=2000) — bucket
+    // collision density grows toward ~1 vec/bucket (4×4096 buckets);
+    // 15/row is 3× the larger reading, still ~40× under an all-pairs
+    // candidate join at n=2000
+    "dedup_incr_embedding" -> ShuffleBudget("embeddings", 15.0, 1000L),
   )
 
   /** Executes entry `name` against `dir` through the noop sink and returns

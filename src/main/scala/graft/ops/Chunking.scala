@@ -133,6 +133,57 @@ object Chunking {
     org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, packed, outSchema)
   }
 
+  /** Deterministic training-shard assignment — the pipeline's last hop:
+    * packed sequences → numbered shards a trainer consumes in a
+    * reproducible pseudo-random order. `shard` is a Knuth-style
+    * multiplicative hash bucket of the sequence id mod `nShards` (a THIRD
+    * multiplier — xxhash's PRIME32_3 — decorrelated from the split and
+    * sampling buckets in [[Sampling]]); within-shard order is a FOURTH
+    * multiplier's bucket (PRIME32_4) with the id as tiebreak, so the
+    * training order is shuffled-but-replayable from ids alone by any
+    * engine.
+    *
+    * `shard_pos` (rank within the shard) is computed WITHOUT a global
+    * window: hash-repartition on shard, in-partition sort by
+    * (shard, okey, id), then ONE streaming enumeration pass whose counter
+    * resets at shard boundaries — each task enumerates only the shards it
+    * owns, the same exchange+sort a `ROW_NUMBER() OVER (PARTITION BY
+    * shard …)` would plan but with the enumeration in the stream instead
+    * of a window operator buffering per partition. Production keeps
+    * per-shard volume bounded by scaling nShards with the corpus (shards
+    * are ~fixed-size training files, so per-task work stays constant). */
+  def shardSequences(seqs: DataFrame, idCol: String = "seq_id",
+      nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = seqs.sparkSession
+    val sorted = seqs
+      .withColumn("shard",
+        pmod((col(idCol) % 1000003L) * 3266489917L, lit(nShards.toLong)))
+      .withColumn("okey",
+        pmod((col(idCol) % 1000003L) * 668265263L, lit(1000003L)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("okey"), col(idCol))
+    val schema = sorted.schema
+    val shardAt = schema.fieldIndex("shard")
+    val enumerated = sorted.queryExecution.toRdd.mapPartitions { it =>
+      var cur = -1L
+      var pos = -1L
+      it.map { r =>
+        val sh = r.getLong(shardAt)
+        if (sh != cur) { cur = sh; pos = 0L } else pos += 1L
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(), org.apache.spark.sql.catalyst.InternalRow(pos))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("shard_pos",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(spark, enumerated, outSchema)
+      .drop("okey")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_chunk" -> ((s, d) =>
       chunk(Tables.load(s, d, "documents"))
@@ -141,6 +192,14 @@ object Chunking {
       packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
         .select("doc_id", "chunk_id", "chunk_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")),
+    // the sequence manifest (seq_id, n_chunks) sharded for training
+    "chunk_shards" -> ((s, d) => {
+      val packed = packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
+      val seqs = packed.groupBy("seq_id").agg(count(lit(1)).as("n_chunks"))
+      shardSequences(seqs)
+        .select("seq_id", "n_chunks", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos")
+    }),
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -186,5 +245,37 @@ object Chunking {
         |       CAST(cb // 256 AS BIGINT) AS seq_id,
         |       CAST(cb % 256 AS BIGINT) AS seq_offset
         |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+    // same packing chain; the shard hash and within-shard order are plain
+    // integer arithmetic, and shard_pos is the window formulation the
+    // engine's streaming enumeration must match exactly
+    "chunk_shards" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         CAST(s // 24 AS BIGINT) AS chunk_id,
+        |         CAST(least(32, n - s) AS BIGINT) AS chunk_tokens
+        |  FROM (SELECT doc_id, t, len(t) AS n,
+        |               unnest(generate_series(0, len(t) - 1, 24)) AS s
+        |        FROM (SELECT doc_id,
+        |                     list_filter(string_split_regex(text, '\s+'),
+        |                                 x -> length(x) > 0) AS t
+        |              FROM documents)
+        |        WHERE len(t) > 0)),
+        |w AS (
+        |  SELECT chunk_tokens,
+        |         COALESCE(SUM(chunk_tokens) OVER (
+        |           ORDER BY doc_id, chunk_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM ch),
+        |seqs AS (SELECT CAST(cb // 256 AS BIGINT) AS seq_id,
+        |                COUNT(*) AS n_chunks
+        |         FROM w GROUP BY 1),
+        |k AS (SELECT seq_id, n_chunks,
+        |             ((seq_id % 1000003) * 3266489917) % 8 AS shard,
+        |             ((seq_id % 1000003) * 668265263) % 1000003 AS okey
+        |      FROM seqs)
+        |SELECT seq_id, n_chunks, shard,
+        |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, seq_id) - 1 AS shard_pos
+        |FROM k
+        |ORDER BY shard, shard_pos""".stripMargin,
   )
 }

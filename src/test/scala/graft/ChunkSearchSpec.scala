@@ -357,4 +357,32 @@ class ChunkSearchSpec extends AnyFunSuite {
       Sampling.stratifiedSample(d, "lang", Map("en" -> 1001), 900)
     }
   }
+
+  test("shardSequences matches the window formulation, dense positions per shard") {
+    import spark.implicits._
+    val seqs = (0L until 200L).toDF("seq_id")
+    val got = Chunking.shardSequences(seqs, nShards = 4)
+      .select("seq_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("okey", "seq_id")
+    val want = seqs
+      .withColumn("shard", pmod((col("seq_id") % 1000003L) * 3266489917L, lit(4L)))
+      .withColumn("okey", pmod((col("seq_id") % 1000003L) * 668265263L, lit(1000003L)))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
+      .select("seq_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // every shard's positions are exactly 0..n-1 (the streaming counter
+    // reset at shard boundaries, not a per-partition counter)
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size).toSet,
+        s"shard $sh positions not dense: ${rows.map(_._3).toSeq.sorted}")
+    }
+    // order/partitioning of the input is irrelevant
+    val re = Chunking.shardSequences(seqs.repartition(7), nShards = 4)
+      .select("seq_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(re == got)
+  }
 }
