@@ -72,9 +72,60 @@ object Profile {
   private val LineitemCols =
     Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
 
+  /** Discrete percentile statistics — the ANALYZE tier's other half,
+    * in long format: one row per (column, per-mille point). Semantics are
+    * the DISCRETE quantile, pinned in integer arithmetic: the smallest
+    * value whose cumulative count clears the rank threshold, compared
+    * CROSS-MULTIPLIED (`cum·1000 ≥ p‰·total` in longs ⟺ cum ≥
+    * ceil(p‰·total/1000) for integer cum) — no float rank, no
+    * interpolation, no knife edges; the value returned is always a real
+    * data value. Interpolated percentiles were rejected deliberately:
+    * Spark's `percentile` and DuckDB's `quantile_cont` interpolate with
+    * differently-ordered float expressions, the exact last-ulp
+    * disagreement class the oracle differ exists to catch.
+    *
+    * Scale shape mirrors [[profile]]: ONE scan explodes map-side into
+    * (column, double value) records, a partial+final count collapses to
+    * distinct (column, value) combos, and the cumulative pick runs over
+    * those ~Σ|distinct| combos — per-column windows over the reduced
+    * combo set, not the row stream. Like exact n_distinct, this assumes
+    * bounded per-column distincts (quantities, lengths, codes); unbounded
+    * domains at 100 TB swap in `approx_percentile` (t-digest, mergeable)
+    * — same output shape, documented accuracy trade. Integral casts to
+    * DOUBLE are exact below 2^53. */
+  def quantiles(df: DataFrame, cols: Seq[String],
+      pMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(cols.nonEmpty, "quantiles needs at least one column")
+    require(pMille.nonEmpty && pMille.forall(p => p >= 1 && p <= 1000),
+      "per-mille points must be in [1, 1000]")
+    val recs = array(cols.map(c =>
+      struct(lit(c).as("column_name"), col(c).cast("double").as("value"))): _*)
+    val counts = df
+      .select(explode(recs).as("r"))
+      .select(col("r.column_name").as("column_name"), col("r.value").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("column_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val byCol = org.apache.spark.sql.expressions.Window
+      .partitionBy("column_name")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(byCol.orderBy("value")))
+      .withColumn("total", sum("cnt").over(byCol))
+    cum
+      .select(col("column_name"), col("value"), col("cum"), col("total"),
+        explode(typedlit(pMille.map(_.toLong))).as("p_mille"))
+      .filter(col("cum") * 1000L >= col("p_mille") * col("total"))
+      .groupBy("column_name", "p_mille")
+      .agg(min("value").as("value"))
+      .orderBy("column_name", "p_mille")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "table_profile" -> ((s, d) =>
       profile(Tables.load(s, d, "lineitem"), LineitemCols)),
+    "profile_quantiles" -> ((s, d) =>
+      quantiles(Tables.load(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -90,5 +141,26 @@ object Profile {
          |       CAST(MAX($c) AS VARCHAR) AS max_value
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // the same integer rank threshold, cross-multiplied — the oracle can
+    // afford per-column scans and a plain window over raw rows
+    "profile_quantiles" ->
+      """WITH recs AS (
+        |  SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |),
+        |counts AS (SELECT column_name, value, COUNT(*) AS cnt
+        |           FROM recs WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT column_name, value,
+        |               SUM(cnt) OVER (PARTITION BY column_name ORDER BY value) AS cum,
+        |               SUM(cnt) OVER (PARTITION BY column_name) AS total
+        |        FROM counts)
+        |SELECT column_name, p_mille, MIN(value) AS value
+        |FROM cum CROSS JOIN (SELECT CAST(UNNEST([500, 900, 990]) AS BIGINT) AS p_mille) p
+        |WHERE cum * 1000 >= p_mille * total
+        |GROUP BY 1, 2
+        |ORDER BY column_name, p_mille""".stripMargin,
   )
 }

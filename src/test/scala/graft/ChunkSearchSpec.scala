@@ -358,6 +358,25 @@ class ChunkSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("discrete quantiles: integer rank threshold, nulls excluded, duplicates weighted") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, null), (5L, 3.0))
+      .toDF("id", "x")
+    val got = graft.ops.Profile.quantiles(df, Seq("x"), Seq(500, 750, 1000))
+      .as[(String, Long, Double)].collect().toSeq
+    // non-null values [1, 1, 2, 3], total 4:
+    //   p=500  -> cum >= 2   -> 1.0 (duplicates weight the cumulative)
+    //   p=750  -> cum >= 3   -> 2.0
+    //   p=1000 -> cum >= 4   -> 3.0 (max)
+    assert(got == Seq(("x", 500L, 1.0), ("x", 750L, 2.0), ("x", 1000L, 3.0)))
+    // 1..10 distinct: the classic check incl. a fractional threshold
+    val d10 = (1 to 10).map(_.toDouble).toDF("x")
+    val q10 = graft.ops.Profile.quantiles(d10, Seq("x"), Seq(500, 900, 990))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(q10 == Seq(("x", 500L, 5.0), ("x", 900L, 9.0), ("x", 990L, 10.0)))
+  }
+
   test("shardSequences matches the window formulation, dense positions per shard") {
     import spark.implicits._
     val seqs = (0L until 200L).toDF("seq_id")
