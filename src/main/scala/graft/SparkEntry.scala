@@ -18,6 +18,7 @@ object SparkEntry {
     * multimodal / streaming). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.Corpus.queries ++
+      graft.sources.JsonlIngest.entries ++
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
       graft.ops.TextAnalysis.entries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     (graft.queries.Corpus.oracleSql ++
+      graft.sources.JsonlIngest.oracle ++
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
       graft.ops.TextAnalysis.oracle ++
