@@ -25,6 +25,7 @@ object GraftFunctions {
     c(WinnowingFingerprint(e(text), k, w))
   def word_shingles(text: Column, n: Int = 3): Column =
     c(WordShingleHashes(e(text), n))
+  def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
 
   /** Distributed Bloom-filter build over a LongType column — Spark's own
     * `BloomFilterAggregate` (the runtime-filter machinery behind

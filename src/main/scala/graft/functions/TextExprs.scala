@@ -191,3 +191,34 @@ case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Unicode NFC normalization (canonical composition) with an ASCII fast
+  * path: `Normalizer.isNormalized` short-circuits the (overwhelmingly
+  * common at crawl scale) already-composed case without allocating, so
+  * the expression costs one scan of the string unless real decomposed
+  * sequences are present. Stays inside whole-stage codegen via a static
+  * helper call (no CodegenFallback). */
+object NfcNormalize {
+  def nfc(in: UTF8String): UTF8String = {
+    val s = in.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) in
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(in: Any): Any =
+    NfcNormalize.nfc(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -138,6 +138,24 @@ object TextAnalysis {
   private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private[graft] val LongIdRe = "\\b\\d{13,19}\\b" // card/account-like runs
 
+  /** Canonical text normalization — the cleaning stage that runs before
+    * any hashing/dedup so byte-different renderings of the same text
+    * (decomposed accents, control characters, ragged whitespace) cannot
+    * defeat content-hash dedup or skew token statistics. Three fixed
+    * steps, in order: Unicode NFC composition (custom codegen'd
+    * [[graft.functions.NfcNormalize]] with an already-normalized fast
+    * path), control characters → space (explicit `[\x00-\x1f\x7f]` class
+    * so Spark and any re-implementation agree byte-for-byte — `\p{Cntrl}`
+    * definitions vary across regex engines), whitespace-run collapse +
+    * trim. Pure map-side row work: no shuffle, 100 TB streams through. */
+  def normalize(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(nfc_normalize(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
+        "\\s+", " ")).as("norm_text"))
+      .orderBy("doc_id")
+
   /** PII detection + redaction: per-document match counts (from the
     * original text) and a scrubbed copy with emails → [EMAIL],
     * IPv4s → [IP], 13–19-digit runs → [ID], applied in that fixed order.
@@ -264,6 +282,17 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, d) => fingerprints(Tables.load(s, d, "documents"))),
     "text_filter_pipeline" -> ((s, d) => filterPipeline(Tables.load(s, d, "documents"))),
     "text_topk_quality" -> ((s, d) => topQualityPerLang(Tables.load(s, d, "documents"))),
+    // The corpus is clean ASCII, so normalization is exercised on planted
+    // mess: every 10th document gets a tab + decomposed e-acute
+    // (e + U+0301) + trailing spaces/newline appended; normalize must
+    // compose it to a precomposed é and canonicalize the whitespace.
+    "text_normalize" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      normalize(docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit("\tcafe\u0301  \n")))
+          .otherwise(col("text")).as("text")))
+    }),
   )
 
   /** Quality-score oracle text, shared: text_filter_pipeline wraps it so
@@ -368,6 +397,21 @@ object TextAnalysis {
       s"""SELECT doc_id, n_tokens, quality_score FROM ($textQualityOracleSql) q
          |WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.5
          |ORDER BY doc_id""".stripMargin,
+    // the same planted mess (tab + decomposed e-acute + ragged tail) and
+    // the same three normalization steps; DuckDB's nfc_normalize and
+    // Java's Normalizer both implement UAX#15 NFC, and the control-char
+    // class is spelled out so both regex engines see identical semantics
+    "text_normalize" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN text || chr(9) || 'cafe' || chr(769) || '  ' || chr(10)
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |            '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |FROM planted ORDER BY doc_id""".stripMargin,
     // mirror of languageId: distinct lowercase tokens intersected with each
     // stopword profile; CJK char ratio decides zh; ties break in profile
     // order (en, es, de, fr) via the CASE cascade

@@ -134,4 +134,28 @@ class FunctionsSpec extends AnyFunSuite {
       graft.ops.Dedup.minHashPairs(docs, bands = 100)
     }
   }
+
+  test("nfc_normalize composes decomposed sequences, identity on ASCII and null") {
+    import graft.functions.GraftFunctions.nfc_normalize
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Some("cafe\u0301"),     // e + combining acute -> precomposed e-acute
+      Some("plain ascii"),     // fast path: already normalized
+      Some("A\u030A"),        // A + combining ring -> Angstrom sign
+      None).toDF("s")
+    val got = df.select(nfc_normalize(col("s"))).as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("caf\u00E9"), Some("plain ascii"), Some("\u00C5"), None))
+  }
+
+  test("TextAnalysis.normalize: NFC + control->space + whitespace collapse + trim") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a\tb\u0000c"),         // tab and NUL become spaces
+      (2L, "  x   y \n z  "),       // runs collapse, ends trim
+      (3L, "cafe\u0301 ok"))        // NFC composes
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.normalize(docs)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a b c"), (2L, "x y z"), (3L, "caf\u00E9 ok")))
+  }
 }
