@@ -463,6 +463,38 @@ object Dedup {
       .orderBy("snap_id", "new_id")
   }
 
+  /** Quality-aware keep selection over near-dup pairs — the policy layer
+    * between pair discovery and deletion. Near-dup copies are NOT
+    * interchangeable (a truncated mirror scores worse than its source);
+    * keep-first-by-id silently prefers whichever copy crawled earlier.
+    * This picks per pair by a fixed total order: higher quality score,
+    * then more tokens (the more complete copy), then smaller id — each
+    * tiebreak level is a value both engines already agree on bit-exactly
+    * (the rounded quality columns are hash-pinned by `text_quality`), so
+    * the decision is engine-reproducible with no float knife edge.
+    * Output: (keep_id, drop_id, q_keep, q_drop); feed `drop_id`s to the
+    * deletion set, or the pairs into [[dedupGroups]] for transitive
+    * resolution. Scale: two hash joins of the reduced pair list against
+    * the (id, score, tokens) projection — pair-linear, text never joins. */
+  def keepBestPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScores(docs)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val j = pairs
+      .join(q.select(col("doc_id").as("doc_a"), col("quality_score").as("q_a"),
+        col("n_tokens").as("n_a")), Seq("doc_a"))
+      .join(q.select(col("doc_id").as("doc_b"), col("quality_score").as("q_b"),
+        col("n_tokens").as("n_b")), Seq("doc_b"))
+    val keepA = col("q_a") > col("q_b") ||
+      (col("q_a") === col("q_b") && (col("n_a") > col("n_b") ||
+        (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+    j.select(
+      when(keepA, col("doc_a")).otherwise(col("doc_b")).as("keep_id"),
+      when(keepA, col("doc_b")).otherwise(col("doc_a")).as("drop_id"),
+      when(keepA, col("q_a")).otherwise(col("q_b")).as("q_keep"),
+      when(keepA, col("q_b")).otherwise(col("q_a")).as("q_drop"))
+      .orderBy("keep_id", "drop_id")
+  }
+
   /** Fingerprinted idempotent embedding-index location (same staleness
     * contract as [[ensureMinhashIndex]]). */
   def ensureEmbeddingIndex(spark: SparkSession, sfDir: String): String =
@@ -645,6 +677,13 @@ object Dedup {
         expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
       probeMinhashIndex(newBatch, dir)
     }),
+    // Keep policy over the planted near-dup pairs: the perturbed copy
+    // (10% shorter) usually scores lower / always has fewer tokens, so
+    // the original must win each pair under the fixed total order.
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = withPlantedNearDups(Tables.load(s, d, "documents"))
+      keepBestPairs(docs, minHashPairs(docs))
+    }),
     // Vector twin: probe perturbed embeddings (the planted vector
     // perturbation, id+1M) against a PERSISTED hyperplane-LSH index.
     "dedup_incr_embedding" -> ((s, d) => {
@@ -761,6 +800,30 @@ object Dedup {
     // probing new against an index over snap ≡ the cross-(snap, new)
     // slice of the full pair pipeline over snap ∪ new
     "dedup_incr_minhash" -> HashOracleSql.incrMinhash,
+    // pair chain + the SAME quality-score SQL text_quality pins, then the
+    // identical CASE cascade — every compared value is already hash-pinned
+    // bit-exact by its own entry, so the decision cannot drift
+    "dedup_keep_best" -> {
+      val qOver = TextAnalysis.textQualityOracleSqlFrom("docs2")
+      s"""WITH docs2 AS (${HashOracleSql.plantedDocs}),
+         |${HashOracleSql.minhashPairCtes("docs2")},
+         |q AS ($qOver)
+         |SELECT CASE WHEN ka THEN doc_a ELSE doc_b END AS keep_id,
+         |       CASE WHEN ka THEN doc_b ELSE doc_a END AS drop_id,
+         |       CASE WHEN ka THEN q_a ELSE q_b END AS q_keep,
+         |       CASE WHEN ka THEN q_b ELSE q_a END AS q_drop
+         |FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |         qa.quality_score AS q_a, qb.quality_score AS q_b,
+         |         (qa.quality_score > qb.quality_score OR
+         |          (qa.quality_score = qb.quality_score AND
+         |           (qa.n_tokens > qb.n_tokens OR
+         |            (qa.n_tokens = qb.n_tokens AND p.doc_a < p.doc_b)))) AS ka
+         |  FROM pairs p
+         |  JOIN q qa ON qa.doc_id = p.doc_a
+         |  JOIN q qb ON qb.doc_id = p.doc_b) t
+         |ORDER BY keep_id, drop_id""".stripMargin
+    },
     // same slice identity for the vector index: the dedup_embedding
     // oracle's construction with the candidate join restricted to
     // cross-(snapshot, new) id ranges

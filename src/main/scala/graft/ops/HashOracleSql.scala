@@ -175,6 +175,10 @@ object HashOracleSql {
        |  WHERE $agree / 64.0 >= 0.5)""".stripMargin
   }
 
+  /** The planted corpus CTE body, for oracles that compose the pair chain
+    * with other per-document CTEs (keep-best policy). */
+  private[ops] def plantedDocs: String = planted
+
   /** dedup_minhash: the pair chain over the planted-near-dup corpus. */
   lazy val minhash: String =
     s"""WITH docs2 AS ($planted),

@@ -47,6 +47,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (2L, 1L), (4L, 1L)))
   }
 
+  test("keepBestPairs picks by quality, then token count, then min id — orientation-free") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "the cat and the dog sat in the house with a mouse",
+      2L -> "the cat and the dog sat in the house",     // truncated copy: fewer tokens
+      10L -> "identical text here and there",
+      11L -> "identical text here and there")           // full tie -> min id
+    val pairs = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBestPairs(d, pairs)
+      .select("keep_id", "drop_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (10L, 11L)))
+    // the decision reads values, not pair orientation
+    val rev = Seq((2L, 1L), (11L, 10L)).toDF("doc_a", "doc_b")
+    val got2 = Dedup.keepBestPairs(d, rev)
+      .select("keep_id", "drop_id").as[(Long, Long)].collect().toSeq
+    assert(got2 == Seq((1L, 2L), (10L, 11L)))
+  }
+
   test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 55).map(i => s"tok$i").mkString(" ") // drop last 5 tokens
