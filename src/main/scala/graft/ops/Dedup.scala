@@ -365,6 +365,23 @@ object Dedup {
     sigs.unpersist()
   }
 
+  /** Append accepted documents to a stored MinHash index — the back half
+    * of the incremental loop: after [[probeMinhashIndex]] clears a crawl,
+    * the accepted docs join the index so the NEXT crawl dedupes against
+    * them too. Appends only the new docs' signature/band files — history
+    * files are untouched, O(batch) not O(index) (the same contract as
+    * `Layout.appendZOrdered` and `Similarity.appendToKmeansIvfIndex`).
+    * Caller contract: ids must be disjoint from the index (probe ids are
+    * by construction — they were accepted as new). */
+  def appendToMinhashIndex(accepted: DataFrame, dir: String, bands: Int = 16): Unit = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val sigs = minhashSigs(accepted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.write.mode("append").parquet(s"$dir/sigs")
+    bandKeys(sigs, bands).write.mode("append").parquet(s"$dir/bands")
+    sigs.unpersist()
+  }
+
   /** Probe a new batch against a stored MinHash index: banded bucket join
     * against `dir/bands` (candidates only — the new batch's band keys are
     * the ONLY corpus-side shuffle), then signature-agreement verification

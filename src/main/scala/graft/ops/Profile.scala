@@ -86,18 +86,26 @@ object Profile {
     *
     * Scale shape mirrors [[profile]]: ONE scan explodes map-side into
     * (column, double value) records, a partial+final count collapses to
-    * distinct (column, value) combos, and the cumulative pick runs over
-    * those ~Σ|distinct| combos — per-column windows over the reduced
-    * combo set, not the row stream. Like exact n_distinct, this assumes
-    * bounded per-column distincts (quantities, lengths, codes); unbounded
-    * domains at 100 TB swap in `approx_percentile` (t-digest, mergeable)
-    * — same output shape, documented accuracy trade. Integral casts to
-    * DOUBLE are exact below 2^53. */
+    * distinct (column, value) combos, and the cumulative count runs over
+    * those combos with the TWO-PHASE grouped prefix sum (range-sort by
+    * (column, value), one subtotal per (partition, column) to the driver,
+    * stream pass 2 with broadcast offsets) — NOT a `SUM OVER (PARTITION
+    * BY column ORDER BY value)` window, which funnels every combo of a
+    * high-cardinality column through one task (the window cut measured
+    * 5.0 s at sf0.1 — 600k-distinct `l_extendedprice` — vs 3.0 s for
+    * this shape on the same host; the remaining floor is the combo
+    * aggregate itself).
+    * Per-column totals fall out of the same subtotals, so no second
+    * window either. Truly unbounded domains at 100 TB can still swap in
+    * `approx_percentile` (t-digest, mergeable) — same output shape,
+    * documented accuracy trade. Integral casts to DOUBLE are exact below
+    * 2^53. */
   def quantiles(df: DataFrame, cols: Seq[String],
       pMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
     require(cols.nonEmpty, "quantiles needs at least one column")
     require(pMille.nonEmpty && pMille.forall(p => p >= 1 && p <= 1000),
       "per-mille points must be in [1, 1000]")
+    val spark = df.sparkSession
     val recs = array(cols.map(c =>
       struct(lit(c).as("column_name"), col(c).cast("double").as("value"))): _*)
     val counts = df
@@ -106,12 +114,57 @@ object Profile {
       .filter(col("value").isNotNull)
       .groupBy("column_name", "value")
       .agg(count(lit(1)).as("cnt"))
-    val byCol = org.apache.spark.sql.expressions.Window
-      .partitionBy("column_name")
-    val cum = counts
-      .withColumn("cum", sum("cnt").over(byCol.orderBy("value")))
-      .withColumn("total", sum("cnt").over(byCol))
-    cum
+    // canonical order for the prefix sum; persisted because both passes
+    // stream the same partitions (and pass 2 must see pass 1's order)
+    val sorted = counts
+      .repartitionByRange(col("column_name"), col("value"))
+      .sortWithinPartitions("column_name", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = sorted.schema
+    val colAt = schema.fieldIndex("column_name")
+    val cntAt = schema.fieldIndex("cnt")
+    // pass 1: one subtotal per (partition, column) — |partitions|·|cols|
+    // longs to the driver, a bounded materialization
+    val subs = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val c = r.getUTF8String(colAt).toString
+        m.update(c, m.getOrElse(c, 0L) + r.getLong(cntAt))
+      }
+      m.iterator.map { case (c, s) => (i, c, s) }
+    }.collect()
+    val totals: Map[String, Long] =
+      subs.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._3).sum }
+    val prefix: Map[(Int, String), Long] = subs.groupBy(_._2).flatMap {
+      case (c, xs) =>
+        val inOrder = xs.sortBy(_._1)
+        inOrder.zip(inOrder.scanLeft(0L)(_ + _._3))
+          .map { case ((i, _, _), off) => (i, c) -> off }
+    }
+    val prefixB = spark.sparkContext.broadcast(prefix)
+    val totalsB = spark.sparkContext.broadcast(totals)
+    // pass 2: stream each partition once, carrying the running count from
+    // the broadcast offset; emits (…, cum, total)
+    val withCum = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: String = null
+      var cum = 0L
+      it.map { r =>
+        val c = r.getUTF8String(colAt).toString
+        if (c != cur) { cur = c; cum = prefixB.value.getOrElse((i, c), 0L) }
+        cum += r.getLong(cntAt)
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(),
+          org.apache.spark.sql.catalyst.InternalRow(cum, totalsB.value(c)))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("cum",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("total",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(spark, withCum, outSchema)
       .select(col("column_name"), col("value"), col("cum"), col("total"),
         explode(typedlit(pMille.map(_.toLong))).as("p_mille"))
       .filter(col("cum") * 1000L >= col("p_mille") * col("total"))

@@ -158,6 +158,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("append extends the index O(batch): next probe sees appended docs, history untouched") {
+    val snap = corpus(20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_append").toString
+    Dedup.buildMinhashIndex(snap, dir)
+    val history = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).toArray
+      .map(_.toString).toSet
+    // crawl 1: near-dups of even docs (accepted: none of them — they match);
+    // plus two genuinely new docs that get ACCEPTED and appended
+    val accepted = docs(
+      5001L -> "quux corge grault garply waldo fred plugh xyzzy thud quux corge grault",
+      5002L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod")
+    Dedup.appendToMinhashIndex(accepted, dir)
+    // history files are byte-untouched (append wrote only new files)
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).toArray
+      .map(_.toString).toSet
+    assert(history.subsetOf(after) && after.size > history.size)
+    // crawl 2: a near-dup of an APPENDED doc must now be caught
+    val crawl2 = docs(
+      6001L -> "quux corge grault garply waldo fred plugh xyzzy thud quux corge")
+    val hits = Dedup.probeMinhashIndex(crawl2, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.exists(h => h._1 == 5001L && h._2 == 6001L),
+      s"appended doc not probed: $hits")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("a second probe reuses the stored index without rewriting it") {
     val snap = corpus(10)
     val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_reuse").toString

@@ -239,6 +239,51 @@ class Round11StressSpec extends AnyFunSuite {
     assert(ratio <= 13.0,
       f"search shuffle grew $ratio%.1fx at 10x data — postings filter not map-side")
   }
+
+  test("incremental dedup: suspects-only anti-join, bypass rows never reach an exchange") {
+    // Ten crawl batches against ONE snapshot: each batch re-crawls every
+    // third snapshot doc verbatim (a dup to drop) and brings the rest as
+    // genuinely-new text (distinct suffix per batch). The bloom bypass
+    // means the confirm anti-join's left side carries only the suspects
+    // (re-crawls + fp sliver), so against the plain anti-join — whose
+    // left side is the WHOLE batch — the incremental plan must shuffle
+    // strictly less at any scale, and grow ~linearly batch-to-10-batches.
+    val snap = baseDocs.select("doc_id", "text")
+    def batchI(i: Int): DataFrame = {
+      val off = (i + 1) * 100000000L
+      val recrawl = snap.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val fresh = snap.filter(col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") + off + 50000000L).as("doc_id"),
+          concat(col("text"), lit(s" fresh-$i")).as("text"))
+      recrawl.unionByName(fresh)
+    }
+    val b1 = batchI(0)
+    val b10 = (0 until 10).map(batchI).reduce(_ unionByName _)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      var n1 = 0L; var n10 = 0L; var nPlain = 0L
+      val sh1 = PlanAudit.measureShuffle(spark) {
+        n1 = graft.ops.Dedup.incremental(b1, snap).count()
+      }
+      val sh10 = PlanAudit.measureShuffle(spark) {
+        n10 = graft.ops.Dedup.incremental(b10, snap).count()
+      }
+      val shPlain = PlanAudit.measureShuffle(spark) {
+        nPlain = b10.join(snap.select("text"), Seq("text"), "left_anti").count()
+      }
+      val ratio = sh10.toDouble / sh1
+      info(f"kept: 1x=$n1 10x=$n10; shuffle rows: 1x=$sh1 10x=$sh10 " +
+        f"ratio=$ratio%.2f; plain anti-join 10x=$shPlain")
+      assert(n10 == 10 * n1, s"each batch's fresh rows must survive: $n1 -> $n10")
+      assert(n10 == nPlain, "bloom+confirm must equal the plain anti-join")
+      assert(ratio <= 13.0,
+        f"incremental shuffle grew $ratio%.1fx at 10x batches — bypass lost")
+      assert(sh10 < shPlain,
+        s"suspects-only left side ($sh10) must shuffle less than the full batch ($shPlain)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
 
 /** Closure home for the executor-side encode (a suite-member lambda would
