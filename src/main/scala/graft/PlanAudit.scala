@@ -91,6 +91,16 @@ object PlanAudit {
     // 15/row is 3× the larger reading, still ~40× under an all-pairs
     // candidate join at n=2000
     "dedup_incr_embedding" -> ShuffleBudget("embeddings", 15.0, 1000L),
+    // distinct (column, value) combo aggregate + range exchange for the
+    // two-phase prefix sum + final min partials; measured 2.023/row at
+    // n=6k and 1.944/row at n=600k — flat (combos ≤ rows × |cols|)
+    "profile_quantiles" -> ShuffleBudget("lineitem", 5.0, 2000L),
+    // pack-chain range exchange + sequence manifest aggregate + shard
+    // exchange; measured 3.600/row (n=500) and 3.499/row (n=5000) — flat
+    "chunk_shards" -> ShuffleBudget("documents", 9.0, 1000L),
+    // minhash pair chain + two quality join-backs over the reduced pair
+    // list; measured 2.448/row (n=500) and 2.405/row (n=5000) — flat
+    "dedup_keep_best" -> ShuffleBudget("documents", 7.0, 1000L),
   )
 
   /** Executes entry `name` against `dir` through the noop sink and returns

@@ -98,5 +98,24 @@ object GraftFunctions {
       arity("word_shingles", es, 1, 2)
       WordShingleHashes(es.head, intArg("word_shingles", es, 1, 3).toInt)
     }, "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => {
+      arity("nfc_normalize", es, 1, 1); NfcNormalize(es.head)
+    }, "built-in")
+    // aggregate: analysis wraps the raw ImperativeAggregate into an
+    // AggregateExpression. The size arguments must be BIGINT literals —
+    // widen bare INT literals so `bloom_agg(x, 10, 1024)` just works
+    reg.createOrReplaceTempFunction("bloom_agg", es => {
+      arity("bloom_agg", es, 3, 3)
+      def widen(x: Expression): Expression = x match {
+        case Literal(v: Int, IntegerType) => Literal(v.toLong)
+        case other => other
+      }
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), widen(es(1)), widen(es(2)))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("might_contain", es => {
+      arity("might_contain", es, 2, 2)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))
+    }, "built-in")
   }
 }

@@ -109,6 +109,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) != 0L)
   }
 
+  test("SQL registration: nfc_normalize and the bloom pair compose in spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val norm = spark.sql("SELECT nfc_normalize('cafe\u0301') x")
+      .collect()(0).getString(0)
+    assert(norm == "caf\u00E9")
+    Seq("alpha", "beta", "gamma").toDF("w").createOrReplaceTempView("bloom_src")
+    val r = spark.sql(
+      """SELECT might_contain(
+        |         (SELECT bloom_agg(xxhash64(w), 10, 1024) FROM bloom_src),
+        |         xxhash64('alpha')) hit,
+        |       might_contain(
+        |         (SELECT bloom_agg(xxhash64(w), 10, 1024) FROM bloom_src),
+        |         xxhash64('definitely-absent-key')) miss""".stripMargin)
+      .collect()(0)
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+  }
+
   test("dimension mismatch yields null, not a truncated similarity") {
     val df = Seq((Array(1f, 0f), Array(1f, 9f, 9f, 9f))).toDF("a", "b")
     assert(df.select(cosine_f32(col("a"), col("b"))).collect()(0).isNullAt(0))

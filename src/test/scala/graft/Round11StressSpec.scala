@@ -284,6 +284,34 @@ class Round11StressSpec extends AnyFunSuite {
         s"suspects-only left side ($sh10) must shuffle less than the full batch ($shPlain)")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("minhash index probe: 10x probe batches -> exactly 10x hits, probe-side-linear shuffle") {
+    // One stored index, ten identical-modulo-id probe batches (the planted
+    // 90%-prefix perturbation, so every batch doc near-matches its source).
+    // The index side is fixed; only the probe side grows — hits and
+    // shuffle must scale with the PROBE, not the index.
+    val snap = baseDocs.select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_stress").toString
+    graft.ops.Dedup.buildMinhashIndex(snap, dir)
+    def probeI(i: Int): DataFrame = snap.select(
+      (col("doc_id") + lit((i + 1) * 100000000L)).as("doc_id"),
+      expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
+    var h1 = 0L; var h10 = 0L
+    val sh1 = PlanAudit.measureShuffle(spark) {
+      h1 = graft.ops.Dedup.probeMinhashIndex(probeI(0), dir).count()
+    }
+    val p10 = (0 until 10).map(probeI).reduce(_ unionByName _)
+    val sh10 = PlanAudit.measureShuffle(spark) {
+      h10 = graft.ops.Dedup.probeMinhashIndex(p10, dir).count()
+    }
+    val ratio = sh10.toDouble / sh1
+    info(f"hits: 1x=$h1 10x=$h10; shuffle rows: 1x=$sh1 10x=$sh10 ratio=$ratio%.2f")
+    assert(h1 >= 400, s"planted perturbations must match their sources: $h1")
+    assert(h10 == 10 * h1,
+      s"identical-modulo-id batches must hit exactly 10x: $h1 -> $h10")
+    assert(ratio <= 13.0,
+      f"probe shuffle grew $ratio%.1fx at 10x probes — index side leaked into the shuffle")
+  }
 }
 
 /** Closure home for the executor-side encode (a suite-member lambda would
