@@ -28,7 +28,10 @@ object PlanAudit {
     "sim_topk_ivf_kmeans",
     // the scalar min-token-mass crosses as a broadcast 1-row nested loop
     // before the per-stratum rate table joins back broadcast-hash
-    "sample_token_budget")
+    "sample_token_budget",
+    // each side's 1-row total crosses as a broadcast scalar before the
+    // per-stratum share projection
+    "profile_drift")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets

@@ -173,12 +173,54 @@ object Profile {
       .orderBy("column_name", "p_mille")
   }
 
+  /** Distribution drift between two snapshots of the same logical corpus
+    * — the monitoring step every continuous-ingestion pipeline runs on a
+    * new crawl drop BEFORE accepting it (a drop whose language/source mix
+    * shifted hard usually means a broken crawler, not a changed world).
+    * Per stratum: both sides' counts and per-mille shares, and the
+    * absolute share delta — all integer arithmetic (share = n·1000 div
+    * total, truncating in both engines), so the drift report reproduces
+    * bit-exactly anywhere. Full outer join on the stratum: a class
+    * appearing or vanishing IS the signal (counts coalesce to 0).
+    * Scale: two partial+final count aggregates to |strata| rows, the
+    * 1-row totals broadcast back — two linear scans, no corpus join. */
+  def snapshotDrift(before: DataFrame, after: DataFrame,
+      strataCol: String): DataFrame = {
+    def shares(df: DataFrame, n: String, share: String): DataFrame = {
+      val counts = df.groupBy(col(strataCol).as("stratum"))
+        .agg(count(lit(1)).as(n))
+      val total = counts.agg(sum(col(n)).cast("long").as("t"))
+      counts.join(broadcast(total))
+        .withColumn(share, expr(s"CAST($n * 1000 DIV t AS BIGINT)"))
+        .drop("t")
+    }
+    shares(before, "n_before", "share_before_pm")
+      .join(shares(after, "n_after", "share_after_pm"), Seq("stratum"), "full_outer")
+      .select(
+        col("stratum"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("share_before_pm"), lit(0L)).as("share_before_pm"),
+        coalesce(col("share_after_pm"), lit(0L)).as("share_after_pm"))
+      .withColumn("delta_pm",
+        abs(col("share_after_pm") - col("share_before_pm")))
+      .orderBy("stratum")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "table_profile" -> ((s, d) =>
       profile(Tables.load(s, d, "lineitem"), LineitemCols)),
     "profile_quantiles" -> ((s, d) =>
       quantiles(Tables.load(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // drift fixture: the "new drop" loses every fifth English document —
+    // the broken-crawler shape the monitor must surface as an en-share
+    // dip mirrored by rises elsewhere
+    "profile_drift" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val drop = docs.filter(!(col("lang") === "en" && col("doc_id") % 5 === 0))
+      snapshotDrift(docs, drop, "lang")
+    }),
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -215,5 +257,27 @@ object Profile {
         |WHERE cum * 1000 >= p_mille * total
         |GROUP BY 1, 2
         |ORDER BY column_name, p_mille""".stripMargin,
+    // integer per-mille shares, truncating division in both engines;
+    // DuckDB SUM() types HUGEINT, so totals cast back to BIGINT
+    "profile_drift" ->
+      """WITH after AS (
+        |  SELECT * FROM documents WHERE NOT (lang = 'en' AND doc_id % 5 = 0)
+        |),
+        |cb AS (SELECT lang AS stratum, COUNT(*) AS n_before FROM documents GROUP BY 1),
+        |ca AS (SELECT lang AS stratum, COUNT(*) AS n_after FROM after GROUP BY 1),
+        |sb AS (SELECT stratum, n_before,
+        |              CAST(n_before * 1000 // CAST((SELECT SUM(n_before) FROM cb) AS BIGINT) AS BIGINT) AS share_before_pm
+        |       FROM cb),
+        |sa AS (SELECT stratum, n_after,
+        |              CAST(n_after * 1000 // CAST((SELECT SUM(n_after) FROM ca) AS BIGINT) AS BIGINT) AS share_after_pm
+        |       FROM ca)
+        |SELECT stratum,
+        |       COALESCE(n_before, 0) AS n_before,
+        |       COALESCE(n_after, 0) AS n_after,
+        |       COALESCE(share_before_pm, 0) AS share_before_pm,
+        |       COALESCE(share_after_pm, 0) AS share_after_pm,
+        |       ABS(COALESCE(share_after_pm, 0) - COALESCE(share_before_pm, 0)) AS delta_pm
+        |FROM sb FULL OUTER JOIN sa USING (stratum)
+        |ORDER BY stratum""".stripMargin,
   )
 }

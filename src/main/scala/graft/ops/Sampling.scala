@@ -98,7 +98,34 @@ object Sampling {
       .where(sampleBucket(idCol) < col("rate"))
   }
 
+  /** Deterministic per-group sample — eval-set construction: EXACTLY k
+    * rows per stratum, chosen by a decorrelated hash order instead of
+    * "first k" (which biases toward crawl order) or `rand()` (which is
+    * rerun- and partition-order-unstable). The hash is a FIFTH
+    * multiplicative bucket (xxhash PRIME32_5 — independent of the
+    * split/sampling/shard/order buckets), so eval membership correlates
+    * with nothing else the pipeline decided. Bounded partial+final TopK
+    * aggregate: the shuffle carries ≤ k·partitions·strata rows, never
+    * the corpus — a `ROW_NUMBER` window would exchange every row before
+    * dropping any (the text_topk_quality shape). */
+  def samplePerGroup(df: DataFrame, strataCol: String, k: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = udaf(new graft.functions.Aggregators.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
+    df.withColumn("__r",
+        pmod((col(idCol) % 1000003L) * 374761393L, lit(1000003L)).cast("double"))
+      .groupBy(strataCol)
+      .agg(topk(col("__r"), col(idCol)).as("top"))
+      .select(col(strataCol), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col(strataCol), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as(idCol))
+      .orderBy(strataCol, "rank")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sample_per_group" -> ((s, d) =>
+      samplePerGroup(Tables.load(s, d, "documents"), strataCol = "lang")),
     "sample_token_budget" -> ((s, d) =>
       tokenBudgetSample(Tables.load(s, d, "documents"))
         .select("doc_id", "source", "n_tok")
@@ -118,6 +145,18 @@ object Sampling {
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // the same fifth-bucket hash order as a window; ties cannot occur at
+    // this scale (ids are distinct mod 1000003) and would tiebreak by id
+    // identically in both engines anyway
+    "sample_per_group" ->
+      """SELECT lang, CAST(rn AS INT) AS rank, doc_id
+        |FROM (SELECT lang, doc_id,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY ((doc_id % 1000003) * 374761393) % 1000003 DESC,
+        |                        doc_id) AS rn
+        |      FROM documents) t
+        |WHERE rn <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "sample_token_budget" ->
       """WITH tok AS (
         |  SELECT doc_id, source,

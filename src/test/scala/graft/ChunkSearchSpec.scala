@@ -358,6 +358,18 @@ class ChunkSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot drift: integer shares, vanished/appeared strata coalesce to zero") {
+    import spark.implicits._
+    val before = Seq("en", "en", "en", "de").toDF("lang")
+    val after = Seq("en", "de", "de", "fr").toDF("lang")
+    val got = graft.ops.Profile.snapshotDrift(before, after, "lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", 1L, 2L, 250L, 500L, 250L),
+      ("en", 3L, 1L, 750L, 250L, 500L),
+      ("fr", 0L, 1L, 0L, 250L, 250L)))
+  }
+
   test("discrete quantiles: integer rank threshold, nulls excluded, duplicates weighted") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](
