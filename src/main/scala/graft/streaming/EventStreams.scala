@@ -399,6 +399,32 @@ object EventStreams {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
+  /** Streaming JSONL ingestion — the always-on twin of
+    * [[graft.sources.JsonlIngest]]: drop files land in a directory, the
+    * file stream parses them PERMISSIVE under the same imposed schema,
+    * and BOTH channels (parsed fields + the corrupt-record column) flow
+    * to the sink; the valid/quarantine split is the consumer's batch
+    * query over the sink table (filtering the corrupt column inside the
+    * streaming plan is restricted by Spark, and at scale the sink IS a
+    * bronze table both channels read). Stateless per-line parse: no
+    * state store, no watermark — ingest keeps up with a crawl by
+    * partition parallelism alone. The bounded replay's valid channel
+    * shares `ingest_jsonl`'s oracle. */
+  def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val drop = graft.sources.JsonlIngest.ensureJsonlDrop(spark, dir)
+    val withCorrupt = graft.sources.JsonlIngest.dropSchema
+      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val parsed = spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(drop)
+    runToTable(parsed, OutputMode.Append())
+      .filter(col("_corrupt_record").isNull)
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
@@ -408,6 +434,7 @@ object EventStreams {
     "stream_mv_rollup" -> ((s, d) => streamMvRollup(s, d)),
     "stream_chunk" -> ((s, d) => chunkDocuments(s, d)),
     "stream_incr_dedup" -> ((s, d) => incrementalDedup(s, d)),
+    "stream_ingest_jsonl" -> ((s, d) => ingestJsonl(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -450,6 +477,9 @@ object EventStreams {
     // would move both or neither)
     "stream_incr_dedup" ->
       graft.ops.Dedup.oracle.toMap.apply("dedup_incremental"),
+    // stateless per-line parse: bounded streaming replay ≡ the batch read
+    "stream_ingest_jsonl" ->
+      graft.sources.JsonlIngest.oracle.toMap.apply("ingest_jsonl"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s

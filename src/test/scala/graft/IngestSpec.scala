@@ -42,6 +42,16 @@ class IngestSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("streaming ingest equals the batch valid channel (oracle-independent)") {
+    val batch = SparkEntry.queries("ingest_jsonl")(spark, TestSpark.Sf0001)
+      .as[(Long, String)].collect().toSet
+    val stream = SparkEntry.queries("stream_ingest_jsonl")(spark, TestSpark.Sf0001)
+      .as[(Long, String)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("staging is idempotent: a second ensure call rewrites nothing") {
     val dir = JsonlIngest.ensureJsonlDrop(spark, TestSpark.Sf0001)
     val f = new java.io.File(dir, "_SUCCESS")
