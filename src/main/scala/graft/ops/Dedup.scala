@@ -322,16 +322,38 @@ object Dedup {
 
   /** The suspect-split plan shared by batch and streaming incremental
     * dedup: bloom-negatives bypass every exchange, suspects enter the
-    * exact 256-bit-hash anti-join. */
+    * exact 256-bit-hash anti-join. An UNKNOWN probe (NULL — an empty
+    * snapshot yields a NULL sketch, a NULL text a NULL hash) must mean
+    * SUSPECT, not silently-dropped: both filter branches discard NULL, so
+    * without the coalesce a batch probed against an empty snapshot would
+    * vanish instead of surviving whole; routed to the exact anti-join,
+    * NULL text keys never match and correctly survive as new. */
   private[graft] def suspectSplitDedup(newBatch: DataFrame, snapshot: DataFrame,
       suspectProbe: org.apache.spark.sql.Column): DataFrame = {
-    val probed = newBatch.withColumn("__suspect", suspectProbe)
+    val probed = newBatch.withColumn("__suspect",
+      coalesce(suspectProbe, lit(true)))
     val bypass = probed.filter(!col("__suspect")).drop("__suspect")
     val confirmed = probed.filter(col("__suspect")).drop("__suspect")
       .withColumn("__h", sha2(col("text"), 256))
       .join(snapshot.select(sha2(col("text"), 256).as("__h")), Seq("__h"), "left_anti")
       .drop("__h")
     bypass.unionByName(confirmed)
+  }
+
+  /** The planted incremental-crawl construction shared by the batch entry
+    * (`dedup_incremental`), the streaming twin (`stream_incr_dedup`), and
+    * their COMMON oracle: every third document re-crawled verbatim
+    * (id+1M — a dup to drop), the rest genuinely new (id+2M, suffixed
+    * text — must survive). One definition so the two entries cannot
+    * drift from the oracle they share; works on batch and streaming
+    * frames alike (filters/projections only). */
+  private[graft] def plantedIncrementalBatch(docs: DataFrame): DataFrame = {
+    val recrawl = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
+    val fresh = docs.filter(col("doc_id") % 3 =!= 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" incremental-crawl")).as("text"), col("lang"))
+    recrawl.unionByName(fresh)
   }
 
   /** Materialize the snapshot bloom as bytes — for plans that cannot carry
@@ -391,11 +413,17 @@ object Dedup {
     * Output: (snap_id, new_id, est_jaccard ≥ threshold). */
   def probeMinhashIndex(newBatch: DataFrame, dir: String, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    // same guard as build/append: a non-divisor would silently band over
+    // a truncated signature slice and miss index matches
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
     val spark = newBatch.sparkSession
     val idxSigs = spark.read.parquet(s"$dir/sigs")
     val idxBands = spark.read.parquet(s"$dir/bands")
     val newSigs = minhashSigs(newBatch)
-      // consumed twice (banding + verification join-back)
+      // consumed twice (banding + verification join-back); the returned
+      // frame is LAZY with lineage through this cache, so the op cannot
+      // unpersist it itself — per the object-doc lifecycle, callers
+      // running many probes clearCache between crawls
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandKeys(newSigs, bands)
       .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
@@ -513,16 +541,22 @@ object Dedup {
   }
 
   /** Fingerprinted idempotent embedding-index location (same staleness
-    * contract as [[ensureMinhashIndex]]). */
-  def ensureEmbeddingIndex(spark: SparkSession, sfDir: String): String =
+    * contract as [[ensureMinhashIndex]]). The LSH parameters are part of
+    * the fingerprint — they ARE the index contract (the planes derive
+    * from them), so changed parameters build a fresh index instead of
+    * silently probing a stale one with mismatched buckets. */
+  def ensureEmbeddingIndex(spark: SparkSession, sfDir: String, dim: Int = 64,
+      tables: Int = 4, bits: Int = 12, seed: Long = 42L): String =
     synchronized {
       val src = s"$sfDir/embeddings.parquet"
-      val fp = Integer.toHexString(sfDir.hashCode) + "_" +
+      val fp = Integer.toHexString(
+        (sfDir + dim + "_" + tables + "_" + bits + "_" + seed).hashCode) + "_" +
         graft.plans.MaterializedViews.filesFingerprint(Seq(src))
       val dir = new java.io.File(new java.io.File(
         sys.props("java.io.tmpdir"), "graft-embidx"), s"embeddings_$fp")
       if (!new java.io.File(dir, "buckets/_SUCCESS").exists())
-        buildEmbeddingIndex(Tables.load(spark, sfDir, "embeddings"), dir.getPath)
+        buildEmbeddingIndex(Tables.load(spark, sfDir, "embeddings"), dir.getPath,
+          dim = dim, tables = tables, bits = bits, seed = seed)
       dir.getPath
     }
 
@@ -670,18 +704,11 @@ object Dedup {
     // transitively in both)
     "dedup_groups_dist" -> groupsEntry(0L),
     // Incremental ingestion: snapshot = the documents table; new crawl =
-    // every third document re-crawled verbatim (id+1M — must be dropped)
-    // plus the rest with genuinely new text (id+2M — must survive). The
-    // bloom prefilter is invisible to the oracle: semantics are the exact
-    // anti-join.
+    // the shared planted construction below. The bloom prefilter is
+    // invisible to the oracle: semantics are the exact anti-join.
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "lang")
-      val recrawl = docs.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
-      val fresh = docs.filter(col("doc_id") % 3 =!= 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(col("text"), lit(" incremental-crawl")).as("text"), col("lang"))
-      incremental(recrawl.unionAll(fresh), docs)
+      incremental(plantedIncrementalBatch(docs), docs)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
     // Incremental near-dedup: probe a perturbed re-crawl (the planted

@@ -115,7 +115,10 @@ object Profile {
       .groupBy("column_name", "value")
       .agg(count(lit(1)).as("cnt"))
     // canonical order for the prefix sum; persisted because both passes
-    // stream the same partitions (and pass 2 must see pass 1's order)
+    // stream the same partitions (and pass 2 must see pass 1's order).
+    // The returned frame's lineage runs through this cache, so the op
+    // cannot unpersist it itself — the Dedup-object cache-lifecycle
+    // convention applies (callers running many queries clearCache)
     val sorted = counts
       .repartitionByRange(col("column_name"), col("value"))
       .sortWithinPartitions("column_name", "value")

@@ -154,7 +154,6 @@ object TextAnalysis {
       trim(regexp_replace(
         regexp_replace(nfc_normalize(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
         "\\s+", " ")).as("norm_text"))
-      .orderBy("doc_id")
 
   /** PII detection + redaction: per-document match counts (from the
     * original text) and a scrubbed copy with emails → [EMAIL],
@@ -292,6 +291,7 @@ object TextAnalysis {
         when(col("doc_id") % 10 === 0,
           concat(col("text"), lit("\tcafe\u0301  \n")))
           .otherwise(col("text")).as("text")))
+        .orderBy("doc_id") // presentation-only, for the oracle differ
     }),
   )
 

@@ -387,13 +387,8 @@ object EventStreams {
       .select("doc_id", "text", "lang")
     val bloom = graft.ops.Dedup.snapshotBloomBytes(snapshot)
     val stream = documentStream(spark, dir).select("doc_id", "text", "lang")
-    val recrawl = stream.filter(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
-    val fresh = stream.filter(col("doc_id") % 3 =!= 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" incremental-crawl")).as("text"), col("lang"))
     val deduped = graft.ops.Dedup.suspectSplitDedup(
-      recrawl.unionByName(fresh), snapshot,
+      graft.ops.Dedup.plantedIncrementalBatch(stream), snapshot,
       graft.functions.GraftFunctions.might_contain(lit(bloom), xxhash64(col("text"))))
     runToTable(deduped, OutputMode.Append())
       .select("doc_id", "lang").orderBy("doc_id")

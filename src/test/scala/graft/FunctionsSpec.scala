@@ -173,7 +173,7 @@ class FunctionsSpec extends AnyFunSuite {
       (3L, "cafe\u0301 ok"))        // NFC composes
       .toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis.normalize(docs)
-      .as[(Long, String)].collect().toSeq
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1L, "a b c"), (2L, "x y z"), (3L, "caf\u00E9 ok")))
   }
 }

@@ -75,6 +75,23 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("empty snapshot and NULL text: unknown probes route to the exact confirm") {
+    // an empty snapshot yields a NULL bloom sketch -> every probe is
+    // unknown; the whole batch must survive (== the plain anti-join),
+    // not silently vanish through two null-dropping filters
+    val empty = snapshot.filter(lit(false))
+    val keptAll = Dedup.incremental(batch, empty)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(keptAll == batch.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+    // a NULL-text row hashes to a NULL probe; it must survive as new
+    // (NULL never matches an anti-join key) — never be dropped
+    val withNull = batch.unionByName(
+      Seq((999L, Option.empty[String])).toDF("doc_id", "text"))
+    val kept = Dedup.incremental(withNull, snapshot)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(999L))
+  }
+
   test("deterministic under repartitioning") {
     val a = Dedup.incremental(batch.repartition(7), snapshot.repartition(3))
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
