@@ -369,39 +369,140 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
   }
 
+  // ---- epoch-committed persisted-index layout ----
+  //
+  // Both persisted indexes (MinHash and embedding-LSH) store EPOCHS:
+  //   dir/<table>/ep_<id>/   one parquet dir per build/append/compaction
+  //   dir/_committed/<id>    empty marker, written AFTER every table of
+  //                          the epoch landed — readers list markers first
+  //                          and read exactly those epoch dirs.
+  // This makes the multi-file write crash-consistent WITHOUT a
+  // cross-directory atomic rename (which plain filesystems don't have):
+  // a crash between the two table writes leaves an uncommitted epoch that
+  // no probe will ever read (instead of sigs with no band rows — a silent
+  // near-dup miss), and a RETRIED append lands under a fresh epoch id, so
+  // the retry is idempotent-by-invisibility rather than double-counting.
+  // Orphaned uncommitted files are reclaimed by the compaction pass.
+
+  private def epochDirs(dir: String, table: String, ids: Seq[String]): Seq[String] =
+    ids.map(id => s"$dir/$table/ep_$id")
+
+  /** Committed epoch ids, oldest marker first (lexicographic — ids embed
+    * a monotonic counter only within one JVM, so order is advisory). */
+  private[graft] def committedEpochs(dir: String): Seq[String] = {
+    val d = new java.io.File(dir, "_committed")
+    Option(d.list()).map(_.toSeq.sorted).getOrElse(Seq.empty)
+  }
+
+  private def commitEpoch(dir: String, id: String): Unit = {
+    val d = new java.io.File(dir, "_committed")
+    d.mkdirs()
+    val f = new java.io.File(d, id)
+    if (!f.createNewFile())
+      throw new IllegalStateException(s"epoch $id already committed in $dir")
+  }
+
+  private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def newEpochId(): String =
+    // zero-padded counter first so same-JVM epochs sort in commit order;
+    // the UUID tail keeps ids unique across JVMs sharing a tmpdir
+    f"${epochCounter.getAndIncrement()}%06d_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** Union of all committed epochs of one index table. */
+  private def readEpochs(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val ids = committedEpochs(dir)
+    require(ids.nonEmpty, s"no committed epochs in $dir — build the index first")
+    spark.read.parquet(epochDirs(dir, table, ids): _*)
+  }
+
   /** Persisted MinHash near-dup index over a corpus snapshot — the
     * incremental counterpart of [[minHashPairs]]: build once over the
     * corpus, then probe each new crawl against the stored bands without
-    * re-signaturing (or even reading) the corpus text. Layout:
-    * `dir/sigs` = (doc_id, sig: array<long>) and `dir/bands` =
-    * (doc_id, band, band_hash). At 100 TB the bands table is the
-    * candidate-join side — keep it bucketed by (band, band_hash)
-    * (Layout.ensureBucketed) so probes co-locate; it holds `bands` longs
-    * per document, not signatures or text. */
+    * re-signaturing (or even reading) the corpus text. Layout (see the
+    * epoch-commit note above): `dir/sigs/ep_*` = (doc_id, sig:
+    * array<long>) and `dir/bands/ep_*` = (doc_id, band, band_hash),
+    * with `dir/_committed/<id>` markers gating visibility. At 100 TB the
+    * bands table is the candidate-join side — [[compactMinhashIndex]]
+    * periodically rewrites accrued crawl epochs into one, clustered by
+    * (band, band_hash), so probes stay co-located and the file count
+    * stays bounded; it holds `bands` longs per document, not signatures
+    * or text. */
   def buildMinhashIndex(snapshot: DataFrame, dir: String, bands: Int = 16): Unit = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    // a rebuild into an existing dir starts from scratch: retract every
+    // committed epoch FIRST (readers go dark rather than double-read)
+    committedEpochs(dir).foreach(id => new java.io.File(s"$dir/_committed/$id").delete())
+    val id = newEpochId()
     val sigs = minhashSigs(snapshot)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
-    bandKeys(sigs, bands).write.mode("overwrite").parquet(s"$dir/bands")
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs/ep_$id")
+    bandKeys(sigs, bands).write.mode("overwrite").parquet(s"$dir/bands/ep_$id")
     sigs.unpersist()
+    commitEpoch(dir, id)
   }
 
   /** Append accepted documents to a stored MinHash index — the back half
     * of the incremental loop: after [[probeMinhashIndex]] clears a crawl,
     * the accepted docs join the index so the NEXT crawl dedupes against
-    * them too. Appends only the new docs' signature/band files — history
-    * files are untouched, O(batch) not O(index) (the same contract as
-    * `Layout.appendZOrdered` and `Similarity.appendToKmeansIvfIndex`).
-    * Caller contract: ids must be disjoint from the index (probe ids are
-    * by construction — they were accepted as new). */
+    * them too. Writes one NEW epoch (signatures + bands) and commits its
+    * marker last — history epochs are untouched, O(batch) not O(index)
+    * (the same contract as `Layout.appendZOrdered` and
+    * `Similarity.appendToKmeansIvfIndex`); a crash mid-append leaves no
+    * partially-visible epoch and a retry cannot double-count (see the
+    * epoch-commit note). Caller contract: ids must be disjoint from the
+    * index (probe ids are by construction — they were accepted as new). */
   def appendToMinhashIndex(accepted: DataFrame, dir: String, bands: Int = 16): Unit = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val id = newEpochId()
     val sigs = minhashSigs(accepted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.write.mode("append").parquet(s"$dir/sigs")
-    bandKeys(sigs, bands).write.mode("append").parquet(s"$dir/bands")
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs/ep_$id")
+    bandKeys(sigs, bands).write.mode("overwrite").parquet(s"$dir/bands/ep_$id")
     sigs.unpersist()
+    commitEpoch(dir, id)
+  }
+
+  /** Rewrite all committed epochs into ONE — the maintenance pass that
+    * keeps a daily-crawl index probe-able: per-crawl appends accrue
+    * thousands of small parquet files, the classic small-file scale
+    * killer for the probe's bucket join. The rewrite clusters the bands
+    * table by (band, band_hash) — the probe join key — so a compacted
+    * index also co-locates candidate lookups. Probe results are
+    * IDENTICAL before and after (the tables' row sets are unchanged;
+    * `IndexMaintenanceSpec` pins this), and crash safety is the epoch
+    * protocol's: the merged epoch commits before the old markers
+    * retract, so a crash anywhere leaves a readable index (worst case
+    * both old and new visible to a concurrently-listing reader — this is
+    * a single-writer maintenance op, run it from the owning maintenance
+    * job, not concurrently with appends). Returns the number of epochs
+    * merged (0 = nothing to do). */
+  def compactMinhashIndex(spark: SparkSession, dir: String): Int = {
+    val ids = committedEpochs(dir)
+    if (ids.size <= 1) return 0
+    val id = newEpochId()
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    readEpochs(spark, dir, "sigs")
+      .repartition(shufflePartitions, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/sigs/ep_$id")
+    readEpochs(spark, dir, "bands")
+      .repartition(shufflePartitions, col("band"), col("band_hash"))
+      .sortWithinPartitions("band", "band_hash")
+      .write.mode("overwrite").parquet(s"$dir/bands/ep_$id")
+    commitEpoch(dir, id)
+    ids.foreach(old => new java.io.File(s"$dir/_committed/$old").delete())
+    // reclaim retracted epoch files AND any orphaned uncommitted epochs
+    // (crashed appends) — everything under the table dirs except ep_<id>
+    for (table <- Seq("sigs", "bands");
+         f <- Option(new java.io.File(s"$dir/$table").listFiles()).getOrElse(Array.empty)
+         if f.getName != s"ep_$id")
+      deleteRecursively(f)
+    ids.size
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Probe a new batch against a stored MinHash index: banded bucket join
@@ -417,14 +518,21 @@ object Dedup {
     // a truncated signature slice and miss index matches
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
     val spark = newBatch.sparkSession
-    val idxSigs = spark.read.parquet(s"$dir/sigs")
-    val idxBands = spark.read.parquet(s"$dir/bands")
+    // the epoch list is read ONCE here; both tables resolve against the
+    // same committed set, so a concurrent append (marker not yet written)
+    // is invisible to this probe rather than half-visible
+    val idxSigs = readEpochs(spark, dir, "sigs")
+    val idxBands = readEpochs(spark, dir, "bands")
     val newSigs = minhashSigs(newBatch)
-      // consumed twice (banding + verification join-back); the returned
-      // frame is LAZY with lineage through this cache, so the op cannot
-      // unpersist it itself — per the object-doc lifecycle, callers
-      // running many probes clearCache between crawls
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // consumed twice (banding + verification join-back).
+      // localCheckpoint, NOT persist: an eager checkpoint materializes the
+      // compact (id, sig) rows once like a cache would, but its blocks are
+      // freed by the ContextCleaner when the returned frame is dropped —
+      // persist() pins through the CacheManager until an explicit
+      // unpersist, and the advertised many-crawls production loop would
+      // accrete one pinned cache per probe with only the global
+      // clearCache() nuke as a remedy (round-11 advisory).
+      .localCheckpoint()
     val cand = bandKeys(newSigs, bands)
       .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
       .join(idxBands.select(col("doc_id").as("snap_id"), col("band"), col("band_hash")),
@@ -444,18 +552,56 @@ object Dedup {
   /** Fingerprinted idempotent index location for a testdata corpus: the
     * name keys on the source parquet's (path, length, mtime), so a
     * regenerated corpus gets a fresh index instead of silently probing a
-    * stale one (the round-9 failure class). */
-  def ensureMinhashIndex(spark: SparkSession, sfDir: String, bands: Int = 16): String =
-    synchronized {
-      val src = s"$sfDir/documents.parquet"
-      val fp = Integer.toHexString((sfDir + bands).hashCode) + "_" +
-        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-      val dir = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-mhidx"), s"documents_$fp")
-      if (!new java.io.File(dir, "bands/_SUCCESS").exists())
-        buildMinhashIndex(Tables.load(spark, sfDir, "documents"), dir.getPath, bands)
-      dir.getPath
+    * stale one (the round-9 failure class). Staged via
+    * [[stageAtomically]]: readers in OTHER JVMs sharing the tmpdir only
+    * ever see a complete index (round-11 advisory — the object-level
+    * `synchronized` these ensure-helpers used before is JVM-local). */
+  def ensureMinhashIndex(spark: SparkSession, sfDir: String, bands: Int = 16): String = {
+    val src = s"$sfDir/documents.parquet"
+    val fp = Integer.toHexString((sfDir + bands).hashCode) + "_" +
+      graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+    val dir = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-mhidx"), s"documents_$fp")
+    ensureCommittedIndex(dir)(tmp =>
+      buildMinhashIndex(Tables.load(spark, sfDir, "documents"), tmp.getPath, bands))
+  }
+
+  /** [[stageAtomically]] specialized to epoch-committed indexes: a
+    * published dir with NO commit markers (the pre-epoch layout, or one
+    * damaged out-of-band) is retired and rebuilt under the current
+    * protocol instead of failing every probe against it. */
+  private def ensureCommittedIndex(dir: java.io.File)(
+      build: java.io.File => Unit): String = {
+    if (dir.exists() && committedEpochs(dir.getPath).isEmpty) deleteRecursively(dir)
+    stageAtomically(dir)(build)
+  }
+
+  /** Build `stage` into a temp sibling and atomically rename it into
+    * place — the cross-process-safe variant of check-then-build: two JVMs
+    * racing this helper each build privately; exactly one rename wins
+    * (same-directory rename is atomic on POSIX) and the loser discards
+    * its build, so no reader — in this JVM or another — can observe a
+    * half-written fixture at the published path. Idempotent: an existing
+    * published dir short-circuits. */
+  private[graft] def stageAtomically(dir: java.io.File)(
+      stage: java.io.File => Unit): String = {
+    if (!dir.exists()) {
+      dir.getParentFile.mkdirs()
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      stage(tmp)
+      try
+        java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost the publish race (or a cross-device tmpdir): if the winner's
+        // dir is there, our staged copy is redundant — drop it
+        case e: java.nio.file.FileSystemException =>
+          if (dir.exists()) deleteRecursively(tmp) else throw e
+      }
     }
+    dir.getPath
+  }
 
   /** Persisted hyperplane-LSH index over an embedding snapshot — the
     * vector twin of [[buildMinhashIndex]], closing the incremental story
@@ -469,12 +615,58 @@ object Dedup {
   def buildEmbeddingIndex(snapshot: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64,
       tables: Int = 4, bits: Int = 12, seed: Long = 42L): Unit = {
+    committedEpochs(dir).foreach(id => new java.io.File(s"$dir/_committed/$id").delete())
+    val id = newEpochId()
+    writeEmbeddingEpoch(snapshot, dir, id, idCol, vecCol, dim, tables, bits, seed)
+    commitEpoch(dir, id)
+  }
+
+  /** Append accepted vectors to a stored LSH index — the vector twin of
+    * [[appendToMinhashIndex]], same epoch-commit crash contract and the
+    * same id-disjointness caller contract. The planes are re-derived from
+    * the build parameters, so pass the build-time values. */
+  def appendToEmbeddingIndex(accepted: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64,
+      tables: Int = 4, bits: Int = 12, seed: Long = 42L): Unit = {
+    val id = newEpochId()
+    writeEmbeddingEpoch(accepted, dir, id, idCol, vecCol, dim, tables, bits, seed)
+    commitEpoch(dir, id)
+  }
+
+  private def writeEmbeddingEpoch(batch: DataFrame, dir: String, id: String,
+      idCol: String, vecCol: String, dim: Int,
+      tables: Int, bits: Int, seed: Long): Unit = {
     val planes = Lsh.hyperplanes(tables, bits, dim, seed)
-    val vecs = snapshot.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    vecs.write.mode("overwrite").parquet(s"$dir/vecs")
-    Lsh.bucketize(snapshot, vecCol, planes)
+    batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$dir/vecs/ep_$id")
+    Lsh.bucketize(batch, vecCol, planes)
       .select(col(idCol).as("id"), col("table_idx"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$dir/buckets")
+      .write.mode("overwrite").parquet(s"$dir/buckets/ep_$id")
+  }
+
+  /** Epoch compaction for the embedding index — same motivation, crash
+    * contract, and single-writer caveat as [[compactMinhashIndex]]; the
+    * buckets table re-clusters by (table_idx, bucket), the probe join
+    * key. Returns the number of epochs merged (0 = nothing to do). */
+  def compactEmbeddingIndex(spark: SparkSession, dir: String): Int = {
+    val ids = committedEpochs(dir)
+    if (ids.size <= 1) return 0
+    val id = newEpochId()
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    readEpochs(spark, dir, "vecs")
+      .repartition(shufflePartitions, col("id"))
+      .write.mode("overwrite").parquet(s"$dir/vecs/ep_$id")
+    readEpochs(spark, dir, "buckets")
+      .repartition(shufflePartitions, col("table_idx"), col("bucket"))
+      .sortWithinPartitions("table_idx", "bucket")
+      .write.mode("overwrite").parquet(s"$dir/buckets/ep_$id")
+    commitEpoch(dir, id)
+    ids.foreach(old => new java.io.File(s"$dir/_committed/$old").delete())
+    for (table <- Seq("vecs", "buckets");
+         f <- Option(new java.io.File(s"$dir/$table").listFiles()).getOrElse(Array.empty)
+         if f.getName != s"ep_$id")
+      deleteRecursively(f)
+    ids.size
   }
 
   /** Probe a new vector batch against a stored LSH index: bucket the new
@@ -490,8 +682,8 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val spark = newBatch.sparkSession
     val planes = Lsh.hyperplanes(tables, bits, dim, seed)
-    val idxBuckets = spark.read.parquet(s"$dir/buckets")
-    val idxVecs = spark.read.parquet(s"$dir/vecs")
+    val idxBuckets = readEpochs(spark, dir, "buckets")
+    val idxVecs = readEpochs(spark, dir, "vecs")
     val newVecs = newBatch.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand = Lsh.bucketize(newBatch, vecCol, planes)
       .select(col(idCol).as("new_id"), col("table_idx"), col("bucket"))
@@ -546,19 +738,17 @@ object Dedup {
     * from them), so changed parameters build a fresh index instead of
     * silently probing a stale one with mismatched buckets. */
   def ensureEmbeddingIndex(spark: SparkSession, sfDir: String, dim: Int = 64,
-      tables: Int = 4, bits: Int = 12, seed: Long = 42L): String =
-    synchronized {
-      val src = s"$sfDir/embeddings.parquet"
-      val fp = Integer.toHexString(
-        (sfDir + dim + "_" + tables + "_" + bits + "_" + seed).hashCode) + "_" +
-        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-      val dir = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-embidx"), s"embeddings_$fp")
-      if (!new java.io.File(dir, "buckets/_SUCCESS").exists())
-        buildEmbeddingIndex(Tables.load(spark, sfDir, "embeddings"), dir.getPath,
-          dim = dim, tables = tables, bits = bits, seed = seed)
-      dir.getPath
-    }
+      tables: Int = 4, bits: Int = 12, seed: Long = 42L): String = {
+    val src = s"$sfDir/embeddings.parquet"
+    val fp = Integer.toHexString(
+      (sfDir + dim + "_" + tables + "_" + bits + "_" + seed).hashCode) + "_" +
+      graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+    val dir = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-embidx"), s"embeddings_$fp")
+    ensureCommittedIndex(dir)(tmp =>
+      buildEmbeddingIndex(Tables.load(spark, sfDir, "embeddings"), tmp.getPath,
+        dim = dim, tables = tables, bits = bits, seed = seed))
+  }
 
   /** Connected components over near-dup pairs: assigns every document the
     * smallest doc_id reachable through pair edges (transitive closure), so
@@ -730,6 +920,11 @@ object Dedup {
     }),
     // Vector twin: probe perturbed embeddings (the planted vector
     // perturbation, id+1M) against a PERSISTED hyperplane-LSH index.
+    // Threshold knife edge: the engine compares cosine_f32 >= 0.9, the
+    // DuckDB oracle float64 >= 0.9 — row-set agreement relies on the
+    // fixture keeping every candidate a margin away from 0.9 in BOTH
+    // precisions, which IndexMaintenanceSpec verifies per regenerated
+    // corpus (> 1e-4 at sf0.001 and sf0.01) instead of leaving it to luck.
     "dedup_incr_embedding" -> ((s, d) => {
       val dir = ensureEmbeddingIndex(s, d)
       val newBatch = Tables.load(s, d, "embeddings").select(

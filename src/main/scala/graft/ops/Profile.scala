@@ -114,15 +114,17 @@ object Profile {
       .filter(col("value").isNotNull)
       .groupBy("column_name", "value")
       .agg(count(lit(1)).as("cnt"))
-    // canonical order for the prefix sum; persisted because both passes
+    // canonical order for the prefix sum; materialized because both passes
     // stream the same partitions (and pass 2 must see pass 1's order).
-    // The returned frame's lineage runs through this cache, so the op
-    // cannot unpersist it itself — the Dedup-object cache-lifecycle
-    // convention applies (callers running many queries clearCache)
+    // localCheckpoint, NOT persist: the eager checkpoint pins partition
+    // order exactly like a cache would, but its blocks free via the
+    // ContextCleaner once the returned frame is dropped — persist() would
+    // pin one cache per profiling call until a global clearCache()
+    // (round-11 advisory; same remedy as Dedup.probeMinhashIndex)
     val sorted = counts
       .repartitionByRange(col("column_name"), col("value"))
       .sortWithinPartitions("column_name", "value")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val schema = sorted.schema
     val colAt = schema.fieldIndex("column_name")
     val cntAt = schema.fieldIndex("cnt")
