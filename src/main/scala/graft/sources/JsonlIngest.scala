@@ -31,30 +31,36 @@ object JsonlIngest {
 
   /** Stage a deterministic JSONL "crawl drop" derived from the sf dir's
     * documents table: one compact `to_json` line per document in doc_id
-    * order, with every 97th document's line TRUNCATED to half length —
-    * the planted corruption (a cut-off upload) the quarantine channel
-    * must catch. A half-truncated compact JSON object can never be valid
-    * (its only closing brace is the final character), so the planted set
-    * is structurally corrupt under any parser. Fingerprinted + idempotent
-    * like the other staged fixtures; corpus regeneration restages. */
-  def ensureJsonlDrop(spark: SparkSession, sfDir: String): String = synchronized {
+    * order, with two planted corruption classes —
+    *  - every 97th document's line TRUNCATED to half length (a cut-off
+    *    upload; a half-truncated compact JSON object can never be valid,
+    *    its only closing brace is the final character), and
+    *  - every 89th (not also 97th) document's `doc_id` rendered as the
+    *    STRING "id-<n>" (a vendor schema drift: valid JSON that fails
+    *    the imposed LongType — PERMISSIVE quarantines the record).
+    * Fingerprinted + idempotent like the other staged fixtures (published
+    * via atomic rename so cross-JVM readers never see a partial drop);
+    * corpus regeneration restages. */
+  def ensureJsonlDrop(spark: SparkSession, sfDir: String): String = {
     val src = s"$sfDir/documents.parquet"
-    val fp = Integer.toHexString(sfDir.hashCode) + "_" +
+    val fp = Integer.toHexString((sfDir + "v2").hashCode) + "_" +
       graft.plans.MaterializedViews.filesFingerprint(Seq(src))
     val dir = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft-jsonl"), s"documents_$fp")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    graft.ops.Dedup.stageAtomically(dir) { tmp =>
       Tables.load(spark, sfDir, "documents")
         .orderBy("doc_id")
         .withColumn("line", to_json(struct(col("doc_id"), col("text"), col("lang"))))
+        .withColumn("mangled", to_json(struct(
+          concat(lit("id-"), col("doc_id")).as("doc_id"), col("text"), col("lang"))))
         .select(
           when(col("doc_id") % 97 === 0,
             expr("substring(line, 1, length(line) div 2)"))
+            .when(col("doc_id") % 89 === 0, col("mangled"))
             .otherwise(col("line")).as("value"))
         .coalesce(1)
-        .write.mode("overwrite").text(dir.getPath)
+        .write.mode("overwrite").text(tmp.getPath)
     }
-    dir.getPath
   }
 
   /** PERMISSIVE JSONL read with a quarantine channel. Returns
@@ -79,6 +85,33 @@ object JsonlIngest {
     (valid, quarantine)
   }
 
+  /** Triage enrichment over the quarantine channel (round-11 verdict
+    * task 6): production triage needs to route a quarantined line by WHY
+    * it failed and to recognize a re-dropped line it already saw. One
+    * map-side pass adds
+    *  - `fingerprint`: sha256 of the raw bytes — the stable re-drop
+    *    matching key (sha256, not xxhash64, so the DuckDB oracle can
+    *    recompute it bit-exactly), and
+    *  - `error_class`:
+    *      `invalid_utf8`     — the line carries U+FFFD, the replacement
+    *                           character the UTF-8 reader substitutes for
+    *                           undecodable bytes upstream;
+    *      `schema_mismatch`  — structurally valid JSON that failed the
+    *                           imposed schema (checked with
+    *                           `get_json_object(raw, '$')`, which is NULL
+    *                           exactly on malformed JSON);
+    *      `truncated`        — everything else: structurally broken JSON
+    *                           (cut-off upload, framing damage).
+    * Precedence is top-down: a truncated line containing U+FFFD reports
+    * the encoding damage (the earlier, more actionable fault). */
+  def classifyQuarantine(quarantine: DataFrame): DataFrame =
+    quarantine.select(
+      col("raw"),
+      sha2(col("raw"), 256).as("fingerprint"),
+      when(col("raw").contains("\uFFFD"), "invalid_utf8")
+        .when(get_json_object(col("raw"), "$").isNotNull, "schema_mismatch")
+        .otherwise("truncated").as("error_class"))
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // the valid channel: parsed rows under the imposed schema
     "ingest_jsonl" -> ((s, d) => {
@@ -92,6 +125,13 @@ object JsonlIngest {
       val (_, quarantine) = readWithQuarantine(s, ensureJsonlDrop(s, d))
       quarantine.orderBy("raw")
     }),
+    // triage: the quarantine channel with error class + re-drop
+    // fingerprint; both planted classes must classify correctly and the
+    // fingerprint must match the oracle's independent sha256
+    "ingest_jsonl_triage" -> ((s, d) => {
+      val (_, quarantine) = readWithQuarantine(s, ensureJsonlDrop(s, d))
+      classifyQuarantine(quarantine).orderBy("raw")
+    }),
   )
 
   /** Both oracles reconstruct the staged lines in SQL — DuckDB's compact
@@ -103,23 +143,47 @@ object JsonlIngest {
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 97 = 0
       |              THEN substring(l, 1, length(l) // 2)
+      |              WHEN doc_id % 89 = 0 THEN lm
       |              ELSE l END AS line
       |  FROM (SELECT doc_id,
-      |               CAST(to_json(struct_pack(doc_id := doc_id, text := text, lang := lang)) AS VARCHAR) AS l
+      |               CAST(to_json(struct_pack(doc_id := doc_id, text := text, lang := lang)) AS VARCHAR) AS l,
+      |               CAST(to_json(struct_pack(doc_id := 'id-' || doc_id, text := text, lang := lang)) AS VARCHAR) AS lm
       |        FROM documents) _
       |)""".stripMargin
+
+  /** A line parses under the imposed schema iff it is valid JSON AND its
+    * doc_id is integral — the oracle-side mirror of Spark's PERMISSIVE
+    * record-level contract (any field-conversion failure quarantines the
+    * whole record; IngestSpec pins that behavior on the string-doc_id
+    * planting). */
+  private val parseable =
+    // the CASE gate matters: DuckDB's json_extract THROWS on malformed
+    // JSON and AND does not guarantee short-circuit evaluation, so the
+    // extract must only ever see valid lines (NULL otherwise)
+    "json_valid(line) AND TRY_CAST(json_extract(CASE WHEN json_valid(line) THEN line END, '$.doc_id') AS BIGINT) IS NOT NULL"
 
   val oracle: Seq[(String, String)] = Seq(
     "ingest_jsonl" ->
       s"""$linesCte
          |SELECT CAST(json_extract(line, '$$.doc_id') AS BIGINT) AS doc_id,
          |       json_extract_string(line, '$$.lang') AS lang
-         |FROM lines WHERE json_valid(line)
+         |FROM lines WHERE $parseable
          |ORDER BY doc_id""".stripMargin,
     "ingest_jsonl_quarantine" ->
       s"""$linesCte
          |SELECT line AS raw FROM lines
-         |WHERE NOT json_valid(line)
+         |WHERE NOT ($parseable)
+         |ORDER BY raw""".stripMargin,
+    // the fixture plants no undecodable bytes (the staged file is Spark-
+    // written UTF-8), so invalid_utf8 never fires here — its classifier
+    // arm is pinned by IngestSpec on an in-memory U+FFFD line instead
+    "ingest_jsonl_triage" ->
+      s"""$linesCte
+         |SELECT line AS raw,
+         |       sha256(line) AS fingerprint,
+         |       CASE WHEN json_valid(line) THEN 'schema_mismatch'
+         |            ELSE 'truncated' END AS error_class
+         |FROM lines WHERE NOT ($parseable)
          |ORDER BY raw""".stripMargin,
   )
 }
