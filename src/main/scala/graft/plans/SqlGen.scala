@@ -364,6 +364,14 @@ object SqlGen {
 
     case SubqueryAlias(_, child) => gen(child, R)
 
+    // Spark's top-k-per-group rewrite (InferWindowGroupLimit) plants this
+    // pre-pruning hint BELOW an intact Window + rank-filter pair; the
+    // rendered SQL keeps that full pair, so the hint itself is a no-op
+    // for generation — render through to the child. (Correctness doesn't
+    // depend on the hint; it only reduces rows feeding the Window, which
+    // the backend's own optimizer is free to do again.)
+    case wgl: WindowGroupLimit => gen(wgl.child, R)
+
     case Window(winExprs, partSpec, ordSpec, child, _) =>
       // Window output = child.output ++ window columns; partition/order/
       // frame live inside each WindowExpression's WindowSpecDefinition.

@@ -45,12 +45,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftSqlTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-sqldb"
 
-  /** `url` selects the production JDBC backend; `dir` the in-process
-    * parquet-view double (tests / local benchmarking). */
+  /** `url` selects the production JDBC backend; `pgwire`
+    * ("host:port/database") the native Postgres-wire backend; `dir` the
+    * in-process parquet-view double (tests / local benchmarking). */
   private def backend(options: CaseInsensitiveStringMap): SqlBackend =
-    Option(options.get("url")) match {
-      case Some(u) => JdbcBackend.forUrl(u)
-      case None => SparkViewBackend.forDir(options.get("dir"))
+    (Option(options.get("url")), Option(options.get("pgwire"))) match {
+      case (Some(u), _) => JdbcBackend.forUrl(u)
+      case (None, Some(a)) => PgWireBackend.forAddress(a)
+      case _ => SparkViewBackend.forDir(options.get("dir"))
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal Postgres v3 wire-protocol FRONTEND — the native client the
+  * [[PgWireBackend]] speaks, mirroring the reference's own architecture:
+  * it talks to Postgres directly over the wire (connection spawn
+  * `/root/reference/src/sqldb/postgres/mod.rs:133-168`), not through a
+  * JDBC driver. Surface: startup (trust auth), the simple-query protocol
+  * with STREAMED text-format rows, and loud errors for everything else
+  * (auth challenges, COPY sub-protocol — the COPY channels have their own
+  * codecs, [[PgCopyEncoder]]/[[PgCopyDecoder]]).
+  *
+  * Protocol facts (public PG docs, "Frontend/Backend Protocol"):
+  * StartupMessage has no type byte (length + protocol 196608 + key/value
+  * pairs); every other message is `type:int8, length:int32(incl. itself),
+  * payload`. A simple Query answers RowDescription('T') → DataRow('D')* →
+  * CommandComplete('C') → ReadyForQuery('Z'), with NoticeResponse('N') /
+  * ParameterStatus('S') / BackendKeyData('K') interleavable anywhere. */
+object PgWire {
+
+  /** pg_type OIDs (stable public catalog constants). */
+  object Oid {
+    val Bool = 16; val Bytea = 17; val Int8 = 20; val Int2 = 21
+    val Int4 = 23; val Text = 25; val Float4 = 700; val Float8 = 701
+    val Bpchar = 1042; val Varchar = 1043; val Date = 1082
+    val Timestamp = 1114; val Timestamptz = 1184; val Numeric = 1700
+    val Uuid = 2950
+  }
+
+  case class Field(name: String, typeOid: Int)
+
+  /** One open connection running the simple-query protocol. NOT
+    * thread-safe (one in-flight query per connection, like the protocol
+    * itself); open one session per task. */
+  final class Session(host: String, port: Int, database: String, user: String)
+      extends AutoCloseable {
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), 10000)
+    private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+
+    locally { // startup: no type byte
+      val params = new ByteArrayOutputStream()
+      def kv(k: String, v: String): Unit = {
+        params.write(k.getBytes(UTF_8)); params.write(0)
+        params.write(v.getBytes(UTF_8)); params.write(0)
+      }
+      kv("user", user); kv("database", database)
+      params.write(0)
+      val body = params.toByteArray
+      out.writeInt(8 + body.length)
+      out.writeInt(196608) // protocol 3.0
+      out.write(body)
+      out.flush()
+      // trust auth only: AuthenticationOk(code 0) or fail loudly — this
+      // client carries no credential handshakes by design
+      var ready = false
+      while (!ready) readMessage() match {
+        case ('R', payload) =>
+          val code = ((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
+            ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+          if (code != 0) throw new java.io.IOException(
+            s"pgwire: server requires authentication (code $code); only trust auth is supported")
+        case ('Z', _) => ready = true
+        case ('E', payload) => throw new java.io.IOException(
+          s"pgwire startup error: ${errorMessage(payload)}")
+        case _ => () // ParameterStatus / BackendKeyData / NoticeResponse
+      }
+    }
+
+    private def readMessage(): (Char, Array[Byte]) = {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      (t, payload)
+    }
+
+    private def errorMessage(payload: Array[Byte]): String = {
+      // ErrorResponse: (fieldType:int8, cstring)* 0 — surface the 'M'
+      // (human message) field
+      var i = 0
+      var msg = "unknown error"
+      while (i < payload.length && payload(i) != 0) {
+        val ft = payload(i).toChar
+        val end = payload.indexOf(0.toByte, i + 1)
+        val v = new String(payload, i + 1, end - i - 1, UTF_8)
+        if (ft == 'M') msg = v
+        i = end + 1
+      }
+      msg
+    }
+
+    /** Run one simple query, streaming text-format rows: `onFields` sees
+      * the RowDescription before the first row; the returned iterator
+      * yields each DataRow's values (None = SQL NULL) and, once
+      * exhausted, has consumed through ReadyForQuery — leaving the
+      * session reusable. Abandoning the iterator mid-stream requires
+      * closing the session (the socket is the cancel mechanism, as in the
+      * reference's one-shot connections). */
+    def queryStream(sql: String)(onFields: Seq[Field] => Unit): Iterator[Array[Option[String]]] = {
+      val body = new ByteArrayOutputStream()
+      body.write(sql.getBytes(UTF_8)); body.write(0)
+      out.writeByte('Q')
+      out.writeInt(4 + body.size())
+      body.writeTo(out)
+      out.flush()
+      new Iterator[Array[Option[String]]] {
+        private var nextRow: Array[Option[String]] = null
+        private var done = false
+        private var fieldsSeen = false
+        private def advance(): Unit = {
+          while (nextRow == null && !done) readMessage() match {
+            case ('T', p) =>
+              onFields(parseRowDescription(p)); fieldsSeen = true
+            case ('D', p) => nextRow = parseDataRow(p)
+            case ('C', _) => () // CommandComplete; 'Z' follows
+            case ('Z', _) =>
+              done = true
+              if (!fieldsSeen) throw new java.io.IOException(
+                "pgwire: statement returned no result set (not a query?)")
+            case ('E', p) =>
+              val msg = errorMessage(p)
+              drainToReady()
+              throw new java.io.IOException(s"pgwire query error: $msg")
+            case ('N', _) | ('S', _) | ('K', _) => ()
+            case (other, _) => throw new java.io.IOException(
+              s"pgwire: unexpected message '$other' during query")
+          }
+        }
+        override def hasNext: Boolean = { advance(); nextRow != null }
+        override def next(): Array[Option[String]] = {
+          advance()
+          if (nextRow == null) throw new NoSuchElementException("pgwire row stream")
+          val r = nextRow; nextRow = null; r
+        }
+      }
+    }
+
+    private def drainToReady(): Unit = {
+      var z = false
+      while (!z) readMessage() match {
+        case ('Z', _) => z = true
+        case _ => ()
+      }
+    }
+
+    private def parseRowDescription(p: Array[Byte]): Seq[Field] = {
+      val buf = java.nio.ByteBuffer.wrap(p)
+      val n = buf.getShort()
+      (0 until n).map { _ =>
+        val start = buf.position()
+        while (buf.get() != 0) {}
+        val name = new String(p, start, buf.position() - start - 1, UTF_8)
+        buf.getInt() // table oid
+        buf.getShort() // attnum
+        val typeOid = buf.getInt()
+        buf.getShort() // typlen
+        buf.getInt() // typmod
+        val fmt = buf.getShort() // 0 = text
+        if (fmt != 0) throw new java.io.IOException(
+          s"pgwire: binary result format for '$name' — simple queries are text-format")
+        Field(name, typeOid)
+      }
+    }
+
+    private def parseDataRow(p: Array[Byte]): Array[Option[String]] = {
+      val buf = java.nio.ByteBuffer.wrap(p)
+      val n = buf.getShort()
+      Array.tabulate(n) { _ =>
+        val len = buf.getInt()
+        if (len < 0) None
+        else {
+          val bytes = new Array[Byte](len)
+          buf.get(bytes)
+          Some(new String(bytes, UTF_8))
+        }
+      }
+    }
+
+    /** Buffered variant of [[queryStream]]. */
+    def query(sql: String): (Seq[Field], Vector[Array[Option[String]]]) = {
+      var fields: Seq[Field] = Nil
+      val rows = queryStream(sql)(fields = _).toVector
+      (fields, rows)
+    }
+
+    override def close(): Unit = {
+      try { // Terminate is a courtesy; the socket close is the contract
+        out.writeByte('X'); out.writeInt(4); out.flush()
+      } catch { case _: Exception => () }
+      try socket.close() catch { case _: Exception => () }
+    }
+  }
+
+  def withSession[A](host: String, port: Int, database: String,
+      user: String = "graft")(f: Session => A): A = {
+    val s = new Session(host, port, database, user)
+    try f(s) finally s.close()
+  }
+}

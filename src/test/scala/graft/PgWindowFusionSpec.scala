@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pgwire.MiniPgServer
+import graft.plans.{GraftExtensions, PushedSqlExec}
+import graft.sources.{PgWire, PgWireBackend}
+
+/** PARTITIONED window fusion on the Postgres dialect, end-to-end over a
+  * REAL loopback socket (round-11 verdict task 3): the reference left
+  * windows `todo!()` (`parser.rs:251,893`), Derby can only parse the
+  * bare-row_number idiom (`DerbyFusionSpec` proves the declining gate),
+  * and this spec closes the remaining cell — a window-CAPABLE dialect
+  * receives the full `OVER (PARTITION BY … ORDER BY …)` rendering as ONE
+  * fused wire query and returns correct rows.
+  *
+  * The backend under test is the main-code native-wire stack
+  * ([[PgWire]] + [[PgWireBackend]] — the reference's own no-driver
+  * architecture), against [[MiniPgServer]]'s query-capable hook: SQL
+  * text travels the actual v3 protocol and is executed by a DELEGATE
+  * Spark session configured with ANSI double-quoted identifiers (the
+  * quoting Postgres and the generator share), standing in for the
+  * Postgres executor this sandbox doesn't have. What the fake does NOT
+  * fake: the wire framing, the catalog discovery queries, the dialect
+  * rendering, the fusion decision, or the result decoding — each is the
+  * production code path.
+  *
+  * Scheduler note: the delegate shares the test JVM's SparkContext, so a
+  * query it runs needs a free task slot while engine tasks block on the
+  * socket. Fused queries hold exactly ONE task; the scan-path test caps
+  * its partitions at 2 (< local[4]) — a REAL server has no such
+  * coupling. */
+class PgWindowFusionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val delegate: SparkSession = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    s.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    import s.implicits._
+    (1 to 40).map(i => (i, i % 5, i * 10.0, i % 3))
+      .toDF("id", "dept", "sal", "bonus").createOrReplaceTempView("emp")
+    Seq((0, "eng"), (1, "ops"), (2, "fin"))
+      .toDF("id", "dname").createOrReplaceTempView("dep")
+    s
+  }
+
+  private def pgTypeName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double precision"
+    case StringType => "text"
+    case DateType => "date"
+    case d: DecimalType => "numeric"
+    case other => fail(s"no pg type for $other")
+  }
+
+  private def oidFor(dt: DataType): Int = dt match {
+    case BooleanType => PgWire.Oid.Bool
+    case ShortType => PgWire.Oid.Int2
+    case IntegerType => PgWire.Oid.Int4
+    case LongType => PgWire.Oid.Int8
+    case FloatType => PgWire.Oid.Float4
+    case DoubleType => PgWire.Oid.Float8
+    case StringType => PgWire.Oid.Text
+    case DateType => PgWire.Oid.Date
+    case _: DecimalType => PgWire.Oid.Numeric
+    case other => fail(s"no oid for $other")
+  }
+
+  private def render(v: Any): String = v match {
+    case b: Boolean => if (b) "t" else "f"
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => other.toString
+  }
+
+  private lazy val server: MiniPgServer = {
+    val srv = new MiniPgServer
+    val counts = Map("emp" -> 40L, "dep" -> 3L) // precomputed: no delegate job
+    srv.queryExecutor = sql => {
+      val tableRe = "\"table_name\" = '([^']+)'".r
+      val relRe = "\"relname\" = '([^']+)'".r
+      if (sql.contains("\"information_schema\".\"tables\"")) {
+        val names = Seq("dep", "emp")
+        Some(MiniPgServer.QueryResult(
+          Seq(("table_name", PgWire.Oid.Varchar)),
+          names.map(n => Seq(Some(n)))))
+      } else if (sql.contains("\"information_schema\".\"columns\"")) {
+        val t = tableRe.findFirstMatchIn(sql).get.group(1)
+        val sch = delegate.table(t).schema
+        Some(MiniPgServer.QueryResult(
+          Seq(("column_name", PgWire.Oid.Varchar), ("data_type", PgWire.Oid.Varchar),
+            ("numeric_precision", PgWire.Oid.Int4), ("numeric_scale", PgWire.Oid.Int4),
+            ("is_nullable", PgWire.Oid.Varchar), ("ordinal_position", PgWire.Oid.Int4)),
+          sch.fields.zipWithIndex.map { case (f, i) =>
+            val (p, s) = f.dataType match {
+              case d: DecimalType => (Some(d.precision.toString), Some(d.scale.toString))
+              case _ => (None, None)
+            }
+            Seq(Some(f.name), Some(pgTypeName(f.dataType)), p, s,
+              Some(if (f.nullable) "YES" else "NO"), Some((i + 1).toString))
+          }))
+      } else if (sql.contains("\"pg_class\"")) {
+        val t = relRe.findFirstMatchIn(sql).get.group(1)
+        Some(MiniPgServer.QueryResult(Seq(("reltuples", PgWire.Oid.Float4)),
+          counts.get(t).map(c => Seq(Some(c.toString))).toSeq))
+      } else {
+        // real SQL through the delegate (active-session pinning per
+        // SparkViewBackend.executeSql — server threads have none)
+        val prev = SparkSession.getActiveSession
+        SparkSession.setActiveSession(delegate)
+        try {
+          val df = delegate.sql(sql)
+          val sch = df.schema
+          val rows = df.collect()
+          Some(MiniPgServer.QueryResult(
+            sch.fields.map(f => (f.name, oidFor(f.dataType))).toSeq,
+            rows.toSeq.map(r => sch.fields.indices.map(i =>
+              if (r.isNullAt(i)) None else Some(render(r.get(i)))))))
+        } finally prev match {
+          case Some(p) => SparkSession.setActiveSession(p)
+          case None => SparkSession.clearActiveSession()
+        }
+      }
+    }
+    srv
+  }
+
+  private def remote(table: String): DataFrame = {
+    GraftExtensions.install(spark)
+    spark.read.format("graft-sqldb")
+      .option("pgwire", s"127.0.0.1:${server.port}/testdb")
+      .option("table", table)
+      .option("partitions", "2") // < local[4]: see the scheduler note
+      .load()
+  }
+
+  private def pushed(df: DataFrame): Seq[PushedSqlExec] =
+    df.queryExecution.executedPlan.collect { case p: PushedSqlExec => p }
+  private def scans(df: DataFrame): Seq[BatchScanExec] =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+
+  private lazy val localEmp = {
+    val s = spark
+    import s.implicits._
+    (1 to 40).map(i => (i, i % 5, i * 10.0, i % 3)).toDF("id", "dept", "sal", "bonus")
+  }
+
+  test("catalog discovery and schema come over the wire") {
+    val b = PgWireBackend.forAddress(s"127.0.0.1:${server.port}/testdb")
+    assert(b.tables == Seq("dep", "emp"))
+    assert(b.schema("emp").fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", IntegerType), ("dept", IntegerType),
+        ("sal", DoubleType), ("bonus", IntegerType)))
+    assert(b.estimatedRowCount("emp").contains(40L))
+  }
+
+  test("partitioned row_number window fuses into ONE wire query") {
+    val w = Window.partitionBy("dept").orderBy(desc("sal"))
+    val df = remote("emp")
+      .select(col("id"), col("dept"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+    val p = pushed(df)
+    assert(p.size == 1, df.queryExecution.executedPlan.toString)
+    assert(scans(df).isEmpty, "the window subtree must fuse whole")
+    assert(p.head.sql.contains("ROW_NUMBER() OVER (PARTITION BY"),
+      s"partitioned OVER must render:\n${p.head.sql}")
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    // the SQL traveled the actual wire protocol (logged at execution)
+    assert(server.eventLog.contains(p.head.sql),
+      "fused SQL must appear in the server's Query log")
+    val want = localEmp
+      .select(col("id"), col("dept"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want && got.size == 10) // 5 depts × top-2
+  }
+
+  test("rank and framed running sum fuse with explicit frames") {
+    val wRank = Window.partitionBy("dept").orderBy(desc("sal"))
+    val wSum = Window.partitionBy("dept").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = remote("emp").select(
+      col("id"), rank().over(wRank).as("rk"), sum("sal").over(wSum).as("running"))
+    val p = pushed(df)
+    assert(p.size == 1 && scans(df).isEmpty,
+      df.queryExecution.executedPlan.toString)
+    assert(p.head.sql.contains("RANK() OVER (PARTITION BY"), p.head.sql)
+    assert(p.head.sql.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
+      s"aggregate window must keep its explicit frame:\n${p.head.sql}")
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val want = localEmp.select(
+      col("id"), rank().over(wRank).as("rk"), sum("sal").over(wSum).as("running"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want && got.size == 40)
+  }
+
+  test("window above a join fuses whole") {
+    val e = remote("emp"); val d = remote("dep")
+    val w = Window.partitionBy("dname").orderBy(desc("sal"))
+    val df = e.join(d, e("dept") === d("id"))
+      .select(col("dname"), col("sal"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+    val p = pushed(df)
+    assert(p.size == 1 && scans(df).isEmpty,
+      df.queryExecution.executedPlan.toString)
+    assert(p.head.sql.contains("OVER (PARTITION BY"), p.head.sql)
+    // depts 0,1,2 have names; top sal per dname: dept d ∈ {0,1,2} max id
+    // with id%5==d → ids 40 (eng), 36 (ops), 37 (fin)
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("eng", 400.0), ("ops", 360.0), ("fin", 370.0)))
+  }
+
+  test("plain scan keeps the partitioned parallel read over the wire") {
+    val df = remote("emp").filter(col("dept") === 2).select("id", "sal")
+    assert(pushed(df).isEmpty, "scan-expressible shapes stay on the scan path")
+    assert(scans(df).nonEmpty)
+    val got = df.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val want = (1 to 40).filter(_ % 5 == 2).map(i => (i, i * 10.0)).toSet
+    assert(got == want)
+  }
+}

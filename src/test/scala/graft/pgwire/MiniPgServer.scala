@@ -13,6 +13,12 @@ import scala.collection.concurrent.TrieMap
   * disconnect drops them — so the channel's commit/rollback ordering is
   * observable, not assumed. `COPY … TO STDOUT` serves bytes staged in
   * [[copyOut]], deliberately fragmented so frame reassembly is exercised. */
+object MiniPgServer {
+  /** Result set of one executed query: field (name, type oid) pairs plus
+    * text-format rows (None = SQL NULL). */
+  case class QueryResult(fields: Seq[(String, Int)], rows: Seq[Seq[Option[String]]])
+}
+
 final class MiniPgServer {
   private val ss = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   def port: Int = ss.getLocalPort
@@ -22,6 +28,12 @@ final class MiniPgServer {
   val committed = TrieMap.empty[String, Vector[Array[Byte]]]
   /** copy-statement SQL → bytes to serve for `COPY … TO STDOUT`. */
   val copyOut = TrieMap.empty[String, Array[Byte]]
+  /** Query-capable hook: a non-COPY, non-txn Query message consults this
+    * first; Some → RowDescription + text DataRows + `SELECT n`, None →
+    * the legacy bare "OK". Lets fusion specs run REAL SQL end-to-end over
+    * the wire (delegating to an executor of the test's choosing) while
+    * the COPY protocol tests keep their fixture behavior. */
+  @volatile var queryExecutor: String => Option[MiniPgServer.QueryResult] = _ => None
   private val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
   /** Every Query message received, in arrival order. */
   def eventLog: Seq[String] = events.toArray(Array.empty[String]).toSeq
@@ -134,7 +146,42 @@ final class MiniPgServer {
                   complete(out, "COPY 0"); ready(out, inTxn)
               }
             }
-            else { complete(out, "OK"); ready(out, inTxn) }
+            else (try Right(queryExecutor(sql)) catch {
+              case e: Exception => Left(e)
+            }) match {
+              case Left(e) =>
+                error(out, s"${e.getClass.getSimpleName}: ${e.getMessage} @ " +
+                  e.getStackTrace.take(3).mkString(" / "))
+                ready(out, inTxn)
+              case Right(r) => r match {
+              case Some(r) =>
+                // RowDescription: int16 nfields; per field: name\0,
+                // table oid=0, attnum=0, type oid, typlen=-1, typmod=-1,
+                // format=0 (text)
+                val tb = new ByteArrayOutputStream()
+                val td = new DataOutputStream(tb)
+                td.writeShort(r.fields.size)
+                r.fields.foreach { case (n, oid) =>
+                  td.write(cstr(n)); td.writeInt(0); td.writeShort(0)
+                  td.writeInt(oid); td.writeShort(-1); td.writeInt(-1)
+                  td.writeShort(0)
+                }
+                msg(out, 'T', tb.toByteArray)
+                r.rows.foreach { row =>
+                  val d = new ByteArrayOutputStream()
+                  val dd = new DataOutputStream(d)
+                  dd.writeShort(row.size)
+                  row.foreach {
+                    case Some(v) =>
+                      val b = v.getBytes("UTF-8")
+                      dd.writeInt(b.length); dd.write(b)
+                    case None => dd.writeInt(-1)
+                  }
+                  msg(out, 'D', d.toByteArray)
+                }
+                complete(out, s"SELECT ${r.rows.size}"); ready(out, inTxn)
+              case None => complete(out, "OK"); ready(out, inTxn)
+            } }
           case other =>
             error(out, s"unsupported message '$other'"); ready(out, inTxn)
         }
