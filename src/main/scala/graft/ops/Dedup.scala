@@ -700,6 +700,39 @@ object Dedup {
       .orderBy("snap_id", "new_id")
   }
 
+  /** Eval-set leakage guard — the check every train/eval split needs
+    * before an eval score means anything: no eval document may be a
+    * near-duplicate of any training document, or the eval set measures
+    * memorization. Returns the VIOLATING pairs (train_id, eval_id,
+    * est_jaccard ≥ threshold) — empty on a clean split. Caller contract:
+    * the two frames' doc_ids are disjoint (remap eval ids if needed).
+    *
+    * Scale shape: one near-dup pair pipeline over train ∪ eval, then two
+    * id-set joins against the REDUCED pair list to keep only cross
+    * pairs — pair-linear, text never joins. When the training corpus
+    * already has a persisted MinHash index (the incremental-crawl loop),
+    * skip the union and probe the eval set against it instead —
+    * [[probeMinhashIndex]] returns exactly this shape without
+    * re-signaturing train (`IndexMaintenanceSpec` pins the equivalence);
+    * that is the 100 TB path. */
+  def evalLeakage(train: DataFrame, eval: DataFrame,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashPairs(
+      train.select("doc_id", "text").unionAll(eval.select("doc_id", "text")),
+      bands, threshold)
+    val trainIds = train.select(col("doc_id").as("train_id"))
+    val evalIds = eval.select(col("doc_id").as("eval_id"))
+    val ab = pairs
+      .join(trainIds, col("doc_a") === col("train_id"))
+      .join(evalIds, col("doc_b") === col("eval_id"))
+    val ba = pairs
+      .join(trainIds, col("doc_b") === col("train_id"))
+      .join(evalIds, col("doc_a") === col("eval_id"))
+    ab.select("train_id", "eval_id", "est_jaccard")
+      .unionAll(ba.select("train_id", "eval_id", "est_jaccard"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Quality-aware keep selection over near-dup pairs — the policy layer
     * between pair discovery and deletion. Near-dup copies are NOT
     * interchangeable (a truncated mirror scores worse than its source);
@@ -932,6 +965,25 @@ object Dedup {
         expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"))
       probeEmbeddingIndex(newBatch, dir)
     }),
+    // Eval-leakage guard over a real split: eval = the samplePerGroup
+    // eval set (remapped +3M so ids are disjoint), train = the rest,
+    // plus ONE planted leak — a perturbed copy of the smallest train doc
+    // (id +4M) — which the guard MUST surface. Everything is
+    // SQL-mirrorable: the eval membership is the sample_per_group
+    // window, the leak the standard perturbation, the pairs the minhash
+    // chain's cross slice.
+    "eval_leakage" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "lang")
+      val evalIds = Sampling.samplePerGroup(docs, "lang").select("doc_id")
+      val train = docs.join(evalIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+      val evalNat = docs.join(evalIds, Seq("doc_id"), "left_semi")
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val leak = train.orderBy("doc_id").limit(1)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
+      evalLeakage(train, evalNat.unionAll(leak))
+    }),
   )
 
   private def groupsEntry(threshold: Long)
@@ -955,6 +1007,7 @@ object Dedup {
   val oracle: Seq[(String, String)] = Seq(
     "dedup_minhash" -> HashOracleSql.minhash,
     "dedup_simhash" -> HashOracleSql.simhash,
+    "eval_leakage" -> HashOracleSql.evalLeakage,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -197,6 +197,34 @@ object HashOracleSql {
        |WHERE doc_a < 1000000 AND doc_b >= 1000000
        |ORDER BY snap_id, new_id""".stripMargin
 
+  /** eval_leakage: the cross-(train, eval) slice of the pair chain over
+    * the split the entry constructs — eval membership is the
+    * sample_per_group window (k=5 per lang, fifth-bucket hash order),
+    * eval ids remap +3M, and the planted leak is the standard
+    * perturbation of the smallest train doc at +4M. The guard's output
+    * is exactly the pairs crossing the id ranges. */
+  lazy val evalLeakage: String =
+    s"""WITH eval_ids AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ((doc_id % 1000003) * 374761393) % 1000003 DESC, doc_id) AS rn
+       |    FROM documents) _ WHERE rn <= 5),
+       |train AS (SELECT doc_id, text FROM documents
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)),
+       |docs2 AS (
+       |  SELECT doc_id, text FROM train
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM eval_ids)
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS doc_id,
+       |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)) AS text
+       |  FROM train WHERE doc_id = (SELECT MIN(doc_id) FROM train)),
+       |${minhashPairCtes("docs2")}
+       |SELECT doc_a AS train_id, doc_b AS eval_id, est_jaccard FROM pairs
+       |WHERE doc_a < 3000000 AND doc_b >= 3000000
+       |ORDER BY train_id, eval_id""".stripMargin
+
   /** text_contamination: the same n=3 shingle-hash emulation over both
     * the corpus and the fixture benchmark (30% prefixes of every 50th
     * document), then distinct-shared-shingle counts per document — the

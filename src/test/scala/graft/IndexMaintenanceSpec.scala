@@ -167,6 +167,50 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(builds.get() == n)
   }
 
+  test("eval leakage: empty on a clean split, surfaces a planted leak, index-probe equivalent") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val evalIds = graft.ops.Sampling.samplePerGroup(docs, "lang").select("doc_id")
+    val train = docs.join(evalIds, Seq("doc_id"), "left_anti").select("doc_id", "text")
+    val evalNat = docs.join(evalIds, Seq("doc_id"), "left_semi")
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    // clean split: a corpus of DISTINCT random texts reports nothing
+    // (the real sf corpus below may legitimately carry a few exact-dup
+    // texts across the split — the guard surfacing those is the point)
+    val clean = corpus(40)
+    assert(Dedup.evalLeakage(
+      clean.filter(col("doc_id") % 4 =!= 0),
+      clean.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))).count() == 0,
+      "clean split must report no leakage")
+    // any natural cross-pair on the real corpus must be a true text-level
+    // near-dup (est_jaccard from identical/near-identical text), not a
+    // banding artifact
+    val natural = Dedup.evalLeakage(train, evalNat)
+      .as[(Long, Long, Double)].collect().toSeq
+    natural.foreach { case (t, e, j) =>
+      assert(j >= 0.5, s"sub-threshold pair leaked through: ($t, $e, $j)")
+    }
+    // planted leak: a perturbed copy of the smallest train doc
+    val leak = train.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
+    val leakSrc = train.orderBy("doc_id").limit(1)
+      .select("doc_id").as[Long].head()
+    val found = Dedup.evalLeakage(train, evalNat.unionAll(leak))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(found.exists(p => p._1 == leakSrc && p._2 == leakSrc + 4000000L),
+      s"planted leak must surface: $found")
+    // 100 TB path: probing the eval set against a PERSISTED train index
+    // returns the same pairs without re-signaturing train
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak_idx").toString
+    Dedup.buildMinhashIndex(train, dir)
+    val probed = Dedup.probeMinhashIndex(evalNat.unionAll(leak), dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(probed == found, "index probe must equal the inline guard")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("incr-embedding fixture has no cosine within 1e-4 of the 0.9 threshold (f32 vs f64 agreement)") {
     // the advisory's knife edge: the engine filters at cosine_f32 >= 0.9,
     // the DuckDB oracle at float64 >= 0.9 — a candidate pair NEAR 0.9
