@@ -104,6 +104,13 @@ object PlanAudit {
     // minhash pair chain + two quality join-backs over the reduced pair
     // list; measured 2.448/row (n=500) and 2.405/row (n=5000) — flat
     "dedup_keep_best" -> ShuffleBudget("documents", 7.0, 1000L),
+    // minhash pair chain over train ∪ eval + eval-membership TopK +
+    // id-set joins on the reduced pairs. sf0.001 measures only 0.09/doc
+    // (a mostly-clean split yields few candidate pairs, and the small
+    // sides broadcast at this scale); the budget is set at the
+    // dedup_minhash class ceiling so a quadratic candidate regression
+    // still trips it while routine pair growth does not
+    "eval_leakage" -> ShuffleBudget("documents", 27.0, 2000L),
   )
 
   /** Executes entry `name` against `dir` through the noop sink and returns
