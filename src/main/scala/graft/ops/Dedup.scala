@@ -373,33 +373,65 @@ object Dedup {
   //
   // Both persisted indexes (MinHash and embedding-LSH) store EPOCHS:
   //   dir/<table>/ep_<id>/   one parquet dir per build/append/compaction
-  //   dir/_committed/<id>    empty marker, written AFTER every table of
-  //                          the epoch landed — readers list markers first
-  //                          and read exactly those epoch dirs.
-  // This makes the multi-file write crash-consistent WITHOUT a
+  //   dir/_committed/<id>    marker, written (atomic rename) AFTER every
+  //                          table of the epoch landed; its CONTENT lists
+  //                          the epoch ids this epoch SUPERSEDES (empty
+  //                          for appends). Readers list markers, subtract
+  //                          every superseded id, and read exactly the
+  //                          surviving epoch dirs.
+  // This makes every multi-file transition crash-consistent WITHOUT a
   // cross-directory atomic rename (which plain filesystems don't have):
-  // a crash between the two table writes leaves an uncommitted epoch that
-  // no probe will ever read (instead of sigs with no band rows — a silent
-  // near-dup miss), and a RETRIED append lands under a fresh epoch id, so
-  // the retry is idempotent-by-invisibility rather than double-counting.
-  // Orphaned uncommitted files are reclaimed by the compaction pass.
+  //  - a crash between the two table writes leaves an uncommitted epoch
+  //    no probe will ever read (instead of sigs with no band rows — a
+  //    silent near-dup miss), and a RETRIED append lands under a fresh
+  //    epoch id, so the retry is idempotent-by-invisibility;
+  //  - a compaction/rebuild becomes visible at ONE atomic marker rename —
+  //    the merged marker supersedes the old epochs, so there is no
+  //    crash window where old and merged rows are both live (the
+  //    double-count the round-12 review caught in the retract-after-
+  //    commit draft);
+  //  - supersedes lists carry their TRANSITIVE closure, so reclaiming
+  //    superseded markers in any order can never resurrect an ancestor.
+  // Data files of superseded/uncommitted epochs are reclaimed by the
+  // separate [[reclaimIndexGarbage]] pass (never by the merge itself —
+  // an in-flight probe planned against the old epochs must be able to
+  // finish its scan).
 
   private def epochDirs(dir: String, table: String, ids: Seq[String]): Seq[String] =
     ids.map(id => s"$dir/$table/ep_$id")
 
-  /** Committed epoch ids, oldest marker first (lexicographic — ids embed
-    * a monotonic counter only within one JVM, so order is advisory). */
+  /** Live (committed, not superseded) epoch ids, oldest first
+    * (lexicographic — ids embed a monotonic counter only within one JVM,
+    * so order is advisory). */
   private[graft] def committedEpochs(dir: String): Seq[String] = {
     val d = new java.io.File(dir, "_committed")
-    Option(d.list()).map(_.toSeq.sorted).getOrElse(Seq.empty)
+    val markers = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filterNot(_.getName.startsWith(".")) // in-flight marker temps
+    val superseded = markers.flatMap(readSupersedes).toSet
+    markers.map(_.getName).filterNot(superseded).sorted
   }
 
-  private def commitEpoch(dir: String, id: String): Unit = {
+  private def readSupersedes(f: java.io.File): Seq[String] =
+    try java.nio.file.Files.readString(f.toPath)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    catch { case _: java.io.IOException => Seq.empty }
+
+  private def commitEpoch(dir: String, id: String,
+      supersedes: Seq[String] = Nil): Unit = {
     val d = new java.io.File(dir, "_committed")
     d.mkdirs()
     val f = new java.io.File(d, id)
-    if (!f.createNewFile())
+    if (f.exists())
       throw new IllegalStateException(s"epoch $id already committed in $dir")
+    // transitive closure: carry forward what the superseded markers
+    // themselves supersede, so no deletion order can resurrect an
+    // ancestor whose direct superseder's marker was reclaimed first
+    val closure = supersedes.flatMap(s =>
+      s +: readSupersedes(new java.io.File(d, s))).distinct
+    val tmp = new java.io.File(d, s".tmp-$id")
+    java.nio.file.Files.writeString(tmp.toPath, closure.mkString("\n"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0)
@@ -430,16 +462,17 @@ object Dedup {
     * or text. */
   def buildMinhashIndex(snapshot: DataFrame, dir: String, bands: Int = 16): Unit = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    // a rebuild into an existing dir starts from scratch: retract every
-    // committed epoch FIRST (readers go dark rather than double-read)
-    committedEpochs(dir).foreach(id => new java.io.File(s"$dir/_committed/$id").delete())
+    // a rebuild into an existing dir replaces it at ONE atomic marker
+    // rename: the new epoch supersedes every live one (no dark window,
+    // no double-read window); old data reclaims via reclaimIndexGarbage
+    val prior = committedEpochs(dir)
     val id = newEpochId()
     val sigs = minhashSigs(snapshot)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.write.mode("overwrite").parquet(s"$dir/sigs/ep_$id")
     bandKeys(sigs, bands).write.mode("overwrite").parquet(s"$dir/bands/ep_$id")
     sigs.unpersist()
-    commitEpoch(dir, id)
+    commitEpoch(dir, id, supersedes = prior)
   }
 
   /** Append accepted documents to a stored MinHash index — the back half
@@ -463,41 +496,73 @@ object Dedup {
     commitEpoch(dir, id)
   }
 
-  /** Rewrite all committed epochs into ONE — the maintenance pass that
-    * keeps a daily-crawl index probe-able: per-crawl appends accrue
-    * thousands of small parquet files, the classic small-file scale
-    * killer for the probe's bucket join. The rewrite clusters the bands
-    * table by (band, band_hash) — the probe join key — so a compacted
-    * index also co-locates candidate lookups. Probe results are
-    * IDENTICAL before and after (the tables' row sets are unchanged;
-    * `IndexMaintenanceSpec` pins this), and crash safety is the epoch
-    * protocol's: the merged epoch commits before the old markers
-    * retract, so a crash anywhere leaves a readable index (worst case
-    * both old and new visible to a concurrently-listing reader — this is
-    * a single-writer maintenance op, run it from the owning maintenance
-    * job, not concurrently with appends). Returns the number of epochs
-    * merged (0 = nothing to do). */
-  def compactMinhashIndex(spark: SparkSession, dir: String): Int = {
+  /** Rewrite all live epochs into ONE — the maintenance pass that keeps
+    * a daily-crawl index probe-able: per-crawl appends accrue thousands
+    * of small parquet files, the classic small-file scale killer for the
+    * probe's bucket join. The rewrite clusters the bands table by
+    * (band, band_hash) — the probe join key — so a compacted index also
+    * co-locates candidate lookups. Probe results are IDENTICAL before
+    * and after (the tables' row sets are unchanged;
+    * `IndexMaintenanceSpec` pins this). The merge becomes visible at ONE
+    * atomic marker rename (the merged epoch supersedes the old ones), so
+    * a crash at ANY point leaves exactly one consistent view — never
+    * both generations live. Old data files stay on disk until
+    * [[reclaimIndexGarbage]] so probes planned against the previous
+    * epoch set can finish their scans. Single-writer: run from the
+    * owning maintenance job, not concurrently with appends. Returns the
+    * number of epochs merged (0 = nothing to do). */
+  def compactMinhashIndex(spark: SparkSession, dir: String): Int =
+    compactEpochs(spark, dir, Seq(
+      "sigs" -> Seq("doc_id"),
+      "bands" -> Seq("band", "band_hash")))
+
+  /** The shared epoch-merge implementation: one shuffle per table,
+    * clustered by the table's probe join key, then a single
+    * supersedes-commit. */
+  private def compactEpochs(spark: SparkSession, dir: String,
+      tables: Seq[(String, Seq[String])]): Int = {
     val ids = committedEpochs(dir)
     if (ids.size <= 1) return 0
     val id = newEpochId()
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-    readEpochs(spark, dir, "sigs")
-      .repartition(shufflePartitions, col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/sigs/ep_$id")
-    readEpochs(spark, dir, "bands")
-      .repartition(shufflePartitions, col("band"), col("band_hash"))
-      .sortWithinPartitions("band", "band_hash")
-      .write.mode("overwrite").parquet(s"$dir/bands/ep_$id")
-    commitEpoch(dir, id)
-    ids.foreach(old => new java.io.File(s"$dir/_committed/$old").delete())
-    // reclaim retracted epoch files AND any orphaned uncommitted epochs
-    // (crashed appends) — everything under the table dirs except ep_<id>
-    for (table <- Seq("sigs", "bands");
-         f <- Option(new java.io.File(s"$dir/$table").listFiles()).getOrElse(Array.empty)
-         if f.getName != s"ep_$id")
-      deleteRecursively(f)
+    tables.foreach { case (table, keys) =>
+      readEpochs(spark, dir, table)
+        .repartition(shufflePartitions, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write.mode("overwrite").parquet(s"$dir/$table/ep_$id")
+    }
+    commitEpoch(dir, id, supersedes = ids)
     ids.size
+  }
+
+  /** Delete the data of every epoch that is no longer live (superseded
+    * by a compaction/rebuild, or never committed — a crashed append),
+    * then drop the superseded markers; works on ANY epoch count, so a
+    * rebuild's predecessor reclaims even when nothing is left to merge.
+    * Returns the number of epoch dirs removed.
+    *
+    * SAFETY WINDOW: a probe resolves its epoch list at call time and
+    * scans lazily — run this only when probes planned before the
+    * preceding compaction/rebuild have finished (e.g. the next
+    * maintenance window), exactly like any snapshot-expiry pass. Marker
+    * reclamation is resurrection-safe in any order because supersedes
+    * lists carry their transitive closure. */
+  def reclaimIndexGarbage(dir: String): Int = {
+    val live = committedEpochs(dir).toSet
+    var removed = 0
+    for (table <- Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+         if table.isDirectory && table.getName != "_committed";
+         ep <- Option(table.listFiles()).getOrElse(Array.empty)
+         if ep.getName.startsWith("ep_") && !live.contains(ep.getName.drop(3))) {
+      deleteRecursively(ep)
+      removed += 1
+    }
+    val markerDir = new java.io.File(dir, "_committed")
+    Option(markerDir.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith("."))
+      .filterNot(m => live.contains(m.getName))
+      .foreach(_.delete())
+    removed
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -589,15 +654,20 @@ object Dedup {
       dir.getParentFile.mkdirs()
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-      stage(tmp)
-      try
+      try {
+        stage(tmp)
         java.nio.file.Files.move(tmp.toPath, dir.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
+      } catch {
         // lost the publish race (or a cross-device tmpdir): if the winner's
         // dir is there, our staged copy is redundant — drop it
-        case e: java.nio.file.FileSystemException =>
-          if (dir.exists()) deleteRecursively(tmp) else throw e
+        case e: java.nio.file.FileSystemException if dir.exists() =>
+          deleteRecursively(tmp)
+        case e: Throwable =>
+          // a failed BUILD must not accrete half-staged junk in the
+          // shared tmpdir (round-12 review): drop the temp, rethrow
+          deleteRecursively(tmp)
+          throw e
       }
     }
     dir.getPath
@@ -615,10 +685,10 @@ object Dedup {
   def buildEmbeddingIndex(snapshot: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 64,
       tables: Int = 4, bits: Int = 12, seed: Long = 42L): Unit = {
-    committedEpochs(dir).foreach(id => new java.io.File(s"$dir/_committed/$id").delete())
+    val prior = committedEpochs(dir)
     val id = newEpochId()
     writeEmbeddingEpoch(snapshot, dir, id, idCol, vecCol, dim, tables, bits, seed)
-    commitEpoch(dir, id)
+    commitEpoch(dir, id, supersedes = prior)
   }
 
   /** Append accepted vectors to a stored LSH index — the vector twin of
@@ -645,29 +715,14 @@ object Dedup {
   }
 
   /** Epoch compaction for the embedding index — same motivation, crash
-    * contract, and single-writer caveat as [[compactMinhashIndex]]; the
-    * buckets table re-clusters by (table_idx, bucket), the probe join
-    * key. Returns the number of epochs merged (0 = nothing to do). */
-  def compactEmbeddingIndex(spark: SparkSession, dir: String): Int = {
-    val ids = committedEpochs(dir)
-    if (ids.size <= 1) return 0
-    val id = newEpochId()
-    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-    readEpochs(spark, dir, "vecs")
-      .repartition(shufflePartitions, col("id"))
-      .write.mode("overwrite").parquet(s"$dir/vecs/ep_$id")
-    readEpochs(spark, dir, "buckets")
-      .repartition(shufflePartitions, col("table_idx"), col("bucket"))
-      .sortWithinPartitions("table_idx", "bucket")
-      .write.mode("overwrite").parquet(s"$dir/buckets/ep_$id")
-    commitEpoch(dir, id)
-    ids.foreach(old => new java.io.File(s"$dir/_committed/$old").delete())
-    for (table <- Seq("vecs", "buckets");
-         f <- Option(new java.io.File(s"$dir/$table").listFiles()).getOrElse(Array.empty)
-         if f.getName != s"ep_$id")
-      deleteRecursively(f)
-    ids.size
-  }
+    * contract, reclaim split, and single-writer caveat as
+    * [[compactMinhashIndex]]; the buckets table re-clusters by
+    * (table_idx, bucket), the probe join key. Returns the number of
+    * epochs merged (0 = nothing to do). */
+  def compactEmbeddingIndex(spark: SparkSession, dir: String): Int =
+    compactEpochs(spark, dir, Seq(
+      "vecs" -> Seq("id"),
+      "buckets" -> Seq("table_idx", "bucket")))
 
   /** Probe a new vector batch against a stored LSH index: bucket the new
     * batch with the SAME deterministic planes, bucket-join against the

@@ -32,6 +32,14 @@ object PgWire {
 
   case class Field(name: String, typeOid: Int)
 
+  /** Socket read deadline: bounds every blocking wire read so a stalled
+    * server (network partition after connect, a lost ReadyForQuery)
+    * surfaces as a SocketTimeoutException in the task instead of hanging
+    * it forever. Generous default — a fused query legitimately computes
+    * its whole result before the first row ships; tune per deployment. */
+  def readTimeoutMs: Int =
+    sys.props.getOrElse("graft.pgwire.readTimeoutMs", "300000").toInt
+
   /** One open connection running the simple-query protocol. NOT
     * thread-safe (one in-flight query per connection, like the protocol
     * itself); open one session per task. */
@@ -39,10 +47,18 @@ object PgWire {
       extends AutoCloseable {
     private val socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), 10000)
-    private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-    private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    // everything past the connect must not leak the socket on failure
+    // (an auth-demanding server throws from the startup block; retrying
+    // callers would otherwise bleed one fd per attempt)
+    private val (in, out) =
+      try {
+        socket.setSoTimeout(readTimeoutMs)
+        val i = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+        val o = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+        (i, o)
+      } catch { case e: Throwable => try socket.close() catch { case _: Exception => () }; throw e }
 
-    locally { // startup: no type byte
+    try { // startup: no type byte
       val params = new ByteArrayOutputStream()
       def kv(k: String, v: String): Unit = {
         params.write(k.getBytes(UTF_8)); params.write(0)
@@ -69,7 +85,7 @@ object PgWire {
           s"pgwire startup error: ${errorMessage(payload)}")
         case _ => () // ParameterStatus / BackendKeyData / NoticeResponse
       }
-    }
+    } catch { case e: Throwable => try socket.close() catch { case _: Exception => () }; throw e }
 
     private def readMessage(): (Char, Array[Byte]) = {
       val t = in.readByte().toChar
@@ -81,12 +97,14 @@ object PgWire {
 
     private def errorMessage(payload: Array[Byte]): String = {
       // ErrorResponse: (fieldType:int8, cstring)* 0 — surface the 'M'
-      // (human message) field
+      // (human message) field. Tolerant of a truncated payload (field
+      // missing its NUL): the diagnostic path must not itself crash.
       var i = 0
       var msg = "unknown error"
       while (i < payload.length && payload(i) != 0) {
         val ft = payload(i).toChar
-        val end = payload.indexOf(0.toByte, i + 1)
+        var end = payload.indexOf(0.toByte, i + 1)
+        if (end < 0) end = payload.length
         val v = new String(payload, i + 1, end - i - 1, UTF_8)
         if (ft == 'M') msg = v
         i = end + 1

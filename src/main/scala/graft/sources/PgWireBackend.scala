@@ -35,22 +35,33 @@ import graft.plans.SqlGen.Dialect
 object PgWireBackend {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, PgWireBackend]()
 
-  /** `address` = "host:port/database". One backend per address, so every
+  /** `address` = "host:port/database[?user=name]" (user defaults to
+    * "graft"; trust auth still requires the ROLE to exist server-side —
+    * see tools/pg_live_runbook.sh). One backend per address, so every
     * table of one database shares a backend identity (the pushdown
     * rule's same-backend fusion check is reference equality). */
   def forAddress(address: String): PgWireBackend =
     cache.computeIfAbsent(address, a => new PgWireBackend(a))
 
-  private[sources] def parse(address: String): (String, Int, String) =
-    address.split("/", 2) match {
-      case Array(hp, db) => hp.split(":", 2) match {
-        case Array(h, p) => (h, p.toInt, db)
+  private[sources] def parse(address: String): (String, Int, String, String) = {
+    val (base, user) = address.split("\\?", 2) match {
+      case Array(b, q) => q.split("=", 2) match {
+        case Array("user", u) if u.nonEmpty => (b, u)
         case _ => throw new IllegalArgumentException(
-          s"pgwire address must be host:port/database, got: $address")
+          s"pgwire address query part must be ?user=<name>, got: $address")
+      }
+      case Array(b) => (b, "graft")
+    }
+    base.split("/", 2) match {
+      case Array(hp, db) => hp.split(":", 2) match {
+        case Array(h, p) => (h, p.toInt, db, user)
+        case _ => throw new IllegalArgumentException(
+          s"pgwire address must be host:port/database[?user=name], got: $address")
       }
       case _ => throw new IllegalArgumentException(
-        s"pgwire address must be host:port/database, got: $address")
+        s"pgwire address must be host:port/database[?user=name], got: $address")
     }
+  }
 
   /** information_schema `data_type` → Spark type. Same conversion table
     * as the reference (`datatypes.rs:141-176`) with the JdbcBackend's
@@ -171,13 +182,13 @@ object PgWireBackend {
 class PgWireBackend private (val address: String) extends SqlBackend {
   import PgWireBackend._
 
-  private val (host, port, database) = PgWireBackend.parse(address)
+  private val (host, port, database, user) = PgWireBackend.parse(address)
 
   override def name: String = s"pgwire://$address"
   override def dialect: Dialect = PostgresDialect
 
   private def q(sql: String): (Seq[PgWire.Field], Vector[Array[Option[String]]]) =
-    PgWire.withSession(host, port, database)(_.query(sql))
+    PgWire.withSession(host, port, database, user)(_.query(sql))
 
   /** Catalog discovery via hand-written information_schema SQL — the
     * reference's own approach (`mod.rs:67-125`); the JDBC backend's
@@ -236,8 +247,8 @@ class PgWireBackend private (val address: String) extends SqlBackend {
   * address string only. */
 case class PgWireTaskConnection(address: String) extends SqlConnection {
   override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] = {
-    val (host, port, db) = PgWireBackend.parse(address)
-    val session = new PgWire.Session(host, port, db, "graft")
+    val (host, port, db, user) = PgWireBackend.parse(address)
+    val session = new PgWire.Session(host, port, db, user)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => session.close()))
     val ds = PgWireBackend.textDecoders(schema)

@@ -65,14 +65,76 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val filesBefore = parquetFiles(dir).size
     assert(Dedup.compactMinhashIndex(spark, dir) == 6)
     assert(Dedup.committedEpochs(dir).size == 1)
-    val after = Dedup.probeMinhashIndex(probe, dir)
+    // the merge is visible but old data is NOT yet deleted (probes
+    // planned against the previous epoch set must finish their scans)
+    val afterMerge = Dedup.probeMinhashIndex(probe, dir)
       .as[(Long, Long, Double)].collect().toSeq
-    assert(after == before, "compaction must not change probe results")
+    assert(afterMerge == before, "compaction must not change probe results")
+    assert(parquetFiles(dir).size > filesBefore,
+      "merge alone must leave old data in place")
+    // the reclaim pass shrinks the file count; probes still identical
+    assert(Dedup.reclaimIndexGarbage(dir) == 12) // 6 epochs x 2 tables
     val filesAfter = parquetFiles(dir).size
     assert(filesAfter < filesBefore,
-      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
-    // idempotent: a single-epoch index is a no-op
+      s"reclaim must shrink the file count ($filesBefore -> $filesAfter)")
+    val after = Dedup.probeMinhashIndex(probe, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(after == before, "reclaim must not change probe results")
+    // idempotent: a single-epoch index is a no-op for both passes
     assert(Dedup.compactMinhashIndex(spark, dir) == 0)
+    assert(Dedup.reclaimIndexGarbage(dir) == 0)
+    // resurrection safety: even if a superseded MARKER somehow survives
+    // while others are reclaimed, closure semantics keep it dead — here,
+    // deleting nothing further, the live set stays exactly the merged one
+    assert(Dedup.committedEpochs(dir).size == 1)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("a crash between merge-commit and reclaim never doubles probe rows") {
+    // the round-12 review's scenario: compaction commits the merged
+    // epoch, then dies before any cleanup. The supersedes marker makes
+    // the old epochs dead at the SAME atomic rename, so the probe sees
+    // exactly one generation; a later reclaim (the 'repair') finds only
+    // dead data and markers to drop.
+    val snap = corpus(20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_crash2").toString
+    Dedup.buildMinhashIndex(snap, dir)
+    Dedup.appendToMinhashIndex(
+      Seq(5001L -> "quux corge grault garply waldo fred plugh xyzzy thud quux corge grault")
+        .toDF("doc_id", "text"), dir)
+    val probe = Seq(6001L ->
+      "quux corge grault garply waldo fred plugh xyzzy thud quux corge").toDF("doc_id", "text")
+    val before = Dedup.probeMinhashIndex(probe, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(Dedup.compactMinhashIndex(spark, dir) == 2)
+    // "crashed" here: no reclaim ran — old epoch files AND markers remain
+    val dirty = Dedup.probeMinhashIndex(probe, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(dirty == before, s"merged + unreclaimed state must not double rows: $dirty")
+    // second compaction over the dirty state is a no-op (one live epoch),
+    // NOT a bake-in of duplicates
+    assert(Dedup.compactMinhashIndex(spark, dir) == 0)
+    assert(Dedup.reclaimIndexGarbage(dir) > 0)
+    assert(Dedup.probeMinhashIndex(probe, dir)
+      .as[(Long, Long, Double)].collect().toSeq == before)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("a rebuild's predecessor data reclaims even with a single live epoch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_rebuild").toString
+    Dedup.buildMinhashIndex(corpus(15), dir)
+    val firstFiles = parquetFiles(dir).size
+    Dedup.buildMinhashIndex(corpus(25), dir) // rebuild over the same dir
+    assert(Dedup.committedEpochs(dir).size == 1)
+    assert(parquetFiles(dir).size > firstFiles, "old data still on disk pre-reclaim")
+    assert(Dedup.reclaimIndexGarbage(dir) == 2, // 1 epoch x 2 tables
+      "reclaim must work below the compaction threshold")
+    val probe = corpus(25).filter(col("doc_id") === 21L).select(
+      (col("doc_id") + 9000L).as("doc_id"),
+      expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
+    assert(Dedup.probeMinhashIndex(probe, dir)
+      .as[(Long, Long, Double)].collect().exists(_._1 == 21L),
+      "rebuilt index must serve docs beyond the first build")
     spark.sharedState.cacheManager.clearCache()
   }
 
@@ -91,6 +153,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(before.exists(_._1 % 2 == 1), s"append not visible: $before")
     assert(Dedup.compactEmbeddingIndex(spark, dir) == 2)
     assert(Dedup.committedEpochs(dir).size == 1)
+    assert(Dedup.reclaimIndexGarbage(dir) == 4) // 2 epochs x 2 tables
     val after = Dedup.probeEmbeddingIndex(probe, dir)
       .as[(Long, Long, Double)].collect().toSeq
     assert(after == before, "compaction must not change probe results")
@@ -124,11 +187,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(retried.count(_._1 == 5001L) == 1,
       s"retried append must not double-count: $retried")
-    // compaction reclaims the orphaned uncommitted epoch's files
+    // compact + reclaim drops the orphaned uncommitted epoch's files too
     Dedup.appendToMinhashIndex(
       Seq(5002L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
         .toDF("doc_id", "text"), dir)
     Dedup.compactMinhashIndex(spark, dir)
+    Dedup.reclaimIndexGarbage(dir)
     val epochDirs = Option(new java.io.File(s"$dir/sigs").listFiles())
       .getOrElse(Array.empty).map(_.getName).toSeq
     assert(epochDirs.size == 1, s"orphans must be reclaimed: $epochDirs")

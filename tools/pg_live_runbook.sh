@@ -29,8 +29,12 @@ until docker exec graft-pg-live pg_isready -U postgres >/dev/null 2>&1; do
   sleep 1
 done
 
-echo "== 2. seed a table for the read paths =="
+echo "== 2. seed a table and the client role for the read paths =="
+# trust auth skips the password but the ROLE must exist: PgWire connects
+# as user "graft" by default (override per address with ?user=name)
 docker exec graft-pg-live psql -U postgres -d bench -c "
+  CREATE ROLE graft LOGIN;
+  GRANT pg_read_all_data TO graft;
   CREATE TABLE emp (id integer PRIMARY KEY, dept integer,
                     sal double precision, bonus integer);
   INSERT INTO emp SELECT i, i % 5, i * 10.0, i % 3
