@@ -219,6 +219,35 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(got == Set(("eng", 400.0), ("ops", 360.0), ("fin", 370.0)))
   }
 
+  test("offset and ntile window functions fuse (lag ignore-nulls, lead default, dense_rank)") {
+    val wOrd = Window.partitionBy("dept").orderBy("id")
+    val df = remote("emp").select(
+      col("id"),
+      lag(col("sal"), 1).over(wOrd).as("prev_sal"),
+      lead(col("sal"), 2, -1.0).over(wOrd).as("next2"),
+      dense_rank().over(Window.partitionBy("dept").orderBy(desc("bonus"))).as("dr"),
+      ntile(4).over(wOrd).as("quartile"))
+    val p = pushed(df)
+    assert(p.size == 1 && scans(df).isEmpty,
+      df.queryExecution.executedPlan.toString)
+    assert(p.head.sql.contains("LAG(") && p.head.sql.contains("LEAD(") &&
+      p.head.sql.contains("DENSE_RANK()") && p.head.sql.contains("NTILE(4)"),
+      p.head.sql)
+    val got = df.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      r.getDouble(2), r.getInt(3), r.getInt(4))).toSet
+    val want = localEmp.select(
+      col("id"),
+      lag(col("sal"), 1).over(wOrd).as("prev_sal"),
+      lead(col("sal"), 2, -1.0).over(wOrd).as("next2"),
+      dense_rank().over(Window.partitionBy("dept").orderBy(desc("bonus"))).as("dr"),
+      ntile(4).over(wOrd).as("quartile"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getDouble(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got == want && got.size == 40)
+  }
+
   test("plain scan keeps the partitioned parallel read over the wire") {
     val df = remote("emp").filter(col("dept") === 2).select("id", "sal")
     assert(pushed(df).isEmpty, "scan-expressible shapes stay on the scan path")
