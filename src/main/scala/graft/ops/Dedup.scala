@@ -1020,6 +1020,30 @@ object Dedup {
         expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"))
       probeEmbeddingIndex(newBatch, dir)
     }),
+    // The FULL index maintenance loop under the oracle: build over half
+    // the corpus, append the other half, compact the two epochs into
+    // one, reclaim the dead files — then probe. The result must equal
+    // the cross-(corpus, new) slice of the pair chain (the SAME oracle
+    // as dedup_incr_minhash), so a compaction that lost, duplicated, or
+    // re-banded any row hash-mismatches at the gate, not just in specs.
+    "dedup_incr_compacted" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val src = s"$d/documents.parquet"
+      val fp = Integer.toHexString((d + "incrcompact").hashCode) + "_" +
+        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+      val dir = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-mhidx"), s"compacted_$fp")
+      stageAtomically(dir) { tmp =>
+        buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), tmp.getPath)
+        appendToMinhashIndex(docs.filter(col("doc_id") % 2 =!= 0), tmp.getPath)
+        require(compactMinhashIndex(s, tmp.getPath) == 2, "expected a 2-epoch merge")
+        reclaimIndexGarbage(tmp.getPath)
+      }
+      val newBatch = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
+      probeMinhashIndex(newBatch, dir.getPath)
+    }),
     // Eval-leakage guard over a real split: eval = the samplePerGroup
     // eval set (remapped +3M so ids are disjoint), train = the rest,
     // plus ONE planted leak — a perturbed copy of the smallest train doc
@@ -1063,6 +1087,9 @@ object Dedup {
     "dedup_minhash" -> HashOracleSql.minhash,
     "dedup_simhash" -> HashOracleSql.simhash,
     "eval_leakage" -> HashOracleSql.evalLeakage,
+    // the maintenance loop's probe ≡ the incremental probe's cross
+    // slice — one oracle pins both index lifecycles
+    "dedup_incr_compacted" -> HashOracleSql.incrMinhash,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

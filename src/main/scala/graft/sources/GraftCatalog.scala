@@ -33,6 +33,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var defaultDir: Option[String] = None
   private var defaultUrl: Option[String] = None
+  private var defaultPgwire: Option[String] = None
   private var numPartitions: Int = 4
 
   /** The single namespace, mirroring the reference's default `public`
@@ -44,6 +45,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     defaultDir = Option(options.get("dir"))
     defaultUrl = Option(options.get("url"))
+    defaultPgwire = Option(options.get("pgwire"))
     // same tuning knob the DSv2 provider path honors
     // (spark.sql.catalog.<name>.partitions = N)
     numPartitions = math.max(1, options.getInt("partitions", 4))
@@ -57,17 +59,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * dir the driver points it at. */
   private def backend: SqlBackend = {
     val conf = SparkSession.active.conf
-    (defaultUrl, defaultDir) match {
-      case (Some(u), _) => JdbcBackend.forUrl(u)
-      case (None, Some(d)) => SparkViewBackend.forDir(d)
-      case (None, None) =>
-        conf.getOption("graft.catalog.url").map(JdbcBackend.forUrl).getOrElse {
-          val dir = conf.getOption("graft.catalog.dir")
-            .getOrElse(throw new IllegalStateException(
-              s"catalog $catalogName: set graft.catalog.dir / graft.catalog.url " +
-                s"(session conf) or spark.sql.catalog.$catalogName.dir/.url"))
-          SparkViewBackend.forDir(dir)
-        }
+    (defaultUrl, defaultPgwire, defaultDir) match {
+      case (Some(u), _, _) => JdbcBackend.forUrl(u)
+      case (None, Some(a), _) => PgWireBackend.forAddress(a)
+      case (None, None, Some(d)) => SparkViewBackend.forDir(d)
+      case (None, None, None) =>
+        conf.getOption("graft.catalog.url").map(JdbcBackend.forUrl)
+          .orElse(conf.getOption("graft.catalog.pgwire").map(PgWireBackend.forAddress))
+          .getOrElse {
+            val dir = conf.getOption("graft.catalog.dir")
+              .getOrElse(throw new IllegalStateException(
+                s"catalog $catalogName: set graft.catalog.dir / graft.catalog.url " +
+                  s"/ graft.catalog.pgwire (session conf) or " +
+                  s"spark.sql.catalog.$catalogName.dir/.url/.pgwire"))
+            SparkViewBackend.forDir(dir)
+          }
     }
   }
 

@@ -420,6 +420,27 @@ object EventStreams {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
+  /** Streaming triage twin: the same bronze-sink read, quarantine
+    * channel classified by the BATCH classifier
+    * ([[graft.sources.JsonlIngest.classifyQuarantine]] is map-side, so
+    * it applies unchanged to the sink table — one definition, two
+    * arrival modes). Shares `ingest_jsonl_triage`'s oracle. */
+  def ingestJsonlTriage(spark: SparkSession, dir: String): DataFrame = {
+    val drop = graft.sources.JsonlIngest.ensureJsonlDrop(spark, dir)
+    val withCorrupt = graft.sources.JsonlIngest.dropSchema
+      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val parsed = spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(drop)
+    val quarantine = runToTable(parsed, OutputMode.Append())
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    graft.sources.JsonlIngest.classifyQuarantine(quarantine).orderBy("raw")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
@@ -430,6 +451,7 @@ object EventStreams {
     "stream_chunk" -> ((s, d) => chunkDocuments(s, d)),
     "stream_incr_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "stream_ingest_jsonl" -> ((s, d) => ingestJsonl(s, d)),
+    "stream_ingest_triage" -> ((s, d) => ingestJsonlTriage(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -475,6 +497,8 @@ object EventStreams {
     // stateless per-line parse: bounded streaming replay ≡ the batch read
     "stream_ingest_jsonl" ->
       graft.sources.JsonlIngest.oracle.toMap.apply("ingest_jsonl"),
+    "stream_ingest_triage" ->
+      graft.sources.JsonlIngest.oracle.toMap.apply("ingest_jsonl_triage"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s

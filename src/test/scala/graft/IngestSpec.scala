@@ -91,6 +91,16 @@ class IngestSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("streaming triage equals the batch triage channel (oracle-independent)") {
+    val batch = SparkEntry.queries("ingest_jsonl_triage")(spark, TestSpark.Sf0001)
+      .as[(String, String, String)].collect().toSet
+    val stream = SparkEntry.queries("stream_ingest_triage")(spark, TestSpark.Sf0001)
+      .as[(String, String, String)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("staging is idempotent: a second ensure call rewrites nothing") {
     val dir = JsonlIngest.ensureJsonlDrop(spark, TestSpark.Sf0001)
     val f = new java.io.File(dir, "_SUCCESS")

@@ -248,6 +248,20 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(got == want && got.size == 40)
   }
 
+  test("the 3-level catalog resolves tables through the wire backend") {
+    spark.conf.set("spark.sql.catalog.pgwire_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pgwire_cat.pgwire",
+      s"127.0.0.1:${server.port}/testdb")
+    spark.conf.set("spark.sql.catalog.pgwire_cat.partitions", "2")
+    val n = spark.sql("SELECT count(*) AS n FROM pgwire_cat.main.emp")
+      .collect().head.getLong(0)
+    assert(n == 40)
+    val filtered = spark.sql(
+      "SELECT id FROM pgwire_cat.main.emp WHERE dept = 1 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(filtered == (1 to 40).filter(_ % 5 == 1))
+  }
+
   test("plain scan keeps the partitioned parallel read over the wire") {
     val df = remote("emp").filter(col("dept") === 2).select("id", "sal")
     assert(pushed(df).isEmpty, "scan-expressible shapes stay on the scan path")
