@@ -270,4 +270,24 @@ class PgWindowFusionSpec extends AnyFunSuite {
     val want = (1 to 40).filter(_ % 5 == 2).map(i => (i, i * 10.0)).toSet
     assert(got == want)
   }
+
+  test("NoticeResponse chatter interleaved with rows is skipped (client_min_messages quirk)") {
+    server.noticeEveryNRows = 3
+    try {
+      val got = remote("emp").select("id", "sal").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(got == (1 to 40).map(i => (i, i * 10.0)).toSet)
+    } finally server.noticeEveryNRows = 0
+  }
+
+  test("an auth-demanding server is refused loudly, not hung") {
+    val authSrv = new MiniPgServer
+    authSrv.demandAuth = true
+    try {
+      val e = intercept[java.io.IOException] {
+        PgWire.withSession("127.0.0.1", authSrv.port, "testdb")(_.query("SELECT 1"))
+      }
+      assert(e.getMessage.contains("requires authentication"), e.getMessage)
+    } finally authSrv.stop()
+  }
 }

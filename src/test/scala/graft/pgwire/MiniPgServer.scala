@@ -34,6 +34,14 @@ final class MiniPgServer {
     * the wire (delegating to an executor of the test's choosing) while
     * the COPY protocol tests keep their fixture behavior. */
   @volatile var queryExecutor: String => Option[MiniPgServer.QueryResult] = _ => None
+  /** When > 0, a NoticeResponse ('N') is interleaved before every Nth
+    * DataRow — the real-server quirk (client_min_messages chatter) the
+    * wire client must skip; PgWindowFusionSpec turns it on. */
+  @volatile var noticeEveryNRows: Int = 0
+  /** When true, the server answers startup with an MD5 password request
+    * instead of AuthenticationOk — the client must refuse loudly (it
+    * carries no credentials by design). */
+  @volatile var demandAuth: Boolean = false
   private val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
   /** Every Query message received, in arrival order. */
   def eventLog: Seq[String] = events.toArray(Array.empty[String]).toSeq
@@ -84,6 +92,11 @@ final class MiniPgServer {
       val rest = new Array[Byte](len - 8)
       in.readFully(rest)
       if (proto != 196608) { error(out, s"unsupported protocol $proto"); return }
+      if (demandAuth) {
+        // AuthenticationMD5Password: code 5 + 4-byte salt
+        msg(out, 'R', Array[Byte](0, 0, 0, 5, 1, 2, 3, 4))
+        return
+      }
       msg(out, 'R', Array[Byte](0, 0, 0, 0)) // AuthenticationOk
       ready(out, inTxn = false)
 
@@ -167,7 +180,18 @@ final class MiniPgServer {
                   td.writeShort(0)
                 }
                 msg(out, 'T', tb.toByteArray)
+                var rowN = 0
                 r.rows.foreach { row =>
+                  rowN += 1
+                  if (noticeEveryNRows > 0 && rowN % noticeEveryNRows == 0) {
+                    // NoticeResponse: same field framing as ErrorResponse
+                    val nb = new ByteArrayOutputStream()
+                    nb.write('S'); nb.write(cstr("NOTICE"), 0, cstr("NOTICE").length)
+                    nb.write('M'); nb.write(cstr(s"chatter before row $rowN"), 0,
+                      cstr(s"chatter before row $rowN").length)
+                    nb.write(0)
+                    msg(out, 'N', nb.toByteArray)
+                  }
                   val d = new ByteArrayOutputStream()
                   val dd = new DataOutputStream(d)
                   dd.writeShort(row.size)
