@@ -1044,6 +1044,27 @@ object Dedup {
         expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"))
       probeMinhashIndex(newBatch, dir.getPath)
     }),
+    // Vector twin of the maintenance loop: build/append/compact/reclaim
+    // on the embedding-LSH index, probed under dedup_incr_embedding's
+    // oracle slice.
+    "dedup_incr_emb_compacted" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val src = s"$d/embeddings.parquet"
+      val fp = Integer.toHexString((d + "incrcompact").hashCode) + "_" +
+        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+      val dir = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-embidx"), s"compacted_$fp")
+      stageAtomically(dir) { tmp =>
+        buildEmbeddingIndex(emb.filter(col("vec_id") % 2 === 0), tmp.getPath)
+        appendToEmbeddingIndex(emb.filter(col("vec_id") % 2 =!= 0), tmp.getPath)
+        require(compactEmbeddingIndex(s, tmp.getPath) == 2, "expected a 2-epoch merge")
+        reclaimIndexGarbage(tmp.getPath)
+      }
+      val newBatch = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"))
+      probeEmbeddingIndex(newBatch, dir.getPath)
+    }),
     // Eval-leakage guard over a real split: eval = the samplePerGroup
     // eval set (remapped +3M so ids are disjoint), train = the rest,
     // plus ONE planted leak — a perturbed copy of the smallest train doc
@@ -1201,32 +1222,39 @@ object Dedup {
     // same slice identity for the vector index: the dedup_embedding
     // oracle's construction with the candidate join restricted to
     // cross-(snapshot, new) id ranges
-    "dedup_incr_embedding" -> {
-      val buckets = Lsh.bucketizeSql("emb2",
-        Lsh.hyperplanes(tables = 4, bits = 12, dim = 64, seed = 42L))
-      s"""WITH emb2 AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000 AS vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(x * CAST(1.02 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS REAL)) AS embedding
-         |  FROM embeddings
-         |),
-         |buckets AS (
-         |  $buckets
-         |),
-         |cand AS (SELECT DISTINCT a.vec_id AS snap_id, b.vec_id AS new_id
-         |         FROM buckets a JOIN buckets b ON a.table_idx = b.table_idx AND a.bucket = b.bucket
-         |         WHERE a.vec_id < 1000000 AND b.vec_id >= 1000000),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM emb2)
-         |SELECT snap_id, new_id, list_cosine_similarity(va.vec, vb.vec) AS cosine
-         |FROM cand
-         |JOIN v va ON va.vec_id = snap_id
-         |JOIN v vb ON vb.vec_id = new_id
-         |WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.9
-         |ORDER BY snap_id, new_id""".stripMargin
-    },
+    "dedup_incr_embedding" -> incrEmbeddingOracle,
+    // the embedding maintenance loop (build half, append half, compact,
+    // reclaim, probe) answers to the SAME slice as the plain incremental
+    // probe — one oracle pins both lifecycles, exactly as the minhash
+    // twin shares incrMinhash
+    "dedup_incr_emb_compacted" -> incrEmbeddingOracle,
   )
+
+  private lazy val incrEmbeddingOracle: String = {
+    val buckets = Lsh.bucketizeSql("emb2",
+      Lsh.hyperplanes(tables = 4, bits = 12, dim = 64, seed = 42L))
+    s"""WITH emb2 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(x * CAST(1.02 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS REAL)) AS embedding
+       |  FROM embeddings
+       |),
+       |buckets AS (
+       |  $buckets
+       |),
+       |cand AS (SELECT DISTINCT a.vec_id AS snap_id, b.vec_id AS new_id
+       |         FROM buckets a JOIN buckets b ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+       |         WHERE a.vec_id < 1000000 AND b.vec_id >= 1000000),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM emb2)
+       |SELECT snap_id, new_id, list_cosine_similarity(va.vec, vb.vec) AS cosine
+       |FROM cand
+       |JOIN v va ON va.vec_id = snap_id
+       |JOIN v vb ON vb.vec_id = new_id
+       |WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.9
+       |ORDER BY snap_id, new_id""".stripMargin
+  }
 
   /** Shared by both threshold branches: the oracle doesn't care which
     * closure algorithm ran, only that chains a→b→c collapse to min(id). */

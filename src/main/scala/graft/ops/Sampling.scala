@@ -98,6 +98,48 @@ object Sampling {
       .where(sampleBucket(idCol) < col("rate"))
   }
 
+  /** Per-mille bucket for temperature sampling — a SIXTH decorrelated
+    * multiplicative bucket (Knuth's other golden-ratio constant,
+    * independent of split / sample / shard / order / eval buckets), so
+    * the temperature decision correlates with nothing else the pipeline
+    * decided. Overflow headroom: id % 1000003 < 2^20, × 2654435769 <
+    * 2^52. */
+  def temperatureBucket(idCol: String): org.apache.spark.sql.Column =
+    pmod((col(idCol) % 1000003L) * 2654435769L, lit(1000L))
+
+  /** Temperature-based domain mixing at τ = 1/2 — the standard softening
+    * of equal-mass rebalancing for multilingual/multi-domain corpora
+    * (public mC4/PaLM recipe): keep rate per stratum ∝ √(min_mass /
+    * stratum_mass), so dominant strata are damped by the SQUARE ROOT of
+    * their excess instead of fully equalized ([[tokenBudgetSample]] is
+    * the τ→0 endpoint, keep-everything the τ=1 endpoint).
+    *
+    * Exactness discipline: a general-τ `pow` would be an engine knife
+    * edge (libm pow is not correctly rounded and differs across
+    * engines), but τ = 1/2 needs only IEEE-754 `sqrt` — correctly
+    * rounded EVERYWHERE — over an exact integer: rate‰ =
+    * ⌊√((10^6 · min_total) div total)⌋, with the argument ≤ 10^6 (exact
+    * in double) and results far from integer boundaries (k − 1/(2k) ≫
+    * ulp for k ≤ 1000), so Spark and DuckDB floor identically — no
+    * repair pass, no tolerance.
+    *
+    * Scale shape: identical to [[tokenBudgetSample]] — one |strata|-row
+    * aggregate, broadcast rate join-back, map-side hash filter. */
+  def temperatureSample(docs: DataFrame, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val withTok = docs.withColumn("n_tok", size(toks).cast("long"))
+    val totals = withTok.groupBy(strataCol).agg(sum("n_tok").as("total"))
+    val rates = totals
+      .crossJoin(broadcast(totals.agg(min(col("total")).as("min_total"))))
+      .select(col(strataCol),
+        least(lit(1000L),
+          floor(sqrt(expr("CAST(min_total * 1000000 DIV total AS DOUBLE)"))))
+          .as("rate"))
+    withTok.join(broadcast(rates), strataCol)
+      .where(temperatureBucket(idCol) < col("rate"))
+  }
+
   /** Deterministic per-group sample — eval-set construction: EXACTLY k
     * rows per stratum, chosen by a decorrelated hash order instead of
     * "first k" (which biases toward crawl order) or `rand()` (which is
@@ -133,6 +175,12 @@ object Sampling {
     "sample_split" -> ((s, d) =>
       deterministicSplit(Tables.load(s, d, "documents"))
         .select("doc_id", "split")
+        .orderBy("doc_id")),
+    // τ=1/2 temperature mix over the language strata: dominant langs
+    // damped by the square root of their excess mass
+    "sample_temperature" -> ((s, d) =>
+      temperatureSample(Tables.load(s, d, "documents"))
+        .select("doc_id", "lang", "n_tok")
         .orderBy("doc_id")),
     // rebalance the synthetic corpus's en-heavy mix: keep 25% of en, 90%
     // of every other language — the keep decision is the hash bucket, so
@@ -171,6 +219,26 @@ object Sampling {
         |SELECT t.doc_id, t.source, t.n_tok
         |FROM tok t JOIN r USING (source)
         |WHERE ((t.doc_id % 1000003) * 2246822519) % 1000 < r.rate
+        |ORDER BY t.doc_id""".stripMargin,
+    // IEEE sqrt is correctly rounded in both engines and the argument is
+    // an exact integer <= 1e6, so the floored rate is bit-identical —
+    // the pow-free formulation is the whole point (see temperatureSample)
+    "sample_temperature" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total
+        |        FROM tok GROUP BY lang),
+        |r AS (SELECT lang,
+        |             least(1000, CAST(floor(sqrt(CAST(
+        |               (SELECT MIN(total) FROM tot) * 1000000 // total
+        |               AS DOUBLE))) AS BIGINT)) AS rate
+        |      FROM tot)
+        |SELECT t.doc_id, t.lang, t.n_tok
+        |FROM tok t JOIN r USING (lang)
+        |WHERE ((t.doc_id % 1000003) * 2654435769) % 1000 < r.rate
         |ORDER BY t.doc_id""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,

@@ -45,4 +45,37 @@ class SamplingSpec extends AnyFunSuite {
       .as[(String, Int, Long)].collect().toSeq
     assert(re == got)
   }
+
+  test("temperatureSample: √-damped rates sit between equal-mass and keep-all, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three strata with token masses ~ 900 / 100 / 25 docs × 4 tokens
+    val docs = ((1L to 900L).map(i => (i, "big", "a b c d")) ++
+      (1001L to 1100L).map(i => (i, "mid", "a b c d")) ++
+      (2001L to 2025L).map(i => (i, "small", "a b c d")))
+      .toDF("doc_id", "lang", "text")
+    val kept = graft.ops.Sampling.temperatureSample(docs)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    // the smallest stratum keeps everything (rate 1000)
+    assert(kept.count(_._2 == "small") == 25)
+    // expected exact rates: big = ⌊√(10^6·25/900)⌋ = ⌊√27777⌋ = 166‰,
+    // mid = ⌊√(10^6·25/100)⌋ = ⌊√250000⌋ = 500‰ — the √ damping keeps
+    // MORE of the dominant strata than equal-mass (27‰ / 250‰) while
+    // still rebalancing (166 < 1000)
+    val bigKept = kept.count(_._2 == "big")
+    val midKept = kept.count(_._2 == "mid")
+    // hash buckets are uniform, tolerate sampling noise around n·rate/1000
+    assert(math.abs(bigKept - 900 * 166 / 1000) <= 40, s"big kept $bigKept")
+    assert(math.abs(midKept - 100 * 500 / 1000) <= 20, s"mid kept $midKept")
+    // deterministic under repartitioning
+    val re = graft.ops.Sampling.temperatureSample(docs.repartition(13))
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    assert(re.toSet == kept.toSet)
+    // the kept set is exactly the hash-bucket definition (engine-mirrorable)
+    val expected = docs.as[(Long, String, String)].collect().filter { case (id, lang, _) =>
+      val rate = lang match { case "big" => 166L; case "mid" => 500L; case _ => 1000L }
+      ((id % 1000003L) * 2654435769L) % 1000L < rate
+    }.map(t => (t._1, t._2)).toSet
+    assert(kept.toSet == expected)
+  }
 }
