@@ -168,6 +168,19 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Root chain is only projections/aliases over a Window (or its
+    * group-limit hint): full-cardinality output, nothing reducing. */
+  private def bareWindowRoot(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias, Window, WindowGroupLimit}
+    p match {
+      case Project(_, c) => bareWindowRoot(c)
+      case SubqueryAlias(_, c) => bareWindowRoot(c)
+      case _: Window => true
+      case _: WindowGroupLimit => true
+      case _ => false
+    }
+  }
+
   private def convert(p: LogicalPlan): Option[LogicalPlan] = {
     if (dsv2AlreadyExpresses(p)) return None
     // include plans nested in subquery EXPRESSIONS (EXISTS / IN / scalar):
@@ -186,6 +199,15 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     // scan surface can't express (see scanSurfaceCovers) — fusion there
     // would downgrade a parallel read to a single-stream fetch
     if (backend.dialect.scanPreferred && scanSurfaceCovers(p)) return None
+    // same economics for a BARE window root: its output cardinality is
+    // its full input, so fusing ships every row through one stream AND
+    // serializes the window compute backend-side — strictly worse at
+    // scale than the partitioned scan + Spark's distributed window.
+    // Window fusion stays worthwhile exactly when something REDUCING
+    // (rank filter, limit, aggregate) sits above — and then THAT node
+    // roots the attempted subtree, so this gate never fires for it
+    // (attempt() walks top-down).
+    if (backend.dialect.scanPreferred && bareWindowRoot(p)) return None
 
     val resolver: SqlGen.TableResolver = pl => leafOf(pl).map(_._2)
 

@@ -214,15 +214,28 @@ class FederationSpec extends AnyFunSuite {
   }
 
   test("unsupported aggregate (avg distinct over expression) stays in Spark") {
-    val df = remote("lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(avg(col("l_quantity") * 2).as("a"))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate"), "expression-agg must stay in Spark")
-    val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
-      .groupBy(col("l_returnflag")).agg(avg(col("l_quantity") * 2).as("a"))
-      .collect().map(_.toString).sorted.toSeq
-    assert(df.collect().map(_.toString).sorted.toSeq == want)
+    // the contract under test is the SCAN level: DSv2 aggregate pushdown
+    // declines expression arguments, so a HashAggregate must remain. The
+    // whole-plan FUSION rule can legally absorb this aggregate instead
+    // (SqlGen renders AVG over expressions) — whether it is installed on
+    // the shared session depends on which suites ran first, which made
+    // this assertion order-dependent (pre-round-12 latent flake).
+    // Suspend the fusion rule for the probe's scope so the test pins the
+    // scan-level behavior deterministically.
+    val prevOpt = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prevOpt.filterNot(_ == graft.plans.SqlPushdownRule)
+    try {
+      val df = remote("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity") * 2).as("a"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"), "expression-agg must stay in Spark")
+      val want = Tables.load(spark, TestSpark.Sf0001, "lineitem")
+        .groupBy(col("l_returnflag")).agg(avg(col("l_quantity") * 2).as("a"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(df.collect().map(_.toString).sorted.toSeq == want)
+    } finally spark.experimental.extraOptimizations = prevOpt
   }
 
   test("fusion over an aggregated scan references the aliased agg columns") {

@@ -184,12 +184,14 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(got == want && got.size == 10) // 5 depts × top-2
   }
 
-  test("rank and framed running sum fuse with explicit frames") {
+  test("rank and framed running sum fuse with explicit frames under a reducing filter") {
     val wRank = Window.partitionBy("dept").orderBy(desc("sal"))
     val wSum = Window.partitionBy("dept").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val df = remote("emp").select(
+    def shaped(src: org.apache.spark.sql.DataFrame) = src.select(
       col("id"), rank().over(wRank).as("rk"), sum("sal").over(wSum).as("running"))
+      .filter(col("rk") <= 3) // the reducer that makes fusion pay at scale
+    val df = shaped(remote("emp"))
     val p = pushed(df)
     assert(p.size == 1 && scans(df).isEmpty,
       df.queryExecution.executedPlan.toString)
@@ -197,9 +199,32 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(p.head.sql.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
       s"aggregate window must keep its explicit frame:\n${p.head.sql}")
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
-    val want = localEmp.select(
-      col("id"), rank().over(wRank).as("rk"), sum("sal").over(wSum).as("running"))
+    val want = shaped(localEmp)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want && got.size == 15) // 5 depts × top-3
+  }
+
+  test("a BARE window keeps the partitioned scan (full-cardinality fusion declined)") {
+    // output rows == input rows: fusing would ship the whole table
+    // through ONE stream and serialize the window backend-side — the
+    // scan path + Spark's distributed window is the 100 TB plan
+    val w = Window.partitionBy("dept").orderBy("id")
+    val df = remote("emp").select(
+      col("id"), sum("sal").over(w).as("dept_running"))
+    assert(pushed(df).isEmpty,
+      "bare window must not fuse:\n" + df.queryExecution.executedPlan)
+    // the window forces an exchange, so AQE wraps the physical plan and
+    // hides BatchScanExec until execution — assert the scan path at the
+    // optimized-logical level instead
+    val scanRelations = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scanRelations.nonEmpty, "the partitioned scan must survive:\n" +
+      df.queryExecution.optimizedPlan)
+    val got = df.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val want = localEmp.select(
+      col("id"), sum("sal").over(w).as("dept_running"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
     assert(got == want && got.size == 40)
   }
 
@@ -227,6 +252,7 @@ class PgWindowFusionSpec extends AnyFunSuite {
       lead(col("sal"), 2, -1.0).over(wOrd).as("next2"),
       dense_rank().over(Window.partitionBy("dept").orderBy(desc("bonus"))).as("dr"),
       ntile(4).over(wOrd).as("quartile"))
+      .filter(col("quartile") <= 2) // reducer: bare windows stay on the scan path
     val p = pushed(df)
     assert(p.size == 1 && scans(df).isEmpty,
       df.queryExecution.executedPlan.toString)
@@ -242,10 +268,11 @@ class PgWindowFusionSpec extends AnyFunSuite {
       lead(col("sal"), 2, -1.0).over(wOrd).as("next2"),
       dense_rank().over(Window.partitionBy("dept").orderBy(desc("bonus"))).as("dr"),
       ntile(4).over(wOrd).as("quartile"))
+      .filter(col("quartile") <= 2)
       .collect().map(r => (r.getInt(0),
         if (r.isNullAt(1)) null else r.getDouble(1),
         r.getDouble(2), r.getInt(3), r.getInt(4))).toSet
-    assert(got == want && got.size == 40)
+    assert(got == want && got.nonEmpty && got.size < 40)
   }
 
   test("the 3-level catalog resolves tables through the wire backend") {
