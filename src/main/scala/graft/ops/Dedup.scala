@@ -1033,7 +1033,10 @@ object Dedup {
         graft.plans.MaterializedViews.filesFingerprint(Seq(src))
       val dir = new java.io.File(new java.io.File(
         sys.props("java.io.tmpdir"), "graft-mhidx"), s"compacted_$fp")
-      stageAtomically(dir) { tmp =>
+      // ensureCommittedIndex, not bare stageAtomically: a published dir
+      // whose markers were damaged out-of-band must retire and rebuild
+      // (the same self-healing the plain ensure-index entries have)
+      ensureCommittedIndex(dir) { tmp =>
         buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), tmp.getPath)
         appendToMinhashIndex(docs.filter(col("doc_id") % 2 =!= 0), tmp.getPath)
         require(compactMinhashIndex(s, tmp.getPath) == 2, "expected a 2-epoch merge")
@@ -1054,7 +1057,7 @@ object Dedup {
         graft.plans.MaterializedViews.filesFingerprint(Seq(src))
       val dir = new java.io.File(new java.io.File(
         sys.props("java.io.tmpdir"), "graft-embidx"), s"compacted_$fp")
-      stageAtomically(dir) { tmp =>
+      ensureCommittedIndex(dir) { tmp =>
         buildEmbeddingIndex(emb.filter(col("vec_id") % 2 === 0), tmp.getPath)
         appendToEmbeddingIndex(emb.filter(col("vec_id") % 2 =!= 0), tmp.getPath)
         require(compactEmbeddingIndex(s, tmp.getPath) == 2, "expected a 2-epoch merge")

@@ -86,26 +86,49 @@ object Sampling {
     * budgeted unit — doc-count balancing misallocates when domains have
     * different document lengths. */
   def tokenBudgetSample(docs: DataFrame, strataCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    massRateSample(docs, strataCol, sampleBucket(idCol),
+      "least(1000, min_total * 1000 DIV total)")
+
+  /** The scaffold [[tokenBudgetSample]] and [[temperatureSample]] share:
+    * tokenize, per-stratum token totals (|strata| rows), the scalar min
+    * crossing as a broadcast 1-row nested loop, integer per-mille rates
+    * from `rateExpr` (over `min_total` / `total`), broadcast join-back,
+    * map-side hash-bucket keep. One definition so the two mixes cannot
+    * drift in tokenization or overflow headroom (`min_total * 1000`
+    * stays exact to ~9.2e15 tokens — far past the 100 TB design point;
+    * a rate expression must scale AFTER the division, never multiply
+    * `min_total` by more than 1000, which is why temperature's √ takes
+    * `1000 * (min_total * 1000 DIV total)` — the round-12 review caught
+    * a draft with `min_total * 1000000`, which overflows Long at
+    * ~9.2e12 tokens and silently empties the output). */
+  private def massRateSample(docs: DataFrame, strataCol: String,
+      bucket: org.apache.spark.sql.Column, rateExpr: String): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val withTok = docs.withColumn("n_tok", size(toks).cast("long"))
     val totals = withTok.groupBy(strataCol).agg(sum("n_tok").as("total"))
     val rates = totals
       .crossJoin(broadcast(totals.agg(min(col("total")).as("min_total"))))
-      .select(col(strataCol),
-        least(lit(1000L), expr("min_total * 1000 DIV total")).as("rate"))
+      .select(col(strataCol), expr(rateExpr).cast("long").as("rate"))
     withTok.join(broadcast(rates), strataCol)
-      .where(sampleBucket(idCol) < col("rate"))
+      .where(bucket < col("rate"))
   }
 
-  /** Per-mille bucket for temperature sampling — a SIXTH decorrelated
-    * multiplicative bucket (Knuth's other golden-ratio constant,
-    * independent of split / sample / shard / order / eval buckets), so
-    * the temperature decision correlates with nothing else the pipeline
-    * decided. Overflow headroom: id % 1000003 < 2^20, × 2654435769 <
-    * 2^52. */
+  /** Per-mille bucket for temperature sampling — the SIXTH independent
+    * decision, deliberately NOT another single-multiply bucket: that
+    * family is closed under differences (for any two multipliers,
+    * bucket₁ − bucket₂ ≡ (m₁−m₂)·y mod 1000, so the pair correlates mod
+    * gcd(m₁−m₂, 1000) — at least mod 2 for odd multipliers, and the
+    * round-12 review caught a draft whose constant sat exactly 8 above
+    * [[splitBucket]]'s, leaking split residue into the temperature
+    * decision at mod-8 granularity). A composed two-stage hash breaks
+    * the linear-difference structure against EVERY single-multiply
+    * bucket at once; both stage constants are fresh (unused elsewhere)
+    * so no stage shares an intermediate with another pipeline decision.
+    * Overflow headroom: each product < 2^20 × 2^31 = 2^51. */
   def temperatureBucket(idCol: String): org.apache.spark.sql.Column =
-    pmod((col(idCol) % 1000003L) * 2654435769L, lit(1000L))
+    pmod(pmod((col(idCol) % 1000003L) * 1597334677L, lit(1000003L))
+      * 2038074743L, lit(1000L))
 
   /** Temperature-based domain mixing at τ = 1/2 — the standard softening
     * of equal-mass rebalancing for multilingual/multi-domain corpora
@@ -118,27 +141,19 @@ object Sampling {
     * edge (libm pow is not correctly rounded and differs across
     * engines), but τ = 1/2 needs only IEEE-754 `sqrt` — correctly
     * rounded EVERYWHERE — over an exact integer: rate‰ =
-    * ⌊√((10^6 · min_total) div total)⌋, with the argument ≤ 10^6 (exact
-    * in double) and results far from integer boundaries (k − 1/(2k) ≫
-    * ulp for k ≤ 1000), so Spark and DuckDB floor identically — no
-    * repair pass, no tolerance.
+    * ⌊√(1000 · ((1000 · min_total) div total))⌋, with the argument ≤
+    * 10^6 (exact in double), the inner division keeping `min_total`'s
+    * scaling at ×1000 (Long-safe to ~9.2e15 tokens, the
+    * [[massRateSample]] headroom contract), and results far from
+    * integer boundaries (k − 1/(2k) ≫ ulp for k ≤ 1000), so Spark and
+    * DuckDB floor identically — no repair pass, no tolerance.
     *
     * Scale shape: identical to [[tokenBudgetSample]] — one |strata|-row
     * aggregate, broadcast rate join-back, map-side hash filter. */
   def temperatureSample(docs: DataFrame, strataCol: String = "lang",
-      idCol: String = "doc_id"): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val withTok = docs.withColumn("n_tok", size(toks).cast("long"))
-    val totals = withTok.groupBy(strataCol).agg(sum("n_tok").as("total"))
-    val rates = totals
-      .crossJoin(broadcast(totals.agg(min(col("total")).as("min_total"))))
-      .select(col(strataCol),
-        least(lit(1000L),
-          floor(sqrt(expr("CAST(min_total * 1000000 DIV total AS DOUBLE)"))))
-          .as("rate"))
-    withTok.join(broadcast(rates), strataCol)
-      .where(temperatureBucket(idCol) < col("rate"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    massRateSample(docs, strataCol, temperatureBucket(idCol),
+      "least(1000, floor(sqrt(CAST(1000 * (min_total * 1000 DIV total) AS DOUBLE))))")
 
   /** Deterministic per-group sample — eval-set construction: EXACTLY k
     * rows per stratum, chosen by a decorrelated hash order instead of
@@ -233,12 +248,12 @@ object Sampling {
         |        FROM tok GROUP BY lang),
         |r AS (SELECT lang,
         |             least(1000, CAST(floor(sqrt(CAST(
-        |               (SELECT MIN(total) FROM tot) * 1000000 // total
+        |               1000 * ((SELECT MIN(total) FROM tot) * 1000 // total)
         |               AS DOUBLE))) AS BIGINT)) AS rate
         |      FROM tot)
         |SELECT t.doc_id, t.lang, t.n_tok
         |FROM tok t JOIN r USING (lang)
-        |WHERE ((t.doc_id % 1000003) * 2654435769) % 1000 < r.rate
+        |WHERE ((((t.doc_id % 1000003) * 1597334677) % 1000003) * 2038074743) % 1000 < r.rate
         |ORDER BY t.doc_id""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,

@@ -168,13 +168,16 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Root chain is only projections/aliases over a Window (or its
-    * group-limit hint): full-cardinality output, nothing reducing. */
+  /** Root chain is only NON-REDUCING nodes (projections, aliases, global
+    * sorts) over a Window (or its group-limit hint): full-cardinality
+    * output, nothing reducing — Sort included, or `window().orderBy()`
+    * would slip a full-table fusion past the gate (round-12 review). */
   private def bareWindowRoot(p: LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias, Window, WindowGroupLimit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort, SubqueryAlias, Window, WindowGroupLimit}
     p match {
       case Project(_, c) => bareWindowRoot(c)
       case SubqueryAlias(_, c) => bareWindowRoot(c)
+      case Sort(_, _, c, _) => bareWindowRoot(c)
       case _: Window => true
       case _: WindowGroupLimit => true
       case _ => false

@@ -405,7 +405,28 @@ object EventStreams {
     * state store, no watermark — ingest keeps up with a crawl by
     * partition parallelism alone. The bounded replay's valid channel
     * shares `ingest_jsonl`'s oracle. */
-  def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
+  def ingestJsonl(spark: SparkSession, dir: String): DataFrame =
+    streamedDropSink(spark, dir)
+      .filter(col("_corrupt_record").isNull)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  /** Streaming triage twin: the same bronze-sink read, quarantine
+    * channel classified by the BATCH classifier
+    * ([[graft.sources.JsonlIngest.classifyQuarantine]] is map-side, so
+    * it applies unchanged to the sink table — one definition, two
+    * arrival modes). Shares `ingest_jsonl_triage`'s oracle. */
+  def ingestJsonlTriage(spark: SparkSession, dir: String): DataFrame = {
+    val quarantine = streamedDropSink(spark, dir)
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    graft.sources.JsonlIngest.classifyQuarantine(quarantine).orderBy("raw")
+  }
+
+  /** One PERMISSIVE parse definition for both streaming ingest entries
+    * (valid + triage): the bronze sink both channels read — parse
+    * options diverging between the twins would silently split their
+    * contracts. */
+  private def streamedDropSink(spark: SparkSession, dir: String): DataFrame = {
     val drop = graft.sources.JsonlIngest.ensureJsonlDrop(spark, dir)
     val withCorrupt = graft.sources.JsonlIngest.dropSchema
       .add(org.apache.spark.sql.types.StructField("_corrupt_record",
@@ -416,29 +437,6 @@ object EventStreams {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(drop)
     runToTable(parsed, OutputMode.Append())
-      .filter(col("_corrupt_record").isNull)
-      .select("doc_id", "lang").orderBy("doc_id")
-  }
-
-  /** Streaming triage twin: the same bronze-sink read, quarantine
-    * channel classified by the BATCH classifier
-    * ([[graft.sources.JsonlIngest.classifyQuarantine]] is map-side, so
-    * it applies unchanged to the sink table — one definition, two
-    * arrival modes). Shares `ingest_jsonl_triage`'s oracle. */
-  def ingestJsonlTriage(spark: SparkSession, dir: String): DataFrame = {
-    val drop = graft.sources.JsonlIngest.ensureJsonlDrop(spark, dir)
-    val withCorrupt = graft.sources.JsonlIngest.dropSchema
-      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
-        org.apache.spark.sql.types.StringType))
-    val parsed = spark.readStream
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(drop)
-    val quarantine = runToTable(parsed, OutputMode.Append())
-      .filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw"))
-    graft.sources.JsonlIngest.classifyQuarantine(quarantine).orderBy("raw")
   }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -211,6 +211,7 @@ class PgWindowFusionSpec extends AnyFunSuite {
     val w = Window.partitionBy("dept").orderBy("id")
     val df = remote("emp").select(
       col("id"), sum("sal").over(w).as("dept_running"))
+      .orderBy("id") // a global sort is NON-reducing: must not re-enable fusion
     assert(pushed(df).isEmpty,
       "bare window must not fuse:\n" + df.queryExecution.executedPlan)
     // the window forces an exchange, so AQE wraps the physical plan and

@@ -58,24 +58,35 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id", "lang").as[(Long, String)].collect().toSeq
     // the smallest stratum keeps everything (rate 1000)
     assert(kept.count(_._2 == "small") == 25)
-    // expected exact rates: big = ⌊√(10^6·25/900)⌋ = ⌊√27777⌋ = 166‰,
-    // mid = ⌊√(10^6·25/100)⌋ = ⌊√250000⌋ = 500‰ — the √ damping keeps
-    // MORE of the dominant strata than equal-mass (27‰ / 250‰) while
-    // still rebalancing (166 < 1000)
+    // expected exact rates (mass: big 3600, mid 400, small 100 tokens):
+    // big = ⌊√(1000·(10^5 div 3600))⌋ = ⌊√27000⌋ = 164‰,
+    // mid = ⌊√(1000·(10^5 div 400))⌋ = ⌊√250000⌋ = 500‰ — the √ damping
+    // keeps MORE of the dominant strata than equal-mass (27‰ / 250‰)
+    // while still rebalancing (164 < 1000)
     val bigKept = kept.count(_._2 == "big")
     val midKept = kept.count(_._2 == "mid")
     // hash buckets are uniform, tolerate sampling noise around n·rate/1000
-    assert(math.abs(bigKept - 900 * 166 / 1000) <= 40, s"big kept $bigKept")
+    assert(math.abs(bigKept - 900 * 164 / 1000) <= 40, s"big kept $bigKept")
     assert(math.abs(midKept - 100 * 500 / 1000) <= 20, s"mid kept $midKept")
     // deterministic under repartitioning
     val re = graft.ops.Sampling.temperatureSample(docs.repartition(13))
       .select("doc_id", "lang").as[(Long, String)].collect().toSeq
     assert(re.toSet == kept.toSet)
-    // the kept set is exactly the hash-bucket definition (engine-mirrorable)
+    // the kept set is exactly the two-stage hash definition (engine-mirrorable)
     val expected = docs.as[(Long, String, String)].collect().filter { case (id, lang, _) =>
-      val rate = lang match { case "big" => 166L; case "mid" => 500L; case _ => 1000L }
-      ((id % 1000003L) * 2654435769L) % 1000L < rate
+      val rate = lang match { case "big" => 164L; case "mid" => 500L; case _ => 1000L }
+      (((id % 1000003L) * 1597334677L) % 1000003L) * 2038074743L % 1000L < rate
     }.map(t => (t._1, t._2)).toSet
     assert(kept.toSet == expected)
+    // independence regression (the round-12 review's catch): the
+    // temperature bucket must not be a deterministic function of the
+    // split bucket at any coarse modulus — across ids sharing one split
+    // bucket, temperature buckets must spread over many residues mod 8
+    val byKey = (1L to 100000L).groupBy(id =>
+      ((id % 1000003L) * 2654435761L) % 1000L)
+    val worst = byKey.values.map(ids => ids.map(id =>
+      ((((id % 1000003L) * 1597334677L) % 1000003L) * 2038074743L % 1000L) % 8L
+    ).distinct.size).min
+    assert(worst == 8, s"temperature bucket collapses to $worst residues mod 8 per split bucket")
   }
 }
