@@ -33,7 +33,10 @@ object PlanAudit {
     "sample_temperature",
     // each side's 1-row total crosses as a broadcast scalar before the
     // per-stratum share projection
-    "profile_drift")
+    "profile_drift",
+    // the vector leg crosses the corpus with a broadcast 1-row query
+    // vector — the same designed one-scan plan as sim_topk_brute
+    "search_hybrid_rrf")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets
@@ -96,6 +99,12 @@ object PlanAudit {
     // 15/row is 3× the larger reading, still ~40× under an all-pairs
     // candidate join at n=2000
     "dedup_incr_embedding" -> ShuffleBudget("embeddings", 15.0, 1000L),
+    // shingle-hash stream crosses twice (duplicate-key count + flag join)
+    // plus islands/doc-id exchanges; measured 175.7/row at n=500 and
+    // 169.9/row at n=5000 — flat (shingles ∝ tokens). A quadratic
+    // flagged-position blowup (lost island merge or all-pairs flagging)
+    // overshoots this 2.5×-headroom budget by orders of magnitude
+    "dedup_spans" -> ShuffleBudget("documents", 440.0, 2000L),
     // distinct (column, value) combo aggregate + range exchange for the
     // two-phase prefix sum + final min partials; measured 2.023/row at
     // n=6k and 1.944/row at n=600k — flat (combos ≤ rows × |cols|)

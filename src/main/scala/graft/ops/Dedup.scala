@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline.
@@ -244,6 +245,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Passage-level (substring) duplication — the exact-substring dedup
+    * family of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL'22), re-expressed at k-token shingle granularity
+    * instead of a suffix array (a distributed suffix array shuffles the
+    * corpus ~log n times; shingle-granular detection finds every repeated
+    * passage of ≥ k tokens in ONE linear pass, trading only span-boundary
+    * precision of < k tokens per end).
+    *
+    * A k-token shingle is DUPLICATED when it occurs more than once
+    * anywhere in the corpus (intra- and inter-document repeats both
+    * count). Per document, flagged shingle starts are merged into maximal
+    * coverage islands (gaps > k break a span) and reported as
+    * (doc_id, total_tokens, dup_spans, dup_tokens) for documents with at
+    * least one flagged span — exactly the accounting a span-removal pass
+    * needs to decide trim-vs-drop.
+    *
+    * Scale shape: tokenize + shingle-hash are MAP-SIDE (the shuffle
+    * carries (doc_id, pos, 32-byte hash) — never shingle text); the
+    * duplicate-key set comes from a partial+final count on the hash (hot
+    * boilerplate shingles combine map-side, no skewed single-reducer
+    * window); flagging re-joins the position stream to the duplicated
+    * keys on the same hash; island merging is a per-document window
+    * (state bounded by document length) and the rest is per-doc
+    * aggregation. Everything is linear in total tokens — the same
+    * shuffle regime as the repetition metrics, and the hash is 256-bit
+    * like [[exact]]'s so corpus-scale collision probability stays
+    * negligible by design (~n²/2^257 at 10^12 shingles). */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr("filter(split(text, '\\\\s+'), t -> length(t) > 0)").as("toks"))
+    val sh = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), i -> unhex(sha2(concat_ws(' ', slice(toks, i + 1, $k)), 256)))"))
+        .as(Seq("pos", "sh")))
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val flagged = sh.join(dup, Seq("sh")).select("doc_id", "pos")
+    // gaps-and-islands over flagged starts: intervals [p, p+k-1] chain
+    // while consecutive starts are ≤ k apart; island length = e − s + k
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("pos").as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + k).cast("long").as("dup_tokens"))
+      .join(toks.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens")),
+        Seq("doc_id"))
+      .select("doc_id", "total_tokens", "dup_spans", "dup_tokens")
+      .orderBy("doc_id")
   }
 
   /** Embedding near-dup via random-hyperplane LSH + cosine verification.
@@ -967,6 +1024,10 @@ object Dedup {
     "dedup_minhash" -> ((s, d) => minHashPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_simhash" -> ((s, d) => simHashPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
+    // Passage-level: the planted 90%-prefix copies share every k-token
+    // shingle of the common prefix, so each (original, copy) pair must
+    // surface as one long flagged span in both documents.
+    "dedup_spans" -> ((s, d) => duplicatedSpans(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_embedding" -> ((s, d) =>
       embeddingNearDupPairs(Similarity.withPlantedNearDupVectors(Tables.load(s, d, "embeddings")))),
     // Transitive closure under the driver oracle: plant two exact copies
@@ -1148,6 +1209,44 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // mirrors duplicatedSpans: case-SENSITIVE whitespace tokens (exact
+    // substring semantics — unlike the lowercased Jaccard shingles),
+    // k=8 shingle keys (the hash is engine-internal; equality of the
+    // underlying shingle text is what both engines group on), duplicated
+    // = COUNT(*) > 1 corpus-wide, then per-doc gaps-and-islands with
+    // breaks at start-gaps > k and island length e − s + k
+    "dedup_spans" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
+        |  FROM documents
+        |),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks FROM docs2),
+        |sh AS (SELECT doc_id, p - 1 AS pos,
+        |              array_to_string(toks[p : p + 7], ' ') AS sh
+        |       FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS g(p)
+        |       WHERE len(toks) >= 8),
+        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 1),
+        |fl AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (sh)),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |                    THEN 0 ELSE 1 END AS brk
+        |        FROM fl),
+        |isl2 AS (SELECT doc_id, pos,
+        |                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                               ROWS UNBOUNDED PRECEDING) AS island
+        |         FROM isl),
+        |spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+        |          FROM isl2 GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+        |               CAST(SUM(e - s + 8) AS BIGINT) AS dup_tokens
+        |        FROM spans GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS total_tokens,
+        |       a.dup_spans, a.dup_tokens
+        |FROM agg a JOIN tok t USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // The hyperplane LSH is seeded-deterministic → SQL-expressible: the
     // generated oracle inlines the planes as literals (exact float32
     // values via toDouble) and rebuilds bucketing, the planted

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,7 +39,10 @@ object Search {
   /** Fixed-point rarity weight: 1e6 DIV (df+1), exact in long arithmetic. */
   private val WeightScale = 1000000L
 
-  def keywordTopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+  /** Per-document lexical scores — the aggregation half of
+    * [[keywordTopK]], shared with the hybrid-fusion leg: (id, score,
+    * total_tf, matched_terms), unordered and unlimited. */
+  def keywordScores(docs: DataFrame, queryTerms: Seq[String],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     // the token stream is lowercased, so the probe set must be too — a
@@ -55,7 +59,66 @@ object Search {
       .agg(sum("w").as("score"),
         sum("tf").cast("long").as("total_tf"),
         count("*").cast("long").as("matched_terms"))
+  }
+
+  def keywordTopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    keywordScores(docs, queryTerms, textCol, idCol)
       .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+    * (Cormack/Clarke/Buettcher, SIGIR'09): each leg ranks independently,
+    * and a document's fused score is Σ_legs 1/(K + rank). Kept in EXACT
+    * integer arithmetic like the lexical score — w(rank) = 1e6 DIV
+    * (K + rank) — so the DuckDB oracle reproduces the fusion ordering
+    * bit-for-bit (reciprocal weights are monotone in rank, so the integer
+    * form preserves RRF's ordering semantics per leg).
+    *
+    * Query-by-example semantics: the vector leg probes the corpus with
+    * the stored embedding of `queryVecId` (the exemplar itself surfacing
+    * at vector rank 1 is expected and kept — the oracle does the same).
+    *
+    * Scale shape: the lexical leg is [[keywordScores]] (map-side postings
+    * filter, partial+final aggregates); the vector leg is one corpus scan
+    * × a broadcast 1-row query vector; BOTH legs collapse through the
+    * bounded [[graft.functions.Aggregators.TopK]] heap (per-task partial
+    * heaps, one legK-row merge — never a global sort or a full-corpus
+    * window), so the fusion join sees two ≤legK-row frames. Ranks use
+    * TopK's (score DESC, id ASC) total order — the same tie rule as the
+    * standalone legs. Absent-from-leg is encoded as rank 0 / weight 0
+    * (not NULL), keeping the output hash-stable. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long = 0L, k: Int = 20, legK: Int = 50, rrfK: Int = 60,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopK(legK),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
+    // One leg → (doc_id, rank): global TopK heap, ranks from the heap's
+    // sorted output. Lexical scores are longs ≤ ~5e6·terms, exact in the
+    // heap's Double (< 2^53).
+    def ranked(scored: DataFrame, scoreCol: String, legIdCol: String,
+        rankName: String): DataFrame =
+      scored.filter(col(scoreCol).isNotNull)
+        .groupBy()
+        .agg(topk(col(scoreCol).cast("double"), col(legIdCol).cast("long")).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("s.id").as(idCol), (col("pos") + 1).cast("long").as(rankName))
+    val lex = ranked(keywordScores(docs, queryTerms, textCol, idCol),
+      "score", idCol, "lex_rank")
+    val qv = emb.filter(col(vecIdCol) === queryVecId).select(col(vecCol).as("qvec"))
+    val vecScored = emb.crossJoin(broadcast(qv))
+      .select(col(vecIdCol), cosine_f32(col(vecCol), col("qvec")).as("cosine"))
+    val vec = ranked(vecScored, "cosine", vecIdCol, "vec_rank")
+    lex.join(vec, Seq(idCol), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "vec_rank"))
+      .withColumn("rrf_score",
+        when(col("lex_rank") > 0,
+          expr(s"$WeightScale DIV ($rrfK + lex_rank)")).otherwise(lit(0L)) +
+        when(col("vec_rank") > 0,
+          expr(s"$WeightScale DIV ($rrfK + vec_rank)")).otherwise(lit(0L)))
+      .select(col(idCol), col("rrf_score"), col("lex_rank"), col("vec_rank"))
+      .orderBy(desc("rrf_score"), col(idCol))
       .limit(k)
   }
 
@@ -67,6 +130,11 @@ object Search {
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "search_keyword_topk" -> ((s, d) =>
       keywordTopK(Tables.load(s, d, "documents"), CorpusTerms)),
+    // doc_id and vec_id are aligned 1:1 in the corpus, so vec_id 0's
+    // embedding is "the query document's" vector leg
+    "search_hybrid_rrf" -> ((s, d) =>
+      hybridTopK(Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"), CorpusTerms)),
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -88,6 +156,46 @@ object Search {
         |FROM tf t JOIN df d USING (term)
         |GROUP BY t.doc_id
         |ORDER BY score DESC, t.doc_id
+        |LIMIT 20""".stripMargin,
+    // mirrors hybridTopK exactly: same integer lexical scores, the same
+    // double-accumulated cosine as sim_topk_brute's proven oracle form,
+    // per-leg ROW_NUMBER in (score DESC, id) order limited to legK=50,
+    // integer RRF weights 1e6 // (60 + rank), absent legs as rank 0
+    "search_hybrid_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split_regex(lower(text), '\s+')) AS term
+        |        FROM documents)
+        |  WHERE term IN ('vector', 'stream', 'merge', 'window', 'filter')
+        |  GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), lexscore AS (
+        |  SELECT t.doc_id, SUM(t.tf * (1000000 // (d.df + 1))) AS score
+        |  FROM tf t JOIN df d USING (term) GROUP BY t.doc_id
+        |), lex AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM lexscore ORDER BY score DESC, doc_id LIMIT 50
+        |), vecscore AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |), vec AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank
+        |  FROM vecscore ORDER BY cosine DESC, doc_id LIMIT 50
+        |)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |       COALESCE(CAST(1000000 AS BIGINT) // (60 + l.lex_rank), 0) +
+        |       COALESCE(CAST(1000000 AS BIGINT) // (60 + v.vec_rank), 0) AS rrf_score,
+        |       COALESCE(l.lex_rank, 0) AS lex_rank,
+        |       COALESCE(v.vec_rank, 0) AS vec_rank
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_score DESC, doc_id
         |LIMIT 20""".stripMargin,
   )
 }

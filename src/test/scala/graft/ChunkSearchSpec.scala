@@ -122,6 +122,38 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(got.length === 1 && got(0)._3 === 3L)
   }
 
+  // ---- hybrid RRF fusion -------------------------------------------
+
+  private def emb(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("hybridTopK fuses the legs with exact integer RRF weights") {
+    // q = vec 0 = [1,0]. Vec leg (legK=2): doc0 cos 1.0 → rank 1, doc2
+    // cos≈0.995 → rank 2; doc1 (cos 0) and doc3 (cos −1) cut. Lex leg
+    // (term "a", df=2 → w=333333): doc1 tf3 → rank 1, doc2 tf1 → rank 2.
+    val d = docs(0L -> "nothing here", 1L -> "a a a", 2L -> "a", 3L -> "zz")
+    val e = emb(0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(1f, 0.1f), 3L -> Array(-1f, 0f))
+    val got = Search.hybridTopK(d, e, Seq("a"), queryVecId = 0L, legK = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // weights: rank 1 → 1e6 DIV 61 = 16393; rank 2 → 1e6 DIV 62 = 16129
+    assert(got === Array(
+      (2L, 32258L, 2L, 2L),   // both legs at rank 2
+      (0L, 16393L, 0L, 1L),   // exemplar: vector rank 1, absent lexically
+      (1L, 16393L, 1L, 0L)))  // lexical rank 1, cut from the vector leg
+    // doc3 is in neither leg and must not appear at all
+    assert(!got.map(_._1).contains(3L))
+  }
+
+  test("hybridTopK: k truncates after the (rrf_score, doc_id) total order") {
+    val d = docs(0L -> "nothing", 1L -> "a a a", 2L -> "a", 3L -> "zz")
+    val e = emb(0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(1f, 0.1f), 3L -> Array(-1f, 0f))
+    val got = Search.hybridTopK(d, e, Seq("a"), queryVecId = 0L,
+      legK = 2, k = 2).as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(2L, 0L))
+  }
+
   test("keywordTopK plan: df joins back broadcast; top-k is TakeOrdered") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec

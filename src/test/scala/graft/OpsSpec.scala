@@ -13,6 +13,48 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  // ---- passage-level span dedup ------------------------------------
+
+  private val A8 = "a1 a2 a3 a4 a5 a6 a7 a8"   // one shared 8-token passage
+  private val B8 = "b1 b2 b3 b4 b5 b6 b7 b8"   // a second shared passage
+
+  test("duplicatedSpans flags a cross-document repeated passage in both docs") {
+    val d = docs(
+      1L -> (A8 + " x1 x2"),        // passage at pos 0, 10 tokens total
+      2L -> ("y1 y2 " + A8),        // passage at pos 2, 10 tokens total
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9")  // unique — must not appear
+    val got = Dedup.duplicatedSpans(d, k = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 10L, 1L, 8L), (2L, 10L, 1L, 8L)))
+  }
+
+  test("duplicatedSpans merges overlapping islands from an intra-doc repeat") {
+    // the doc is its own duplicate: shingle pos 0 == pos 8, gap 8 ≤ k
+    // → ONE island covering the whole 16-token doc
+    val d = docs(1L -> ("p1 p2 p3 p4 p5 p6 p7 p8 " + "p1 p2 p3 p4 p5 p6 p7 p8"))
+    val got = Dedup.duplicatedSpans(d, k = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 16L, 1L, 16L)))
+  }
+
+  test("duplicatedSpans splits islands when the start gap exceeds k") {
+    val d = docs(
+      1L -> (A8 + " m1 m2 " + B8), // flags at pos 0 and 10: gap 10 > 8 → 2 spans
+      2L -> (A8 + " k1 k2"),
+      3L -> ("k3 k4 " + B8))
+    val got = Dedup.duplicatedSpans(d, k = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 18L, 2L, 16L),   // two 8-token spans, 10-token start gap
+      (2L, 10L, 1L, 8L),
+      (3L, 10L, 1L, 8L)))
+  }
+
+  test("duplicatedSpans ignores documents shorter than k tokens") {
+    val d = docs(1L -> "s1 s2 s3", 2L -> "s1 s2 s3")
+    assert(Dedup.duplicatedSpans(d, k = 8).count() === 0)
+  }
+
   test("dedupGroups merges chains transitively, keeps singletons") {
     import spark.implicits._
     // chain 1-2, 2-3; star 10-{11,12}; pair 20-21; singleton 30
