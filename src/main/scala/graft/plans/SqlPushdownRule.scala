@@ -184,6 +184,86 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Known backend-catalog row count of one pushable leaf (the scan's own
+    * estimate caps it at a pushed LIMIT), None when the backend has no
+    * statistics for it. */
+  private def leafRows(p: LogicalPlan): Option[Long] = p match {
+    case r: DataSourceV2ScanRelation => r.scan match {
+      case g: GraftScan =>
+        val s = g.estimateStatistics()
+        if (s.numRows().isPresent) Some(s.numRows().getAsLong) else None
+      case _ => None
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.GraftSqlTable => t.backend.estimatedRowCount(t.tableName)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Upper-bound output-row estimate of a convertible subtree from backend
+    * catalog statistics, with the standard size-only heuristics: filters
+    * and windows keep their child's bound (no selectivity/NDV info),
+    * grouped aggregates keep their child's bound (reduction unprovable
+    * without NDV — the gate refuses to gamble a single-stream fetch on
+    * it), global aggregates are 1, conditioned joins take the FK-join
+    * heuristic max(|l|, |r|), condition-free joins multiply. None as soon
+    * as any leaf or node is unestimable — the caller then falls back to
+    * the structural gates alone. */
+  private def estimateRows(p: LogicalPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+    import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def est(q: LogicalPlan): Option[BigInt] = q match {
+      case leaf @ (_: DataSourceV2Relation | _: DataSourceV2ScanRelation) =>
+        leafRows(leaf).map(BigInt(_))
+      case Project(_, c) => est(c)
+      case SubqueryAlias(_, c) => est(c)
+      case Filter(_, c) => est(c)
+      case Sort(_, _, c, _) => est(c)
+      case w: Window => est(w.child)
+      case wg: WindowGroupLimit => est(wg.child)
+      case GlobalLimit(IntegerLiteral(n), c) => est(c).map(_.min(BigInt(n)))
+      case LocalLimit(IntegerLiteral(n), c) => est(c).map(_.min(BigInt(n)))
+      case o: Offset => est(o.child)
+      case Aggregate(g, _, c, _) =>
+        if (g.isEmpty) Some(BigInt(1)) else est(c)
+      case Distinct(c) => est(c)
+      case Deduplicate(_, c) => est(c)
+      case Join(l, _, LeftSemi | LeftAnti | _: ExistenceJoin, _, _) => est(l)
+      case Join(l, r, _, Some(_), _) =>
+        for (a <- est(l); b <- est(r)) yield a.max(b)
+      case Join(l, r, _, None, _) =>
+        for (a <- est(l); b <- est(r)) yield a * b
+      case Union(cs, _, _) =>
+        cs.foldLeft(Option(BigInt(0))) { (acc, c) =>
+          for (a <- acc; b <- est(c)) yield a + b
+        }
+      case Intersect(l, r, _) =>
+        for (a <- est(l); b <- est(r)) yield a.min(b)
+      case Except(l, _, _) => est(l)
+      case _ => None
+    }
+    est(p)
+  }
+
+  /** Statistics-gated push-vs-pull — the reference's aspirational cost
+    * model ("offline/online gathering of statistics … choosing when to
+    * read & compute on DF vs on the DB", `README.md:23`, stubbed there to
+    * defaults, `src/physical_plan.rs:96-100`) made operational. A fused
+    * query fetches its result through ONE stream; when the estimated
+    * result is large, that stream — not the compute — is the bottleneck,
+    * and the partitioned scan path + distributed compute wins even though
+    * the subtree re-shuffles in Spark. Budget in rows
+    * (`spark.graft.fusion.maxFetchRows`, default 5M ≈ seconds of
+    * single-stream fetch); unknown estimates keep the structural
+    * decision — the grammar gates are already conservative. */
+  private def fitsFetchBudget(p: LogicalPlan): Boolean = {
+    val budget = BigInt(conf.getConfString(
+      "spark.graft.fusion.maxFetchRows", "5000000").toLong)
+    estimateRows(p).forall(_ <= budget)
+  }
+
   private def convert(p: LogicalPlan): Option[LogicalPlan] = {
     if (dsv2AlreadyExpresses(p)) return None
     // include plans nested in subquery EXPRESSIONS (EXISTS / IN / scalar):
@@ -211,6 +291,10 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     // roots the attempted subtree, so this gate never fires for it
     // (attempt() walks top-down).
     if (backend.dialect.scanPreferred && bareWindowRoot(p)) return None
+    // statistics gate (see fitsFetchBudget): even a reducing, grammar-
+    // eligible subtree stays on the partitioned scan path when catalog
+    // stats bound its result above the single-stream fetch budget
+    if (backend.dialect.scanPreferred && !fitsFetchBudget(p)) return None
 
     val resolver: SqlGen.TableResolver = pl => leafOf(pl).map(_._2)
 

@@ -276,6 +276,44 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty && got.size < 40)
   }
 
+  test("statistics gate: a result-bound above the fetch budget declines fusion") {
+    // semi join: outside the scan grammar → structurally fusable; its
+    // catalog-stats bound is |emp| = 40 rows (reltuples over the wire)
+    def shaped() = {
+      val e = remote("emp"); val d = remote("dep")
+      e.join(d, e("dept") === d("id"), "leftsemi").select("id", "sal")
+    }
+    val want = (1 to 40).filter(i => i % 5 <= 2).map(i => (i, i * 10.0)).toSet
+    spark.conf.set("spark.graft.fusion.maxFetchRows", "10")
+    try {
+      val df = shaped()
+      assert(pushed(df).isEmpty,
+        "40-row bound > 10-row budget must keep the scan path:\n" +
+          df.queryExecution.optimizedPlan)
+      val scanRelations = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }
+      assert(scanRelations.nonEmpty)
+      assert(df.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet == want)
+      // a GLOBAL aggregate above the same subtree bounds to 1 row — the
+      // gate is an estimator, not an off switch: this fuses even at 10
+      val agg = {
+        val e = remote("emp"); val d = remote("dep")
+        e.join(d, e("dept") === d("id"), "leftsemi")
+          .agg(sum("sal").as("total"))
+      }
+      assert(pushed(agg).size == 1,
+        agg.queryExecution.executedPlan.toString)
+      assert(agg.collect().head.getDouble(0) ==
+        (1 to 40).filter(i => i % 5 <= 2).map(i => i * 10.0).sum)
+    } finally spark.conf.unset("spark.graft.fusion.maxFetchRows")
+    // default budget (5M): the same semi join fuses into one wire query
+    val fused = shaped()
+    assert(pushed(fused).size == 1,
+      fused.queryExecution.executedPlan.toString)
+    assert(fused.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet == want)
+  }
+
   test("the 3-level catalog resolves tables through the wire backend") {
     spark.conf.set("spark.sql.catalog.pgwire_cat", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.pgwire_cat.pgwire",
