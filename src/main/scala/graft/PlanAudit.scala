@@ -105,6 +105,11 @@ object PlanAudit {
     // flagged-position blowup (lost island merge or all-pairs flagging)
     // overshoots this 2.5×-headroom budget by orders of magnitude
     "dedup_spans" -> ShuffleBudget("documents", 440.0, 2000L),
+    // same shingle chain with the canonical-struct aggregate folded into
+    // the duplicate count and a whole-row (1/doc) text join for the
+    // reconstruction; measured 134.9/row (n=500) and 130.3/row (n=5000)
+    // — flat; 2.5× headroom
+    "dedup_span_strip" -> ShuffleBudget("documents", 340.0, 2000L),
     // distinct (column, value) combo aggregate + range exchange for the
     // two-phase prefix sum + final min partials; measured 2.023/row at
     // n=6k and 1.944/row at n=600k — flat (combos ≤ rows × |cols|)

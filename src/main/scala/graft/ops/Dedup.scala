@@ -274,32 +274,94 @@ object Dedup {
     * shuffle regime as the repetition metrics, and the hash is 256-bit
     * like [[exact]]'s so corpus-scale collision probability stays
     * negligible by design (~n²/2^257 at 10^12 shingles). */
-  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  /** (doc_id, toks): whitespace tokens with empties dropped — the same
+    * tokenizer contract as [[graft.ops.Chunking]]. */
+  private def spanToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       expr("filter(split(text, '\\\\s+'), t -> length(t) > 0)").as("toks"))
-    val sh = toks
+
+  /** (doc_id, pos, sh): every k-token shingle start with its 256-bit
+    * content hash — map-side; positions + 32-byte keys on the wire,
+    * never shingle text. */
+  private def spanShingles(toks: DataFrame, k: Int): DataFrame =
+    toks
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $k), i -> unhex(sha2(concat_ws(' ', slice(toks, i + 1, $k)), 256)))"))
         .as(Seq("pos", "sh")))
-    val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("sh")
-    val flagged = sh.join(dup, Seq("sh")).select("doc_id", "pos")
-    // gaps-and-islands over flagged starts: intervals [p, p+k-1] chain
-    // while consecutive starts are ≤ k apart; island length = e − s + k
+
+  /** Gaps-and-islands over flagged shingle starts: intervals [p, p+k−1]
+    * chain while consecutive starts are ≤ k apart → (doc_id, s, e) with
+    * covered token range [s, e+k−1]. Per-DOCUMENT window — state bounded
+    * by document length. */
+  private def spanIslands(flagged: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = flagged
+    flagged
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
       .withColumn("island", sum("brk").over(w))
       .groupBy("doc_id", "island")
       .agg(min("pos").as("s"), max("pos").as("e"))
-    spans.groupBy("doc_id")
+  }
+
+  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = spanToks(docs)
+    val sh = spanShingles(toks, k)
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("sh")
+    val flagged = sh.join(dup, Seq("sh")).select("doc_id", "pos")
+    spanIslands(flagged, k).groupBy("doc_id")
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("e") - col("s") + k).cast("long").as("dup_tokens"))
       .join(toks.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens")),
         Seq("doc_id"))
       .select("doc_id", "total_tokens", "dup_spans", "dup_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** The ARTIFACT half of [[duplicatedSpans]] — Lee et al.'s ExactSubstr
+    * removal: every duplicated k-token shingle keeps its CANONICAL first
+    * occurrence (minimum (doc_id, pos) corpus-wide — a total order, so
+    * the decision is engine-stable) and every other occurrence is
+    * removed; removable starts merge into islands per document and the
+    * cleaned text is rebuilt from the surviving tokens.
+    *
+    * Output (one row per input document, ORDER BY doc_id):
+    * (doc_id, text, total_tokens, kept_tokens) — text is TOKEN-NORMALIZED
+    * (single-space joined; a doc stripped empty yields ""). Retention
+    * guarantee is one-sided, as in the byte-range original: all duplicate
+    * mass is removed, while a canonical occurrence can still lose tokens
+    * to an overlapping removable island's coverage.
+    *
+    * Scale shape: identical to [[duplicatedSpans]] through the island
+    * stage (the canonical pick rides the SAME partial+final aggregate as
+    * the duplicate count — min of a (doc_id, pos) struct, skew-safe, no
+    * per-shingle window); reconstruction joins the per-doc island LIST
+    * (bounded by doc length) back to the token arrays and filters
+    * positions with a higher-order expression — document text crosses
+    * exactly ONE exchange, as whole rows, never token-exploded. */
+  def stripDuplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = spanToks(docs)
+    val sh = spanShingles(toks, k)
+    val agg = sh.groupBy("sh").agg(count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("canon"))
+    val removable = sh.join(agg.filter(col("cnt") > 1), Seq("sh"))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .select("doc_id", "pos")
+    val ranges = spanIslands(removable, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ranges"))
+    toks.join(ranges, Seq("doc_id"), "left")
+      .withColumn("ranges",
+        coalesce(col("ranges"), expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .withColumn("kept", expr(
+        s"""filter(transform(toks, (t, i) -> struct(t as tok, i as idx)),
+           |       x -> NOT exists(ranges, r -> x.idx >= r.s AND x.idx <= r.e + ${k - 1}))""".stripMargin))
+      .select(col("doc_id"),
+        array_join(expr("transform(kept, x -> x.tok)"), " ").as("text"),
+        size(col("toks")).cast("long").as("total_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"))
       .orderBy("doc_id")
   }
 
@@ -473,7 +535,7 @@ object Dedup {
       .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
     catch { case _: java.io.IOException => Seq.empty }
 
-  private def commitEpoch(dir: String, id: String,
+  private[graft] def commitEpoch(dir: String, id: String,
       supersedes: Seq[String] = Nil): Unit = {
     val d = new java.io.File(dir, "_committed")
     d.mkdirs()
@@ -492,14 +554,14 @@ object Dedup {
   }
 
   private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0)
-  private def newEpochId(): String =
+  private[graft] def newEpochId(): String =
     // zero-padded counter first so same-JVM epochs sort in commit order;
     // the UUID tail keeps ids unique across JVMs sharing a tmpdir
     f"${epochCounter.getAndIncrement()}%06d_" +
       java.util.UUID.randomUUID().toString.take(8)
 
   /** Union of all committed epochs of one index table. */
-  private def readEpochs(spark: SparkSession, dir: String, table: String): DataFrame = {
+  private[graft] def readEpochs(spark: SparkSession, dir: String, table: String): DataFrame = {
     val ids = committedEpochs(dir)
     require(ids.nonEmpty, s"no committed epochs in $dir — build the index first")
     spark.read.parquet(epochDirs(dir, table, ids): _*)
@@ -576,7 +638,7 @@ object Dedup {
   /** The shared epoch-merge implementation: one shuffle per table,
     * clustered by the table's probe join key, then a single
     * supersedes-commit. */
-  private def compactEpochs(spark: SparkSession, dir: String,
+  private[graft] def compactEpochs(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): Int = {
     val ids = committedEpochs(dir)
     if (ids.size <= 1) return 0
@@ -692,7 +754,7 @@ object Dedup {
     * published dir with NO commit markers (the pre-epoch layout, or one
     * damaged out-of-band) is retired and rebuilt under the current
     * protocol instead of failing every probe against it. */
-  private def ensureCommittedIndex(dir: java.io.File)(
+  private[graft] def ensureCommittedIndex(dir: java.io.File)(
       build: java.io.File => Unit): String = {
     if (dir.exists() && committedEpochs(dir.getPath).isEmpty) deleteRecursively(dir)
     stageAtomically(dir)(build)
@@ -1028,6 +1090,10 @@ object Dedup {
     // shingle of the common prefix, so each (original, copy) pair must
     // surface as one long flagged span in both documents.
     "dedup_spans" -> ((s, d) => duplicatedSpans(withPlantedNearDups(Tables.load(s, d, "documents")))),
+    // Artifact twin: originals (lower doc_id = canonical) survive intact;
+    // each planted copy is a strict prefix of its original, so its every
+    // shingle is non-canonical and the copy strips to (near-)empty.
+    "dedup_span_strip" -> ((s, d) => stripDuplicatedSpans(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_embedding" -> ((s, d) =>
       embeddingNearDupPairs(Similarity.withPlantedNearDupVectors(Tables.load(s, d, "embeddings")))),
     // Transitive closure under the driver oracle: plant two exact copies
@@ -1247,6 +1313,56 @@ object Dedup {
         |       a.dup_spans, a.dup_tokens
         |FROM agg a JOIN tok t USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+    // mirrors stripDuplicatedSpans: the canonical occurrence is rank 1
+    // in (doc_id, pos) order per shingle (≡ the engine's min-struct
+    // aggregate); removable starts island-merge identically; kept text
+    // is rebuilt by anti-joining covered token indices, LEFT-joined so
+    // fully-stripped docs still emit with text ''
+    "dedup_span_strip" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
+        |  FROM documents
+        |),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks FROM docs2),
+        |sh AS (SELECT doc_id, p - 1 AS pos,
+        |              array_to_string(toks[p : p + 7], ' ') AS sh
+        |       FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS g(p)
+        |       WHERE len(toks) >= 8),
+        |ranked AS (SELECT doc_id, pos,
+        |                  ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+        |           FROM sh),
+        |rem AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |                    THEN 0 ELSE 1 END AS brk
+        |        FROM rem),
+        |isl2 AS (SELECT doc_id, pos,
+        |                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                               ROWS UNBOUNDED PRECEDING) AS island
+        |         FROM isl),
+        |spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+        |          FROM isl2 GROUP BY doc_id, island),
+        |removed AS (SELECT DISTINCT doc_id, u.idx
+        |            FROM spans, LATERAL unnest(generate_series(s, e + 7)) AS u(idx)),
+        |tokpos AS (SELECT doc_id, g.i AS i, toks[g.i + 1] AS tok
+        |           FROM tok, LATERAL unnest(generate_series(0, len(toks) - 1)) AS g(i)),
+        |keptagg AS (
+        |  SELECT k.doc_id,
+        |         array_to_string(list(k.tok ORDER BY k.i), ' ') AS text,
+        |         CAST(COUNT(*) AS BIGINT) AS kept_tokens
+        |  FROM (SELECT tp.doc_id, tp.i, tp.tok
+        |        FROM tokpos tp ANTI JOIN removed r
+        |          ON tp.doc_id = r.doc_id AND tp.i = r.idx) k
+        |  GROUP BY k.doc_id)
+        |SELECT t.doc_id,
+        |       COALESCE(ka.text, '') AS text,
+        |       CAST(len(t.toks) AS BIGINT) AS total_tokens,
+        |       COALESCE(ka.kept_tokens, 0) AS kept_tokens
+        |FROM tok t LEFT JOIN keptagg ka USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // The hyperplane LSH is seeded-deterministic → SQL-expressible: the
     // generated oracle inlines the planes as literals (exact float32
     // values via toDouble) and rebuilds bucketing, the planted

@@ -55,6 +55,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.duplicatedSpans(d, k = 8).count() === 0)
   }
 
+  test("stripDuplicatedSpans keeps the canonical first occurrence intact") {
+    val d = docs(
+      1L -> (A8 + " x1 x2"),   // pos 0 is the corpus-first occurrence
+      2L -> ("y1 y2 " + A8),   // non-canonical: its A8 tokens are removed
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9")  // unique: token-normalized, kept
+    val got = Dedup.stripDuplicatedSpans(d, k = 8)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got === Array(
+      (1L, A8 + " x1 x2", 10L, 10L),
+      (2L, "y1 y2", 10L, 2L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", 9L, 9L)))
+  }
+
+  test("stripDuplicatedSpans removes the second copy of an intra-doc repeat") {
+    val d = docs(1L -> ("p1 p2 p3 p4 p5 p6 p7 p8 " + "p1 p2 p3 p4 p5 p6 p7 p8"))
+    val got = Dedup.stripDuplicatedSpans(d, k = 8)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got === Array((1L, "p1 p2 p3 p4 p5 p6 p7 p8", 16L, 8L)))
+  }
+
+  test("stripDuplicatedSpans strips a doc that is a pure prefix copy to empty") {
+    val d = docs(1L -> (A8 + " z9 z10"), 2L -> A8)
+    val got = Dedup.stripDuplicatedSpans(d, k = 8)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got === Array(
+      (1L, A8 + " z9 z10", 10L, 10L),
+      (2L, "", 8L, 0L)))
+  }
+
   test("dedupGroups merges chains transitively, keeps singletons") {
     import spark.implicits._
     // chain 1-2, 2-3; star 10-{11,12}; pair 20-21; singleton 30
