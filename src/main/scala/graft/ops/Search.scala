@@ -52,6 +52,15 @@ object Search {
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .where(col("term").isInCollection(terms))
     val tf = postings.groupBy(idCol, "term").agg(count("*").as("tf"))
+    scoreTf(tf, idCol)
+  }
+
+  /** Scoring tail shared by the corpus-scan path and the persisted-index
+    * probe: tf rows (idCol, term, tf) restricted to the query terms →
+    * per-doc exact integer scores. df aggregates the tf rows further
+    * (|queryTerms| rows, broadcast back), so index and scan paths score
+    * identically by construction. */
+  private def scoreTf(tf: DataFrame, idCol: String): DataFrame = {
     val df = tf.groupBy("term").agg(count("*").as("df")) // docs containing term
     tf.join(broadcast(df), "term")
       .withColumn("w", col("tf") * expr(s"CAST($WeightScale AS BIGINT) DIV (df + 1)"))
@@ -122,6 +131,69 @@ object Search {
       .limit(k)
   }
 
+  // ---- persisted inverted postings index ---------------------------
+
+  /** Persisted inverted postings index — the LEXICAL sibling of the
+    * MinHash / embedding-LSH incremental indexes, on the same
+    * epoch-commit store (crash-consistent appends, atomic
+    * supersedes-compaction, snapshot-expiry reclaim — see the epoch
+    * note in [[Dedup]]): `dir/postings/ep_*` = (doc_id, term, tf)
+    * pre-aggregated per document, clustered by term so a probe's
+    * `term IN (…)` predicate prunes parquet row groups.
+    *
+    * This is the 100 TB form promised in this file's header: the probe
+    * reads ONLY the queried terms' postings — the corpus scan + explode
+    * disappears — and everything downstream of tf ([[scoreTf]]) is
+    * SHARED with the scan path, so the two paths cannot drift. Empty
+    * terms are dropped at build (query terms are non-empty by the
+    * lowercased-probe contract, so scoring is unaffected). */
+  def buildPostingsIndex(docs: DataFrame, dir: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val prior = Dedup.committedEpochs(dir)
+    val id = Dedup.newEpochId()
+    writePostings(docs, s"$dir/postings/ep_$id", textCol, idCol)
+    Dedup.commitEpoch(dir, id, supersedes = prior)
+  }
+
+  /** One O(batch) epoch, history untouched; crash-invisible, retry-safe
+    * (the append contract shared with [[Dedup.appendToMinhashIndex]]).
+    * Caller contract: doc ids disjoint from the index. */
+  def appendToPostingsIndex(docs: DataFrame, dir: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val id = Dedup.newEpochId()
+    writePostings(docs, s"$dir/postings/ep_$id", textCol, idCol)
+    Dedup.commitEpoch(dir, id)
+  }
+
+  private def writePostings(docs: DataFrame, path: String,
+      textCol: String, idCol: String): Unit =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count("*").as("tf"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** Merge accrued crawl epochs into one, re-clustered by term (the
+    * probe's pruning key); identical probe results before and after. */
+  def compactPostingsIndex(spark: SparkSession, dir: String): Int =
+    Dedup.compactEpochs(spark, dir, Seq("postings" -> Seq("term")))
+
+  /** Top-k keyword search against the stored index ≡ [[keywordTopK]]
+    * over the indexed corpus (shared scoring tail; equality is the
+    * `search_incr_postings` oracle — the SAME SQL as the scan entry). */
+  def queryPostingsIndex(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val tf = Dedup.readEpochs(spark, dir, "postings")
+      .where(col("term").isInCollection(terms))
+    scoreTf(tf, "doc_id")
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Query terms for the corpus entry: fixed literals so the oracle is a
     * plain SQL IN-list (drawn from the synthetic vocabulary — mid-to-high
     * document frequency, so df weighting actually discriminates). */
@@ -135,28 +207,54 @@ object Search {
     "search_hybrid_rrf" -> ((s, d) =>
       hybridTopK(Tables.load(s, d, "documents"),
         Tables.load(s, d, "embeddings"), CorpusTerms)),
+    // The FULL postings maintenance loop under the scan entry's oracle:
+    // build over half the corpus, append the other half, compact the two
+    // epochs, reclaim the dead files — then probe. The result must equal
+    // keywordTopK over the whole corpus (same SQL), so a lost/duplicated
+    // posting or a broken epoch merge hash-mismatches at the gate.
+    "search_incr_postings" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val src = s"$d/documents.parquet"
+      val fp = Integer.toHexString((d + "postings").hashCode) + "_" +
+        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+      val dir = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-postidx"), s"loop_$fp")
+      Dedup.ensureCommittedIndex(dir) { tmp =>
+        buildPostingsIndex(docs.filter(col("doc_id") % 2 === 0), tmp.getPath)
+        appendToPostingsIndex(docs.filter(col("doc_id") % 2 =!= 0), tmp.getPath)
+        require(compactPostingsIndex(s, tmp.getPath) == 2, "expected a 2-epoch merge")
+        Dedup.reclaimIndexGarbage(tmp.getPath)
+      }
+      queryPostingsIndex(s, dir.getPath, CorpusTerms)
+    }),
   )
 
+  /** The keyword-search oracle, shared verbatim by the scan entry and the
+    * postings-index maintenance loop (the index must reproduce the scan
+    * result bit-for-bit). */
+  private val KeywordTopkSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |               unnest(string_split_regex(lower(text), '\s+')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('vector', 'stream', 'merge', 'window', 'filter')
+      |  GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |)
+      |SELECT t.doc_id,
+      |       CAST(SUM(t.tf * (1000000 // (d.df + 1))) AS BIGINT) AS score,
+      |       CAST(SUM(t.tf) AS BIGINT) AS total_tf,
+      |       CAST(COUNT(*) AS BIGINT) AS matched_terms
+      |FROM tf t JOIN df d USING (term)
+      |GROUP BY t.doc_id
+      |ORDER BY score DESC, t.doc_id
+      |LIMIT 20""".stripMargin
+
   val oracle: Seq[(String, String)] = Seq(
-    "search_keyword_topk" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf
-        |  FROM (SELECT doc_id,
-        |               unnest(string_split_regex(lower(text), '\s+')) AS term
-        |        FROM documents)
-        |  WHERE term IN ('vector', 'stream', 'merge', 'window', 'filter')
-        |  GROUP BY doc_id, term
-        |), df AS (
-        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-        |)
-        |SELECT t.doc_id,
-        |       CAST(SUM(t.tf * (1000000 // (d.df + 1))) AS BIGINT) AS score,
-        |       CAST(SUM(t.tf) AS BIGINT) AS total_tf,
-        |       CAST(COUNT(*) AS BIGINT) AS matched_terms
-        |FROM tf t JOIN df d USING (term)
-        |GROUP BY t.doc_id
-        |ORDER BY score DESC, t.doc_id
-        |LIMIT 20""".stripMargin,
+    "search_keyword_topk" -> KeywordTopkSql,
+    "search_incr_postings" -> KeywordTopkSql,
     // mirrors hybridTopK exactly: same integer lexical scores, the same
     // double-accumulated cosine as sim_topk_brute's proven oracle form,
     // per-leg ROW_NUMBER in (score DESC, id) order limited to legK=50,

@@ -122,6 +122,37 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(got.length === 1 && got(0)._3 === 3L)
   }
 
+  // ---- persisted postings index ------------------------------------
+
+  test("postings index probe equals keywordTopK; compaction leaves it identical") {
+    val d = docs(1L -> "a b a", 2L -> "a c", 3L -> "b b b", 4L -> "c c a")
+    val dir = java.nio.file.Files.createTempDirectory("postidx").toString
+    Search.buildPostingsIndex(d.filter(col("doc_id") <= 2), dir)
+    Search.appendToPostingsIndex(d.filter(col("doc_id") > 2), dir)
+    val scan = Search.keywordTopK(d, Seq("a", "b"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    val probe = Search.queryPostingsIndex(spark, dir, Seq("a", "b"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(probe === scan)
+    assert(graft.ops.Dedup.committedEpochs(dir).size === 2)
+    assert(Search.compactPostingsIndex(spark, dir) === 2)
+    graft.ops.Dedup.reclaimIndexGarbage(dir)
+    assert(graft.ops.Dedup.committedEpochs(dir).size === 1)
+    val after = Search.queryPostingsIndex(spark, dir, Seq("a", "b"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(after === scan)
+  }
+
+  test("postings probe pushes the term IN-filter into the parquet scan") {
+    val d = docs(1L -> "a b", 2L -> "c d")
+    val dir = java.nio.file.Files.createTempDirectory("postidx2").toString
+    Search.buildPostingsIndex(d, dir)
+    val plan = Search.queryPostingsIndex(spark, dir, Seq("a", "c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term predicate must reach the postings scan:\n$plan")
+  }
+
   // ---- hybrid RRF fusion -------------------------------------------
 
   private def emb(rows: (Long, Array[Float])*) =
