@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 10× stress of the passage-level span ops — measured, not
+  * argued (the Round11StressSpec pattern): 10 disjoint isomorphic copies
+  * of the planted corpus (every token of copy i suffixed `xi`, so copies
+  * share NO shingle while each copy's repeat geometry is identical to
+  * the base) must grow span accounting and strip output EXACTLY 10× and
+  * shuffle volume ~10× — a cross-copy collision or a quadratic flagged
+  * blowup shows up as a large multiple instead. Fixtures are
+  * builder-derived; /root/testdata is never written. */
+class Round12StressSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planted: DataFrame = graft.ops.Dedup.withPlantedNearDups(
+    Tables.load(spark, "/root/testdata/sf0.01", "documents"))
+
+  private def copyI(i: Int): DataFrame = planted.select(
+    (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+    regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"))
+
+  test("span dedup: 10 disjoint isomorphic copies -> exactly 10x spans, ~10x shuffle") {
+    val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
+    var rows1 = 0L; var mass1 = 0L
+    val sh1 = PlanAudit.measureShuffle(spark) {
+      val r = graft.ops.Dedup.duplicatedSpans(copyI(0))
+        .agg(count(lit(1)), sum("dup_tokens")).collect().head
+      rows1 = r.getLong(0); mass1 = r.getLong(1)
+    }
+    var rows10 = 0L; var mass10 = 0L
+    val sh10 = PlanAudit.measureShuffle(spark) {
+      val r = graft.ops.Dedup.duplicatedSpans(tenX)
+        .agg(count(lit(1)), sum("dup_tokens")).collect().head
+      rows10 = r.getLong(0); mass10 = r.getLong(1)
+    }
+    info(s"flagged docs: 1x=$rows1 10x=$rows10; dup tokens: 1x=$mass1 " +
+      f"10x=$mass10; shuffle rows: 1x=$sh1 10x=$sh10 ratio=${sh10.toDouble / sh1}%.2f")
+    assert(rows1 >= 1000, s"planted prefix copies not flagged at 1x: $rows1")
+    assert(rows10 == 10 * rows1 && mass10 == 10 * mass1,
+      s"span accounting must grow exactly 10x: ($rows1,$mass1) -> ($rows10,$mass10)")
+    val ratio = sh10.toDouble / sh1
+    assert(ratio <= 13.0,
+      f"shuffle volume grew $ratio%.1fx at 10x data — super-linear flagging")
+  }
+
+  test("span strip: 10 disjoint isomorphic copies -> exactly 10x kept/removed mass") {
+    val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
+    def massOf(docs: DataFrame): (Long, Long) = {
+      val r = graft.ops.Dedup.stripDuplicatedSpans(docs)
+        .agg(sum("kept_tokens"), sum("total_tokens")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (kept1, tot1) = massOf(copyI(0))
+    val (kept10, tot10) = massOf(tenX)
+    info(s"kept/total tokens: 1x=$kept1/$tot1 10x=$kept10/$tot10")
+    assert(kept1 < tot1, "the planted copies must lose tokens at 1x")
+    assert(kept10 == 10 * kept1 && tot10 == 10 * tot1,
+      s"strip mass must grow exactly 10x: ($kept1,$tot1) -> ($kept10,$tot10)")
+  }
+}
