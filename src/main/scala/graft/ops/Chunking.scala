@@ -39,13 +39,9 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** Whitespace tokens with empties dropped: split on `\s+` then filter
-    * zero-length strings. The filter (rather than `trim` + split) makes
-    * tab/newline-padded and all-whitespace documents behave — SQL `trim`
-    * strips only spaces, so a trailing tab would otherwise smuggle an
-    * empty token into the first window. */
-  private def toks(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  /** The shared whitespace tokenizer ([[Tokens.ws]] — one definition
+    * across chunking, sampling, repetition, and span dedup). */
+  private def toks(text: Column): Column = Tokens.ws(text)
 
   /** Explode `docs` into overlapping token windows.
     *

@@ -274,11 +274,10 @@ object Dedup {
     * shuffle regime as the repetition metrics, and the hash is 256-bit
     * like [[exact]]'s so corpus-scale collision probability stays
     * negligible by design (~n²/2^257 at 10^12 shingles). */
-  /** (doc_id, toks): whitespace tokens with empties dropped — the same
-    * tokenizer contract as [[graft.ops.Chunking]]. */
+  /** (doc_id, toks) via the shared whitespace tokenizer ([[Tokens.ws]] —
+    * the same token stream chunking and sampling see). */
   private def spanToks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      expr("filter(split(text, '\\\\s+'), t -> length(t) > 0)").as("toks"))
+    docs.select(col("doc_id"), Tokens.ws(col("text")).as("toks"))
 
   /** (doc_id, pos, sh): every k-token shingle start with its 256-bit
     * content hash — map-side; positions + 32-byte keys on the wire,

@@ -104,7 +104,7 @@ object Sampling {
     * ~9.2e12 tokens and silently empties the output). */
   private def massRateSample(docs: DataFrame, strataCol: String,
       bucket: org.apache.spark.sql.Column, rateExpr: String): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val toks = Tokens.ws(col("text"))  // the shared whitespace tokenizer
     val withTok = docs.withColumn("n_tok", size(toks).cast("long"))
     val totals = withTok.groupBy(strataCol).agg(sum("n_tok").as("total"))
     val rates = totals

@@ -42,12 +42,24 @@ object Search {
   /** Per-document lexical scores — the aggregation half of
     * [[keywordTopK]], shared with the hybrid-fusion leg: (id, score,
     * total_tf, matched_terms), unordered and unlimited. */
-  def keywordScores(docs: DataFrame, queryTerms: Seq[String],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Lowercased, deduplicated, validated probe set shared by every query
+    * path. Blank terms are rejected rather than matched: the scan path
+    * tokenizes with bare `split` (which can emit "" on leading
+    * whitespace) while the index drops empties at build — a blank query
+    * term is the one input that could make the two paths disagree, so it
+    * is ruled out at the contract. */
+  private def probeTerms(queryTerms: Seq[String]): Seq[String] = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.trim.nonEmpty),
+      s"query terms must be non-blank, got ${queryTerms.mkString("[", ", ", "]")}")
     // the token stream is lowercased, so the probe set must be too — a
     // mixed-case query term would otherwise silently match nothing
-    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+  }
+
+  def keywordScores(docs: DataFrame, queryTerms: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = probeTerms(queryTerms)
     val postings = docs
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .where(col("term").isInCollection(terms))
@@ -116,6 +128,11 @@ object Search {
     val lex = ranked(keywordScores(docs, queryTerms, textCol, idCol),
       "score", idCol, "lex_rank")
     val qv = emb.filter(col(vecIdCol) === queryVecId).select(col(vecCol).as("qvec"))
+    // fail fast on a missing exemplar (same convention as the lexical
+    // leg's term validation): a silent empty vector leg would return a
+    // plausible-looking lexical-only ranking
+    require(qv.limit(1).count() == 1,
+      s"queryVecId $queryVecId not found in the embedding table")
     val vecScored = emb.crossJoin(broadcast(qv))
       .select(col(vecIdCol), cosine_f32(col(vecCol), col("qvec")).as("cosine"))
     val vec = ranked(vecScored, "cosine", vecIdCol, "vec_rank")
@@ -185,8 +202,7 @@ object Search {
     * `search_incr_postings` oracle — the SAME SQL as the scan entry). */
   def queryPostingsIndex(spark: SparkSession, dir: String,
       queryTerms: Seq[String], k: Int = 20): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val terms = probeTerms(queryTerms)
     val tf = Dedup.readEpochs(spark, dir, "postings")
       .where(col("term").isInCollection(terms))
     scoreTf(tf, "doc_id")

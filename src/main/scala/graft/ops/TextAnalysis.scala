@@ -243,7 +243,7 @@ object TextAnalysis {
     * collapses repeats map-side). */
   def repetitionMetrics(docs: DataFrame,
       topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val toks = Tokens.ws(col("text"))  // the shared whitespace tokenizer
     val base = docs.select(
       col("doc_id"), toks.as("t"),
       size(toks).cast("long").as("n_tokens"),

@@ -201,15 +201,21 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Upper-bound output-row estimate of a convertible subtree from backend
-    * catalog statistics, with the standard size-only heuristics: filters
-    * and windows keep their child's bound (no selectivity/NDV info),
-    * grouped aggregates keep their child's bound (reduction unprovable
-    * without NDV — the gate refuses to gamble a single-stream fetch on
-    * it), global aggregates are 1, conditioned joins take the FK-join
-    * heuristic max(|l|, |r|), condition-free joins multiply. None as soon
-    * as any leaf or node is unestimable — the caller then falls back to
-    * the structural gates alone. */
+  /** Output-row ESTIMATE of a convertible subtree from backend catalog
+    * statistics, with the standard size-only heuristics: filters and
+    * windows keep their child's estimate (no selectivity/NDV info),
+    * grouped aggregates keep their child's (reduction unprovable without
+    * NDV — the gate refuses to gamble a single-stream fetch on it),
+    * global aggregates are 1, conditioned joins take the FK-join
+    * heuristic max(|l|, |r|), condition-free joins multiply. The join
+    * heuristic means this is a best-effort cost model, NOT a strict
+    * bound: a many-to-many equi-join multiplies matches and can exceed
+    * the estimate arbitrarily — the same blind spot every stats-only
+    * planner has without NDV/histogram data, accepted here because the
+    * strict alternative (multiplying conditioned joins too) would veto
+    * virtually every multi-table fusion the gate exists to permit.
+    * None as soon as any leaf or node is unestimable — the caller then
+    * falls back to the structural gates alone. */
   private def estimateRows(p: LogicalPlan): Option[BigInt] = {
     import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
     import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
@@ -259,8 +265,15 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     * single-stream fetch); unknown estimates keep the structural
     * decision — the grammar gates are already conservative. */
   private def fitsFetchBudget(p: LogicalPlan): Boolean = {
-    val budget = BigInt(conf.getConfString(
-      "spark.graft.fusion.maxFetchRows", "5000000").toLong)
+    val raw = conf.getConfString("spark.graft.fusion.maxFetchRows", "5000000")
+    val budget =
+      try BigInt(raw.trim)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.fusion.maxFetchRows must be a plain integer row count, got '$raw'")
+      }
+    require(budget >= 0,
+      s"spark.graft.fusion.maxFetchRows must be non-negative, got '$raw'")
     estimateRows(p).forall(_ <= budget)
   }
 

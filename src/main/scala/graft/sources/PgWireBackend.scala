@@ -214,13 +214,20 @@ class PgWireBackend private (val address: String) extends SqlBackend {
   }
 
   /** Planner-stats estimate from pg_class.reltuples — metadata, not a
-    * scan; -1 means never analyzed (no stats). */
+    * scan; -1 means never analyzed (no stats). Memoized per table for
+    * the backend's lifetime (the same staleness tradeoff as
+    * SparkViewBackend.rowCounts): the optimizer consults this once per
+    * graft leaf per subtree level, and an unmemoized lookup would pay a
+    * synchronous wire round-trip at every one of them. */
+  @transient private lazy val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
   override def estimatedRowCount(table: String): Option[Long] =
-    try {
-      val lit = table.replace("'", "''")
-      q(s"""SELECT "reltuples" FROM "pg_class" WHERE "relname" = '$lit'""")
-        ._2.headOption.flatMap(_.head).map(_.toDouble.toLong).filter(_ >= 0)
-    } catch { case _: Exception => None } // no pg_catalog on minimal fakes
+    rowCountCache.computeIfAbsent(table, t =>
+      try {
+        val lit = t.replace("'", "''")
+        q(s"""SELECT "reltuples" FROM "pg_class" WHERE "relname" = '$lit'""")
+          ._2.headOption.flatMap(_.head).map(_.toDouble.toLong).filter(_ >= 0)
+      } catch { case _: Exception => None }) // no pg_catalog on minimal fakes
 
   override def executeSql(sql: String): Seq[Row] = {
     val (fields, rows) = q(sql)
