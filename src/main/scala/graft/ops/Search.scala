@@ -39,9 +39,6 @@ object Search {
   /** Fixed-point rarity weight: 1e6 DIV (df+1), exact in long arithmetic. */
   private val WeightScale = 1000000L
 
-  /** Per-document lexical scores — the aggregation half of
-    * [[keywordTopK]], shared with the hybrid-fusion leg: (id, score,
-    * total_tf, matched_terms), unordered and unlimited. */
   /** Lowercased, deduplicated, validated probe set shared by every query
     * path. Blank terms are rejected rather than matched: the scan path
     * tokenizes with bare `split` (which can emit "" on leading
@@ -57,6 +54,9 @@ object Search {
     queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
   }
 
+  /** Per-document lexical scores — the aggregation half of
+    * [[keywordTopK]], shared with the hybrid-fusion leg: (id, score,
+    * total_tf, matched_terms), unordered and unlimited. */
   def keywordScores(docs: DataFrame, queryTerms: Seq[String],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val terms = probeTerms(queryTerms)
@@ -176,8 +176,12 @@ object Search {
     * (the append contract shared with [[Dedup.appendToMinhashIndex]]).
     * Caller contract: doc ids disjoint from the index. */
   def appendToPostingsIndex(docs: DataFrame, dir: String,
-      textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    val id = Dedup.newEpochId()
+      textCol: String = "text", idCol: String = "doc_id",
+      epochTag: Option[String] = None): Unit = {
+    // epochTag rides the marker name so an at-least-once caller (a
+    // foreachBatch redelivery) can detect an already-committed batch and
+    // skip it -- marker-gated visibility composing into exactly-once
+    val id = Dedup.newEpochId() + epochTag.map("_" + _).getOrElse("")
     writePostings(docs, s"$dir/postings/ep_$id", textCol, idCol)
     Dedup.commitEpoch(dir, id)
   }
@@ -213,7 +217,7 @@ object Search {
   /** Query terms for the corpus entry: fixed literals so the oracle is a
     * plain SQL IN-list (drawn from the synthetic vocabulary — mid-to-high
     * document frequency, so df weighting actually discriminates). */
-  private val CorpusTerms = Seq("vector", "stream", "merge", "window", "filter")
+  private[graft] val CorpusTerms = Seq("vector", "stream", "merge", "window", "filter")
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "search_keyword_topk" -> ((s, d) =>
@@ -248,7 +252,7 @@ object Search {
   /** The keyword-search oracle, shared verbatim by the scan entry and the
     * postings-index maintenance loop (the index must reproduce the scan
     * result bit-for-bit). */
-  private val KeywordTopkSql =
+  private[graft] val KeywordTopkSql =
     """WITH tf AS (
       |  SELECT doc_id, term, COUNT(*) AS tf
       |  FROM (SELECT doc_id,

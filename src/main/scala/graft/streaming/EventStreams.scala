@@ -394,6 +394,44 @@ object EventStreams {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
+  /** Streaming postings maintenance — the always-on arrival twin of the
+    * persisted lexical index ([[graft.ops.Search.appendToPostingsIndex]]):
+    * document files land as a stream and every micro-batch appends ONE
+    * O(batch) epoch through the same crash-consistent marker commit the
+    * batch path uses. The micro-batch id rides the epoch tag, and a
+    * batch whose tagged epoch is already committed is SKIPPED — Spark's
+    * at-least-once foreachBatch redelivery composes with marker-gated
+    * visibility into exactly-once index contents (the
+    * [[ExactlyOnceSink]] idea expressed on the epoch store; same
+    * contract caveat: batch ids are unique per CHECKPOINT, so one index
+    * dir belongs to one logical stream). The probe after the bounded
+    * replay must equal `keywordTopK` over the whole corpus — it shares
+    * the scan entry's oracle, so a lost epoch, a double-landed batch, or
+    * a broken tf pre-aggregation hash-mismatches at the gate. */
+  /** The foreachBatch body, extracted so the redelivery spec can drive
+    * it directly: append unless this batch's tagged epoch is already
+    * committed (at-least-once delivery → exactly-once index contents). */
+  private[graft] def appendBatchOnce(batch: DataFrame, idxDir: String,
+      bid: Long): Unit = {
+    val tag = f"b$bid%06d"
+    if (!graft.ops.Dedup.committedEpochs(idxDir).exists(_.endsWith(tag)))
+      graft.ops.Search.appendToPostingsIndex(batch, idxDir, epochTag = Some(tag))
+  }
+
+  def streamPostings(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_postidx").toString
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        appendBatchOnce(batch.toDF(), idxDir, bid)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.Search.queryPostingsIndex(spark, idxDir,
+      graft.ops.Search.CorpusTerms)
+  }
+
   /** Streaming JSONL ingestion — the always-on twin of
     * [[graft.sources.JsonlIngest]]: drop files land in a directory, the
     * file stream parses them PERMISSIVE under the same imposed schema,
@@ -450,6 +488,7 @@ object EventStreams {
     "stream_incr_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "stream_ingest_jsonl" -> ((s, d) => ingestJsonl(s, d)),
     "stream_ingest_triage" -> ((s, d) => ingestJsonlTriage(s, d)),
+    "stream_postings" -> ((s, d) => streamPostings(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -497,6 +536,11 @@ object EventStreams {
       graft.sources.JsonlIngest.oracle.toMap.apply("ingest_jsonl"),
     "stream_ingest_triage" ->
       graft.sources.JsonlIngest.oracle.toMap.apply("ingest_jsonl_triage"),
+    // bounded replay appends every document exactly once, so the probe
+    // equals keywordTopK over the whole corpus -- the SAME SQL as the
+    // scan entry (shared by reference: scoring drift moves all three of
+    // scan / batch index / stream index, or none)
+    "stream_postings" -> graft.ops.Search.KeywordTopkSql,
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s

@@ -143,6 +143,26 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(after === scan)
   }
 
+  test("streaming postings append is redelivery-idempotent per batch id") {
+    val d = docs(1L -> "a b", 2L -> "a a c")
+    val dir = java.nio.file.Files.createTempDirectory("postidx3").toString
+    graft.streaming.EventStreams.appendBatchOnce(d, dir, bid = 0L)
+    val once = Search.queryPostingsIndex(spark, dir, Seq("a"))
+      .as[(Long, Long, Long, Long)].collect()
+    // an at-least-once redelivery of the SAME micro-batch must not land
+    // a second epoch (tf would double and the scores would drift)
+    graft.streaming.EventStreams.appendBatchOnce(d, dir, bid = 0L)
+    assert(graft.ops.Dedup.committedEpochs(dir).size === 1)
+    val again = Search.queryPostingsIndex(spark, dir, Seq("a"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again === once)
+    // a genuinely new batch lands a new epoch
+    graft.streaming.EventStreams.appendBatchOnce(
+      docs(3L -> "a d"), dir, bid = 1L)
+    assert(graft.ops.Dedup.committedEpochs(dir).size === 2)
+    assert(Search.queryPostingsIndex(spark, dir, Seq("a")).count() === 3)
+  }
+
   test("postings probe pushes the term IN-filter into the parquet scan") {
     val d = docs(1L -> "a b", 2L -> "c d")
     val dir = java.nio.file.Files.createTempDirectory("postidx2").toString
