@@ -548,8 +548,33 @@ object Dedup {
       s +: readSupersedes(new java.io.File(d, s))).distinct
     val tmp = new java.io.File(d, s".tmp-$id")
     java.nio.file.Files.writeString(tmp.toPath, closure.mkString("\n"))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // publish by HARD LINK, not rename: POSIX rename() silently REPLACES
+    // an existing target, so two racing committers of the same id would
+    // both "succeed" past the exists() pre-check (check-then-act). link()
+    // is atomic and fails EEXIST — exactly one committer wins, the loser
+    // gets the same IllegalStateException the pre-check gives, and
+    // deterministic-id callers (the streaming batch tags) can rely on it
+    // as the duplicate gate under zombie-driver races.
+    try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"epoch $id already committed in $dir")
+    } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Committed epoch ids PLUS every id superseded by a live marker — the
+    * set a redelivery gate must consult: a compaction supersedes the
+    * per-batch tags but its marker still carries them (transitive
+    * closure) until [[reclaimIndexGarbage]], so "was this batch ever
+    * landed" survives maintenance. After reclaim the tags are gone —
+    * hence reclaim's safety-window contract also requires the owning
+    * stream's redelivery horizon to have passed (only the last
+    * in-flight micro-batch replays on restart). */
+  private[graft] def committedOrSupersededEpochs(dir: String): Set[String] = {
+    val d = new java.io.File(dir, "_committed")
+    val markers = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filterNot(_.getName.startsWith("."))
+    (markers.map(_.getName) ++ markers.flatMap(readSupersedes)).toSet
   }
 
   private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0)
@@ -664,7 +689,11 @@ object Dedup {
     * preceding compaction/rebuild have finished (e.g. the next
     * maintenance window), exactly like any snapshot-expiry pass. Marker
     * reclamation is resurrection-safe in any order because supersedes
-    * lists carry their transitive closure. */
+    * lists carry their transitive closure. For a STREAM-FED index the
+    * window additionally requires the owning stream's redelivery horizon
+    * to have passed (a restart replays only its last in-flight
+    * micro-batch): reclaim drops the superseded batch tags
+    * [[committedOrSupersededEpochs]] gates redelivery on. */
   def reclaimIndexGarbage(dir: String): Int = {
     val live = committedEpochs(dir).toSet
     var removed = 0

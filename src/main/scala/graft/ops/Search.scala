@@ -176,14 +176,36 @@ object Search {
     * (the append contract shared with [[Dedup.appendToMinhashIndex]]).
     * Caller contract: doc ids disjoint from the index. */
   def appendToPostingsIndex(docs: DataFrame, dir: String,
-      textCol: String = "text", idCol: String = "doc_id",
-      epochTag: Option[String] = None): Unit = {
-    // epochTag rides the marker name so an at-least-once caller (a
-    // foreachBatch redelivery) can detect an already-committed batch and
-    // skip it -- marker-gated visibility composing into exactly-once
-    val id = Dedup.newEpochId() + epochTag.map("_" + _).getOrElse("")
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val id = Dedup.newEpochId()
     writePostings(docs, s"$dir/postings/ep_$id", textCol, idCol)
     Dedup.commitEpoch(dir, id)
+  }
+
+  /** Idempotent per-micro-batch append for streaming maintenance: the
+    * epoch id IS the batch tag (deterministic), so exactly-once holds by
+    * construction against all three at-least-once failure shapes —
+    * (a) a redelivered batch finds its tag in the committed-or-superseded
+    * set and is skipped (the set survives compaction: the merged marker
+    * carries superseded tags until reclaim, whose safety window requires
+    * the redelivery horizon to have passed); (b) a zombie-driver race
+    * where two drivers replay the same batch is settled atomically by
+    * the marker hard-link in [[Dedup.commitEpoch]] — exactly one wins,
+    * the loser lands as skipped (its data files are superseded-invisible
+    * and reclaimed as garbage); (c) a crash mid-append leaves an
+    * uncommitted epoch the retry overwrites. Same contract caveat as
+    * [[graft.streaming.ExactlyOnceSink]]: batch ids are unique per
+    * CHECKPOINT, so one index dir belongs to one logical stream.
+    * Returns true when this call landed the batch. */
+  def appendPostingsBatch(batch: DataFrame, dir: String, batchId: Long,
+      textCol: String = "text", idCol: String = "doc_id"): Boolean = {
+    val tag = f"b$batchId%06d"
+    if (Dedup.committedOrSupersededEpochs(dir).contains(tag)) false
+    else {
+      writePostings(batch, s"$dir/postings/ep_$tag", textCol, idCol)
+      try { Dedup.commitEpoch(dir, tag); true }
+      catch { case _: IllegalStateException => false } // raced: other won
+    }
   }
 
   private def writePostings(docs: DataFrame, path: String,

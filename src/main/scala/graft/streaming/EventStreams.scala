@@ -395,41 +395,43 @@ object EventStreams {
   }
 
   /** Streaming postings maintenance — the always-on arrival twin of the
-    * persisted lexical index ([[graft.ops.Search.appendToPostingsIndex]]):
-    * document files land as a stream and every micro-batch appends ONE
-    * O(batch) epoch through the same crash-consistent marker commit the
-    * batch path uses. The micro-batch id rides the epoch tag, and a
-    * batch whose tagged epoch is already committed is SKIPPED — Spark's
-    * at-least-once foreachBatch redelivery composes with marker-gated
-    * visibility into exactly-once index contents (the
-    * [[ExactlyOnceSink]] idea expressed on the epoch store; same
-    * contract caveat: batch ids are unique per CHECKPOINT, so one index
-    * dir belongs to one logical stream). The probe after the bounded
-    * replay must equal `keywordTopK` over the whole corpus — it shares
-    * the scan entry's oracle, so a lost epoch, a double-landed batch, or
-    * a broken tf pre-aggregation hash-mismatches at the gate. */
-  /** The foreachBatch body, extracted so the redelivery spec can drive
-    * it directly: append unless this batch's tagged epoch is already
-    * committed (at-least-once delivery → exactly-once index contents). */
-  private[graft] def appendBatchOnce(batch: DataFrame, idxDir: String,
-      bid: Long): Unit = {
-    val tag = f"b$bid%06d"
-    if (!graft.ops.Dedup.committedEpochs(idxDir).exists(_.endsWith(tag)))
-      graft.ops.Search.appendToPostingsIndex(batch, idxDir, epochTag = Some(tag))
-  }
-
+    * persisted lexical index: document files land as a stream and every
+    * micro-batch appends ONE O(batch) epoch through
+    * [[graft.ops.Search.appendPostingsBatch]], whose deterministic batch
+    * tag + atomic marker commit make at-least-once foreachBatch delivery
+    * exactly-once in index contents (redelivery skipped, zombie races
+    * settled by the marker hard-link; one index dir per logical stream —
+    * see its scaladoc). The probe after the bounded replay must equal
+    * `keywordTopK` over the whole corpus — it shares the scan entry's
+    * oracle, so a lost epoch, a double-landed batch, or a broken tf
+    * pre-aggregation hash-mismatches at the gate.
+    *
+    * The index dir is fixed per source dir and WIPED at entry start
+    * (each invocation is a fresh logical stream with a fresh checkpoint,
+    * so stale tags from a previous run must not gate its batches) —
+    * repeated invocations reuse one directory instead of leaking a
+    * corpus-scale index into tmpdir per run. Entries run serially
+    * (Verify/Bench); concurrent invocations would need per-run dirs. */
   def streamPostings(spark: SparkSession, dir: String): DataFrame = {
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_postidx").toString
+    val idxDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_postidx_${Integer.toHexString(dir.hashCode)}")
+    wipe(idxDir)
     val stream = documentStream(spark, dir).select("doc_id", "text")
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        appendBatchOnce(batch.toDF(), idxDir, bid)
+        graft.ops.Search.appendPostingsBatch(batch.toDF(), idxDir.toString, bid)
+        ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    graft.ops.Search.queryPostingsIndex(spark, idxDir,
+    graft.ops.Search.queryPostingsIndex(spark, idxDir.toString,
       graft.ops.Search.CorpusTerms)
+  }
+
+  private def wipe(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+    f.delete()
   }
 
   /** Streaming JSONL ingestion — the always-on twin of

@@ -146,20 +146,28 @@ class ChunkSearchSpec extends AnyFunSuite {
   test("streaming postings append is redelivery-idempotent per batch id") {
     val d = docs(1L -> "a b", 2L -> "a a c")
     val dir = java.nio.file.Files.createTempDirectory("postidx3").toString
-    graft.streaming.EventStreams.appendBatchOnce(d, dir, bid = 0L)
+    assert(Search.appendPostingsBatch(d, dir, batchId = 0L))
     val once = Search.queryPostingsIndex(spark, dir, Seq("a"))
       .as[(Long, Long, Long, Long)].collect()
     // an at-least-once redelivery of the SAME micro-batch must not land
     // a second epoch (tf would double and the scores would drift)
-    graft.streaming.EventStreams.appendBatchOnce(d, dir, bid = 0L)
+    assert(!Search.appendPostingsBatch(d, dir, batchId = 0L))
     assert(graft.ops.Dedup.committedEpochs(dir).size === 1)
     val again = Search.queryPostingsIndex(spark, dir, Seq("a"))
       .as[(Long, Long, Long, Long)].collect()
     assert(again === once)
     // a genuinely new batch lands a new epoch
-    graft.streaming.EventStreams.appendBatchOnce(
-      docs(3L -> "a d"), dir, bid = 1L)
+    assert(Search.appendPostingsBatch(docs(3L -> "a d"), dir, batchId = 1L))
     assert(graft.ops.Dedup.committedEpochs(dir).size === 2)
+    assert(Search.queryPostingsIndex(spark, dir, Seq("a")).count() === 3)
+    // COMPACTION must not reopen the redelivery window: the merged
+    // marker carries the superseded batch tags (transitive closure), so
+    // a post-maintenance redelivery is still skipped until reclaim —
+    // whose contract requires the stream's redelivery horizon to have
+    // passed first
+    assert(Search.compactPostingsIndex(spark, dir) === 2)
+    assert(!Search.appendPostingsBatch(d, dir, batchId = 0L))
+    assert(!Search.appendPostingsBatch(docs(3L -> "a d"), dir, batchId = 1L))
     assert(Search.queryPostingsIndex(spark, dir, Seq("a")).count() === 3)
   }
 
