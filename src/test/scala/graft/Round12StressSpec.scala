@@ -46,6 +46,35 @@ class Round12StressSpec extends AnyFunSuite {
       f"shuffle volume grew $ratio%.1fx at 10x data — super-linear flagging")
   }
 
+  test("postings index: 10x id-shifted corpus -> ~10x build shuffle, 10x postings, probe stays k") {
+    // exact duplication (id-shifted copies keep the TOKENS identical so
+    // the corpus query terms still match) — postings rows and build
+    // shuffle must grow linearly, and the probe output stays k
+    val base = planted.select(col("doc_id"), col("text"))
+    def copies(n: Int) = (0 until n).map(i => base.select(
+      (col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    def buildAndCount(docs: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("postidx10x").toString
+      var rows = 0L
+      val sh = PlanAudit.measureShuffle(spark) {
+        graft.ops.Search.buildPostingsIndex(docs, dir)
+        rows = spark.read.parquet(s"$dir/postings/ep_*").count()
+      }
+      val probeRows = graft.ops.Search.queryPostingsIndex(spark, dir,
+        Seq("vector", "stream", "merge", "window", "filter")).count()
+      (sh, rows, probeRows)
+    }
+    val (sh1, rows1, k1) = buildAndCount(copies(1))
+    val (sh10, rows10, k10) = buildAndCount(copies(10))
+    info(s"postings rows: 1x=$rows1 10x=$rows10; build shuffle: 1x=$sh1 " +
+      f"10x=$sh10 ratio=${sh10.toDouble / sh1}%.2f; probe rows: $k1/$k10")
+    assert(rows10 == 10 * rows1, s"postings must grow exactly 10x: $rows1 -> $rows10")
+    assert(k1 == 20 && k10 == 20, "the probe output must stay k")
+    assert(sh10.toDouble / sh1 <= 13.0,
+      f"build shuffle grew ${sh10.toDouble / sh1}%.1fx at 10x data")
+  }
+
   test("span strip: 10 disjoint isomorphic copies -> exactly 10x kept/removed mass") {
     val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
     def massOf(docs: DataFrame): (Long, Long) = {
