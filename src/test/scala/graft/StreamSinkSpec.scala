@@ -54,4 +54,54 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(sunkSet.size >= batchSet.size - 8,
       s"too few closed windows: ${sunkSet.size} of ${batchSet.size}")
   }
+
+  test("postings stream survives a crash between epoch commit and checkpoint commit") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    // three single-file micro-batches of documents
+    val in = Files.createTempDirectory("graft_postcp_in").toString
+    val spark0 = spark; import spark0.implicits._
+    def drop(name: String, rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+    drop("f0", 1L -> "a b", 2L -> "a a c")
+    drop("f1", 3L -> "a d")
+    drop("f2", 4L -> "b a")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val idx = Files.createTempDirectory("graft_postcp_idx").toString
+    val cp = Files.createTempDirectory("graft_postcp_cp").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], bid: Long) =>
+          graft.ops.Search.appendPostingsBatch(b.toDF(), idx, bid); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(graft.ops.Dedup.committedEpochs(idx).size === 3)
+    val before = graft.ops.Search.queryPostingsIndex(spark, idx, Seq("a"))
+      .as[(Long, Long, Long, Long)].collect()
+    // simulate the crash window: the epoch marker landed but the
+    // checkpoint's commit log for the LAST batch did not — on restart
+    // Spark REPLAYS that micro-batch (the at-least-once contract), and
+    // the deterministic tag gate must swallow the redelivery
+    val commitDir = new java.io.File(cp, "commits")
+    val commits = commitDir.listFiles()
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    // the local checkpoint manager keeps a checksum sidecar per marker;
+    // it must go too or the replay's rename trips over the stale CRC
+    new java.io.File(commitDir, s".${last.getName}.crc").delete()
+    assert(last.delete(), "could not remove the last commit marker")
+    run()
+    assert(graft.ops.Dedup.committedEpochs(idx).size === 3,
+      "the replayed micro-batch must not land a second epoch")
+    val after = graft.ops.Search.queryPostingsIndex(spark, idx, Seq("a"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(after === before, "tf must not double under redelivery")
+  }
 }
