@@ -36,7 +36,7 @@ object PlanAudit {
     "profile_drift",
     // the vector leg crosses the corpus with a broadcast 1-row query
     // vector — the same designed one-scan plan as sim_topk_brute
-    "search_hybrid_rrf")
+    "search_hybrid_rrf", "search_hybrid_indexed")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets

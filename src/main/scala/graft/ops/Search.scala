@@ -112,7 +112,34 @@ object Search {
   def hybridTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
       queryVecId: Long = 0L, k: Int = 20, legK: Int = 50, rrfK: Int = 60,
       textCol: String = "text", idCol: String = "doc_id",
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hybridFromLexScores(keywordScores(docs, queryTerms, textCol, idCol),
+      emb, queryVecId, k, legK, rrfK, idCol, vecIdCol, vecCol)
+
+  /** [[hybridTopK]] with the lexical leg served from a PERSISTED postings
+    * index instead of a corpus scan — the composed retrieval stack at
+    * 100 TB: the lexical tf rows come term-pruned from the index and the
+    * fusion half is byte-identical by construction ([[scoreTf]] + the
+    * shared fusion tail), so the entry shares [[hybridTopK]]'s oracle —
+    * the index is a drop-in for the scan inside the composed pipeline,
+    * proven at the gate, not argued. */
+  def hybridTopKIndexed(spark: SparkSession, idxDir: String, emb: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long = 0L, k: Int = 20,
+      legK: Int = 50, rrfK: Int = 60, vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val terms = probeTerms(queryTerms)
+    val tf = Dedup.readEpochs(spark, idxDir, "postings")
+      .where(col("term").isInCollection(terms))
+    hybridFromLexScores(scoreTf(tf, "doc_id"), emb, queryVecId, k, legK,
+      rrfK, "doc_id", vecIdCol, vecCol)
+  }
+
+  /** The fusion machinery shared by the scan-fed and index-fed hybrids:
+    * rank both legs through the bounded TopK heap, join the ≤legK-row
+    * frames, weight with integer reciprocal ranks. */
+  private def hybridFromLexScores(lexScores: DataFrame, emb: DataFrame,
+      queryVecId: Long, k: Int, legK: Int, rrfK: Int, idCol: String,
+      vecIdCol: String, vecCol: String): DataFrame = {
     val topk = udaf(new graft.functions.Aggregators.TopK(legK),
       org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
     // One leg → (doc_id, rank): global TopK heap, ranks from the heap's
@@ -125,8 +152,7 @@ object Search {
         .agg(topk(col(scoreCol).cast("double"), col(legIdCol).cast("long")).as("top"))
         .select(posexplode(col("top")).as(Seq("pos", "s")))
         .select(col("s.id").as(idCol), (col("pos") + 1).cast("long").as(rankName))
-    val lex = ranked(keywordScores(docs, queryTerms, textCol, idCol),
-      "score", idCol, "lex_rank")
+    val lex = ranked(lexScores, "score", idCol, "lex_rank")
     val qv = emb.filter(col(vecIdCol) === queryVecId).select(col(vecCol).as("qvec"))
     // fail fast on a missing exemplar (same convention as the lexical
     // leg's term validation): a silent empty vector leg would return a
@@ -269,6 +295,22 @@ object Search {
       }
       queryPostingsIndex(s, dir.getPath, CorpusTerms)
     }),
+    // The composed stack: the SAME hybrid query as search_hybrid_rrf,
+    // lexical leg served from a persisted full-corpus postings index —
+    // shares that entry's oracle, so index-vs-scan drift in the composed
+    // pipeline hash-mismatches at the gate.
+    "search_hybrid_indexed" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val src = s"$d/documents.parquet"
+      val fp = Integer.toHexString((d + "postfull").hashCode) + "_" +
+        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
+      val dir = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-postidx"), s"full_$fp")
+      Dedup.ensureCommittedIndex(dir)(tmp =>
+        buildPostingsIndex(docs, tmp.getPath))
+      hybridTopKIndexed(s, dir.getPath,
+        Tables.load(s, d, "embeddings"), CorpusTerms)
+    }),
   )
 
   /** The keyword-search oracle, shared verbatim by the scan entry and the
@@ -294,14 +336,7 @@ object Search {
       |ORDER BY score DESC, t.doc_id
       |LIMIT 20""".stripMargin
 
-  val oracle: Seq[(String, String)] = Seq(
-    "search_keyword_topk" -> KeywordTopkSql,
-    "search_incr_postings" -> KeywordTopkSql,
-    // mirrors hybridTopK exactly: same integer lexical scores, the same
-    // double-accumulated cosine as sim_topk_brute's proven oracle form,
-    // per-leg ROW_NUMBER in (score DESC, id) order limited to legK=50,
-    // integer RRF weights 1e6 // (60 + rank), absent legs as rank 0
-    "search_hybrid_rrf" ->
+  private[graft] val HybridRrfSql =
       """WITH tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf
         |  FROM (SELECT doc_id,
@@ -336,6 +371,18 @@ object Search {
         |       COALESCE(v.vec_rank, 0) AS vec_rank
         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
         |ORDER BY rrf_score DESC, doc_id
-        |LIMIT 20""".stripMargin,
+        |LIMIT 20""".stripMargin
+
+  val oracle: Seq[(String, String)] = Seq(
+    "search_keyword_topk" -> KeywordTopkSql,
+    "search_incr_postings" -> KeywordTopkSql,
+    // mirrors hybridTopK exactly: same integer lexical scores, the same
+    // double-accumulated cosine as sim_topk_brute's proven oracle form,
+    // per-leg ROW_NUMBER in (score DESC, id) order limited to legK=50,
+    // integer RRF weights 1e6 // (60 + rank), absent legs as rank 0;
+    // search_hybrid_indexed shares it verbatim -- the index-fed lexical
+    // leg must reproduce the scan-fed ranking bit-for-bit
+    "search_hybrid_rrf" -> HybridRrfSql,
+    "search_hybrid_indexed" -> HybridRrfSql,
   )
 }

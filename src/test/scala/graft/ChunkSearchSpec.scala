@@ -171,6 +171,19 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(Search.queryPostingsIndex(spark, dir, Seq("a")).count() === 3)
   }
 
+  test("index-fed hybrid equals the scan-fed hybrid exactly") {
+    val d = docs(0L -> "nothing here", 1L -> "a a a", 2L -> "a", 3L -> "zz a b")
+    val e = emb(0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(1f, 0.1f), 3L -> Array(-1f, 0f))
+    val dir = java.nio.file.Files.createTempDirectory("postidx4").toString
+    Search.buildPostingsIndex(d, dir)
+    val scan = Search.hybridTopK(d, e, Seq("a", "b"), queryVecId = 0L)
+      .as[(Long, Long, Long, Long)].collect()
+    val indexed = Search.hybridTopKIndexed(spark, dir, e, Seq("a", "b"),
+      queryVecId = 0L).as[(Long, Long, Long, Long)].collect()
+    assert(indexed === scan)
+  }
+
   test("postings probe pushes the term IN-filter into the parquet scan") {
     val d = docs(1L -> "a b", 2L -> "c d")
     val dir = java.nio.file.Files.createTempDirectory("postidx2").toString
