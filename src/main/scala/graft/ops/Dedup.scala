@@ -769,13 +769,23 @@ object Dedup {
     * ever see a complete index (round-11 advisory — the object-level
     * `synchronized` these ensure-helpers used before is JVM-local). */
   def ensureMinhashIndex(spark: SparkSession, sfDir: String, bands: Int = 16): String = {
-    val src = s"$sfDir/documents.parquet"
-    val fp = Integer.toHexString((sfDir + bands).hashCode) + "_" +
-      graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-    val dir = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-mhidx"), s"documents_$fp")
+    val dir = fingerprintedDir("graft-mhidx", "documents",
+      sfDir + bands, Seq(s"$sfDir/documents.parquet"))
     ensureCommittedIndex(dir)(tmp =>
       buildMinhashIndex(Tables.load(spark, sfDir, "documents"), tmp.getPath, bands))
+  }
+
+  /** Fingerprint-keyed fixture dir shared by every ensure-* fixture:
+    * `tmpdir/<family>/<name>_<hex(salt.hashCode)>_<filesFingerprint(srcs)>`
+    * — ONE definition of the stale-fixture keying (parameter salt +
+    * source-file content fingerprint), so a keying fix applies to every
+    * cached index/drop fixture at once instead of per copy-paste site. */
+  private[graft] def fingerprintedDir(family: String, name: String,
+      salt: String, srcs: Seq[String]): java.io.File = {
+    val fp = Integer.toHexString(salt.hashCode) + "_" +
+      graft.plans.MaterializedViews.filesFingerprint(srcs)
+    new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), family), s"${name}_$fp")
   }
 
   /** [[stageAtomically]] specialized to epoch-committed indexes: a
@@ -974,12 +984,9 @@ object Dedup {
     * silently probing a stale one with mismatched buckets. */
   def ensureEmbeddingIndex(spark: SparkSession, sfDir: String, dim: Int = 64,
       tables: Int = 4, bits: Int = 12, seed: Long = 42L): String = {
-    val src = s"$sfDir/embeddings.parquet"
-    val fp = Integer.toHexString(
-      (sfDir + dim + "_" + tables + "_" + bits + "_" + seed).hashCode) + "_" +
-      graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-    val dir = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-embidx"), s"embeddings_$fp")
+    val dir = fingerprintedDir("graft-embidx", "embeddings",
+      sfDir + dim + "_" + tables + "_" + bits + "_" + seed,
+      Seq(s"$sfDir/embeddings.parquet"))
     ensureCommittedIndex(dir)(tmp =>
       buildEmbeddingIndex(Tables.load(spark, sfDir, "embeddings"), tmp.getPath,
         dim = dim, tables = tables, bits = bits, seed = seed))
@@ -1183,11 +1190,8 @@ object Dedup {
     // re-banded any row hash-mismatches at the gate, not just in specs.
     "dedup_incr_compacted" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val src = s"$d/documents.parquet"
-      val fp = Integer.toHexString((d + "incrcompact").hashCode) + "_" +
-        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-      val dir = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-mhidx"), s"compacted_$fp")
+      val dir = fingerprintedDir("graft-mhidx", "compacted",
+        d + "incrcompact", Seq(s"$d/documents.parquet"))
       // ensureCommittedIndex, not bare stageAtomically: a published dir
       // whose markers were damaged out-of-band must retire and rebuild
       // (the same self-healing the plain ensure-index entries have)
@@ -1207,11 +1211,8 @@ object Dedup {
     // oracle slice.
     "dedup_incr_emb_compacted" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      val src = s"$d/embeddings.parquet"
-      val fp = Integer.toHexString((d + "incrcompact").hashCode) + "_" +
-        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-      val dir = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-embidx"), s"compacted_$fp")
+      val dir = fingerprintedDir("graft-embidx", "compacted",
+        d + "incrcompact", Seq(s"$d/embeddings.parquet"))
       ensureCommittedIndex(dir) { tmp =>
         buildEmbeddingIndex(emb.filter(col("vec_id") % 2 === 0), tmp.getPath)
         appendToEmbeddingIndex(emb.filter(col("vec_id") % 2 =!= 0), tmp.getPath)

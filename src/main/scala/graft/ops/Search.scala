@@ -126,12 +126,19 @@ object Search {
   def hybridTopKIndexed(spark: SparkSession, idxDir: String, emb: DataFrame,
       queryTerms: Seq[String], queryVecId: Long = 0L, k: Int = 20,
       legK: Int = 50, rrfK: Int = 60, vecIdCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    hybridFromLexScores(scoreTf(probeTf(spark, idxDir, queryTerms), "doc_id"),
+      emb, queryVecId, k, legK, rrfK, "doc_id", vecIdCol, vecCol)
+
+  /** The index-probe head shared by [[queryPostingsIndex]] and the
+    * hybrid's indexed lexical leg: validated terms -> term-pruned tf rows
+    * from the live epochs. One definition so the standalone probe and
+    * the composed leg cannot drift. */
+  private def probeTf(spark: SparkSession, dir: String,
+      queryTerms: Seq[String]): DataFrame = {
     val terms = probeTerms(queryTerms)
-    val tf = Dedup.readEpochs(spark, idxDir, "postings")
+    Dedup.readEpochs(spark, dir, "postings")
       .where(col("term").isInCollection(terms))
-    hybridFromLexScores(scoreTf(tf, "doc_id"), emb, queryVecId, k, legK,
-      rrfK, "doc_id", vecIdCol, vecCol)
   }
 
   /** The fusion machinery shared by the scan-fed and index-fed hybrids:
@@ -154,11 +161,14 @@ object Search {
         .select(col("s.id").as(idCol), (col("pos") + 1).cast("long").as(rankName))
     val lex = ranked(lexScores, "score", idCol, "lex_rank")
     val qv = emb.filter(col(vecIdCol) === queryVecId).select(col(vecCol).as("qvec"))
-    // fail fast on a missing exemplar (same convention as the lexical
-    // leg's term validation): a silent empty vector leg would return a
-    // plausible-looking lexical-only ranking
-    require(qv.limit(1).count() == 1,
-      s"queryVecId $queryVecId not found in the embedding table")
+    // fail fast on a missing OR duplicated exemplar (limit(2) so the
+    // count can distinguish both failure shapes): a silent empty vector
+    // leg would return a plausible-looking lexical-only ranking, and a
+    // duplicated vec_id would double every cosine row into the heap
+    val nExemplars = qv.limit(2).count()
+    require(nExemplars == 1,
+      s"queryVecId $queryVecId must match exactly one embedding row, " +
+        s"found ${if (nExemplars == 0) "none" else "more than one"}")
     val vecScored = emb.crossJoin(broadcast(qv))
       .select(col(vecIdCol), cosine_f32(col(vecCol), col("qvec")).as("cosine"))
     val vec = ranked(vecScored, "cosine", vecIdCol, "vec_rank")
@@ -253,14 +263,10 @@ object Search {
     * over the indexed corpus (shared scoring tail; equality is the
     * `search_incr_postings` oracle — the SAME SQL as the scan entry). */
   def queryPostingsIndex(spark: SparkSession, dir: String,
-      queryTerms: Seq[String], k: Int = 20): DataFrame = {
-    val terms = probeTerms(queryTerms)
-    val tf = Dedup.readEpochs(spark, dir, "postings")
-      .where(col("term").isInCollection(terms))
-    scoreTf(tf, "doc_id")
+      queryTerms: Seq[String], k: Int = 20): DataFrame =
+    scoreTf(probeTf(spark, dir, queryTerms), "doc_id")
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
-  }
 
   /** Query terms for the corpus entry: fixed literals so the oracle is a
     * plain SQL IN-list (drawn from the synthetic vocabulary — mid-to-high
@@ -282,11 +288,8 @@ object Search {
     // posting or a broken epoch merge hash-mismatches at the gate.
     "search_incr_postings" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val src = s"$d/documents.parquet"
-      val fp = Integer.toHexString((d + "postings").hashCode) + "_" +
-        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-      val dir = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-postidx"), s"loop_$fp")
+      val dir = Dedup.fingerprintedDir("graft-postidx", "loop",
+        d + "postings", Seq(s"$d/documents.parquet"))
       Dedup.ensureCommittedIndex(dir) { tmp =>
         buildPostingsIndex(docs.filter(col("doc_id") % 2 === 0), tmp.getPath)
         appendToPostingsIndex(docs.filter(col("doc_id") % 2 =!= 0), tmp.getPath)
@@ -301,11 +304,8 @@ object Search {
     // pipeline hash-mismatches at the gate.
     "search_hybrid_indexed" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val src = s"$d/documents.parquet"
-      val fp = Integer.toHexString((d + "postfull").hashCode) + "_" +
-        graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-      val dir = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-postidx"), s"full_$fp")
+      val dir = Dedup.fingerprintedDir("graft-postidx", "full",
+        d + "postfull", Seq(s"$d/documents.parquet"))
       Dedup.ensureCommittedIndex(dir)(tmp =>
         buildPostingsIndex(docs, tmp.getPath))
       hybridTopKIndexed(s, dir.getPath,

@@ -42,11 +42,8 @@ object JsonlIngest {
     * via atomic rename so cross-JVM readers never see a partial drop);
     * corpus regeneration restages. */
   def ensureJsonlDrop(spark: SparkSession, sfDir: String): String = {
-    val src = s"$sfDir/documents.parquet"
-    val fp = Integer.toHexString((sfDir + "v2").hashCode) + "_" +
-      graft.plans.MaterializedViews.filesFingerprint(Seq(src))
-    val dir = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-jsonl"), s"documents_$fp")
+    val dir = graft.ops.Dedup.fingerprintedDir("graft-jsonl", "documents",
+      sfDir + "v2", Seq(s"$sfDir/documents.parquet"))
     graft.ops.Dedup.stageAtomically(dir) { tmp =>
       Tables.load(spark, sfDir, "documents")
         .orderBy("doc_id")

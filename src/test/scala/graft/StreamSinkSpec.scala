@@ -90,7 +90,8 @@ class StreamSinkSpec extends AnyFunSuite {
     // the deterministic tag gate must swallow the redelivery
     val commitDir = new java.io.File(cp, "commits")
     val commits = commitDir.listFiles()
-      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+      .filterNot(_.getName.startsWith("."))
+      .sortBy(_.getName.toLong) // batch ids are integers: numeric order
     assert(commits.nonEmpty)
     val last = commits.last
     // the local checkpoint manager keeps a checksum sidecar per marker;
