@@ -36,7 +36,10 @@ object PlanAudit {
     "profile_drift",
     // the vector leg crosses the corpus with a broadcast 1-row query
     // vector — the same designed one-scan plan as sim_topk_brute
-    "search_hybrid_rrf", "search_hybrid_indexed")
+    "search_hybrid_rrf", "search_hybrid_indexed",
+    // IVF leg: corpus × broadcast(centroids) assignment + query ×
+    // broadcast(centroids) probe — sim_topk_ivf's designed plans
+    "search_hybrid_ann")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets

@@ -141,37 +141,53 @@ object Search {
       .where(col("term").isInCollection(terms))
   }
 
-  /** The fusion machinery shared by the scan-fed and index-fed hybrids:
-    * rank both legs through the bounded TopK heap, join the ≤legK-row
-    * frames, weight with integer reciprocal ranks. */
-  private def hybridFromLexScores(lexScores: DataFrame, emb: DataFrame,
-      queryVecId: Long, k: Int, legK: Int, rrfK: Int, idCol: String,
-      vecIdCol: String, vecCol: String): DataFrame = {
+  /** [[hybridTopK]] with the APPROXIMATE vector leg — the deterministic
+    * IVF probe ([[Similarity.ivfTopK]]) instead of the brute corpus
+    * scan: the serving configuration at 100 TB, where the vector leg
+    * touches only the probed clusters' candidates (sub-linear) and the
+    * lexical leg is the postings shape. Semantics differ from the brute
+    * hybrid exactly as IVF differs from brute: the exemplar itself is
+    * EXCLUDED (ivfTopK's `vec_id =!= qid` contract) and recall is
+    * approximate — both mirrored in the oracle, which rebuilds the same
+    * deterministic IVF construction in SQL (centroids every 37th vector,
+    * nearest-centroid assignment, nprobe cluster probe). */
+  def hybridTopKAnn(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long = 0L, k: Int = 20, legK: Int = 50, rrfK: Int = 60,
+      nprobe: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryVecId == 0L,
+      "the single-exemplar IVF leg selects its query set as vec_id % every == 0; " +
+        "only exemplar 0 is expressible under that contract")
+    val lex = rankedLeg(keywordScores(docs, queryTerms, textCol, idCol),
+      "score", idCol, idCol, "lex_rank", legK)
+    // every = Long.MaxValue ⇒ the query set is exactly {vec_id 0}
+    val vec = Similarity.ivfTopK(emb, k = legK, every = Long.MaxValue,
+        nprobe = nprobe)
+      .filter(col("qid") === queryVecId)
+      .select(col("vec_id").as(idCol), col("rank").cast("long").as("vec_rank"))
+    fuseLegs(lex, vec, k, rrfK, idCol)
+  }
+
+  /** One leg → (idCol, rankName): global TopK heap, ranks from the
+    * heap's sorted output ((score DESC, id ASC) total order). Lexical
+    * scores are longs ≤ ~5e6·terms, exact in the heap's Double
+    * (< 2^53). */
+  private def rankedLeg(scored: DataFrame, scoreCol: String,
+      legIdCol: String, idCol: String, rankName: String,
+      legK: Int): DataFrame = {
     val topk = udaf(new graft.functions.Aggregators.TopK(legK),
       org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
-    // One leg → (doc_id, rank): global TopK heap, ranks from the heap's
-    // sorted output. Lexical scores are longs ≤ ~5e6·terms, exact in the
-    // heap's Double (< 2^53).
-    def ranked(scored: DataFrame, scoreCol: String, legIdCol: String,
-        rankName: String): DataFrame =
-      scored.filter(col(scoreCol).isNotNull)
-        .groupBy()
-        .agg(topk(col(scoreCol).cast("double"), col(legIdCol).cast("long")).as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col("s.id").as(idCol), (col("pos") + 1).cast("long").as(rankName))
-    val lex = ranked(lexScores, "score", idCol, "lex_rank")
-    val qv = emb.filter(col(vecIdCol) === queryVecId).select(col(vecCol).as("qvec"))
-    // fail fast on a missing OR duplicated exemplar (limit(2) so the
-    // count can distinguish both failure shapes): a silent empty vector
-    // leg would return a plausible-looking lexical-only ranking, and a
-    // duplicated vec_id would double every cosine row into the heap
-    val nExemplars = qv.limit(2).count()
-    require(nExemplars == 1,
-      s"queryVecId $queryVecId must match exactly one embedding row, " +
-        s"found ${if (nExemplars == 0) "none" else "more than one"}")
-    val vecScored = emb.crossJoin(broadcast(qv))
-      .select(col(vecIdCol), cosine_f32(col(vecCol), col("qvec")).as("cosine"))
-    val vec = ranked(vecScored, "cosine", vecIdCol, "vec_rank")
+    scored.filter(col(scoreCol).isNotNull)
+      .groupBy()
+      .agg(topk(col(scoreCol).cast("double"), col(legIdCol).cast("long")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.id").as(idCol), (col("pos") + 1).cast("long").as(rankName))
+  }
+
+  /** The RRF join shared by every hybrid variant: two (id, rank) legs →
+    * integer reciprocal-rank fusion, absent-from-leg as rank 0. */
+  private def fuseLegs(lex: DataFrame, vec: DataFrame, k: Int, rrfK: Int,
+      idCol: String): DataFrame =
     lex.join(vec, Seq(idCol), "full_outer")
       .na.fill(0L, Seq("lex_rank", "vec_rank"))
       .withColumn("rrf_score",
@@ -182,6 +198,34 @@ object Search {
       .select(col(idCol), col("rrf_score"), col("lex_rank"), col("vec_rank"))
       .orderBy(desc("rrf_score"), col(idCol))
       .limit(k)
+
+  /** The fusion machinery shared by the scan-fed and index-fed hybrids:
+    * rank both legs through the bounded TopK heap, join the ≤legK-row
+    * frames, weight with integer reciprocal ranks. */
+  private def hybridFromLexScores(lexScores: DataFrame, emb: DataFrame,
+      queryVecId: Long, k: Int, legK: Int, rrfK: Int, idCol: String,
+      vecIdCol: String, vecCol: String): DataFrame = {
+    val lex = rankedLeg(lexScores, "score", idCol, idCol, "lex_rank", legK)
+    val qv = exemplar(emb, queryVecId, vecIdCol, vecCol)
+    val vecScored = emb.crossJoin(broadcast(qv))
+      .select(col(vecIdCol), cosine_f32(col(vecCol), col("qvec")).as("cosine"))
+    val vec = rankedLeg(vecScored, "cosine", vecIdCol, idCol, "vec_rank", legK)
+    fuseLegs(lex, vec, k, rrfK, idCol)
+  }
+
+  /** The validated 1-row exemplar vector. Fail fast on a missing OR
+    * duplicated id (limit(2) so the count can distinguish both failure
+    * shapes): a silent empty vector leg would return a plausible-looking
+    * lexical-only ranking, and a duplicated vec_id would double every
+    * cosine row into the heap. */
+  private def exemplar(emb: DataFrame, queryVecId: Long,
+      vecIdCol: String, vecCol: String): DataFrame = {
+    val qv = emb.filter(col(vecIdCol) === queryVecId).select(col(vecCol).as("qvec"))
+    val nExemplars = qv.limit(2).count()
+    require(nExemplars == 1,
+      s"queryVecId $queryVecId must match exactly one embedding row, " +
+        s"found ${if (nExemplars == 0) "none" else "more than one"}")
+    qv
   }
 
   // ---- persisted inverted postings index ---------------------------
@@ -311,6 +355,12 @@ object Search {
       hybridTopKIndexed(s, dir.getPath,
         Tables.load(s, d, "embeddings"), CorpusTerms)
     }),
+    // The approximate-vector hybrid: IVF leg instead of the brute scan —
+    // the 100 TB serving shape, with its own full generated-construction
+    // oracle (deterministic centroids make IVF SQL-expressible).
+    "search_hybrid_ann" -> ((s, d) =>
+      hybridTopKAnn(Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"), CorpusTerms)),
   )
 
   /** The keyword-search oracle, shared verbatim by the scan entry and the
@@ -373,6 +423,59 @@ object Search {
         |ORDER BY rrf_score DESC, doc_id
         |LIMIT 20""".stripMargin
 
+  /** The ANN-hybrid oracle: the lexical CTEs of [[HybridRrfSql]] fused
+    * with the single-query form of sim_topk_ivf's deterministic IVF
+    * construction (centroids every 37th vector, nearest-centroid
+    * assignment, nprobe=3 probe, exemplar excluded, rank ≤ legK=50). */
+  private[graft] val HybridAnnSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |               unnest(string_split_regex(lower(text), '\s+')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('vector', 'stream', 'merge', 'window', 'filter')
+      |  GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), lexscore AS (
+      |  SELECT t.doc_id, SUM(t.tf * (1000000 // (d.df + 1))) AS score
+      |  FROM tf t JOIN df d USING (term) GROUP BY t.doc_id
+      |), lex AS (
+      |  SELECT doc_id,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+      |  FROM lexscore ORDER BY score DESC, doc_id LIMIT 50
+      |), centroids AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+      |  FROM embeddings WHERE vec_id % 37 = 0
+      |), assign AS (
+      |  SELECT vec_id, cluster, embedding FROM (
+      |    SELECT e.vec_id, c.cent_id AS cluster, e.embedding,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
+      |    FROM embeddings e CROSS JOIN centroids c) t WHERE r = 1
+      |), probes AS (
+      |  SELECT qid, qvec, cluster FROM (
+      |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cent_id AS cluster,
+      |           ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
+      |    FROM embeddings q CROSS JOIN centroids c WHERE q.vec_id = 0) t WHERE r <= 3
+      |), vec AS (
+      |  SELECT doc_id, vec_rank FROM (
+      |    SELECT a.vec_id AS doc_id,
+      |           CAST(ROW_NUMBER() OVER (
+      |             ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS BIGINT) AS vec_rank
+      |    FROM assign a JOIN probes p USING (cluster)
+      |    WHERE a.vec_id <> p.qid) t
+      |  WHERE vec_rank <= 50
+      |)
+      |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |       COALESCE(CAST(1000000 AS BIGINT) // (60 + l.lex_rank), 0) +
+      |       COALESCE(CAST(1000000 AS BIGINT) // (60 + v.vec_rank), 0) AS rrf_score,
+      |       COALESCE(l.lex_rank, 0) AS lex_rank,
+      |       COALESCE(v.vec_rank, 0) AS vec_rank
+      |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+      |ORDER BY rrf_score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val oracle: Seq[(String, String)] = Seq(
     "search_keyword_topk" -> KeywordTopkSql,
     "search_incr_postings" -> KeywordTopkSql,
@@ -384,5 +487,6 @@ object Search {
     // leg must reproduce the scan-fed ranking bit-for-bit
     "search_hybrid_rrf" -> HybridRrfSql,
     "search_hybrid_indexed" -> HybridRrfSql,
+    "search_hybrid_ann" -> HybridAnnSql,
   )
 }

@@ -217,6 +217,23 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(!got.map(_._1).contains(3L))
   }
 
+  test("hybridTopKAnn excludes the exemplar and fuses IVF ranks") {
+    // only vec 0 is a centroid (every 37th) → one cluster → the IVF leg
+    // equals brute minus the exemplar: vec ranks doc2 (cos≈.995), doc1
+    // (0), doc3 (−1); lex ranks doc1, doc2. doc0 is in neither leg.
+    val d = docs(0L -> "nothing here", 1L -> "a a a", 2L -> "a", 3L -> "zz")
+    val e = emb(0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(1f, 0.1f), 3L -> Array(-1f, 0f))
+    val got = Search.hybridTopKAnn(d, e, Seq("a"))
+      .as[(Long, Long, Long, Long)].collect()
+    // w(1)=16393 w(2)=16129 w(3)=15873; docs 1 and 2 tie at 32522 → id order
+    assert(got === Array(
+      (1L, 32522L, 1L, 2L),
+      (2L, 32522L, 2L, 1L),
+      (3L, 15873L, 0L, 3L)))
+    assert(!got.map(_._1).contains(0L), "the exemplar must be excluded")
+  }
+
   test("hybridTopK: k truncates after the (rrf_score, doc_id) total order") {
     val d = docs(0L -> "nothing", 1L -> "a a a", 2L -> "a", 3L -> "zz")
     val e = emb(0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
