@@ -977,6 +977,53 @@ object Dedup {
       .orderBy("keep_id", "drop_id")
   }
 
+  /** Group-level canonical selection: exactly ONE survivor per transitive
+    * near-dup component, chosen by the same fixed total order as
+    * [[keepBestPairs]] (higher quality score, then more tokens, then
+    * smaller id). Pairwise keep-best cannot express this on chains — for
+    * a~b, b~c with quality b > a > c, the pair verdicts keep b over c and
+    * a over nothing, leaving BOTH a and b alive even though they are
+    * transitively duplicates; production deletion needs one canonical doc
+    * per component. Per-level comparisons reuse values both engines agree
+    * on bit-exactly (rounded quality columns are hash-pinned by
+    * `text_quality`), so the pick is engine-reproducible.
+    *
+    * Output: (doc_id, group_id, keep_id, is_keep) for EVERY doc in `docs`
+    * — singletons (docs in no pair) keep themselves.
+    *
+    * Scale: the policy runs on pair MEMBERS only — [[dedupGroups]] labels
+    * the member set (edge-linear, O(diameter) rounds), quality scores join
+    * member-linear, and the per-group argmax is ONE partial+final
+    * `max_by(id, struct(quality, tokens, -id))` hash aggregate whose
+    * exchange carries a struct per member, never text and never a
+    * corpus-wide window. The corpus rejoins once, as a left join against
+    * the (small) member-verdict table, so singleton docs never enter a
+    * policy shuffle. */
+  def keepBestPerGroup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val memberDocs = docs.join(members, Seq("doc_id"), "left_semi")
+    val labels = dedupGroups(memberDocs, pairs).select("doc_id", "group_id")
+    val q = TextAnalysis.qualityScores(memberDocs)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    // strict total order: -doc_id breaks every remaining tie, so max_by
+    // is deterministic (no "first encountered" dependence)
+    val best = labels.join(q, Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_score"), col("n_tokens"),
+          (-col("doc_id")).as("neg_id"))).as("keep_id"))
+    val verdicts = labels.join(best, Seq("group_id"))
+      .select("doc_id", "group_id", "keep_id")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"),
+        coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+      .withColumn("is_keep", col("doc_id") === col("keep_id"))
+      .orderBy("doc_id")
+  }
+
   /** Fingerprinted idempotent embedding-index location (same staleness
     * contract as [[ensureMinhashIndex]]). The LSH parameters are part of
     * the fingerprint — they ARE the index contract (the planes derive
@@ -1167,6 +1214,28 @@ object Dedup {
     "dedup_keep_best" -> ((s, d) => {
       val docs = withPlantedNearDups(Tables.load(s, d, "documents"))
       keepBestPairs(docs, minHashPairs(docs))
+    }),
+    // Group-level canonicalization under the oracle: plant a 3-member
+    // CHAIN per doc (original, 0.9-truncated +1M, 0.8-truncated +2M) with
+    // chain pairs only (a→b, b→c — resolving c against a needs genuine
+    // transitive closure) and quality VARYING inside each group, so the
+    // canonical pick must apply the full quality→tokens→id order, not
+    // keep-first-by-id. Every 10th doc stays a singleton (no copies, no
+    // pairs) to pin the no-policy-shuffle corpus rejoin path.
+    "dedup_canonical" -> ((s, d) => {
+      val base = Tables.load(s, d, "documents").select("doc_id", "text")
+      val dupped = base.filter(col("doc_id") % 10 =!= 0)
+      def truncated(frac: String, off: Long) = dupped.select(
+        (col("doc_id") + off).as("doc_id"),
+        expr(s"substring(text, 1, greatest(cast(length(text) * $frac as int), 1))")
+          .as("text"))
+      val docs = base.unionAll(truncated("0.9", 1000000L))
+        .unionAll(truncated("0.8", 2000000L))
+      val pairs = dupped
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+        .unionAll(dupped.select((col("doc_id") + 1000000L).as("doc_a"),
+          (col("doc_id") + 2000000L).as("doc_b")))
+      keepBestPerGroup(docs, pairs)
     }),
     // Vector twin: probe perturbed embeddings (the planted vector
     // perturbation, id+1M) against a PERSISTED hyperplane-LSH index.
@@ -1465,6 +1534,36 @@ object Dedup {
          |  JOIN q qa ON qa.doc_id = p.doc_a
          |  JOIN q qb ON qb.doc_id = p.doc_b) t
          |ORDER BY keep_id, drop_id""".stripMargin
+    },
+    // the planted chain groups are {id, id+1M, id+2M} with base ids far
+    // below 1M, so `doc_id % 1000000` IS the transitive component label —
+    // the closure the engine must compute hop-by-hop is SQL-expressible
+    // as the construction's ground truth; the canonical pick replays the
+    // identical quality→tokens→id order as a ROW_NUMBER window
+    "dedup_canonical" -> {
+      val qOver = TextAnalysis.textQualityOracleSqlFrom("docs3")
+      s"""WITH docs3 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)) AS text
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.8) AS INT), 1)) AS text
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |),
+         |q AS ($qOver),
+         |ranked AS (
+         |  SELECT doc_id, doc_id % 1000000 AS g,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id % 1000000
+         |           ORDER BY quality_score DESC, n_tokens DESC, doc_id ASC) AS rn
+         |  FROM q),
+         |best AS (SELECT g, doc_id AS keep_id FROM ranked WHERE rn = 1)
+         |SELECT d.doc_id, d.doc_id % 1000000 AS group_id,
+         |       b.keep_id, d.doc_id = b.keep_id AS is_keep
+         |FROM docs3 d JOIN best b ON b.g = d.doc_id % 1000000
+         |ORDER BY d.doc_id""".stripMargin
     },
     // same slice identity for the vector index: the dedup_embedding
     // oracle's construction with the candidate join restricted to

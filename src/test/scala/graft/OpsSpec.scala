@@ -136,6 +136,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == Seq((1L, 2L), (10L, 11L)))
   }
 
+  test("keepBestPerGroup picks ONE canonical doc per transitive group by quality") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "zz qq ww rr tt yy uu ii",              // no stopwords — low quality
+      2L -> "the cat and the dog in the house",     // stopword-rich — group best
+      3L -> "zz qq ww",
+      10L -> "identical text here and there",
+      11L -> "identical text here and there",       // full tie -> min id keeps
+      30L -> "a lone document")                     // singleton, no pair
+    // chain only (1-2, 2-3): electing 2 over 3 requires transitive closure,
+    // and the canonical doc is NOT the min id — pairwise keep-best or
+    // keep-first-by-id would both get this wrong
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBestPerGroup(d, pairs)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, g, k, keep) => id -> ((g, k, keep)) }.toMap
+    assert(got == Map(
+      1L -> ((1L, 2L, false)), 2L -> ((1L, 2L, true)), 3L -> ((1L, 2L, false)),
+      10L -> ((10L, 10L, true)), 11L -> ((10L, 10L, false)),
+      30L -> ((30L, 30L, true))))
+  }
+
   test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 55).map(i => s"tok$i").mkString(" ") // drop last 5 tokens
