@@ -1024,6 +1024,59 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Ingestion policy head for the incremental loop: given the
+    * (snap_id, new_id) near-dup pairs a [[probeMinhashIndex]] probe
+    * returned, decide per NEW doc whether to `accept` it (no near-dup in
+    * the corpus), `drop` it (its best-matched snapshot copy wins the
+    * [[keepBestPairs]] quality→tokens→id total order — on a full tie the
+    * snapshot copy wins, since the already-ingested doc has the smaller
+    * id), or `supersede` (the new copy is strictly better: append it and
+    * tombstone the rival). This is the missing decision between "probe
+    * found pairs" and "append the accepted docs" in an always-on crawl
+    * loop; keep-first-by-arrival would never upgrade a truncated early
+    * crawl to a later complete copy.
+    *
+    * Output: (new_id, decision, keep_id, rival_id) — one row per new doc;
+    * `rival_id` is the best-matched snapshot doc (0 when accepted clean).
+    *
+    * Scale: snapshot quality is computed ONLY for matched snap ids (semi-
+    * join first — never a corpus-wide score pass); the per-new-doc rival
+    * pick is one partial+final `max_by` hash aggregate over the reduced
+    * pair list; the new batch rejoins once, left. All compared values are
+    * hash-pinned bit-exact (`text_quality`), so verdicts cannot drift
+    * between engines. */
+  def incrKeepBest(snapshot: DataFrame, newBatch: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val matchedSnapIds = pairs.select(col("snap_id").as("doc_id")).distinct()
+    val qs = TextAnalysis.qualityScores(
+        snapshot.join(matchedSnapIds, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("snap_id"),
+        col("quality_score").as("q_s"), col("n_tokens").as("n_s"))
+    val qn = TextAnalysis.qualityScores(newBatch)
+      .select(col("doc_id").as("new_id"),
+        col("quality_score").as("q_n"), col("n_tokens").as("n_n"))
+    // rival = the strongest snapshot copy this new doc collides with;
+    // -snap_id makes the order strict, so max_by is deterministic
+    val best = pairs.select("snap_id", "new_id").join(qs, Seq("snap_id"))
+      .groupBy("new_id")
+      .agg(max_by(struct(col("snap_id"), col("q_s"), col("n_s")),
+        struct(col("q_s"), col("n_s"), (-col("snap_id")).as("neg_id"))).as("b"))
+      .select(col("new_id"), col("b.snap_id").as("rival_id"),
+        col("b.q_s").as("q_s"), col("b.n_s").as("n_s"))
+    val newWins = col("q_n") > col("q_s") ||
+      (col("q_n") === col("q_s") && (col("n_n") > col("n_s") ||
+        (col("n_n") === col("n_s") && col("new_id") < col("rival_id"))))
+    qn.join(best, Seq("new_id"), "left")
+      .select(col("new_id"),
+        when(col("rival_id").isNull, lit("accept"))
+          .when(newWins, lit("supersede"))
+          .otherwise(lit("drop")).as("decision"),
+        when(col("rival_id").isNull || newWins, col("new_id"))
+          .otherwise(col("rival_id")).as("keep_id"),
+        coalesce(col("rival_id"), lit(0L)).as("rival_id"))
+      .orderBy("new_id")
+  }
+
   /** Fingerprinted idempotent embedding-index location (same staleness
     * contract as [[ensureMinhashIndex]]). The LSH parameters are part of
     * the fingerprint — they ARE the index contract (the planes derive
@@ -1236,6 +1289,31 @@ object Dedup {
         .unionAll(dupped.select((col("doc_id") + 1000000L).as("doc_a"),
           (col("doc_id") + 2000000L).as("doc_b")))
       keepBestPerGroup(docs, pairs)
+    }),
+    // The policy head over the index probe: every 7th new doc is FRESH
+    // unrelated text (no index match → accept; its id token keeps fresh
+    // docs distinct, and fresh-vs-fresh pairs fall outside the
+    // cross-(snap, new) slice), every 3rd an ENRICHED copy (stopword
+    // append → supersedes its source), the rest the standard
+    // 0.9-truncation — which lands on EITHER side of the total order
+    // (truncation shifts the quality ratios both ways), so the verdict
+    // layer is exercised on real comparisons, not a rigged constant. The
+    // probe pairs are the SAME construction dedup_incr_minhash pins;
+    // only the verdict layer is new.
+    "dedup_incr_policy" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val dir = ensureMinhashIndex(s, d)
+      val newBatch = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("fresh "), col("doc_id"),
+            lit(" alpha beta gamma delta epsilon")))
+          .when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" the of and to in")))
+          .otherwise(expr(
+            "substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))"))
+          .as("text"))
+      incrKeepBest(docs, newBatch, probeMinhashIndex(newBatch, dir))
     }),
     // Vector twin: probe perturbed embeddings (the planted vector
     // perturbation, id+1M) against a PERSISTED hyperplane-LSH index.
@@ -1564,6 +1642,52 @@ object Dedup {
          |       b.keep_id, d.doc_id = b.keep_id AS is_keep
          |FROM docs3 d JOIN best b ON b.g = d.doc_id % 1000000
          |ORDER BY d.doc_id""".stripMargin
+    },
+    // the probe pairs replay dedup_incr_minhash's HUGEINT emulation over
+    // the enriched-or-truncated batch; the verdict layer replays
+    // incrKeepBest's rival pick (ROW_NUMBER per new doc over the same
+    // order) and decision CASE on the shared quality SQL
+    "dedup_incr_policy" -> {
+      val qOver = TextAnalysis.textQualityOracleSqlFrom("docs2")
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         CASE WHEN doc_id % 7 = 0
+         |              THEN 'fresh ' || CAST(doc_id AS VARCHAR) || ' alpha beta gamma delta epsilon'
+         |              WHEN doc_id % 3 = 0 THEN text || ' the of and to in'
+         |              ELSE substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1))
+         |         END AS text
+         |  FROM documents
+         |),
+         |${HashOracleSql.minhashPairCtes("docs2")},
+         |cross_pairs AS (
+         |  SELECT doc_a AS snap_id, doc_b AS new_id FROM pairs
+         |  WHERE doc_a < 1000000 AND doc_b >= 1000000),
+         |q AS ($qOver),
+         |best AS (
+         |  SELECT new_id, snap_id, q_s, n_s FROM (
+         |    SELECT c.new_id, c.snap_id,
+         |           qs.quality_score AS q_s, qs.n_tokens AS n_s,
+         |           ROW_NUMBER() OVER (PARTITION BY c.new_id
+         |             ORDER BY qs.quality_score DESC, qs.n_tokens DESC,
+         |                      c.snap_id ASC) AS rn
+         |    FROM cross_pairs c JOIN q qs ON qs.doc_id = c.snap_id) _
+         |  WHERE rn = 1)
+         |SELECT qn.doc_id AS new_id,
+         |       CASE WHEN b.new_id IS NULL THEN 'accept'
+         |            WHEN (qn.quality_score > b.q_s OR
+         |                  (qn.quality_score = b.q_s AND (qn.n_tokens > b.n_s OR
+         |                   (qn.n_tokens = b.n_s AND qn.doc_id < b.snap_id))))
+         |            THEN 'supersede' ELSE 'drop' END AS decision,
+         |       CASE WHEN b.new_id IS NULL OR (qn.quality_score > b.q_s OR
+         |                  (qn.quality_score = b.q_s AND (qn.n_tokens > b.n_s OR
+         |                   (qn.n_tokens = b.n_s AND qn.doc_id < b.snap_id))))
+         |            THEN qn.doc_id ELSE b.snap_id END AS keep_id,
+         |       COALESCE(b.snap_id, 0) AS rival_id
+         |FROM q qn LEFT JOIN best b ON b.new_id = qn.doc_id
+         |WHERE qn.doc_id >= 1000000
+         |ORDER BY new_id""".stripMargin
     },
     // same slice identity for the vector index: the dedup_embedding
     // oracle's construction with the candidate join restricted to

@@ -158,6 +158,28 @@ class OpsSpec extends AnyFunSuite {
       30L -> ((30L, 30L, true))))
   }
 
+  test("incrKeepBest verdicts: accept clean, drop on worse, supersede on better, best rival on multi-match") {
+    import spark.implicits._
+    val snap = docs(
+      1L -> "zz qq ww rr",                             // weak snapshot copy
+      2L -> "the cat and the dog sat in the big house")// strong snapshot copy
+    val news = docs(
+      1001L -> "the cat and the dog in a warm home",   // beats snap 1 -> supersede
+      1002L -> "the cat and the dog sat in the",       // truncated vs snap 2 -> drop
+      1003L -> "completely unrelated fresh text",      // no pair -> accept
+      1004L -> "zz qq")                                // matched to BOTH 1 and 2
+    val pairs = Seq((1L, 1001L), (2L, 1002L), (1L, 1004L), (2L, 1004L))
+      .toDF("snap_id", "new_id")
+    val got = Dedup.incrKeepBest(snap, news, pairs)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1001L, "supersede", 1001L, 1L),
+      (1002L, "drop", 2L, 2L),
+      (1003L, "accept", 1003L, 0L),
+      // rival = the STRONGEST matched snapshot copy (2, not min-id 1)
+      (1004L, "drop", 2L, 2L)))
+  }
+
   test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 55).map(i => s"tok$i").mkString(" ") // drop last 5 tokens
