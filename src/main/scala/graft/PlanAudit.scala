@@ -39,7 +39,10 @@ object PlanAudit {
     "search_hybrid_rrf", "search_hybrid_indexed",
     // IVF leg: corpus × broadcast(centroids) assignment + query ×
     // broadcast(centroids) probe — sim_topk_ivf's designed plans
-    "search_hybrid_ann")
+    "search_hybrid_ann",
+    // the scalar avgdl crosses as a broadcast 1-row nested loop before
+    // the Okapi weight projection — same shape as sample_token_budget
+    "search_bm25_topk", "search_bm25_indexed")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets

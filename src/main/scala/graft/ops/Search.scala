@@ -88,6 +88,73 @@ object Search {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
+  /** BM25-shaped relevance (Robertson/Spärck Jones's Okapi form) in EXACT
+    * long arithmetic — the doc-length normalization [[keywordScores]]'s
+    * plain tf×rarity lacks (a term hit in a 20-token doc should outrank
+    * the same hit in a 2000-token doc). With k1 = 6/5 and b = 3/4 the
+    * per-term Okapi factor tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl)
+    * clears to integers when multiplied through by 10·avgdl:
+    *
+    *   w = (idf · 22 · tf · avgdl) DIV (10·tf·avgdl + 3·avgdl + 9·dl)
+    *
+    * where idf = 1e6 DIV (df+1) (the suite's monotone reciprocal-df
+    * rarity), dl = the doc's [[Tokens.ws]] count and avgdl = corpus mean
+    * dl as integer division — every quantity a long, so the DuckDB
+    * oracle reproduces the ranking bit-for-bit (libm-free, the suite's
+    * exact-integer scoring regime). Overflow headroom: the numerator is
+    * ≤ 1e6·22·tf·avgdl, safe while tf·avgdl < 4·10¹¹ — e.g. tf ≤ 4·10⁸
+    * at avgdl 1000, far past any real document.
+    *
+    * Scale shape: identical to [[keywordScores]] (map-side postings
+    * filter on the query terms, partial+final tf aggregate, broadcast
+    * |terms|-row df) plus dl carried alongside each posting (a long per
+    * row, grouped with the doc key — no extra exchange) and ONE scalar
+    * avgdl aggregate crossing as a broadcast 1-row side. At 100 TB the
+    * postings index supplies (term, doc, tf) and dl/avgdl come from
+    * stored per-doc length metadata; the formula tail is unchanged. */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = probeTerms(queryTerms)
+    val toks = docs.select(col(idCol),
+      split(lower(col(textCol)), "\\s+").as("toks"),
+      size(Tokens.ws(col(textCol))).cast("long").as("dl"))
+    val avgdl = toks.agg(
+      expr("CAST(sum(dl) AS BIGINT) DIV count(*)").as("avgdl"))
+    val postings = toks
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isInCollection(terms))
+    val tf = postings.groupBy(idCol, "dl", "term").agg(count("*").as("tf"))
+    bm25Tail(tf, avgdl, idCol)
+  }
+
+  /** The cleared-to-integers Okapi weight — ONE definition shared by the
+    * corpus-scan and index-fed paths so their rankings cannot drift. */
+  private val OkapiWeightSql =
+    s"((CAST($WeightScale AS BIGINT) DIV (df + 1)) * 22 * tf * avgdl)" +
+      " DIV (10 * tf * avgdl + 3 * avgdl + 9 * dl)"
+
+  /** BM25 scoring tail over tf rows (idCol, dl, term, tf): df broadcast
+    * back, the scalar avgdl crossed as a broadcast 1-row side, weights
+    * summed per doc — shared by [[bm25Scores]] and
+    * [[bm25PostingsIndex]]. */
+  private def bm25Tail(tf: DataFrame, avgdl: DataFrame,
+      idCol: String): DataFrame = {
+    val df = tf.groupBy("term").agg(count("*").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("w", expr(OkapiWeightSql))
+      .groupBy(idCol)
+      .agg(sum("w").as("score"),
+        sum("tf").cast("long").as("total_tf"),
+        count("*").cast("long").as("matched_terms"))
+  }
+
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bm25Scores(docs, queryTerms, textCol, idCol)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
   /** Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
     * (Cormack/Clarke/Buettcher, SIGIR'09): each leg ranks independently,
     * and a document's fused score is Σ_legs 1/(K + rank). Kept in EXACT
@@ -248,7 +315,7 @@ object Search {
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val prior = Dedup.committedEpochs(dir)
     val id = Dedup.newEpochId()
-    writePostings(docs, s"$dir/postings/ep_$id", textCol, idCol)
+    writePostings(docs, dir, id, textCol, idCol)
     Dedup.commitEpoch(dir, id, supersedes = prior)
   }
 
@@ -258,7 +325,7 @@ object Search {
   def appendToPostingsIndex(docs: DataFrame, dir: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val id = Dedup.newEpochId()
-    writePostings(docs, s"$dir/postings/ep_$id", textCol, idCol)
+    writePostings(docs, dir, id, textCol, idCol)
     Dedup.commitEpoch(dir, id)
   }
 
@@ -282,26 +349,39 @@ object Search {
     val tag = f"b$batchId%06d"
     if (Dedup.committedOrSupersededEpochs(dir).contains(tag)) false
     else {
-      writePostings(batch, s"$dir/postings/ep_$tag", textCol, idCol)
+      writePostings(batch, dir, tag, textCol, idCol)
       try { Dedup.commitEpoch(dir, tag); true }
       catch { case _: IllegalStateException => false } // raced: other won
     }
   }
 
-  private def writePostings(docs: DataFrame, path: String,
-      textCol: String, idCol: String): Unit =
+  /** One epoch of BOTH index tables (the marker in the caller commits
+    * them together): `postings/ep_<id>` = (doc_id, term, tf) clustered
+    * by term, and `doclen/ep_<id>` = (doc_id, dl) — the per-doc
+    * [[Tokens.ws]] length BM25's normalization needs, stored at build so
+    * an index-fed BM25 never re-reads corpus text (16 B/row; its scan
+    * streams map-side against a broadcast of the tiny query-term tf). */
+  private def writePostings(docs: DataFrame, dir: String, id: String,
+      textCol: String, idCol: String): Unit = {
     docs.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
       .repartition(col("term"))
       .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$dir/postings/ep_$id")
+    docs.select(col(idCol).as("doc_id"),
+        size(Tokens.ws(col(textCol))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclen/ep_$id")
+  }
 
   /** Merge accrued crawl epochs into one, re-clustered by term (the
-    * probe's pruning key); identical probe results before and after. */
+    * probe's pruning key); identical probe results before and after.
+    * BOTH tables merge under the one supersedes marker — compacting only
+    * postings would make the superseded epochs' doclen rows invisible. */
   def compactPostingsIndex(spark: SparkSession, dir: String): Int =
-    Dedup.compactEpochs(spark, dir, Seq("postings" -> Seq("term")))
+    Dedup.compactEpochs(spark, dir,
+      Seq("postings" -> Seq("term"), "doclen" -> Seq("doc_id")))
 
   /** Top-k keyword search against the stored index ≡ [[keywordTopK]]
     * over the indexed corpus (shared scoring tail; equality is the
@@ -312,6 +392,26 @@ object Search {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
 
+  /** Top-k BM25 against the stored index ≡ [[bm25TopK]] over the indexed
+    * corpus: tf comes from the term-pruned postings probe, dl from the
+    * stored `doclen` table (never corpus text), avgdl as one integer
+    * aggregate over it. The doclen join streams the 16 B/row table
+    * map-side against a BROADCAST of the tiny query-term tf frame, and
+    * the weight/aggregate tail is [[bm25Tail]] — shared with the scan
+    * path by construction, so the `search_bm25_indexed` oracle is the
+    * scan entry's SQL verbatim and any index/scan drift hash-mismatches
+    * at the gate. */
+  def bm25PostingsIndex(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    val doclens = Dedup.readEpochs(spark, dir, "doclen")
+    val avgdl = doclens.agg(
+      expr("CAST(sum(dl) AS BIGINT) DIV count(*)").as("avgdl"))
+    val tf = broadcast(probeTf(spark, dir, queryTerms)).join(doclens, "doc_id")
+    bm25Tail(tf, avgdl, "doc_id")
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Query terms for the corpus entry: fixed literals so the oracle is a
     * plain SQL IN-list (drawn from the synthetic vocabulary — mid-to-high
     * document frequency, so df weighting actually discriminates). */
@@ -320,6 +420,26 @@ object Search {
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "search_keyword_topk" -> ((s, d) =>
       keywordTopK(Tables.load(s, d, "documents"), CorpusTerms)),
+    "search_bm25_topk" -> ((s, d) =>
+      bm25TopK(Tables.load(s, d, "documents"), CorpusTerms)),
+    // Index-fed BM25 through the SAME maintenance loop as the keyword
+    // twin (build half, append half, compact both tables, reclaim) under
+    // the scan entry's oracle VERBATIM: a lost doclen row, a one-table
+    // compaction, or any index/scan scoring drift hash-mismatches here.
+    // Own fixture name: this entry requires doclen epochs, which indexes
+    // staged before round 12 don't have.
+    "search_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val dir = Dedup.fingerprintedDir("graft-postidx", "bm25",
+        d + "bm25", Seq(s"$d/documents.parquet"))
+      Dedup.ensureCommittedIndex(dir) { tmp =>
+        buildPostingsIndex(docs.filter(col("doc_id") % 2 === 0), tmp.getPath)
+        appendToPostingsIndex(docs.filter(col("doc_id") % 2 =!= 0), tmp.getPath)
+        require(compactPostingsIndex(s, tmp.getPath) == 2, "expected a 2-epoch merge")
+        Dedup.reclaimIndexGarbage(tmp.getPath)
+      }
+      bm25PostingsIndex(s, dir.getPath, CorpusTerms)
+    }),
     // doc_id and vec_id are aligned 1:1 in the corpus, so vec_id 0's
     // embedding is "the query document's" vector leg
     "search_hybrid_rrf" -> ((s, d) =>
@@ -382,6 +502,41 @@ object Search {
       |       CAST(SUM(t.tf) AS BIGINT) AS total_tf,
       |       CAST(COUNT(*) AS BIGINT) AS matched_terms
       |FROM tf t JOIN df d USING (term)
+      |GROUP BY t.doc_id
+      |ORDER BY score DESC, t.doc_id
+      |LIMIT 20""".stripMargin
+
+  /** The BM25 oracle: same tf/df construction as [[KeywordTopkSql]], dl
+    * via the [[Tokens.ws]] mirror, avgdl as one integer-division scalar,
+    * and the cleared-to-integers Okapi weight — every operand CAST to
+    * BIGINT so DuckDB's INT32 literals can't overflow mid-product. */
+  private[graft] val Bm25TopkSql =
+    """WITH dls AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                              t -> length(t) > 0)) AS BIGINT) AS dl
+      |  FROM documents
+      |), avg_dl AS (
+      |  SELECT CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dls
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |               unnest(string_split_regex(lower(text), '\s+')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('vector', 'stream', 'merge', 'window', 'filter')
+      |  GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |)
+      |SELECT t.doc_id,
+      |       CAST(SUM(((1000000 // (CAST(d.df AS BIGINT) + 1)) * 22 * CAST(t.tf AS BIGINT) * a.avgdl)
+      |                // (10 * CAST(t.tf AS BIGINT) * a.avgdl + 3 * a.avgdl + 9 * l.dl)) AS BIGINT) AS score,
+      |       CAST(SUM(t.tf) AS BIGINT) AS total_tf,
+      |       CAST(COUNT(*) AS BIGINT) AS matched_terms
+      |FROM tf t
+      |JOIN df d USING (term)
+      |JOIN dls l USING (doc_id)
+      |CROSS JOIN avg_dl a
       |GROUP BY t.doc_id
       |ORDER BY score DESC, t.doc_id
       |LIMIT 20""".stripMargin
@@ -478,6 +633,8 @@ object Search {
 
   val oracle: Seq[(String, String)] = Seq(
     "search_keyword_topk" -> KeywordTopkSql,
+    "search_bm25_topk" -> Bm25TopkSql,
+    "search_bm25_indexed" -> Bm25TopkSql,
     "search_incr_postings" -> KeywordTopkSql,
     // mirrors hybridTopK exactly: same integer lexical scores, the same
     // double-accumulated cosine as sim_topk_brute's proven oracle form,

@@ -122,6 +122,20 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(got.length === 1 && got(0)._3 === 3L)
   }
 
+  test("bm25TopK: cleared-to-integer Okapi weights, length-normalized exactly") {
+    // avgdl = (2 + 10 + 2) DIV 3 = 4; df(a) = 2 → idf = 1e6 DIV 3 = 333333
+    // doc1 (dl 2):  (333333·22·1·4) DIV (10·4 + 3·4 + 9·2)  = 29333304 DIV 70  = 419047
+    // doc2 (dl 10): (333333·22·1·4) DIV (10·4 + 3·4 + 9·10) = 29333304 DIV 142 = 206572
+    // — same single hit, the shorter doc outranks the longer (the
+    // normalization tf×rarity lacks); doc3 matches nothing
+    val d = docs(1L -> "a x", 2L -> "a x x x x x x x x x", 3L -> "y z")
+    val got = Search.bm25TopK(d, Seq("a"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 419047L, 1L, 1L),
+      (2L, 206572L, 1L, 1L)))
+  }
+
   // ---- persisted postings index ------------------------------------
 
   test("postings index probe equals keywordTopK; compaction leaves it identical") {
@@ -139,6 +153,25 @@ class ChunkSearchSpec extends AnyFunSuite {
     graft.ops.Dedup.reclaimIndexGarbage(dir)
     assert(graft.ops.Dedup.committedEpochs(dir).size === 1)
     val after = Search.queryPostingsIndex(spark, dir, Seq("a", "b"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(after === scan)
+  }
+
+  test("index-fed BM25 equals the scan path; doclen epochs survive compaction") {
+    val d = docs(1L -> "a x", 2L -> "a x x x x x x x x x", 3L -> "y z", 4L -> "a y")
+    val dir = java.nio.file.Files.createTempDirectory("postidx4").toString
+    Search.buildPostingsIndex(d.filter(col("doc_id") <= 2), dir)
+    Search.appendToPostingsIndex(d.filter(col("doc_id") > 2), dir)
+    val scan = Search.bm25TopK(d, Seq("a"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    val probe = Search.bm25PostingsIndex(spark, dir, Seq("a"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(probe === scan)
+    // dl comes from ALL docs' stored lengths (avgdl counts doc 3 even
+    // though it matches no term) — a postings-only doclen would skew it
+    assert(Search.compactPostingsIndex(spark, dir) === 2)
+    graft.ops.Dedup.reclaimIndexGarbage(dir)
+    val after = Search.bm25PostingsIndex(spark, dir, Seq("a"), k = 10)
       .as[(Long, Long, Long, Long)].collect()
     assert(after === scan)
   }
