@@ -355,12 +355,18 @@ object Search {
     }
   }
 
-  /** One epoch of BOTH index tables (the marker in the caller commits
-    * them together): `postings/ep_<id>` = (doc_id, term, tf) clustered
-    * by term, and `doclen/ep_<id>` = (doc_id, dl) — the per-doc
+  /** One epoch of ALL THREE index tables (the marker in the caller
+    * commits them together): `postings/ep_<id>` = (doc_id, term, tf)
+    * clustered by term; `doclen/ep_<id>` = (doc_id, dl) — the per-doc
     * [[Tokens.ws]] length BM25's normalization needs, stored at build so
-    * an index-fed BM25 never re-reads corpus text (16 B/row; its scan
-    * streams map-side against a broadcast of the tiny query-term tf). */
+    * an index-fed BM25 never re-reads corpus text (16 B/row, streamed
+    * map-side against a broadcast of the tiny query-term tf); and
+    * `stats/ep_<id>` = ONE (n_docs, sum_dl) row, so avgdl at query time
+    * is an O(epochs)-row read — at 100 TB a per-query scan of the
+    * corpus-sized doclen table just to average it would dwarf the probe
+    * itself. Integer sums are associative, so summing the per-epoch
+    * partials before the single division yields exactly the whole-corpus
+    * `sum(dl) DIV count(*)` the scan path computes. */
   private def writePostings(docs: DataFrame, dir: String, id: String,
       textCol: String, idCol: String): Unit = {
     docs.select(col(idCol).as("doc_id"),
@@ -370,18 +376,25 @@ object Search {
       .repartition(col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings/ep_$id")
-    docs.select(col(idCol).as("doc_id"),
-        size(Tokens.ws(col(textCol))).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclen/ep_$id")
+    val doclens = docs.select(col(idCol).as("doc_id"),
+      size(Tokens.ws(col(textCol))).cast("long").as("dl"))
+    doclens.write.mode("overwrite").parquet(s"$dir/doclen/ep_$id")
+    doclens.agg(count("*").as("n_docs"),
+        expr("CAST(sum(dl) AS BIGINT)").as("sum_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats/ep_$id")
   }
 
   /** Merge accrued crawl epochs into one, re-clustered by term (the
     * probe's pruning key); identical probe results before and after.
-    * BOTH tables merge under the one supersedes marker — compacting only
-    * postings would make the superseded epochs' doclen rows invisible. */
+    * ALL tables merge under the one supersedes marker — compacting only
+    * postings would make the superseded epochs' doclen/stats rows
+    * invisible. Stats rows stay per-partial (k tiny rows after merging k
+    * epochs — summed at read, so compaction needs no arithmetic). */
   def compactPostingsIndex(spark: SparkSession, dir: String): Int =
     Dedup.compactEpochs(spark, dir,
-      Seq("postings" -> Seq("term"), "doclen" -> Seq("doc_id")))
+      Seq("postings" -> Seq("term"), "doclen" -> Seq("doc_id"),
+        "stats" -> Seq("n_docs")))
 
   /** Top-k keyword search against the stored index ≡ [[keywordTopK]]
     * over the indexed corpus (shared scoring tail; equality is the
@@ -404,8 +417,11 @@ object Search {
   def bm25PostingsIndex(spark: SparkSession, dir: String,
       queryTerms: Seq[String], k: Int = 20): DataFrame = {
     val doclens = Dedup.readEpochs(spark, dir, "doclen")
-    val avgdl = doclens.agg(
-      expr("CAST(sum(dl) AS BIGINT) DIV count(*)").as("avgdl"))
+    // O(epochs) rows, not a corpus-sized doclen scan: per-epoch partial
+    // sums re-divide to exactly the scan path's sum(dl) DIV count(*)
+    val avgdl = Dedup.readEpochs(spark, dir, "stats").agg(
+      expr("CAST(sum(sum_dl) AS BIGINT) DIV CAST(sum(n_docs) AS BIGINT)")
+        .as("avgdl"))
     val tf = broadcast(probeTf(spark, dir, queryTerms)).join(doclens, "doc_id")
     bm25Tail(tf, avgdl, "doc_id")
       .orderBy(desc("score"), col("doc_id"))
@@ -426,12 +442,12 @@ object Search {
     // twin (build half, append half, compact both tables, reclaim) under
     // the scan entry's oracle VERBATIM: a lost doclen row, a one-table
     // compaction, or any index/scan scoring drift hash-mismatches here.
-    // Own fixture name: this entry requires doclen epochs, which indexes
-    // staged before round 12 don't have.
+    // Own fixture name: this entry requires doclen + stats epochs, which
+    // indexes staged before round 12 don't have.
     "search_bm25_indexed" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val dir = Dedup.fingerprintedDir("graft-postidx", "bm25",
-        d + "bm25", Seq(s"$d/documents.parquet"))
+      val dir = Dedup.fingerprintedDir("graft-postidx", "bm25s",
+        d + "bm25s", Seq(s"$d/documents.parquet"))
       Dedup.ensureCommittedIndex(dir) { tmp =>
         buildPostingsIndex(docs.filter(col("doc_id") % 2 === 0), tmp.getPath)
         appendToPostingsIndex(docs.filter(col("doc_id") % 2 =!= 0), tmp.getPath)
