@@ -100,6 +100,10 @@ object PlanAudit {
     // (16 band rows/doc each side) while a quadratic candidate blowup
     // (lost banding → ~n²/2 pairs) overshoots by >6× already at n=500
     "dedup_incr_minhash" -> ShuffleBudget("documents", 40.0, 1000L),
+    // member labels + quality structs + group argmax over the planted
+    // 3-member chains; measured 15.0/row at 500 docs AND 15.0/row at
+    // 5000 (Round12StressSpec ratio 10.00 — flat); 2.5× headroom
+    "dedup_canonical" -> ShuffleBudget("documents", 38.0, 2000L),
     // measured 2.798/row (n=500) rising to 4.947/row (n=2000) — bucket
     // collision density grows toward ~1 vec/bucket (4×4096 buckets);
     // 15/row is 3× the larger reading, still ~40× under an all-pairs

@@ -75,6 +75,54 @@ class Round12StressSpec extends AnyFunSuite {
       f"build shuffle grew ${sh10.toDouble / sh1}%.1fx at 10x data")
   }
 
+  test("canonical groups: 10 disjoint chain corpora -> exactly 10x groups, ~10x shuffle") {
+    // the dedup_canonical construction (3-member truncation chains with
+    // chain pairs) replicated as id-disjoint copies: groups never cross
+    // copies by construction, so output rows and keep counts must grow
+    // EXACTLY 10x while the policy shuffle (member labels + quality
+    // structs + argmax) stays edge-linear
+    val base = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    def corpus(i: Int): (DataFrame, DataFrame) = {
+      val b = base.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        col("text"))
+      def truncated(frac: String, off: Long) = b.select(
+        (col("doc_id") + off).as("doc_id"),
+        expr(s"substring(text, 1, greatest(cast(length(text) * $frac as int), 1))")
+          .as("text"))
+      val docs = b.unionByName(truncated("0.9", 1000000L))
+        .unionByName(truncated("0.8", 2000000L))
+      val pairs = b
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+        .unionByName(b.select((col("doc_id") + 1000000L).as("doc_a"),
+          (col("doc_id") + 2000000L).as("doc_b")))
+      (docs, pairs)
+    }
+    def run(n: Int): (Long, Long, Long) = {
+      val (docs, pairs) = (0 until n).map(corpus)
+        .reduce((a, b) => (a._1 unionByName b._1, a._2 unionByName b._2))
+      var rows = 0L; var keeps = 0L
+      val sh = PlanAudit.measureShuffle(spark) {
+        val r = graft.ops.Dedup.keepBestPerGroup(docs, pairs)
+          .agg(count(lit(1)), sum(when(col("is_keep"), 1L).otherwise(0L)))
+          .collect().head
+        rows = r.getLong(0); keeps = r.getLong(1)
+      }
+      (rows, keeps, sh)
+    }
+    val (rows1, keeps1, sh1) = run(1)
+    val (rows10, keeps10, sh10) = run(10)
+    info(s"rows: 1x=$rows1 10x=$rows10; keeps: 1x=$keeps1 10x=$keeps10; " +
+      f"shuffle rows: 1x=$sh1 10x=$sh10 ratio=${sh10.toDouble / sh1}%.2f")
+    assert(rows1 == 3 * 500 && keeps1 == 500,
+      s"1x: expected 1500 rows / 500 keeps, got $rows1 / $keeps1")
+    assert(rows10 == 10 * rows1 && keeps10 == 10 * keeps1,
+      s"groups must grow exactly 10x: ($rows1,$keeps1) -> ($rows10,$keeps10)")
+    val ratio = sh10.toDouble / sh1
+    assert(ratio <= 13.0,
+      f"shuffle volume grew $ratio%.1fx at 10x data — super-linear grouping")
+  }
+
   test("span strip: 10 disjoint isomorphic copies -> exactly 10x kept/removed mass") {
     val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
     def massOf(docs: DataFrame): (Long, Long) = {
