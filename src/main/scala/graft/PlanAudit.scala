@@ -42,7 +42,8 @@ object PlanAudit {
     "search_hybrid_ann",
     // the scalar avgdl crosses as a broadcast 1-row nested loop before
     // the Okapi weight projection — same shape as sample_token_budget
-    "search_bm25_topk", "search_bm25_indexed")
+    // (the bm25 hybrid adds the vector leg's broadcast 1-row exemplar)
+    "search_bm25_topk", "search_bm25_indexed", "search_hybrid_bm25")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets

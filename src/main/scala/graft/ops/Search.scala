@@ -183,6 +183,20 @@ object Search {
     hybridFromLexScores(keywordScores(docs, queryTerms, textCol, idCol),
       emb, queryVecId, k, legK, rrfK, idCol, vecIdCol, vecCol)
 
+  /** [[hybridTopK]] with the BM25 lexical leg — the standard production
+    * pairing (length-normalized lexical + dense vector under RRF): same
+    * fusion tail, only the lexical scorer swaps, so the two hybrids
+    * differ exactly as [[bm25Scores]] differs from [[keywordScores]].
+    * Where tf×rarity ranks a long document above a short one with the
+    * same hit density, the BM25 leg reverses it — fused output included
+    * (spec-pinned). */
+  def hybridTopKBm25(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long = 0L, k: Int = 20, legK: Int = 50, rrfK: Int = 60,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hybridFromLexScores(bm25Scores(docs, queryTerms, textCol, idCol),
+      emb, queryVecId, k, legK, rrfK, idCol, vecIdCol, vecCol)
+
   /** [[hybridTopK]] with the lexical leg served from a PERSISTED postings
     * index instead of a corpus scan — the composed retrieval stack at
     * 100 TB: the lexical tf rows come term-pruned from the index and the
@@ -461,6 +475,9 @@ object Search {
     "search_hybrid_rrf" -> ((s, d) =>
       hybridTopK(Tables.load(s, d, "documents"),
         Tables.load(s, d, "embeddings"), CorpusTerms)),
+    "search_hybrid_bm25" -> ((s, d) =>
+      hybridTopKBm25(Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"), CorpusTerms)),
     // The FULL postings maintenance loop under the scan entry's oracle:
     // build over half the corpus, append the other half, compact the two
     // epochs, reclaim the dead files — then probe. The result must equal
@@ -594,6 +611,60 @@ object Search {
         |ORDER BY rrf_score DESC, doc_id
         |LIMIT 20""".stripMargin
 
+  /** The BM25-hybrid oracle: [[HybridRrfSql]] with the lexical CTEs
+    * swapped for [[Bm25TopkSql]]'s construction — the vector leg and the
+    * fusion tail are verbatim-identical, exactly mirroring the Scala
+    * composition (shared [[bm25Tail]] / shared fusion machinery). */
+  private[graft] val HybridBm25Sql =
+      """WITH dls AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              t -> length(t) > 0)) AS BIGINT) AS dl
+        |  FROM documents
+        |), avg_dl AS (
+        |  SELECT CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dls
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split_regex(lower(text), '\s+')) AS term
+        |        FROM documents)
+        |  WHERE term IN ('vector', 'stream', 'merge', 'window', 'filter')
+        |  GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), lexscore AS (
+        |  SELECT t.doc_id,
+        |         SUM(((1000000 // (CAST(d.df AS BIGINT) + 1)) * 22 * CAST(t.tf AS BIGINT) * a.avgdl)
+        |             // (10 * CAST(t.tf AS BIGINT) * a.avgdl + 3 * a.avgdl + 9 * l.dl)) AS score
+        |  FROM tf t
+        |  JOIN df d USING (term)
+        |  JOIN dls l USING (doc_id)
+        |  CROSS JOIN avg_dl a
+        |  GROUP BY t.doc_id
+        |), lex AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM lexscore ORDER BY score DESC, doc_id LIMIT 50
+        |), vecscore AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |), vec AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank
+        |  FROM vecscore ORDER BY cosine DESC, doc_id LIMIT 50
+        |)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |       COALESCE(CAST(1000000 AS BIGINT) // (60 + l.lex_rank), 0) +
+        |       COALESCE(CAST(1000000 AS BIGINT) // (60 + v.vec_rank), 0) AS rrf_score,
+        |       COALESCE(l.lex_rank, 0) AS lex_rank,
+        |       COALESCE(v.vec_rank, 0) AS vec_rank
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_score DESC, doc_id
+        |LIMIT 20""".stripMargin
+
   /** The ANN-hybrid oracle: the lexical CTEs of [[HybridRrfSql]] fused
     * with the single-query form of sim_topk_ivf's deterministic IVF
     * construction (centroids every 37th vector, nearest-centroid
@@ -659,6 +730,7 @@ object Search {
     // search_hybrid_indexed shares it verbatim -- the index-fed lexical
     // leg must reproduce the scan-fed ranking bit-for-bit
     "search_hybrid_rrf" -> HybridRrfSql,
+    "search_hybrid_bm25" -> HybridBm25Sql,
     "search_hybrid_indexed" -> HybridRrfSql,
     "search_hybrid_ann" -> HybridAnnSql,
   )

@@ -267,6 +267,25 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(!got.map(_._1).contains(0L), "the exemplar must be excluded")
   }
 
+  test("hybridTopKBm25 swaps only the lexical leg — length norm flips its ranks") {
+    // term "a": doc1 tf=1 in a 2-token doc, doc2 tf=2 in a 20-token doc.
+    // tf×rarity ranks doc2 first (2w > 1w); BM25 (avgdl=(2+20+2) DIV 3=8)
+    //   doc1: (333333·22·1·8) DIV (10·8+3·8+9·2)  = 58666608 DIV 122 = 480873
+    //   doc2: (333333·22·2·8) DIV (10·16·... 10·2·8+3·8+9·20) = 117333216 DIV 364 = 322344
+    // ranks doc1 first. Identical vector legs (q = vec 0) — the fused
+    // outputs must differ exactly by that lex swap.
+    val d = docs(0L -> "nothing here",
+      1L -> "a x",
+      2L -> "a a x x x x x x x x x x x x x x x x x x")
+    val e = emb(0L -> Array(1f, 0f), 1L -> Array(0f, 1f), 2L -> Array(1f, 0.1f))
+    val kw = Search.hybridTopK(d, e, Seq("a"), queryVecId = 0L, legK = 2)
+      .select("doc_id", "lex_rank").as[(Long, Long)].collect().toMap
+    val bm = Search.hybridTopKBm25(d, e, Seq("a"), queryVecId = 0L, legK = 2)
+      .select("doc_id", "lex_rank").as[(Long, Long)].collect().toMap
+    assert(kw(2L) == 1L && kw(1L) == 2L, s"keyword lex ranks: $kw")
+    assert(bm(1L) == 1L && bm(2L) == 2L, s"bm25 lex ranks: $bm")
+  }
+
   test("hybridTopK: k truncates after the (rrf_score, doc_id) total order") {
     val d = docs(0L -> "nothing", 1L -> "a a a", 2L -> "a", 3L -> "zz")
     val e = emb(0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
