@@ -202,6 +202,15 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(!Search.appendPostingsBatch(d, dir, batchId = 0L))
     assert(!Search.appendPostingsBatch(docs(3L -> "a d"), dir, batchId = 1L))
     assert(Search.queryPostingsIndex(spark, dir, Seq("a")).count() === 3)
+    // the stream-built index carries doclen + stats per micro-batch, so
+    // it serves BM25 too — identical to the scan over the landed docs
+    // (doc lengths span both batches, so avgdl mixes epochs' partials)
+    val landed = docs(1L -> "a b", 2L -> "a a c", 3L -> "a d")
+    val scanBm = Search.bm25TopK(landed, Seq("a"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    val idxBm = Search.bm25PostingsIndex(spark, dir, Seq("a"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(idxBm === scanBm)
   }
 
   test("index-fed hybrid equals the scan-fed hybrid exactly") {
