@@ -43,7 +43,10 @@ object PlanAudit {
     // the scalar avgdl crosses as a broadcast 1-row nested loop before
     // the Okapi weight projection — same shape as sample_token_budget
     // (the bm25 hybrid adds the vector leg's broadcast 1-row exemplar)
-    "search_bm25_topk", "search_bm25_indexed", "search_hybrid_bm25")
+    "search_bm25_topk", "search_bm25_indexed", "search_hybrid_bm25",
+    // recall entry runs BOTH allowlisted legs (brute truth + IVF probe)
+    // to join their ≤ |queries|·k outputs — the legs' designed plans
+    "sim_recall_ivf")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets

@@ -1214,6 +1214,44 @@ object Dedup {
     out
   }
 
+  /** Corpus duplication audit — the dashboard rollup a curation run ends
+    * with: per stratum (language), how many documents exist, how many have
+    * at least one EXACT twin (same full content), how many sit in at least
+    * one NEAR-dup pair (the MinHash-LSH pipeline), and the near-dup rate
+    * in integer per-mille. The numbers quantify what dedup would remove
+    * per slice BEFORE committing to it — the first question a corpus
+    * owner asks of a new crawl.
+    *
+    * Scale shape: exact membership is a semi-join on the 32-byte content
+    * hash against the (hash → count>1) aggregate — text never shuffles;
+    * near membership reads the REDUCED pair list (LSH candidates, linear)
+    * twice as id-only projections; the final rollup is one partial+final
+    * aggregate to |strata| rows. Exactness: per-mille is integer DIV;
+    * "exact twin" is content-hash equality (SHA-256 — a collision would
+    * misreport, at 2⁻¹²⁸ odds; the oracle groups the text itself, so a
+    * collision would surface as a gate mismatch, not hide). */
+  def corpusReport(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+    val pairs = minHashPairs(docs)
+    val nearIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("is_near", lit(1L))
+    val hashes = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val dupHashes = hashes.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("h")
+    val exactIds = hashes.join(dupHashes, Seq("h"), "left_semi")
+      .select("doc_id").withColumn("is_exact", lit(1L))
+    docs.select(col("doc_id"), col(strataCol))
+      .join(nearIds, Seq("doc_id"), "left")
+      .join(exactIds, Seq("doc_id"), "left")
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("is_exact"), lit(0L)).as("exact_dup_docs"),
+        coalesce(sum("is_near"), lit(0L)).as("near_dup_docs"))
+      .withColumn("near_dup_per_mille", expr("near_dup_docs * 1000 DIV n_docs"))
+      .orderBy(strataCol)
+  }
+
   // ---- corpus entries (spark, sfDir) => DataFrame ----
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -1264,6 +1302,13 @@ object Dedup {
     // Keep policy over the planted near-dup pairs: the perturbed copy
     // (10% shorter) usually scores lower / always has fewer tokens, so
     // the original must win each pair under the fixed total order.
+    // Audit rollup over the planted corpus: every planted (orig, copy)
+    // pair is a near-dup, so each lang's near_dup_docs must count both
+    // sides; exact twins are whatever full-content collisions the
+    // corpus + planting genuinely contain (1-char docs truncate to
+    // themselves — the oracle derives the same truth from the text).
+    "dedup_report" -> ((s, d) =>
+      corpusReport(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_keep_best" -> ((s, d) => {
       val docs = withPlantedNearDups(Tables.load(s, d, "documents"))
       keepBestPairs(docs, minHashPairs(docs))
@@ -1592,6 +1637,35 @@ object Dedup {
     // pair chain + the SAME quality-score SQL text_quality pins, then the
     // identical CASE cascade — every compared value is already hash-pinned
     // bit-exact by its own entry, so the decision cannot drift
+    // the audit rollup: the same pair chain + text-equality exact twins
+    // (the engine hashes; SHA-256 collisions would mismatch HERE, so the
+    // gate itself is the collision check), lang carried through the
+    // planted union
+    "dedup_report" -> {
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)) AS text,
+         |         lang
+         |  FROM documents),
+         |${HashOracleSql.minhashPairCtes("docs2")},
+         |near AS (SELECT DISTINCT doc_id FROM (
+         |           SELECT doc_a AS doc_id FROM pairs
+         |           UNION ALL SELECT doc_b AS doc_id FROM pairs) _),
+         |ex AS (SELECT doc_id FROM (
+         |         SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS n
+         |         FROM docs2) _ WHERE n > 1)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs,
+         |       CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM near)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS near_dup_docs,
+         |       CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM near)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+         |         AS near_dup_per_mille
+         |FROM docs2 d GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
     "dedup_keep_best" -> {
       val qOver = TextAnalysis.textQualityOracleSqlFrom("docs2")
       s"""WITH docs2 AS (${HashOracleSql.plantedDocs}),

@@ -108,11 +108,12 @@ object HashOracleSql {
       |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)) AS text
       |  FROM documents""".stripMargin
 
-  /** docs CTE -> (doc_id, si, sh): unsigned word-shingle hashes, n=3
-    * (mirrors WordShingleHashes: per-token FNV-1a over lowercased chars +
-    * mix, then a positioned-mix combine of each 3-token window). The
-    * corpus is lowercase ASCII, so lower() == Character.toLowerCase. */
-  private def shingleSql(docsCte: String): String = {
+  /** docs CTE -> (doc_id, i, th): unsigned per-token hashes (mirrors
+    * WordShingleHashes step 1: FNV-1a 64 over each lowercased
+    * whitespace-delimited token's chars, then the splitmix64 finalizer).
+    * The corpus is lowercase ASCII, so lower() == Character.toLowerCase.
+    * Shared by the n-gram shingle chain and the unigram feature chain. */
+  private def tokenHashSql(docsCte: String): String = {
     val tokFold =
       s"list_reduce(list_prepend(CAST('${u64(FnvOffset)}' AS HUGEINT), " +
         "list_transform(string_split_regex(t.tok, ''), " +
@@ -126,7 +127,24 @@ object HashOracleSql {
          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
          |        FROM $docsCte) _
          |) t""".stripMargin
-    val tokMixed = stages(toks, mixSteps("fnv", "th", "tm"))
+    stages(toks, mixSteps("fnv", "th", "tm"))
+  }
+
+  /** docs CTE -> (doc_id, i, uh): unsigned word-UNIGRAM hashes — the
+    * n = 1 window of WordShingleHashes (token hash + Golden, mixed), the
+    * feature hash the importance-weighting op buckets. */
+  private[ops] def unigramSql(docsCte: String): String = {
+    val g = Mix64.Golden
+    val combine =
+      Seq("x1" -> s"((th + ${u64(g)}) % $M)") ++ mixSteps("x1", "uh", "u1")
+    s"SELECT doc_id, i, uh FROM (${stages(tokenHashSql(docsCte), combine)})"
+  }
+
+  /** docs CTE -> (doc_id, si, sh): unsigned word-shingle hashes, n=3
+    * (mirrors WordShingleHashes: per-token FNV-1a over lowercased chars +
+    * mix, then a positioned-mix combine of each 3-token window). */
+  private def shingleSql(docsCte: String): String = {
+    val tokMixed = tokenHashSql(docsCte)
     val leads =
       s"""SELECT doc_id, i AS si, th AS t0,
          |       lead(th, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,

@@ -180,6 +180,69 @@ object Sampling {
       .orderBy(strataCol, "rank")
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the public hashed-n-gram
+    * recipe): score every document by how target-like its token
+    * distribution is, using hashed unigram features and the ratio of the
+    * TARGET feature distribution to the RAW corpus distribution.
+    *
+    * Exactness discipline: the published form sums log-likelihood ratios,
+    * but log is a libm knife edge (not correctly rounded, engine-divergent)
+    * — so the score is the integer ARITHMETIC mean of per-feature
+    * smoothed-ratio weights instead of the geometric one:
+    *   w_b  = (tgt_b + 1) · 10⁶ div (raw_b + 1)      (add-one smoothing)
+    *   score = (Σ_tokens w_bucket(token)) div n_tokens
+    * — monotone in the same "target-like mass" signal, all Long
+    * arithmetic, bit-identical in any engine. `selected` compares the
+    * score against the uniform baseline (10³·tgt_total div raw_total)·10³
+    * — the score a distribution-neutral document gets — with `tgt_total`
+    * scaled by only 10³ (the [[massRateSample]] Long-headroom contract:
+    * exact to ~9.2e15 tokens). Per-bucket weights stay exact to
+    * tgt_b ≈ 9.2e12 tokens per bucket — past the 100 TB design point
+    * once ≥ 1024 buckets spread the mass.
+    *
+    * Feature hash: the SAME WordShingleHashes chain as the dedup family at
+    * n = 1, bucketed to `buckets` (power of two, so pmod == low bits ==
+    * DuckDB's unsigned %). Scale shape: one partial+final aggregate to
+    * ≤ `buckets` rows (the shuffle carries buckets·partitions rows, never
+    * the corpus), a BOUNDED driver collect of that table (the Similarity
+    * centroid pattern), and per-doc scoring as a pure MAP over the
+    * plan-literal weight array — the corpus is scanned twice and shuffled
+    * never. */
+  def importanceScores(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (pmod must equal the unsigned low bits)")
+    val feats = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.word_shingles(col("text"), 1).as("fh"),
+        isTarget.as("is_target"))
+      .where(col("fh").isNotNull) // zero-token docs carry no features
+    val counts = feats
+      .select(explode(col("fh")).as("h"), col("is_target"))
+      .groupBy(pmod(col("h"), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_n"))
+      .collect() // bounded: ≤ `buckets` rows
+    val w = Array.fill(buckets)(1000000L) // untouched buckets: (0+1)·10⁶/(0+1)
+    var rawTot = 0L; var tgtTot = 0L
+    counts.foreach { r =>
+      val raw = r.getLong(1); val tgt = r.getLong(2)
+      w(r.getLong(0).toInt) = (tgt + 1L) * 1000000L / (raw + 1L)
+      rawTot += raw; tgtTot += tgt
+    }
+    require(rawTot > 0, "corpus has no tokens")
+    val thr = tgtTot * 1000L / rawTot * 1000L
+    val wlit = typedLit(w.toSeq)
+    val bucketWeight = transform(col("fh"), h =>
+      element_at(wlit, (pmod(h, lit(buckets.toLong)) + 1L).cast("int")))
+    feats
+      .withColumn("wsum", aggregate(bucketWeight, lit(0L), (a, x) => a + x))
+      .select(col("doc_id"), expr("wsum DIV size(fh)").as("score"))
+      .withColumn("selected", col("score") >= thr)
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sample_per_group" -> ((s, d) =>
       samplePerGroup(Tables.load(s, d, "documents"), strataCol = "lang")),
@@ -205,6 +268,11 @@ object Sampling {
         strataCol = "lang", perMille = Map("en" -> 250), defaultPerMille = 900)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+    // DSIR-style selection with target = the English slice: en docs must
+    // score above the uniform baseline, non-en below it, purely from the
+    // hashed-unigram distribution ratio
+    "sample_importance" -> ((s, d) =>
+      importanceScores(Tables.load(s, d, "documents"), col("lang") === "en")),
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -270,5 +338,26 @@ object Sampling {
         |      FROM documents) t
         |WHERE b < CASE WHEN lang = 'en' THEN 250 ELSE 900 END
         |ORDER BY doc_id""".stripMargin,
+    // the same unigram-hash emulation as the dedup oracles (n = 1 window),
+    // bucket = unsigned low 10 bits (== Spark's pmod on a power of two);
+    // every SUM casts back to BIGINT — DuckDB SUM(BIGINT) is HUGEINT and
+    // would hash-mismatch Spark's Long (the differ's decimal: tag)
+    "sample_importance" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id, CAST(uh % 1024 AS BIGINT) AS bucket
+         |  FROM (${HashOracleSql.unigramSql("documents")}) _),
+         |cnt AS (
+         |  SELECT f.bucket, COUNT(*) AS raw_n,
+         |         CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+         |  FROM feat f JOIN documents d USING (doc_id) GROUP BY f.bucket),
+         |w AS (SELECT bucket, (tgt_n + 1) * 1000000 // (raw_n + 1) AS wv FROM cnt),
+         |tot AS (SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
+         |               CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot FROM cnt),
+         |score AS (
+         |  SELECT f.doc_id, CAST(CAST(SUM(w.wv) AS BIGINT) // COUNT(*) AS BIGINT) AS score
+         |  FROM feat f JOIN w USING (bucket) GROUP BY f.doc_id)
+         |SELECT s.doc_id, s.score,
+         |       s.score >= (SELECT tgt_tot * 1000 // raw_tot * 1000 FROM tot) AS selected
+         |FROM score s ORDER BY s.doc_id""".stripMargin,
   )
 }

@@ -467,6 +467,22 @@ object Similarity {
     * output; this pins the QUALITY axis — how much of the true top-k the
     * bucketed search keeps — so nprobe/nCentroids tuning has a measured
     * trade-off, not just a latency curve. */
+  /** Oracle-gated twin of [[recallAtK]]: per-query hit counts and integer
+    * per-mille recall, as a DataFrame — the quality dashboard row for an
+    * ANN deployment (which queries the bucketing fails, not just the
+    * average). Exact integer arithmetic so any engine reproduces the
+    * numbers bit-for-bit; the join touches only the two ≤ |queries|·k
+    * top-k frames, never the corpus. */
+  def recallPerQuery(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id")).withColumn("hit", lit(1L)),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(coalesce(sum("hit"), lit(0L)).as("hits"), count(lit(1)).as("n_exact"))
+      .select(col("qid"), col("hits"),
+        expr("hits * 1000 DIV n_exact").as("recall_per_mille"))
+      .orderBy("qid")
+
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val hit = exact.select(col("qid"), col("vec_id"))
       .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
@@ -598,6 +614,12 @@ object Similarity {
     "sim_topk_quantized" -> ((s, d) => quantizedTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf_quantized" -> ((s, d) => ivfQuantizedTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf_kmeans" -> ((s, d) => kmeansIvfTopK(Tables.load(s, d, "embeddings"))),
+    // the measured quality axis, under the gate: IVF's per-query recall
+    // against the brute-force truth
+    "sim_recall_ivf" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      recallPerQuery(ivfTopK(emb), bruteForceTopK(emb))
+    }),
   )
 
   /** DuckDB oracles for the exact brute-force variant and for IVF (whose
@@ -669,17 +691,34 @@ object Similarity {
         |  FROM assign a JOIN probes p USING (cluster)
         |  WHERE a.vec_id <> p.qid) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
-    "sim_topk_brute" ->
-      """SELECT qid, rank, vec_id, cosine FROM (
-        |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
-        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine,
-        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |                            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
-        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 50 = 0 ) t
-        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
-    "sim_topk_ivf" ->
-      """WITH centroids AS (
+    "sim_topk_brute" -> bruteSql,
+    "sim_topk_ivf" -> ivfSql,
+    // recall@10 per query from the SAME two pipelines' oracle CTEs: a
+    // drift in either leg mismatches here too, and the QUALITY number
+    // itself (not just each pipeline's rows) sits under the gate
+    "sim_recall_ivf" ->
+      s"""WITH brute AS ($bruteSql),
+         |ivf AS ($ivfSql)
+         |SELECT b.qid,
+         |       CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |         // COUNT(*) AS recall_per_mille
+         |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+  ) ++ lshOracle
+
+  private lazy val bruteSql: String =
+    """SELECT qid, rank, vec_id, cosine FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+      |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |                            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0 ) t
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  private lazy val ivfSql: String =
+    """WITH centroids AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
         |  FROM embeddings WHERE vec_id % 37 = 0
         |),
@@ -704,12 +743,14 @@ object Similarity {
         |           ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
         |  FROM assign a JOIN probes p USING (cluster)
         |  WHERE a.vec_id <> p.qid) t
-        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
-    // The hyperplanes are seeded-deterministic, so even LSH is
-    // SQL-expressible: the generated oracle inlines the planes as array
-    // literals and rebuilds the bucket join + top-k. (Sign decisions are
-    // robust: dot magnitudes are O(1) while double sum-order noise is
-    // ~1e-16, so the engine and DuckDB agree on every bucket bit.)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  // The hyperplanes are seeded-deterministic, so even LSH is
+  // SQL-expressible: the generated oracle inlines the planes as array
+  // literals and rebuilds the bucket join + top-k. (Sign decisions are
+  // robust: dot magnitudes are O(1) while double sum-order noise is
+  // ~1e-16, so the engine and DuckDB agree on every bucket bit.)
+  private lazy val lshOracle: Seq[(String, String)] = Seq(
     "sim_topk_lsh" -> {
       val buckets = Lsh.bucketizeSql("embeddings",
         Lsh.hyperplanes(tables = 8, bits = 8, dim = 64, seed = 42L))

@@ -118,6 +118,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (2L, 1L), (4L, 1L)))
   }
 
+  test("corpusReport rolls up exact twins and near-dup membership per stratum") {
+    import spark.implicits._
+    val tA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val tB = (1 to 40).map(i => s"b$i").mkString(" ")
+    val tBpre = (1 to 36).map(i => s"b$i").mkString(" ")  // 90% prefix: near, not exact
+    val d = Seq(
+      (1L, "aa", tA), (2L, "aa", tA),                     // exact twins (near too)
+      (5L, "aa", (1 to 10).map(i => s"u$i").mkString(" ")), // unique
+      (3L, "bb", tB), (4L, "bb", tBpre))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.corpusReport(d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("aa", 3L, 2L, 2L, 666L),   // 2 of 3 docs in near pairs -> 666‰
+      ("bb", 2L, 0L, 2L, 1000L)))
+  }
+
   test("keepBestPairs picks by quality, then token count, then min id — orientation-free") {
     import spark.implicits._
     val d = docs(
@@ -251,6 +268,17 @@ class OpsSpec extends AnyFunSuite {
     // for 2: nearest = 3, then 1, then 0
     val q2 = got.filter(_._1 == 2L).map(_._3).toSeq
     assert(q2 == Seq(3L, 1L, 0L))
+  }
+
+  test("recallPerQuery counts hits per query, integer per-mille, zero on a missed query") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 99L))  // q1 half right, q2 absent
+      .toDF("qid", "vec_id")
+    val got = Similarity.recallPerQuery(approx, exact)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 500L), (2L, 0L, 0L)))
   }
 
   test("IVF and LSH top-k recall planted exact duplicates") {

@@ -89,4 +89,39 @@ class SamplingSpec extends AnyFunSuite {
     ).distinct.size).min
     assert(worst == 8, s"temperature bucket collapses to $worst residues mod 8 per split bucket")
   }
+
+  test("importanceScores: target vocabulary outranks off-target, threshold splits them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two disjoint vocabularies; target docs speak one, raw-only docs the
+    // other, one mixed doc sits between
+    val corpus = (
+      (1L to 3L).map(i => (i, "t", "aa bb cc")) ++
+      (11L to 13L).map(i => (i, "r", "xx yy zz")) ++
+      Seq((21L, "r", "aa bb xx yy"), (31L, "r", "   "))  // mixed; whitespace-only
+    ).toDF("doc_id", "lang", "text")
+    val got = Sampling.importanceScores(corpus, col("lang") === "t")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    // whitespace-only doc has no features and is excluded
+    assert(!byId.contains(31L), got)
+    // pure-target vocabulary scores strictly above pure-off-target; the
+    // mixed doc sits strictly between (robust to any single bucket
+    // collision: ordering only needs the two vocabularies to differ)
+    val tScore = byId(1L)._2
+    val rScore = byId(11L)._2
+    assert(tScore > rScore, s"target $tScore !> raw $rScore")
+    assert(byId(21L)._2 < tScore && byId(21L)._2 > rScore, byId(21L))
+    // target docs selected, pure off-target not: with disjoint vocabularies
+    // w(target bucket) = 10⁶ and w(off bucket) = 250000 vs thr = 500000
+    assert((1L to 3L).forall(byId(_)._3), got)
+    assert((11L to 13L).forall(!byId(_)._3), got)
+    // identical scores within each vocabulary class
+    assert((1L to 3L).map(byId(_)._2).distinct.size == 1)
+    // deterministic under repartitioning (driver-collected weight table is
+    // an aggregate — partition-order-free)
+    val re = Sampling.importanceScores(corpus.repartition(7), col("lang") === "t")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(re == got)
+  }
 }
