@@ -260,6 +260,20 @@ object HashOracleSql {
        |FROM csh WHERE sh IN (SELECT sh FROM bsh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** text_novelty: distinct-shingle document frequency over the corpus —
+    * per document, how many of its distinct 3-token shingles no other
+    * document contains (df = 1), with the share in integer per-mille.
+    * Same n=3 shingle-hash emulation as the dedup oracles. */
+  lazy val novelty: String =
+    s"""WITH s AS (SELECT DISTINCT doc_id, sh FROM (${shingleSql("documents")}) _),
+       |dfc AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh)
+       |SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |       CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |       CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |         // COUNT(*) AS novelty_per_mille
+       |FROM s JOIN dfc USING (sh)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   /** dedup_simhash: one more mix per shingle, 64 per-bit vote sums,
     * signature reconstruction, pigeonhole 16-bit chunk join, Hamming <= 3.
     * Arithmetic >> then & 65535 == unsigned (u >> k) % 65536 for the

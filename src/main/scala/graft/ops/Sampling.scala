@@ -211,36 +211,97 @@ object Sampling {
     * never. */
   def importanceScores(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
       buckets: Int = 1024): DataFrame = {
+    val (w, thr) =
+      weightsAndThreshold(featureCounts(docs, isTarget, buckets).collect(), buckets)
+    applyImportanceModel(docs, w, thr, buckets)
+  }
+
+  /** The bounded model table behind [[importanceScores]]: per feature
+    * bucket, the raw-corpus and target token counts — ≤ `buckets` rows
+    * from one partial+final aggregate over the hashed-unigram stream. */
+  def featureCounts(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two (pmod must equal the unsigned low bits)")
-    val feats = docs
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.word_shingles(col("text"), 1).as("fh"),
-        isTarget.as("is_target"))
-      .where(col("fh").isNotNull) // zero-token docs carry no features
-    val counts = feats
+    unigramFeatures(docs, isTarget)
       .select(explode(col("fh")).as("h"), col("is_target"))
       .groupBy(pmod(col("h"), lit(buckets.toLong)).as("bucket"))
       .agg(count(lit(1)).as("raw_n"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_n"))
-      .collect() // bounded: ≤ `buckets` rows
-    val w = Array.fill(buckets)(1000000L) // untouched buckets: (0+1)·10⁶/(0+1)
+  }
+
+  private def unigramFeatures(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.word_shingles(col("text"), 1).as("fh"),
+        isTarget.as("is_target"))
+      .where(col("fh").isNotNull) // zero-token docs carry no features
+
+  /** (bucket, raw_n, tgt_n) rows → (weight array, selection threshold).
+    * Unseen buckets smooth to (0+1)·10⁶/(0+1) = 10⁶ — a NEW batch may
+    * carry tokens the model corpus never hashed. */
+  private def weightsAndThreshold(rows: Array[org.apache.spark.sql.Row],
+      buckets: Int): (Array[Long], Long) = {
+    val w = Array.fill(buckets)(1000000L)
     var rawTot = 0L; var tgtTot = 0L
-    counts.foreach { r =>
+    rows.foreach { r =>
       val raw = r.getLong(1); val tgt = r.getLong(2)
       w(r.getLong(0).toInt) = (tgt + 1L) * 1000000L / (raw + 1L)
       rawTot += raw; tgtTot += tgt
     }
-    require(rawTot > 0, "corpus has no tokens")
-    val thr = tgtTot * 1000L / rawTot * 1000L
+    require(rawTot > 0, "model corpus has no tokens")
+    (w, tgtTot * 1000L / rawTot * 1000L)
+  }
+
+  private def applyImportanceModel(batch: DataFrame, w: Array[Long],
+      thr: Long, buckets: Int): DataFrame = {
     val wlit = typedLit(w.toSeq)
     val bucketWeight = transform(col("fh"), h =>
       element_at(wlit, (pmod(h, lit(buckets.toLong)) + 1L).cast("int")))
-    feats
+    unigramFeatures(batch, lit(false))
       .withColumn("wsum", aggregate(bucketWeight, lit(0L), (a, x) => a + x))
       .select(col("doc_id"), expr("wsum DIV size(fh)").as("score"))
       .withColumn("selected", col("score") >= thr)
       .orderBy("doc_id")
+  }
+
+  /** Persist the importance model — the SERVING shape at 100 TB: the
+    * expensive two-scan weight estimation runs once over the snapshot
+    * corpus, the stored model is one ≤ `buckets`-row parquet table
+    * (kilobytes), and every future crawl batch scores against it purely
+    * MAP-SIDE via [[scoreWithModel]] — no per-batch corpus re-scan, the
+    * same ensure-then-serve cadence as the persisted dedup indexes. The
+    * single-table write is one parquet commit; cross-process readers use
+    * the [[ensureImportanceModel]] wrapper, which stages through
+    * [[Dedup.stageAtomically]] (build-to-temp + atomic rename). */
+  def buildImportanceModel(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column, dir: String,
+      buckets: Int = 1024): Unit =
+    featureCounts(docs, isTarget, buckets)
+      .coalesce(1) // ≤ `buckets` rows — one tiny file, not |partitions|
+      .write.mode("overwrite").parquet(dir)
+
+  /** Score a new batch against a stored model: a bounded ≤ `buckets`-row
+    * read, then one map over the batch — zero shuffles, O(batch) work.
+    * Unseen-bucket tokens (vocabulary the snapshot never saw) fall back
+    * to the smoothed 10⁶ weight, exactly as an inline build would. */
+  def scoreWithModel(batch: DataFrame, dir: String,
+      buckets: Int = 1024): DataFrame = {
+    val rows = batch.sparkSession.read.parquet(dir)
+      .select("bucket", "raw_n", "tgt_n").collect() // bounded: ≤ `buckets`
+    val (w, thr) = weightsAndThreshold(rows, buckets)
+    applyImportanceModel(batch, w, thr, buckets)
+  }
+
+  /** Fingerprint-staged model over a testdata corpus (target = English),
+    * cross-process-safe and stale-proof like the dedup ensure-* fixtures. */
+  def ensureImportanceModel(spark: SparkSession, sfDir: String,
+      buckets: Int = 1024): String = {
+    val dir = Dedup.fingerprintedDir("graft-impmodel", "documents",
+      sfDir + buckets, Seq(s"$sfDir/documents.parquet"))
+    Dedup.stageAtomically(dir)(tmp =>
+      buildImportanceModel(Tables.load(spark, sfDir, "documents"),
+        col("lang") === "en", tmp.getPath, buckets))
   }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -273,7 +334,36 @@ object Sampling {
     // hashed-unigram distribution ratio
     "sample_importance" -> ((s, d) =>
       importanceScores(Tables.load(s, d, "documents"), col("lang") === "en")),
+    // the serving path: score a NEW crawl batch (the standard 0.9-truncated
+    // perturbation, ids +1M) against the PERSISTED model built from the
+    // snapshot — model reuse, not corpus re-estimation; truncation can cut
+    // a token mid-word, so the unseen-bucket fallback is genuinely
+    // exercised when the fragment hashes to an untouched bucket
+    "sample_importance_incr" -> ((s, d) => {
+      val dir = ensureImportanceModel(s, d)
+      val batch = Tables.load(s, d, "documents").select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))")
+          .as("text"))
+      scoreWithModel(batch, dir)
+    }),
   )
+
+  /** The model-estimation CTE chain both importance oracles share (weights
+    * + totals from the snapshot corpus, target = lang 'en'): one
+    * definition so the inline and the persisted-model entries cannot
+    * drift in smoothing, casts, or the threshold formula. */
+  private def importanceModelCtes: String =
+    s"""feat AS (
+       |  SELECT doc_id, CAST(uh % 1024 AS BIGINT) AS bucket
+       |  FROM (${HashOracleSql.unigramSql("documents")}) _),
+       |cnt AS (
+       |  SELECT f.bucket, COUNT(*) AS raw_n,
+       |         CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+       |  FROM feat f JOIN documents d USING (doc_id) GROUP BY f.bucket),
+       |w AS (SELECT bucket, (tgt_n + 1) * 1000000 // (raw_n + 1) AS wv FROM cnt),
+       |tot AS (SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
+       |               CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot FROM cnt)""".stripMargin
 
   val oracle: Seq[(String, String)] = Seq(
     // the same fifth-bucket hash order as a window; ties cannot occur at
@@ -343,19 +433,29 @@ object Sampling {
     // every SUM casts back to BIGINT — DuckDB SUM(BIGINT) is HUGEINT and
     // would hash-mismatch Spark's Long (the differ's decimal: tag)
     "sample_importance" ->
-      s"""WITH feat AS (
-         |  SELECT doc_id, CAST(uh % 1024 AS BIGINT) AS bucket
-         |  FROM (${HashOracleSql.unigramSql("documents")}) _),
-         |cnt AS (
-         |  SELECT f.bucket, COUNT(*) AS raw_n,
-         |         CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
-         |  FROM feat f JOIN documents d USING (doc_id) GROUP BY f.bucket),
-         |w AS (SELECT bucket, (tgt_n + 1) * 1000000 // (raw_n + 1) AS wv FROM cnt),
-         |tot AS (SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
-         |               CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot FROM cnt),
+      s"""WITH $importanceModelCtes,
          |score AS (
          |  SELECT f.doc_id, CAST(CAST(SUM(w.wv) AS BIGINT) // COUNT(*) AS BIGINT) AS score
          |  FROM feat f JOIN w USING (bucket) GROUP BY f.doc_id)
+         |SELECT s.doc_id, s.score,
+         |       s.score >= (SELECT tgt_tot * 1000 // raw_tot * 1000 FROM tot) AS selected
+         |FROM score s ORDER BY s.doc_id""".stripMargin,
+    // serving path: the SAME model CTEs, applied to the truncated batch's
+    // features; unseen buckets take the smoothed default via the LEFT
+    // JOIN + COALESCE (the engine's untouched-array-slot equivalent)
+    "sample_importance_incr" ->
+      s"""WITH $importanceModelCtes,
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)) AS text
+         |  FROM documents),
+         |bfeat AS (
+         |  SELECT doc_id, CAST(uh % 1024 AS BIGINT) AS bucket
+         |  FROM (${HashOracleSql.unigramSql("batch")}) _),
+         |score AS (
+         |  SELECT f.doc_id,
+         |         CAST(CAST(SUM(COALESCE(w.wv, 1000000)) AS BIGINT) // COUNT(*) AS BIGINT) AS score
+         |  FROM bfeat f LEFT JOIN w USING (bucket) GROUP BY f.doc_id)
          |SELECT s.doc_id, s.score,
          |       s.score >= (SELECT tgt_tot * 1000 // raw_tot * 1000 FROM tot) AS selected
          |FROM score s ORDER BY s.doc_id""".stripMargin,

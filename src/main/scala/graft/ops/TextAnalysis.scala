@@ -270,9 +270,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** N-gram novelty — the cross-document complement of
+    * [[repetitionMetrics]] (intra-doc) and [[contamination]] (vs a
+    * benchmark): per document, how many of its distinct 3-token shingles
+    * exist NOWHERE else in the corpus, and that share in integer
+    * per-mille. High novelty marks original content worth keeping; low
+    * novelty marks boilerplate/templated text even when no single pair
+    * crosses a near-dup threshold.
+    *
+    * 100 TB shape: distinct (doc, shingle-hash) pairs — longs, never
+    * shingle text — feed a partial+final document-frequency count, then
+    * join the df back and roll up per doc: the shingle stream crosses two
+    * linear exchanges (the dedup_spans shape, 10×-stress-proved there),
+    * with per-doc distinctness bounding any hot-shingle skew at one row
+    * per (doc, shingle). Integer per-mille, engine-exact. */
+  def noveltyMetrics(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleHashes(docs, n)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000 DIV n_shingles").as("novelty_per_mille"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_repetition" -> ((s, d) =>
       repetitionMetrics(Tables.load(s, d, "documents"))),
+    "text_novelty" -> ((s, d) =>
+      noveltyMetrics(Tables.load(s, d, "documents"))),
     "text_contamination" -> ((s, d) => contaminationEntry(s, d)),
     "text_pii_scrub" -> ((s, d) => piiEntry(s, d)),
     "text_tokens" -> ((s, d) => tokenCounts(Tables.load(s, d, "documents"))),
@@ -354,6 +383,7 @@ object TextAnalysis {
         |FROM base b LEFT JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "text_contamination" -> HashOracleSql.contamination,
+    "text_novelty" -> HashOracleSql.novelty,
     // DuckDB string literals do NOT process backslashes, so the Scala
     // pattern text embeds verbatim; 'g' makes regexp_replace global like
     // Spark's default

@@ -135,6 +135,24 @@ class OpsSpec extends AnyFunSuite {
       ("bb", 2L, 0L, 2L, 1000L)))
   }
 
+  test("noveltyMetrics counts corpus-unique shingles per doc, short docs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"c$i").mkString(" ")),   // 8 shingles, all unique
+      (2L, (1 to 10).map(i => s"s$i").mkString(" ")),   // identical twins:
+      (3L, (1 to 10).map(i => s"s$i").mkString(" ")),   //   every shingle df >= 2
+      (4L, "s1 s2 s3 n1 n2 n3"),  // 4 shingles: 1 shared with 2/3, 3 unique
+      (5L, "a b"))                // < 3 tokens: no shingles, absent
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.noveltyMetrics(d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 8L, 1000L),
+      (2L, 8L, 0L, 0L),
+      (3L, 8L, 0L, 0L),
+      (4L, 4L, 3L, 750L)))
+  }
+
   test("keepBestPairs picks by quality, then token count, then min id — orientation-free") {
     import spark.implicits._
     val d = docs(

@@ -124,4 +124,27 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(re == got)
   }
+
+  test("importance model: persisted scoring equals inline; unseen vocab takes the smoothed default") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = (
+      (1L to 3L).map(i => (i, "t", "aa bb cc")) ++
+      (11L to 13L).map(i => (i, "r", "xx yy zz"))
+    ).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("impmodel").toString + "/m"
+    Sampling.buildImportanceModel(corpus, col("lang") === "t", dir)
+    val inline = Sampling.importanceScores(corpus, col("lang") === "t")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val stored = Sampling.scoreWithModel(corpus, dir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(stored == inline)
+    // a batch of vocabulary the model corpus never saw: every token falls
+    // back to the smoothed (0+1)·10⁶/(0+1) weight, which clears the
+    // uniform threshold (500000) — new-domain text is not silently culled
+    val unseen = Seq((99L, "qq1 qq2 qq3")).toDF("doc_id", "text")
+    val got = Sampling.scoreWithModel(unseen, dir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((99L, 1000000L, true)), got)
+  }
 }
