@@ -141,6 +141,15 @@ object PlanAudit {
     // dedup_minhash class ceiling so a quadratic candidate regression
     // still trips it while routine pair growth does not
     "eval_leakage" -> ShuffleBudget("documents", 27.0, 2000L),
+    // distinct (doc, shingle) pairs cross twice (df count + df join-back)
+    // plus the per-doc rollup; measured 35.0/row at n=500 FALLING to
+    // 7.4/row at n=5000 (map-side partials collapse repeated hashes) —
+    // sub-linear; 2.5× headroom over the small-corpus reading
+    "text_novelty" -> ShuffleBudget("documents", 90.0, 2000L),
+    // minhash pair chain over the planted corpus + 32-byte-hash exact
+    // membership + id-only near membership + |strata|-row rollup;
+    // measured 8.77/row (n=500) and 8.63/row (n=5000) — flat
+    "dedup_report" -> ShuffleBudget("documents", 22.0, 1000L),
   )
 
   /** Executes entry `name` against `dir` through the noop sink and returns

@@ -213,7 +213,7 @@ object Sampling {
       buckets: Int = 1024): DataFrame = {
     val (w, thr) =
       weightsAndThreshold(featureCounts(docs, isTarget, buckets).collect(), buckets)
-    applyImportanceModel(docs, w, thr, buckets)
+    applyImportanceModel(docs, w, thr, buckets).orderBy("doc_id")
   }
 
   /** The bounded model table behind [[importanceScores]]: per feature
@@ -253,6 +253,8 @@ object Sampling {
     (w, tgtTot * 1000L / rawTot * 1000L)
   }
 
+  /** The pure-map scoring tail — NO sort, so it is legal inside a
+    * streaming plan (the stream twin orders after the sink). */
   private def applyImportanceModel(batch: DataFrame, w: Array[Long],
       thr: Long, buckets: Int): DataFrame = {
     val wlit = typedLit(w.toSeq)
@@ -262,7 +264,6 @@ object Sampling {
       .withColumn("wsum", aggregate(bucketWeight, lit(0L), (a, x) => a + x))
       .select(col("doc_id"), expr("wsum DIV size(fh)").as("score"))
       .withColumn("selected", col("score") >= thr)
-      .orderBy("doc_id")
   }
 
   /** Persist the importance model — the SERVING shape at 100 TB: the
@@ -286,6 +287,13 @@ object Sampling {
     * Unseen-bucket tokens (vocabulary the snapshot never saw) fall back
     * to the smoothed 10⁶ weight, exactly as an inline build would. */
   def scoreWithModel(batch: DataFrame, dir: String,
+      buckets: Int = 1024): DataFrame =
+    scoreWithModelUnordered(batch, dir, buckets).orderBy("doc_id")
+
+  /** [[scoreWithModel]] without the presentation sort — the form a
+    * STREAMING plan embeds (sorts are illegal under Append mode; the
+    * stream twin orders after its sink). */
+  def scoreWithModelUnordered(batch: DataFrame, dir: String,
       buckets: Int = 1024): DataFrame = {
     val rows = batch.sparkSession.read.parquet(dir)
       .select("bucket", "raw_n", "tgt_n").collect() // bounded: ≤ `buckets`

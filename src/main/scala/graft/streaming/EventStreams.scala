@@ -434,6 +434,23 @@ object EventStreams {
     f.delete()
   }
 
+  /** Streaming importance scoring — the online serving twin of the
+    * persisted DSIR model: the model is ensured ONCE (fingerprint-staged
+    * ≤1024-row weight table), then documents arriving as a file stream
+    * score against it as a pure stateless map per micro-batch — no state
+    * store, no watermark, Append mode; at scale this is the always-on
+    * crawl scorer, batch-sized work per batch. The bounded replay over
+    * the whole corpus must equal the batch `sample_importance` rows
+    * exactly (same model corpus, same target), so it SHARES that oracle. */
+  def importanceScoring(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.ops.Sampling.ensureImportanceModel(spark, dir)
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    runToTable(
+      graft.ops.Sampling.scoreWithModelUnordered(stream, model),
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Streaming JSONL ingestion — the always-on twin of
     * [[graft.sources.JsonlIngest]]: drop files land in a directory, the
     * file stream parses them PERMISSIVE under the same imposed schema,
@@ -491,6 +508,7 @@ object EventStreams {
     "stream_ingest_jsonl" -> ((s, d) => ingestJsonl(s, d)),
     "stream_ingest_triage" -> ((s, d) => ingestJsonlTriage(s, d)),
     "stream_postings" -> ((s, d) => streamPostings(s, d)),
+    "stream_importance" -> ((s, d) => importanceScoring(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -543,6 +561,10 @@ object EventStreams {
     // scan entry (shared by reference: scoring drift moves all three of
     // scan / batch index / stream index, or none)
     "stream_postings" -> graft.ops.Search.KeywordTopkSql,
+    // stateless map against the ensured model over the SAME corpus, so
+    // the bounded replay equals the batch scoring rows exactly
+    "stream_importance" ->
+      graft.ops.Sampling.oracle.toMap.apply("sample_importance"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s
