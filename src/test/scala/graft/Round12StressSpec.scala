@@ -46,6 +46,32 @@ class Round12StressSpec extends AnyFunSuite {
       f"shuffle volume grew $ratio%.1fx at 10x data — super-linear flagging")
   }
 
+  test("novelty: 10 disjoint isomorphic copies -> exactly 10x unique mass, ~10x shuffle") {
+    val tenX = (0 until 10).map(copyI).reduce(_ unionByName _)
+    def run(docs: DataFrame): (Long, Long, Long, Long) = {
+      var rows = 0L; var uniq = 0L; var shing = 0L
+      val sh = PlanAudit.measureShuffle(spark) {
+        val r = graft.ops.TextAnalysis.noveltyMetrics(docs)
+          .agg(count(lit(1)), sum("n_unique"), sum("n_shingles")).collect().head
+        rows = r.getLong(0); uniq = r.getLong(1); shing = r.getLong(2)
+      }
+      (rows, uniq, shing, sh)
+    }
+    val (r1, u1, s1, sh1) = run(copyI(0))
+    val (r10, u10, s10, sh10) = run(tenX)
+    info(f"docs: 1x=$r1 10x=$r10; unique: 1x=$u1 10x=$u10; " +
+      f"shuffle: 1x=$sh1 10x=$sh10 ratio=${sh10.toDouble / sh1}%.2f")
+    // disjoint vocabularies -> each copy's novelty is computed against
+    // itself only; the union must scale every aggregate exactly 10x
+    assert(r10 == 10 * r1 && u10 == 10 * u1 && s10 == 10 * s1,
+      s"novelty mass must grow exactly 10x: ($r1,$u1,$s1) -> ($r10,$u10,$s10)")
+    assert(u1 > 0, "planted corpus should retain some unique shingles")
+    assert(u1 < s1, "planted prefix copies should kill some uniqueness")
+    val ratio = sh10.toDouble / sh1
+    assert(ratio <= 13.0,
+      f"shuffle volume grew $ratio%.1fx at 10x data — super-linear df join")
+  }
+
   test("postings index: 10x id-shifted corpus -> ~10x build shuffle, 10x postings, probe stays k") {
     // exact duplication (id-shifted copies keep the TOKENS identical so
     // the corpus query terms still match) — postings rows and build
