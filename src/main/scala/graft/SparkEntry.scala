@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ops.Search.entries ++
       graft.ops.Profile.entries ++
       graft.ops.Sampling.entries ++
+      graft.ops.Fluency.entries ++
       graft.ops.Curation.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.TemporalJoins.entries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.ops.Search.oracle ++
       graft.ops.Profile.oracle ++
       graft.ops.Sampling.oracle ++
+      graft.ops.Fluency.oracle ++
       graft.ops.Curation.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.ops.TemporalJoins.oracle ++

@@ -140,6 +140,27 @@ object HashOracleSql {
     s"SELECT doc_id, i, uh FROM (${stages(tokenHashSql(docsCte), combine)})"
   }
 
+  /** docs CTE -> (doc_id, si, bh): unsigned word-BIGRAM hashes — the
+    * n = 2 window of WordShingleHashes (the positioned-mix combine of
+    * each adjacent token pair), position si = the 1-based index of the
+    * pair's FIRST token, so bigram si aligns with unigram rows i = si
+    * (prefix) and i = si + 1 (continuation). Feeds the bigram-LM fluency
+    * oracle ([[Fluency]]). */
+  private[ops] def bigramSql(docsCte: String): String = {
+    val tokMixed = tokenHashSql(docsCte)
+    val leads =
+      s"""SELECT doc_id, i AS si, th AS t0,
+         |       lead(th, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1
+         |FROM ($tokMixed) QUALIFY t1 IS NOT NULL""".stripMargin
+    val g = Mix64.Golden
+    val combine =
+      Seq("x1" -> s"((t0 + ${u64(g)}) % $M)") ++
+        mixSteps("x1", "h1", "g1") ++
+        Seq("x2" -> s"xor(h1, (t1 + ${u64(2 * g)}) % $M)") ++
+        mixSteps("x2", "bh", "g2")
+    s"SELECT doc_id, si, bh FROM (${stages(leads, combine)})"
+  }
+
   /** docs CTE -> (doc_id, si, sh): unsigned word-shingle hashes, n=3
     * (mirrors WordShingleHashes: per-token FNV-1a over lowercased chars +
     * mix, then a positioned-mix combine of each 3-token window). */

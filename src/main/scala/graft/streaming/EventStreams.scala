@@ -451,6 +451,23 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Streaming fluency scoring against the persisted bigram LM — the
+    * [[importanceScoring]] contract verbatim: the model is ensured ONCE
+    * (fingerprint-staged, epoch-committed), each micro-batch scores as a
+    * pure stateless map — no state store, no watermark, Append mode; at
+    * scale this is the always-on CCNet-style crawl filter. The bounded
+    * replay over the whole corpus must equal the batch `text_fluency`
+    * rows exactly (same reference slice, same model), so it SHARES that
+    * oracle. */
+  def fluencyScoring(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.ops.Fluency.ensureLmModel(spark, dir)
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    runToTable(
+      graft.ops.Fluency.scoreWithLmUnordered(stream, model),
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Streaming JSONL ingestion — the always-on twin of
     * [[graft.sources.JsonlIngest]]: drop files land in a directory, the
     * file stream parses them PERMISSIVE under the same imposed schema,
@@ -509,6 +526,7 @@ object EventStreams {
     "stream_ingest_triage" -> ((s, d) => ingestJsonlTriage(s, d)),
     "stream_postings" -> ((s, d) => streamPostings(s, d)),
     "stream_importance" -> ((s, d) => importanceScoring(s, d)),
+    "stream_fluency" -> ((s, d) => fluencyScoring(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -565,6 +583,10 @@ object EventStreams {
     // the bounded replay equals the batch scoring rows exactly
     "stream_importance" ->
       graft.ops.Sampling.oracle.toMap.apply("sample_importance"),
+    // same contract as stream_importance: a stateless map against the
+    // ensured bigram LM over the SAME corpus -> shares the batch oracle
+    "stream_fluency" ->
+      graft.ops.Fluency.oracle.toMap.apply("text_fluency"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s
