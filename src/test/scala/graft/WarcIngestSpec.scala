@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.WarcIngest
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val CRLF = "\r\n"
+  private def record(id: String, body: String, lang: String = "en",
+      claimedOverride: Option[Int] = None, keep: Option[Int] = None): String = {
+    val payload = s"HTTP/1.1 200 OK${CRLF}Content-Type: text/plain; charset=utf-8$CRLF" +
+      s"X-Doc-Lang: $lang$CRLF$CRLF$body"
+    val kept = keep.map(payload.substring(0, _)).getOrElse(payload)
+    s"WARC/1.0${CRLF}WARC-Type: response$CRLF" +
+      s"WARC-Target-URI: http://example.com/doc/$id$CRLF" +
+      s"Content-Length: ${claimedOverride.getOrElse(payload.length)}$CRLF$CRLF" +
+      kept + CRLF + CRLF
+  }
+
+  private def parse(archive: String) =
+    WarcIngest.parseArchive(
+      archive.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  test("well-formed records round-trip bodies byte-exactly, in order") {
+    val rows = parse(record("1", "hello crawl world") + record("2", "", "fr"))
+    assert(rows.map(r => (r.docId, r.text, r.lang)) ==
+      Seq((Some(1L), "hello crawl world", "en"), (Some(2L), "", "fr")))
+    assert(rows.forall(_.errorClass.isEmpty))
+  }
+
+  test("a truncated payload quarantines WITH its URI and does not consume the records after it") {
+    val rows = parse(
+      record("1", "first document body") +
+        record("2", "damaged document body", keep = Some(10)) + // payload cut, length still claims full
+        record("3", "third document body"))
+    assert(rows.map(_.errorClass) == Seq("", "truncated", ""))
+    assert(rows(1).targetUri == "http://example.com/doc/2") // headers survive payload damage
+    assert(rows(2).docId.contains(3L) && rows(2).text == "third document body")
+  }
+
+  test("a well-formed payload may contain the record magic and the blank-line sequence") {
+    // Content-Length-driven walk: neither the magic nor CRLFCRLF inside a
+    // correctly-framed body may split the record (the naive resync-only
+    // parser fails exactly here)
+    val tricky = s"quote: WARC/1.0$CRLF header-ish$CRLF$CRLF tail"
+    val rows = parse(record("7", tricky) + record("8", "after"))
+    assert(rows.map(_.errorClass) == Seq("", ""))
+    assert(rows(0).text == tricky, rows(0))
+    assert(rows(1).docId.contains(8L))
+  }
+
+  test("a non-numeric document id is schema_mismatch, not silently dropped") {
+    val rows = parse(record("id-9", "vendor drift body"))
+    assert(rows.map(r => (r.errorClass, r.targetUri)) ==
+      Seq(("schema_mismatch", "http://example.com/doc/id-9")))
+  }
+
+  test("overclaimed length at end-of-archive and junk lengths quarantine; leading garbage is skipped") {
+    // record claims more bytes than the archive holds (cut-off upload tail)
+    val cut = parse(record("1", "ok") + record("2", "tail", claimedOverride = Some(100000)))
+    assert(cut.map(_.errorClass) == Seq("", "truncated"))
+    // a record boundary preceded by clipped garbage from a previous archive
+    val garbage = parse("clipped previous tail bytes" + record("4", "body"))
+    assert(garbage.map(r => (r.docId, r.errorClass)) == Seq((Some(4L), "")))
+    // unparsable Content-Length
+    val junk = parse(
+      s"WARC/1.0${CRLF}WARC-Target-URI: http://example.com/doc/5${CRLF}Content-Length: lots$CRLF$CRLF" +
+        "x" + CRLF + CRLF + record("6", "fine"))
+    assert(junk.map(_.errorClass) == Seq("truncated", ""))
+    assert(junk(0).targetUri == "http://example.com/doc/5")
+  }
+}
