@@ -46,7 +46,11 @@ object PlanAudit {
     "search_bm25_topk", "search_bm25_indexed", "search_hybrid_bm25",
     // recall entry runs BOTH allowlisted legs (brute truth + IVF probe)
     // to join their ≤ |queries|·k outputs — the legs' designed plans
-    "sim_recall_ivf")
+    "sim_recall_ivf",
+    // SemDeDup rides the kmeans quantizer: corpus × broadcast(centroids)
+    // assignment (the sim_topk_ivf_kmeans plan); the pair stage itself is
+    // a hash self-join on cluster, never a cartesian
+    "dedup_semantic")
 
   /** Shuffle-row budget for one entry: `floor + perInputRow × n`, where n
     * is the row count of `input` (a table name under the sf dir). Budgets
@@ -82,6 +86,11 @@ object PlanAudit {
     // + IVF assignment write + probed-cluster top-k; measured 32.3/row
     // at n=500 falling to 11.7/row at n=2000
     "sim_topk_ivf_kmeans" -> ShuffleBudget("embeddings", 85.0, 4000L),
+    // SemDeDup: Lloyd passes over the planted 2n corpus + ONE cluster
+    // exchange for the pair self-join + pair-linear dropped agg; measured
+    // 17.16/row at both spec SFs (SemDedupSpec prints it) — an all-pairs
+    // regression on the 1000-vector planted corpus is ~1000/row
+    "dedup_semantic" -> ShuffleBudget("embeddings", 45.0, 2000L),
     // SpaceSaving partial sketches: measured 2 records at 6k rows and 4
     // at 600k — shuffle rows ≈ partitions × k, essentially constant
     "approx_top_parts" -> ShuffleBudget("lineitem", 0.001, 2000L),

@@ -522,9 +522,12 @@ object Similarity {
     * probing, and scoring unrolled as a CTE chain with the same constants
     * and the same expression shapes, so every intermediate is the same
     * exact integer (or the same correctly-rounded division). */
-  def kmeansIvfSql(k: Int = 10, every: Long = 50L, nprobe: Int = 3,
-      nCentroids: Int = 16, iters: Int = 2, scale: Int = 64,
-      dim: Int = 64): String = {
+  /** The quantizer + seeded init + Lloyd rounds + final assignment as a
+    * reusable CTE chain ending at `af(vec_id, cluster, qvec, qnorm)` —
+    * shared by the kmeans-IVF oracle and the SemDeDup oracle so the two
+    * entries answer to literally the same trained quantizer. */
+  private def lloydCtes(nCentroids: Int, iters: Int, scale: Int,
+      dim: Int, src: String = "embeddings"): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, cluster, qvec, qnorm FROM (
@@ -554,13 +557,13 @@ object Similarity {
         updateCte(s"a$i", s"c${i - 1}", s"m$i", s"c$i")
     }.mkString(",\n")
     val cf = s"c$iters"
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x ->
        |           CAST(FLOOR(CAST(x AS DOUBLE) *
        |                (127.0 / GREATEST(list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))), 1e-300))
        |                + 0.5) AS DOUBLE)) AS qvec
-       |  FROM embeddings
+       |  FROM $src
        |), n AS (
        |  SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS qnorm FROM q
        |  WHERE list_dot_product(qvec, qvec) > 0
@@ -569,7 +572,14 @@ object Similarity {
        |  FROM n WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $nCentroids
        |),
        |$rounds,
-       |${assignCte("af", cf)},
+       |${assignCte("af", cf)}""".stripMargin
+  }
+
+  def kmeansIvfSql(k: Int = 10, every: Long = 50L, nprobe: Int = 3,
+      nCentroids: Int = 16, iters: Int = 2, scale: Int = 64,
+      dim: Int = 64): String = {
+    val cf = s"c$iters"
+    s"""WITH ${lloydCtes(nCentroids, iters, scale, dim)},
        |probes AS (
        |  SELECT qid, probe_vec, probe_norm, cluster FROM (
        |    SELECT p.vec_id AS qid, p.qvec AS probe_vec, p.qnorm AS probe_norm,
@@ -589,6 +599,90 @@ object Similarity {
        |  WHERE a.vec_id <> p.qid) t
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — the public recipe):
+    * k-means-cluster the embedding space, then deduplicate PAIRWISE ONLY
+    * WITHIN each cluster — the cluster bound is what makes semantic
+    * near-dup removal tractable at web scale (the paper runs ~11k
+    * clusters over 100M+ points; pair cost is Σ(cluster size)², never
+    * n²). Reuses this file's trained quantizer verbatim: the SAME
+    * deterministic Lloyd's over int8-quantized vectors as
+    * [[kmeansIvfTopK]], so the SemDeDup oracle and the IVF oracle answer
+    * to literally the same clustering.
+    *
+    * Duplicate rule: vectors u < v (vec_id order) in the same cluster
+    * with cosine(u, v) ≥ tauNum/tauDen are duplicates; v is DROPPED and
+    * records its smallest witness as `dup_of` — the same one-sided
+    * canonical-first-survivor rule as the span-dedup family (the paper
+    * keeps one point per ε-ball; which one is a free choice, and the
+    * total order makes ours engine-stable). Threshold exactness: the
+    * comparison is integer CROSS-MULTIPLICATION — cos ≥ t/T ⟺ dot ≥ 0 ∧
+    * (T·dot)² ≥ t²·‖a‖²·‖b‖² — over exact-integer-valued doubles
+    * (dot ≤ 127²·64 ⇒ (10·dot)² ≤ 1.1e14 < 2^53), so there is NO
+    * float-precision knife edge at the threshold, unlike a sqrt-based
+    * cosine compare.
+    *
+    * Scale shape: one corpus scan to quantize, the bounded Lloyd's
+    * rounds (shuffle ∝ k·dim·partitions), ONE hash exchange on cluster
+    * for the self-join, per-cluster quadratic work bounded by
+    * (n/k)² with k scaled to the corpus, and a pair-linear group-min.
+    * Output: (vec_id, cluster, dup_of nullable, kept), ORDER BY vec_id. */
+  def semDedup(emb: DataFrame, tauNum: Int = 9, tauDen: Int = 10,
+      nCentroids: Int = 16, iters: Int = 2, scale: Int = 64): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0, "threshold must be non-negative")
+    val q = quantize(emb)
+    val cents = trainCentroids(q, nCentroids, iters, scale)
+    // consumed three times (two self-join sides + the output frame):
+    // localCheckpoint, not persist — the probeMinhashIndex rationale
+    val assign = assignQ(q, cents)
+      .select("vec_id", "cluster", "qvec", "qnorm").localCheckpoint()
+    val left = assign.select(col("cluster"), col("vec_id").as("id_a"),
+      col("qvec").as("va"), col("qnorm").as("na"))
+    val right = assign.select(col("cluster"), col("vec_id").as("id_b"),
+      col("qvec").as("vb"), col("qnorm").as("nb"))
+    val dropped = left.join(right, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", dot_i8(col("va"), col("vb")))
+      .filter(col("dot") >= 0D &&
+        (col("dot") * tauDen) * (col("dot") * tauDen) >=
+          col("na") * col("nb") * (tauNum.toLong * tauNum))
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assign.select("vec_id", "cluster")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB rendering of [[semDedup]]: the shared [[lloydCtes]] chain,
+    * then the within-cluster pair filter under the same integer
+    * cross-multiplied threshold. */
+  def semDedupSql(tauNum: Int = 9, tauDen: Int = 10, nCentroids: Int = 16,
+      iters: Int = 2, scale: Int = 64, dim: Int = 64): String =
+    s"""WITH emb2 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(x * CAST(1.02 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS REAL)) AS embedding
+       |  FROM embeddings
+       |),
+       |${lloydCtes(nCentroids, iters, scale, dim, src = "emb2")},
+       |dropped AS (
+       |  SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM (
+       |    SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |    FROM af x JOIN af y
+       |      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |    WHERE list_dot_product(x.qvec, y.qvec) >= 0
+       |      AND (list_dot_product(x.qvec, y.qvec) * $tauDen)
+       |          * (list_dot_product(x.qvec, y.qvec) * $tauDen)
+       |          >= x.qnorm * y.qnorm * ${tauNum.toLong * tauNum}
+       |  ) GROUP BY id_b)
+       |SELECT a.vec_id, a.cluster, d.dup_of, d.dup_of IS NULL AS kept
+       |FROM af a LEFT JOIN dropped d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
 
   /** Shared int8 symmetric quantization: (vec_id, qvec: array<tinyint>,
     * qnorm: exact self-dot). greatest(·, 1e-300) only guards the all-zero
@@ -614,6 +708,16 @@ object Similarity {
     "sim_topk_quantized" -> ((s, d) => quantizedTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf_quantized" -> ((s, d) => ivfQuantizedTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf_kmeans" -> ((s, d) => kmeansIvfTopK(Tables.load(s, d, "embeddings"))),
+    // the corpus plus its planted perturbed twins (the dedup_incr_embedding
+    // planting verbatim): every twin must co-cluster with and be dropped
+    // against its original, so the entry exercises real removals
+    "dedup_semantic" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      semDedup(emb.select("vec_id", "embedding").unionAll(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
+          .as("embedding"))))
+    }),
     // the measured quality axis, under the gate: IVF's per-query recall
     // against the brute-force truth
     "sim_recall_ivf" -> ((s, d) => {
@@ -630,6 +734,7 @@ object Similarity {
     // generated CTE chain unrolling the trained-quantizer pipeline with
     // the same constants as the entry's defaults
     "sim_topk_ivf_kmeans" -> kmeansIvfSql(),
+    "dedup_semantic" -> semDedupSql(),
     // mirrors quantizedTopK exactly: same floor(x·127/max|x| + 0.5)
     // quantizer, same double accumulation (exact — all intermediates are
     // integers < 2^53), same (cosine DESC, vec_id) tie order
