@@ -28,6 +28,7 @@ object SparkEntry {
       graft.ops.Profile.entries ++
       graft.ops.Sampling.entries ++
       graft.ops.Fluency.entries ++
+      graft.ops.Urls.entries ++
       graft.ops.Curation.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.TemporalJoins.entries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       graft.ops.Profile.oracle ++
       graft.ops.Sampling.oracle ++
       graft.ops.Fluency.oracle ++
+      graft.ops.Urls.oracle ++
       graft.ops.Curation.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.ops.TemporalJoins.oracle ++

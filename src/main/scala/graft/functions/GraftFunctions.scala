@@ -26,6 +26,7 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int = 3): Column =
     c(WordShingleHashes(e(text), n))
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
+  def url_normalize(url: Column): Column = c(NormalizeUrl(e(url)))
 
   /** Distributed Bloom-filter build over a LongType column — Spark's own
     * `BloomFilterAggregate` (the runtime-filter machinery behind
@@ -100,6 +101,9 @@ object GraftFunctions {
     }, "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize", es => {
       arity("nfc_normalize", es, 1, 1); NfcNormalize(es.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("url_normalize", es => {
+      arity("url_normalize", es, 1, 1); NormalizeUrl(es.head)
     }, "built-in")
     // aggregate: analysis wraps the raw ImperativeAggregate into an
     // AggregateExpression. The size arguments must be BIGINT literals —

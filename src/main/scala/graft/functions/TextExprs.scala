@@ -222,3 +222,77 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Crawl-URL canonicalization — the identity key every crawl dedup stack
+  * needs in front of URL-level dedup (two fetches of one page must agree
+  * on a key before any content-level pass runs). Rules, in order:
+  *
+  *  1. scheme and host lowercase (RFC 3986 §6.2.2.1 case normalization);
+  *  2. default port stripped (http:80, https:443), other ports kept;
+  *  3. fragment dropped (never reaches the server);
+  *  4. tracking parameters dropped: any key with the `utm_` prefix, and
+  *     the click-id family fbclid / gclid / msclkid / ref;
+  *  5. remaining query parameters sorted lexicographically by their raw
+  *     `k=v` token (a total order, so the key is engine- and
+  *     arrival-order-stable); an emptied query drops its `?`;
+  *  6. an empty path becomes `/` (RFC 3986 §6.2.3).
+  *
+  * Deliberately NOT handled (documented contract, not an oversight):
+  * userinfo (absent from crawlable URLs), percent-encoding case folding,
+  * and IDN — each would make the key depend on tables that drift. A
+  * string without `://` is returned unchanged (a non-URL key passes
+  * through rather than throwing mid-pipeline). Pure per-row function —
+  * map-side anywhere, codegen via a static helper like [[NfcNormalize]]. */
+object NormalizeUrl {
+  private val Tracking = Set("fbclid", "gclid", "msclkid", "ref")
+
+  def norm(in: UTF8String): UTF8String = {
+    val s = in.toString
+    val sep = s.indexOf("://")
+    if (sep < 0) return in
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(sep + 3)
+    var i = 0
+    while (i < rest.length && rest.charAt(i) != '/' &&
+      rest.charAt(i) != '?' && rest.charAt(i) != '#') i += 1
+    var authority = rest.substring(0, i).toLowerCase(java.util.Locale.ROOT)
+    if ((scheme == "http" && authority.endsWith(":80")) ||
+      (scheme == "https" && authority.endsWith(":443")))
+      authority = authority.substring(0, authority.lastIndexOf(':'))
+    val tail = rest.substring(i)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt >= 0) tail.substring(0, hashAt) else tail
+    val qAt = noFrag.indexOf('?')
+    val path0 = if (qAt >= 0) noFrag.substring(0, qAt) else noFrag
+    val path = if (path0.isEmpty) "/" else path0
+    val query =
+      if (qAt < 0) ""
+      else {
+        val kept = noFrag.substring(qAt + 1).split('&').toSeq
+          .filter(_.nonEmpty)
+          .filterNot { p =>
+            val k = p.takeWhile(_ != '=').toLowerCase(java.util.Locale.ROOT)
+            k.startsWith("utm_") || Tracking.contains(k)
+          }
+          .sorted
+        if (kept.isEmpty) "" else kept.mkString("?", "&", "")
+      }
+    UTF8String.fromString(scheme + "://" + authority + path + query)
+  }
+}
+
+case class NormalizeUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_normalize"
+
+  override def nullSafeEval(in: Any): Any =
+    NormalizeUrl.norm(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeUrl.norm($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
