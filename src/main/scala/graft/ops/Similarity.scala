@@ -623,16 +623,24 @@ object Similarity {
     * float-precision knife edge at the threshold, unlike a sqrt-based
     * cosine compare.
     *
-    * Scale shape: one corpus scan to quantize, the bounded Lloyd's
-    * rounds (shuffle ∝ k·dim·partitions), ONE hash exchange on cluster
-    * for the self-join, per-cluster quadratic work bounded by
-    * (n/k)² with k scaled to the corpus, and a pair-linear group-min.
+    * Scale shape: one corpus scan to quantize (checkpointed — the Lloyd
+    * rounds and both self-join sides replay the compact int8 rows, never
+    * the parquet scan), the bounded Lloyd's rounds (shuffle ∝
+    * k·dim·partitions), ONE hash exchange on cluster for the self-join,
+    * and a pair-linear group-min. k is NOT fixed: it scales as
+    * n/targetClusterSize (floored at nCentroids), so per-cluster pair
+    * work stays ~targetClusterSize²/2 and total pair volume stays LINEAR
+    * in n — the paper's own discipline (~11k clusters for 100M points ≈
+    * 9k/cluster). At the sf0.01 oracle gate the floor keeps k at the
+    * oracle SQL's constant 16.
     * Output: (vec_id, cluster, dup_of nullable, kept), ORDER BY vec_id. */
   def semDedup(emb: DataFrame, tauNum: Int = 9, tauDen: Int = 10,
-      nCentroids: Int = 16, iters: Int = 2, scale: Int = 64): DataFrame = {
+      nCentroids: Int = 16, iters: Int = 2, scale: Int = 64,
+      targetClusterSize: Int = 128): DataFrame = {
     require(tauNum >= 0 && tauDen > 0, "threshold must be non-negative")
-    val q = quantize(emb)
-    val cents = trainCentroids(q, nCentroids, iters, scale)
+    val q = quantize(emb).localCheckpoint()
+    val k = math.max(nCentroids, (q.count() / targetClusterSize).toInt)
+    val cents = trainCentroids(q, k, iters, scale)
     // consumed three times (two self-join sides + the output frame):
     // localCheckpoint, not persist — the probeMinhashIndex rationale
     val assign = assignQ(q, cents)
