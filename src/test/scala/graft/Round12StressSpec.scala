@@ -163,4 +163,34 @@ class Round12StressSpec extends AnyFunSuite {
     assert(kept10 == 10 * kept1 && tot10 == 10 * tot1,
       s"strip mass must grow exactly 10x: ($kept1,$tot1) -> ($kept10,$tot10)")
   }
+
+  test("semantic dedup: 10x synthetic twin corpus -> exactly 10x drops, ~linear shuffle") {
+    // deterministic ±1 vectors (quantize to ±127, so a 1.02-scaled twin is
+    // quantization-IDENTICAL to its base: same cluster by construction,
+    // cosine exactly 1); base-base cosine >= 0.9 needs 61 of 64 random
+    // dims to agree (~2e-15/pair) — drops therefore equal the twin count
+    def corpus(n: Long): DataFrame = {
+      val base = spark.range(1, n + 1).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), d -> cast(if(pmod(hash(id * 64 + d), 2) = 0, -1.0, 1.0) as float))")
+          .as("embedding"))
+      base.unionByName(base.select((col("vec_id") + 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.02 as float))").as("embedding")))
+    }
+    def run(n: Long): (Long, Long) = {
+      var drops = 0L
+      val sh = PlanAudit.measureShuffle(spark) {
+        drops = graft.ops.Similarity.semDedup(corpus(n))
+          .filter(!col("kept")).count()
+      }
+      (drops, sh)
+    }
+    val (d1, sh1) = run(500)
+    val (d10, sh10) = run(5000)
+    info(f"drops: 1x=$d1 10x=$d10; shuffle rows: 1x=$sh1 10x=$sh10 ratio=${sh10.toDouble / sh1}%.2f")
+    assert(d1 == 500L && d10 == 5000L,
+      s"every twin (and nothing else) must drop: got $d1 / $d10")
+    val ratio = sh10.toDouble / sh1
+    assert(ratio <= 13.0,
+      f"shuffle volume grew $ratio%.1fx at 10x data — the cluster bound is not scaling (k should grow with n)")
+  }
 }
