@@ -212,9 +212,47 @@ object Profile {
       .orderBy("stratum")
   }
 
+  /** Epoch-to-epoch corpus membership diff — the audit every snapshot
+    * handoff needs: which documents ENTERED, LEFT, or CHANGED CONTENT
+    * between two corpus versions. Identity = doc_id, content = sha256 of
+    * the text (the [[Dedup.exact]] hash family: 256-bit, so a silent
+    * corpus-scale collision is ~n²/2^257). Unchanged documents are NOT
+    * emitted — at 100 TB the diff is the small artifact, the corpus is
+    * not; counts of unchanged fall out as |A| − removed − changed.
+    *
+    * Scale shape: each side reduces to (doc_id, 32-byte hash) map-side
+    * (text never shuffles), one full-outer hash join on doc_id, one
+    * status projection — two linear scans plus an id+hash exchange. */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id"), sha2(col("text"), 256).as("ha"))
+      .join(b.select(col("doc_id"), sha2(col("text"), 256).as("hb")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("hb").isNull, "removed")
+          .when(col("ha").isNull, "added")
+          .when(col("ha") =!= col("hb"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "table_profile" -> ((s, d) =>
       profile(Tables.load(s, d, "lineitem"), LineitemCols)),
+    // diff fixture: epoch B drops every 11th doc, revises every 7th
+    // survivor, and adds a new page per 13th doc — all three status
+    // classes exercised; the oracle derives them from the planting rule,
+    // so the engine's hash path must agree with pure arithmetic
+    "corpus_diff" -> ((s, d) => {
+      val a = Tables.load(s, d, "documents")
+      val b = a.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(a.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("new page "), col("doc_id")).as("text")))
+      corpusDiff(a, b)
+    }),
     "profile_quantiles" -> ((s, d) =>
       quantiles(Tables.load(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
@@ -229,6 +267,16 @@ object Profile {
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // statuses straight from the planting rule — the engine's sha256
+    // membership/content comparison must reproduce the arithmetic
+    "corpus_diff" ->
+      """SELECT doc_id, status FROM (
+        |  SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'changed' FROM documents WHERE doc_id % 11 != 0 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'added' FROM documents WHERE doc_id % 13 = 0
+        |) ORDER BY doc_id""".stripMargin,
     // one SELECT per column (the oracle can afford N scans; the engine
     // must not) — same CAST-after-aggregate rendering
     "table_profile" -> LineitemCols.map { c =>

@@ -671,4 +671,21 @@ class OpsSpec extends AnyFunSuite {
     // doc 7: n_frames = 27 -> frames 0,10,20
     assert(frames.map(_._3).toSeq == Seq(0, 10, 20))
   }
+
+  // ---- epoch corpus diff --------------------------------------------
+
+  test("corpusDiff: added/removed/changed exactly, unchanged silent, self-diff empty") {
+    val a = docs(1L -> "one", 2L -> "two", 3L -> "three")
+    val b = docs(1L -> "one", 3L -> "three REVISED", 4L -> "four")
+    val got = graft.ops.Profile.corpusDiff(a, b)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(2L -> "removed", 3L -> "changed", 4L -> "added"), got)
+    assert(graft.ops.Profile.corpusDiff(a, a).count() == 0L)
+    // identical text under a different id is a remove+add pair, not a
+    // move: identity is the id, content equality alone never merges rows
+    val moved = docs(9L -> "one")
+    val mv = graft.ops.Profile.corpusDiff(docs(1L -> "one"), moved)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(mv == Seq(1L -> "removed", 9L -> "added"), mv)
+  }
 }
