@@ -27,6 +27,7 @@ object GraftFunctions {
     c(WordShingleHashes(e(text), n))
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
   def url_normalize(url: Column): Column = c(NormalizeUrl(e(url)))
+  def html_to_text(html: Column): Column = c(HtmlToText(e(html)))
 
   /** Distributed Bloom-filter build over a LongType column — Spark's own
     * `BloomFilterAggregate` (the runtime-filter machinery behind
@@ -104,6 +105,9 @@ object GraftFunctions {
     }, "built-in")
     reg.createOrReplaceTempFunction("url_normalize", es => {
       arity("url_normalize", es, 1, 1); NormalizeUrl(es.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("html_to_text", es => {
+      arity("html_to_text", es, 1, 1); HtmlToText(es.head)
     }, "built-in")
     // aggregate: analysis wraps the raw ImperativeAggregate into an
     // AggregateExpression. The size arguments must be BIGINT literals —

@@ -296,3 +296,66 @@ case class NormalizeUrl(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** HTML → text extraction — the step between WARC ingestion and every
+  * text op: crawl payloads are markup, the pipeline consumes prose. A
+  * deterministic, dependency-free extractor (the trafilatura/jusText
+  * class of tools is a quality upgrade, not a semantics change):
+  *
+  *  1. `<script>`/`<style>` blocks removed WITH their content
+  *     (case-insensitive, non-greedy across the block);
+  *  2. HTML comments removed;
+  *  3. every remaining tag replaced by one space (so adjacent text
+  *     nodes never fuse into a false token);
+  *  4. the common entities decoded: amp, lt, gt, quot, apos/#39,
+  *     nbsp (→ space), plus decimal `&#NNN;` for ASCII;
+  *  5. whitespace runs collapsed to single spaces, ends trimmed.
+  *
+  * Contract notes: an unclosed trailing `<fragment` is NOT a tag and
+  * passes through as text (framing damage belongs to the ingest
+  * quarantine, not here); entity decoding happens AFTER tag stripping,
+  * so `&lt;script&gt;` in text can never resurrect as markup. Pure
+  * per-row function, codegen via a static helper like [[NfcNormalize]]. */
+object HtmlToText {
+  private val Blocks = java.util.regex.Pattern.compile(
+    "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>")
+  private val Comments = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val Tags = java.util.regex.Pattern.compile("<[^>]*>")
+  private val Decimal = java.util.regex.Pattern.compile("&#(\\d{1,3});")
+  private val Spaces = java.util.regex.Pattern.compile("\\s+")
+
+  def extract(in: UTF8String): UTF8String = {
+    var s = in.toString
+    s = Blocks.matcher(s).replaceAll(" ")
+    s = Comments.matcher(s).replaceAll(" ")
+    s = Tags.matcher(s).replaceAll(" ")
+    s = s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&#39;", "'")
+    val m = Decimal.matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val code = m.group(1).toInt
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        if (code >= 32 && code <= 126) code.toChar.toString else " "))
+    }
+    m.appendTail(sb)
+    s = sb.toString.replace("&amp;", "&") // amp LAST: &amp;lt; -> "&lt;" as text
+    UTF8String.fromString(Spaces.matcher(s).replaceAll(" ").trim)
+  }
+}
+
+case class HtmlToText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_to_text"
+
+  override def nullSafeEval(in: Any): Any =
+    HtmlToText.extract(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlToText.extract($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

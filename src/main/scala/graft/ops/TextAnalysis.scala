@@ -322,6 +322,23 @@ object TextAnalysis {
           .otherwise(col("text")).as("text")))
         .orderBy("doc_id") // presentation-only, for the oracle differ
     }),
+    // HTML extraction exercised on a planted page template around each
+    // doc's text (title + h1 + styled/scripted head + entities + a
+    // comment); the oracle derives the expected prose from the same
+    // template rule, so tag stripping, block removal, entity decoding,
+    // and whitespace collapse are all hash-checked
+    "text_extract_html" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      docs.select(col("doc_id"), expr(
+        """concat('<html><head><title>doc ', cast(doc_id as string),
+          |  '</title><style>p{color:red}</style><script>var x = 1 < 2;</script>',
+          |  '</head><body><h1>doc ', cast(doc_id as string), '</h1><p>',
+          |  text, ' &amp;&nbsp;done</p><!-- crawler:x --></body></html>')""".stripMargin
+          .replaceAll("\n\\s*", "")).as("html"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.html_to_text(col("html")).as("text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Quality-score oracle text, shared: text_filter_pipeline wraps it so
@@ -431,6 +448,14 @@ object TextAnalysis {
     // the same three normalization steps; DuckDB's nfc_normalize and
     // Java's Normalizer both implement UAX#15 NFC, and the control-char
     // class is spelled out so both regex engines see identical semantics
+    // the same page-template rule, with the expected prose spelled out:
+    // title + h1 text survive, style/script/comment content does not,
+    // " &amp;&nbsp;done" decodes to " & done", whitespace collapses
+    "text_extract_html" ->
+      """SELECT doc_id,
+        |       'doc ' || CAST(doc_id AS VARCHAR) || ' doc ' || CAST(doc_id AS VARCHAR)
+        |       || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & done' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH planted AS (
         |  SELECT doc_id,
