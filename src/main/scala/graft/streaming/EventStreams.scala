@@ -468,6 +468,25 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Streaming HTML extraction — the always-on shape of
+    * `text_extract_html`: each micro-batch maps crawl markup to prose
+    * with the codegen'd [[graft.functions.HtmlToText]] — stateless, no
+    * watermark, Append mode. The bounded replay wraps the SAME page
+    * template around the corpus, so it shares the batch oracle. */
+  def htmlExtraction(spark: SparkSession, dir: String): DataFrame = {
+    val stream = documentStream(spark, dir).select(col("doc_id"), expr(
+      """concat('<html><head><title>doc ', cast(doc_id as string),
+        |  '</title><style>p{color:red}</style><script>var x = 1 < 2;</script>',
+        |  '</head><body><h1>doc ', cast(doc_id as string), '</h1><p>',
+        |  text, ' &amp;&nbsp;done</p><!-- crawler:x --></body></html>')""".stripMargin
+        .replaceAll("\n\\s*", "")).as("html"))
+    runToTable(
+      stream.select(col("doc_id"),
+        graft.functions.GraftFunctions.html_to_text(col("html")).as("text")),
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Streaming JSONL ingestion — the always-on twin of
     * [[graft.sources.JsonlIngest]]: drop files land in a directory, the
     * file stream parses them PERMISSIVE under the same imposed schema,
@@ -527,6 +546,7 @@ object EventStreams {
     "stream_postings" -> ((s, d) => streamPostings(s, d)),
     "stream_importance" -> ((s, d) => importanceScoring(s, d)),
     "stream_fluency" -> ((s, d) => fluencyScoring(s, d)),
+    "stream_extract_html" -> ((s, d) => htmlExtraction(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -587,6 +607,9 @@ object EventStreams {
     // ensured bigram LM over the SAME corpus -> shares the batch oracle
     "stream_fluency" ->
       graft.ops.Fluency.oracle.toMap.apply("text_fluency"),
+    // stateless map over the same planted template -> the batch oracle
+    "stream_extract_html" ->
+      graft.ops.TextAnalysis.oracle.toMap.apply("text_extract_html"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s
