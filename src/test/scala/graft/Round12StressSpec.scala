@@ -193,4 +193,34 @@ class Round12StressSpec extends AnyFunSuite {
     assert(ratio <= 13.0,
       f"shuffle volume grew $ratio%.1fx at 10x data — the cluster bound is not scaling (k should grow with n)")
   }
+
+  test("fluency: 10x corpus -> 10x scored rows, model-build shuffle bounded by buckets x partitions") {
+    // the LM build's shuffle carries partial-aggregate rows — at most
+    // (UniBuckets + BiBuckets) per PARTITION, never the token stream:
+    // with a 10x-partition union the row bound scales with partitions,
+    // so the assertable invariants are (a) <= buckets x partitions and
+    // (b) a small fraction of the corpus's tokens. Scoring itself is
+    // literal-array map-side (zero-exchange, FluencySpec).
+    def corpus(n: Int): DataFrame = (0 until n).map(copyI).reduce(_ unionByName _)
+    def run(n: Int): (Long, Long, Long, Int) = {
+      val c = corpus(n)
+      val parts = c.rdd.getNumPartitions
+      val toks = c.select(org.apache.spark.sql.functions.expr(
+        "sum(size(split(text, '\\\\s+')))")).collect().head.getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("lmstress").toString + "/m"
+      val sh = PlanAudit.measureShuffle(spark) {
+        graft.ops.Fluency.buildLmModel(c, dir)
+      }
+      (graft.ops.Fluency.scoreWithLm(c, dir).count(), sh, toks, parts)
+    }
+    val (r1, sh1, tok1, p1) = run(1)
+    val (r10, sh10, tok10, p10) = run(10)
+    info(f"scored rows: 1x=$r1 10x=$r10; build shuffle: 1x=$sh1 ($p1 parts, $tok1 toks) " +
+      f"10x=$sh10 ($p10 parts, $tok10 toks, ${100.0 * sh10 / tok10}%.1f%% of tokens)")
+    assert(r10 == 10 * r1, s"scored rows must grow exactly 10x: $r1 -> $r10")
+    val bound10 = p10.toLong * (graft.ops.Fluency.UniBuckets + graft.ops.Fluency.BiBuckets)
+    assert(sh10 <= bound10, s"shuffle $sh10 exceeds buckets x partitions bound $bound10")
+    assert(sh10 * 10 <= tok10,
+      f"model-build shuffled ${100.0 * sh10 / tok10}%.1f%% of the token stream — partial aggregation lost")
+  }
 }
