@@ -161,7 +161,16 @@ object Curation {
       curate(withPlantedDups(Tables.load(s, d, "documents")))),
     "curate_to_chunks" -> ((s, d) =>
       curateToChunks(withPlantedDups(Tables.load(s, d, "documents")))
-        .orderBy("doc_id", "chunk_id")))
+        .orderBy("doc_id", "chunk_id")),
+    // raw drop bytes to trainer rows, one declarative plan: the JSONL
+    // valid channel (corrupt lines quarantined upstream) feeds the same
+    // planted-dup curation + chunking as curate_to_chunks
+    "e2e_drop_to_chunks" -> ((s, d) => {
+      val (valid, _) = graft.sources.JsonlIngest.readWithQuarantine(
+        s, graft.sources.JsonlIngest.ensureJsonlDrop(s, d))
+      curateToChunks(withPlantedDups(valid.select("doc_id", "text", "lang")))
+        .orderBy("doc_id", "chunk_id")
+    }))
 
   /** DuckDB mirror: quality metrics per PLANTED document (near-copies
     * have their own truncated text, so metrics are computed on the
@@ -175,16 +184,23 @@ object Curation {
   /** Shared oracle preamble: planted union → quality gate → keep-first →
     * minhash pair mining → removal set. Both composed entries build on
     * exactly these CTEs, so the two oracles cannot drift apart. */
-  private def plantedKeptCtes: String =
-    s"""WITH p AS (
-       |  SELECT doc_id, text, lang FROM documents
+  private def plantedKeptCtes: String = plantedKeptCtesFrom("documents")
+
+  /** The same preamble rooted at an arbitrary (doc_id, text, lang)
+    * relation — the raw-drop end-to-end entry splices it after the JSONL
+    * parse CTEs. `withHead` = false omits the leading WITH so the caller
+    * can prepend its own CTE chain. */
+  private[ops] def plantedKeptCtesFrom(src: String,
+      withHead: Boolean = true): String =
+    s"""${if (withHead) "WITH " else ""}p AS (
+       |  SELECT doc_id, text, lang FROM $src
        |  UNION ALL
-       |  SELECT doc_id + 1000000, text, lang FROM documents
+       |  SELECT doc_id + 1000000, text, lang FROM $src
        |  UNION ALL
        |  SELECT doc_id + 2000000,
        |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.9) AS INT), 1)),
        |         lang
-       |  FROM documents),
+       |  FROM $src),
        |q AS (${TextAnalysis.textQualityOracleSqlFrom("p")}),
        |g AS (
        |  SELECT p.doc_id, p.lang, p.text, q.n_tokens, q.quality_score
@@ -221,23 +237,41 @@ object Curation {
     // windows with lang carried per row
     "curate_to_chunks" ->
       s"""$plantedKeptCtes,
-         |train AS (
-         |  SELECT k.doc_id, k.lang, k.text
-         |  FROM k LEFT JOIN removed USING (doc_id)
-         |  WHERE removed.doc_id IS NULL
-         |    AND ((k.doc_id % 1000003) * 2654435761) % 1000 < 800),
-         |tok AS (
-         |  SELECT doc_id, lang,
-         |         list_filter(string_split_regex(text, '\\s+'),
-         |                     x -> length(x) > 0) AS t
-         |  FROM train)
-         |SELECT doc_id, lang,
-         |       CAST(s // 24 AS BIGINT) AS chunk_id,
-         |       CAST(s AS BIGINT) AS chunk_start,
-         |       CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
-         |       array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
-         |FROM (SELECT doc_id, lang, t, len(t) AS n,
-         |             unnest(generate_series(0, len(t) - 1, 24)) AS s
-         |      FROM tok WHERE len(t) > 0)
-         |ORDER BY doc_id, chunk_id""".stripMargin)
+         |$chunksFromKeptSql""".stripMargin,
+    // the WHOLE path under one oracle: raw JSONL drop bytes -> PERMISSIVE
+    // parse (corrupt lines excluded exactly as ingest_jsonl) -> the
+    // planted-dup curation preamble rooted at the parsed rows -> train
+    // slice -> chunk windows. Any drift in ingest, gating, dedup, split,
+    // or chunking hash-mismatches here even if each piece's own entry
+    // still passes.
+    "e2e_drop_to_chunks" ->
+      s"""${graft.sources.JsonlIngest.linesCte},
+         |parsed AS (
+         |  SELECT CAST(json_extract(line, '$$.doc_id') AS BIGINT) AS doc_id,
+         |         json_extract_string(line, '$$.text') AS text,
+         |         json_extract_string(line, '$$.lang') AS lang
+         |  FROM lines WHERE ${graft.sources.JsonlIngest.parseable}),
+         |${plantedKeptCtesFrom("parsed", withHead = false)},
+         |$chunksFromKeptSql""".stripMargin)
+
+  private def chunksFromKeptSql: String =
+    """train AS (
+      |  SELECT k.doc_id, k.lang, k.text
+      |  FROM k LEFT JOIN removed USING (doc_id)
+      |  WHERE removed.doc_id IS NULL
+      |    AND ((k.doc_id % 1000003) * 2654435761) % 1000 < 800),
+      |tok AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split_regex(text, '\s+'),
+      |                     x -> length(x) > 0) AS t
+      |  FROM train)
+      |SELECT doc_id, lang,
+      |       CAST(s // 24 AS BIGINT) AS chunk_id,
+      |       CAST(s AS BIGINT) AS chunk_start,
+      |       CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
+      |       array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+      |FROM (SELECT doc_id, lang, t, len(t) AS n,
+      |             unnest(generate_series(0, len(t) - 1, 24)) AS s
+      |      FROM tok WHERE len(t) > 0)
+      |ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -135,7 +135,7 @@ object JsonlIngest {
     * `to_json` renders byte-identically to Spark's for this corpus (pure
     * ASCII, no escapes; pinned in IngestSpec), so no file path enters the
     * oracle. */
-  private val linesCte: String =
+  private[graft] val linesCte: String =
     """WITH lines AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 97 = 0
@@ -153,7 +153,7 @@ object JsonlIngest {
     * record-level contract (any field-conversion failure quarantines the
     * whole record; IngestSpec pins that behavior on the string-doc_id
     * planting). */
-  private val parseable =
+  private[graft] val parseable =
     // the CASE gate matters: DuckDB's json_extract THROWS on malformed
     // JSON and AND does not guarantee short-circuit evaluation, so the
     // extract must only ever see valid lines (NULL otherwise)
