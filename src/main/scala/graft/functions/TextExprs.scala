@@ -231,7 +231,11 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   *  2. default port stripped (http:80, https:443), other ports kept;
   *  3. fragment dropped (never reaches the server);
   *  4. tracking parameters dropped: any key with the `utm_` prefix, and
-  *     the click-id family fbclid / gclid / msclkid / ref;
+  *     the click-id family fbclid / gclid / msclkid — `ref` is KEPT:
+  *     it is frequently functional (?ref=branch on a code host), and a
+  *     URL-level merge of genuinely distinct pages is unrecoverable
+  *     downstream, while an unmerged tracking alias still collapses at
+  *     the content-hash tier;
   *  5. remaining query parameters sorted lexicographically by their raw
   *     `k=v` token (a total order, so the key is engine- and
   *     arrival-order-stable); an emptied query drops its `?`;
@@ -244,7 +248,7 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   * through rather than throwing mid-pipeline). Pure per-row function —
   * map-side anywhere, codegen via a static helper like [[NfcNormalize]]. */
 object NormalizeUrl {
-  private val Tracking = Set("fbclid", "gclid", "msclkid", "ref")
+  private val Tracking = Set("fbclid", "gclid", "msclkid")
 
   def norm(in: UTF8String): UTF8String = {
     val s = in.toString
@@ -305,10 +309,17 @@ case class NormalizeUrl(child: Expression) extends UnaryExpression {
   *  1. `<script>`/`<style>` blocks removed WITH their content
   *     (case-insensitive, non-greedy across the block);
   *  2. HTML comments removed;
-  *  3. every remaining tag replaced by one space (so adjacent text
-  *     nodes never fuse into a false token);
-  *  4. the common entities decoded: amp, lt, gt, quot, apos/#39,
-  *     nbsp (→ space), plus decimal `&#NNN;` for ASCII;
+  *  3. every remaining TAG-SHAPED run replaced by one space (so adjacent
+  *     text nodes never fuse into a false token) — tag-shaped means `<`
+  *     followed by an optional `/` and a name-start character
+  *     (letter / `!` / `?`), so prose like `a < b and c > d` or `<3`
+  *     passes through as text instead of being swallowed to the next `>`
+  *     (real crawl HTML carries unescaped `<` in text constantly);
+  *  4. the common entities decoded in ONE left-to-right scan: amp, lt,
+  *     gt, quot, apos, nbsp (→ space), plus decimal `&#NNNNNNN;` —
+  *     printable-ASCII codes to their character, everything else to a
+  *     space. One scan means decoding never re-reads its own output:
+  *     `&amp;lt;` → `&lt;` as text, `&#38;amp;` → `&amp;` as text;
   *  5. whitespace runs collapsed to single spaces, ends trimmed.
   *
   * Contract notes: an unclosed trailing `<fragment` is NOT a tag and
@@ -320,8 +331,9 @@ object HtmlToText {
   private val Blocks = java.util.regex.Pattern.compile(
     "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>")
   private val Comments = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
-  private val Tags = java.util.regex.Pattern.compile("<[^>]*>")
-  private val Decimal = java.util.regex.Pattern.compile("&#(\\d{1,3});")
+  private val Tags = java.util.regex.Pattern.compile("</?[a-zA-Z!?][^>]*>")
+  private val Entities = java.util.regex.Pattern.compile(
+    "&(amp|lt|gt|quot|apos|nbsp);|&#(\\d{1,7});")
   private val Spaces = java.util.regex.Pattern.compile("\\s+")
 
   def extract(in: UTF8String): UTF8String = {
@@ -329,18 +341,22 @@ object HtmlToText {
     s = Blocks.matcher(s).replaceAll(" ")
     s = Comments.matcher(s).replaceAll(" ")
     s = Tags.matcher(s).replaceAll(" ")
-    s = s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'").replace("&#39;", "'")
-    val m = Decimal.matcher(s)
+    val m = Entities.matcher(s)
     val sb = new StringBuffer
     while (m.find()) {
-      val code = m.group(1).toInt
-      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
-        if (code >= 32 && code <= 126) code.toChar.toString else " "))
+      val rep =
+        if (m.group(1) != null) m.group(1) match {
+          case "amp" => "&"; case "lt" => "<"; case "gt" => ">"
+          case "quot" => "\""; case "apos" => "'"; case _ => " " // nbsp
+        }
+        else {
+          val code = m.group(2).toLong // ≤ 7 digits, cannot overflow
+          if (code >= 32 && code <= 126) code.toChar.toString else " "
+        }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
     }
     m.appendTail(sb)
-    s = sb.toString.replace("&amp;", "&") // amp LAST: &amp;lt; -> "&lt;" as text
-    UTF8String.fromString(Spaces.matcher(s).replaceAll(" ").trim)
+    UTF8String.fromString(Spaces.matcher(sb.toString).replaceAll(" ").trim)
   }
 }
 

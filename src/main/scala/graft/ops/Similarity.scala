@@ -636,10 +636,16 @@ object Similarity {
     * Output: (vec_id, cluster, dup_of nullable, kept), ORDER BY vec_id. */
   def semDedup(emb: DataFrame, tauNum: Int = 9, tauDen: Int = 10,
       nCentroids: Int = 16, iters: Int = 2, scale: Int = 64,
-      targetClusterSize: Int = 128): DataFrame = {
+      targetClusterSize: Int = 128, oracleK: Option[Int] = None): DataFrame = {
     require(tauNum >= 0 && tauDen > 0, "threshold must be non-negative")
     val q = quantize(emb).localCheckpoint()
     val k = math.max(nCentroids, (q.count() / targetClusterSize).toInt)
+    // an oracle-gated caller pins the k its SQL hard-codes: if the fixture
+    // grows past nCentroids·targetClusterSize the gate must fail HERE with
+    // a named assertion, not as an opaque hash mismatch downstream
+    oracleK.foreach(ok => require(k == ok,
+      s"semDedup computed k=$k but the paired oracle SQL hard-codes k=$ok " +
+        "(fixture grew past nCentroids*targetClusterSize — regenerate the oracle)"))
     val cents = trainCentroids(q, k, iters, scale)
     // consumed three times (two self-join sides + the output frame):
     // localCheckpoint, not persist — the probeMinhashIndex rationale
@@ -724,7 +730,7 @@ object Similarity {
       semDedup(emb.select("vec_id", "embedding").unionAll(emb.select(
         (col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
-          .as("embedding"))))
+          .as("embedding"))), oracleK = Some(16))
     }),
     // the measured quality axis, under the gate: IVF's per-query recall
     // against the brute-force truth

@@ -56,20 +56,28 @@ object WarcIngest {
     var pos = s.indexOf(Magic) // leading garbage (a clipped tail) is skipped
     while (pos >= 0 && pos < s.length) {
       val headerEnd = s.indexOf("\r\n\r\n", pos)
+      // a claimed length that is negative or cannot possibly fit this
+      // archive is framing damage — range-check BEFORE narrowing so a
+      // > 2^31 claim cannot wrap to a small positive and sneak a damaged
+      // record past the separator check with a wrong payload boundary
       val claimed =
         if (headerEnd < 0) None
         else header(s.substring(pos, headerEnd), "Content-Length")
           .flatMap(_.toLongOption)
+          .filter(n => n >= 0 && n <= s.length.toLong)
       val payloadAt = headerEnd + 4
-      val sepAt = claimed.map(payloadAt + _.toInt)
+      // Long arithmetic end-to-end: the narrowing happens only once the
+      // separator position is proven in-bounds
+      val sepAtL = claimed.map(payloadAt.toLong + _)
       val wellFramed = headerEnd >= 0 && claimed.isDefined &&
-        sepAt.get + 4 <= s.length &&
-        s.startsWith("\r\n\r\n", sepAt.get) &&
-        (sepAt.get + 4 == s.length || s.startsWith(Magic, sepAt.get + 4))
+        sepAtL.get + 4 <= s.length &&
+        s.startsWith("\r\n\r\n", sepAtL.get.toInt) &&
+        (sepAtL.get + 4 == s.length || s.startsWith(Magic, sepAtL.get.toInt + 4))
       if (wellFramed) {
+        val sepAt = sepAtL.get.toInt
         out += parseWellFramed(s.substring(pos, headerEnd),
-          s.substring(payloadAt, sepAt.get))
-        pos = sepAt.get + 4
+          s.substring(payloadAt, sepAt))
+        pos = sepAt + 4
       } else {
         // framing damage: quarantine this span, resync to the next magic
         val resync = s.indexOf(Magic, pos + Magic.length)

@@ -32,4 +32,21 @@ class HtmlToTextSpec extends AnyFunSuite {
     assert(x("") == "")
     assert(x("plain prose, no markup") == "plain prose, no markup")
   }
+
+  test("bare < in prose is text, not a tag (r12 advice)") {
+    // unescaped comparison prose must survive: only tag-shaped runs strip
+    assert(x("a < b and c > d") == "a < b and c > d")
+    assert(x("<p>i <3 you</p>") == "i <3 you")
+    assert(x("if x < 10 then <b>stop</b>") == "if x < 10 then stop")
+    // tag-shaped still strips: names, closers, doctype, PI
+    assert(x("<!DOCTYPE html><?xml version='1.0'?><p>y</p>") == "y")
+  }
+
+  test("entity decode is one left-to-right scan (r12 advice)") {
+    // &#38;amp; = the TEXT "&amp;" — the produced '&' is never re-read
+    assert(x("&#38;amp;") == "&amp;")
+    // 4+ digit entities hit the documented non-ASCII -> space fallback
+    assert(x("it&#8217;s fine") == "it s fine")
+    assert(x("&#0000039;quoted&#39;") == "'quoted'")
+  }
 }

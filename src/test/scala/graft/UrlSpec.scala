@@ -18,8 +18,11 @@ class UrlSpec extends AnyFunSuite {
     // 3. fragment dropped
     assert(n("http://e.com/p#sec") == "http://e.com/p")
     // 4. tracking params dropped, by prefix and by name, case-insensitive keys
-    assert(n("http://e.com/p?utm_source=a&UTM_campaign=b&fbclid=1&gclid=2&msclkid=3&ref=r&keep=1")
+    assert(n("http://e.com/p?utm_source=a&UTM_campaign=b&fbclid=1&gclid=2&msclkid=3&keep=1")
       == "http://e.com/p?keep=1")
+    // 4b. `ref` is FUNCTIONAL (e.g. ?ref=branch on a code host), not a
+    // click-id — it must survive normalization (r12 advice)
+    assert(n("http://e.com/repo/blob?ref=main&fbclid=1") == "http://e.com/repo/blob?ref=main")
     // 5. raw-token sort; emptied query drops its '?'
     assert(n("http://e.com/p?b=2&a=10&a=1") == "http://e.com/p?a=1&a=10&b=2")
     assert(n("http://e.com/p?utm_source=x") == "http://e.com/p")

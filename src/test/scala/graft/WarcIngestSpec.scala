@@ -70,4 +70,19 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(junk.map(_.errorClass) == Seq("truncated", ""))
     assert(junk(0).targetUri == "http://example.com/doc/5")
   }
+
+  test("a Content-Length above 2^31 quarantines instead of wrapping to a small positive (r12 advice)") {
+    // 2^32 + 2 would .toInt-wrap to 2 — if the wrapped value lined up with
+    // a separator the damaged record would parse with a WRONG payload
+    // boundary; the range check must quarantine it before narrowing
+    val wrapped = parse(
+      s"WARC/1.0${CRLF}WARC-Target-URI: http://example.com/doc/9$CRLF" +
+        s"Content-Length: ${(1L << 32) + 2}$CRLF${CRLF}xy$CRLF$CRLF" + record("10", "fine"))
+    assert(wrapped.map(_.errorClass) == Seq("truncated", ""))
+    assert(wrapped(0).targetUri == "http://example.com/doc/9")
+    assert(wrapped(1).docId.contains(10L))
+    // negative claims are equally out of range
+    val neg = parse(record("11", "body", claimedOverride = Some(-4)) + record("12", "ok"))
+    assert(neg.map(_.errorClass) == Seq("truncated", ""))
+  }
 }
