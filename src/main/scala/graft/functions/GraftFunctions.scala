@@ -26,6 +26,11 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int = 3): Column =
     c(WordShingleHashes(e(text), n))
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
+  /** Aggregate: values sorted by (key, value) — the PPJoin sorted-set
+    * build, primitive-buffer fast path of
+    * `transform(sort_array(collect_list(struct(k, v))), r -> r.v)`. */
+  def sorted_set_by_key(key: Column, value: Column): Column =
+    c(SortedSetByKey(e(key), e(value)).toAggregateExpression())
   def url_normalize(url: Column): Column = c(NormalizeUrl(e(url)))
   def html_to_text(html: Column): Column = c(HtmlToText(e(html)))
 

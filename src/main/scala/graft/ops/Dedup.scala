@@ -167,12 +167,14 @@ object Dedup {
     * candidate pairs joined to the compact per-doc set arrays.
     * Output: doc_a < doc_b, jaccard. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // the exploded index is consumed multiple times (df + prefix sides +
-    // set rebuild); persist the two-long rows instead of recomputing the
-    // text-hashing chain per consumer
+    // the exploded index feeds the df aggregate and the anti-join probe
+    // side. NOT persisted (r13): the df aggregate's shuffle files are
+    // shared by every downstream consumer via ReusedExchange, and the
+    // probe side only re-runs the map-side scan→hash→explode chain — a
+    // 2M-row MEMORY_AND_DISK materialization bought nothing on a quiet
+    // host and was the entry's biggest variance amplifier under load
     val exploded = shingleHashes(docs)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency per shingle: partial-aggregated groupBy (map-side
     // combine), consumed by the stop-shingle cutoff and the global prefix
     // order
@@ -185,13 +187,17 @@ object Dedup {
     val rare = exploded.join(broadcast(hot), Seq("sh"), "left_anti")
     // ONE aggregate builds both the prefix source and the verification
     // sets: per doc, shingles sorted rarest-first under the global
-    // (df, sh) total order. Sizing uses the SAME post-cutoff sets the
-    // intersection uses — sizing by the full set while intersecting only
-    // rare shingles would underestimate Jaccard for boilerplate-heavy
-    // docs (two identical docs sharing 90% hot shingles must score 1.0).
+    // (df, sh) total order — via the primitive-buffer SortedSetByKey
+    // aggregate (r13: the collect_list(struct) + interpreted sort_array +
+    // lambda chain was the dominant cold/contended-pass weight). Sizing
+    // uses the SAME post-cutoff sets the intersection uses — sizing by
+    // the full set while intersecting only rare shingles would
+    // underestimate Jaccard for boilerplate-heavy docs (two identical
+    // docs sharing 90% hot shingles must score 1.0).
     val sets = rare.join(dfs, Seq("sh"))
       .groupBy("doc_id")
-      .agg(expr("transform(sort_array(collect_list(struct(df, sh))), r -> r.sh)").as("set"))
+      .agg(graft.functions.GraftFunctions
+        .sorted_set_by_key(col("df"), col("sh")).as("set"))
       .withColumn("set_size", size(col("set")).cast("long"))
       // consumed three times (prefix + both verification join-backs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

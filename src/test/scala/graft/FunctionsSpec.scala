@@ -176,4 +176,31 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1L, "a b c"), (2L, "x y z"), (3L, "caf\u00E9 ok")))
   }
+
+  test("sorted_set_by_key \u2261 transform(sort_array(collect_list(struct)))") {
+    import spark.implicits._
+    // deterministic pseudo-random pairs: group sizes cross the quicksort
+    // cutoff (16) both ways, keys collide (ties break on value), values
+    // span negative longs, and nulls are skipped like collect_list
+    val rng = new scala.util.Random(20260815L)
+    val rows: Seq[(Long, java.lang.Long, Long)] = (1 to 6000).map { i =>
+      val g = i % 37
+      val key: java.lang.Long = if (i % 211 == 0) null else rng.nextInt(8).toLong
+      (g.toLong, key, rng.nextLong())
+    } :+ ((99L, java.lang.Long.valueOf(5L), 1L)) // singleton group
+    val df = rows.toDF("g", "k", "v")
+    val fast = df.groupBy("g").agg(sorted_set_by_key(col("k"), col("v")).as("set"))
+    val slow = df.filter(col("k").isNotNull).groupBy("g")
+      .agg(expr("transform(sort_array(collect_list(struct(k, v))), r -> r.v)").as("set"))
+    val f = fast.as[(Long, Seq[Long])].collect().toMap
+    val s = slow.as[(Long, Seq[Long])].collect().toMap
+    assert(f.keySet == s.keySet)
+    f.keys.foreach(g => assert(f(g) == s(g), s"group $g"))
+    // SQL / spark-plan sanity: partial+final planning must not corrupt the
+    // buffer across serialize/deserialize \u2014 force a wide shuffle
+    val wide = df.repartition(16, col("v"))
+      .groupBy("g").agg(sorted_set_by_key(col("k"), col("v")).as("set"))
+      .as[(Long, Seq[Long])].collect().toMap
+    f.keys.foreach(g => assert(wide(g) == f(g), s"group $g (partial+final)"))
+  }
 }
