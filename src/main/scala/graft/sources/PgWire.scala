@@ -9,9 +9,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   * it talks to Postgres directly over the wire (connection spawn
   * `/root/reference/src/sqldb/postgres/mod.rs:133-168`), not through a
   * JDBC driver. Surface: startup (trust auth), the simple-query protocol
-  * with STREAMED text-format rows, and loud errors for everything else
-  * (auth challenges, COPY sub-protocol — the COPY channels have their own
-  * codecs, [[PgCopyEncoder]]/[[PgCopyDecoder]]).
+  * with STREAMED text-format rows, the COPY OUT sub-protocol ([[Session.copyOut]]
+  * — payload decode belongs to [[PgCopyDecoder]], the write-side twin to
+  * [[PgCopyEncoder]]), and loud errors for everything else (auth
+  * challenges).
   *
   * Protocol facts (public PG docs, "Frontend/Backend Protocol"):
   * StartupMessage has no type byte (length + protocol 196608 + key/value
@@ -163,6 +164,89 @@ object PgWire {
       while (!z) readMessage() match {
         case ('Z', _) => z = true
         case _ => ()
+      }
+    }
+
+    /** Run one RowDescription-only probe (`… LIMIT 0`) and return the
+      * result fields — the wire-native analog of a JDBC Describe: the
+      * caller learns each column's type OID (e.g. which text columns are
+      * uuid on the wire) without fetching a row. */
+    def fields(sql: String): Seq[Field] = {
+      var fs: Seq[Field] = Nil
+      val it = queryStream(sql)(fs = _)
+      while (it.hasNext) it.next() // LIMIT 0: drains straight to ReadyForQuery
+      fs
+    }
+
+    /** Run one `COPY … TO STDOUT (FORMAT binary)` statement and stream the
+      * reassembled payload — the reference's core read transport
+      * (`/root/reference/src/sqldb/postgres/mod.rs:133-168` issues exactly
+      * this statement; `binary_reader.rs:24-209` decodes the bytes). The
+      * sub-protocol (public PG docs, "COPY Operations"): the server answers
+      * CopyOutResponse('H': int8 overall format, int16 ncols, int16
+      * per-column formats), then the payload as CopyData('d') frames whose
+      * boundaries carry NO alignment to row or field boundaries (frame
+      * reassembly is the client's job), then CopyDone('c'),
+      * CommandComplete('C'), ReadyForQuery('Z'). NoticeResponse /
+      * ParameterStatus may interleave ANYWHERE, including between CopyData
+      * frames — the real-server client_min_messages quirk.
+      *
+      * The returned InputStream yields payload bytes across frames; once
+      * the trailer is consumed it has read through ReadyForQuery, leaving
+      * the session reusable. Abandoning it mid-stream requires closing the
+      * session (the socket is the cancel mechanism). ErrorResponse — before
+      * the first frame or mid-stream — drains to ready and throws. */
+    def copyOut(sql: String): java.io.InputStream = {
+      val body = new ByteArrayOutputStream()
+      body.write(sql.getBytes(UTF_8)); body.write(0)
+      out.writeByte('Q')
+      out.writeInt(4 + body.size())
+      body.writeTo(out)
+      out.flush()
+      // header: CopyOutResponse, or a loud error for anything else
+      var started = false
+      while (!started) readMessage() match {
+        case ('H', p) =>
+          if (p.nonEmpty && p(0) != 1) throw new java.io.IOException(
+            s"pgwire COPY: server chose format ${p(0)} but FORMAT binary was requested")
+          started = true
+        case ('E', p) =>
+          val msg = errorMessage(p)
+          drainToReady()
+          throw new java.io.IOException(s"pgwire COPY error: $msg")
+        case ('N', _) | ('S', _) | ('K', _) => ()
+        case (other, _) => throw new java.io.IOException(
+          s"pgwire: unexpected message '$other' awaiting CopyOutResponse")
+      }
+      new java.io.InputStream {
+        private var buf: Array[Byte] = Array.emptyByteArray
+        private var pos = 0
+        private var done = false
+        /** Ensure at least one unread payload byte, or end-of-copy. */
+        private def fill(): Boolean = {
+          while (pos >= buf.length && !done) readMessage() match {
+            case ('d', p) => buf = p; pos = 0
+            case ('c', _) => drainToReady(); done = true // CopyDone → 'C' → 'Z'
+            case ('E', p) =>
+              val msg = errorMessage(p)
+              drainToReady()
+              throw new java.io.IOException(s"pgwire COPY aborted mid-stream: $msg")
+            case ('N', _) | ('S', _) | ('K', _) => () // chatter between frames
+            case (other, _) => throw new java.io.IOException(
+              s"pgwire: unexpected message '$other' during COPY OUT")
+          }
+          pos < buf.length
+        }
+        override def read(): Int =
+          if (!fill()) -1 else { val b = buf(pos) & 0xff; pos += 1; b }
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          if (len == 0) return 0
+          if (!fill()) return -1
+          val n = math.min(len, buf.length - pos)
+          System.arraycopy(buf, pos, b, off, n)
+          pos += n
+          n
+        }
       }
     }
 

@@ -247,17 +247,57 @@ class PgWireBackend private (val address: String) extends SqlBackend {
   }
 }
 
-/** Task-side wire connection: `fetch` opens a socket ON THE TASK and
-  * streams text rows through compiled decoders; the session closes with
-  * the stream's end or the task, whichever comes first, so partial reads
-  * under a Spark-side limit don't leak sockets. Serializes as the
-  * address string only. */
+/** Task-side wire connection: `fetch` opens a socket ON THE TASK and —
+  * by default — reads via `COPY (sql) TO STDOUT (FORMAT binary)` decoded
+  * straight through [[PgCopyDecoder]]: the reference's core read
+  * architecture (`binary_reader.rs:24-209` + `mod.rs:133-168`), with no
+  * per-value text parse and exact float/numeric round-trips. The
+  * simple-query TEXT path remains as the fallback
+  * (`-Dgraft.pgwire.binaryCopy=false`) for servers or types without a
+  * binary arm. Either way the session closes with the stream's end or the
+  * task, whichever comes first, so partial reads under a Spark-side limit
+  * don't leak sockets. Serializes as the address string only. */
 case class PgWireTaskConnection(address: String) extends SqlConnection {
   override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] = {
     val (host, port, db, user) = PgWireBackend.parse(address)
     val session = new PgWire.Session(host, port, db, user)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => session.close()))
+    if (PgWireTaskConnection.binaryCopy) binaryFetch(session, sql, schema)
+    else textFetch(session, sql, schema)
+  }
+
+  /** Binary COPY read. A uuid column is StringType Spark-side but ships
+    * as 16 raw bytes — learned (like the JDBC path's Describe probe) from
+    * a LIMIT-0 RowDescription probe, issued only when the schema has
+    * string columns that COULD be uuid; the probe doubles as an early
+    * width check before the COPY starts. */
+  private def binaryFetch(session: PgWire.Session, sql: String,
+      schema: StructType): Iterator[Row] = {
+    val uuidCols: Set[String] =
+      if (schema.fields.exists(_.dataType == StringType)) {
+        val fs = session.fields(s"""SELECT * FROM ($sql) "__graft_probe" LIMIT 0""")
+        require(fs.size == schema.size,
+          s"pgwire result width ${fs.size} != expected ${schema.size} for: $sql")
+        fs.iterator.zipWithIndex.collect {
+          case (f, i) if f.typeOid == PgWire.Oid.Uuid => schema.fields(i).name
+        }.toSet
+      } else Set.empty
+    val in = session.copyOut(s"COPY ($sql) TO STDOUT (FORMAT binary)")
+    val rows = PgCopyDecoder.rows(in, schema, uuidCols)
+    var exhausted = false
+    new Iterator[Row] {
+      override def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h && !exhausted) { exhausted = true; session.close() }
+        h
+      }
+      override def next(): Row = rows.next()
+    }
+  }
+
+  private def textFetch(session: PgWire.Session, sql: String,
+      schema: StructType): Iterator[Row] = {
     val ds = PgWireBackend.textDecoders(schema)
     var exhausted = false
     val it = session.queryStream(sql) { fields =>
@@ -273,4 +313,10 @@ case class PgWireTaskConnection(address: String) extends SqlConnection {
       override def next(): Row = PgWireBackend.decodeRow(it.next(), ds)
     }
   }
+}
+
+object PgWireTaskConnection {
+  /** Read-path selector, task-side: binary COPY by default. */
+  private[graft] def binaryCopy: Boolean =
+    sys.props.getOrElse("graft.pgwire.binaryCopy", "true").toBoolean
 }

@@ -47,6 +47,18 @@ class PgWindowFusionSpec extends AnyFunSuite {
       .toDF("id", "dept", "sal", "bonus").createOrReplaceTempView("emp")
     Seq((0, "eng"), (1, "ops"), (2, "fin"))
       .toDF("id", "dname").createOrReplaceTempView("dep")
+    // every discoverable wire type in one table, nulls planted per column
+    s.sql("""CREATE OR REPLACE TEMP VIEW typed AS
+      SELECT CAST(id AS INT) AS i,
+             id * 1000000007 AS l,
+             CASE WHEN id % 5 = 0 THEN NULL ELSE id % 3 = 0 END AS b,
+             CAST(id % 7 AS SMALLINT) AS s,
+             CAST(CAST(id AS REAL) / 3.0E0 AS REAL) AS f,
+             CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 7.0E0 END AS d,
+             CAST(id AS DECIMAL(12,3)) * 1.001 AS m,
+             CASE WHEN id % 11 = 0 THEN NULL ELSE concat('t-', CAST(id AS STRING)) END AS t,
+             DATE_ADD(DATE'2020-01-01', CAST(id AS INT)) AS dt
+      FROM range(1, 41)""")
     s
   }
 
@@ -89,7 +101,7 @@ class PgWindowFusionSpec extends AnyFunSuite {
       val tableRe = "\"table_name\" = '([^']+)'".r
       val relRe = "\"relname\" = '([^']+)'".r
       if (sql.contains("\"information_schema\".\"tables\"")) {
-        val names = Seq("dep", "emp")
+        val names = Seq("dep", "emp", "typed")
         Some(MiniPgServer.QueryResult(
           Seq(("table_name", PgWire.Oid.Varchar)),
           names.map(n => Seq(Some(n)))))
@@ -131,6 +143,21 @@ class PgWindowFusionSpec extends AnyFunSuite {
         }
       }
     }
+    // binary COPY serving: the client's default read path issues
+    // `COPY (sql) TO STDOUT (FORMAT binary)`; the delegate executes the
+    // inner SQL and the PRODUCTION encoder frames the payload — so the
+    // client's decoder is exercised against independently-encoded bytes
+    srv.copyOutExecutor = inner => {
+      val prev = SparkSession.getActiveSession
+      SparkSession.setActiveSession(delegate)
+      try {
+        val df = delegate.sql(inner)
+        Some(graft.sources.PgCopyEncoder.bytes(df.collect().toSeq, df.schema))
+      } finally prev match {
+        case Some(p) => SparkSession.setActiveSession(p)
+        case None => SparkSession.clearActiveSession()
+      }
+    }
     srv
   }
 
@@ -156,7 +183,7 @@ class PgWindowFusionSpec extends AnyFunSuite {
 
   test("catalog discovery and schema come over the wire") {
     val b = PgWireBackend.forAddress(s"127.0.0.1:${server.port}/testdb")
-    assert(b.tables == Seq("dep", "emp"))
+    assert(b.tables == Seq("dep", "emp", "typed"))
     assert(b.schema("emp").fields.map(f => (f.name, f.dataType)).toSeq ==
       Seq(("id", IntegerType), ("dept", IntegerType),
         ("sal", DoubleType), ("bonus", IntegerType)))
@@ -174,9 +201,13 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(p.head.sql.contains("ROW_NUMBER() OVER (PARTITION BY"),
       s"partitioned OVER must render:\n${p.head.sql}")
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-    // the SQL traveled the actual wire protocol (logged at execution)
-    assert(server.eventLog.contains(p.head.sql),
+    // the SQL traveled the actual wire protocol (logged at execution) —
+    // wrapped in the COPY statement on the default binary read path
+    assert(server.eventLog.exists(q => q == p.head.sql || q.contains(p.head.sql)),
       "fused SQL must appear in the server's Query log")
+    assert(server.eventLog.exists(q =>
+      q.startsWith("COPY (") && q.contains(p.head.sql)),
+      "the fused read must ride the binary COPY sub-protocol")
     val want = localEmp
       .select(col("id"), col("dept"), row_number().over(w).as("rn"))
       .filter(col("rn") <= 2)
@@ -339,6 +370,91 @@ class PgWindowFusionSpec extends AnyFunSuite {
 
   test("NoticeResponse chatter interleaved with rows is skipped (client_min_messages quirk)") {
     server.noticeEveryNRows = 3
+    try {
+      val got = remote("emp").select("id", "sal").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(got == (1 to 40).map(i => (i, i * 10.0)).toSet)
+    } finally server.noticeEveryNRows = 0
+  }
+
+  test("binary COPY read ≡ text read ≡ local Spark across the discoverable type matrix") {
+    // the SAME scan collected over both read paths: byte-framed COPY
+    // (default) and simple-query text (-Dgraft.pgwire.binaryCopy=false),
+    // both equal to the delegate's own local answer — nulls included
+    def collectRemote(): Seq[Seq[Any]] = remote("typed").collect()
+      .map(r => (0 until 9).map(i => r.get(i)).toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+    val viaBinary = collectRemote()
+    assert(server.eventLog.exists(_.startsWith("COPY (")),
+      "default read must issue a COPY statement")
+    val viaText =
+      try { sys.props("graft.pgwire.binaryCopy") = "false"; collectRemote() }
+      finally sys.props.remove("graft.pgwire.binaryCopy")
+    val local = delegate.table("typed").collect()
+      .map(r => (0 until 9).map(i => r.get(i)).toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+    assert(viaBinary == local, "binary path must equal local execution")
+    assert(viaText == local, "text path must equal local execution")
+    assert(viaBinary.size == 40)
+  }
+
+  test("binary COPY decodes arrays and intervals the text path has no arm for") {
+    import graft.sources.{PgCopyEncoder, PgWireTaskConnection}
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("xs", ArrayType(LongType)),
+      StructField("grid", ArrayType(ArrayType(IntegerType))),
+      StructField("dur", DayTimeIntervalType())))
+    val rows = Seq(
+      Row(Seq(1L, 2L, 3L), Seq(Seq(1, 2), Seq(3, 4)), java.time.Duration.ofHours(5)),
+      Row(Seq.empty[Long], Seq(Seq(7, null), Seq(9, 10)),
+        java.time.Duration.ofDays(2).plusSeconds(90)),
+      Row(null, null, null))
+    server.copyOut.put("COPY (SELECT array_fixture) TO STDOUT (FORMAT binary)",
+      PgCopyEncoder.bytes(rows, schema))
+    val conn = PgWireTaskConnection(s"127.0.0.1:${server.port}/testdb")
+    val got = conn.fetch(0L, "SELECT array_fixture", schema).toVector
+    assert(got.size == 3)
+    assert(got(0).getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(got(0).getSeq[Seq[Int]](1).map(_.toSeq) == Seq(Seq(1, 2), Seq(3, 4)))
+    assert(got(0).get(2) == java.time.Duration.ofHours(5))
+    assert(got(1).getSeq[Long](0).isEmpty)
+    assert(got(1).getSeq[Seq[Any]](1).map(_.toSeq) == Seq(Seq(7, null), Seq(9, 10)))
+    assert(got(1).get(2) == java.time.Duration.ofDays(2).plusSeconds(90))
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1) && got(2).isNullAt(2))
+    // the text path has no decoder for these types — loud decline, not a
+    // silent wrong answer
+    try {
+      sys.props("graft.pgwire.binaryCopy") = "false"
+      val e = intercept[IllegalArgumentException] {
+        conn.fetch(0L, "SELECT array_fixture", schema).toVector
+      }
+      assert(e.getMessage.contains("no text decoder"), e.getMessage)
+    } finally sys.props.remove("graft.pgwire.binaryCopy")
+  }
+
+  test("uuid columns are detected by the LIMIT-0 probe and decoded from 16 wire bytes") {
+    import graft.sources.{PgCopyEncoder, PgWireTaskConnection}
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("u", StringType), StructField("n", IntegerType)))
+    val u1 = "123e4567-e89b-12d3-a456-426614174000"
+    val rows = Seq(Row(u1, 1), Row(null, 2))
+    server.copyOut.put("COPY (SELECT uuid_fixture) TO STDOUT (FORMAT binary)",
+      PgCopyEncoder.bytes(rows, schema, uuidCols = Set("u")))
+    val old = server.queryExecutor
+    server.queryExecutor = sql =>
+      if (sql.contains("__graft_probe") && sql.contains("SELECT uuid_fixture"))
+        Some(MiniPgServer.QueryResult(
+          Seq(("u", PgWire.Oid.Uuid), ("n", PgWire.Oid.Int4)), Nil))
+      else old(sql)
+    try {
+      val got = PgWireTaskConnection(s"127.0.0.1:${server.port}/testdb")
+        .fetch(0L, "SELECT uuid_fixture", schema).toVector
+      assert(got == Vector(Row(u1, 1), Row(null, 2)))
+    } finally server.queryExecutor = old
+  }
+
+  test("NoticeResponse chatter BETWEEN CopyData frames is skipped (mid-COPY quirk)") {
+    server.noticeEveryNRows = 2 // every 2nd 7-byte frame on the COPY path
     try {
       val got = remote("emp").select("id", "sal").collect()
         .map(r => (r.getInt(0), r.getDouble(1))).toSet

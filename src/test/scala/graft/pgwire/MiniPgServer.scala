@@ -28,6 +28,12 @@ final class MiniPgServer {
   val committed = TrieMap.empty[String, Vector[Array[Byte]]]
   /** copy-statement SQL → bytes to serve for `COPY … TO STDOUT`. */
   val copyOut = TrieMap.empty[String, Array[Byte]]
+  /** Query-capable binary COPY hook: `COPY (inner) TO STDOUT (FORMAT
+    * binary)` with no staged [[copyOut]] fixture consults this with the
+    * INNER sql; Some = a complete PGCOPY byte stream to serve (the test
+    * encodes with the production PgCopyEncoder), None = error. Lets the
+    * fusion/scan specs ride the client's binary read path end-to-end. */
+  @volatile var copyOutExecutor: String => Option[Array[Byte]] = _ => None
   /** Query-capable hook: a non-COPY, non-txn Query message consults this
     * first; Some → RowDescription + text DataRows + `SELECT n`, None →
     * the legacy bare "OK". Lets fusion specs run REAL SQL end-to-end over
@@ -149,12 +155,32 @@ final class MiniPgServer {
               }
             }
             else if (up.startsWith("COPY") && up.contains("TO STDOUT")) {
-              copyOut.get(sql) match {
+              val innerRe = "(?is)^\\s*COPY\\s*\\((.*)\\)\\s*TO\\s+STDOUT\\s*\\(\\s*FORMAT\\s+BINARY\\s*\\)\\s*$".r
+              val bytesOpt = copyOut.get(sql).orElse(sql match {
+                case innerRe(inner) =>
+                  try copyOutExecutor(inner.trim) catch { case _: Exception => None }
+                case _ => None
+              })
+              bytesOpt match {
                 case None => error(out, s"no copy-out fixture for: $sql"); ready(out, inTxn)
                 case Some(bytes) =>
                   msg(out, 'H', Array[Byte](1, 0, 0)) // CopyOutResponse: binary
-                  // fragment deliberately: reassembly is part of the test
-                  bytes.grouped(7).foreach(chunk => msg(out, 'd', chunk))
+                  // fragment deliberately: reassembly is part of the test;
+                  // optionally interleave NoticeResponse chatter BETWEEN
+                  // CopyData frames — the mid-COPY real-server quirk
+                  var chunkN = 0
+                  bytes.grouped(7).foreach { chunk =>
+                    chunkN += 1
+                    if (noticeEveryNRows > 0 && chunkN % noticeEveryNRows == 0) {
+                      val nb = new ByteArrayOutputStream()
+                      nb.write('S'); nb.write(cstr("NOTICE"), 0, cstr("NOTICE").length)
+                      nb.write('M'); nb.write(cstr(s"chatter before frame $chunkN"), 0,
+                        cstr(s"chatter before frame $chunkN").length)
+                      nb.write(0)
+                      msg(out, 'N', nb.toByteArray)
+                    }
+                    msg(out, 'd', chunk)
+                  }
                   msg(out, 'c')
                   complete(out, "COPY 0"); ready(out, inTxn)
               }
