@@ -43,8 +43,11 @@ object PgWire {
 
   /** One open connection running the simple-query protocol. NOT
     * thread-safe (one in-flight query per connection, like the protocol
-    * itself); open one session per task. */
-  final class Session(host: String, port: Int, database: String, user: String)
+    * itself); open one session per task. `password` enables
+    * SCRAM-SHA-256 ([[Scram]]) when the server demands it; trust-auth
+    * servers never consult it. */
+  final class Session(host: String, port: Int, database: String, user: String,
+      password: Option[String] = None)
       extends AutoCloseable {
     private val socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), 10000)
@@ -72,21 +75,108 @@ object PgWire {
       out.writeInt(196608) // protocol 3.0
       out.write(body)
       out.flush()
-      // trust auth only: AuthenticationOk(code 0) or fail loudly — this
-      // client carries no credential handshakes by design
+      // trust auth (AuthenticationOk, code 0) or SCRAM-SHA-256 (code 10,
+      // AuthenticationSASL — the packaged Postgres default since v14);
+      // every other challenge (md5, cleartext, GSS, …) fails loudly
       var ready = false
       while (!ready) readMessage() match {
         case ('R', payload) =>
           val code = ((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
             ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
-          if (code != 0) throw new java.io.IOException(
-            s"pgwire: server requires authentication (code $code); only trust auth is supported")
+          code match {
+            case 0 => () // AuthenticationOk
+            case 10 => scramAuth(payload) // runs through SASLFinal; Ok follows
+            case other => throw new java.io.IOException(
+              s"pgwire: server requires authentication (code $other); " +
+                "only trust auth and SCRAM-SHA-256 are supported")
+          }
         case ('Z', _) => ready = true
         case ('E', payload) => throw new java.io.IOException(
           s"pgwire startup error: ${errorMessage(payload)}")
         case _ => () // ParameterStatus / BackendKeyData / NoticeResponse
       }
     } catch { case e: Throwable => try socket.close() catch { case _: Exception => () }; throw e }
+
+    /** SCRAM-SHA-256 exchange (RFC 5802/7677 over the PG SASL framing):
+      * SASLInitialResponse → AuthenticationSASLContinue → SASLResponse →
+      * AuthenticationSASLFinal, whose `v=` server signature is VERIFIED —
+      * a server that cannot prove it holds the credential is refused even
+      * if it would let us in. Returns with AuthenticationOk still unread
+      * (the startup loop consumes it). */
+    private def scramAuth(payload: Array[Byte]): Unit = {
+      // AuthenticationSASL: code, then mechanism cstrings, empty-terminated
+      val mechs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 4
+      while (i < payload.length && payload(i) != 0) {
+        var end = payload.indexOf(0.toByte, i)
+        if (end < 0) end = payload.length
+        mechs += new String(payload, i, end - i, UTF_8)
+        i = end + 1
+      }
+      if (!mechs.contains("SCRAM-SHA-256")) throw new java.io.IOException(
+        s"pgwire: server offers SASL mechanisms [${mechs.mkString(", ")}]; " +
+          "only SCRAM-SHA-256 (channel-binding-absent) is supported")
+      val pw = password.getOrElse(throw new java.io.IOException(
+        "pgwire: server demands SCRAM-SHA-256 but no password is configured " +
+          "(pass one to PgWire.Session, or set graft.pgwire.password)"))
+      val cNonce = Scram.freshNonce()
+      val firstBare = s"n=,r=$cNonce" // username rides the startup packet
+      val initial = ("n,," + firstBare).getBytes(UTF_8)
+      val body = new ByteArrayOutputStream()
+      body.write("SCRAM-SHA-256".getBytes(UTF_8)); body.write(0)
+      body.write((initial.length >>> 24) & 0xff); body.write((initial.length >>> 16) & 0xff)
+      body.write((initial.length >>> 8) & 0xff); body.write(initial.length & 0xff)
+      body.write(initial)
+      out.writeByte('p') // SASLInitialResponse
+      out.writeInt(4 + body.size())
+      body.writeTo(out)
+      out.flush()
+
+      def awaitSasl(expectCode: Int, what: String): String = {
+        while (true) readMessage() match {
+          case ('R', p) =>
+            val code = ((p(0) & 0xff) << 24) | ((p(1) & 0xff) << 16) |
+              ((p(2) & 0xff) << 8) | (p(3) & 0xff)
+            if (code != expectCode) throw new java.io.IOException(
+              s"pgwire SCRAM: expected $what (code $expectCode), got auth code $code")
+            return new String(p, 4, p.length - 4, UTF_8)
+          case ('E', p) => throw new java.io.IOException(
+            s"pgwire SCRAM authentication failed: ${errorMessage(p)}")
+          case ('N', _) | ('S', _) | ('K', _) => ()
+          case (other, _) => throw new java.io.IOException(
+            s"pgwire SCRAM: unexpected message '$other'")
+        }
+        throw new IllegalStateException("unreachable")
+      }
+
+      val serverFirst = awaitSasl(11, "AuthenticationSASLContinue")
+      val a = Scram.attrs(serverFirst)
+      val fullNonce = a.getOrElse('r', throw new java.io.IOException(
+        s"pgwire SCRAM: server-first-message missing r=: $serverFirst"))
+      if (!fullNonce.startsWith(cNonce)) throw new java.io.IOException(
+        "pgwire SCRAM: server nonce does not extend the client nonce (replay?)")
+      val salt = Scram.unb64(a('s'))
+      val iterations = a('i').toInt
+      val withoutProof = s"c=biws,r=$fullNonce" // biws = base64("n,,")
+      val authMessage = s"$firstBare,$serverFirst,$withoutProof"
+      val salted = Scram.saltedPassword(pw, salt, iterations)
+      val finalMsg =
+        (withoutProof + ",p=" + Scram.b64(Scram.clientProof(salted, authMessage)))
+          .getBytes(UTF_8)
+      out.writeByte('p') // SASLResponse
+      out.writeInt(4 + finalMsg.length)
+      out.write(finalMsg)
+      out.flush()
+
+      val serverFinal = awaitSasl(12, "AuthenticationSASLFinal")
+      val v = Scram.attrs(serverFinal).getOrElse('v', throw new java.io.IOException(
+        s"pgwire SCRAM: server-final-message missing v=: $serverFinal"))
+      val expect = Scram.serverSignature(salted, authMessage)
+      if (!java.util.Arrays.equals(Scram.unb64(v), expect))
+        throw new java.io.IOException(
+          "pgwire SCRAM: server signature mismatch — the server did not " +
+            "prove knowledge of the credential; refusing the session")
+    }
 
     private def readMessage(): (Char, Array[Byte]) = {
       val t = in.readByte().toChar
@@ -299,8 +389,16 @@ object PgWire {
   }
 
   def withSession[A](host: String, port: Int, database: String,
-      user: String = "graft")(f: Session => A): A = {
-    val s = new Session(host, port, database, user)
+      user: String = "graft", password: Option[String] = None)(f: Session => A): A = {
+    val s = new Session(host, port, database, user, password)
     try f(s) finally s.close()
   }
+
+  /** Deployment-wide wire credential for backends that construct their own
+    * sessions: `-Dgraft.pgwire.password=…` (driver AND executors — ship it
+    * via spark.executor.extraJavaOptions) or env GRAFT_PGWIRE_PASSWORD.
+    * Absent = trust-auth only, SCRAM servers are refused loudly. */
+  def configuredPassword: Option[String] =
+    sys.props.get("graft.pgwire.password")
+      .orElse(sys.env.get("GRAFT_PGWIRE_PASSWORD"))
 }

@@ -188,7 +188,8 @@ class PgWireBackend private (val address: String) extends SqlBackend {
   override def dialect: Dialect = PostgresDialect
 
   private def q(sql: String): (Seq[PgWire.Field], Vector[Array[Option[String]]]) =
-    PgWire.withSession(host, port, database, user)(_.query(sql))
+    PgWire.withSession(host, port, database, user,
+      PgWire.configuredPassword)(_.query(sql))
 
   /** Catalog discovery via hand-written information_schema SQL — the
     * reference's own approach (`mod.rs:67-125`); the JDBC backend's
@@ -260,7 +261,8 @@ class PgWireBackend private (val address: String) extends SqlBackend {
 case class PgWireTaskConnection(address: String) extends SqlConnection {
   override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] = {
     val (host, port, db, user) = PgWireBackend.parse(address)
-    val session = new PgWire.Session(host, port, db, user)
+    val session = new PgWire.Session(host, port, db, user,
+      PgWire.configuredPassword)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => session.close()))
     if (PgWireTaskConnection.binaryCopy) binaryFetch(session, sql, schema)

@@ -46,8 +46,14 @@ final class MiniPgServer {
   @volatile var noticeEveryNRows: Int = 0
   /** When true, the server answers startup with an MD5 password request
     * instead of AuthenticationOk — the client must refuse loudly (it
-    * carries no credentials by design). */
+    * carries no MD5 handshake by design). */
   @volatile var demandAuth: Boolean = false
+  /** When set, startup demands SCRAM-SHA-256: (password, salt, iterations).
+    * The server runs the full RFC 5802 verifier — derives StoredKey from
+    * the configured password, recovers ClientKey from the client's proof,
+    * and accepts only on hash match — then signs with ServerKey so the
+    * client can verify v=. */
+  @volatile var scram: Option[(String, Array[Byte], Int)] = None
   private val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
   /** Every Query message received, in arrival order. */
   def eventLog: Seq[String] = events.toArray(Array.empty[String]).toSeq
@@ -88,6 +94,70 @@ final class MiniPgServer {
     msg(out, 'E', b.toByteArray)
   }
 
+  /** Server half of SCRAM-SHA-256 (RFC 5802 framing on the PG SASL
+    * messages), reusing the production [[graft.sources.Scram]] primitives
+    * for the key derivations — the CHALLENGE and VERIFICATION direction is
+    * written here, so client bugs (wrong AuthMessage, unverified proof)
+    * cannot cancel out. Returns true on successful auth. */
+  private def scramVerify(in: DataInputStream, out: DataOutputStream,
+      pw: String, salt: Array[Byte], iters: Int): Boolean = {
+    import graft.sources.Scram
+    // AuthenticationSASL: code 10 + mechanism list
+    val mech = new ByteArrayOutputStream()
+    mech.write(Array[Byte](0, 0, 0, 10), 0, 4)
+    mech.write(cstr("SCRAM-SHA-256"), 0, cstr("SCRAM-SHA-256").length)
+    mech.write(0)
+    msg(out, 'R', mech.toByteArray)
+    // SASLInitialResponse: mechanism cstring + i32 len + client-first
+    val t1 = in.readByte().toChar
+    val l1 = in.readInt()
+    val p1 = new Array[Byte](l1 - 4)
+    in.readFully(p1)
+    if (t1 != 'p') { error(out, s"expected SASLInitialResponse, got '$t1'"); return false }
+    val mechEnd = p1.indexOf(0.toByte)
+    val chosen = new String(p1, 0, mechEnd, "UTF-8")
+    if (chosen != "SCRAM-SHA-256") { error(out, s"unsupported mechanism $chosen"); return false }
+    val initialLen = ((p1(mechEnd + 1) & 0xff) << 24) | ((p1(mechEnd + 2) & 0xff) << 16) |
+      ((p1(mechEnd + 3) & 0xff) << 8) | (p1(mechEnd + 4) & 0xff)
+    val clientFirst = new String(p1, mechEnd + 5, initialLen, "UTF-8")
+    if (!clientFirst.startsWith("n,,")) { error(out, s"gs2 header must be n,,: $clientFirst"); return false }
+    val firstBare = clientFirst.substring(3)
+    val cNonce = Scram.attrs(firstBare)('r')
+    val fullNonce = cNonce + "sRvNoNcE+fixed/for=tests"
+    val serverFirst = s"r=$fullNonce,s=${Scram.b64(salt)},i=$iters"
+    val cont = new ByteArrayOutputStream()
+    cont.write(Array[Byte](0, 0, 0, 11), 0, 4) // AuthenticationSASLContinue
+    cont.write(serverFirst.getBytes("UTF-8"), 0, serverFirst.getBytes("UTF-8").length)
+    msg(out, 'R', cont.toByteArray)
+    // SASLResponse: client-final-message
+    val t2 = in.readByte().toChar
+    val l2 = in.readInt()
+    val p2 = new Array[Byte](l2 - 4)
+    in.readFully(p2)
+    if (t2 != 'p') { error(out, s"expected SASLResponse, got '$t2'"); return false }
+    val clientFinal = new String(p2, "UTF-8")
+    val fa = Scram.attrs(clientFinal)
+    if (fa.get('c') != Some("biws") || fa.get('r') != Some(fullNonce)) {
+      error(out, s"bad client-final framing: $clientFinal"); return false
+    }
+    val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+    val authMessage = s"$firstBare,$serverFirst,$withoutProof"
+    val salted = Scram.saltedPassword(pw, salt, iters)
+    val storedKey = Scram.storedKey(Scram.clientKey(salted))
+    val recovered = Scram.recoverClientKey(storedKey, authMessage, Scram.unb64(fa('p')))
+    if (!java.util.Arrays.equals(Scram.sha256(recovered), storedKey)) {
+      // the real server's message, so the client surfaces it verbatim
+      error(out, "password authentication failed for user")
+      return false
+    }
+    val fin = new ByteArrayOutputStream()
+    fin.write(Array[Byte](0, 0, 0, 12), 0, 4) // AuthenticationSASLFinal
+    val v = "v=" + Scram.b64(Scram.serverSignature(salted, authMessage))
+    fin.write(v.getBytes("UTF-8"), 0, v.getBytes("UTF-8").length)
+    msg(out, 'R', fin.toByteArray)
+    true
+  }
+
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
@@ -102,6 +172,9 @@ final class MiniPgServer {
         // AuthenticationMD5Password: code 5 + 4-byte salt
         msg(out, 'R', Array[Byte](0, 0, 0, 5, 1, 2, 3, 4))
         return
+      }
+      scram.foreach { case (pw, salt, iters) =>
+        if (!scramVerify(in, out, pw, salt, iters)) return
       }
       msg(out, 'R', Array[Byte](0, 0, 0, 0)) // AuthenticationOk
       ready(out, inTxn = false)

@@ -103,6 +103,29 @@ else
   echo "== 4. SKIPPED: pass a pgjdbc jar to exercise the binary COPY seams =="
 fi
 
+echo "== 4b. SCRAM-SHA-256 against the server's packaged default auth =="
+# A PG14+ container defaults to scram-sha-256 in pg_hba.conf for
+# password-auth'd hosts. Create a scram role and connect through the
+# NATIVE wire client with the credential (no pgjdbc involved):
+docker exec graft-pg-live psql -U postgres -d bench -c \
+  "SET password_encryption='scram-sha-256'; CREATE ROLE scram_probe LOGIN PASSWORD 's3cret-probe'" >/dev/null
+scala -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" <<'SCALA'
+import graft.sources.PgWire
+// correct password: the handshake must complete AND the client must have
+// verified the server signature (PgWire throws otherwise)
+val ok = PgWire.withSession("127.0.0.1", 5432, "bench",
+  user = "scram_probe", password = Some("s3cret-probe"))(_.query("SELECT 1"))
+assert(ok._2.head.head.contains("1"))
+// wrong password: loud refusal with the server's message
+try {
+  PgWire.withSession("127.0.0.1", 5432, "bench",
+    user = "scram_probe", password = Some("wrong"))(_.query("SELECT 1"))
+  sys.error("wrong password must not authenticate")
+} catch { case e: java.io.IOException =>
+  assert(e.getMessage.contains("authentication failed"), e.getMessage) }
+println("SCRAM-SHA-256 against live Postgres: OK")
+SCALA
+
 echo "== 5. negative probes the fakes cannot produce =="
 # cancel mid-COPY: interrupt a large COPY read and confirm the task
 # connection closes without poisoning the pool (watch docker logs for
