@@ -39,9 +39,9 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** The shared whitespace tokenizer ([[Tokens.ws]] — one definition
+  /** The shared whitespace tokenizer ([[Tokens.seg]] — one definition
     * across chunking, sampling, repetition, and span dedup). */
-  private def toks(text: Column): Column = Tokens.ws(text)
+  private def toks(text: Column): Column = Tokens.seg(text)
 
   /** Explode `docs` into overlapping token windows.
     *
@@ -211,7 +211,7 @@ object Chunking {
         |FROM (SELECT doc_id, t, len(t) AS n,
         |             unnest(generate_series(0, len(t) - 1, 24)) AS s
         |      FROM (SELECT doc_id,
-        |                   list_filter(string_split_regex(text, '\s+'),
+        |                   list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
         |                               x -> length(x) > 0) AS t
         |            FROM documents)
         |      WHERE len(t) > 0)
@@ -227,7 +227,7 @@ object Chunking {
         |  FROM (SELECT doc_id, t, len(t) AS n,
         |               unnest(generate_series(0, len(t) - 1, 24)) AS s
         |        FROM (SELECT doc_id,
-        |                     list_filter(string_split_regex(text, '\s+'),
+        |                     list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
         |                                 x -> length(x) > 0) AS t
         |              FROM documents)
         |        WHERE len(t) > 0)),
@@ -252,7 +252,7 @@ object Chunking {
         |  FROM (SELECT doc_id, t, len(t) AS n,
         |               unnest(generate_series(0, len(t) - 1, 24)) AS s
         |        FROM (SELECT doc_id,
-        |                     list_filter(string_split_regex(text, '\s+'),
+        |                     list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
         |                                 x -> length(x) > 0) AS t
         |              FROM documents)
         |        WHERE len(t) > 0)),

@@ -262,7 +262,7 @@ object Curation {
       |    AND ((k.doc_id % 1000003) * 2654435761) % 1000 < 800),
       |tok AS (
       |  SELECT doc_id, lang,
-      |         list_filter(string_split_regex(text, '\s+'),
+      |         list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
       |                     x -> length(x) > 0) AS t
       |  FROM train)
       |SELECT doc_id, lang,

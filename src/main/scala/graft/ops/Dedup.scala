@@ -280,10 +280,10 @@ object Dedup {
     * shuffle regime as the repetition metrics, and the hash is 256-bit
     * like [[exact]]'s so corpus-scale collision probability stays
     * negligible by design (~n²/2^257 at 10^12 shingles). */
-  /** (doc_id, toks) via the shared whitespace tokenizer ([[Tokens.ws]] —
+  /** (doc_id, toks) via the shared tokenizer ([[Tokens.seg]] —
     * the same token stream chunking and sampling see). */
   private def spanToks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), Tokens.ws(col("text")).as("toks"))
+    docs.select(col("doc_id"), Tokens.seg(col("text")).as("toks"))
 
   /** (doc_id, pos, sh): every k-token shingle start with its 256-bit
     * content hash — map-side; positions + 32-byte keys on the wire,
@@ -1516,7 +1516,7 @@ object Dedup {
         |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
         |  FROM documents
         |),
-        |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks FROM docs2),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'), t -> length(t) > 0) AS toks FROM docs2),
         |sh AS (SELECT doc_id, p - 1 AS pos,
         |              array_to_string(toks[p : p + 7], ' ') AS sh
         |       FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS g(p)
@@ -1553,7 +1553,7 @@ object Dedup {
         |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
         |  FROM documents
         |),
-        |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks FROM docs2),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'), t -> length(t) > 0) AS toks FROM docs2),
         |sh AS (SELECT doc_id, p - 1 AS pos,
         |              array_to_string(toks[p : p + 7], ' ') AS sh
         |       FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS g(p)

@@ -104,7 +104,7 @@ object Sampling {
     * ~9.2e12 tokens and silently empties the output). */
   private def massRateSample(docs: DataFrame, strataCol: String,
       bucket: org.apache.spark.sql.Column, rateExpr: String): DataFrame = {
-    val toks = Tokens.ws(col("text"))  // the shared whitespace tokenizer
+    val toks = Tokens.seg(col("text"))  // the shared tokenizer
     val withTok = docs.withColumn("n_tok", size(toks).cast("long"))
     val totals = withTok.groupBy(strataCol).agg(sum("n_tok").as("total"))
     val rates = totals
@@ -389,7 +389,7 @@ object Sampling {
     "sample_token_budget" ->
       """WITH tok AS (
         |  SELECT doc_id, source,
-        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
         |                              x -> length(x) > 0)) AS BIGINT) AS n_tok
         |  FROM documents),
         |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total
@@ -407,7 +407,7 @@ object Sampling {
     "sample_temperature" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
-        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
         |                              x -> length(x) > 0)) AS BIGINT) AS n_tok
         |  FROM documents),
         |tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total

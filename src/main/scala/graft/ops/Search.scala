@@ -98,7 +98,7 @@ object Search {
     *   w = (idf · 22 · tf · avgdl) DIV (10·tf·avgdl + 3·avgdl + 9·dl)
     *
     * where idf = 1e6 DIV (df+1) (the suite's monotone reciprocal-df
-    * rarity), dl = the doc's [[Tokens.ws]] count and avgdl = corpus mean
+    * rarity), dl = the doc's [[Tokens.seg]] count and avgdl = corpus mean
     * dl as integer division — every quantity a long, so the DuckDB
     * oracle reproduces the ranking bit-for-bit (libm-free, the suite's
     * exact-integer scoring regime). Overflow headroom: the numerator is
@@ -117,7 +117,7 @@ object Search {
     val terms = probeTerms(queryTerms)
     val toks = docs.select(col(idCol),
       split(lower(col(textCol)), "\\s+").as("toks"),
-      size(Tokens.ws(col(textCol))).cast("long").as("dl"))
+      size(Tokens.seg(col(textCol))).cast("long").as("dl"))
     val avgdl = toks.agg(
       expr("CAST(sum(dl) AS BIGINT) DIV count(*)").as("avgdl"))
     val postings = toks
@@ -372,7 +372,7 @@ object Search {
   /** One epoch of ALL THREE index tables (the marker in the caller
     * commits them together): `postings/ep_<id>` = (doc_id, term, tf)
     * clustered by term; `doclen/ep_<id>` = (doc_id, dl) — the per-doc
-    * [[Tokens.ws]] length BM25's normalization needs, stored at build so
+    * [[Tokens.seg]] length BM25's normalization needs, stored at build so
     * an index-fed BM25 never re-reads corpus text (16 B/row, streamed
     * map-side against a broadcast of the tiny query-term tf); and
     * `stats/ep_<id>` = ONE (n_docs, sum_dl) row, so avgdl at query time
@@ -391,7 +391,7 @@ object Search {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings/ep_$id")
     val doclens = docs.select(col(idCol).as("doc_id"),
-      size(Tokens.ws(col(textCol))).cast("long").as("dl"))
+      size(Tokens.seg(col(textCol))).cast("long").as("dl"))
     doclens.write.mode("overwrite").parquet(s"$dir/doclen/ep_$id")
     doclens.agg(count("*").as("n_docs"),
         expr("CAST(sum(dl) AS BIGINT)").as("sum_dl"))
@@ -540,13 +540,13 @@ object Search {
       |LIMIT 20""".stripMargin
 
   /** The BM25 oracle: same tf/df construction as [[KeywordTopkSql]], dl
-    * via the [[Tokens.ws]] mirror, avgdl as one integer-division scalar,
+    * via the [[Tokens.seg]] mirror, avgdl as one integer-division scalar,
     * and the cleared-to-integers Okapi weight — every operand CAST to
     * BIGINT so DuckDB's INT32 literals can't overflow mid-product. */
   private[graft] val Bm25TopkSql =
     """WITH dls AS (
       |  SELECT doc_id,
-      |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
       |                              t -> length(t) > 0)) AS BIGINT) AS dl
       |  FROM documents
       |), avg_dl AS (
@@ -618,7 +618,7 @@ object Search {
   private[graft] val HybridBm25Sql =
       """WITH dls AS (
         |  SELECT doc_id,
-        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
         |                              t -> length(t) > 0)) AS BIGINT) AS dl
         |  FROM documents
         |), avg_dl AS (

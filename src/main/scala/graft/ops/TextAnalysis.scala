@@ -243,7 +243,7 @@ object TextAnalysis {
     * collapses repeats map-side). */
   def repetitionMetrics(docs: DataFrame,
       topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame = {
-    val toks = Tokens.ws(col("text"))  // the shared whitespace tokenizer
+    val toks = Tokens.seg(col("text"))  // the shared tokenizer
     val base = docs.select(
       col("doc_id"), toks.as("t"),
       size(toks).cast("long").as("n_tokens"),
@@ -305,6 +305,24 @@ object TextAnalysis {
     "text_contamination" -> ((s, d) => contaminationEntry(s, d)),
     "text_pii_scrub" -> ((s, d) => piiEntry(s, d)),
     "text_tokens" -> ((s, d) => tokenCounts(Tables.load(s, d, "documents"))),
+    // the corpus is ASCII, so the CJK segmentation rule is exercised on
+    // planted mixed-script text: every 3rd document gains Han + Hiragana +
+    // Hangul runs glued to Latin words; the shared tokenizer must split
+    // each CJK codepoint to its own token while Latin words stay whole —
+    // hash-checked via the count AND the tail of the actual token stream
+    "text_tokens_cjk" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" 机器学习模型 processes こんにちは世界 and 한국어 text")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"), Tokens.seg(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          concat_ws(" ", expr("slice(t, greatest(size(t) - 11, 1), 12)")).as("tail_toks"))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, d) => qualityScores(Tables.load(s, d, "documents"))),
     "text_langid" -> ((s, d) => languageId(Tables.load(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => fingerprints(Tables.load(s, d, "documents"))),
@@ -378,7 +396,7 @@ object TextAnalysis {
         |  SELECT doc_id, t, len(t) AS n_tokens,
         |         len(list_distinct(t)) AS n_distinct_tokens
         |  FROM (SELECT doc_id,
-        |               list_filter(string_split_regex(text, '\s+'),
+        |               list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
         |                           x -> length(x) > 0) AS t
         |        FROM documents)),
         |bi AS (
@@ -429,6 +447,20 @@ object TextAnalysis {
         |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" -> textQualityOracleSql,
+    // the same planting rule and the duckToks tokenizer mirror (RE2 script
+    // classes ≡ Java's Is-script classes on these codepoints); the tail
+    // slice uses the same greatest() rule on both sides
+    "text_tokens_cjk" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN text || ' 机器学习模型 processes こんにちは世界 and 한국어 text'
+         |              ELSE text END AS text
+         |  FROM documents),
+         |tok AS (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM planted)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |       array_to_string(t[greatest(len(t) - 11, 1):len(t)], ' ') AS tail_toks
+         |FROM tok ORDER BY doc_id""".stripMargin,
     // wraps the SAME quality-score SQL (no drift) and re-ranks it with a
     // window — the oracle can afford the full-shuffle formulation the
     // engine's bounded TopK aggregate avoids; ties break (score DESC,

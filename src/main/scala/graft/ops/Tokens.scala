@@ -3,18 +3,48 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** THE whitespace tokenizer every token-granular op shares — chunking,
-  * token-mass sampling, repetition metrics, span dedup. One definition so
-  * the ops cannot desynchronize: a document chunked, sampled, and
-  * span-deduplicated must see the SAME token stream, and the DuckDB
-  * oracles mirror exactly this form
-  * (`list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)`).
+/** THE shared tokenizer every token-granular op uses — chunking, packing,
+  * token-mass sampling, repetition metrics, span dedup, BM25 document
+  * length. One definition so the ops cannot desynchronize: a document
+  * chunked, sampled, and span-deduplicated must see the SAME token stream,
+  * and the DuckDB oracles mirror exactly the [[duckToks]] form.
   *
-  * Split on whitespace RUNS, then drop zero-length tokens: the filter
-  * (rather than `trim` + split) makes tab/newline-padded and
-  * all-whitespace documents behave — SQL `trim` strips only spaces, so a
-  * trailing tab would otherwise smuggle an empty token into the stream. */
+  * Rule (r13): split on whitespace RUNS, with CJK codepoints first
+  * segmented to per-character tokens — Han / Hiragana / Katakana / Hangul
+  * script characters each become their own token (the public uniseg /
+  * ICU-lite fallback for space-free scripts). Without it a CJK document —
+  * which `text_langid` happily detects — degenerates to ONE giant token,
+  * silently breaking chunk boundaries, pack budgets, BM25 length
+  * normalization, repetition ratios, and span windows for a major slice
+  * of any multilingual crawl. Per-CHARACTER segmentation is deliberately
+  * language-unconditional: it is the identity on non-CJK text, so no
+  * langid gate (and no gate misfire) is involved.
+  *
+  * Zero-length tokens are dropped by filter (rather than `trim` + split):
+  * SQL `trim` strips only spaces, so a trailing tab would otherwise
+  * smuggle an empty token into the stream.
+  *
+  * NOT covered here: the 64-bit shingle-hash tier (minhash / simhash /
+  * n-gram Jaccard / novelty / fluency) tokenizes inside the native
+  * WordShingleHashes expression with its own documented rule; extending
+  * CJK segmentation there means touching that expression AND its HUGEINT
+  * oracle emulation together — tracked as follow-up, not silently half
+  * done here. */
 private[ops] object Tokens {
-  def ws(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  /** Java-regex capture of one CJK codepoint (Unicode script classes). */
+  private val CjkJava = "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"
+
+  /** The shared token stream: array<string> of non-empty tokens. */
+  def seg(text: Column): Column =
+    filter(split(regexp_replace(text, CjkJava, " $1 "), "\\s+"),
+      t => length(t) > 0)
+
+  /** The DuckDB mirror of [[seg]] — oracle SQL embeds exactly this form
+    * (RE2 spells the same script classes \p{Han} etc.; DuckDB string
+    * literals keep backslashes verbatim). Centralized so an entry cannot
+    * drift from the engine rule. */
+  def duckToks(textExpr: String): String =
+    s"list_filter(string_split_regex(regexp_replace($textExpr, " +
+      """'([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), """ +
+      """'\s+'), t -> length(t) > 0)"""
 }

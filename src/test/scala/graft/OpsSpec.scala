@@ -28,6 +28,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Array((1L, 10L, 1L, 8L), (2L, 10L, 1L, 8L)))
   }
 
+  test("duplicatedSpans sees a CJK passage per-character (r12 advice: no 1-token degeneration)") {
+    // a shared space-free Han passage: under the pure-whitespace rule each
+    // doc is ONE token (< k) and the repeat is invisible; per-character
+    // segmentation makes it 14 tokens and both docs must flag 14 dup tokens
+    val han = "机器学习模型训练数据质量控制" // 14 Han chars, no spaces
+    assert(han.length == 14)
+    val d = docs(
+      1L -> (han + " trailing words here four five six"),
+      2L -> ("prefix words " + han),
+      3L -> "unique latin only text with eight tokens")
+    val got = Dedup.duplicatedSpans(d, k = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    // doc 1: 14 CJK tokens + 6 latin = 20 total; doc 2: 2 + 14 = 16
+    assert(got === Array((1L, 20L, 1L, 14L), (2L, 16L, 1L, 14L)))
+  }
+
+  test("chunking a space-free CJK document yields per-character token windows") {
+    import graft.ops.Chunking
+    val han = (1 to 100).map(i => ('一' + (i % 50)).toChar).mkString // 100 Han chars
+    val d = docs(7L -> han)
+    val chunks = Chunking.chunk(d, chunkTokens = 32, stride = 24)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_start", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    // 100 tokens, stride 24 → starts 0,24,48,72,96 — NOT one giant token
+    assert(chunks.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 32L), (3L, 72L, 28L), (4L, 96L, 4L)))
+    // chunk text is the space-joined per-character stream
+    assert(chunks.head._4.split(" ").forall(_.length == 1))
+    assert(chunks.head._4.replace(" ", "") == han.substring(0, 32))
+  }
+
   test("duplicatedSpans merges overlapping islands from an intra-doc repeat") {
     // the doc is its own duplicate: shingle pos 0 == pos 8, gap 8 ≤ k
     // → ONE island covering the whole 16-token doc
