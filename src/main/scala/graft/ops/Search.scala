@@ -230,8 +230,8 @@ object Search {
     * hybrid exactly as IVF differs from brute: the exemplar itself is
     * EXCLUDED (ivfTopK's `vec_id =!= qid` contract) and recall is
     * approximate — both mirrored in the oracle, which rebuilds the same
-    * deterministic IVF construction in SQL (centroids every 37th vector,
-    * nearest-centroid assignment, nprobe cluster probe). */
+    * deterministic IVF construction in SQL (maximin-seeded centroids,
+    * top-spill assignment, nprobe cluster probe, candidate dedup). */
   def hybridTopKAnn(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
       queryVecId: Long = 0L, k: Int = 20, legK: Int = 50, rrfK: Int = 60,
       nprobe: Int = 3, textCol: String = "text",
@@ -669,8 +669,9 @@ object Search {
     * with the single-query form of sim_topk_ivf's deterministic IVF
     * construction (centroids every 37th vector, nearest-centroid
     * assignment, nprobe=3 probe, exemplar excluded, rank ≤ legK=50). */
+  // raw interpolation: ${} splices the seed CTEs while '\s+' stays verbatim
   private[graft] val HybridAnnSql =
-    """WITH tf AS (
+    raw"""WITH tf AS (
       |  SELECT doc_id, term, COUNT(*) AS tf
       |  FROM (SELECT doc_id,
       |               unnest(string_split_regex(lower(text), '\s+')) AS term
@@ -686,27 +687,32 @@ object Search {
       |  SELECT doc_id,
       |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
       |  FROM lexscore ORDER BY score DESC, doc_id LIMIT 50
-      |), centroids AS (
-      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
-      |  FROM embeddings WHERE vec_id % 37 = 0
+      |), ${Similarity.maximinSeedCtes(16, 512)},
+      |centroids AS MATERIALIZED (
+      |  SELECT vec_id AS cent_id, v AS cent_vec FROM seedsu16
       |), assign AS (
-      |  SELECT vec_id, cluster, embedding FROM (
-      |    SELECT e.vec_id, c.cent_id AS cluster, e.embedding,
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cent_id AS cluster,
       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
-      |    FROM embeddings e CROSS JOIN centroids c) t WHERE r = 1
+      |    FROM embeddings e CROSS JOIN centroids c) t WHERE r <= 3
       |), probes AS (
-      |  SELECT qid, qvec, cluster FROM (
-      |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cent_id AS cluster,
+      |  SELECT qid, cluster FROM (
+      |    SELECT q.vec_id AS qid, c.cent_id AS cluster,
       |           ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
       |    FROM embeddings q CROSS JOIN centroids c WHERE q.vec_id = 0) t WHERE r <= 3
+      |), cand AS (
+      |  SELECT DISTINCT p.qid, a.vec_id
+      |  FROM assign a JOIN probes p USING (cluster)
+      |  WHERE a.vec_id <> p.qid
       |), vec AS (
       |  SELECT doc_id, vec_rank FROM (
-      |    SELECT a.vec_id AS doc_id,
+      |    SELECT c.vec_id AS doc_id,
       |           CAST(ROW_NUMBER() OVER (
-      |             ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS BIGINT) AS vec_rank
-      |    FROM assign a JOIN probes p USING (cluster)
-      |    WHERE a.vec_id <> p.qid) t
+      |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) AS vec_rank
+      |    FROM cand c
+      |    JOIN embeddings q ON q.vec_id = c.qid
+      |    JOIN embeddings e ON e.vec_id = c.vec_id) t
       |  WHERE vec_rank <= 50
       |)
       |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,

@@ -119,26 +119,103 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF top-k: deterministic coarse centroids (every 37th vector), one
-    * assignment pass, queries probe `nprobe` nearest clusters. */
-  def ivfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L, nprobe: Int = 3): DataFrame = {
-    val centroids = emb.filter(col("vec_id") % 37 === 0)
+  /** The exact double-accumulation loop of [[graft.functions.CosineSimF32]]
+    * (and of DuckDB's list_cosine_similarity), replicated for driver-side
+    * seeding so every engine computes bit-identical cosines. */
+  private def cosF32(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Deterministic farthest-point (maximin) seeding — the kmeans++-style
+    * init that replaced the r12 stride-37 heuristic (which left clusters
+    * unbalanced: measured recall@10 0.62 at nprobe 3). Greedy rule: seed 1
+    * is the sample's first point under a decorrelated integer key; each
+    * next seed is the sample point whose NEAREST chosen seed is farthest
+    * (argmin of max-cosine, ties by vec_id) — Gonzalez's 2-approximation
+    * for k-center, fully deterministic and SQL-expressible, so the oracle
+    * unrolls the same chain ([[maximinSeedCtes]]).
+    *
+    * Scale shape: the candidate pool is a global top-`sampleLimit` by the
+    * integer key (TakeOrderedAndProject — one scan, bounded collect), the
+    * FAISS train-on-sample discipline; the greedy loop is O(sample × k)
+    * driver-side cosines over ≤ sampleLimit rows. The key arithmetic
+    * ((id % 2^20) · 2654435761 mod 2^32) stays < 2^52 — exact in BIGINT
+    * on every engine, no overflow UB. */
+  private[ops] def maximinSeedIds(emb: DataFrame, k: Int, sampleLimit: Int): Seq[Long] = {
+    val key = (col("vec_id") % 1048576L) * 2654435761L % 4294967296L
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(key, col("vec_id"))
+      .limit(sampleLimit)
+      .collect() // bounded by sampleLimit, never by corpus size
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "maximin seeding needs a non-empty corpus")
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val chosen = scala.collection.mutable.Set(sample.head._1)
+    // incremental max-cos per candidate ≡ the oracle's MAX over all chosen
+    // seeds (max of doubles is associative), O(sample × k) total
+    val maxCos = scala.collection.mutable.Map.empty[Long, Double]
+    sample.foreach(p => if (!chosen(p._1)) maxCos(p._1) = cosF32(p._2, sample.head._2))
+    while (seeds.size < k && chosen.size < sample.length) {
+      val next = sample.iterator.filterNot(p => chosen(p._1))
+        .minBy(p => (maxCos(p._1), p._1))
+      seeds += next
+      chosen += next._1
+      maxCos.remove(next._1)
+      sample.foreach { p =>
+        if (!chosen(p._1)) {
+          val c = cosF32(p._2, next._2)
+          if (c > maxCos(p._1)) maxCos(p._1) = c
+        }
+      }
+    }
+    seeds.map(_._1).toSeq
+  }
+
+  /** IVF top-k with SPILLED assignment: each corpus vector is indexed
+    * under its `spill` nearest centroids (ScaNN's spilling / FAISS's
+    * replica assignment — public techniques), queries probe `nprobe`
+    * clusters. On weakly-clustered data — this corpus is near-isotropic
+    * (within-label mean cosine 0.0016 vs 0.0003 across) — no seeding can
+    * make 3/16 single-assigned cells catch a query's true neighbors;
+    * spilling raises the per-probe catchment to ≈ 1−(1−nprobe/k)^spill of
+    * the corpus while leaving nprobe (and so the QUERY-side cost model)
+    * unchanged. The honest cost is index size × spill, and reads scale
+    * with it — stated, not hidden.
+    *
+    * Centroids are maximin-seeded ([[maximinSeedIds]]) — measured
+    * equivalent to stride seeding under spill on this corpus (r13 lab:
+    * see BANDS note), kept for its determinism and its k-center cover
+    * bound on genuinely clustered data. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L, nprobe: Int = 3,
+      nCentroids: Int = 16, seedSample: Int = 512, spill: Int = 3): DataFrame = {
+    val seedIds = maximinSeedIds(emb, nCentroids, seedSample)
+    val centroids = emb.filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    // Nearest-centroid assignment is a partial+final max_by AGGREGATE, not
-    // a window: the corpus × broadcast(centroids) expansion collapses back
+    // Top-spill assignment is a partial+final bounded AGGREGATE, not a
+    // window: the corpus × broadcast(centroids) expansion collapses back
     // to one row per vec_id in the map-side partial (every copy of a
     // vec_id lives in the partition that produced it), so the exchange
     // carries |corpus| rows — a window over the expansion would shuffle
     // |corpus| × |centroids| rows before ranking could drop any. Ties by
-    // smallest cent_id (max over (cos, -cent_id)), matching the probe side.
+    // smallest cent_id, matching the probe side's window order.
+    val topA = udaf(new graft.functions.Aggregators.TopK(spill),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
     val assignments = emb
       .crossJoin(broadcast(centroids))
       .withColumn("cent_cos", cosine_f32(col("embedding"), col("cent_vec")))
+      .filter(col("cent_cos").isNotNull)
       .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
-          .as("cluster"),
+      .agg(topA(col("cent_cos"), col("cent_id")).as("top"),
         first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("transform(top, s -> s.id)")).as("cluster"))
     // The probe side stays a window: the query set is broadcast-small by
     // contract, so ranking nprobe clusters per query never sees scale.
     val probeW = Window.partitionBy(col("qid"))
@@ -152,6 +229,10 @@ object Similarity {
     val scored = assignments
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
+      // spill ⇒ a (qid, vec_id) pair can arrive via several shared
+      // clusters; dedup BEFORE the bounded top-k so duplicates cannot
+      // occupy two result slots (scores are identical across copies)
+      .dropDuplicates("qid", "vec_id")
       .withColumn("cosine", cosine_f32(col("qvec"), col("embedding")))
     topK(scored, k)
   }
@@ -210,28 +291,34 @@ object Similarity {
   }
 
   /** The composed 100 TB configuration: IVF's sub-linear candidate set ×
-    * int8 quantization's 4× IO reduction. The whole index — quantization,
-    * centroid choice, assignment, probing, scoring — runs on the int8
-    * vectors, so every cosine is exact integer arithmetic (the
+    * int8 quantization's 4× IO reduction. Centroid IDS come from the same
+    * maximin seeding as [[ivfTopK]] (a bounded driver-side step over float
+    * cosines — bit-reproducible like sim_topk_brute's oracle); everything
+    * the INDEX does — assignment, probing, scoring — runs on the int8
+    * vectors, so every cosine there is exact integer arithmetic (the
     * [[quantizedTopK]] property) and the full pipeline stays
-    * oracle-reproducible. Assignment is the same partial+final `max_by`
-    * aggregate as [[ivfTopK]] (shuffle = |corpus| rows, each carrying an
-    * int8 vector — 4× narrower than the float32 equivalent). */
+    * oracle-reproducible. Assignment is the same bounded top-spill
+    * aggregate as [[ivfTopK]] (shuffle = spill × |corpus| rows, each
+    * carrying an int8 vector — 4× narrower than the float32 equivalent). */
   def ivfQuantizedTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = 3, nCentroids: Int = 16, seedSample: Int = 512,
+      spill: Int = 3): DataFrame = {
     val q = quantize(emb)
-    val centroids = q.filter(col("vec_id") % 37 === 0)
+    val seedIds = maximinSeedIds(emb, nCentroids, seedSample)
+    val centroids = q.filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id").as("cent_id"), col("qvec").as("cent_vec"),
         col("qnorm").as("cent_norm"))
+    val topA = udaf(new graft.functions.Aggregators.TopK(spill),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
     val assignments = q
       .crossJoin(broadcast(centroids))
       .withColumn("cent_cos", dot_i8(col("qvec"), col("cent_vec")) /
         (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
       .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
-          .as("cluster"),
+      .agg(topA(col("cent_cos"), col("cent_id")).as("top"),
         first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
+      .select(col("vec_id"), col("qvec"), col("qnorm"),
+        explode(expr("transform(top, s -> s.id)")).as("cluster"))
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val probes = q.filter(col("vec_id") % every === 0)
@@ -247,6 +334,8 @@ object Similarity {
     val scored = assignments
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
+      // spill dedup before the bounded top-k (see ivfTopK)
+      .dropDuplicates("qid", "vec_id")
       .withColumn("cosine", dot_i8(col("qvec"), col("probe_vec")) /
         (sqrt(col("qnorm")) * sqrt(col("probe_norm"))))
     topK(scored, k)
@@ -776,39 +865,43 @@ object Similarity {
     // probing all on the int8 vectors); sqrt/÷ are IEEE correctly-rounded
     // on exact-integer inputs, so engine and oracle agree bit-for-bit
     "sim_topk_ivf_quantized" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT vec_id,
         |         list_transform(embedding, x ->
         |           CAST(FLOOR(CAST(x AS DOUBLE) *
         |                (127.0 / GREATEST(list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))), 1e-300))
         |                + 0.5) AS DOUBLE)) AS qvec
         |  FROM embeddings
-        |), n AS (
+        |), n AS MATERIALIZED (
         |  SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS qnorm FROM q
         |  WHERE list_dot_product(qvec, qvec) > 0
-        |), centroids AS (
-        |  SELECT vec_id AS cent_id, qvec AS cent_vec, qnorm AS cent_norm
-        |  FROM n WHERE vec_id % 37 = 0
+        |), ${maximinSeedCtes(16, 512)},
+        |centroids AS MATERIALIZED (
+        |  SELECT n.vec_id AS cent_id, n.qvec AS cent_vec, n.qnorm AS cent_norm
+        |  FROM n JOIN seedsu16 s ON s.vec_id = n.vec_id
         |), assign AS (
         |  SELECT vec_id, cluster, qvec, qnorm FROM (
         |    SELECT e.vec_id, c.cent_id AS cluster, e.qvec, e.qnorm,
         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
         |             ORDER BY list_dot_product(e.qvec, c.cent_vec) / (SQRT(e.qnorm) * SQRT(c.cent_norm)) DESC, c.cent_id) AS r
-        |    FROM n e CROSS JOIN centroids c) t WHERE r = 1
+        |    FROM n e CROSS JOIN centroids c) t WHERE r <= 3
         |), probes AS (
         |  SELECT qid, probe_vec, probe_norm, cluster FROM (
         |    SELECT p.vec_id AS qid, p.qvec AS probe_vec, p.qnorm AS probe_norm, c.cent_id AS cluster,
         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
         |             ORDER BY list_dot_product(p.qvec, c.cent_vec) / (SQRT(p.qnorm) * SQRT(c.cent_norm)) DESC, c.cent_id) AS r
         |    FROM n p CROSS JOIN centroids c WHERE p.vec_id % 50 = 0) t WHERE r <= 3
+        |), cand AS (
+        |  SELECT DISTINCT p.qid, p.probe_vec, p.probe_norm, a.vec_id, a.qvec, a.qnorm
+        |  FROM assign a JOIN probes p USING (cluster)
+        |  WHERE a.vec_id <> p.qid
         |)
         |SELECT qid, rank, vec_id, cosine FROM (
-        |  SELECT p.qid, a.vec_id,
-        |         list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) AS cosine,
-        |         ROW_NUMBER() OVER (PARTITION BY p.qid
-        |           ORDER BY list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) DESC, a.vec_id) AS rank
-        |  FROM assign a JOIN probes p USING (cluster)
-        |  WHERE a.vec_id <> p.qid) t
+        |  SELECT c.qid, c.vec_id,
+        |         list_dot_product(c.qvec, c.probe_vec) / (SQRT(c.qnorm) * SQRT(c.probe_norm)) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY c.qid
+        |           ORDER BY list_dot_product(c.qvec, c.probe_vec) / (SQRT(c.qnorm) * SQRT(c.probe_norm)) DESC, c.vec_id) AS rank
+        |  FROM cand c) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "sim_topk_brute" -> bruteSql,
     "sim_topk_ivf" -> ivfSql,
@@ -836,32 +929,74 @@ object Similarity {
       |  WHERE q.vec_id % 50 = 0 ) t
       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** The DuckDB mirror of [[maximinSeedIds]]: the same bounded sample by
+    * the same integer key, then k−1 unrolled greedy steps — each picks the
+    * candidate with the smallest MAX cosine to the seeds chosen so far
+    * (ties by vec_id), exactly the engine's incremental-max loop. Exposes
+    * `seedsu$k` as the final seed set. */
+  /** The DuckDB mirror of [[maximinSeedIds]]: the same bounded sample by
+    * the same integer key, then k−1 unrolled greedy steps — each picks the
+    * candidate with the smallest MAX cosine to the seeds chosen so far
+    * (ties by vec_id), exactly the engine's incremental-max loop.
+    * MATERIALIZED is load-bearing: each step references the previous seed
+    * set twice and the sample once, so inlined CTEs would expand the chain
+    * exponentially (observed as a file-handle explosion on the base scan).
+    * Exposes `seedsu$k` as the final seed set. */
+  private[ops] def maximinSeedCtes(k: Int, limit: Int): String = {
+    val key = "((vec_id % 1048576) * 2654435761) % 4294967296"
+    val b = new StringBuilder
+    b ++= s"""samp AS MATERIALIZED (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |  ORDER BY $key, vec_id LIMIT $limit),
+             |seedsu1 AS MATERIALIZED (SELECT vec_id, v FROM samp ORDER BY $key, vec_id LIMIT 1)""".stripMargin
+    for (i <- 2 to k) {
+      b ++= s""",
+               |seed$i AS (
+               |  SELECT vec_id, v FROM (
+               |    SELECT p.vec_id AS vec_id, first(p.v) AS v,
+               |           MAX(list_cosine_similarity(p.v, s.v)) AS mc
+               |    FROM samp p, seedsu${i - 1} s
+               |    WHERE p.vec_id NOT IN (SELECT vec_id FROM seedsu${i - 1})
+               |    GROUP BY p.vec_id) t
+               |  ORDER BY mc, vec_id LIMIT 1),
+               |seedsu$i AS MATERIALIZED (SELECT * FROM seedsu${i - 1} UNION ALL SELECT * FROM seed$i)""".stripMargin
+    }
+    b.toString
+  }
+
   private lazy val ivfSql: String =
-    """WITH centroids AS (
-        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
-        |  FROM embeddings WHERE vec_id % 37 = 0
+    s"""WITH ${maximinSeedCtes(16, 512)},
+        |centroids AS MATERIALIZED (
+        |  SELECT vec_id AS cent_id, v AS cent_vec FROM seedsu16
         |),
         |assign AS (
-        |  SELECT vec_id, cluster, embedding FROM (
-        |    SELECT e.vec_id, c.cent_id AS cluster, e.embedding,
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cent_id AS cluster,
         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
         |             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
-        |    FROM embeddings e CROSS JOIN centroids c) t WHERE r = 1
+        |    FROM embeddings e CROSS JOIN centroids c) t WHERE r <= 3
         |),
         |probes AS (
-        |  SELECT qid, qvec, cluster FROM (
-        |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cent_id AS cluster,
+        |  SELECT qid, cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cent_id AS cluster,
         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent_vec) DESC, c.cent_id) AS r
         |    FROM embeddings q CROSS JOIN centroids c WHERE q.vec_id % 50 = 0) t WHERE r <= 3
+        |),
+        |cand AS (
+        |  -- spill ⇒ a pair can share several clusters; dedup before top-k
+        |  SELECT DISTINCT p.qid, a.vec_id
+        |  FROM assign a JOIN probes p USING (cluster)
+        |  WHERE a.vec_id <> p.qid
         |)
         |SELECT qid, rank, vec_id, cosine FROM (
-        |  SELECT p.qid, a.vec_id,
-        |         list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS cosine,
-        |         ROW_NUMBER() OVER (PARTITION BY p.qid
-        |           ORDER BY list_cosine_similarity(CAST(p.qvec AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
-        |  FROM assign a JOIN probes p USING (cluster)
-        |  WHERE a.vec_id <> p.qid) t
+        |  SELECT c.qid, c.vec_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY c.qid
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.qid
+        |  JOIN embeddings e ON e.vec_id = c.vec_id) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   // The hyperplanes are seeded-deterministic, so even LSH is

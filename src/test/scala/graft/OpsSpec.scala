@@ -478,6 +478,20 @@ class OpsSpec extends AnyFunSuite {
       "25% appended rows did not trip the re-train trigger")
   }
 
+  test("spilled IVF recall@10 against brute force stays above the raised floor") {
+    // r13: spilled assignment (top-3 centroids per vector) on the maximin
+    // seed set; measured 0.81 at nprobe 3 of 16 on this corpus (r12's
+    // single-assign stride IVF read 0.62, and maximin WITHOUT spill reads
+    // 0.35 — seeding alone cannot fix a near-isotropic corpus, catchment
+    // can). Floor set under the measurement with one-hit slack (10
+    // queries × 10 slots ⇒ 0.01 granularity).
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val r = Similarity.recallAtK(
+      Similarity.ivfTopK(emb), Similarity.bruteForceTopK(emb))
+    info(f"spilled-IVF recall@10 vs brute force: $r%.3f")
+    assert(r >= 0.75, f"recall@10 collapsed: $r%.3f")
+  }
+
   test("kmeans-IVF recall@k against brute force stays above the pinned floor") {
     val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val exact = Similarity.bruteForceTopK(emb)

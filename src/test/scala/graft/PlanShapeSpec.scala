@@ -36,9 +36,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val nodes = allNodes(Similarity.ivfTopK(emb))
     val planStr = nodes.head.toString
     // the corpus×centroids expansion must collapse in a partial aggregate
-    // (map-side combine) BEFORE any exchange; a window-based argmax would
-    // shuffle the full expansion first
-    assert(planStr.contains("max_by"), s"expected max_by assignment:\n$planStr")
+    // (map-side combine) BEFORE any exchange; a window-based top-spill
+    // would shuffle the full expansion first. r13: the assignment is the
+    // bounded TopK aggregate (spilled assignment), not max_by
+    assert(planStr.contains("topk") || planStr.contains("TopK"),
+      s"expected bounded TopK assignment aggregate:\n$planStr")
     assert(!planStr.contains("windowspecdefinition(vec_id"),
       s"window over the corpus side found (shuffles corpus×centroids):\n$planStr")
     // windows are allowed only on the broadcast-small probe side (qid)
@@ -85,8 +87,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val nodes = allNodes(Similarity.ivfQuantizedTopK(emb))
     val planStr = nodes.head.toString
     // same structural property as ivfTopK: the corpus×centroids expansion
-    // collapses in a partial max_by aggregate before any exchange
-    assert(planStr.contains("max_by"), s"expected max_by assignment:\n$planStr")
+    // collapses in a partial bounded-TopK (spilled-assignment) aggregate
+    // before any exchange
+    assert(planStr.contains("topk") || planStr.contains("TopK"),
+      s"expected bounded TopK assignment aggregate:\n$planStr")
     assert(!planStr.contains("windowspecdefinition(vec_id"),
       s"window over the corpus side found:\n$planStr")
     // the whole pipeline runs on int8: no exchange may carry the original
