@@ -170,6 +170,31 @@ object Curation {
         s, graft.sources.JsonlIngest.ensureJsonlDrop(s, d))
       curateToChunks(withPlantedDups(valid.select("doc_id", "text", "lang")))
         .orderBy("doc_id", "chunk_id")
+    }),
+    // the CRAWL arrival shape under one oracle: WARC archive bytes
+    // (framing damage quarantined) → the planted page template → HTML
+    // extraction → a two-fetch log collapsed by URL-level dedup (the gate
+    // REQUIRES both fetches to land on one key: a normalizer drift
+    // empties the pipeline loudly instead of passing vacuously) → the
+    // same planted-dup curation (quality gate, exact + near dedup, split)
+    // → chunk windows. Each stage reuses the exact rule its own oracle
+    // entry pins, so the composition catches cross-stage drift.
+    "e2e_crawl_to_chunks" -> ((s, d) => {
+      val (valid, _) = graft.sources.WarcIngest.readWithQuarantine(
+        s, graft.sources.WarcIngest.ensureWarcDrop(s, d))
+      val extracted = valid
+        .select(col("doc_id"), col("lang"),
+          expr(TextAnalysis.htmlPageTemplateExpr).as("html"))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.GraftFunctions.html_to_text(col("html")).as("text"))
+      val keepers = Urls.fetchLog(extracted)
+        .groupBy(graft.functions.GraftFunctions.url_normalize(col("url")).as("url_norm"))
+        .agg(count(lit(1)).as("n_fetches"), min(col("fetch_id")).as("keeper"))
+        .filter(col("n_fetches") === 2) // both fetch variants MUST collapse
+        .select(col("keeper").as("doc_id"))
+      val crawled = extracted.join(keepers, Seq("doc_id"))
+      curateToChunks(withPlantedDups(crawled.select("doc_id", "text", "lang")))
+        .orderBy("doc_id", "chunk_id")
     }))
 
   /** DuckDB mirror: quality metrics per PLANTED document (near-copies
@@ -252,6 +277,34 @@ object Curation {
          |         json_extract_string(line, '$$.lang') AS lang
          |  FROM lines WHERE ${graft.sources.JsonlIngest.parseable}),
          |${plantedKeptCtesFrom("parsed", withHead = false)},
+         |$chunksFromKeptSql""".stripMargin,
+    // WARC valid channel (ingest_warc's rule) → the html-extraction rule
+    // (text_extract_html's expected form) → the dedup_url fixture's two
+    // fetches, collapsed to one key with n_fetches = 2 REQUIRED → the
+    // shared curation preamble → the shared chunk tail
+    "e2e_crawl_to_chunks" ->
+      s"""WITH crawl AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+         |extracted AS (
+         |  SELECT doc_id, lang,
+         |         ${TextAnalysis.htmlExtractedSql("text")} AS text
+         |  FROM crawl),
+         |fetches AS (
+         |  SELECT doc_id AS fetch_id, doc_id,
+         |         'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url_norm
+         |  FROM extracted
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS fetch_id, doc_id,
+         |         'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url_norm
+         |  FROM extracted),
+         |keepers AS (
+         |  SELECT MIN(fetch_id) AS doc_id
+         |  FROM fetches GROUP BY url_norm HAVING COUNT(*) = 2),
+         |crawled AS (
+         |  SELECT e.doc_id, e.text, e.lang
+         |  FROM extracted e JOIN keepers USING (doc_id)),
+         |${plantedKeptCtesFrom("crawled", withHead = false)},
          |$chunksFromKeptSql""".stripMargin)
 
   private def chunksFromKeptSql: String =

@@ -347,17 +347,27 @@ object TextAnalysis {
     // and whitespace collapse are all hash-checked
     "text_extract_html" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      docs.select(col("doc_id"), expr(
-        """concat('<html><head><title>doc ', cast(doc_id as string),
-          |  '</title><style>p{color:red}</style><script>var x = 1 < 2;</script>',
-          |  '</head><body><h1>doc ', cast(doc_id as string), '</h1><p>',
-          |  text, ' &amp;&nbsp;done</p><!-- crawler:x --></body></html>')""".stripMargin
-          .replaceAll("\n\\s*", "")).as("html"))
+      docs.select(col("doc_id"), expr(htmlPageTemplateExpr).as("html"))
         .select(col("doc_id"),
           graft.functions.GraftFunctions.html_to_text(col("html")).as("text"))
         .orderBy("doc_id")
     }),
   )
+
+  /** The planted crawl-page template (a Spark SQL expression over
+    * (doc_id, text)) and its expected extraction (a DuckDB expression over
+    * the same columns) — shared by `text_extract_html` and the composed
+    * crawl gate so the two cannot drift. */
+  private[ops] val htmlPageTemplateExpr: String =
+    """concat('<html><head><title>doc ', cast(doc_id as string),
+      |  '</title><style>p{color:red}</style><script>var x = 1 < 2;</script>',
+      |  '</head><body><h1>doc ', cast(doc_id as string), '</h1><p>',
+      |  text, ' &amp;&nbsp;done</p><!-- crawler:x --></body></html>')""".stripMargin
+      .replaceAll("\n\\s*", "")
+
+  private[ops] def htmlExtractedSql(textExpr: String): String =
+    "'doc ' || CAST(doc_id AS VARCHAR) || ' doc ' || CAST(doc_id AS VARCHAR)" +
+      s" || ' ' || trim(regexp_replace($textExpr, '\\s+', ' ', 'g')) || ' & done'"
 
   /** Quality-score oracle text, shared: text_filter_pipeline wraps it so
     * the two entries cannot drift; curate_corpus runs it over its
@@ -484,10 +494,9 @@ object TextAnalysis {
     // title + h1 text survive, style/script/comment content does not,
     // " &amp;&nbsp;done" decodes to " & done", whitespace collapses
     "text_extract_html" ->
-      """SELECT doc_id,
-        |       'doc ' || CAST(doc_id AS VARCHAR) || ' doc ' || CAST(doc_id AS VARCHAR)
-        |       || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & done' AS text
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |       ${htmlExtractedSql("text")} AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH planted AS (
         |  SELECT doc_id,

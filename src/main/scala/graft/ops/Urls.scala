@@ -39,8 +39,9 @@ object Urls {
 
   /** Two fetches of every page under DIFFERENT mess (upper-case host +
     * tracking vs default port + click-ids + fragment): both must collapse
-    * to the same key, with the original id as keeper. */
-  private def fetchLog(docs: DataFrame): DataFrame =
+    * to the same key, with the original id as keeper. Shared with the
+    * composed crawl gate ([[Curation]] `e2e_crawl_to_chunks`). */
+  private[ops] def fetchLog(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("fetch_id"), expr(
       "concat('HTTP://EXAMPLE.com/doc/', cast(doc_id as string), '?utm_source=feed')").as("url"))
       .unionAll(docs.select((col("doc_id") + 1000000L).as("fetch_id"), expr(
