@@ -312,12 +312,155 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     val resolver: SqlGen.TableResolver = pl => leafOf(pl).map(_._2)
 
     SqlGen(p, resolver, backend.dialect) match {
-      case Right(sql) => Some(PushedSqlQuery(p.output, sql, backend))
+      case Right(sql) =>
+        // a fused WINDOW query over a scan-preferred backend may still get
+        // a partitioned parallel read: N disjoint slice queries whose
+        // union is the result (see windowSlices)
+        val slices =
+          if (backend.dialect.scanPreferred) windowSlices(p, resolver, backend)
+          else Nil
+        Some(PushedSqlQuery(p.output, sql, backend, slices))
       case Left(why) =>
         if (sys.props.contains("graft.pushdown.debug"))
           System.err.println(s"[pushdown] ${p.nodeName} not converted: $why")
         None
     }
+  }
+
+  /** Partitioned parallel reads for FUSED window queries — the capability
+    * the single-stream fusion tier traded away, recovered exactly where it
+    * is sound: when every window in the fused subtree partitions by one
+    * common column that traces UNALIASED to a base-table column on a
+    * join-sliceable side, slicing that column into disjoint ranges and
+    * running the WHOLE fused query once per range unions to exactly the
+    * single-stream result — each window partition (one column value) lies
+    * entirely inside one slice, filters and projections distribute over
+    * row-disjoint inputs, and a conditioned INNER/LEFT/RIGHT join
+    * distributes over slices of its preserved/driving side (the same side
+    * rule as the DSv2 join split, `GraftSqlSource.planPartitions`).
+    *
+    * Declines (returns Nil → single stream, today's behavior) when:
+    * subquery expressions are present; any node outside
+    * {Project, Filter, SubqueryAlias, Window, WindowGroupLimit,
+    * conditioned Inner/Left/Right Join, leaf} appears (a global Sort,
+    * Limit, Aggregate, or set-op does NOT distribute over slices); no
+    * common bare partition column exists; the column is non-integral or
+    * aliased anywhere on its path; or the probe finds no rows.
+    *
+    * Range construction: one COUNT/MIN/MAX probe on the base table, then
+    * uniform value strides with UNBOUNDED outer edges — slice 0 is
+    * `col < q1 OR col IS NULL` and the last slice `col >= q_last`, so
+    * every value (including NULL window partitions and values outside the
+    * probed span) lands in exactly one slice by construction. */
+  private def windowSlices(p: LogicalPlan, resolver: SqlGen.TableResolver,
+      backend: SqlBackend): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, GreaterThanOrEqual, IsNull, LessThan, Literal, Or}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project, SubqueryAlias, Window, WindowGroupLimit}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+    val parts =
+      conf.getConfString("spark.graft.fusion.windowSliceParts", "4").trim.toInt
+    if (parts <= 1) return Nil
+    if (p.subqueriesAll.nonEmpty) return Nil
+
+    val partitionSpecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Expression]]
+    def allowed(q: LogicalPlan): Boolean = q match {
+      case Project(_, c) => allowed(c)
+      case Filter(_, c) => allowed(c)
+      case SubqueryAlias(_, c) => allowed(c)
+      case w: Window => partitionSpecs += w.partitionSpec; allowed(w.child)
+      case wg: WindowGroupLimit => partitionSpecs += wg.partitionSpec; allowed(wg.child)
+      case Join(l, r, Inner | LeftOuter | RightOuter, Some(_), _) =>
+        allowed(l) && allowed(r)
+      case _: DataSourceV2Relation | _: DataSourceV2ScanRelation => true
+      case _ => false
+    }
+    if (!allowed(p) || partitionSpecs.isEmpty) return Nil
+    // common BARE partition columns across every window (an aliased or
+    // computed partition key has a different ExprId than any leaf output
+    // and drops out here — exactly the unaliased-trace requirement)
+    val common = partitionSpecs
+      .map(_.collect { case a: AttributeReference => a.exprId }.toSet)
+      .reduce(_ intersect _)
+    if (common.isEmpty) return Nil
+
+    /** Join-side validity of the path from `q` down to `leaf`: at every
+      * join, slicing is sound only on the driving/preserved side. */
+    def sliceableSide(q: LogicalPlan, leaf: LogicalPlan): Boolean = {
+      def contains(x: LogicalPlan): Boolean = x.collectLeaves().exists(_ eq leaf)
+      q match {
+        case Project(_, c) => sliceableSide(c, leaf)
+        case Filter(_, c) => sliceableSide(c, leaf)
+        case SubqueryAlias(_, c) => sliceableSide(c, leaf)
+        case w: Window => sliceableSide(w.child, leaf)
+        case wg: WindowGroupLimit => sliceableSide(wg.child, leaf)
+        case Join(l, r, jt, _, _) =>
+          if (contains(l)) (jt == Inner || jt == LeftOuter) && sliceableSide(l, leaf)
+          else (jt == Inner || jt == RightOuter) && sliceableSide(r, leaf)
+        case _ => q eq leaf
+      }
+    }
+
+    val target = p.collectLeaves().iterator.flatMap { leaf =>
+      leaf.output.collectFirst {
+        case a: AttributeReference if common.contains(a.exprId) &&
+            (a.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }) && sliceableSide(p, leaf) => (leaf, a)
+      }
+    }.nextOption()
+    val (leaf, attr) = target.getOrElse(return Nil)
+
+    // COUNT/MIN/MAX probe on the base table's FROM fragment (a plain table
+    // name or the scan's negotiated subquery — aliased for dialects that
+    // require one)
+    val frag = leafOf(leaf).map(_._2).getOrElse(return Nil)
+    val d = backend.dialect
+    val qa = d.quote(attr.name)
+    val bounds =
+      try backend.executeSql(
+        s"SELECT COUNT($qa), MIN($qa), MAX($qa) FROM $frag ${d.quote("__graft_slice_probe")}").head
+      catch { case _: Exception => return Nil } // probe failure: single stream
+    if (bounds.isNullAt(1)) return Nil
+    val lo = BigInt(bounds.get(1).asInstanceOf[Number].longValue)
+    val hi = BigInt(bounds.get(2).asInstanceOf[Number].longValue)
+    val stride = ((hi - lo) / parts + 1) max BigInt(1)
+    val nParts = (((hi - lo) / stride) + 1).toInt
+    if (nParts <= 1) return Nil
+
+    def lit(v: BigInt): Literal = attr.dataType match {
+      case LongType => Literal(v.toLong)
+      case IntegerType => Literal(v.toInt)
+      case ShortType => Literal(v.toShort)
+      case ByteType => Literal(v.toByte)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    // unbounded outer edges: slice 0 takes everything below q1 plus NULL
+    // keys, the last slice everything at/above its lower boundary — total
+    // coverage holds even for values outside the probed [lo, hi] span
+    val preds: Seq[Expression] = (0 until nParts).map { i =>
+      val lower: Option[Expression] =
+        if (i == 0) None else Some(GreaterThanOrEqual(attr, lit(lo + stride * i)))
+      val upper: Option[Expression] =
+        if (i == nParts - 1) None else Some(LessThan(attr, lit(lo + stride * (i + 1))))
+      val range = (lower, upper) match {
+        case (Some(a), Some(b)) => And(a, b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => Literal.TrueLiteral
+      }
+      if (i == 0) Or(range, IsNull(attr)) else range
+    }
+    val slices = preds.map { pred =>
+      val sliced = p.transformUp { case l if l eq leaf => Filter(pred, l) }
+      SqlGen(sliced, resolver, d) match {
+        case Right(s) => s
+        case Left(_) => return Nil // any unrenderable slice: single stream
+      }
+    }
+    slices
   }
 }
 

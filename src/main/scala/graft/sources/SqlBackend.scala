@@ -67,6 +67,28 @@ trait SqlBackend extends Serializable {
   /** Whole-query execution returning a distributed handle — the analog of
     * `DatabaseExec` streaming Arrow batches (`src/physical_plan.rs:28-132`). */
   def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow]
+
+  /** N disjoint backend queries as one N-partition read — the PARALLEL
+    * form of [[executeSqlToRdd]] for fused queries the pushdown rule could
+    * slice (window-partition alignment, [[graft.plans.SqlPushdownRule]]):
+    * each task opens its own connection and streams one slice, exactly the
+    * partitioned-scan execution model. Default rides [[connection]]
+    * task-side; in-process doubles whose fetches must not run inside tasks
+    * keep the single-stream path (the pushdown rule only slices
+    * scanPreferred backends, which stream task-side by construction). */
+  def executeSqlsToRdd(sqls: Seq[String], expected: StructType): RDD[InternalRow] = {
+    require(sqls.nonEmpty, "executeSqlsToRdd needs at least one query")
+    if (sqls.size == 1) executeSqlToRdd(sqls.head, expected)
+    else {
+      val conn = connection
+      SparkSession.active.sparkContext.parallelize(sqls, sqls.size).mapPartitions { it =>
+        val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(expected))
+          .createSerializer()
+        it.flatMap(q => conn.fetch(0L, q, expected).map(r => ser(r).copy()))
+      }
+    }
+  }
 }
 
 /** Executor-side connection contract — the analog of the reference spawning

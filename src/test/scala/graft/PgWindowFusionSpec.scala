@@ -190,7 +190,7 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(b.estimatedRowCount("emp").contains(40L))
   }
 
-  test("partitioned row_number window fuses into ONE wire query") {
+  test("partitioned row_number window fuses into ONE leaf read as N sliced wire queries") {
     val w = Window.partitionBy("dept").orderBy(desc("sal"))
     val df = remote("emp")
       .select(col("id"), col("dept"), row_number().over(w).as("rn"))
@@ -200,19 +200,60 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(scans(df).isEmpty, "the window subtree must fuse whole")
     assert(p.head.sql.contains("ROW_NUMBER() OVER (PARTITION BY"),
       s"partitioned OVER must render:\n${p.head.sql}")
+    // the window's PARTITION BY (dept, integral, unaliased) aligns, so the
+    // fused query gets a PARTITIONED parallel read: N disjoint slices
+    // (dept spans 0..4, default 4 strides of 2 → 3 slices)
+    assert(p.head.slices.size == 3,
+      s"expected 3 slice queries:\n${p.head.slices.mkString("\n")}")
+    assert(p.head.slices.forall(_.contains("ROW_NUMBER() OVER (PARTITION BY")))
+    assert(p.head.slices.exists(_.contains("IS NULL")),
+      "slice 0 must sweep NULL partition keys")
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-    // the SQL traveled the actual wire protocol (logged at execution) —
-    // wrapped in the COPY statement on the default binary read path
-    assert(server.eventLog.exists(q => q == p.head.sql || q.contains(p.head.sql)),
-      "fused SQL must appear in the server's Query log")
-    assert(server.eventLog.exists(q =>
-      q.startsWith("COPY (") && q.contains(p.head.sql)),
-      "the fused read must ride the binary COPY sub-protocol")
+    // EVERY slice traveled the actual wire protocol (logged at execution)
+    // wrapped in the COPY statement of the binary read path — and the
+    // single-stream form did NOT
+    p.head.slices.foreach(s => assert(server.eventLog.exists(q =>
+      q.startsWith("COPY (") && q.contains(s)),
+      s"slice must ride the wire via binary COPY:\n$s"))
+    assert(!server.eventLog.exists(q => q.contains(p.head.sql)),
+      "the single-stream form must not execute when slices ran")
     val want = localEmp
       .select(col("id"), col("dept"), row_number().over(w).as("rn"))
       .filter(col("rn") <= 2)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-    assert(got == want && got.size == 10) // 5 depts × top-2
+    assert(got == want && got.size == 10) // 5 depts × top-2: union ≡ single stream
+  }
+
+  test("window slicing declines when the partition key does not align") {
+    // (a) partition key is on the NON-preserved side of the join path /
+    //     non-integral: the window-above-join shape partitions by dname
+    //     (string, from dep) — fused, but single-stream
+    val e = remote("emp"); val d = remote("dep")
+    val w = Window.partitionBy("dname").orderBy(desc("sal"))
+    val joined = e.join(d, e("dept") === d("id"))
+      .select(col("dname"), col("sal"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+    val pj = pushed(joined)
+    assert(pj.size == 1 && pj.head.slices.isEmpty,
+      s"misaligned partition key must stay single-stream:\n${pj.head.slices}")
+    // (b) a COMPUTED partition key (aliased expression) never aligns
+    val wExpr = Window.partitionBy((col("dept") % 2).as("parity")).orderBy("id")
+    val dfExpr = remote("emp")
+      .select(col("id"), row_number().over(wExpr).as("rn"))
+      .filter(col("rn") <= 1)
+    val pe = pushed(dfExpr)
+    assert(pe.size == 1 && pe.head.slices.isEmpty,
+      "computed partition keys must decline slicing")
+    // (c) turning the knob off keeps the aligned shape single-stream too
+    spark.conf.set("spark.graft.fusion.windowSliceParts", "1")
+    try {
+      val w2 = Window.partitionBy("dept").orderBy(desc("sal"))
+      val df2 = remote("emp")
+        .select(col("id"), col("dept"), row_number().over(w2).as("rn"))
+        .filter(col("rn") <= 2)
+      val p2 = pushed(df2)
+      assert(p2.size == 1 && p2.head.slices.isEmpty)
+    } finally spark.conf.unset("spark.graft.fusion.windowSliceParts")
   }
 
   test("rank and framed running sum fuse with explicit frames under a reducing filter") {
