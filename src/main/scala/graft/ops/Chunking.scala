@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** The shared whitespace tokenizer ([[Tokens.seg]] — one definition
+  /** The shared tokenizer ([[Tokens.seg]] — one definition
     * across chunking, sampling, repetition, and span dedup). */
   private def toks(text: Column): Column = Tokens.seg(text)
 
