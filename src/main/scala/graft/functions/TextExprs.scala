@@ -60,12 +60,24 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Single-pass word-shingle hasher: lowercases, splits on whitespace runs,
-  * hashes each token (FNV-1a 64 + mix), and emits one combined hash per
-  * n-token window (distinct multiplier per position, mixed). Replaces the
-  * `split → transform → concat_ws → slice → xxhash64` pipeline — no
-  * intermediate token/shingle strings are materialized, which is the hot
-  * path of every sketch-based dedup at corpus scale.
+/** Single-pass word-shingle hasher: lowercases, splits on whitespace runs
+  * WITH CJK per-character segmentation, hashes each token (FNV-1a 64 +
+  * mix), and emits one combined hash per n-token window (distinct
+  * multiplier per position, mixed). Replaces the `split → transform →
+  * concat_ws → slice → xxhash64` pipeline — no intermediate token/shingle
+  * strings are materialized, which is the hot path of every sketch-based
+  * dedup at corpus scale.
+  *
+  * CJK rule (r13, same semantics as [[graft.ops.Tokens]].seg): a
+  * Han/Hiragana/Katakana/Hangul character is its own token — without it a
+  * space-free CJK document is ONE token, hashes to zero shingles at any
+  * n > 1, and silently EXITS every sketch dedup (minhash, simhash,
+  * n-gram Jaccard, novelty, fluency). Detection is per BMP char
+  * (`Character.UnicodeScript`); supplementary-plane ideographs (ext-B+)
+  * are out of scope BY CONTRACT — their surrogate halves glue into the
+  * surrounding word token deterministically, and the DuckDB oracle
+  * emulation (HashOracleSql, codepoint-based) is exact only on BMP text,
+  * which every planted fixture is.
   * Returns null when the text has fewer than n tokens. */
 case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -74,20 +86,33 @@ case class WordShingleHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  private def isCjk(c: Char): Boolean = {
+    val sc = Character.UnicodeScript.of(c)
+    sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
+  }
+
   override def nullSafeEval(in: Any): Any = {
     val s = in.asInstanceOf[UTF8String].toString
     val len = s.length
-    // 1. hash each lowercased whitespace-delimited token
+    // 1. hash each lowercased token: whitespace-run splits, CJK chars as
+    //    single-char tokens
     val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i < len) {
       while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
       if (i < len) {
         var h = 0xCBF29CE484222325L
-        while (i < len && !Character.isWhitespace(s.charAt(i))) {
+        if (isCjk(s.charAt(i))) {
           h ^= Character.toLowerCase(s.charAt(i)).toLong
           h *= 0x100000001B3L
           i += 1
+        } else {
+          while (i < len && !Character.isWhitespace(s.charAt(i)) && !isCjk(s.charAt(i))) {
+            h ^= Character.toLowerCase(s.charAt(i)).toLong
+            h *= 0x100000001B3L
+            i += 1
+          }
         }
         tokens += Mix64.mix(h)
       }

@@ -1264,7 +1264,16 @@ object Dedup {
     "dedup_exact" -> ((s, d) => exact(Tables.load(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => minHashPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
     "dedup_simhash" -> ((s, d) => simHashPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
-    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(withPlantedNearDups(Tables.load(s, d, "documents")))),
+    // every 13th doc gains a space-free Han run BEFORE the near-dup
+    // planting (the 90% truncation then clips it), so the r13 CJK
+    // per-character tokenization of WordShingleHashes is hash-checked at
+    // the gate: the oracle intersects shingle STRINGS under the same
+    // segmentation — a tokenizer drift changes the pair set or a jaccard
+    // value and mismatches
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(withPlantedNearDups(
+      Tables.load(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" 模型训练数据去重与质量控制环节"))).otherwise(col("text")))))),
     // Passage-level: the planted 90%-prefix copies share every k-token
     // shingle of the common prefix, so each (original, copy) pair must
     // surface as one long flagged span in both documents.
@@ -1475,17 +1484,29 @@ object Dedup {
     // shingles, the oracle intersects the shingle STRINGS themselves —
     // identical sets modulo 64-bit collisions (none at this scale, and a
     // collision would surface as a value mismatch here). Mirrors the full
-    // pipeline: planted near-dups, distinct 3-token shingles, df>1000
-    // stop-shingle cutoff, post-cutoff set sizes.
+    // pipeline: planted CJK runs (every 13th doc — the r13 per-character
+    // segmentation, hash-checked through the string shingles), planted
+    // near-dups, distinct 3-token shingles, df>1000 stop-shingle cutoff,
+    // post-cutoff set sizes.
     "dedup_ngram_jaccard" ->
-      """WITH docs2 AS (
-        |  SELECT doc_id, text FROM documents
+      """WITH docs0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0
+        |              THEN text || ' 模型训练数据去重与质量控制环节'
+        |              ELSE text END AS text
+        |  FROM documents
+        |),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM docs0
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
         |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
-        |  FROM documents
+        |  FROM docs0
         |),
-        |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks FROM docs2),
+        |tok AS (SELECT doc_id,
+        |               list_filter(string_split_regex(regexp_replace(lower(text),
+        |                 '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
+        |                 t -> t <> '') AS toks FROM docs2),
         |sh AS (SELECT doc_id,
         |              unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh

@@ -109,9 +109,13 @@ object HashOracleSql {
       |  FROM documents""".stripMargin
 
   /** docs CTE -> (doc_id, i, th): unsigned per-token hashes (mirrors
-    * WordShingleHashes step 1: FNV-1a 64 over each lowercased
-    * whitespace-delimited token's chars, then the splitmix64 finalizer).
-    * The corpus is lowercase ASCII, so lower() == Character.toLowerCase.
+    * WordShingleHashes step 1: FNV-1a 64 over each lowercased token's
+    * chars, then the splitmix64 finalizer). Tokenization mirrors the
+    * expression's r13 rule: whitespace runs split, and every
+    * Han/Hiragana/Katakana/Hangul character is its own token. The corpus
+    * is lowercase ASCII (lower() == Character.toLowerCase) and every
+    * planted CJK fixture is BMP, where DuckDB's codepoint iteration and
+    * Java's char iteration coincide.
     * Shared by the n-gram shingle chain and the unigram feature chain. */
   private def tokenHashSql(docsCte: String): String = {
     val tokFold =
@@ -119,12 +123,15 @@ object HashOracleSql {
         "list_transform(string_split_regex(t.tok, ''), " +
         "ch -> CAST(unicode(ch) AS HUGEINT))), " +
         s"(h, c) -> ${mul("xor(h, c)", FnvPrime)})"
+    val cjkSplit =
+      """string_split_regex(regexp_replace(lower(text), """ +
+        """'([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+')"""
     val toks =
       s"""SELECT doc_id, i, $tokFold AS fnv
          |FROM (
          |  SELECT doc_id, unnest(toks) AS tok,
          |         unnest(generate_series(1, len(toks))) AS i
-         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM (SELECT doc_id, list_filter($cjkSplit, x -> x <> '') AS toks
          |        FROM $docsCte) _
          |) t""".stripMargin
     stages(toks, mixSteps("fnv", "th", "tm"))

@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
   * SQL `trim` strips only spaces, so a trailing tab would otherwise
   * smuggle an empty token into the stream.
   *
-  * NOT covered here: the 64-bit shingle-hash tier (minhash / simhash /
-  * n-gram Jaccard / novelty / fluency) tokenizes inside the native
-  * WordShingleHashes expression with its own documented rule; extending
-  * CJK segmentation there means touching that expression AND its HUGEINT
-  * oracle emulation together — tracked as follow-up, not silently half
-  * done here. */
+  * The 64-bit shingle-hash tier (minhash / simhash / n-gram Jaccard /
+  * novelty / fluency) tokenizes inside the native WordShingleHashes
+  * expression — which applies the SAME CJK per-character rule (and its
+  * HUGEINT oracle emulation in HashOracleSql mirrors it), so the two
+  * tokenizers agree on segmentation boundaries while hashing
+  * differently by design. */
 private[ops] object Tokens {
   /** Java-regex capture of one CJK codepoint (Unicode script classes). */
   private val CjkJava = "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"

@@ -177,6 +177,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a b c"), (2L, "x y z"), (3L, "caf\u00E9 ok")))
   }
 
+  test("word_shingles segments CJK per character (r13: shingle tier no longer exits on CJK docs)") {
+    import spark.implicits._
+    val han = "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u8bad\u7ec3" // 8 Han chars, no spaces
+    def nShingles(text: String, n: Int): Int =
+      Seq(text).toDF("t").select(word_shingles(col("t"), n).as("sh"))
+        .select(size(col("sh"))).as[Int].head()
+    // pre-r13 this text was ONE token \u2192 null shingles at n=3; now 8 tokens
+    assert(nShingles(han, 3) == 6)
+    assert(nShingles(han, 1) == 8)
+    // mixed script: latin words stay whole, CJK splits \u2014 "alpha" + 8 + "beta"
+    assert(nShingles(s"alpha $han beta", 1) == 10)
+    // glued CJK+latin with no space still splits at the script boundary
+    assert(nShingles("abc\u673a\u5668def", 1) == 4) // abc, \u673a, \u5668, def
+    // and the token hashes agree with the separately-spaced spelling
+    val glued = Seq("abc\u673a\u5668def").toDF("t").select(word_shingles(col("t"), 1)).as[Seq[Long]].head()
+    val spaced = Seq("abc \u673a \u5668 def").toDF("t").select(word_shingles(col("t"), 1)).as[Seq[Long]].head()
+    assert(glued == spaced)
+  }
+
+  test("minHashPairs finds a CJK near-duplicate pair") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"\u5b57\u7b26${i}\u53f7").mkString("") // long space-free Han text
+    val docs = Seq(
+      (1L, base),
+      (2L, base.substring(0, (base.length * 0.9).toInt)), // 90% prefix twin
+      (3L, (1 to 60).map(i => s"\u53e6\u5916${i}\u4e9b").mkString("")))  // unrelated
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minHashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"CJK twin must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("sorted_set_by_key \u2261 transform(sort_array(collect_list(struct)))") {
     import spark.implicits._
     // deterministic pseudo-random pairs: group sizes cross the quicksort
