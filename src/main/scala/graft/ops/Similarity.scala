@@ -816,10 +816,15 @@ object Similarity {
     // against its original, so the entry exercises real removals
     "dedup_semantic" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
+      // the oracle pairing exists AT THE GATE SF only: pin its hard-coded
+      // k there so a regenerated-bigger sf0.01 fixture fails loudly at the
+      // source (r12 advice), while bench/scale runs at other SFs keep the
+      // entry's own n/targetClusterSize scaling (sf0.1 computes k=78)
       semDedup(emb.select("vec_id", "embedding").unionAll(emb.select(
         (col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
-          .as("embedding"))), oracleK = Some(16))
+          .as("embedding"))),
+        oracleK = if (d.stripSuffix("/").endsWith("sf0.01")) Some(16) else None)
     }),
     // the measured quality axis, under the gate: IVF's per-query recall
     // against the brute-force truth
