@@ -419,16 +419,41 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     val frag = leafOf(leaf).map(_._2).getOrElse(return Nil)
     val d = backend.dialect
     val qa = d.quote(attr.name)
+    val probeAlias = d.quote("__graft_slice_probe")
     val bounds =
       try backend.executeSql(
-        s"SELECT COUNT($qa), MIN($qa), MAX($qa) FROM $frag ${d.quote("__graft_slice_probe")}").head
+        s"SELECT COUNT($qa), MIN($qa), MAX($qa) FROM $frag $probeAlias").head
       catch { case _: Exception => return Nil } // probe failure: single stream
     if (bounds.isNullAt(1)) return Nil
+    val n = BigInt(bounds.get(0).asInstanceOf[Number].longValue)
     val lo = BigInt(bounds.get(1).asInstanceOf[Number].longValue)
     val hi = BigInt(bounds.get(2).asInstanceOf[Number].longValue)
-    val stride = ((hi - lo) / parts + 1) max BigInt(1)
-    val nParts = (((hi - lo) / stride) + 1).toInt
-    if (nParts <= 1) return Nil
+    // Interior boundaries, each range = [b_i, b_{i+1}) with unbounded
+    // outer edges. DENSE values (span within 10× the row count) take
+    // uniform strides from one probe — the Spark-JDBC strategy. SPARSE
+    // values (snowflake-ish ids) would pile every row into one or two
+    // strides, so they probe the ACTUAL column quantiles instead — one
+    // ORDER BY k LIMIT 1 OFFSET i·per index seek per interior boundary,
+    // the same discipline as the scan path's keyRangeSqls; duplicate
+    // quantiles (heavy values) collapse a cut, never split one value
+    // across slices.
+    val sparse = (hi - lo + 1) > n * 10
+    val boundaries: Seq[BigInt] =
+      if (!sparse) {
+        val stride = ((hi - lo) / parts + 1) max BigInt(1)
+        val nParts = (((hi - lo) / stride) + 1).toInt
+        (1 until nParts).map(i => lo + stride * i)
+      } else {
+        val per = (n + parts - 1) / parts
+        try (1 until parts).map(i => BigInt(i) * per).filter(_ < n).map { off =>
+          BigInt(backend.executeSql(
+            s"SELECT $qa FROM $frag $probeAlias WHERE $qa IS NOT NULL ORDER BY $qa" +
+              d.limitOffset(Some(1L), Some(off.toLong))).head
+            .get(0).asInstanceOf[Number].longValue)
+        }.distinct
+        catch { case _: Exception => return Nil }
+      }
+    if (boundaries.isEmpty) return Nil
 
     def lit(v: BigInt): Literal = attr.dataType match {
       case LongType => Literal(v.toLong)
@@ -437,15 +462,16 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
       case ByteType => Literal(v.toByte)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
-    // unbounded outer edges: slice 0 takes everything below q1 plus NULL
-    // keys, the last slice everything at/above its lower boundary — total
+    // unbounded outer edges: slice 0 takes everything below b_1 plus NULL
+    // keys, the last slice everything at/above its last boundary — total
     // coverage holds even for values outside the probed [lo, hi] span
-    val preds: Seq[Expression] = (0 until nParts).map { i =>
-      val lower: Option[Expression] =
-        if (i == 0) None else Some(GreaterThanOrEqual(attr, lit(lo + stride * i)))
-      val upper: Option[Expression] =
-        if (i == nParts - 1) None else Some(LessThan(attr, lit(lo + stride * (i + 1))))
-      val range = (lower, upper) match {
+    val edges: Seq[(Option[BigInt], Option[BigInt])] =
+      ((None +: boundaries.map(Option(_))) :+ None).sliding(2)
+        .map(pair => (pair.head, pair.last)).toSeq
+    val preds: Seq[Expression] = edges.zipWithIndex.map { case ((from, until), i) =>
+      val lower = from.map(f => GreaterThanOrEqual(attr, lit(f)))
+      val upper = until.map(u => LessThan(attr, lit(u)))
+      val range: Expression = (lower, upper) match {
         case (Some(a), Some(b)) => And(a, b)
         case (Some(a), None) => a
         case (None, Some(b)) => b

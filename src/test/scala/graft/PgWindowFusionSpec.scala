@@ -47,6 +47,10 @@ class PgWindowFusionSpec extends AnyFunSuite {
       .toDF("id", "dept", "sal", "bonus").createOrReplaceTempView("emp")
     Seq((0, "eng"), (1, "ops"), (2, "fin"))
       .toDF("id", "dname").createOrReplaceTempView("dep")
+    // sparse window-partition keys (snowflake-ish span ≫ 10× rows): the
+    // slicer must probe quantiles, not stride the value span
+    (1 to 40).map(i => (i, (i % 5 + 1) * 1000000000L, i * 1.5))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sparse")
     // every discoverable wire type in one table, nulls planted per column
     s.sql("""CREATE OR REPLACE TEMP VIEW typed AS
       SELECT CAST(id AS INT) AS i,
@@ -101,7 +105,7 @@ class PgWindowFusionSpec extends AnyFunSuite {
       val tableRe = "\"table_name\" = '([^']+)'".r
       val relRe = "\"relname\" = '([^']+)'".r
       if (sql.contains("\"information_schema\".\"tables\"")) {
-        val names = Seq("dep", "emp", "typed")
+        val names = Seq("dep", "emp", "sparse", "typed")
         Some(MiniPgServer.QueryResult(
           Seq(("table_name", PgWire.Oid.Varchar)),
           names.map(n => Seq(Some(n)))))
@@ -183,7 +187,7 @@ class PgWindowFusionSpec extends AnyFunSuite {
 
   test("catalog discovery and schema come over the wire") {
     val b = PgWireBackend.forAddress(s"127.0.0.1:${server.port}/testdb")
-    assert(b.tables == Seq("dep", "emp", "typed"))
+    assert(b.tables == Seq("dep", "emp", "sparse", "typed"))
     assert(b.schema("emp").fields.map(f => (f.name, f.dataType)).toSeq ==
       Seq(("id", IntegerType), ("dept", IntegerType),
         ("sal", DoubleType), ("bonus", IntegerType)))
@@ -222,6 +226,45 @@ class PgWindowFusionSpec extends AnyFunSuite {
       .filter(col("rn") <= 2)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
     assert(got == want && got.size == 10) // 5 depts × top-2: union ≡ single stream
+  }
+
+  test("sparse partition keys slice by probed quantiles, not value strides") {
+    // grp spans 1e9..5e9 over 40 rows — uniform strides of that span would
+    // pile every row into one or two slices; the quantile path probes the
+    // ACTUAL values (ORDER BY grp LIMIT 1 OFFSET i·per) and slices between
+    // them. 3 parts (the shared-scheduler cap — see the header note: N
+    // engine tasks block on sockets while the delegate needs a slot) over
+    // 5 heavy values → distinct cuts, ≥ 2 real slices.
+    val w = Window.partitionBy("grp").orderBy(desc("v"))
+    spark.conf.set("spark.graft.fusion.windowSliceParts", "3")
+    val (p, got) =
+      try {
+        val df = remote("sparse")
+          .select(col("id"), col("grp"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= 2)
+        val p = pushed(df) // forces planning (conf read here)
+        (p, df.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet)
+      } finally spark.conf.unset("spark.graft.fusion.windowSliceParts")
+    assert(p.size == 1)
+    assert(p.head.slices.size >= 2,
+      s"sparse keys must still slice:\n${p.head.slices.mkString("\n")}")
+    // the quantile probes traveled the wire (OFFSET index seeks)
+    assert(server.eventLog.exists(q =>
+      q.contains("ORDER BY \"grp\"") && q.contains("OFFSET")),
+      "quantile probe must run on the backend")
+    val local = delegate.table("sparse")
+    val want = {
+      val prev = org.apache.spark.sql.SparkSession.getActiveSession
+      org.apache.spark.sql.SparkSession.setActiveSession(delegate)
+      try local.select(col("id"), col("grp"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      finally prev match {
+        case Some(s) => org.apache.spark.sql.SparkSession.setActiveSession(s)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+    assert(got == want && got.size == 10) // 5 groups × top-2: union ≡ single stream
   }
 
   test("window slicing declines when the partition key does not align") {
