@@ -373,7 +373,8 @@ object Similarity {
     }).toDF("cent_id", "cent_vec", "cent_norm")
 
   /** Nearest-centroid assignment of the quantized corpus `q`: one scan ×
-    * broadcast(centroids), partial+final max_by aggregate. */
+    * broadcast(centroids), partial+final max_by aggregate. The Lloyd and
+    * SemDeDup form — each point in EXACTLY one cluster. */
   private def assignQ(q: DataFrame,
       cs: Array[(Long, Array[Double])]): DataFrame = q
     .crossJoin(broadcast(centroidsDf(q.sparkSession, cs)))
@@ -384,6 +385,28 @@ object Similarity {
       max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
         .as("cluster"),
       first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
+
+  /** Top-`spill` SERVING assignment (r13, the ivfTopK recall lever):
+    * each vector indexed under its `spill` nearest trained centroids —
+    * bounded TopK aggregate, same no-window-over-the-expansion shape as
+    * [[assignQ]], one exploded row per (vector, spill slot). Used by the
+    * serving paths only; Lloyd's update and SemDeDup keep [[assignQ]]. */
+  private def assignQTop(q: DataFrame, cs: Array[(Long, Array[Double])],
+      spill: Int): DataFrame = {
+    if (spill <= 1) return assignQ(q, cs)
+    val topA = udaf(new graft.functions.Aggregators.TopK(spill),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
+    q.crossJoin(broadcast(centroidsDf(q.sparkSession, cs)))
+      .withColumn("cent_cos", dot_i8f64(col("qvec"), col("cent_vec")) /
+        (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
+      .filter(col("cent_cos").isNotNull)
+      .groupBy("vec_id")
+      .agg(topA(col("cent_cos"), col("cent_id")).as("top"),
+        first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
+      .select(col("vec_id"), col("qvec"), col("qnorm"),
+        explode(expr("transform(top, s -> s.id)")).as("cluster"))
+      .select("vec_id", "cluster", "qvec", "qnorm")
+  }
 
   /** `iters` rounds of distributed Lloyd's over the quantized corpus —
     * see [[kmeansIvfTopK]] for the exactness argument. */
@@ -417,12 +440,16 @@ object Similarity {
 
   /** Probe ranking: each query's `nprobe` nearest clusters. `queries` has
     * (qid, probe_vec, probe_norm); the query set is broadcast-small by
-    * contract, so the window never sees scale. */
+    * contract, so the window never sees scale. Duplicate qids are deduped
+    * here (free at broadcast size): a query set derived from the SPILLED
+    * index carries one row per (vector, spill slot), and ranking over
+    * duplicated rows would burn probe slots on repeated clusters. */
   private def probeClusters(queries: DataFrame, cdf: DataFrame,
       nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     queries
+      .dropDuplicates("qid")
       .crossJoin(broadcast(cdf))
       .withColumn("cent_cos", dot_i8f64(col("probe_vec"), col("cent_vec")) /
         (sqrt(col("probe_norm")) * sqrt(col("cent_norm"))))
@@ -437,6 +464,11 @@ object Similarity {
     val scored = assignments
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
+      // under spilled assignment a (qid, vec_id) pair can arrive via
+      // several shared clusters; dedup BEFORE the bounded top-k so
+      // duplicates cannot occupy two result slots (a no-op pair-wise for
+      // single-assign callers)
+      .dropDuplicates("qid", "vec_id")
       .withColumn("cosine", dot_i8(col("qvec"), col("probe_vec")) /
         (sqrt(col("qnorm")) * sqrt(col("probe_norm"))))
     topK(scored, k)
@@ -444,7 +476,7 @@ object Similarity {
 
   def kmeansIvfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
       nprobe: Int = 3, nCentroids: Int = 16, iters: Int = 2,
-      scale: Int = 64): DataFrame = {
+      scale: Int = 64, spill: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     val q = quantize(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -452,7 +484,7 @@ object Similarity {
     val queries = q.filter(col("vec_id") % every === 0)
       .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
         col("qnorm").as("probe_norm"))
-    scoreAndTop(assignQ(q, cents),
+    scoreAndTop(assignQTop(q, cents, spill),
       probeClusters(queries, centroidsDf(spark, cents), nprobe), k)
   }
 
@@ -463,20 +495,25 @@ object Similarity {
     * ~nprobe/nCentroids of the index bytes, instead of re-deriving
     * quantization + assignment per query batch. */
   def buildKmeansIvfIndex(emb: DataFrame, path: String, nCentroids: Int = 16,
-      iters: Int = 2, scale: Int = 64): Unit = {
+      iters: Int = 2, scale: Int = 64, spill: Int = 3): Unit = {
     val spark = emb.sparkSession
     val q = quantize(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = trainCentroids(q, nCentroids, iters, scale)
-    assignQ(q, cents).write.partitionBy("cluster")
+    // r13: the index stores the SPILLED assignment (each vector under its
+    // `spill` nearest centroids) — index bytes × spill, probe reads ×
+    // spill·nprobe/nCentroids of it, recall@10 0.81-class instead of
+    // 0.62 at unchanged nprobe; the honest 100 TB trade, stated
+    assignQTop(q, cents, spill).write.partitionBy("cluster")
       .mode("overwrite").parquet(s"$path/assign")
     centroidsDf(spark, cents).write.mode("overwrite")
       .parquet(s"$path/centroids")
-    // trained-base size, the denominator of the staleness contract below
-    // — written through the Hadoop FS layer like the index parquet, so
-    // an HDFS/S3 index path carries its marker WITH the index instead of
-    // stranding it on one driver's local disk
-    writeTrained(spark, path, q.count())
+    // trained-base size in assign ROWS (vectors × spill — the same unit
+    // appends add, so the staleness fraction stays row-to-row) — written
+    // through the Hadoop FS layer like the index parquet, so an HDFS/S3
+    // index path carries its marker WITH the index instead of stranding
+    // it on one driver's local disk
+    writeTrained(spark, path, q.count() * math.min(spill, nCentroids).toLong)
     q.unpersist()
   }
 
@@ -515,8 +552,9 @@ object Similarity {
     * [[kmeansIvfIndexStale]] makes that measurable instead of silent —
     * the analog of the MV fingerprint contract, adapted to an index whose
     * "fingerprint" is how far the corpus has outgrown the training. */
-  def appendToKmeansIvfIndex(emb: DataFrame, path: String): Unit =
-    assignQ(quantize(emb), loadCentroids(emb.sparkSession, path))
+  def appendToKmeansIvfIndex(emb: DataFrame, path: String,
+      spill: Int = 3): Unit =
+    assignQTop(quantize(emb), loadCentroids(emb.sparkSession, path), spill)
       .write.partitionBy("cluster").mode("append").parquet(s"$path/assign")
 
   /** True when appended rows exceed `maxAppendFraction` of the trained
@@ -616,7 +654,7 @@ object Similarity {
     * shared by the kmeans-IVF oracle and the SemDeDup oracle so the two
     * entries answer to literally the same trained quantizer. */
   private def lloydCtes(nCentroids: Int, iters: Int, scale: Int,
-      dim: Int, src: String = "embeddings"): String = {
+      dim: Int, src: String = "embeddings", servingSpill: Int = 1): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, cluster, qvec, qnorm FROM (
@@ -646,6 +684,22 @@ object Similarity {
         updateCte(s"a$i", s"c${i - 1}", s"m$i", s"c$i")
     }.mkString(",\n")
     val cf = s"c$iters"
+    // serving-only SPILLED assignment (r ≤ spill — the ivfTopK recall
+    // lever, r13): emitted as a SEPARATE `afs` CTE so SemDeDup's
+    // cluster-bounded pair semantics (each point in EXACTLY one cluster,
+    // `af`) are untouched
+    val serving =
+      if (servingSpill <= 1) ""
+      else ",\n" +
+        s"""afs AS (
+           |  SELECT vec_id, cluster, qvec, qnorm FROM (
+           |    SELECT e.vec_id, c.cent_id AS cluster, e.qvec, e.qnorm,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_dot_product(e.qvec, c.cent_vec) /
+           |                      (SQRT(e.qnorm) * SQRT(list_dot_product(c.cent_vec, c.cent_vec))) DESC,
+           |                      c.cent_id) AS r
+           |    FROM n e CROSS JOIN $cf c) t WHERE r <= $servingSpill
+           |)""".stripMargin
     s"""q AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x ->
@@ -661,14 +715,15 @@ object Similarity {
        |  FROM n WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $nCentroids
        |),
        |$rounds,
-       |${assignCte("af", cf)}""".stripMargin
+       |${assignCte("af", cf)}$serving""".stripMargin
   }
 
   def kmeansIvfSql(k: Int = 10, every: Long = 50L, nprobe: Int = 3,
       nCentroids: Int = 16, iters: Int = 2, scale: Int = 64,
-      dim: Int = 64): String = {
+      dim: Int = 64, spill: Int = 3): String = {
     val cf = s"c$iters"
-    s"""WITH ${lloydCtes(nCentroids, iters, scale, dim)},
+    val assignRel = if (spill > 1) "afs" else "af"
+    s"""WITH ${lloydCtes(nCentroids, iters, scale, dim, servingSpill = spill)},
        |probes AS (
        |  SELECT qid, probe_vec, probe_norm, cluster FROM (
        |    SELECT p.vec_id AS qid, p.qvec AS probe_vec, p.qnorm AS probe_norm,
@@ -678,14 +733,19 @@ object Similarity {
        |                      (SQRT(p.qnorm) * SQRT(list_dot_product(c.cent_vec, c.cent_vec))) DESC,
        |                      c.cent_id) AS r
        |    FROM n p CROSS JOIN $cf c WHERE p.vec_id % $every = 0) t WHERE r <= $nprobe
+       |),
+       |cand AS (
+       |  -- spill ⇒ a pair can share several clusters; dedup before top-k
+       |  SELECT DISTINCT p.qid, p.probe_vec, p.probe_norm, a.vec_id, a.qvec, a.qnorm
+       |  FROM $assignRel a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.qid
        |)
        |SELECT qid, rank, vec_id, cosine FROM (
-       |  SELECT p.qid, a.vec_id,
-       |         list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) AS cosine,
-       |         ROW_NUMBER() OVER (PARTITION BY p.qid
-       |           ORDER BY list_dot_product(a.qvec, p.probe_vec) / (SQRT(a.qnorm) * SQRT(p.probe_norm)) DESC, a.vec_id) AS rank
-       |  FROM af a JOIN probes p USING (cluster)
-       |  WHERE a.vec_id <> p.qid) t
+       |  SELECT c.qid, c.vec_id,
+       |         list_dot_product(c.qvec, c.probe_vec) / (SQRT(c.qnorm) * SQRT(c.probe_norm)) AS cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY c.qid
+       |           ORDER BY list_dot_product(c.qvec, c.probe_vec) / (SQRT(c.qnorm) * SQRT(c.probe_norm)) DESC, c.vec_id) AS rank
+       |  FROM cand c) t
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
