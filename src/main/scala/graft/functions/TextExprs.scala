@@ -341,10 +341,11 @@ case class NormalizeUrl(child: Expression) extends UnaryExpression {
   *     passes through as text instead of being swallowed to the next `>`
   *     (real crawl HTML carries unescaped `<` in text constantly);
   *  4. the common entities decoded in ONE left-to-right scan: amp, lt,
-  *     gt, quot, apos, nbsp (→ space), plus decimal `&#NNNNNNN;` —
-  *     printable-ASCII codes to their character, everything else to a
-  *     space. One scan means decoding never re-reads its own output:
-  *     `&amp;lt;` → `&lt;` as text, `&#38;amp;` → `&amp;` as text;
+  *     gt, quot, apos, nbsp (→ space), plus numeric `&#NNNNNNN;` and hex
+  *     `&#xHHHHHH;` forms — printable-ASCII codes to their character,
+  *     everything else to a space. One scan means decoding never re-reads
+  *     its own output: `&amp;lt;` → `&lt;` as text, `&#38;amp;` →
+  *     `&amp;` as text;
   *  5. whitespace runs collapsed to single spaces, ends trimmed.
   *
   * Contract notes: an unclosed trailing `<fragment` is NOT a tag and
@@ -358,7 +359,7 @@ object HtmlToText {
   private val Comments = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
   private val Tags = java.util.regex.Pattern.compile("</?[a-zA-Z!?][^>]*>")
   private val Entities = java.util.regex.Pattern.compile(
-    "&(amp|lt|gt|quot|apos|nbsp);|&#(\\d{1,7});")
+    "&(amp|lt|gt|quot|apos|nbsp);|&#(\\d{1,7});|&#[xX]([0-9a-fA-F]{1,6});")
   private val Spaces = java.util.regex.Pattern.compile("\\s+")
 
   def extract(in: UTF8String): UTF8String = {
@@ -375,7 +376,9 @@ object HtmlToText {
           case "quot" => "\""; case "apos" => "'"; case _ => " " // nbsp
         }
         else {
-          val code = m.group(2).toLong // ≤ 7 digits, cannot overflow
+          val code =
+            if (m.group(2) != null) m.group(2).toLong // ≤ 7 digits
+            else java.lang.Long.parseLong(m.group(3), 16) // ≤ 6 hex digits
           if (code >= 32 && code <= 126) code.toChar.toString else " "
         }
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))

@@ -82,10 +82,12 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
-  /** Stopword/character n-gram language-ID heuristic over en/es/de/fr/zh.
-    * CJK character ratio decides zh; otherwise the language whose stopword
-    * profile hits the most tokens wins (ties → profile order). Pure column
-    * expressions — `array_intersect` over a lowercased token set. */
+  /** Stopword/character-class language-ID heuristic over
+    * en/es/de/fr/ja/ko/zh. Script ratios separate the CJK family first
+    * (kana → ja, hangul → ko, han → zh); otherwise the language whose
+    * stopword profile hits the most tokens wins (ties → profile order).
+    * Pure column expressions — `array_intersect` over a lowercased token
+    * set. */
   def languageId(docs: DataFrame): DataFrame = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
@@ -93,9 +95,19 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
       "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"))
     val toks = array_distinct(split(lower(col("text")), "\\s+"))
-    val cjkRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
+    def classRatio(cls: String) = (length(col("text")) -
+      length(regexp_replace(col("text"), cls, ""))).cast("double") /
       greatest(length(col("text")), lit(1))
+    // script ratios decide the CJK family BEFORE the Latin stopword
+    // cascade (r13): kana presence is the ja-vs-zh discriminator —
+    // Japanese prose is heavily hiragana/katakana while Chinese has none,
+    // so even a LOW kana ratio (> 0.05) means Japanese; hangul syllables
+    // identify Korean; a Han-dominated text with no kana is Chinese.
+    // Pre-r13 a kanji-heavy Japanese doc labeled zh and a kana- or
+    // hangul-heavy doc fell through to the Latin cascade.
+    val kanaRatio = classRatio("[\\x{3040}-\\x{30ff}]")
+    val hangulRatio = classRatio("[\\x{ac00}-\\x{d7af}]")
+    val hanRatio = classRatio("[\\x{4e00}-\\x{9fff}]")
     // greatest(struct(hits, prio, lang)) picks max hits; the explicit
     // priority field makes earlier profiles ('en' first) win exact ties
     val hitCols = profiles.zipWithIndex.map { case ((lang, words), idx) =>
@@ -104,7 +116,10 @@ object TextAnalysis {
     }
     val best = greatest(hitCols: _*)
     docs.select(col("doc_id"), col("lang").as("labeled_lang"),
-      when(cjkRatio > 0.3, lit("zh")).otherwise(best.getField("lang")).as("pred_lang"))
+      when(kanaRatio > 0.05, lit("ja"))
+        .when(hangulRatio > 0.3, lit("ko"))
+        .when(hanRatio > 0.3, lit("zh"))
+        .otherwise(best.getField("lang")).as("pred_lang"))
       .orderBy("doc_id")
   }
 
@@ -324,7 +339,20 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
     "text_quality" -> ((s, d) => qualityScores(Tables.load(s, d, "documents"))),
-    "text_langid" -> ((s, d) => languageId(Tables.load(s, d, "documents"))),
+    // the corpus is Latin-script, so the CJK-family arms are exercised on
+    // planted REPLACEMENT paragraphs (replacement, not append: the script
+    // ratios must clear their thresholds deterministically): every 17th
+    // doc becomes Japanese (kana+kanji), every 19th Korean, every 23rd
+    // Chinese — priority ja > ko > zh on the overlapping ids, mirrored in
+    // the oracle's CASE order
+    "text_langid" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      languageId(docs.select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 17 === 0, lit(JaSnippet))
+          .when(col("doc_id") % 19 === 0, lit(KoSnippet))
+          .when(col("doc_id") % 23 === 0, lit(ZhSnippet))
+          .otherwise(col("text")).as("text")))
+    }),
     "text_fingerprint" -> ((s, d) => fingerprints(Tables.load(s, d, "documents"))),
     "text_filter_pipeline" -> ((s, d) => filterPipeline(Tables.load(s, d, "documents"))),
     "text_topk_quality" -> ((s, d) => topQualityPerLang(Tables.load(s, d, "documents"))),
@@ -353,6 +381,17 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
   )
+
+  /** Planted CJK-family paragraphs for the langid entry — shared literals
+    * so the entry and its oracle cannot drift. Ja mixes kanji with the
+    * kana that distinguishes it from zh; ko is hangul syllables; zh is
+    * pure Han. */
+  private[graft] val JaSnippet =
+    "機械学習のモデルはこのデータで訓練されます 品質管理がとても大切です"
+  private[graft] val KoSnippet =
+    "기계 학습 모델은 이 데이터로 학습됩니다 품질 관리가 매우 중요합니다"
+  private[graft] val ZhSnippet =
+    "机器学习模型使用这些数据进行训练 质量控制非常重要"
 
   /** The planted crawl-page template (a Spark SQL expression over
     * (doc_id, text)) and its expected extraction (a DuckDB expression over
@@ -508,27 +547,41 @@ object TextAnalysis {
         |       trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |            '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
         |FROM planted ORDER BY doc_id""".stripMargin,
-    // mirror of languageId: distinct lowercase tokens intersected with each
-    // stopword profile; CJK char ratio decides zh; ties break in profile
-    // order (en, es, de, fr) via the CASE cascade
+    // mirror of languageId: the same planted CJK-family paragraphs, then
+    // script ratios decide ja/ko/zh BEFORE the Latin stopword cascade
+    // (kana > 0.05 → ja; hangul > 0.3 → ko; han > 0.3 → zh); ties break
+    // in profile order (en, es, de, fr) via the CASE cascade
     "text_langid" ->
-      """SELECT doc_id, lang AS labeled_lang,
-        |       CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+      s"""WITH planted AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 17 = 0 THEN '$JaSnippet'
+        |              WHEN doc_id % 19 = 0 THEN '$KoSnippet'
+        |              WHEN doc_id % 23 = 0 THEN '$ZhSnippet'
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, lang AS labeled_lang,
+        |       CASE WHEN kana_ratio > 0.05 THEN 'ja'
+        |            WHEN hangul_ratio > 0.3 THEN 'ko'
+        |            WHEN han_ratio > 0.3 THEN 'zh'
         |            WHEN en >= es AND en >= de AND en >= fr THEN 'en'
         |            WHEN es >= de AND es >= fr THEN 'es'
         |            WHEN de >= fr THEN 'de'
         |            ELSE 'fr' END AS pred_lang
         |FROM (
         |  SELECT doc_id, lang,
-        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-        |      / GREATEST(LENGTH(text), 1) AS cjk_ratio,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{3040}-\\x{30ff}]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(LENGTH(text), 1) AS kana_ratio,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{ac00}-\\x{d7af}]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(LENGTH(text), 1) AS hangul_ratio,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(LENGTH(text), 1) AS han_ratio,
         |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','with'])) AS en,
         |    len(list_intersect(toks, ['el','la','de','que','y','en','un','una','los','por'])) AS es,
         |    len(list_intersect(toks, ['der','die','das','und','ist','von','mit','den','ein','nicht'])) AS de,
         |    len(list_intersect(toks, ['le','la','les','de','et','est','un','une','dans','pour'])) AS fr
         |  FROM (SELECT doc_id, lang, text,
-        |          list_distinct(regexp_split_to_array(lower(text), '\s+')) AS toks
-        |        FROM documents) raw ) scored
+        |          list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+        |        FROM planted) raw ) scored
         |ORDER BY doc_id""".stripMargin,
   )
 }

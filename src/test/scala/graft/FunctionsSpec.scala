@@ -210,6 +210,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("languageId separates the CJK family by script ratios (r13: ja/ko arms)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", graft.ops.TextAnalysis.JaSnippet),
+      (2L, "en", graft.ops.TextAnalysis.KoSnippet),
+      (3L, "en", graft.ops.TextAnalysis.ZhSnippet),
+      (4L, "en", "the quick brown fox and the lazy dog with it all"),
+      // kanji-heavy but kana-free text is CHINESE by this rule (kana is
+      // the ja discriminator) \u2014 pins the arm order
+      (5L, "en", "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u8bad\u7ec3\u6570\u636e\u8d28\u91cf\u63a7\u5236\u73af\u8282\u5341\u5206\u91cd\u8981\u6ca1\u6709\u5047\u540d"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis.languageId(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "ja", 2L -> "ko", 3L -> "zh", 4L -> "en", 5L -> "zh"))
+  }
+
   test("sorted_set_by_key \u2261 transform(sort_array(collect_list(struct)))") {
     import spark.implicits._
     // deterministic pseudo-random pairs: group sizes cross the quicksort

@@ -49,4 +49,12 @@ class HtmlToTextSpec extends AnyFunSuite {
     assert(x("it&#8217;s fine") == "it s fine")
     assert(x("&#0000039;quoted&#39;") == "'quoted'")
   }
+
+  test("hex character entities decode (the crawl-HTML &#x27; class)") {
+    assert(x("it&#x27;s &#x41;&#X42;") == "it's AB")
+    // non-ASCII hex hits the same space fallback as decimal
+    assert(x("dash&#x2014;here") == "dash here")
+    // malformed hex (no digits / too many) passes through as text
+    assert(x("&#x;, &#x1234567;") == "&#x;, &#x1234567;")
+  }
 }
