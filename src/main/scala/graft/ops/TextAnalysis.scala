@@ -88,7 +88,13 @@ object TextAnalysis {
     * stopword profile hits the most tokens wins (ties → profile order).
     * Pure column expressions — `array_intersect` over a lowercased token
     * set. */
-  def languageId(docs: DataFrame): DataFrame = {
+  def languageId(docs: DataFrame): DataFrame =
+    languageIdCols(docs).orderBy("doc_id")
+
+  /** [[languageId]] without the presentation sort — map-only column
+    * expressions, so the streaming twin applies it unchanged inside an
+    * Append-mode plan (a sort is not allowed there). */
+  private[graft] def languageIdCols(docs: DataFrame): DataFrame = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
       "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
@@ -120,7 +126,6 @@ object TextAnalysis {
         .when(hangulRatio > 0.3, lit("ko"))
         .when(hanRatio > 0.3, lit("zh"))
         .otherwise(best.getField("lang")).as("pred_lang"))
-      .orderBy("doc_id")
   }
 
   /** Winnowing fingerprints (native Catalyst expression): per-document
@@ -397,7 +402,7 @@ object TextAnalysis {
     * (doc_id, text)) and its expected extraction (a DuckDB expression over
     * the same columns) — shared by `text_extract_html` and the composed
     * crawl gate so the two cannot drift. */
-  private[ops] val htmlPageTemplateExpr: String =
+  private[graft] val htmlPageTemplateExpr: String =
     """concat('<html><head><title>doc ', cast(doc_id as string),
       |  '</title><style>p{color:red}</style><script>var x = 1 < 2;</script>',
       |  '</head><body><h1>doc ', cast(doc_id as string), '</h1><p>',

@@ -474,16 +474,31 @@ object EventStreams {
     * watermark, Append mode. The bounded replay wraps the SAME page
     * template around the corpus, so it shares the batch oracle. */
   def htmlExtraction(spark: SparkSession, dir: String): DataFrame = {
-    val stream = documentStream(spark, dir).select(col("doc_id"), expr(
-      """concat('<html><head><title>doc ', cast(doc_id as string),
-        |  '</title><style>p{color:red}</style><script>var x = 1 < 2;</script>',
-        |  '</head><body><h1>doc ', cast(doc_id as string), '</h1><p>',
-        |  text, ' &amp;&nbsp;done</p><!-- crawler:x --></body></html>')""".stripMargin
-        .replaceAll("\n\\s*", "")).as("html"))
+    // the SHARED page template (r13) — one literal for the batch entry,
+    // the crawl whole-path gate, and this twin, so none can drift
+    val stream = documentStream(spark, dir).select(col("doc_id"),
+      expr(graft.ops.TextAnalysis.htmlPageTemplateExpr).as("html"))
     runToTable(
       stream.select(col("doc_id"),
         graft.functions.GraftFunctions.html_to_text(col("html")).as("text")),
       OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
+  /** Streaming language-ID twin — the always-on crawl arm of
+    * [[graft.ops.TextAnalysis.languageId]]: the scoring is map-only
+    * column expressions, so it applies unchanged inside an Append-mode
+    * file stream (no state store, no watermark — langid keeps up with a
+    * crawl by partition parallelism alone). The bounded replay plants the
+    * SAME CJK-family paragraphs as the batch entry, so the ja/ko/zh arms
+    * fire in motion; shares `text_langid`'s oracle verbatim. */
+  def langidScoring(spark: SparkSession, dir: String): DataFrame = {
+    val planted = documentStream(spark, dir).select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 17 === 0, lit(graft.ops.TextAnalysis.JaSnippet))
+        .when(col("doc_id") % 19 === 0, lit(graft.ops.TextAnalysis.KoSnippet))
+        .when(col("doc_id") % 23 === 0, lit(graft.ops.TextAnalysis.ZhSnippet))
+        .otherwise(col("text")).as("text"))
+    runToTable(graft.ops.TextAnalysis.languageIdCols(planted), OutputMode.Append())
       .orderBy("doc_id")
   }
 
@@ -547,6 +562,7 @@ object EventStreams {
     "stream_importance" -> ((s, d) => importanceScoring(s, d)),
     "stream_fluency" -> ((s, d) => fluencyScoring(s, d)),
     "stream_extract_html" -> ((s, d) => htmlExtraction(s, d)),
+    "stream_langid" -> ((s, d) => langidScoring(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -610,6 +626,9 @@ object EventStreams {
     // stateless map over the same planted template -> the batch oracle
     "stream_extract_html" ->
       graft.ops.TextAnalysis.oracle.toMap.apply("text_extract_html"),
+    // stateless map over the same planted CJK paragraphs -> the batch oracle
+    "stream_langid" ->
+      graft.ops.TextAnalysis.oracle.toMap.apply("text_langid"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s
