@@ -72,12 +72,13 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * Han/Hiragana/Katakana/Hangul character is its own token — without it a
   * space-free CJK document is ONE token, hashes to zero shingles at any
   * n > 1, and silently EXITS every sketch dedup (minhash, simhash,
-  * n-gram Jaccard, novelty, fluency). Detection is per BMP char
-  * (`Character.UnicodeScript`); supplementary-plane ideographs (ext-B+)
-  * are out of scope BY CONTRACT — their surrogate halves glue into the
-  * surrounding word token deterministically, and the DuckDB oracle
-  * emulation (HashOracleSql, codepoint-based) is exact only on BMP text,
-  * which every planted fixture is.
+  * n-gram Jaccard, novelty, fluency). Iteration is per CODEPOINT (r14):
+  * script detection via `Character.UnicodeScript.of(int)` and the FNV
+  * fold over codepoint values, so a supplementary-plane ideograph
+  * (ext-B+, outside the BMP) is its own token exactly as `Tokens.seg`'s
+  * codepoint-aware Java regex and the DuckDB oracle emulation
+  * (HashOracleSql, `unicode(ch)` per codepoint) both already treat it —
+  * the three tiers share ONE segmentation contract on all planes.
   * Returns null when the text has fewer than n tokens. */
 case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -86,8 +87,8 @@ case class WordShingleHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  private def isCjk(c: Char): Boolean = {
-    val sc = Character.UnicodeScript.of(c)
+  private def isCjk(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
     sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
       sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
   }
@@ -95,23 +96,27 @@ case class WordShingleHashes(child: Expression, n: Int)
   override def nullSafeEval(in: Any): Any = {
     val s = in.asInstanceOf[UTF8String].toString
     val len = s.length
-    // 1. hash each lowercased token: whitespace-run splits, CJK chars as
-    //    single-char tokens
+    // 1. hash each lowercased token: whitespace-run splits, CJK
+    //    CODEPOINTS as single-char tokens (supplementary plane included)
     val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && Character.isWhitespace(s.codePointAt(i)))
+        i += Character.charCount(s.codePointAt(i))
       if (i < len) {
         var h = 0xCBF29CE484222325L
-        if (isCjk(s.charAt(i))) {
-          h ^= Character.toLowerCase(s.charAt(i)).toLong
+        val first = s.codePointAt(i)
+        if (isCjk(first)) {
+          h ^= Character.toLowerCase(first).toLong
           h *= 0x100000001B3L
-          i += 1
+          i += Character.charCount(first)
         } else {
-          while (i < len && !Character.isWhitespace(s.charAt(i)) && !isCjk(s.charAt(i))) {
-            h ^= Character.toLowerCase(s.charAt(i)).toLong
+          var cp = first
+          while (i < len && !Character.isWhitespace(cp) && !isCjk(cp)) {
+            h ^= Character.toLowerCase(cp).toLong
             h *= 0x100000001B3L
-            i += 1
+            i += Character.charCount(cp)
+            if (i < len) cp = s.codePointAt(i)
           }
         }
         tokens += Mix64.mix(h)

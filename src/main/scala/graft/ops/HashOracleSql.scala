@@ -111,11 +111,12 @@ object HashOracleSql {
   /** docs CTE -> (doc_id, i, th): unsigned per-token hashes (mirrors
     * WordShingleHashes step 1: FNV-1a 64 over each lowercased token's
     * chars, then the splitmix64 finalizer). Tokenization mirrors the
-    * expression's r13 rule: whitespace runs split, and every
-    * Han/Hiragana/Katakana/Hangul character is its own token. The corpus
-    * is lowercase ASCII (lower() == Character.toLowerCase) and every
-    * planted CJK fixture is BMP, where DuckDB's codepoint iteration and
-    * Java's char iteration coincide.
+    * expression's rule: whitespace runs split, and every
+    * Han/Hiragana/Katakana/Hangul codepoint is its own token. The
+    * expression iterates CODEPOINTS (r14) exactly as this mirror's
+    * `unicode(ch)` fold does, so segmentation and per-token folds agree
+    * on all planes; the corpus is lowercase ASCII-plus-BMP-CJK where
+    * lower() == Character.toLowerCase.
     * Shared by the n-gram shingle chain and the unigram feature chain. */
   private def tokenHashSql(docsCte: String): String = {
     val tokFold =

@@ -508,12 +508,16 @@ object Similarity {
       .mode("overwrite").parquet(s"$path/assign")
     centroidsDf(spark, cents).write.mode("overwrite")
       .parquet(s"$path/centroids")
-    // trained-base size in assign ROWS (vectors × spill — the same unit
-    // appends add, so the staleness fraction stays row-to-row) — written
-    // through the Hadoop FS layer like the index parquet, so an HDFS/S3
-    // index path carries its marker WITH the index instead of stranding
-    // it on one driver's local disk
-    writeTrained(spark, path, q.count() * math.min(spill, nCentroids).toLong)
+    // trained-base size in assign ROWS (the same unit appends add, so the
+    // staleness fraction stays row-to-row) — counted from the WRITTEN
+    // assignment, not the analytic vectors × spill upper bound: training
+    // can converge to fewer than `spill` distinct centroids on tiny or
+    // degenerate corpora, and an overcounted base would under-fire
+    // kmeansIvfIndexStale. A count on the just-written parquet reads
+    // row-group metadata only. Written through the Hadoop FS layer like
+    // the index parquet, so an HDFS/S3 index path carries its marker WITH
+    // the index instead of stranding it on one driver's local disk.
+    writeTrained(spark, path, spark.read.parquet(s"$path/assign").count())
     q.unpersist()
   }
 

@@ -11,9 +11,19 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 
 /** Logical leaf carrying a complete generated SQL string destined for the
   * backend — the analog of the reference's `SqlAstPlanNode` extension node
-  * (`src/node.rs:22-33`) that replaces the largest convertible subtree. */
+  * (`src/node.rs:22-33`) that replaces the largest convertible subtree.
+  *
+  * `sliceGen` defers the window-slice RANGE PROBES (COUNT/MIN/MAX +
+  * quantile seeks against the live backend, see
+  * `SqlPushdownRule.windowSlices`) out of the optimizer: planning — and
+  * therefore EXPLAIN and every re-plan of a reused DataFrame — only
+  * decides STRUCTURAL sliceability; the probes run when the physical node
+  * first needs the slice list (execution, or a test inspecting
+  * `PushedSqlExec.slices`). Unsliceable queries share the [[PushedSqlQuery.noSlices]]
+  * constant, which display checks compare by reference. */
 case class PushedSqlQuery(output: Seq[Attribute], sql: String,
-    backend: SqlBackend, slices: Seq[String] = Nil) extends LeafNode {
+    backend: SqlBackend, sliceGen: () => Seq[String] = PushedSqlQuery.noSlices)
+    extends LeafNode {
   /** LeafNode's default THROWS — without this, any residual Spark operator
     * above the pushed leaf (e.g. a join with a non-graft table) crashes in
     * physical planning when JoinSelection asks for stats. The backend can't
@@ -25,24 +35,36 @@ case class PushedSqlQuery(output: Seq[Attribute], sql: String,
     Statistics(sizeInBytes = conf.defaultSizeInBytes)
   override def simpleString(maxFields: Int): String =
     s"PushedSqlQuery [${sql.take(120)}…] backend=${backend.name}" +
-      (if (slices.size > 1) s" slices=${slices.size}" else "")
+      (if (sliceGen ne PushedSqlQuery.noSlices) " sliceable" else "")
+}
+
+object PushedSqlQuery {
+  /** The shared no-op slice generator: single-stream execution. */
+  val noSlices: () => Seq[String] = () => Nil
 }
 
 /** Physical node executing the whole generated query on the backend — the
   * analog of `DatabaseExec` (`src/physical_plan.rs:28-132`): the plan
   * fragment above this node runs in Spark; everything below was fused into
   * one SQL statement answered by the external store. When the pushdown
-  * rule proved the query sliceable (window-partition alignment), `slices`
-  * carries N disjoint queries whose UNION ALL equals `sql`, executed as an
-  * N-partition parallel read instead of one stream. */
+  * rule proved the query STRUCTURALLY sliceable (window-partition
+  * alignment), forcing [[slices]] runs the deferred range probes and — if
+  * they yield ≥ 2 disjoint queries whose UNION ALL equals `sql` — the read
+  * executes as an N-partition parallel scan instead of one stream; a probe
+  * that fails or finds no rows degrades to the single stream. */
 case class PushedSqlExec(output: Seq[Attribute], sql: String,
-    backend: SqlBackend, slices: Seq[String] = Nil) extends LeafExecNode {
+    backend: SqlBackend, sliceGen: () => Seq[String] = PushedSqlQuery.noSlices)
+    extends LeafExecNode {
+  /** Probes run at FIRST FORCE (doExecute, or test inspection) — never at
+    * planning/EXPLAIN — and are memoized per execution instance, so one
+    * execution probes at most once. */
+  lazy val slices: Seq[String] = sliceGen()
   override protected def doExecute(): RDD[InternalRow] =
     if (slices.size > 1) backend.executeSqlsToRdd(slices, schema)
     else backend.executeSqlToRdd(sql, schema)
   override def simpleString(maxFields: Int): String =
     s"PushedSqlExec [${sql.take(120)}…] backend=${backend.name}" +
-      (if (slices.size > 1) s" slices=${slices.size}" else "")
+      (if (sliceGen ne PushedSqlQuery.noSlices) " sliceable" else "")
 }
 
 /** Strategy planning the extension leaf — analog of the reference's
@@ -50,8 +72,8 @@ case class PushedSqlExec(output: Seq[Attribute], sql: String,
   * (`src/physical_plan.rs:161-215`). */
 object PushedSqlStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PushedSqlQuery(output, sql, backend, slices) =>
-      PushedSqlExec(output, sql, backend, slices) :: Nil
+    case PushedSqlQuery(output, sql, backend, sliceGen) =>
+      PushedSqlExec(output, sql, backend, sliceGen) :: Nil
     case _ => Nil
   }
 }

@@ -316,10 +316,11 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
         // a fused WINDOW query over a scan-preferred backend may still get
         // a partitioned parallel read: N disjoint slice queries whose
         // union is the result (see windowSlices)
-        val slices =
-          if (backend.dialect.scanPreferred) windowSlices(p, resolver, backend)
-          else Nil
-        Some(PushedSqlQuery(p.output, sql, backend, slices))
+        val sliceGen =
+          if (backend.dialect.scanPreferred) {
+            windowSlices(p, resolver, backend).getOrElse(PushedSqlQuery.noSlices)
+          } else PushedSqlQuery.noSlices
+        Some(PushedSqlQuery(p.output, sql, backend, sliceGen))
       case Left(why) =>
         if (sys.props.contains("graft.pushdown.debug"))
           System.err.println(s"[pushdown] ${p.nodeName} not converted: $why")
@@ -353,16 +354,18 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     * every value (including NULL window partitions and values outside the
     * probed span) lands in exactly one slice by construction. */
   private def windowSlices(p: LogicalPlan, resolver: SqlGen.TableResolver,
-      backend: SqlBackend): Seq[String] = {
+      backend: SqlBackend): Option[() => Seq[String]] = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, GreaterThanOrEqual, IsNull, LessThan, Literal, Or}
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project, SubqueryAlias, Window, WindowGroupLimit}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
-    val parts =
-      conf.getConfString("spark.graft.fusion.windowSliceParts", "4").trim.toInt
-    if (parts <= 1) return Nil
-    if (p.subqueriesAll.nonEmpty) return Nil
+    // malformed conf values decline slicing (default 4) instead of
+    // throwing NumberFormatException out of the optimizer
+    val parts = conf.getConfString("spark.graft.fusion.windowSliceParts", "4")
+      .trim.toIntOption.getOrElse(4)
+    if (parts <= 1) return None
+    if (p.subqueriesAll.nonEmpty) return None
 
     val partitionSpecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Expression]]
     def allowed(q: LogicalPlan): Boolean = q match {
@@ -376,14 +379,14 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
       case _: DataSourceV2Relation | _: DataSourceV2ScanRelation => true
       case _ => false
     }
-    if (!allowed(p) || partitionSpecs.isEmpty) return Nil
+    if (!allowed(p) || partitionSpecs.isEmpty) return None
     // common BARE partition columns across every window (an aliased or
     // computed partition key has a different ExprId than any leaf output
     // and drops out here — exactly the unaliased-trace requirement)
     val common = partitionSpecs
       .map(_.collect { case a: AttributeReference => a.exprId }.toSet)
       .reduce(_ intersect _)
-    if (common.isEmpty) return Nil
+    if (common.isEmpty) return None
 
     /** Join-side validity of the path from `q` down to `leaf`: at every
       * join, slicing is sound only on the driving/preserved side. */
@@ -411,12 +414,33 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
             }) && sliceableSide(p, leaf) => (leaf, a)
       }
     }.nextOption()
-    val (leaf, attr) = target.getOrElse(return Nil)
+    val (leaf, attr) = target.getOrElse(return None)
+
+    // Structurally sliceable. EVERYTHING live — the COUNT/MIN/MAX probe,
+    // the sparse-key quantile seeks — is DEFERRED into the returned thunk
+    // so the optimizer (and thus EXPLAIN / every re-plan of a reused
+    // DataFrame) never queries the backend; PushedSqlExec forces it at
+    // execution, memoized per execution instance. Inside the probe half a
+    // failure returns Nil = single-stream degradation, today's behavior,
+    // decided where the read actually happens.
+    val frag = leafOf(leaf).map(_._2).getOrElse(return None)
+    Some(() => probeSlices(p, resolver, backend, leaf, attr, frag, parts))
+  }
+
+  /** Execution-time half of [[windowSlices]]: the live range probes and
+    * slice-SQL rendering, run when [[PushedSqlExec]] first forces its
+    * slice list. Nil = degrade to the single stream. */
+  private def probeSlices(p: LogicalPlan, resolver: SqlGen.TableResolver,
+      backend: SqlBackend, leaf: LogicalPlan,
+      attr: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+      frag: String, parts: Int): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, GreaterThanOrEqual, IsNull, LessThan, Literal, Or}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
     // COUNT/MIN/MAX probe on the base table's FROM fragment (a plain table
     // name or the scan's negotiated subquery — aliased for dialects that
     // require one)
-    val frag = leafOf(leaf).map(_._2).getOrElse(return Nil)
     val d = backend.dialect
     val qa = d.quote(attr.name)
     val probeAlias = d.quote("__graft_slice_probe")
@@ -489,6 +513,7 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
     slices
   }
 }
+
 
 /** `SparkSessionExtensions` wiring (config
   * `spark.sql.extensions=graft.plans.GraftExtensions`) — analog of

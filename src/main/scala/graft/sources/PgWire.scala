@@ -155,8 +155,12 @@ object PgWire {
         s"pgwire SCRAM: server-first-message missing r=: $serverFirst"))
       if (!fullNonce.startsWith(cNonce)) throw new java.io.IOException(
         "pgwire SCRAM: server nonce does not extend the client nonce (replay?)")
-      val salt = Scram.unb64(a('s'))
-      val iterations = a('i').toInt
+      val salt = Scram.unb64(a.getOrElse('s', throw new java.io.IOException(
+        s"pgwire SCRAM: server-first-message missing s=: $serverFirst")))
+      val iterations = a.getOrElse('i', throw new java.io.IOException(
+        s"pgwire SCRAM: server-first-message missing i=: $serverFirst"))
+        .toIntOption.getOrElse(throw new java.io.IOException(
+          s"pgwire SCRAM: non-numeric i= in server-first-message: $serverFirst"))
       val withoutProof = s"c=biws,r=$fullNonce" // biws = base64("n,,")
       val authMessage = s"$firstBare,$serverFirst,$withoutProof"
       val salted = Scram.saltedPassword(pw, salt, iterations)

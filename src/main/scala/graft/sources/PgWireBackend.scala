@@ -240,10 +240,10 @@ class PgWireBackend private (val address: String) extends SqlBackend {
   override def connection: SqlConnection = PgWireTaskConnection(address)
 
   override def executeSqlToRdd(sql: String, expected: StructType): RDD[InternalRow] = {
-    val a = address
+    val conn = PgWireTaskConnection(address) // driver-side: resolves binaryCopy
     SparkSession.active.sparkContext.parallelize(Seq(sql), 1).mapPartitions { it =>
       val ser = ExpressionEncoder(RowEncoder.encoderFor(expected)).createSerializer()
-      it.flatMap(s => PgWireTaskConnection(a).fetch(0L, s, expected).map(r => ser(r).copy()))
+      it.flatMap(s => conn.fetch(0L, s, expected).map(r => ser(r).copy()))
     }
   }
 }
@@ -255,17 +255,23 @@ class PgWireBackend private (val address: String) extends SqlBackend {
   * per-value text parse and exact float/numeric round-trips. The
   * simple-query TEXT path remains as the fallback
   * (`-Dgraft.pgwire.binaryCopy=false`) for servers or types without a
-  * binary arm. Either way the session closes with the stream's end or the
-  * task, whichever comes first, so partial reads under a Spark-side limit
-  * don't leak sockets. Serializes as the address string only. */
-case class PgWireTaskConnection(address: String) extends SqlConnection {
+  * binary arm — the flag is resolved DRIVER-side at plan time and rides
+  * the serialized connection, so a driver-only `-D` reaches every
+  * executor (unlike `graft.pgwire.password`, which is per-JVM secret
+  * material and documented to ship via executor extraJavaOptions).
+  * Either way the session closes with the stream's end or the task,
+  * whichever comes first, so partial reads under a Spark-side limit
+  * don't leak sockets. */
+case class PgWireTaskConnection(address: String,
+    binaryCopy: Boolean = PgWireTaskConnection.binaryCopyDefault)
+    extends SqlConnection {
   override def fetch(id: Long, sql: String, schema: StructType): Iterator[Row] = {
     val (host, port, db, user) = PgWireBackend.parse(address)
     val session = new PgWire.Session(host, port, db, user,
       PgWire.configuredPassword)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => session.close()))
-    if (PgWireTaskConnection.binaryCopy) binaryFetch(session, sql, schema)
+    if (binaryCopy) binaryFetch(session, sql, schema)
     else textFetch(session, sql, schema)
   }
 
@@ -318,7 +324,9 @@ case class PgWireTaskConnection(address: String) extends SqlConnection {
 }
 
 object PgWireTaskConnection {
-  /** Read-path selector, task-side: binary COPY by default. */
-  private[graft] def binaryCopy: Boolean =
+  /** Read-path selector, resolved where the connection is CONSTRUCTED
+    * (the driver, for planned scans) and then serialized into the task:
+    * binary COPY by default. */
+  private[graft] def binaryCopyDefault: Boolean =
     sys.props.getOrElse("graft.pgwire.binaryCopy", "true").toBoolean
 }

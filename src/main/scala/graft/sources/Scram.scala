@@ -82,9 +82,13 @@ object Scram {
   }
 
   /** Parse `k1=v1,k2=v2,…` SCRAM attribute lists (values may contain '='
-    * — split each pair on the FIRST '=' only, as base64 padding demands). */
+    * — split each pair on the FIRST '=' only, as base64 padding demands).
+    * A pair without the '=' separator (malformed framing) is refused
+    * loudly rather than mis-parsed as key `pair(0)` with a clipped value. */
   def attrs(message: String): Map[Char, String] =
-    message.split(",").iterator.filter(_.length >= 2).map { kv =>
+    message.split(",").iterator.filter(_.nonEmpty).map { kv =>
+      if (kv.length < 2 || kv.charAt(1) != '=') throw new java.io.IOException(
+        s"SCRAM: malformed attribute pair '$kv' in: $message")
       kv.charAt(0) -> kv.substring(2)
     }.toMap
 }

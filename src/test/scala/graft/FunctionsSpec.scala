@@ -196,6 +196,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(glued == spaced)
   }
 
+  test("word_shingles is codepoint-aware: supplementary-plane Han segments per character (r14)") {
+    import spark.implicits._
+    // two CJK ext-B ideographs (U+20000, U+20001 — outside the BMP);
+    // pre-r14 their surrogate halves glued into the surrounding word
+    val extB = new String(Character.toChars(0x20000)) +
+      new String(Character.toChars(0x20001))
+    def toks(text: String): Seq[Long] =
+      Seq(text).toDF("t").select(word_shingles(col("t"), 1)).as[Seq[Long]].head()
+    assert(toks(extB).size == 2, "each supplementary ideograph is its own token")
+    assert(toks(s"abc${extB}def").size == 4) // abc, U+20000, U+20001, def
+    // glued and spaced spellings hash identically — same contract the
+    // BMP test above pins, now on the supplementary plane
+    val c0 = new String(Character.toChars(0x20000))
+    val c1 = new String(Character.toChars(0x20001))
+    assert(toks(s"abc${extB}def") == toks(s"abc $c0 $c1 def"))
+    // a NON-CJK supplementary codepoint (emoji) stays inside its word —
+    // codepoint awareness must not over-segment
+    assert(toks("ab😀cd").size == 1)
+  }
+
   test("minHashPairs finds a CJK near-duplicate pair") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"\u5b57\u7b26${i}\u53f7").mkString("") // long space-free Han text

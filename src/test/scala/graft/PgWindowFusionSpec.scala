@@ -267,6 +267,44 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(got == want && got.size == 10) // 5 groups × top-2: union ≡ single stream
   }
 
+  test("slice range probes are deferred out of planning: EXPLAIN issues no backend SQL (r14)") {
+    val w = Window.partitionBy("dept").orderBy(desc("sal"))
+    val df = remote("emp")
+      .select(col("id"), col("dept"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+    val before = server.eventLog.size
+    // planning + EXPLAIN text — neither may run the COUNT/MIN/MAX probe
+    val p = df.queryExecution.executedPlan
+      .collect { case x: PushedSqlExec => x }
+    assert(p.size == 1)
+    df.explain() // formatted plan render
+    val planned = server.eventLog.drop(before)
+    assert(!planned.exists(q => q.contains("COUNT(") || q.contains("MIN(")),
+      s"planning/EXPLAIN must not probe the backend: $planned")
+    // the node still advertises structural sliceability without probing
+    assert(p.head.simpleString(10).contains("sliceable"))
+    // forcing the slice list runs the probe exactly once (memoized)
+    assert(p.head.slices.size == 3)
+    assert(p.head.slices eq p.head.slices, "slice list must be memoized")
+    val probed = server.eventLog.drop(before)
+    assert(probed.exists(q => q.contains("COUNT(") && q.contains("MIN(")),
+      "forcing slices must run the range probe")
+  }
+
+  test("a malformed windowSliceParts value declines slicing instead of throwing (r14)") {
+    spark.conf.set("spark.graft.fusion.windowSliceParts", "banana")
+    try {
+      val w = Window.partitionBy("dept").orderBy(desc("sal"))
+      val df = remote("emp")
+        .select(col("id"), col("dept"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+      val p = pushed(df) // must not throw NumberFormatException from the optimizer
+      assert(p.size == 1)
+      // falls back to the DEFAULT parts (4), not to no-slicing
+      assert(p.head.slices.size == 3, p.head.slices.mkString("\n"))
+    } finally spark.conf.unset("spark.graft.fusion.windowSliceParts")
+  }
+
   test("window slicing declines when the partition key does not align") {
     // (a) partition key is on the NON-preserved side of the join path /
     //     non-integral: the window-above-join shape partitions by dname
@@ -505,11 +543,15 @@ class PgWindowFusionSpec extends AnyFunSuite {
     assert(got(1).get(2) == java.time.Duration.ofDays(2).plusSeconds(90))
     assert(got(2).isNullAt(0) && got(2).isNullAt(1) && got(2).isNullAt(2))
     // the text path has no decoder for these types — loud decline, not a
-    // silent wrong answer
+    // silent wrong answer. The flag resolves at CONSTRUCTION (driver
+    // side, r14): an already-built connection keeps its read path, a
+    // re-planned one picks up the changed prop.
     try {
       sys.props("graft.pgwire.binaryCopy") = "false"
+      assert(conn.binaryCopy, "existing connection must keep its frozen read path")
       val e = intercept[IllegalArgumentException] {
-        conn.fetch(0L, "SELECT array_fixture", schema).toVector
+        PgWireTaskConnection(s"127.0.0.1:${server.port}/testdb")
+          .fetch(0L, "SELECT array_fixture", schema).toVector
       }
       assert(e.getMessage.contains("no text decoder"), e.getMessage)
     } finally sys.props.remove("graft.pgwire.binaryCopy")

@@ -75,6 +75,38 @@ class ScramSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("malformed SCRAM attribute framing is refused loudly, not mis-parsed (r14)") {
+    // a pair without '=' must not silently parse as key 'x' value ''
+    val e1 = intercept[java.io.IOException](Scram.attrs("xy,r=abc"))
+    assert(e1.getMessage.contains("malformed attribute"), e1.getMessage)
+    val e2 = intercept[java.io.IOException](Scram.attrs("r"))
+    assert(e2.getMessage.contains("malformed attribute"), e2.getMessage)
+    // values may themselves contain '=' (base64 padding) — still parses
+    assert(Scram.attrs("s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096") ==
+      Map('s' -> "W22ZaJ0SNY7soEsUEjb6gQ==", 'i' -> "4096"))
+    // a server-first message missing s= or i= gets the same loud
+    // IOException style as the missing-r= case (choreography-level)
+    val srv = scramServer("pw")
+    srv.scramServerFirstRewrite = Some(m =>
+      m.split(",").filterNot(_.startsWith("s=")).mkString(","))
+    try {
+      val e = intercept[java.io.IOException] {
+        PgWire.withSession("127.0.0.1", srv.port, "testdb",
+          password = Some("pw"))(_.query("SELECT 1"))
+      }
+      assert(e.getMessage.contains("missing s="), e.getMessage)
+    } finally srv.stop()
+    val srv2 = scramServer("pw")
+    srv2.scramServerFirstRewrite = Some(_.replace("i=4096", "i=many"))
+    try {
+      val e = intercept[java.io.IOException] {
+        PgWire.withSession("127.0.0.1", srv2.port, "testdb",
+          password = Some("pw"))(_.query("SELECT 1"))
+      }
+      assert(e.getMessage.contains("non-numeric i="), e.getMessage)
+    } finally srv2.stop()
+  }
+
   test("loopback: an unsupported mechanism list is refused by name") {
     val srv = new MiniPgServer
     // a server offering only the channel-binding variant must be declined

@@ -54,6 +54,10 @@ final class MiniPgServer {
     * and accepts only on hash match — then signs with ServerKey so the
     * client can verify v=. */
   @volatile var scram: Option[(String, Array[Byte], Int)] = None
+  /** When set, the SCRAM server-first-message is rewritten before sending
+    * — for malformed-framing client-robustness tests (missing s=/i=,
+    * non-numeric i=). */
+  @volatile var scramServerFirstRewrite: Option[String => String] = None
   private val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
   /** Every Query message received, in arrival order. */
   def eventLog: Seq[String] = events.toArray(Array.empty[String]).toSeq
@@ -124,7 +128,8 @@ final class MiniPgServer {
     val firstBare = clientFirst.substring(3)
     val cNonce = Scram.attrs(firstBare)('r')
     val fullNonce = cNonce + "sRvNoNcE+fixed/for=tests"
-    val serverFirst = s"r=$fullNonce,s=${Scram.b64(salt)},i=$iters"
+    val serverFirst0 = s"r=$fullNonce,s=${Scram.b64(salt)},i=$iters"
+    val serverFirst = scramServerFirstRewrite.map(_(serverFirst0)).getOrElse(serverFirst0)
     val cont = new ByteArrayOutputStream()
     cont.write(Array[Byte](0, 0, 0, 11), 0, 4) // AuthenticationSASLContinue
     cont.write(serverFirst.getBytes("UTF-8"), 0, serverFirst.getBytes("UTF-8").length)
