@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ops.Similarity.entries ++
       graft.ops.TextAnalysis.entries ++
       graft.ops.Chunking.entries ++
+      graft.ops.Bpe.entries ++
       graft.ops.Search.entries ++
       graft.ops.Profile.entries ++
       graft.ops.Sampling.entries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.ops.Similarity.oracle ++
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Chunking.oracle ++
+      graft.ops.Bpe.oracle ++
       graft.ops.Search.oracle ++
       graft.ops.Profile.oracle ++
       graft.ops.Sampling.oracle ++

@@ -91,7 +91,8 @@ object Chunking {
     * once. Output is invariant to where the range boundaries fall — the
     * running sum depends only on the global order, so the range
     * partitioner's sampled bounds cannot perturb results. */
-  def packChunks(chunks: DataFrame, capacity: Int = 4096): DataFrame = {
+  def packChunks(chunks: DataFrame, capacity: Int = 4096,
+      tokCol: String = "chunk_tokens"): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val spark = chunks.sparkSession
     val keys = Seq(col("doc_id"), col("chunk_id"))
@@ -100,7 +101,10 @@ object Chunking {
       .sortWithinPartitions(keys: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema
-    val tokAt = schema.fieldIndex("chunk_tokens")
+    // the budget column is pluggable: `chunk_tokens` (whitespace words)
+    // by default, a subword count (chunk_pack_bpe) when the trainer's
+    // budget is tokenizer-accurate
+    val tokAt = schema.fieldIndex(tokCol)
     // pass 1: one subtotal per partition
     val subtotals = sorted.queryExecution.toRdd
       .mapPartitionsWithIndex { (i, it) =>

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * HUGEINT oracle emulation in HashOracleSql mirrors it), so the two
   * tokenizers agree on segmentation boundaries while hashing
   * differently by design. */
-private[ops] object Tokens {
+private[graft] object Tokens {
   /** Java-regex capture of one CJK codepoint (Unicode script classes). */
   private val CjkJava = "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"
 
@@ -47,4 +47,16 @@ private[ops] object Tokens {
     s"list_filter(string_split_regex(regexp_replace($textExpr, " +
       """'([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), """ +
       """'\s+'), t -> length(t) > 0)"""
+
+  private val CjkPattern = java.util.regex.Pattern.compile(CjkJava)
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Plain-Scala form of [[seg]], for expressions that tokenize inside
+    * their own eval (the BPE subword counter): the SAME regex rule —
+    * space out CJK codepoints, split on whitespace runs, drop empties —
+    * so a doc segmented in the DataFrame layer and inside an expression
+    * sees one token stream. Patterns precompiled: this runs per row. */
+  private[graft] def segString(s: String): Array[String] =
+    WsPattern.split(CjkPattern.matcher(s).replaceAll(" $1 "))
+      .filter(_.nonEmpty)
 }

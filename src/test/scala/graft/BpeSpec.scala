@@ -1,0 +1,124 @@
+package graft
+
+import graft.Tables
+import graft.ops.{Bpe, Chunking, Tokens}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE subword tokenization: training pinned on a hand-computable
+  * fixture, the apply scan rule's edge cases, the fidelity claim on
+  * code/URL/CJK text (the whitespace proxy misbudgets exactly there),
+  * and the persisted-model round trip the entries ride. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("training learns merges most-frequent-first with deterministic tie-breaks") {
+    // pair freqs round 1: (l,o)=5 and (o,w)=5 tie — (l,o) wins on the
+    // (left, right) lexicographic tie-break; then (lo,w)=5, (low,e)=2
+    // (lower+lowest); after that no pair repeats → early stop at 3
+    val dict = Seq("low" -> 3L, "lower" -> 1L, "lowest" -> 1L)
+    val merges = Bpe.train(dict, nMerges = 10)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    assert(Bpe.encode("low", merges) == Seq("low"))
+    assert(Bpe.encode("lowest", merges) == Seq("lowe", "s", "t"))
+  }
+
+  test("training stops early when no pair repeats (fixed-stage oracle no-ops match)") {
+    val merges = Bpe.train(Seq("abc" -> 1L, "xyz" -> 1L), nMerges = 10)
+    assert(merges.isEmpty, "no adjacent pair reaches frequency 2")
+    val some = Bpe.train(Seq("aa" -> 1L, "aab" -> 1L), nMerges = 10)
+    assert(some.head == ("a", "a"))
+  }
+
+  test("merge application is left-to-right non-overlapping (the SQL replace scan)") {
+    // "aaa" under rule (a,a): [aa, a] — the merged symbol cannot re-merge
+    // within the same rule pass
+    assert(Bpe.encode("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    assert(Bpe.encode("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    // rank order: (a,a) then (aa,aa)
+    assert(Bpe.encode("aaaa", Seq(("a", "a"), ("aa", "aa"))) == Seq("aaaa"))
+    // a later rule's merged symbol never creates an EARLIER rule's pair
+    assert(Bpe.encode("abab", Seq(("a", "b"), ("ab", "ab"))) == Seq("abab"))
+  }
+
+  test("the whitespace proxy misbudgets code, URL, and CJK text; BPE counts subwords") {
+    // model trained on the word-salad slice: in-distribution words
+    // compress toward 1 subword, out-of-distribution text does not
+    val dict = Seq("table" -> 20L, "value" -> 18L, "scan" -> 15L,
+      "hash" -> 12L, "row" -> 10L, "the" -> 30L)
+    val merges = Bpe.train(dict)
+    assert(merges.nonEmpty)
+    def count(text: String): Long = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(text)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType))))
+      df.select(Bpe.bpe_tokens(col("t"), merges)).collect()(0).getLong(0)
+    }
+    def ws(text: String): Long = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(text)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType))))
+      df.select(size(Tokens.seg(col("t"))).cast("long"))
+        .collect()(0).getLong(0)
+    }
+    // in-distribution: each trained word is ONE subword → counts agree
+    val indist = "the table scan hash row value"
+    assert(count(indist) == ws(indist),
+      s"trained words must compress to 1 subword: ${count(indist)} vs ${ws(indist)}")
+    // code: identifiers/punctuation are unseen → many subwords per "word"
+    val code = "def f(xs): return [x*2 for x in xs if x%3==0]"
+    assert(count(code) >= 3 * ws(code),
+      s"code must cost ≥3× its whitespace tokens: ${count(code)} vs ${ws(code)}")
+    // URL: one whitespace token, many subwords
+    val url = "https://example.com/a/b?q=1&x=2"
+    assert(ws(url) == 1 && count(url) > 10)
+    // CJK: per-character segmentation feeds BPE one char per word — the
+    // budget reflects characters, not a single giant token
+    val cjk = "机器学习模型"
+    assert(count(cjk) == 6 && ws(cjk) == 6)
+  }
+
+  test("persisted model round-trips and the entry chain runs at sf0.001") {
+    val dir = Bpe.ensureModel(spark, TestSpark.Sf0001)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded.nonEmpty && loaded.size <= Bpe.NMerges)
+    // determinism: re-ensure returns the same fingerprinted dir and the
+    // same merge sequence; retraining from the sample agrees
+    assert(Bpe.ensureModel(spark, TestSpark.Sf0001) == dir)
+    assert(Bpe.loadMerges(spark, dir) == loaded)
+    // the entries execute end-to-end on the small slice
+    val toks = SparkEntry.queries("text_tokens_bpe")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(toks.nonEmpty)
+    // subword counts are finer or equal: n_bpe >= n_ws always (a word is
+    // at least one subword), equality only when every word compresses
+    assert(toks.forall(r => r.getLong(1) >= r.getLong(2)))
+    val packed = SparkEntry.queries("chunk_pack_bpe")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(packed.nonEmpty)
+    // offsets stay inside their sequence capacity
+    assert(packed.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 256))
+  }
+
+  test("packChunks budget column is pluggable: bpe_tokens packing differs from word packing") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val dir = Bpe.ensureModel(spark, TestSpark.Sf0001)
+    val merges = Bpe.loadMerges(spark, dir)
+    val ch = Chunking.chunk(docs)
+      .withColumn("bpe_tokens", Bpe.bpe_tokens(col("chunk_text"), merges))
+    val byWords = Chunking.packChunks(ch, capacity = 64)
+      .select("doc_id", "chunk_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byBpe = Chunking.packChunks(ch, capacity = 64, tokCol = "bpe_tokens")
+      .select("doc_id", "chunk_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byWords.keySet == byBpe.keySet)
+    // same chunks, different budgets → different sequence assignment
+    // (subword counts exceed word counts on this corpus's unseen words)
+    assert(byWords != byBpe)
+  }
+}
