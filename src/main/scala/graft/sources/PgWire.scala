@@ -62,6 +62,13 @@ object PgWire {
         (i, o)
       } catch { case e: Throwable => try socket.close() catch { case _: Exception => () }; throw e }
 
+    /** BackendKeyData, captured whenever the server volunteers it — the
+      * credential [[cancel]] presents on its side-channel. DECLARED
+      * BEFORE the startup block: the server sends 'K' during startup,
+      * i.e. while the constructor runs — a later declaration's `= None`
+      * initializer would execute after the capture and wipe it. */
+    @volatile private var backendKey: Option[(Int, Int)] = None
+
     try { // startup: no type byte
       val params = new ByteArrayOutputStream()
       def kv(k: String, v: String): Unit = {
@@ -75,9 +82,12 @@ object PgWire {
       out.writeInt(196608) // protocol 3.0
       out.write(body)
       out.flush()
-      // trust auth (AuthenticationOk, code 0) or SCRAM-SHA-256 (code 10,
-      // AuthenticationSASL — the packaged Postgres default since v14);
-      // every other challenge (md5, cleartext, GSS, …) fails loudly
+      // trust auth (AuthenticationOk, code 0), md5 (code 5 — pre-v14
+      // servers and password_encryption=md5 installs, still common in the
+      // field), or SCRAM-SHA-256 (code 10, AuthenticationSASL — the
+      // packaged Postgres default since v14); cleartext/GSS/other
+      // challenges fail loudly — sending a password in the clear is a
+      // refusal, not a fallback
       var ready = false
       while (!ready) readMessage() match {
         case ('R', payload) =>
@@ -85,10 +95,11 @@ object PgWire {
             ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
           code match {
             case 0 => () // AuthenticationOk
+            case 5 => md5Auth(payload) // Ok (or ErrorResponse) follows
             case 10 => scramAuth(payload) // runs through SASLFinal; Ok follows
             case other => throw new java.io.IOException(
               s"pgwire: server requires authentication (code $other); " +
-                "only trust auth and SCRAM-SHA-256 are supported")
+                "only trust auth, md5, and SCRAM-SHA-256 are supported")
           }
         case ('Z', _) => ready = true
         case ('E', payload) => throw new java.io.IOException(
@@ -96,6 +107,32 @@ object PgWire {
         case _ => () // ParameterStatus / BackendKeyData / NoticeResponse
       }
     } catch { case e: Throwable => try socket.close() catch { case _: Exception => () }; throw e }
+
+    /** md5 password exchange (public PG docs, "Password Authentication"):
+      * the server sends a 4-byte salt; the response is
+      * `'md5' || hex(md5(hex(md5(password || user)) || salt))` in a
+      * PasswordMessage — the double hash means neither the password nor
+      * its reusable inner hash crosses the wire in the clear. */
+    private def md5Auth(payload: Array[Byte]): Unit = {
+      val pw = password.getOrElse(throw new java.io.IOException(
+        "pgwire: server demands md5 password auth but no password is " +
+          "configured (pass one to PgWire.Session, or set graft.pgwire.password)"))
+      if (payload.length < 8) throw new java.io.IOException(
+        "pgwire: AuthenticationMD5Password without a 4-byte salt")
+      val salt = java.util.Arrays.copyOfRange(payload, 4, 8)
+      def hexMd5(data: Array[Byte]): String =
+        java.security.MessageDigest.getInstance("MD5").digest(data)
+          .map(b => f"${b & 0xff}%02x").mkString
+      val inner = hexMd5((pw + user).getBytes(UTF_8))
+      val outer = "md5" + hexMd5(inner.getBytes(UTF_8) ++ salt)
+      val resp = outer.getBytes(UTF_8)
+      out.writeByte('p') // PasswordMessage
+      out.writeInt(4 + resp.length + 1)
+      out.write(resp)
+      out.writeByte(0)
+      out.flush()
+      // the startup loop consumes AuthenticationOk / ErrorResponse
+    }
 
     /** SCRAM-SHA-256 exchange (RFC 5802/7677 over the PG SASL framing):
       * SASLInitialResponse → AuthenticationSASLContinue → SASLResponse →
@@ -187,7 +224,33 @@ object PgWire {
       val len = in.readInt()
       val payload = new Array[Byte](len - 4)
       in.readFully(payload)
+      if (t == 'K' && payload.length == 8) {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+        backendKey = Some((bb.getInt(), bb.getInt()))
+      }
       (t, payload)
+    }
+
+    /** Fire a CancelRequest on the protocol's side-channel (public PG
+      * docs, "Canceling Requests in Progress"): a FRESH connection
+      * carrying the BackendKeyData secret, so the server kills the
+      * running query server-side — socket close alone leaves a runaway
+      * fused query executing until its next write. Best-effort and
+      * thread-safe by design (the protocol offers no acknowledgment);
+      * callers still close the session afterwards. No-op when the server
+      * never sent BackendKeyData. */
+    def cancel(): Unit = backendKey.foreach { case (pid, secret) =>
+      val s = new Socket()
+      try {
+        s.connect(new InetSocketAddress(host, port), 10000)
+        val o = new DataOutputStream(s.getOutputStream)
+        o.writeInt(16)
+        o.writeInt(80877102) // the cancel request code (1234,5678)
+        o.writeInt(pid)
+        o.writeInt(secret)
+        o.flush()
+      } catch { case _: Exception => () } // fallback stays socket close
+      finally { try s.close() catch { case _: Exception => () } }
     }
 
     private def errorMessage(payload: Array[Byte]): String = {

@@ -269,10 +269,18 @@ case class PgWireTaskConnection(address: String,
     val (host, port, db, user) = PgWireBackend.parse(address)
     val session = new PgWire.Session(host, port, db, user,
       PgWire.configuredPassword)
+    val exhausted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // task end with the stream NOT drained = kill / timeout / abandoning
+    // limit: fire the protocol's CancelRequest side-channel so the server
+    // stops executing the (possibly fused) query, THEN close the socket —
+    // close alone leaves a runaway query running until its next write
     Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => session.close()))
-    if (binaryCopy) binaryFetch(session, sql, schema)
-    else textFetch(session, sql, schema)
+      _.addTaskCompletionListener[Unit] { _ =>
+        if (!exhausted.get()) session.cancel()
+        session.close()
+      })
+    if (binaryCopy) binaryFetch(session, sql, schema, exhausted)
+    else textFetch(session, sql, schema, exhausted)
   }
 
   /** Binary COPY read. A uuid column is StringType Spark-side but ships
@@ -281,7 +289,8 @@ case class PgWireTaskConnection(address: String,
     * string columns that COULD be uuid; the probe doubles as an early
     * width check before the COPY starts. */
   private def binaryFetch(session: PgWire.Session, sql: String,
-      schema: StructType): Iterator[Row] = {
+      schema: StructType,
+      exhausted: java.util.concurrent.atomic.AtomicBoolean): Iterator[Row] = {
     val uuidCols: Set[String] =
       if (schema.fields.exists(_.dataType == StringType)) {
         val fs = session.fields(s"""SELECT * FROM ($sql) "__graft_probe" LIMIT 0""")
@@ -293,11 +302,10 @@ case class PgWireTaskConnection(address: String,
       } else Set.empty
     val in = session.copyOut(s"COPY ($sql) TO STDOUT (FORMAT binary)")
     val rows = PgCopyDecoder.rows(in, schema, uuidCols)
-    var exhausted = false
     new Iterator[Row] {
       override def hasNext: Boolean = {
         val h = rows.hasNext
-        if (!h && !exhausted) { exhausted = true; session.close() }
+        if (!h && exhausted.compareAndSet(false, true)) session.close()
         h
       }
       override def next(): Row = rows.next()
@@ -305,9 +313,9 @@ case class PgWireTaskConnection(address: String,
   }
 
   private def textFetch(session: PgWire.Session, sql: String,
-      schema: StructType): Iterator[Row] = {
+      schema: StructType,
+      exhausted: java.util.concurrent.atomic.AtomicBoolean): Iterator[Row] = {
     val ds = PgWireBackend.textDecoders(schema)
-    var exhausted = false
     val it = session.queryStream(sql) { fields =>
       require(fields.size == schema.size,
         s"pgwire result width ${fields.size} != expected ${schema.size} for: $sql")
@@ -315,7 +323,7 @@ case class PgWireTaskConnection(address: String,
     new Iterator[Row] {
       override def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !exhausted) { exhausted = true; session.close() }
+        if (!h && exhausted.compareAndSet(false, true)) session.close()
         h
       }
       override def next(): Row = PgWireBackend.decodeRow(it.next(), ds)

@@ -588,9 +588,11 @@ class PgWindowFusionSpec extends AnyFunSuite {
     } finally server.noticeEveryNRows = 0
   }
 
-  test("an auth-demanding server is refused loudly, not hung") {
+  test("an auth-demanding server outside the supported challenges is refused loudly, not hung") {
+    // cleartext (code 3) is the remaining refusal arm now that md5 and
+    // SCRAM are spoken (r14)
     val authSrv = new MiniPgServer
-    authSrv.demandAuth = true
+    authSrv.demandCleartext = true
     try {
       val e = intercept[java.io.IOException] {
         PgWire.withSession("127.0.0.1", authSrv.port, "testdb")(_.query("SELECT 1"))

@@ -107,20 +107,18 @@ class ScramSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
-  test("loopback: an unsupported mechanism list is refused by name") {
+  test("loopback: a cleartext password demand is refused by challenge code") {
+    // sending a password in the clear is never a fallback (r14: md5 IS
+    // now a supported challenge, cleartext stays a refusal)
     val srv = new MiniPgServer
-    // a server offering only the channel-binding variant must be declined
-    // (this client has no TLS channel to bind)
-    srv.scram = Some(("x", Scram.unb64("W22ZaJ0SNY7soEsUEjb6gQ=="), 4096))
-    // simulate by demanding md5 instead: the non-SCRAM challenge arm
-    srv.scram = None
-    srv.demandAuth = true
+    srv.demandCleartext = true
     try {
       val e = intercept[java.io.IOException] {
         PgWire.withSession("127.0.0.1", srv.port, "testdb",
           password = Some("x"))(_.query("SELECT 1"))
       }
-      assert(e.getMessage.contains("only trust auth and SCRAM-SHA-256"), e.getMessage)
+      assert(e.getMessage.contains("only trust auth, md5, and SCRAM-SHA-256"),
+        e.getMessage)
     } finally srv.stop()
   }
 }

@@ -44,10 +44,23 @@ final class MiniPgServer {
     * DataRow — the real-server quirk (client_min_messages chatter) the
     * wire client must skip; PgWindowFusionSpec turns it on. */
   @volatile var noticeEveryNRows: Int = 0
-  /** When true, the server answers startup with an MD5 password request
-    * instead of AuthenticationOk — the client must refuse loudly (it
-    * carries no MD5 handshake by design). */
-  @volatile var demandAuth: Boolean = false
+  /** When true, the server answers startup with a CLEARTEXT password
+    * request (code 3) — the client must refuse loudly (sending a password
+    * in the clear is never a fallback). */
+  @volatile var demandCleartext: Boolean = false
+  /** When set, startup demands md5 password auth: the server salts, then
+    * verifies the response against the stored credential of role "graft"
+    * (`md5(md5(password || 'graft') || salt)` — the real server keys the
+    * stored inner hash by ROLE NAME, so a client connecting as any other
+    * user, or hashing the wrong user into the digest, fails). */
+  @volatile var md5: Option[String] = None
+  /** When > 0, the server sleeps this long before EVERY DataRow — the
+    * deliberately slow query the CancelRequest spec interrupts. */
+  @volatile var rowDelayMs: Int = 0
+  /** BackendKeyData this server hands every session (pid, secret) — the
+    * credential a CancelRequest must echo. */
+  val backendPid = 4242
+  val backendSecret = 0x5EC4E7
   /** When set, startup demands SCRAM-SHA-256: (password, salt, iterations).
     * The server runs the full RFC 5802 verifier — derives StoredKey from
     * the configured password, recovers ClientKey from the client's proof,
@@ -167,21 +180,63 @@ final class MiniPgServer {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     try {
-      // StartupMessage: int32 len, int32 protocol, (key\0value\0)*\0
+      // StartupMessage: int32 len, int32 protocol, (key\0value\0)*\0 —
+      // or a CancelRequest (code 80877102): pid + secret on a FRESH
+      // connection, logged and dropped (the real server signals the
+      // referenced backend; this one records the side-channel fired)
       val len = in.readInt()
       val proto = in.readInt()
+      if (proto == 80877102) {
+        val pid = in.readInt(); val secret = in.readInt()
+        events.add(s"CANCEL pid=$pid secret=$secret " +
+          (if (pid == backendPid && secret == backendSecret) "MATCH" else "BADKEY"))
+        return
+      }
       val rest = new Array[Byte](len - 8)
       in.readFully(rest)
       if (proto != 196608) { error(out, s"unsupported protocol $proto"); return }
-      if (demandAuth) {
-        // AuthenticationMD5Password: code 5 + 4-byte salt
-        msg(out, 'R', Array[Byte](0, 0, 0, 5, 1, 2, 3, 4))
+      // startup parameters (user drives the md5 verifier)
+      val params = new String(rest, "UTF-8").split("\u0000").filter(_.nonEmpty)
+        .grouped(2).collect { case Array(k, v) => k -> v }.toMap
+      if (demandCleartext) {
+        // AuthenticationCleartextPassword: code 3
+        msg(out, 'R', Array[Byte](0, 0, 0, 3))
         return
+      }
+      md5.foreach { pw =>
+        // AuthenticationMD5Password: code 5 + 4-byte salt
+        val salt = Array[Byte](1, 2, 3, 4)
+        msg(out, 'R', Array[Byte](0, 0, 0, 5) ++ salt)
+        val t = in.readByte().toChar
+        val l = in.readInt()
+        val p = new Array[Byte](l - 4)
+        in.readFully(p)
+        if (t != 'p') { error(out, s"expected PasswordMessage, got '$t'"); return }
+        val got = new String(p, 0, p.length - 1, "UTF-8") // strip the NUL
+        def hexMd5(data: Array[Byte]): String =
+          java.security.MessageDigest.getInstance("MD5").digest(data)
+            .map(b => f"${b & 0xff}%02x").mkString
+        // the stored credential belongs to role "graft": a client that
+        // hashes a different user into its digest cannot match
+        val want = "md5" + hexMd5(
+          hexMd5((pw + "graft").getBytes("UTF-8")).getBytes("UTF-8") ++ salt)
+        if (got != want) {
+          error(out, "password authentication failed for user " +
+            s""""${params.getOrElse("user", "")}"""")
+          return
+        }
       }
       scram.foreach { case (pw, salt, iters) =>
         if (!scramVerify(in, out, pw, salt, iters)) return
       }
       msg(out, 'R', Array[Byte](0, 0, 0, 0)) // AuthenticationOk
+      // BackendKeyData: the cancel side-channel credential
+      locally {
+        val kb = new ByteArrayOutputStream()
+        val kd = new DataOutputStream(kb)
+        kd.writeInt(backendPid); kd.writeInt(backendSecret)
+        msg(out, 'K', kb.toByteArray)
+      }
       ready(out, inTxn = false)
 
       var inTxn = false
@@ -287,6 +342,7 @@ final class MiniPgServer {
                 var rowN = 0
                 r.rows.foreach { row =>
                   rowN += 1
+                  if (rowDelayMs > 0) Thread.sleep(rowDelayMs)
                   if (noticeEveryNRows > 0 && rowN % noticeEveryNRows == 0) {
                     // NoticeResponse: same field framing as ErrorResponse
                     val nb = new ByteArrayOutputStream()

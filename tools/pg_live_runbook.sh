@@ -126,6 +126,47 @@ try {
 println("SCRAM-SHA-256 against live Postgres: OK")
 SCALA
 
+echo "== 4c. md5 auth against a password_encryption=md5 role (r14) =="
+# Pre-v14 servers and md5-encrypted installs still answer startup with
+# AuthenticationMD5Password; the native client now speaks the double-hash
+# response. Create an md5-encrypted role and connect with the credential:
+docker exec graft-pg-live psql -U postgres -d bench -c \
+  "SET password_encryption='md5'; CREATE ROLE md5_probe LOGIN PASSWORD 'md5-probe-pw'" >/dev/null
+scala -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" <<'SCALA'
+import graft.sources.PgWire
+val ok = PgWire.withSession("127.0.0.1", 5432, "bench",
+  user = "md5_probe", password = Some("md5-probe-pw"))(_.query("SELECT 1"))
+assert(ok._2.head.head.contains("1"))
+try {
+  PgWire.withSession("127.0.0.1", 5432, "bench",
+    user = "md5_probe", password = Some("wrong"))(_.query("SELECT 1"))
+  sys.error("wrong password must not authenticate")
+} catch { case e: java.io.IOException =>
+  assert(e.getMessage.contains("authentication failed"), e.getMessage) }
+println("md5 auth against live Postgres: OK")
+SCALA
+
+echo "== 4d. CancelRequest kills a runaway query server-side (r14) =="
+# Start a deliberately slow query through the wire client, fire the
+# side-channel from a second thread, and confirm the SERVER aborted it
+# ('canceling statement due to user request' in docker logs + the query
+# errors out instead of running pg_sleep to completion).
+scala -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" <<'SCALA'
+import graft.sources.PgWire
+val s = new PgWire.Session("127.0.0.1", 5432, "bench", "graft")
+val t = new Thread(() => { Thread.sleep(1000); s.cancel() })
+t.start()
+try {
+  s.query("SELECT pg_sleep(60)")
+  sys.error("the cancelled query must not run to completion")
+} catch { case e: java.io.IOException =>
+  assert(e.getMessage.toLowerCase.contains("cancel"), e.getMessage)
+  println(s"server-side cancel: OK (${e.getMessage})")
+} finally { t.join(); s.close() }
+SCALA
+docker logs graft-pg-live 2>&1 | grep -q "canceling statement due to user request" \
+  && echo "server log confirms the CancelRequest"
+
 echo "== 5. negative probes the fakes cannot produce =="
 # cancel mid-COPY: interrupt a large COPY read and confirm the task
 # connection closes without poisoning the pool (watch docker logs for
