@@ -182,20 +182,29 @@ object Curation {
     "e2e_crawl_to_chunks" -> ((s, d) => {
       val (valid, _) = graft.sources.WarcIngest.readWithQuarantine(
         s, graft.sources.WarcIngest.ensureWarcDrop(s, d))
-      val extracted = valid
-        .select(col("doc_id"), col("lang"),
-          expr(TextAnalysis.htmlPageTemplateExpr).as("html"))
-        .select(col("doc_id"), col("lang"),
-          graft.functions.GraftFunctions.html_to_text(col("html")).as("text"))
-      val keepers = Urls.fetchLog(extracted)
-        .groupBy(graft.functions.GraftFunctions.url_normalize(col("url")).as("url_norm"))
-        .agg(count(lit(1)).as("n_fetches"), min(col("fetch_id")).as("keeper"))
-        .filter(col("n_fetches") === 2) // both fetch variants MUST collapse
-        .select(col("keeper").as("doc_id"))
-      val crawled = extracted.join(keepers, Seq("doc_id"))
-      curateToChunks(withPlantedDups(crawled.select("doc_id", "text", "lang")))
-        .orderBy("doc_id", "chunk_id")
+      crawlToChunks(valid).orderBy("doc_id", "chunk_id")
     }))
+
+  /** The crawl composition AFTER ingestion — the planted page template →
+    * HTML extraction → the two-fetch URL-dedup gate → the same planted-dup
+    * curation → chunk windows. ONE definition shared by the batch
+    * whole-path entry above and the streaming crawl twin's micro-batches
+    * ([[graft.streaming.EventStreams.crawlChunks]]), so the always-on
+    * form cannot drift from the oracle-pinned batch stages. */
+  def crawlToChunks(valid: DataFrame): DataFrame = {
+    val extracted = valid
+      .select(col("doc_id"), col("lang"),
+        expr(TextAnalysis.htmlPageTemplateExpr).as("html"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GraftFunctions.html_to_text(col("html")).as("text"))
+    val keepers = Urls.fetchLog(extracted)
+      .groupBy(graft.functions.GraftFunctions.url_normalize(col("url")).as("url_norm"))
+      .agg(count(lit(1)).as("n_fetches"), min(col("fetch_id")).as("keeper"))
+      .filter(col("n_fetches") === 2) // both fetch variants MUST collapse
+      .select(col("keeper").as("doc_id"))
+    val crawled = extracted.join(keepers, Seq("doc_id"))
+    curateToChunks(withPlantedDups(crawled.select("doc_id", "text", "lang")))
+  }
 
   /** DuckDB mirror: quality metrics per PLANTED document (near-copies
     * have their own truncated text, so metrics are computed on the

@@ -165,10 +165,18 @@ object WarcIngest {
     * `binaryFile` read + one flatMap per archive — parallel across
     * archives, zero shuffles. */
   def readWithQuarantine(spark: SparkSession, path: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    parseChannels(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").load(path))
+
+  /** The channel split over ANY DataFrame bearing archive bytes in a
+    * `content` column — shared by the batch read above and the streaming
+    * crawl twin's micro-batches, so the two arrival paths cannot drift
+    * on framing or triage rules. */
+  def parseChannels(archives: DataFrame): (DataFrame, DataFrame) = {
+    val spark = archives.sparkSession
     import spark.implicits._
-    val rows = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(path)
+    val rows = archives
       .select("content").as[Array[Byte]]
       .flatMap(parseArchive _)
     val valid = rows.filter(_.errorClass.isEmpty)

@@ -547,6 +547,63 @@ object EventStreams {
     runToTable(parsed, OutputMode.Append())
   }
 
+  /** Streaming crawl→chunks COMPOSITION — the always-on form of the batch
+    * whole-path gate `e2e_crawl_to_chunks`: WARC archives LAND as files
+    * in a monitored drop directory (`binaryFile` file-stream source) and
+    * each micro-batch runs the SHARED crawl pipeline
+    * ([[graft.sources.WarcIngest.parseChannels]] →
+    * [[graft.ops.Curation.crawlToChunks]]: framing triage, HTML
+    * extraction, the two-fetch URL-dedup gate, planted-dup curation,
+    * chunk windows) and APPENDS its chunk rows through
+    * [[ExactlyOnceSink]] into a federated table — the at-least-once
+    * foreachBatch replay made exactly-once by the staging-swap + batch-id
+    * marker, so a restart re-delivering a micro-batch cannot double the
+    * training corpus.
+    *
+    * Scope per micro-batch (the streaming analog of a watermark): URL
+    * refetches collapse and near-dups resolve WITHIN an arrival window —
+    * a crawl frontier emits a page's fetch variants together, which the
+    * bounded replay models as one batch. Cross-window dedup is the
+    * incremental-index tier's job (`stream_incr_dedup`), deliberately
+    * composable upstream of this sink. The bounded replay (every archive
+    * present at start = one micro-batch) therefore equals the batch gate
+    * row-for-row and SHARES its oracle — drift in any stage of the
+    * composition, or a lost/doubled epoch in the sink, hash-mismatches
+    * at the gate. */
+  def crawlChunks(spark: SparkSession, dir: String): DataFrame = {
+    val drop = graft.sources.WarcIngest.ensureWarcDrop(spark, dir)
+    val url = s"jdbc:derby:memory:graft_crawl_${Integer.toHexString(dir.hashCode)};create=true"
+    val backend = graft.sources.JdbcBackend.forUrl(url)
+    // fresh logical stream per invocation: drop sink + marker + staging so
+    // a previous run's batch ids cannot gate this run's micro-batches
+    // (batch ids are only unique per checkpoint — the ExactlyOnceSink
+    // contract, stated on its scaladoc)
+    Seq("crawl_chunks", "crawl_chunks__staging", "crawl_chunks__batches")
+      .foreach { t =>
+        try backend.executeUpdate(s"""DROP TABLE "$t"""")
+        catch { case _: Exception => () }
+      }
+    backend.executeUpdate(
+      """CREATE TABLE "crawl_chunks" ("doc_id" BIGINT, "lang" VARCHAR(16), """ +
+        """"chunk_id" BIGINT, "chunk_start" BIGINT, "chunk_tokens" BIGINT, """ +
+        """"chunk_text" VARCHAR(4000))""")
+    val schema = spark.read.format("binaryFile").load(drop).schema
+    val stream = spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.warc").load(drop)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val (valid, _) = graft.sources.WarcIngest.parseChannels(batch.toDF())
+        ExactlyOnceSink(url, "crawl_chunks")(
+          graft.ops.Curation.crawlToChunks(valid), bid)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.format("graft-sqldb").option("url", url)
+      .option("table", "crawl_chunks").load()
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "stream_hourly" -> ((s, d) => hourlyCounts(s, d)),
     "stream_sliding" -> ((s, d) => slidingCounts(s, d)),
@@ -563,6 +620,7 @@ object EventStreams {
     "stream_fluency" -> ((s, d) => fluencyScoring(s, d)),
     "stream_extract_html" -> ((s, d) => htmlExtraction(s, d)),
     "stream_langid" -> ((s, d) => langidScoring(s, d)),
+    "stream_crawl_chunks" -> ((s, d) => crawlChunks(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -629,6 +687,12 @@ object EventStreams {
     // stateless map over the same planted CJK paragraphs -> the batch oracle
     "stream_langid" ->
       graft.ops.TextAnalysis.oracle.toMap.apply("text_langid"),
+    // the COMPOSED crawl path on the bounded replay (one micro-batch =
+    // the whole drop) equals the batch whole-path gate row-for-row, so
+    // it shares that oracle — any stage drift OR a lost/doubled epoch in
+    // the exactly-once sink hash-mismatches here
+    "stream_crawl_chunks" ->
+      graft.ops.Curation.oracle.toMap.apply("e2e_crawl_to_chunks"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s
