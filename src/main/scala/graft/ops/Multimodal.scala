@@ -197,6 +197,174 @@ object Multimodal {
         explode(expr(s"sequence(0, n_frames - 1, $stride)")))
       .select("doc_id", "n_frames", "frame_idx")
 
+  // ------------------------------------------------------- audio/video arm
+
+  /** Parsed container metadata for an opaque audio/video payload —
+    * the multimodal-column analog of `mm_resize_meta` for the two
+    * container families a crawl actually carries: `wav` (RIFF, public
+    * WAVE spec), `mp4` (ISO BMFF boxes), or `unknown` (anything the
+    * sniffers reject — metadata nulls, never an exception). */
+  case class MediaMeta(doc_id: Long, media_kind: String,
+      duration_ms: Option[Long], sample_rate: Option[Int],
+      channels: Option[Int], track_count: Option[Int])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def tag(b: Array[Byte], o: Int): String =
+    if (o + 4 > b.length) "" else new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Header-scan of a RIFF/WAVE payload: walk chunks for `fmt ` (channels,
+    * sample rate, byte rate) and `data` (declared payload size — the
+    * header's own claim, which is what a metadata pass reports without
+    * reading samples). duration = dataBytes · 1000 / byteRate. Any bounds
+    * violation or a zero byte rate degrades to None fields. */
+  private def parseWav(docId: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var o = 12
+    var sampleRate = -1L; var channels = -1; var byteRate = -1L; var dataSize = -1L
+    while (o + 8 <= b.length && (sampleRate < 0 || dataSize < 0)) {
+      val id = tag(b, o)
+      val size = le32(b, o + 4)
+      if (id == "fmt " && o + 8 + 16 <= b.length) {
+        channels = le16(b, o + 8 + 2)
+        sampleRate = le32(b, o + 8 + 4)
+        byteRate = le32(b, o + 8 + 8)
+      } else if (id == "data") {
+        dataSize = size // declared — the final chunk may be truncated on disk
+      }
+      if (size < 0) return None
+      o += 8 + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+      if (size > Int.MaxValue - 16) return None
+    }
+    if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataSize < 0) None
+    else Some(MediaMeta(docId, "wav", Some(dataSize * 1000L / byteRate),
+      Some(sampleRate.toInt), Some(channels), None))
+  }
+
+  /** Header-scan of an ISO BMFF (MP4) payload: top-level boxes for `moov`,
+    * inside it `mvhd` (version-0 layout: timescale at +20, duration at
+    * +24 from the box start) and the `trak` count. A box size < 8 (or
+    * running past the buffer) stops the walk — the classic infinite-loop
+    * and over-read guards for attacker-supplied containers. */
+  private def parseMp4(docId: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 12 || tag(b, 4) != "ftyp") return None
+    var o = 0
+    var timescale = -1L; var duration = -1L; var traks = 0
+    while (o + 8 <= b.length) {
+      val size = be32(b, o)
+      if (size < 8 || o + size > b.length) return packMp4(docId, timescale, duration, traks)
+      if (tag(b, o + 4) == "moov") {
+        var i = o + 8
+        val end = o + size.toInt
+        while (i + 8 <= end) {
+          val cs = be32(b, i)
+          if (cs < 8 || i + cs > end) { i = end } // malformed child: stop
+          else {
+            tag(b, i + 4) match {
+              case "mvhd" if i + 28 <= end && b(i + 8) == 0 =>
+                timescale = be32(b, i + 20)
+                duration = be32(b, i + 24)
+              case "trak" => traks += 1
+              case _ => ()
+            }
+            i += cs.toInt
+          }
+        }
+      }
+      o += size.toInt
+    }
+    packMp4(docId, timescale, duration, traks)
+  }
+
+  private def packMp4(docId: Long, timescale: Long, duration: Long,
+      traks: Int): Option[MediaMeta] =
+    if (timescale <= 0 || duration < 0) None
+    else Some(MediaMeta(docId, "mp4", Some(duration * 1000L / timescale),
+      None, None, Some(traks)))
+
+  /** Parse one payload: WAV, then MP4, then the unknown degradation —
+    * one bad record must never abort a 100 TB metadata pass. */
+  private[graft] def parseMediaMetaOne(docId: Long, b: Array[Byte]): MediaMeta =
+    (try parseWav(docId, b).orElse(parseMp4(docId, b))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse(MediaMeta(docId, "unknown", None, None, None, None))
+
+  /** Container metadata over a (doc_id, media) frame — map-side, batch
+    * loops like [[decodeFeatures]], zero shuffles. */
+  def mediaMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => parseMediaMetaOne(id, b) })
+  }
+
+  // --- planted audio/video payload rule (the oracle mirrors the RULE in
+  // --- SQL; the engine must recover the same numbers from the BYTES)
+
+  /** Deterministic planted WAV: real RIFF framing carrying the rule's
+    * sample rate / channels / data size; payload truncated after the
+    * data header (metadata passes read headers, not samples). */
+  private[graft] def plantedWavBytes(docId: Long): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val sampleRate = (8000 * (1 + docId % 5)).toInt
+    val byteRate = sampleRate * channels * 2
+    val dataSize = ((docId % 50 + 1) * 1024).toInt
+    val bb = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(4 + 24 + 8 + dataSize); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(sampleRate); bb.putInt(byteRate)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataSize)
+    bb.putInt(0) // first 4 sample bytes only — deliberately truncated
+    bb.array()
+  }
+
+  /** Deterministic planted MP4: ftyp + moov(mvhd v0 + empty trak boxes)
+    * carrying the rule's timescale/duration/track count. */
+  private[graft] def plantedMp4Bytes(docId: Long): Array[Byte] = {
+    val timescale = 600
+    val duration = ((docId % 240) + 1) * 60
+    val traks = (1 + (docId / 3) % 3).toInt
+    val mvhdSize = 108 // the real v0 box size; fields past duration are zero
+    val moovSize = 8 + mvhdSize + 8 * traks
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize) // big-endian default
+    bb.putInt(16); bb.put("ftyp".getBytes); bb.put("isom".getBytes); bb.putInt(0)
+    bb.putInt(moovSize); bb.put("moov".getBytes)
+    bb.putInt(mvhdSize); bb.put("mvhd".getBytes)
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(timescale); bb.putInt(duration.toInt)
+    bb.position(bb.position() + (mvhdSize - 8 - 4 - 8 - 8)) // zero remainder
+    var t = 0
+    while (t < traks) { bb.putInt(8); bb.put("trak".getBytes); t += 1 }
+    bb.array()
+  }
+
+  /** Attach planted audio/video payloads: every third doc a WAV, every
+    * third an MP4, the rest the corpus's text bytes (no container magic →
+    * the unknown arm, exercised AT the gate, not only in specs). */
+  def asAvMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = (id % 3) match {
+          case 0 => plantedWavBytes(id)
+          case 1 => plantedMp4Bytes(id)
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        (id, bytes)
+      }
+      .toDF("doc_id", "media")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "mm_features" -> ((s, d) => {
       val feats = decodeFeatures(asMedia(Tables.load(s, d, "documents")))
@@ -213,6 +381,12 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) =>
       frameSample(asMedia(Tables.load(s, d, "documents")))
         .orderBy("doc_id", "frame_idx")),
+    // REAL container parses over planted WAV/MP4/unknown payloads: the
+    // oracle knows only the planting RULE; the engine must recover the
+    // same numbers from the bytes it is handed
+    "mm_media_meta" -> ((s, d) =>
+      mediaMeta(asAvMedia(Tables.load(s, d, "documents"))).toDF()
+        .orderBy("doc_id")),
   )
 
   /** Metadata derivations are plain arithmetic on doc_id; the stub
@@ -231,5 +405,25 @@ object Multimodal {
       """SELECT doc_id, CAST(doc_id % 100 + 20 AS INT) AS n_frames, CAST(f AS INT) AS frame_idx
         |FROM documents, UNNEST(range(0, CAST(doc_id % 100 + 20 AS BIGINT), 10)) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the planting rule in pure arithmetic — wav duration is
+    // dataBytes·1000 / (rate·channels·2), mp4 duration is units·1000 /
+    // timescale, both integer division exactly as the parser computes
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+        |            ELSE 'unknown' END AS media_kind,
+        |       CASE WHEN doc_id % 3 = 0 THEN
+        |              CAST(((doc_id % 50 + 1) * 1024 * 1000)
+        |                   // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2) AS BIGINT)
+        |            WHEN doc_id % 3 = 1 THEN
+        |              CAST((((doc_id % 240) + 1) * 60 * 1000) // 600 AS BIGINT)
+        |       END AS duration_ms,
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN CAST(8000 * (1 + doc_id % 5) AS INT) END AS sample_rate,
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |       CASE WHEN doc_id % 3 = 1
+        |            THEN CAST(1 + (doc_id // 3) % 3 AS INT) END AS track_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The audio/video container arm: planted payloads parse to the rule's
+  * numbers, and EVERY corruption class degrades to the unknown row (or
+  * drops the malformed fields) instead of throwing — one bad record must
+  * never abort a corpus-scale metadata pass. */
+class MediaMetaSpec extends AnyFunSuite {
+
+  test("planted WAV bytes round-trip the rule through a real RIFF parse") {
+    val m = Multimodal.parseMediaMetaOne(6L, Multimodal.plantedWavBytes(6L))
+    // doc 6: channels 1, rate 8000·(1+1)=16000, data (6%50+1)·1024=7168,
+    // byteRate 32000 → 7168·1000/32000 = 224 ms
+    assert(m == Multimodal.MediaMeta(6L, "wav", Some(224L), Some(16000),
+      Some(1), None))
+  }
+
+  test("planted MP4 bytes round-trip the rule through a real box walk") {
+    val m = Multimodal.parseMediaMetaOne(7L, Multimodal.plantedMp4Bytes(7L))
+    // doc 7: duration units (7%240+1)·60 = 480 at timescale 600 → 800 ms;
+    // traks 1 + (7/3)%3 = 3
+    assert(m == Multimodal.MediaMeta(7L, "mp4", Some(800L), None, None,
+      Some(3)))
+  }
+
+  test("corruption degrades, never throws") {
+    def kind(b: Array[Byte]): String = Multimodal.parseMediaMetaOne(0L, b).media_kind
+    // empty / tiny / text payloads
+    assert(kind(Array.empty) == "unknown")
+    assert(kind(Array[Byte](1, 2, 3)) == "unknown")
+    assert(kind("just some text".getBytes) == "unknown")
+    // truncated WAV: magic present, fmt chunk cut off mid-header
+    assert(kind(Multimodal.plantedWavBytes(6L).take(20)) == "unknown")
+    // RIFF with an absurd chunk size must not walk out of bounds
+    val bad = Multimodal.plantedWavBytes(6L).clone()
+    bad(16) = 0xFF.toByte; bad(17) = 0xFF.toByte
+    bad(18) = 0xFF.toByte; bad(19) = 0x7F.toByte // fmt size = Int.MaxValue-ish
+    assert(Multimodal.parseMediaMetaOne(0L, bad).media_kind != null) // no throw
+    // MP4 with a ZERO-size box must not loop forever
+    val mp4 = Multimodal.plantedMp4Bytes(7L).clone()
+    mp4(16) = 0; mp4(17) = 0; mp4(18) = 0; mp4(19) = 0 // moov size = 0
+    assert(Multimodal.parseMediaMetaOne(0L, mp4).media_kind == "unknown")
+    // MP4 whose moov claims to extend past the buffer: fields recovered so
+    // far are kept, the walk stops at the boundary
+    val over = Multimodal.plantedMp4Bytes(7L).take(40) // mvhd cut mid-box
+    assert(Multimodal.parseMediaMetaOne(0L, over).media_kind == "unknown")
+  }
+
+  test("the planted corpus parses end-to-end with all three arms live") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val metas = Multimodal.mediaMeta(Multimodal.asAvMedia(docs)).collect()
+    val byKind = metas.groupBy(_.media_kind).view.mapValues(_.length).toMap
+    assert(byKind.keySet == Set("wav", "mp4", "unknown"),
+      s"all three arms must be exercised at the gate: $byKind")
+    // wav rows carry audio fields only; mp4 rows track_count only
+    assert(metas.filter(_.media_kind == "wav")
+      .forall(m => m.sample_rate.isDefined && m.channels.isDefined &&
+        m.duration_ms.isDefined && m.track_count.isEmpty))
+    assert(metas.filter(_.media_kind == "mp4")
+      .forall(m => m.track_count.isDefined && m.duration_ms.isDefined &&
+        m.sample_rate.isEmpty))
+    assert(metas.filter(_.media_kind == "unknown")
+      .forall(m => m.duration_ms.isEmpty && m.sample_rate.isEmpty &&
+        m.channels.isEmpty && m.track_count.isEmpty))
+  }
+}
