@@ -1109,6 +1109,11 @@ object Dedup {
     *
     * Output: (doc_id, group_id, is_keep) for every document in `docs`
     * (singletons keep their own id). */
+  /** Which branch the LAST [[dedupGroups]] call on this JVM took
+    * ("driver" | "distributed") — observability for the specs that pin
+    * the conf-driven crossover actually engaging, not only agreeing. */
+  @volatile private[graft] var lastGroupsBranch: String = ""
+
   def dedupGroups(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 20, collectThreshold: Long = -1L): DataFrame = {
@@ -1117,11 +1122,21 @@ object Dedup {
     import spark.implicits._
     // -1 = take the deployment-tunable session conf (a driver-memory knob
     // belongs in config, not code): max reduced-edge-list size the driver
-    // union-find may collect before the distributed path takes over
+    // union-find may collect before the distributed path takes over.
+    //
+    // DRIVER-MEMORY MODEL (what the knob actually buys): the collect
+    // materializes one specialized (Long, Long) tuple per pair (~32 B
+    // object) and the union-find map holds ≤ 2 boxed-Long entries per
+    // DISTINCT doc id (~100 B each with HashMap overhead) — ~250 B/pair
+    // conservatively, all transient. The 250k default therefore bounds
+    // the driver cost at ~60 MB worst case; a 10× misconfiguration costs
+    // ~600 MB, not an OOM on any reasonably-sized driver. A malformed
+    // conf value falls back to the default (a typo'd memory knob must
+    // degrade to the SAFE path, not throw from a dedup job).
     val threshold =
       if (collectThreshold >= 0) collectThreshold
       else spark.conf.getOption("graft.dedup.collectThreshold")
-        .map(_.toLong).getOrElse(1000000L)
+        .flatMap(_.trim.toLongOption).getOrElse(250000L)
     // pairs is typically an expensive near-dup pipeline: pin its (small)
     // result once so every consumer reuses it
     val p = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
@@ -1136,6 +1151,7 @@ object Dedup {
     // rounds bounded by component diameter.
     val labels: DataFrame =
       if (nPairs <= threshold) {
+        lastGroupsBranch = "driver"
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -1144,8 +1160,9 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        p.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
+        // specialized tuples: ~32 B/pair instead of ~120 B boxed Rows —
+        // the memory model the conf doc above states
+        p.as[(Long, Long)].collect().foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { // union by min id so group_id = min of component
             if (ra < rb) parent(rb) = ra else parent(ra) = rb
@@ -1155,6 +1172,7 @@ object Dedup {
         // fall out of the final coalesce(label, doc_id)
         parent.keySet.toSeq.map(k => (k, find(k))).toDF("id", "label")
       } else {
+        lastGroupsBranch = "distributed"
         val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
           .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
           .persist(lvl)

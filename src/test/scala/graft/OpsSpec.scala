@@ -139,9 +139,32 @@ class OpsSpec extends AnyFunSuite {
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
     val local = Dedup.dedupGroups(docs, pairs)
       .as[(Long, Long, Boolean)].collect().toSet
+    assert(Dedup.lastGroupsBranch == "driver")
     val dist = Dedup.dedupGroups(docs, pairs, collectThreshold = 0L)
       .as[(Long, Long, Boolean)].collect().toSet
+    assert(Dedup.lastGroupsBranch == "distributed")
     assert(dist == local)
+  }
+
+  test("graft.dedup.collectThreshold conf engages the distributed branch on the gate corpus") {
+    // a forced tiny threshold via the SESSION CONF (the deployment knob,
+    // not the test-only parameter) must put the real gate entry's plan on
+    // the distributed branch — and a typo'd value must fall back to the
+    // safe default instead of throwing from the dedup job
+    val fn = SparkEntry.queries("dedup_groups")
+    spark.conf.set("graft.dedup.collectThreshold", "0")
+    try {
+      val rows = fn(spark, TestSpark.Sf0001).collect()
+      assert(rows.nonEmpty)
+      assert(Dedup.lastGroupsBranch == "distributed",
+        "conf-forced tiny threshold must engage the distributed branch")
+    } finally spark.conf.unset("graft.dedup.collectThreshold")
+    spark.conf.set("graft.dedup.collectThreshold", "not-a-number")
+    try {
+      fn(spark, TestSpark.Sf0001).collect()
+      assert(Dedup.lastGroupsBranch == "driver",
+        "malformed conf must degrade to the default (driver) path")
+    } finally spark.conf.unset("graft.dedup.collectThreshold")
   }
 
   test("exact dedup groups identical content, keeps min doc_id") {
