@@ -29,6 +29,8 @@ object PlanAudit {
     // the scalar min-token-mass crosses as a broadcast 1-row nested loop
     // before the per-stratum rate table joins back broadcast-hash
     "sample_token_budget",
+    // the same sampler plan, budgeted in BPE subwords (r14)
+    "sample_token_budget_bpe",
     // same shape: the √-damped rates derive from the same scalar min
     "sample_temperature",
     // each side's 1-row total crosses as a broadcast scalar before the

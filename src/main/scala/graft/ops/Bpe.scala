@@ -286,6 +286,17 @@ object Bpe {
       Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
         .select("doc_id", "chunk_id", "bpe_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")
+    }),
+    // the budget tier under subword accounting: the SAME mass-rate
+    // sampler ([[Sampling.tokenBudgetSample]]), per-stratum token masses
+    // measured in BPE subwords — a source whose text is subword-dense
+    // (code, URLs) now weighs what a trainer would actually spend on it
+    "sample_token_budget_bpe" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModel(s, d))
+      Sampling.tokenBudgetSample(Tables.load(s, d, "documents"),
+        tokenCount = bpe_tokens(col("text"), merges))
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
     }))
 
   val oracle: Seq[(String, String)] = {
@@ -325,6 +336,26 @@ object Bpe {
          |       CAST(cb % 256 AS BIGINT) AS seq_offset
          |FROM w ORDER BY doc_id, chunk_id""".stripMargin
     }
-    Seq("text_tokens_bpe" -> tokensSql, "chunk_pack_bpe" -> packSql)
+    val budgetSql = {
+      // the sample_token_budget oracle with its tok CTE swapped to the
+      // BPE apply chain — same totals, same rate arithmetic, same bucket
+      val words = s"(SELECT doc_id, unnest(${Tokens.duckToks("text")}) AS w FROM documents) _"
+      val ctes = trainCtes ++ applyStages(words, "doc_id")
+      s"""WITH ${ctes.mkString(",\n")},
+         |tok AS (
+         |  SELECT d.doc_id, d.source, COALESCE(t.n_bpe, 0) AS n_tok
+         |  FROM documents d LEFT JOIN bpeCounted t USING (doc_id)),
+         |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total
+         |        FROM tok GROUP BY source),
+         |r AS (SELECT source,
+         |             least(1000, (SELECT MIN(total) FROM tot) * 1000 // total) AS rate
+         |      FROM tot)
+         |SELECT t.doc_id, t.source, t.n_tok
+         |FROM tok t JOIN r USING (source)
+         |WHERE ((t.doc_id % 1000003) * 2246822519) % 1000 < r.rate
+         |ORDER BY t.doc_id""".stripMargin
+    }
+    Seq("text_tokens_bpe" -> tokensSql, "chunk_pack_bpe" -> packSql,
+      "sample_token_budget_bpe" -> budgetSql)
   }
 }

@@ -86,9 +86,10 @@ object Sampling {
     * budgeted unit — doc-count balancing misallocates when domains have
     * different document lengths. */
   def tokenBudgetSample(docs: DataFrame, strataCol: String = "source",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id",
+      tokenCount: org.apache.spark.sql.Column = defaultTokenCount): DataFrame =
     massRateSample(docs, strataCol, sampleBucket(idCol),
-      "least(1000, min_total * 1000 DIV total)")
+      "least(1000, min_total * 1000 DIV total)", tokenCount)
 
   /** The scaffold [[tokenBudgetSample]] and [[temperatureSample]] share:
     * tokenize, per-stratum token totals (|strata| rows), the scalar min
@@ -102,10 +103,17 @@ object Sampling {
     * `1000 * (min_total * 1000 DIV total)` — the round-12 review caught
     * a draft with `min_total * 1000000`, which overflows Long at
     * ~9.2e12 tokens and silently empties the output). */
+  /** The budgeted unit, pluggable (r14): whitespace+CJK words by default,
+    * a BPE subword count when the training budget is tokenizer-accurate —
+    * the sampler's plan is identical either way (the count is one more
+    * map-side column). */
+  private def defaultTokenCount: org.apache.spark.sql.Column =
+    size(Tokens.seg(col("text"))).cast("long")
+
   private def massRateSample(docs: DataFrame, strataCol: String,
-      bucket: org.apache.spark.sql.Column, rateExpr: String): DataFrame = {
-    val toks = Tokens.seg(col("text"))  // the shared tokenizer
-    val withTok = docs.withColumn("n_tok", size(toks).cast("long"))
+      bucket: org.apache.spark.sql.Column, rateExpr: String,
+      tokenCount: org.apache.spark.sql.Column = defaultTokenCount): DataFrame = {
+    val withTok = docs.withColumn("n_tok", tokenCount.cast("long"))
     val totals = withTok.groupBy(strataCol).agg(sum("n_tok").as("total"))
     val rates = totals
       .crossJoin(broadcast(totals.agg(min(col("total")).as("min_total"))))

@@ -104,6 +104,21 @@ class BpeSpec extends AnyFunSuite {
     assert(packed.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 256))
   }
 
+  test("the token-budget sampler is tokenizer-parameterized end to end") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val merges = Bpe.loadMerges(spark, Bpe.ensureModel(spark, TestSpark.Sf0001))
+    val byWords = graft.ops.Sampling.tokenBudgetSample(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byBpe = graft.ops.Sampling.tokenBudgetSample(docs,
+      tokenCount = Bpe.bpe_tokens(col("text"), merges))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byBpe.nonEmpty)
+    // subword masses shift the per-stratum rates, so the kept sets differ
+    // (equal sets would mean the budget unit is not actually plumbed)
+    assert(byWords != byBpe)
+  }
+
   test("packChunks budget column is pluggable: bpe_tokens packing differs from word packing") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
     val dir = Bpe.ensureModel(spark, TestSpark.Sf0001)
