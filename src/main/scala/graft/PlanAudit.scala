@@ -161,6 +161,21 @@ object PlanAudit {
     // membership + id-only near membership + |strata|-row rollup;
     // measured 8.77/row (n=500) and 8.63/row (n=5000) — flat
     "dedup_report" -> ShuffleBudget("documents", 22.0, 1000L),
+    // r14: BPE training aggregate (≤4096 dict rows however large the
+    // corpus) + presentation orderBy (1/doc); the apply is map-side.
+    // Measured 1.000/row at both spec SFs — flat; 2.5-ish× headroom
+    "text_tokens_bpe" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r14: chunk explode (map-side) + the pack chain's range exchange +
+    // orderBy ∝ chunk windows, plus the bounded training aggregate;
+    // measured 5.55/row and 5.42/row — flat; 2.5× headroom
+    "chunk_pack_bpe" -> ShuffleBudget("documents", 14.0, 1000L),
+    // r14: the mass-rate sampler's |strata|-row totals + broadcast rate
+    // join-back + orderBy of kept rows, plus the training aggregate;
+    // measured 0.974/row and 0.952/row — flat
+    "sample_token_budget_bpe" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r14: pure map-side header parse; only the presentation orderBy
+    // shuffles (measured exactly 1.000/row at both SFs)
+    "mm_media_meta" -> ShuffleBudget("documents", 2.5, 500L),
   )
 
   /** Executes entry `name` against `dir` through the noop sink and returns
