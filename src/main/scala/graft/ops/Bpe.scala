@@ -76,15 +76,13 @@ object Bpe {
           i += 1
         }
       }
-      val cands = counts.iterator.filter(_._2 >= 2L)
-      if (cands.isEmpty) exhausted = true
-      else {
-        val (pair, _) = counts.iterator.filter(_._2 >= 2L).minBy {
-          case ((a, b), f) => (-f, a, b)
-        }
-        merges += pair
-        state.mapValuesInPlace { case (_, (syms, f)) => (mergeOnce(syms, pair), f) }
-        k += 1
+      counts.iterator.filter(_._2 >= 2L)
+        .minByOption { case ((a, b), f) => (-f, a, b) } match {
+        case None => exhausted = true
+        case Some((pair, _)) =>
+          merges += pair
+          state.mapValuesInPlace { case (_, (syms, f)) => (mergeOnce(syms, pair), f) }
+          k += 1
       }
     }
     merges.toSeq

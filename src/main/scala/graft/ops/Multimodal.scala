@@ -226,23 +226,28 @@ object Multimodal {
     * violation or a zero byte rate degrades to None fields. */
   private def parseWav(docId: Long, b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var o = 12
+    // Long offsets: le32 chunk sizes are unsigned, and two ~2 GB declared
+    // chunks must not overflow the cursor into a negative array index —
+    // the walk degrades IN-FUNCTION, never by luck of a caller's catch
+    var o = 12L
     var sampleRate = -1L; var channels = -1; var byteRate = -1L; var dataSize = -1L
     while (o + 8 <= b.length && (sampleRate < 0 || dataSize < 0)) {
-      val id = tag(b, o)
-      val size = le32(b, o + 4)
+      val oi = o.toInt // safe: o + 8 <= b.length ≤ Int.MaxValue
+      val id = tag(b, oi)
+      val size = le32(b, oi + 4)
       if (id == "fmt " && o + 8 + 16 <= b.length) {
-        channels = le16(b, o + 8 + 2)
-        sampleRate = le32(b, o + 8 + 4)
-        byteRate = le32(b, o + 8 + 8)
+        channels = le16(b, oi + 8 + 2)
+        sampleRate = le32(b, oi + 8 + 4)
+        byteRate = le32(b, oi + 8 + 8)
       } else if (id == "data") {
         dataSize = size // declared — the final chunk may be truncated on disk
       }
-      if (size < 0) return None
-      o += 8 + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
-      if (size > Int.MaxValue - 16) return None
+      o += 8L + size + (size & 1L) // RIFF chunks pad to even
     }
-    if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataSize < 0) None
+    // range-validate before narrowing: a malformed fmt chunk must yield
+    // the unknown degradation, never a 'wav' row with wrapped negatives
+    if (sampleRate <= 0 || sampleRate > Int.MaxValue ||
+      channels <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some(MediaMeta(docId, "wav", Some(dataSize * 1000L / byteRate),
       Some(sampleRate.toInt), Some(channels), None))
   }

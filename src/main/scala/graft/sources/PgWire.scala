@@ -242,7 +242,11 @@ object PgWire {
     def cancel(): Unit = backendKey.foreach { case (pid, secret) =>
       val s = new Socket()
       try {
-        s.connect(new InetSocketAddress(host, port), 10000)
+        // short connect timeout: this runs in task-CLEANUP paths, and an
+        // unreachable server (the common reason streams get abandoned)
+        // must not stall stage teardown 10 s per task — best-effort means
+        // give up fast, the socket close remains the fallback
+        s.connect(new InetSocketAddress(host, port), 2000)
         val o = new DataOutputStream(s.getOutputStream)
         o.writeInt(16)
         o.writeInt(80877102) // the cancel request code (1234,5678)

@@ -570,6 +570,15 @@ object EventStreams {
     * row-for-row and SHARES its oracle — drift in any stage of the
     * composition, or a lost/doubled epoch in the sink, hash-mismatches
     * at the gate. */
+  /** The binaryFile source's FIXED schema (its four columns never vary)
+    * — declared statically so the stream needs no batch directory
+    * listing just to recover it. */
+  private[graft] val BinaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
   def crawlChunks(spark: SparkSession, dir: String): DataFrame = {
     val drop = graft.sources.WarcIngest.ensureWarcDrop(spark, dir)
     val url = s"jdbc:derby:memory:graft_crawl_${Integer.toHexString(dir.hashCode)};create=true"
@@ -587,8 +596,7 @@ object EventStreams {
       """CREATE TABLE "crawl_chunks" ("doc_id" BIGINT, "lang" VARCHAR(16), """ +
         """"chunk_id" BIGINT, "chunk_start" BIGINT, "chunk_tokens" BIGINT, """ +
         """"chunk_text" VARCHAR(4000))""")
-    val schema = spark.read.format("binaryFile").load(drop).schema
-    val stream = spark.readStream.format("binaryFile").schema(schema)
+    val stream = spark.readStream.format("binaryFile").schema(BinaryFileSchema)
       .option("pathGlobFilter", "*.warc").load(drop)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>

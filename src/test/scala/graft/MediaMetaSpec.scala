@@ -48,6 +48,25 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(Multimodal.parseMediaMetaOne(0L, over).media_kind == "unknown")
   }
 
+  test("header fields are range-validated before narrowing; the chunk walk never overflows") {
+    // fmt declares sampleRate 0x80000000 (2^31, unsigned LE) — passes a
+    // Long > 0 check but wraps negative as Int: must degrade to unknown,
+    // never emit a 'wav' row with sample_rate = -2147483648
+    val wrapped = Multimodal.plantedWavBytes(6L).clone()
+    wrapped(24) = 0; wrapped(25) = 0; wrapped(26) = 0; wrapped(27) = 0x80.toByte
+    val m = Multimodal.parseMediaMetaOne(6L, wrapped)
+    assert(m.media_kind == "unknown" && m.sample_rate.isEmpty, m.toString)
+    // two chunks each declaring ~1.2e9 bytes: the cumulative cursor must
+    // not wrap negative (Long offsets), the walk just runs off the buffer
+    // and degrades — no exception even when parseWav is called directly
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36); bb.put("WAVE".getBytes)
+    bb.put("junk".getBytes); bb.putInt(1200000000)
+    bb.put(new Array[Byte](20))
+    val big = Multimodal.parseMediaMetaOne(0L, bb.array())
+    assert(big.media_kind == "unknown")
+  }
+
   test("the planted corpus parses end-to-end with all three arms live") {
     val spark = TestSpark.spark
     val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")

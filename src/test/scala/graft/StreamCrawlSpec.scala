@@ -42,9 +42,9 @@ class StreamCrawlSpec extends AnyFunSuite {
       """SELECT COUNT(*) FROM "crawl_rt"""").head.get(0)
       .asInstanceOf[Number].longValue
     val ckpt = java.nio.file.Files.createTempDirectory("crawl_rt_ckpt").toString
-    val schema = spark.read.format("binaryFile").load(drop).schema
     def runStream(): Unit = {
-      val st = spark.readStream.format("binaryFile").schema(schema)
+      val st = spark.readStream.format("binaryFile")
+        .schema(EventStreams.BinaryFileSchema)
         .option("pathGlobFilter", "*.warc").load(drop)
       val q = st.writeStream
         .option("checkpointLocation", ckpt)
