@@ -570,6 +570,28 @@ object EventStreams {
     * row-for-row and SHARES its oracle — drift in any stage of the
     * composition, or a lost/doubled epoch in the sink, hash-mismatches
     * at the gate. */
+  /** Streaming BPE token accounting — the always-on crawl arm of
+    * `text_tokens_bpe` and the serving split of the stored merge table
+    * (the [[importanceScoring]]/[[fluencyScoring]] contract verbatim):
+    * the model is ensured ONCE (fingerprint-staged ≤ 40-row merge
+    * table), each micro-batch counts subwords as a pure stateless map —
+    * no state store, no watermark, Append mode. At scale this is the
+    * crawl-side budget meter: every arriving document priced in the
+    * tokenizer's own units before mixing/packing decisions. Bounded
+    * replay over the corpus equals the batch entry, so it SHARES its
+    * oracle. */
+  def bpeTokenScoring(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.ops.Bpe.loadMerges(spark,
+      graft.ops.Bpe.ensureModel(spark, dir))
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    runToTable(
+      stream.select(col("doc_id"),
+        graft.ops.Bpe.bpe_tokens(col("text"), merges).as("n_bpe"),
+        size(graft.ops.Tokens.seg(col("text"))).cast("long").as("n_ws")),
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** The binaryFile source's FIXED schema (its four columns never vary)
     * — declared statically so the stream needs no batch directory
     * listing just to recover it. */
@@ -629,6 +651,7 @@ object EventStreams {
     "stream_extract_html" -> ((s, d) => htmlExtraction(s, d)),
     "stream_langid" -> ((s, d) => langidScoring(s, d)),
     "stream_crawl_chunks" -> ((s, d) => crawlChunks(s, d)),
+    "stream_tokens_bpe" -> ((s, d) => bpeTokenScoring(s, d)),
   )
 
   /** The streaming results must equal the batch corpus oracles. */
@@ -701,6 +724,10 @@ object EventStreams {
     // the exactly-once sink hash-mismatches here
     "stream_crawl_chunks" ->
       graft.ops.Curation.oracle.toMap.apply("e2e_crawl_to_chunks"),
+    // stateless map against the ensured merge table over the SAME corpus
+    // -> the batch oracle (the stored-model twin contract)
+    "stream_tokens_bpe" ->
+      graft.ops.Bpe.oracle.toMap.apply("text_tokens_bpe"),
     "stream_enrich_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |       date_diff('second', c.ts, p.ts) AS gap_s
