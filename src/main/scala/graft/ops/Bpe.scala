@@ -285,6 +285,18 @@ object Bpe {
         .select("doc_id", "chunk_id", "bpe_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")
     }),
+    // the MODEL itself under the gate: the persisted merge table must
+    // equal, rank by rank, what the oracle's unrolled training stages
+    // derive from the same sample — the most direct pin on the training
+    // half (the counting entries pin it only through their sums)
+    "text_bpe_vocab" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModel(s, d))
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    }),
     // the budget tier under subword accounting: the SAME mass-rate
     // sampler ([[Sampling.tokenBudgetSample]]), per-stratum token masses
     // measured in BPE subwords — a source whose text is subword-dense
@@ -353,7 +365,16 @@ object Bpe {
          |WHERE ((t.doc_id % 1000003) * 2246822519) % 1000 < r.rate
          |ORDER BY t.doc_id""".stripMargin
     }
+    val vocabSql = {
+      // rank k's merge is bpk's single row; empty stages (post-exhaustion)
+      // contribute nothing, exactly like the engine's early stop
+      val ranks = (1 to NMerges)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS rank, a AS \"left\", b AS \"right\" FROM bp$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${trainCtes.mkString(",\n")}
+         |SELECT rank, "left", "right" FROM ($ranks) ORDER BY rank""".stripMargin
+    }
     Seq("text_tokens_bpe" -> tokensSql, "chunk_pack_bpe" -> packSql,
-      "sample_token_budget_bpe" -> budgetSql)
+      "sample_token_budget_bpe" -> budgetSql, "text_bpe_vocab" -> vocabSql)
   }
 }
