@@ -313,8 +313,12 @@ object Bpe {
     val tokensSql = {
       val words = s"(SELECT doc_id, unnest(${Tokens.duckToks("text")}) AS w FROM documents) _"
       val ctes = trainCtes ++ applyStages(words, "doc_id")
+      // NULL text stays NULL (the expression's null-in/null-out, matching
+      // n_ws's size-of-null); a wordless NON-null text counts 0
       s"""WITH ${ctes.mkString(",\n")}
-         |SELECT d.doc_id, COALESCE(t.n_bpe, 0) AS n_bpe,
+         |SELECT d.doc_id,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE COALESCE(t.n_bpe, 0) END AS n_bpe,
          |       CAST(len(${Tokens.duckToks("d.text")}) AS BIGINT) AS n_ws
          |FROM documents d LEFT JOIN bpeCounted t USING (doc_id)
          |ORDER BY doc_id""".stripMargin
@@ -353,7 +357,9 @@ object Bpe {
       val ctes = trainCtes ++ applyStages(words, "doc_id")
       s"""WITH ${ctes.mkString(",\n")},
          |tok AS (
-         |  SELECT d.doc_id, d.source, COALESCE(t.n_bpe, 0) AS n_tok
+         |  SELECT d.doc_id, d.source,
+         |         CASE WHEN d.text IS NULL THEN NULL
+         |              ELSE COALESCE(t.n_bpe, 0) END AS n_tok
          |  FROM documents d LEFT JOIN bpeCounted t USING (doc_id)),
          |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total
          |        FROM tok GROUP BY source),

@@ -104,6 +104,24 @@ class BpeSpec extends AnyFunSuite {
     assert(packed.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 256))
   }
 
+  test("null and wordless text: null-in/null-out, empty counts zero") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val merges = Seq(("a", "b"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null.asInstanceOf[String]),
+        org.apache.spark.sql.Row(""),
+        org.apache.spark.sql.Row("   \t "),
+        org.apache.spark.sql.Row("ab")),
+      StructType(Seq(StructField("t", StringType))))
+    val got = df.select(Bpe.bpe_tokens(col("t"), merges)).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    // NULL text → NULL (like size(seg(NULL))); empty/whitespace → 0;
+    // "ab" merges to one subword
+    assert(got == Seq(None, Some(0L), Some(0L), Some(1L)))
+  }
+
   test("the token-budget sampler is tokenizer-parameterized end to end") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
