@@ -363,7 +363,10 @@ object Multimodal {
         val bytes = (id % 3) match {
           case 0 => plantedWavBytes(id)
           case 1 => plantedMp4Bytes(id)
-          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // null-safe: a null text is an empty payload (still the
+          // unknown arm), not a task-aborting NPE
+          case _ => Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
         (id, bytes)
       }
