@@ -90,7 +90,7 @@ object Bpe {
 
   /** One merge rule applied left-to-right, non-overlapping — the scan the
     * SQL `replace` on the wrapped representation performs. */
-  private[ops] def mergeOnce(syms: Array[String], pair: (String, String)): Array[String] = {
+  private[graft] def mergeOnce(syms: Array[String], pair: (String, String)): Array[String] = {
     val (a, b) = pair
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
