@@ -235,7 +235,11 @@ object Multimodal {
       val oi = o.toInt // safe: o + 8 <= b.length ≤ Int.MaxValue
       val id = tag(b, oi)
       val size = le32(b, oi + 4)
-      if (id == "fmt " && o + 8 + 16 <= b.length) {
+      // the chunk's OWN declared size must cover the 16 PCM-header bytes:
+      // an undersized fmt chunk would otherwise read the next chunk's
+      // bytes as channels/rate and could pass range validation (r14
+      // advisory) — malformed fmt degrades like every other malformation
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
         channels = le16(b, oi + 8 + 2)
         sampleRate = le32(b, oi + 8 + 4)
         byteRate = le32(b, oi + 8 + 8)
@@ -254,18 +258,32 @@ object Multimodal {
 
   /** Header-scan of an ISO BMFF (MP4) payload: top-level boxes for `moov`,
     * inside it `mvhd` (version-0 layout: timescale at +20, duration at
-    * +24 from the box start) and the `trak` count. A box size < 8 (or
-    * running past the buffer) stops the walk — the classic infinite-loop
+    * +24 from the box start) and the `trak` count. Top-level boxes honor
+    * the two ISO 14496-12 size escapes — `size == 1` reads the 64-bit
+    * largesize that real >4 GB files use, `size == 0` means
+    * box-extends-to-EOF (r14 advisory: both are VALID framings, not
+    * malformations) — while a size < 8 without an escape, or a box
+    * running past the buffer, stops the walk: the classic infinite-loop
     * and over-read guards for attacker-supplied containers. */
   private def parseMp4(docId: Long, b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 12 || tag(b, 4) != "ftyp") return None
     var o = 0
     var timescale = -1L; var duration = -1L; var traks = 0
     while (o + 8 <= b.length) {
-      val size = be32(b, o)
+      val size: Long = be32(b, o) match {
+        case 1L => // largesize escape: 64-bit size follows the box type
+          if (o + 16 > b.length) -1L
+          else (be32(b, o + 8) << 32) | be32(b, o + 12)
+        case 0L => (b.length - o).toLong // box extends to end of file
+        case s => s
+      }
+      if (size < 16 && be32(b, o) == 1L)
+        return packMp4(docId, timescale, duration, traks) // largesize must cover its own 16-byte header
       if (size < 8 || o + size > b.length) return packMp4(docId, timescale, duration, traks)
       if (tag(b, o + 4) == "moov") {
-        var i = o + 8
+        // payload starts after the 8-byte header, +8 more when the 64-bit
+        // largesize escape was used (size field 1 pushed the payload out)
+        var i = o + (if (be32(b, o) == 1L) 16 else 8)
         val end = o + size.toInt
         while (i + 8 <= end) {
           val cs = be32(b, i)

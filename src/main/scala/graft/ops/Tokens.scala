@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * tokenizers agree on segmentation boundaries while hashing
   * differently by design. */
 private[graft] object Tokens {
+  /** Version of the segmentation rule itself — bump on ANY change to
+    * [[seg]]/[[segString]] semantics. Folded into stored-model fingerprint
+    * salts (the BPE merge tables) so a rule change retrains rather than
+    * serving counts from a model trained under the old segmentation. */
+  private[graft] val SegV = "seg1"
+
   /** Java-regex capture of one CJK codepoint (Unicode script classes). */
   private val CjkJava = "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"
 

@@ -20,10 +20,19 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * decides STRUCTURAL sliceability; the probes run when the physical node
   * first needs the slice list (execution, or a test inspecting
   * `PushedSqlExec.slices`). Unsliceable queries share the [[PushedSqlQuery.noSlices]]
-  * constant, which display checks compare by reference. */
+  * constant, which display checks compare by reference.
+  *
+  * `sliceGen` rides a SECOND parameter list (with [[org.apache.spark.sql.catalyst.trees.TreeNode.otherCopyArgs]]
+  * feeding makeCopy): closures compare by reference, so a product-field
+  * thunk would defeat case-class equality — two logically identical pushed
+  * plans (same sql + backend, whose sliceGen is derived deterministically
+  * from them) must still compare equal under canonicalization/sameResult
+  * for ReuseExchange/ReuseSubquery to dedup them (r14 advisory). */
 case class PushedSqlQuery(output: Seq[Attribute], sql: String,
-    backend: SqlBackend, sliceGen: () => Seq[String] = PushedSqlQuery.noSlices)
+    backend: SqlBackend)(
+    val sliceGen: () => Seq[String] = PushedSqlQuery.noSlices)
     extends LeafNode {
+  override def otherCopyArgs: Seq[AnyRef] = sliceGen :: Nil
   /** LeafNode's default THROWS — without this, any residual Spark operator
     * above the pushed leaf (e.g. a join with a non-graft table) crashes in
     * physical planning when JoinSelection asks for stats. The backend can't
@@ -53,8 +62,10 @@ object PushedSqlQuery {
   * executes as an N-partition parallel scan instead of one stream; a probe
   * that fails or finds no rows degrades to the single stream. */
 case class PushedSqlExec(output: Seq[Attribute], sql: String,
-    backend: SqlBackend, sliceGen: () => Seq[String] = PushedSqlQuery.noSlices)
+    backend: SqlBackend)(
+    val sliceGen: () => Seq[String] = PushedSqlQuery.noSlices)
     extends LeafExecNode {
+  override def otherCopyArgs: Seq[AnyRef] = sliceGen :: Nil
   /** Probes run at FIRST FORCE (doExecute, or test inspection) — never at
     * planning/EXPLAIN — and are memoized per execution instance, so one
     * execution probes at most once. */
@@ -72,8 +83,8 @@ case class PushedSqlExec(output: Seq[Attribute], sql: String,
   * (`src/physical_plan.rs:161-215`). */
 object PushedSqlStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PushedSqlQuery(output, sql, backend, sliceGen) =>
-      PushedSqlExec(output, sql, backend, sliceGen) :: Nil
+    case p: PushedSqlQuery =>
+      PushedSqlExec(p.output, p.sql, p.backend)(p.sliceGen) :: Nil
     case _ => Nil
   }
 }

@@ -320,7 +320,7 @@ object SqlPushdownRule extends Rule[LogicalPlan] {
           if (backend.dialect.scanPreferred) {
             windowSlices(p, resolver, backend).getOrElse(PushedSqlQuery.noSlices)
           } else PushedSqlQuery.noSlices
-        Some(PushedSqlQuery(p.output, sql, backend, sliceGen))
+        Some(PushedSqlQuery(p.output, sql, backend)(sliceGen))
       case Left(why) =>
         if (sys.props.contains("graft.pushdown.debug"))
           System.err.println(s"[pushdown] ${p.nodeName} not converted: $why")

@@ -603,7 +603,12 @@ object EventStreams {
 
   def crawlChunks(spark: SparkSession, dir: String): DataFrame = {
     val drop = graft.sources.WarcIngest.ensureWarcDrop(spark, dir)
-    val url = s"jdbc:derby:memory:graft_crawl_${Integer.toHexString(dir.hashCode)};create=true"
+    // collision-free per-source database key (r14 advisory: a 32-bit
+    // dir.hashCode could collide two source dirs onto one database, and
+    // the drop/recreate below would clobber the other run's sink)
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val url = s"jdbc:derby:memory:graft_crawl_$key;create=true"
     val backend = graft.sources.JdbcBackend.forUrl(url)
     // fresh logical stream per invocation: drop sink + marker + staging so
     // a previous run's batch ids cannot gate this run's micro-batches

@@ -36,6 +36,21 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(pushed.size == 1, joined.queryExecution.optimizedPlan.toString)
       assert(joined.count() == 25)
+
+      // sliceGen is NOT part of plan identity (r14 advisory): two logically
+      // identical pushed plans must compare equal (and sameResult) even
+      // when their slice thunks are distinct closures — otherwise
+      // ReuseExchange/ReuseSubquery can never dedup a pushed subtree
+      val p = pushed.head
+      val qa = PushedSqlQuery(p.output, p.sql, p.backend)(() => Seq("x"))
+      val qb = PushedSqlQuery(p.output, p.sql, p.backend)(() => Seq("y"))
+      assert(qa == qb, "closures in a product field defeat plan equality")
+      assert(qa.sameResult(qb))
+      // …while tree copies (transform/withNewChildren paths) still carry
+      // the thunk through otherCopyArgs
+      val copied = qa.makeCopy(Array(qa.output, qa.sql, qa.backend))
+        .asInstanceOf[PushedSqlQuery]
+      assert(copied.sliceGen() == Seq("x"))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -38,14 +38,46 @@ class MediaMetaSpec extends AnyFunSuite {
     bad(16) = 0xFF.toByte; bad(17) = 0xFF.toByte
     bad(18) = 0xFF.toByte; bad(19) = 0x7F.toByte // fmt size = Int.MaxValue-ish
     assert(Multimodal.parseMediaMetaOne(0L, bad).media_kind != null) // no throw
-    // MP4 with a ZERO-size box must not loop forever
-    val mp4 = Multimodal.plantedMp4Bytes(7L).clone()
-    mp4(16) = 0; mp4(17) = 0; mp4(18) = 0; mp4(19) = 0 // moov size = 0
-    assert(Multimodal.parseMediaMetaOne(0L, mp4).media_kind == "unknown")
+    // undersized fmt chunk (declared size 8 < the 16 PCM-header bytes):
+    // the old walk read the NEXT chunk's bytes as channels/rate — must
+    // degrade to unknown, never a plausible-but-wrong 'wav' row
+    val shortFmt = Multimodal.plantedWavBytes(6L).clone()
+    shortFmt(16) = 8; shortFmt(17) = 0; shortFmt(18) = 0; shortFmt(19) = 0
+    assert(kind(shortFmt) == "unknown")
     // MP4 whose moov claims to extend past the buffer: fields recovered so
     // far are kept, the walk stops at the boundary
     val over = Multimodal.plantedMp4Bytes(7L).take(40) // mvhd cut mid-box
     assert(Multimodal.parseMediaMetaOne(0L, over).media_kind == "unknown")
+  }
+
+  test("ISO BMFF size escapes: largesize (size==1) and to-EOF (size==0) are valid framings") {
+    // size==0: the box extends to end-of-file (ISO 14496-12) — the planted
+    // moov IS the last top-level box, so zeroing its size field must parse
+    // to the SAME metadata, not degrade (and must not loop forever)
+    val toEof = Multimodal.plantedMp4Bytes(7L).clone()
+    toEof(16) = 0; toEof(17) = 0; toEof(18) = 0; toEof(19) = 0
+    assert(Multimodal.parseMediaMetaOne(7L, toEof) ==
+      Multimodal.MediaMeta(7L, "mp4", Some(800L), None, None, Some(3)))
+    // size==1: the 64-bit largesize escape real >4 GB files use — rebuild
+    // the planted moov under it (size field 1, type, then the 64-bit size;
+    // children shift out by 8) and expect the same metadata
+    val planted = Multimodal.plantedMp4Bytes(7L)
+    val moov = planted.drop(16) // the moov box: size(4) type(4) children…
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + moov.length)
+    bb.put(planted.take(16)) // ftyp unchanged
+    bb.putInt(1); bb.put("moov".getBytes)
+    bb.putLong(moov.length + 8L) // largesize covers its own 16-byte header
+    bb.put(moov.drop(8)) // children verbatim
+    assert(Multimodal.parseMediaMetaOne(7L, bb.array()) ==
+      Multimodal.MediaMeta(7L, "mp4", Some(800L), None, None, Some(3)))
+    // a largesize escape whose 64-bit size can't fit its own header, or a
+    // buffer too short to even hold the largesize field: stop, degrade
+    val shortLarge = bb.array().take(20) // cut mid-largesize
+    assert(Multimodal.parseMediaMetaOne(0L, shortLarge).media_kind == "unknown")
+    val tinyLarge = bb.array().clone()
+    tinyLarge(24) = 0; tinyLarge(25) = 0; tinyLarge(26) = 0; tinyLarge(27) = 0
+    tinyLarge(28) = 0; tinyLarge(29) = 0; tinyLarge(30) = 0; tinyLarge(31) = 8
+    assert(Multimodal.parseMediaMetaOne(0L, tinyLarge).media_kind == "unknown")
   }
 
   test("header fields are range-validated before narrowing; the chunk walk never overflows") {
