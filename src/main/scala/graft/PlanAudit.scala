@@ -176,6 +176,13 @@ object PlanAudit {
     // r14: pure map-side header parse; only the presentation orderBy
     // shuffles (measured exactly 1.000/row at both SFs)
     "mm_media_meta" -> ShuffleBudget("documents", 2.5, 500L),
+    // r15: same shape as text_tokens_bpe — bounded training aggregate +
+    // presentation orderBy (1/doc); the 32k-rule apply is map-side and
+    // adds ZERO shuffle (measured 1.000/row at both spec SFs)
+    "text_tokens_bpe_large" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r15: byte-level variant, planted multiscript — identical exchange
+    // shape (measured 1.000/row at both spec SFs)
+    "text_tokens_bpe_bytes" -> ShuffleBudget("documents", 3.0, 1000L),
   )
 
   /** Executes entry `name` against `dir` through the noop sink and returns

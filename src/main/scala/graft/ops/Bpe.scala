@@ -4,7 +4,6 @@ import graft.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,17 +51,35 @@ object Bpe {
   val NMerges = 40
   /** Training dict bound: top distinct words by (freq DESC, word ASC). */
   val MaxWords = 4096
+  /** Production-shape merge-table CAPACITY (r15): real tokenizers carry
+    * 32k–100k merges. Training still stops early when no pair repeats —
+    * on a given corpus the learned table is however many merges the dict
+    * supports, up to this cap. The 40-merge oracle entries stay as the
+    * semantic pin; the large table's first [[NMerges]] ranks are ALSO
+    * oracle-pinned (`text_bpe_vocab_large` — greedy training is
+    * prefix-stable, so cap size never changes earlier ranks), and the
+    * tail is pinned by the trainFast ≡ train / encode ≡ rank-priority
+    * property specs ([[graft.BpeLargeProps]]). */
+  val NMergesLarge = 32768
+  /** Large-model dict bound (the 100 TB sampling note on
+    * [[sampleWordCounts]] applies unchanged: at corpus scale the same
+    * rule samples instead of scanning). */
+  val MaxWordsLarge = 65536
   private val SampleMod = 5
   private val SampleChars = 512
 
   // ---------------------------------------------------------------- train
 
   /** In-memory BPE training over a word-frequency dict (already bounded
-    * by [[MaxWords]]); pure so the spec fixtures pin it directly. */
-  def train(wordCounts: Seq[(String, Long)], nMerges: Int = NMerges): Seq[(String, String)] = {
+    * by [[MaxWords]]); pure so the spec fixtures pin it directly. This is
+    * the NAIVE reference implementation (full pair recount per merge) the
+    * DuckDB oracle stages mirror one-to-one; [[trainFast]] is the
+    * production-capacity trainer, property-pinned extensionally equal. */
+  def train(wordCounts: Seq[(String, Long)], nMerges: Int = NMerges,
+      syms: String => Array[String] = symsOf): Seq[(String, String)] = {
     // per-word symbol state, keyed by the (distinct) word
     val state = scala.collection.mutable.LinkedHashMap.empty[String, (Array[String], Long)]
-    wordCounts.foreach { case (w, f) => state(w) = (symsOf(w), f) }
+    wordCounts.foreach { case (w, f) => state(w) = (syms(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var k = 0
     var exhausted = false
@@ -84,6 +101,74 @@ object Bpe {
           state.mapValuesInPlace { case (_, (syms, f)) => (mergeOnce(syms, pair), f) }
           k += 1
       }
+    }
+    merges.toSeq
+  }
+
+  /** [[train]] at production vocabulary size: incremental pair-count
+    * maintenance (the public subword-nmt / HuggingFace-tokenizers
+    * training shape) instead of the naive full recount per merge. The
+    * naive loop is O(nMerges × Σ wordlen) — fine at 40 merges, ~10⁹
+    * hash operations at 32k — while this keeps
+    *  - `counts`: pair → summed frequency,
+    *  - `where`:  pair → word indexes that contained it when last
+    *    counted (stale entries tolerated, re-checked on use),
+    *  - `queue`:  a TreeSet ordered by (−freq, left, right) whose head
+    *    IS [[train]]'s minByOption pick,
+    * and on each merge re-counts ONLY the words containing the merged
+    * pair. Produces the IDENTICAL merge sequence (tie-breaks included) —
+    * property-pinned against [[train]] on random dicts
+    * ([[graft.BpeLargeProps]]). Pure driver-side computation over the
+    * bounded dict: the corpus never participates beyond the dict
+    * aggregate. */
+  def trainFast(wordCounts: Seq[(String, Long)], nMerges: Int,
+      syms: String => Array[String] = symsOf): Seq[(String, String)] = {
+    val words = wordCounts.map { case (w, _) => syms(w) }.toArray
+    val freqs = wordCounts.map(_._2).toArray
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val queue = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+
+    def bump(pair: (String, String), delta: Long, wi: Int): Unit = {
+      val old = counts.getOrElse(pair, 0L)
+      if (old != 0L) queue.remove((old, pair._1, pair._2))
+      val nw = old + delta
+      if (nw != 0L) { counts(pair) = nw; queue.add((nw, pair._1, pair._2)) }
+      else counts.remove(pair)
+      if (delta > 0L)
+        where.getOrElseUpdate(pair, scala.collection.mutable.Set.empty) += wi
+    }
+    def countWordPairs(wi: Int, delta: Long): Unit = {
+      val s = words(wi); val f = freqs(wi)
+      var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), delta * f, wi); i += 1 }
+    }
+    words.indices.foreach(countWordPairs(_, 1L))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    while (k < nMerges && queue.nonEmpty && queue.head._1 >= 2L) {
+      val (_, a, b) = queue.head
+      val pair = (a, b)
+      merges += pair
+      // re-count only the words that (possibly stale) contained the pair
+      val touched = where.remove(pair).getOrElse(scala.collection.mutable.Set.empty)
+      touched.foreach { wi =>
+        val merged = mergeOnce(words(wi), pair)
+        if (!(merged sameElements words(wi))) {
+          countWordPairs(wi, -1L)
+          words(wi) = merged
+          countWordPairs(wi, 1L)
+        }
+      }
+      // the merged pair itself must be gone (mergeOnce eliminates every
+      // occurrence in one pass — see the countWord scaladoc argument)
+      assert(!counts.contains(pair),
+        s"bpe trainFast invariant: pair $pair survived its own merge")
+      k += 1
     }
     merges.toSeq
   }
@@ -110,47 +195,232 @@ object Bpe {
     syms.toSeq
   }
 
+  /** Rank key for [[encodeFast]]'s lookup map: a space can never occur
+    * inside a symbol — symbols concatenate codepoints of ONE
+    * whitespace-split [[Tokens.segString]] word (or hex pairs), so the
+    * space-joined key is collision-free. */
+  private def rankKey(a: String, b: String): String = a + " " + b
+
+  /** Rank-lookup map of a merge table (rank = position, lower = earlier). */
+  def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, java.lang.Integer] = {
+    // java.lang.Integer values ON PURPOSE: a [String, Int] map would make
+    // Scala unbox a missing key's null to 0 — i.e. every absent pair would
+    // read as the BEST rank
+    val m = new java.util.HashMap[String, java.lang.Integer](merges.size * 2)
+    merges.iterator.zipWithIndex.foreach { case ((a, b), i) =>
+      // first (lowest) rank wins if a pair ever re-appeared in a table
+      m.putIfAbsent(rankKey(a, b), i)
+    }
+    m
+  }
+
+  /** [[encode]] by lowest-rank-first merging — the classic BPE apply loop
+    * (O(len² · probe) per word instead of O(nMerges × len), the shape a
+    * 32k-rule table needs): repeatedly find the adjacent pair with the
+    * LOWEST rank present and merge all its occurrences left-to-right
+    * non-overlapping. Equivalent to the rank-sequential scan because
+    * (a) a merge only creates pairs involving its own new symbol, and any
+    * rule mentioning that symbol has a HIGHER rank (the symbol did not
+    * exist at earlier training stages), so merging never re-enables an
+    * earlier rule; and (b) one left-to-right non-overlapping pass
+    * eliminates every occurrence of its pair (each surviving position is
+    * examined; new adjacencies involve the merged symbol, not the pair).
+    * Property-pinned against [[encode]] on random tables
+    * ([[graft.BpeLargeProps]]). */
+  def encodeFast(syms0: Array[String],
+      ranks: java.util.HashMap[String, java.lang.Integer]): Array[String] = {
+    var syms = syms0
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(rankKey(syms(i), syms(i + 1)))
+        if (r != null && r.intValue() < best) {
+          best = r.intValue(); bestA = syms(i); bestB = syms(i + 1)
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else syms = mergeOnce(syms, (bestA, bestB))
+    }
+    syms
+  }
+
   /** A word's initial symbols: one per CODEPOINT (supplementary plane
     * kept whole — the same contract as the shingle tier and the oracle's
     * per-codepoint `string_split_regex(w, '')`). */
   private def symsOf(word: String): Array[String] =
     word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
+  /** Byte-level symbols (the GPT-2 variant, Radford et al. 2019): a
+    * word's UTF-8 bytes as two-char uppercase hex — a 256-symbol base
+    * alphabet that covers EVERY string, so no word is ever outside the
+    * model (the codepoint variant's ASCII training filter leaves CJK and
+    * accented words tokenizing as raw codepoints). Hex-pair spelling is
+    * shared with the oracle (`hex(encode(w))` split into 2-char groups);
+    * merged symbols concatenate to longer hex strings, and a symbol
+    * count is a symbol count regardless of spelling. */
+  private[graft] def symsOfBytes(word: String): Array[String] = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = "%02X".format(bs(i)); i += 1 }
+    out
+  }
+
+  /** A trainable model variant: the constants that define its sample,
+    * dict, alphabet, and capacity — ONE definition so the fingerprint
+    * salt, the era record, and the oracle emulation all derive from the
+    * same values and cannot drift. */
+  private[graft] final case class ModelSpec(tag: String, nMerges: Int,
+      maxWords: Int, byteLevel: Boolean, plant: Boolean = false) {
+    /** Byte-level covers every string; the codepoint variant trains on
+      * printable-ASCII words only (non-ASCII tokenize as raw codepoints). */
+    def asciiOnly: Boolean = !byteLevel
+    def syms: String => Array[String] = if (byteLevel) symsOfBytes else symsOf
+    /** EVERY training constant rides the salt (r14 advisory: a salt that
+      * omitted SampleMod/SampleChars served a stale cached table after a
+      * constant change); SegV versions the segmentation rule itself. */
+    def salt(sfDir: String): String =
+      s"$sfDir:$tag:$nMerges:$maxWords:$byteLevel:$plant:$SampleMod:$SampleChars:${Tokens.SegV}"
+  }
+  private[graft] val SpecOracle = ModelSpec("cp40", NMerges, MaxWords, byteLevel = false)
+  private[graft] val SpecLarge = ModelSpec("cp32k", NMergesLarge, MaxWordsLarge, byteLevel = false)
+  private[graft] val SpecBytes =
+    ModelSpec("b40", NMerges, MaxWords, byteLevel = true, plant = true)
+
+  /** Planted multiscript payload for the byte-level tier (the corpus is
+    * clean ASCII, so byte-level coverage is exercised on planted text —
+    * the same fixture pattern as `text_tokens_cjk`/`text_langid`): every
+    * 3rd document gains Han + Hiragana + Katakana + Hangul runs and a
+    * mixed-script URL. 33 distinct CJK codepoints ON PURPOSE: each needs
+    * 2 byte merges to compress to one symbol, so a 40-rule table cannot
+    * fully merge them all and the byte-level count PROVABLY differs from
+    * the codepoint-level count on every planted doc. Appended (not
+    * replacing), so null text stays null — concat's null-in/null-out on
+    * both engines. */
+  private[graft] val PlantSnippet =
+    " 机器学习模型训练数据集处理 こんにちは世界のテキスト 한국어텍스트조각 https://例え.jp/パス"
+
+  /** The planting rule as a DataFrame transform (engine side). */
+  private[graft] def plantMultiscript(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(PlantSnippet)))
+        .otherwise(col("text")).as("text"),
+      col("source"))
+
+  /** The planting rule as a CTE (oracle side) — must mirror
+    * [[plantMultiscript]] glyph for glyph. */
+  private def plantedCte: String =
+    s"""planted AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN text || '$PlantSnippet'
+       |              ELSE text END AS text,
+       |         source
+       |  FROM documents)""".stripMargin
+
   /** The bounded, SQL-mirrorable training sample of an sfDir's documents
-    * table: word-frequency dict rows (word, count). */
-  private def sampleWordCounts(spark: SparkSession, sfDir: String): Seq[(String, Long)] =
-    Tables.load(spark, sfDir, "documents")
+    * table: word-frequency dict rows (word, count). Byte-level variants
+    * train on the PLANTED table so the model actually carries multi-byte
+    * merges. */
+  private def sampleWordCounts(spark: SparkSession, sfDir: String,
+      spec: ModelSpec): Seq[(String, Long)] = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val words = (if (spec.plant) plantMultiscript(docs) else docs)
       .filter(col("doc_id") % SampleMod === 0)
       .select(explode(Tokens.seg(substring(col("text"), 1, SampleChars))).as("w"))
-      .filter(col("w").rlike("^[!-~]+$"))
+    (if (spec.asciiOnly) words.filter(col("w").rlike("^[!-~]+$")) else words)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
-      .limit(MaxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq // bounded: ≤ MaxWords rows
+      .limit(spec.maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq // bounded: ≤ maxWords rows
+  }
+
+  /** Name of the era record inside a model dir: the full fingerprint salt
+    * + corpus content fingerprint the table was trained under. */
+  private val EraFile = "_bpe_era"
+
+  /** The era string a model trained NOW against this corpus would record.
+    * Corpus-content-sensitive: [[graft.plans.MaterializedViews.filesFingerprint]]
+    * keys on (path, length, mtime). */
+  private[graft] def currentEra(sfDir: String, spec: ModelSpec): String =
+    spec.salt(sfDir) + "@" + graft.plans.MaterializedViews
+      .filesFingerprint(Seq(s"$sfDir/documents.parquet"))
 
   /** Fingerprint-staged merge table for an sfDir (the stored-model
-    * pattern): train once per corpus fingerprint, serve many. */
-  def ensureModel(spark: SparkSession, sfDir: String): String = {
+    * pattern): train once per corpus fingerprint, serve many. Writes the
+    * [[EraFile]] era record beside the table so a PINNED model dir (the
+    * serving split) can be validated against the corpus it is applied to
+    * ([[requireEra]]) instead of silently retraining — a retrain changes
+    * every downstream token count (pack boundaries, budget samples). */
+  private def ensureModelSpec(spark: SparkSession, sfDir: String,
+      spec: ModelSpec): String = {
     val dir = Dedup.fingerprintedDir("graft-bpemodel", "documents",
-      s"$sfDir:$NMerges:$MaxWords", Seq(s"$sfDir/documents.parquet"))
+      spec.salt(sfDir), Seq(s"$sfDir/documents.parquet"))
     Dedup.stageAtomically(dir) { tmp =>
-      val merges = train(sampleWordCounts(spark, sfDir))
+      val merges = trainFast(sampleWordCounts(spark, sfDir, spec),
+        spec.nMerges, spec.syms)
       val s = spark
       import s.implicits._
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "left", "right")
         .coalesce(1).write.parquet(tmp.getPath)
+      java.nio.file.Files.write(new java.io.File(tmp, EraFile).toPath,
+        currentEra(sfDir, spec).getBytes("UTF-8"))
     }
   }
 
-  /** Load a persisted merge table in rank order — a bounded ≤ [[NMerges]]
-    * row read, the model the scoring expression embeds. */
+  /** The 40-merge codepoint model (the oracle-emulated semantic pin). */
+  def ensureModel(spark: SparkSession, sfDir: String): String =
+    ensureModelSpec(spark, sfDir, SpecOracle)
+  /** The production-capacity codepoint model (≤ [[NMergesLarge]] rules). */
+  def ensureModelLarge(spark: SparkSession, sfDir: String): String =
+    ensureModelSpec(spark, sfDir, SpecLarge)
+  /** The byte-level (GPT-2 variant) model. */
+  def ensureModelBytes(spark: SparkSession, sfDir: String): String =
+    ensureModelSpec(spark, sfDir, SpecBytes)
+
+  /** Era guard for a pinned model dir: REFUSE — loudly — to apply a merge
+    * table trained under a different corpus fingerprint or different
+    * training constants, instead of silently serving counts that moved
+    * under the pipeline (the schema-era pattern [[graft.Tables]] uses for
+    * events timestamps). A model dir without an era record predates the
+    * guard and is refused too. */
+  private[graft] def requireEra(sfDir: String, modelDir: String,
+      spec: ModelSpec): Unit = {
+    val f = new java.io.File(modelDir, EraFile)
+    val recorded =
+      if (f.isFile) new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      else "(missing era record)"
+    val expected = currentEra(sfDir, spec)
+    if (recorded != expected)
+      throw new IllegalStateException(
+        s"BPE model era mismatch: merge table at $modelDir was trained under " +
+          s"era [$recorded] but the corpus/constants now demand [$expected]. " +
+          "A stale tokenizer silently changes every downstream token count " +
+          "(chunk pack boundaries, budget samples) — retrain or repin.")
+  }
+
+  /** Load a persisted merge table in rank order — a bounded read (≤ the
+    * variant's nMerges rows), the model the scoring expression embeds. */
   def loadMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
     spark.read.parquet(dir).select("rank", "left", "right")
-      .collect() // bounded: <= NMerges rows
+      .collect() // bounded: <= nMerges rows
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** [[ensureModel]] + [[requireEra]] + [[loadMerges]] in one step — the
+    * form the downstream-accounting entries use, so the era guard sits ON
+    * the path that prices chunks and budgets. */
+  def loadMergesGuarded(spark: SparkSession, sfDir: String,
+      modelDir: String, spec: ModelSpec = SpecOracle): Seq[(String, String)] = {
+    requireEra(sfDir, modelDir, spec)
+    loadMerges(spark, modelDir)
+  }
 
   // ---------------------------------------------------------------- apply
 
@@ -158,13 +428,28 @@ object Bpe {
     * ([[Tokens.segString]]) and BPE-encodes each word against the
     * embedded merge table — one map-side expression, zero exchanges, no
     * token strings materialized into the plan. Returns 0 for a wordless
-    * document (matching the oracle's COALESCE(…, 0)). */
-  case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
-      extends UnaryExpression with CodegenFallback {
+    * document (matching the oracle's COALESCE(…, 0)).
+    *
+    * r15 production shape: the apply loop is [[encodeFast]]'s
+    * lowest-rank-first merge over a rank map (O(len²·probe) per word —
+    * independent of table size, where the r14 per-rule rescan was
+    * O(nMerges × len) and wrong-shaped at 32k rules), and the expression
+    * generates real code ([[doGenCode]] via nullSafeCodeGen) instead of
+    * CodegenFallback — the projection stays inside one whole-stage-codegen
+    * span with no InternalRow boxing per row ([[graft.BpeLargeProps]]
+    * asserts the span). The merge table rides the expression (plan
+    * broadcast): ≤ 32k short-string pairs ≈ a few hundred KB serialized
+    * once per task, the stored-model contract every scoring expression
+    * here uses. */
+  case class BpeTokenCount(child: Expression, merges: Seq[(String, String)],
+      byteLevel: Boolean = false)
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "bpe_token_count"
 
-    @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+    @transient private lazy val ranks: java.util.HashMap[String, java.lang.Integer] = rankMap(merges)
+    @transient private lazy val symsFn: String => Array[String] =
+      if (byteLevel) symsOfBytes else symsOf
     // per-thread word → subword-count memo: corpus vocabularies are small
     // and Zipfian, so most evals are a hash probe; ThreadLocal because a
     // local-mode plan can share one expression instance across tasks.
@@ -177,36 +462,59 @@ object Bpe {
       val m = memo.get()
       val hit = m.get(w)
       if (hit != null) return hit.intValue()
-      var syms = symsOf(w)
-      var i = 0
-      while (i < mergeArr.length && syms.length > 1) {
-        syms = mergeOnce(syms, mergeArr(i)); i += 1
-      }
+      val n = encodeFast(symsFn(w), ranks).length
       if (m.size >= 65536) m.clear()
-      m.put(w, syms.length)
-      syms.length
+      m.put(w, n)
+      n
     }
 
-    override def nullSafeEval(in: Any): Any = {
-      val words = Tokens.segString(in.asInstanceOf[UTF8String].toString)
+    /** The whole-row count — public: generated code calls it through a
+      * plan reference (one virtual call per ROW, with segmentation,
+      * per-word probes, and merges all inside; the boxing-free analog of
+      * the interpreted path). */
+    def countAll(in: UTF8String): Long = {
+      val words = Tokens.segString(in.toString)
       var total = 0L
       var wi = 0
       while (wi < words.length) { total += countWord(words(wi)); wi += 1 }
       total
     }
+
+    override def nullSafeEval(in: Any): Any = countAll(in.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bpeCounter", this, classOf[BpeTokenCount].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countAll($c);")
+    }
+
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Column form of [[BpeTokenCount]]. */
-  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
-    GraftSqlBridge.column(BpeTokenCount(GraftSqlBridge.expression(text), merges))
+  def bpe_tokens(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    GraftSqlBridge.column(BpeTokenCount(GraftSqlBridge.expression(text), merges, byteLevel))
 
   // --------------------------------------------------------------- oracle
 
-  /** `chr(31)`-wrapped symbol string of a word expression. */
-  private def wrap(e: String): String =
+  /** `chr(31)`-wrapped symbol string of a word expression — codepoint
+    * symbols (one per character; DuckDB's '' split is per codepoint). */
+  private def wrapCp(e: String): String =
     s"list_aggregate(list_transform(string_split_regex($e, ''), " +
       "c -> chr(31)||c||chr(31)), 'string_agg', '')"
+
+  /** Byte-level wrap: symbols are the word's UTF-8 bytes as 2-char
+    * uppercase hex (`hex(encode(w))` split into pairs — the exact
+    * spelling [[symsOfBytes]] produces), each `chr(31)`-wrapped. */
+  private def wrapBytes(e: String): String =
+    s"list_aggregate(list_transform(regexp_extract_all(hex(encode($e)), '..'), " +
+      "c -> chr(31)||c||chr(31)), 'string_agg', '')"
+
+  private def wrapOf(spec: ModelSpec): String => String =
+    if (spec.byteLevel) wrapBytes else wrapCp
 
   private def mergeReplace(src: String): String =
     s"CASE WHEN b.a IS NULL THEN $src ELSE replace($src, " +
@@ -216,15 +524,21 @@ object Bpe {
   /** Training-emulation CTEs: `sample`, `st0..stN`, and per rank k the
     * pair counts `prk`, the chosen pair `bpk` (empty once no pair
     * repeats — later stages then no-op via the LEFT JOIN), and the
-    * rewritten dict `stk`. The apply chain joins the `bpk` CTEs. */
-  private def trainCtes: Seq[String] = {
+    * rewritten dict `stk`. The apply chain joins the `bpk` CTEs. Always
+    * [[NMerges]] unrolled stages — for the large model this emulates the
+    * first-40-rank PREFIX over its dict (greedy training is
+    * prefix-stable, so the cap never changes earlier ranks). */
+  private def trainCtes(spec: ModelSpec): Seq[String] = {
+    val wrap = wrapOf(spec)
+    val src = if (spec.plant) "planted" else "documents"
+    val filter =
+      if (spec.asciiOnly) s"  WHERE regexp_matches(w, '^[!-~]+${"$"}')\n" else ""
     val sample =
       s"""sample AS MATERIALIZED (
          |  SELECT w, COUNT(*) AS cnt FROM (
          |    SELECT unnest(${Tokens.duckToks(s"substring(text, 1, $SampleChars)")}) AS w
-         |    FROM documents WHERE doc_id % $SampleMod = 0) _
-         |  WHERE regexp_matches(w, '^[!-~]+${"$"}')
-         |  GROUP BY w ORDER BY cnt DESC, w LIMIT $MaxWords)""".stripMargin
+         |    FROM $src WHERE doc_id % $SampleMod = 0) _
+         |$filter  GROUP BY w ORDER BY cnt DESC, w LIMIT ${spec.maxWords})""".stripMargin
     val st0 = s"st0 AS MATERIALIZED (SELECT w, cnt, ${wrap("w")} AS repr FROM sample)"
     val stages = (1 to NMerges).flatMap { k =>
       Seq(
@@ -241,13 +555,16 @@ object Bpe {
            |  SELECT w, cnt, ${mergeReplace("repr")} AS repr
            |  FROM st${k - 1} LEFT JOIN bp$k b ON TRUE)""".stripMargin)
     }
-    (sample +: st0 +: stages)
+    if (spec.plant) (plantedCte +: sample +: st0 +: stages)
+    else (sample +: st0 +: stages)
   }
 
   /** Apply-emulation CTEs over a word-occurrence CTE `wordsCte(keys…, w)`:
     * `aw0..awN` rewriting each occurrence through the learned rules, then
     * `bpeCounted(keys…, n_bpe)`. */
-  private def applyStages(wordsCte: String, keys: String): Seq[String] = {
+  private def applyStages(wordsCte: String, keys: String,
+      spec: ModelSpec = SpecOracle): Seq[String] = {
+    val wrap = wrapOf(spec)
     val aw0 = s"aw0 AS MATERIALIZED (SELECT $keys, ${wrap("w")} AS repr FROM $wordsCte)"
     val rest = (1 to NMerges).map { k =>
       s"""aw$k AS MATERIALIZED (
@@ -276,9 +593,12 @@ object Bpe {
     }),
     // the packing plan parameterized by the tokenizer: same two-phase
     // prefix-sum pack ([[Chunking.packChunks]]), budgeted in SUBWORDS —
-    // proof the pipeline's token accounting is pluggable end to end
+    // proof the pipeline's token accounting is pluggable end to end.
+    // loadMergesGuarded: pack boundaries move if the tokenizer moves, so
+    // THIS path carries the era guard (r15) — a model/corpus fingerprint
+    // mismatch refuses loudly instead of recomputing
     "chunk_pack_bpe" -> ((s, d) => {
-      val merges = loadMerges(s, ensureModel(s, d))
+      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
       val ch = Chunking.chunk(Tables.load(s, d, "documents"))
         .withColumn("bpe_tokens", bpe_tokens(col("chunk_text"), merges))
       Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
@@ -302,17 +622,66 @@ object Bpe {
     // measured in BPE subwords — a source whose text is subword-dense
     // (code, URLs) now weighs what a trainer would actually spend on it
     "sample_token_budget_bpe" -> ((s, d) => {
-      val merges = loadMerges(s, ensureModel(s, d))
+      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
       Sampling.tokenBudgetSample(Tables.load(s, d, "documents"),
         tokenCount = bpe_tokens(col("text"), merges))
         .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    }),
+    // the PRODUCTION-capacity model's first [[NMerges]] ranks, rank by
+    // rank against the oracle emulating 40 training stages over the LARGE
+    // dict — greedy training is prefix-stable, so this pins the large
+    // trainer's sampling + dict + merge selection exactly; the >40-rank
+    // tail is pinned by the trainFast ≡ train property on random dicts
+    "text_bpe_vocab_large" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModelLarge(s, d)).take(NMerges)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    }),
+    // counting under the FULL production table: `n_bpe_pfx` (the count
+    // under the large model's first 40 rules) is oracle-exact via the
+    // same staged emulation, and `ok` pins the only SQL-expressible
+    // property of the 32k-rule count itself — every word is ≥ 1 subword,
+    // and applying the >40-rank tail after the prefix can only merge
+    // further, so n_words ≤ n_full ≤ n_prefix row by row on real data.
+    // (Rule-level equivalence of the rank-priority apply is
+    // property-pinned in BpeLargeProps; this is also the bench line for
+    // the 32k table.)
+    "text_tokens_bpe_large" -> ((s, d) => {
+      val large = loadMerges(s, ensureModelLarge(s, d))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          bpe_tokens(col("text"), large.take(NMerges)).as("n_bpe_pfx"),
+          bpe_tokens(col("text"), large).as("n_full"),
+          size(Tokens.seg(col("text"))).cast("long").as("n_w"))
+        .select(col("doc_id"), col("n_bpe_pfx"),
+          (col("n_full") >= col("n_w") && col("n_full") <= col("n_bpe_pfx"))
+            .as("ok"))
+        .orderBy("doc_id")
+    }),
+    // the byte-level (GPT-2) variant: a 256-symbol base alphabet covers
+    // EVERY UTF-8 string. The ASCII corpus gets the multiscript plant
+    // ([[plantMultiscript]] — train AND apply see it), so the model
+    // carries real multi-byte merges and the planted CJK/URL docs count
+    // differently here than under the codepoint variant; n_bytes (the
+    // base symbol count) pins the alphabet itself
+    "text_tokens_bpe_bytes" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModelBytes(s, d))
+      plantMultiscript(Tables.load(s, d, "documents"))
+        .select(col("doc_id"),
+          bpe_tokens(col("text"), merges, byteLevel = true).as("n_bpe"),
+          aggregate(transform(Tokens.seg(col("text")), w => octet_length(w).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_bytes"))
         .orderBy("doc_id")
     }))
 
   val oracle: Seq[(String, String)] = {
     val tokensSql = {
       val words = s"(SELECT doc_id, unnest(${Tokens.duckToks("text")}) AS w FROM documents) _"
-      val ctes = trainCtes ++ applyStages(words, "doc_id")
+      val ctes = trainCtes(SpecOracle) ++ applyStages(words, "doc_id")
       // NULL text stays NULL (the expression's null-in/null-out, matching
       // n_ws's size-of-null); a wordless NON-null text counts 0
       s"""WITH ${ctes.mkString(",\n")}
@@ -337,7 +706,7 @@ object Bpe {
            |        WHERE len(t) > 0))""".stripMargin
       val words =
         s"(SELECT doc_id, chunk_id, unnest(${Tokens.duckToks("chunk_text")}) AS w FROM ch) _"
-      val ctes = (trainCtes :+ chunkCte) ++ applyStages(words, "doc_id, chunk_id")
+      val ctes = (trainCtes(SpecOracle) :+ chunkCte) ++ applyStages(words, "doc_id, chunk_id")
       s"""WITH ${ctes.mkString(",\n")},
          |w AS (
          |  SELECT doc_id, chunk_id, n_bpe AS bpe_tokens,
@@ -354,7 +723,7 @@ object Bpe {
       // the sample_token_budget oracle with its tok CTE swapped to the
       // BPE apply chain — same totals, same rate arithmetic, same bucket
       val words = s"(SELECT doc_id, unnest(${Tokens.duckToks("text")}) AS w FROM documents) _"
-      val ctes = trainCtes ++ applyStages(words, "doc_id")
+      val ctes = trainCtes(SpecOracle) ++ applyStages(words, "doc_id")
       s"""WITH ${ctes.mkString(",\n")},
          |tok AS (
          |  SELECT d.doc_id, d.source,
@@ -377,10 +746,55 @@ object Bpe {
       val ranks = (1 to NMerges)
         .map(k => s"SELECT CAST($k AS BIGINT) AS rank, a AS \"left\", b AS \"right\" FROM bp$k")
         .mkString("\nUNION ALL\n")
-      s"""WITH ${trainCtes.mkString(",\n")}
+      s"""WITH ${trainCtes(SpecOracle).mkString(",\n")}
          |SELECT rank, "left", "right" FROM ($ranks) ORDER BY rank""".stripMargin
     }
+    val vocabLargeSql = {
+      // the SAME 40 unrolled training stages, over the LARGE dict: the
+      // engine's production-capacity table must open with exactly these
+      // ranks (greedy training is prefix-stable under the merge cap)
+      val ranks = (1 to NMerges)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS rank, a AS \"left\", b AS \"right\" FROM bp$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${trainCtes(SpecLarge).mkString(",\n")}
+         |SELECT rank, "left", "right" FROM ($ranks) ORDER BY rank""".stripMargin
+    }
+    val tokensLargeSql = {
+      // n_bpe_pfx: exact staged emulation of the large model's first 40
+      // ranks; ok: the invariant the engine must compute from real data
+      // (TRUE per non-null doc, NULL per null doc) — see the entry comment
+      val words = s"(SELECT doc_id, unnest(${Tokens.duckToks("text")}) AS w FROM documents) _"
+      val ctes = trainCtes(SpecLarge) ++ applyStages(words, "doc_id")
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT d.doc_id,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE COALESCE(t.n_bpe, 0) END AS n_bpe_pfx,
+         |       CASE WHEN d.text IS NULL THEN NULL ELSE TRUE END AS ok
+         |FROM documents d LEFT JOIN bpeCounted t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
+    val tokensBytesSql = {
+      // byte-level training + application emulated on hex-pair symbols
+      // over the PLANTED table (trainCtes(SpecBytes) prepends the planted
+      // CTE and samples from it); n_bytes = the base alphabet's symbol
+      // count (UTF-8 octets of the word stream) — octet_length needs the
+      // BLOB form, hence encode(w)
+      val words = s"(SELECT doc_id, unnest(${Tokens.duckToks("text")}) AS w FROM planted) _"
+      val ctes = trainCtes(SpecBytes) ++ applyStages(words, "doc_id", SpecBytes)
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT d.doc_id,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE COALESCE(t.n_bpe, 0) END AS n_bpe,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE COALESCE((SELECT CAST(SUM(octet_length(encode(w))) AS BIGINT)
+         |                           FROM unnest(${Tokens.duckToks("d.text")}) AS u(w)), 0) END AS n_bytes
+         |FROM planted d LEFT JOIN bpeCounted t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
     Seq("text_tokens_bpe" -> tokensSql, "chunk_pack_bpe" -> packSql,
-      "sample_token_budget_bpe" -> budgetSql, "text_bpe_vocab" -> vocabSql)
+      "sample_token_budget_bpe" -> budgetSql, "text_bpe_vocab" -> vocabSql,
+      "text_bpe_vocab_large" -> vocabLargeSql,
+      "text_tokens_bpe_large" -> tokensLargeSql,
+      "text_tokens_bpe_bytes" -> tokensBytesSql)
   }
 }
