@@ -47,10 +47,25 @@ object PgWire {
     * SCRAM-SHA-256 ([[Scram]]) when the server demands it; trust-auth
     * servers never consult it. */
   final class Session(host: String, port: Int, database: String, user: String,
-      password: Option[String] = None)
+      password: Option[String] = None,
+      sslMode: String = PgWire.configuredSslMode)
       extends AutoCloseable {
-    private val socket = new Socket()
-    socket.connect(new InetSocketAddress(host, port), 10000)
+    require(sslMode == "disable" || sslMode == "require",
+      s"pgwire: unsupported sslmode '$sslMode' — only disable and require " +
+        "are implemented (the verify-ca/verify-full certificate-validation " +
+        "modes are not; refusing loudly beats silently not verifying)")
+    private val socket: Socket = {
+      val plain = new Socket()
+      plain.connect(new InetSocketAddress(host, port), 10000)
+      try {
+        // deadline BEFORE the TLS dance: the SSLRequest response read and
+        // the handshake must not hang a task against a stalled server
+        plain.setSoTimeout(readTimeoutMs)
+        if (sslMode == "require") PgWire.startTls(plain, host, port) else plain
+      } catch { case e: Throwable =>
+        try plain.close() catch { case _: Exception => () }; throw e
+      }
+    }
     // everything past the connect must not leak the socket on failure
     // (an auth-demanding server throws from the startup block; retrying
     // callers would otherwise bleed one fd per attempt)
@@ -241,20 +256,26 @@ object PgWire {
       * never sent BackendKeyData. */
     def cancel(): Unit = backendKey.foreach { case (pid, secret) =>
       val s = new Socket()
+      var wire: Socket = s
       try {
         // short connect timeout: this runs in task-CLEANUP paths, and an
         // unreachable server (the common reason streams get abandoned)
         // must not stall stage teardown 10 s per task — best-effort means
         // give up fast, the socket close remains the fallback
         s.connect(new InetSocketAddress(host, port), 2000)
-        val o = new DataOutputStream(s.getOutputStream)
+        s.setSoTimeout(2000)
+        // the side-channel honors the session's TLS policy: libpq runs the
+        // same SSLRequest dance on cancel connections, and a require-mode
+        // deployment must not leak (pid, secret) in plaintext
+        if (sslMode == "require") wire = PgWire.startTls(s, host, port)
+        val o = new DataOutputStream(wire.getOutputStream)
         o.writeInt(16)
         o.writeInt(80877102) // the cancel request code (1234,5678)
         o.writeInt(pid)
         o.writeInt(secret)
         o.flush()
       } catch { case _: Exception => () } // fallback stays socket close
-      finally { try s.close() catch { case _: Exception => () } }
+      finally { try wire.close() catch { case _: Exception => () } }
     }
 
     private def errorMessage(payload: Array[Byte]): String = {
@@ -460,8 +481,9 @@ object PgWire {
   }
 
   def withSession[A](host: String, port: Int, database: String,
-      user: String = "graft", password: Option[String] = None)(f: Session => A): A = {
-    val s = new Session(host, port, database, user, password)
+      user: String = "graft", password: Option[String] = None,
+      sslMode: String = PgWire.configuredSslMode)(f: Session => A): A = {
+    val s = new Session(host, port, database, user, password, sslMode)
     try f(s) finally s.close()
   }
 
@@ -472,4 +494,60 @@ object PgWire {
   def configuredPassword: Option[String] =
     sys.props.get("graft.pgwire.password")
       .orElse(sys.env.get("GRAFT_PGWIRE_PASSWORD"))
+
+  /** Deployment-wide TLS policy (per-JVM like the password — ship via
+    * executor extraJavaOptions): `disable` (default — the reference client
+    * is explicitly NoTls, `mod.rs:9,61`) or `require`. */
+  def configuredSslMode: String =
+    sys.props.get("graft.pgwire.sslmode")
+      .orElse(sys.env.get("GRAFT_PGWIRE_SSLMODE"))
+      .getOrElse("disable")
+
+  /** The PG TLS bootstrap (public docs, protocol "SSL Session Encryption"):
+    * an 8-byte SSLRequest (code 80877103) on the PLAIN socket, a 1-byte
+    * answer, then — on 'S' — a client-mode JSSE handshake layered over the
+    * same socket. 'N' under sslmode=require is a REFUSAL (never a
+    * plaintext fallback). Trust policy mirrors libpq's `require` exactly:
+    * the channel is encrypted but the server certificate is NOT verified —
+    * the verify-ca/verify-full modes (and SCRAM-SHA-256-PLUS channel
+    * binding, which would hook the negotiated TLS session here) are the
+    * documented non-goals of this arm. */
+  private[graft] def startTls(plain: Socket, host: String, port: Int): Socket = {
+    val o = new DataOutputStream(plain.getOutputStream)
+    o.writeInt(8)
+    o.writeInt(80877103) // SSLRequest (1234, 5679)
+    o.flush()
+    plain.getInputStream.read() match {
+      case 'S' =>
+        val ssl = trustAllContext.getSocketFactory
+          .createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        ssl.startHandshake()
+        ssl
+      case 'N' => throw new java.io.IOException(
+        "pgwire: server does not support TLS but sslmode=require — " +
+          "refusing to continue in plaintext")
+      case -1 => throw new java.io.IOException(
+        "pgwire: connection closed during SSLRequest")
+      case other => throw new java.io.IOException(
+        s"pgwire: unexpected SSLRequest response byte $other")
+    }
+  }
+
+  /** Encrypt-only trust manager — the libpq `require` contract (see
+    * [[startTls]]); NOT a shortcut around verification modes we claim. */
+  private lazy val trustAllContext: javax.net.ssl.SSLContext = {
+    val tm = new javax.net.ssl.X509TrustManager {
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+        Array.empty
+      override def checkClientTrusted(
+          cs: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(
+          cs: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array(tm), new java.security.SecureRandom)
+    ctx
+  }
 }

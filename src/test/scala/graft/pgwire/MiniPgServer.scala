@@ -61,6 +61,13 @@ final class MiniPgServer {
     * credential a CancelRequest must echo. */
   val backendPid = 4242
   val backendSecret = 0x5EC4E7
+  /** When set, the server ACCEPTS the TLS bootstrap: an SSLRequest is
+    * answered 'S' and the connection upgrades through a server-mode JSSE
+    * handshake under this context (self-signed loopback key — see
+    * TlsFixture); when None, SSLRequest is answered 'N' (the real
+    * server's ssl=off behavior) and the client decides whether plaintext
+    * is acceptable. */
+  @volatile var tls: Option[javax.net.ssl.SSLContext] = None
   /** When set, startup demands SCRAM-SHA-256: (password, salt, iterations).
     * The server runs the full RFC 5802 verifier — derives StoredKey from
     * the configured password, recovers ClientKey from the client's proof,
@@ -176,16 +183,38 @@ final class MiniPgServer {
     true
   }
 
-  private def serve(sock: Socket): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private def serve(sock0: Socket): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     try {
       // StartupMessage: int32 len, int32 protocol, (key\0value\0)*\0 —
       // or a CancelRequest (code 80877102): pid + secret on a FRESH
       // connection, logged and dropped (the real server signals the
-      // referenced backend; this one records the side-channel fired)
-      val len = in.readInt()
-      val proto = in.readInt()
+      // referenced backend; this one records the side-channel fired) —
+      // or an SSLRequest (code 80877103): answered 'S' + handshake when
+      // [[tls]] is armed, 'N' otherwise, then the REAL first message
+      // follows on whichever channel resulted
+      var len = in.readInt()
+      var proto = in.readInt()
+      while (proto == 80877103) {
+        tls match {
+          case Some(ctx) =>
+            out.writeByte('S'); out.flush()
+            val ssl = ctx.getSocketFactory
+              .createSocket(sock, sock.getInetAddress.getHostAddress, sock.getPort, true)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            ssl.setUseClientMode(false)
+            ssl.startHandshake()
+            sock = ssl
+            in = new DataInputStream(new BufferedInputStream(ssl.getInputStream))
+            out = new DataOutputStream(new BufferedOutputStream(ssl.getOutputStream))
+          case None =>
+            out.writeByte('N'); out.flush()
+        }
+        len = in.readInt()
+        proto = in.readInt()
+      }
       if (proto == 80877102) {
         val pid = in.readInt(); val secret = in.readInt()
         events.add(s"CANCEL pid=$pid secret=$secret " +

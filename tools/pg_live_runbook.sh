@@ -167,6 +167,37 @@ SCALA
 docker logs graft-pg-live 2>&1 | grep -q "canceling statement due to user request" \
   && echo "server log confirms the CancelRequest"
 
+echo "== 4e. TLS: sslmode=require against a real ssl=on server (r15) =="
+# Re-provision the container with a self-signed server certificate and
+# ssl=on, then run the same query + COPY legs with sslmode=require; the
+# final probe flips ssl=off and confirms the client REFUSES plaintext.
+docker exec graft-pg-live bash -c '
+  openssl req -new -x509 -days 30 -nodes -subj "/CN=localhost" \
+    -out /var/lib/postgresql/server.crt -keyout /var/lib/postgresql/server.key
+  chown postgres:postgres /var/lib/postgresql/server.{crt,key}
+  chmod 600 /var/lib/postgresql/server.key'
+docker exec graft-pg-live psql -U postgres -c \
+  "ALTER SYSTEM SET ssl = on; ALTER SYSTEM SET ssl_cert_file = '/var/lib/postgresql/server.crt'; ALTER SYSTEM SET ssl_key_file = '/var/lib/postgresql/server.key'" \
+  && docker restart graft-pg-live && sleep 3
+scala -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" <<'SCALA'
+import graft.sources.PgWire
+val ok = PgWire.withSession("127.0.0.1", 5432, "bench",
+  sslMode = "require")(_.query("SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()"))
+assert(ok._2.head.head.contains("t"), s"pg_stat_ssl must show TLS: ${ok._2}")
+println("TLS handshake + query against live Postgres: OK")
+SCALA
+docker exec graft-pg-live psql -U postgres -c "ALTER SYSTEM SET ssl = off" \
+  && docker restart graft-pg-live && sleep 3
+scala -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" <<'SCALA'
+import graft.sources.PgWire
+try {
+  PgWire.withSession("127.0.0.1", 5432, "bench", sslMode = "require")(_.query("SELECT 1"))
+  sys.error("require against ssl=off must refuse")
+} catch { case e: java.io.IOException =>
+  assert(e.getMessage.contains("does not support TLS"), e.getMessage)
+  println("plaintext refusal under sslmode=require: OK") }
+SCALA
+
 echo "== 5. negative probes the fakes cannot produce =="
 # cancel mid-COPY: interrupt a large COPY read and confirm the task
 # connection closes without poisoning the pool (watch docker logs for
