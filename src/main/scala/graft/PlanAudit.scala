@@ -185,6 +185,40 @@ object PlanAudit {
     "text_tokens_bpe_bytes" -> ShuffleBudget("documents", 3.0, 1000L),
   )
 
+  /** Sink-row budgets: rows physically landed through the federated JDBC
+    * sink per input row — the ShuffleBudget analog for the LANDING path
+    * (r14 verdict task 6). `stream_crawl_chunks`'s cost is dominated by
+    * the exactly-once staging write; its wall-time band cannot tell a
+    * slower machine from a structural regression (a double-land from a
+    * lost staging truncation, a retry loop landing every batch twice, a
+    * chunker suddenly emitting per-token rows). Rows-landed is
+    * machine-independent and linear in the corpus, so the same budget
+    * holds at every SF. The backend-side publish (staging → target
+    * INSERT-SELECT) never moves rows through Spark and is rightly outside
+    * this count; the read-back scan writes nothing. */
+  private[graft] val sinkBudgets: Map[String, ShuffleBudget] = Map(
+    // chunk rows of gate-surviving WARC docs land exactly ONCE in
+    // staging; measured 2.18/doc (sf0.001, n=500), 2.22/doc (sf0.01)
+    // and 2.20/doc (sf0.1, n=5000) — flat. Unlike wall time this count
+    // is DETERMINISTIC, so the headroom is deliberately tighter than
+    // the shuffle budgets' 2.5×: at 1.6× a single whole-batch double
+    // land (2×) already trips it
+    "stream_crawl_chunks" -> ShuffleBudget("documents", 3.5, 300L)
+  )
+
+  /** Rows landed on SQL backends while entry `name` builds AND writes to
+    * the noop sink. Streaming compositions land during construction
+    * (their foreachBatch runs eagerly); batch federated writes land
+    * during the save. Same single-JVM assumption as [[measureShuffle]]. */
+  def sinkRowsLanded(spark: SparkSession, name: String, dir: String): Long = {
+    graft.sources.SinkMetrics.landed.set(0L)
+    try {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      graft.sources.SinkMetrics.landed.get
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   /** Executes entry `name` against `dir` through the noop sink and returns
     * the total shuffle records WRITTEN across every job it ran (map-side
     * counts — the volume that actually crosses the wire). Uses a
@@ -267,6 +301,18 @@ object PlanAudit {
         val lim = b.limit(n)
         println(f"$name%-24s input=${b.input}%-10s n=$n%8d shuffled=$rec%10d " +
           f"perRow=${rec.toDouble / n}%8.3f budget=$lim%10d ${if (rec <= lim) "OK" else "OVER"}")
+      }
+      spark.stop(); return
+    }
+    // `--sink <dir>`: measure rows landed for the sink-budgeted entries
+    if (args.headOption.contains("--sink")) {
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+      for ((name, b) <- sinkBudgets.toSeq.sortBy(_._1)) {
+        val n = spark.read.parquet(s"$dir/${b.input}.parquet").count()
+        val rows = sinkRowsLanded(spark, name, dir)
+        val lim = b.limit(n)
+        println(f"$name%-24s input=${b.input}%-10s n=$n%8d landed=$rows%10d " +
+          f"perRow=${rows.toDouble / n}%8.3f budget=$lim%10d ${if (rows <= lim) "OK" else "OVER"}")
       }
       spark.stop(); return
     }

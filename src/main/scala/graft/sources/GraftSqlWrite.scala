@@ -92,6 +92,40 @@ object SqlWrite {
   }
 }
 
+/** Sink observability: how many rows physically landed on the backend.
+  *
+  * Two views of the same count, for the two scales this runs at:
+  *
+  *  - [[RowsLandedMetric]] is a DSv2 custom metric ([[CustomSumMetric]])
+  *    declared on the Write and reported per task via
+  *    `DataWriter.currentMetricsValues` — on a real cluster Spark
+  *    aggregates it into the write node's SQL metrics (visible in the UI
+  *    and history server), the standard mechanism for sink telemetry.
+  *  - [[SinkMetrics.landed]] is a process-global counter bumped at each
+  *    task writer's COMMIT with its final row count. Single-JVM
+  *    assumption, the same one [[graft.PlanAudit.measureShuffle]] states:
+  *    in local mode every task shares this JVM, so the counter equals the
+  *    cluster metric — it exists so the TEST SUITE can gate a per-row
+  *    sink budget (PlanAudit.sinkBudgets) without scraping the status
+  *    store. Commit-time bumping keeps the hot path free of per-row
+  *    atomics and counts only rows whose task transaction committed
+  *    (aborted tasks rolled their rows back). */
+object SinkMetrics {
+  val RowsLanded = "rowsLanded"
+  val landed = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[sources] def committed(rows: Long): Unit = landed.addAndGet(rows)
+}
+
+class RowsLandedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = SinkMetrics.RowsLanded
+  override def description(): String = "rows landed on the SQL backend"
+}
+
+case class RowsLandedTaskMetric(value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = SinkMetrics.RowsLanded
+}
+
 /** Rendered `(v1, v2, …)` tuples from one task, carried to global commit
   * (the driver-funnel path — in-process double only). */
 case class RenderedTuples(tuples: Seq[String]) extends WriterCommitMessage
@@ -118,6 +152,9 @@ class GraftWriteBuilder(table: String, backend: SqlBackend,
     * as Spark's own JDBC sink in truncate mode. */
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(new RowsLandedMetric)
     override def toBatch: BatchWrite = upsertKeys match {
       case Some(ks) =>
         require(!truncateFirst,
@@ -323,6 +360,10 @@ class LazyOpenWriter(make: () => DataWriter[InternalRow])
     if (inner == null) WroteCount(0L) else inner.commit()
   override def abort(): Unit = if (inner != null) inner.abort()
   override def close(): Unit = if (inner != null) inner.close()
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (inner == null) Array(RowsLandedTaskMetric(0L))
+    else inner.currentMetricsValues()
 }
 
 /** Binary-COPY writer: rows stream through [[PgCopyEncoder]] onto the
@@ -345,10 +386,14 @@ class CopyStreamWriter(schema: StructType, channel: CopyWriteChannel)
   override def commit(): WriterCommitMessage = {
     stream.finish()
     channel.commit()
+    SinkMetrics.committed(written)
     WroteCount(written)
   }
   override def abort(): Unit = channel.rollback()
   override def close(): Unit = ()
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(RowsLandedTaskMetric(written))
 }
 
 /** Driver-funnel writer: renders tuples, ships them in the commit message. */
@@ -365,9 +410,15 @@ class GraftDataWriter(schema: StructType,
       .map(i => SqlWrite.valueLit(row.get(i), dialect))
       .mkString("(", ", ", ")")
   }
-  override def commit(): WriterCommitMessage = RenderedTuples(tuples.toSeq)
+  override def commit(): WriterCommitMessage = {
+    SinkMetrics.committed(tuples.size.toLong)
+    RenderedTuples(tuples.toSeq)
+  }
   override def abort(): Unit = tuples.clear()
   override def close(): Unit = ()
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(RowsLandedTaskMetric(tuples.size.toLong))
 }
 
 /** Executor-side streaming writer: batched INSERTs through a task-side
@@ -404,6 +455,7 @@ class StreamingSqlWriter(table: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     flush()
     if (txn != null) txn.commit()
+    SinkMetrics.committed(written)
     WroteCount(written)
   }
 
@@ -413,4 +465,8 @@ class StreamingSqlWriter(table: String, schema: StructType,
   }
 
   override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(RowsLandedTaskMetric(written + buf.size))
 }

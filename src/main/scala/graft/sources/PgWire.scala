@@ -149,12 +149,39 @@ object PgWire {
       // the startup loop consumes AuthenticationOk / ErrorResponse
     }
 
-    /** SCRAM-SHA-256 exchange (RFC 5802/7677 over the PG SASL framing):
-      * SASLInitialResponse → AuthenticationSASLContinue → SASLResponse →
-      * AuthenticationSASLFinal, whose `v=` server signature is VERIFIED —
-      * a server that cannot prove it holds the credential is refused even
-      * if it would let us in. Returns with AuthenticationOk still unread
-      * (the startup loop consumes it). */
+    /** tls-server-end-point channel-binding data (RFC 5929 §4.1) when
+      * this session runs over TLS: a hash of the server's DER certificate
+      * — the one THIS socket actually handshook with, so a MITM
+      * terminating TLS cannot replay the exchange to the real server
+      * (its certificate hashes differently and the proof covers the
+      * hash). None on plaintext sessions. */
+    private def tlsChannelBinding: Option[Array[Byte]] = socket match {
+      case ssl: javax.net.ssl.SSLSocket =>
+        Some(PgWire.tlsServerEndPoint(ssl.getSession.getPeerCertificates.head
+          .asInstanceOf[java.security.cert.X509Certificate]))
+      case _ => None
+    }
+
+    /** SCRAM-SHA-256(-PLUS) exchange (RFC 5802/7677 over the PG SASL
+      * framing): SASLInitialResponse → AuthenticationSASLContinue →
+      * SASLResponse → AuthenticationSASLFinal, whose `v=` server
+      * signature is VERIFIED — a server that cannot prove it holds the
+      * credential is refused even if it would let us in.
+      *
+      * Mechanism + gs2 flag selection (RFC 5802 §6, libpq's rules):
+      *  - TLS session and the server advertises -PLUS → bind the channel
+      *    (`p=tls-server-end-point`): both proofs then cover the server
+      *    certificate hash, so a TLS-terminating MITM cannot broker the
+      *    exchange through to the real server.
+      *  - TLS session but no -PLUS advertised → gs2 flag `y` ("I can
+      *    bind; you offered no binding mechanism"): a server that DOES
+      *    support -PLUS must fail the exchange on seeing it — the
+      *    defense against a MITM stripping -PLUS from the mechanism list.
+      *  - Plaintext → `n` as before; a server offering ONLY -PLUS is
+      *    refused loudly (binding needs a channel to bind to).
+      *
+      * Returns with AuthenticationOk still unread (the startup loop
+      * consumes it). */
     private def scramAuth(payload: Array[Byte]): Unit = {
       // AuthenticationSASL: code, then mechanism cstrings, empty-terminated
       val mechs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -165,17 +192,28 @@ object PgWire {
         mechs += new String(payload, i, end - i, UTF_8)
         i = end + 1
       }
-      if (!mechs.contains("SCRAM-SHA-256")) throw new java.io.IOException(
-        s"pgwire: server offers SASL mechanisms [${mechs.mkString(", ")}]; " +
-          "only SCRAM-SHA-256 (channel-binding-absent) is supported")
+      val cb = tlsChannelBinding
+      val (mechanism, gs2) = cb match {
+        case Some(_) if mechs.contains("SCRAM-SHA-256-PLUS") =>
+          ("SCRAM-SHA-256-PLUS", "p=tls-server-end-point,,")
+        case Some(_) if mechs.contains("SCRAM-SHA-256") =>
+          ("SCRAM-SHA-256", "y,,")
+        case None if mechs.contains("SCRAM-SHA-256") =>
+          ("SCRAM-SHA-256", "n,,")
+        case _ => throw new java.io.IOException(
+          s"pgwire: server offers SASL mechanisms [${mechs.mkString(", ")}]; " +
+            (if (cb.isEmpty && mechs.contains("SCRAM-SHA-256-PLUS"))
+              "SCRAM-SHA-256-PLUS needs a TLS channel to bind (sslmode=require)"
+            else "only SCRAM-SHA-256 and SCRAM-SHA-256-PLUS are supported"))
+      }
       val pw = password.getOrElse(throw new java.io.IOException(
-        "pgwire: server demands SCRAM-SHA-256 but no password is configured " +
+        s"pgwire: server demands $mechanism but no password is configured " +
           "(pass one to PgWire.Session, or set graft.pgwire.password)"))
       val cNonce = Scram.freshNonce()
       val firstBare = s"n=,r=$cNonce" // username rides the startup packet
-      val initial = ("n,," + firstBare).getBytes(UTF_8)
+      val initial = (gs2 + firstBare).getBytes(UTF_8)
       val body = new ByteArrayOutputStream()
-      body.write("SCRAM-SHA-256".getBytes(UTF_8)); body.write(0)
+      body.write(mechanism.getBytes(UTF_8)); body.write(0)
       body.write((initial.length >>> 24) & 0xff); body.write((initial.length >>> 16) & 0xff)
       body.write((initial.length >>> 8) & 0xff); body.write(initial.length & 0xff)
       body.write(initial)
@@ -213,7 +251,12 @@ object PgWire {
         s"pgwire SCRAM: server-first-message missing i=: $serverFirst"))
         .toIntOption.getOrElse(throw new java.io.IOException(
           s"pgwire SCRAM: non-numeric i= in server-first-message: $serverFirst"))
-      val withoutProof = s"c=biws,r=$fullNonce" // biws = base64("n,,")
+      // c= carries base64(gs2-header ++ cb-data): under -PLUS the server
+      // certificate hash is INSIDE AuthMessage, so both proofs cover it
+      // ("biws" is this formula for the plain "n,," header)
+      val cAttr = Scram.b64(gs2.getBytes(UTF_8) ++
+        (if (mechanism.endsWith("-PLUS")) cb.get else Array.emptyByteArray))
+      val withoutProof = s"c=$cAttr,r=$fullNonce"
       val authMessage = s"$firstBare,$serverFirst,$withoutProof"
       val salted = Scram.saltedPassword(pw, salt, iterations)
       val finalMsg =
@@ -509,9 +552,11 @@ object PgWire {
     * same socket. 'N' under sslmode=require is a REFUSAL (never a
     * plaintext fallback). Trust policy mirrors libpq's `require` exactly:
     * the channel is encrypted but the server certificate is NOT verified —
-    * the verify-ca/verify-full modes (and SCRAM-SHA-256-PLUS channel
-    * binding, which would hook the negotiated TLS session here) are the
-    * documented non-goals of this arm. */
+    * the verify-ca/verify-full modes are the documented non-goals of this
+    * arm. SCRAM-SHA-256-PLUS channel binding (r15) hooks the negotiated
+    * session's peer certificate via [[tlsServerEndPoint]]: it does not
+    * verify the certificate either, but it cryptographically ties the
+    * password proof to it, which is the binding's whole point. */
   private[graft] def startTls(plain: Socket, host: String, port: Int): Socket = {
     val o = new DataOutputStream(plain.getOutputStream)
     o.writeInt(8)
@@ -533,6 +578,21 @@ object PgWire {
       case other => throw new java.io.IOException(
         s"pgwire: unexpected SSLRequest response byte $other")
     }
+  }
+
+  /** tls-server-end-point channel-binding data (RFC 5929 §4.1): a hash
+    * of the server's DER-encoded certificate under the hash function of
+    * the certificate's OWN signature algorithm, with MD5 and SHA-1
+    * upgraded to SHA-256 (the RFC's rule, kept by RFC 9266's successors
+    * and by Postgres' implementation). */
+  private[graft] def tlsServerEndPoint(
+      cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val sig = cert.getSigAlgName.toUpperCase(java.util.Locale.ROOT)
+    val hash =
+      if (sig.contains("SHA384")) "SHA-384"
+      else if (sig.contains("SHA512")) "SHA-512"
+      else "SHA-256" // SHA-256 itself, plus the MD5/SHA-1 upgrade rule
+    java.security.MessageDigest.getInstance(hash).digest(cert.getEncoded)
   }
 
   /** Encrypt-only trust manager — the libpq `require` contract (see

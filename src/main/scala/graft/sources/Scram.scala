@@ -13,8 +13,11 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   * §3 example vector pins every derivation in a unit test; the protocol
   * choreography lives in [[PgWire.Session]].
   *
-  * Channel binding: the `n,,` gs2 header (channel-binding-absent) only —
-  * SCRAM-SHA-256-PLUS requires TLS, which this client does not speak.
+  * Channel binding: the derivations are binding-agnostic — the gs2
+  * header and the `c=` attribute (which carries the RFC 5929
+  * tls-server-end-point data under SCRAM-SHA-256-PLUS, r15) are composed
+  * by the choreography in [[PgWire.Session.scramAuth]] and flow into
+  * AuthMessage here like any other bytes.
   * Password normalization: UTF-8 verbatim. SASLprep (RFC 4013) is the
   * identity on ASCII passwords; a non-ASCII password that a strict server
   * normalizes differently will fail loudly at the proof check rather than

@@ -12,35 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * server cannot encrypt, never a plaintext fallback. */
 class PgTlsSpec extends AnyFunSuite {
 
-  /** Self-signed loopback server credential: generated once per run with
-    * the JDK's keytool (no bundled key material), loaded into a
-    * server-mode SSLContext for MiniPgServer's TLS arm. */
-  private lazy val serverTls: javax.net.ssl.SSLContext = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tls")
-    val ks = dir.resolve("server.p12").toString
-    val keytool = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "keytool").getPath
-    val cmd = Array(keytool, "-genkeypair", "-alias", "minipg",
-      "-keyalg", "RSA", "-keysize", "2048", "-dname", "CN=localhost",
-      "-validity", "30", "-keystore", ks, "-storetype", "PKCS12",
-      "-storepass", "graftpass", "-keypass", "graftpass")
-    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val log = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    assert(p.waitFor() == 0, s"keytool failed: $log")
-    val store = java.security.KeyStore.getInstance("PKCS12")
-    val fis = new java.io.FileInputStream(ks)
-    try store.load(fis, "graftpass".toCharArray) finally fis.close()
-    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
-      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(store, "graftpass".toCharArray)
-    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, null, null)
-    ctx
-  }
-
   private def tlsServer(): MiniPgServer = {
     val srv = new MiniPgServer
-    srv.tls = Some(serverTls)
+    srv.tls = Some(graft.pgwire.TlsFixture.context)
     srv.queryExecutor = _ => Some(MiniPgServer.QueryResult(
       Seq(("one", PgWire.Oid.Int4)), Seq(Seq(Some("1")))))
     srv

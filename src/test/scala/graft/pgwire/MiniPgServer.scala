@@ -78,6 +78,21 @@ final class MiniPgServer {
     * — for malformed-framing client-robustness tests (missing s=/i=,
     * non-numeric i=). */
   @volatile var scramServerFirstRewrite: Option[String => String] = None
+  /** When set (and [[tls]] is armed), the server ALSO advertises and
+    * verifies SCRAM-SHA-256-PLUS: the value is this server's own
+    * tls-server-end-point data (RFC 5929 hash of its certificate), which
+    * the client's `c=` attribute must match byte-for-byte. Tests compute
+    * it INDEPENDENTLY from the keystore certificate, so a client that
+    * hashes the wrong thing cannot cancel out against server code
+    * sharing its bug. */
+  @volatile var scramPlus: Option[Array[Byte]] = None
+  /** Advertise only SCRAM-SHA-256 while [[scramPlus]] is armed — the
+    * MITM mechanism-list strip: a binding-capable client then sends gs2
+    * flag 'y', which a genuinely -PLUS-supporting server MUST reject. */
+  @volatile var scramHidePlus: Boolean = false
+  /** Advertise ONLY SCRAM-SHA-256-PLUS — the binding-mandatory server a
+    * plaintext client must refuse loudly (nothing to bind to). */
+  @volatile var scramOnlyPlus: Boolean = false
   private val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
   /** Every Query message received, in arrival order. */
   def eventLog: Seq[String] = events.toArray(Array.empty[String]).toSeq
@@ -126,10 +141,16 @@ final class MiniPgServer {
   private def scramVerify(in: DataInputStream, out: DataOutputStream,
       pw: String, salt: Array[Byte], iters: Int): Boolean = {
     import graft.sources.Scram
-    // AuthenticationSASL: code 10 + mechanism list
+    val plus = scramPlus // capture once per exchange
+    // AuthenticationSASL: code 10 + mechanism list (the -PLUS variant is
+    // advertised only when this server can verify a binding)
+    val offered =
+      if (plus.isDefined && scramOnlyPlus) Seq("SCRAM-SHA-256-PLUS")
+      else if (plus.isDefined && !scramHidePlus) Seq("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS")
+      else Seq("SCRAM-SHA-256")
     val mech = new ByteArrayOutputStream()
     mech.write(Array[Byte](0, 0, 0, 10), 0, 4)
-    mech.write(cstr("SCRAM-SHA-256"), 0, cstr("SCRAM-SHA-256").length)
+    offered.foreach(m => mech.write(cstr(m), 0, cstr(m).length))
     mech.write(0)
     msg(out, 'R', mech.toByteArray)
     // SASLInitialResponse: mechanism cstring + i32 len + client-first
@@ -140,12 +161,35 @@ final class MiniPgServer {
     if (t1 != 'p') { error(out, s"expected SASLInitialResponse, got '$t1'"); return false }
     val mechEnd = p1.indexOf(0.toByte)
     val chosen = new String(p1, 0, mechEnd, "UTF-8")
-    if (chosen != "SCRAM-SHA-256") { error(out, s"unsupported mechanism $chosen"); return false }
+    if (chosen != "SCRAM-SHA-256" && !(chosen == "SCRAM-SHA-256-PLUS" && plus.isDefined)) {
+      error(out, s"unsupported mechanism $chosen"); return false
+    }
     val initialLen = ((p1(mechEnd + 1) & 0xff) << 24) | ((p1(mechEnd + 2) & 0xff) << 16) |
       ((p1(mechEnd + 3) & 0xff) << 8) | (p1(mechEnd + 4) & 0xff)
     val clientFirst = new String(p1, mechEnd + 5, initialLen, "UTF-8")
-    if (!clientFirst.startsWith("n,,")) { error(out, s"gs2 header must be n,,: $clientFirst"); return false }
-    val firstBare = clientFirst.substring(3)
+    // gs2 header: n (no binding), y (client could bind, server offered
+    // none), or p=<type> (bind THIS channel)
+    val gs2Header = clientFirst match {
+      case s if s.startsWith("p=tls-server-end-point,,") => "p=tls-server-end-point,,"
+      case s if s.startsWith("y,,") => "y,,"
+      case s if s.startsWith("n,,") => "n,,"
+      case s => error(out, s"malformed gs2 header: $s"); return false
+    }
+    val firstBare = clientFirst.substring(gs2Header.length)
+    events.add(s"SASL mech=$chosen gs2=${gs2Header.charAt(0)}")
+    // RFC 5802 §6 downgrade rule: a 'y' client supports binding and saw
+    // no -PLUS offer; if this server DOES support -PLUS, something
+    // between us stripped the mechanism list — fail the exchange
+    if (gs2Header.startsWith("y") && plus.isDefined) {
+      error(out, "channel binding downgrade detected: client supports " +
+        "channel binding but did not negotiate it"); return false
+    }
+    if (chosen == "SCRAM-SHA-256-PLUS" && !gs2Header.startsWith("p=")) {
+      error(out, s"-PLUS requires a p= gs2 header, got: $gs2Header"); return false
+    }
+    if (chosen != "SCRAM-SHA-256-PLUS" && gs2Header.startsWith("p=")) {
+      error(out, "p= gs2 header on a non-PLUS mechanism"); return false
+    }
     val cNonce = Scram.attrs(firstBare)('r')
     val fullNonce = cNonce + "sRvNoNcE+fixed/for=tests"
     val serverFirst0 = s"r=$fullNonce,s=${Scram.b64(salt)},i=$iters"
@@ -162,7 +206,18 @@ final class MiniPgServer {
     if (t2 != 'p') { error(out, s"expected SASLResponse, got '$t2'"); return false }
     val clientFinal = new String(p2, "UTF-8")
     val fa = Scram.attrs(clientFinal)
-    if (fa.get('c') != Some("biws") || fa.get('r') != Some(fullNonce)) {
+    // c= must be base64(gs2-header ++ cb-data): the binding bytes the
+    // CLIENT derived from its TLS peer certificate, compared against the
+    // binding THIS server expects for its own certificate
+    val expectC = Scram.b64(gs2Header.getBytes("UTF-8") ++
+      (if (gs2Header.startsWith("p=")) plus.get else Array.emptyByteArray))
+    if (fa.get('c') != Some(expectC)) {
+      error(out, if (gs2Header.startsWith("p="))
+        "channel binding mismatch: the client bound a different certificate"
+      else s"bad client-final framing: $clientFinal")
+      return false
+    }
+    if (fa.get('r') != Some(fullNonce)) {
       error(out, s"bad client-final framing: $clientFinal"); return false
     }
     val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
