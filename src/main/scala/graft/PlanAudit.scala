@@ -176,6 +176,9 @@ object PlanAudit {
     // r14: pure map-side header parse; only the presentation orderBy
     // shuffles (measured exactly 1.000/row at both SFs)
     "mm_media_meta" -> ShuffleBudget("documents", 2.5, 500L),
+    // r15: the image twin — identical exchange shape (presentation
+    // orderBy only; measured 1.000/row at both spec SFs)
+    "mm_image_meta" -> ShuffleBudget("documents", 2.5, 500L),
     // r15: same shape as text_tokens_bpe — bounded training aggregate +
     // presentation orderBy (1/doc); the 32k-rule apply is map-side and
     // adds ZERO shuffle (measured 1.000/row at both spec SFs)

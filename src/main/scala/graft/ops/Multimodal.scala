@@ -311,6 +311,181 @@ object Multimodal {
     else Some(MediaMeta(docId, "mp4", Some(duration * 1000L / timescale),
       None, None, Some(traks)))
 
+  // ------------------------------------------------------------ image arm
+
+  /** Parsed image-header metadata — the image twin of [[MediaMeta]]: a
+    * metadata pass over an image corpus reads dimensions from the first
+    * kilobyte of each payload, never the pixel data (a full ImageIO
+    * decode for dimensions alone pays codec setup + IDAT inflation per
+    * record — at 100 TB that is the difference between a header scan and
+    * a decode job). `png` (IHDR, public PNG spec), `jpeg` (SOF marker
+    * walk, ITU T.81), or `unknown`. */
+  case class ImageMeta(doc_id: Long, image_kind: String,
+      width: Option[Int], height: Option[Int], bit_depth: Option[Int],
+      n_components: Option[Int])
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** PNG channel count per color type (spec §11.2.2): greyscale 1,
+    * truecolor 3, palette 1 (indices), grey+alpha 2, truecolor+alpha 4. */
+  private def pngComponents(colorType: Int): Option[Int] = colorType match {
+    case 0 | 3 => Some(1)
+    case 2 => Some(3)
+    case 4 => Some(2)
+    case 6 => Some(4)
+    case _ => None
+  }
+
+  /** Header-scan of a PNG payload: the 8-byte signature, then the IHDR
+    * chunk the spec requires FIRST — width/height (4-byte BE each), bit
+    * depth, color type. Out-of-spec values (zero/negative dims, a depth
+    * outside {1,2,4,8,16}, an unknown color type) degrade to None rather
+    * than emitting a plausible-but-wrong row. */
+  private def parsePng(docId: Long, b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 33) return None // signature + complete IHDR chunk
+    if (!(b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A)) return None
+    if (be32(b, 8) != 13L || tag(b, 12) != "IHDR") return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    val depth = b(24) & 0xff; val colorType = b(25) & 0xff
+    if (w <= 0 || w > Int.MaxValue || h <= 0 || h > Int.MaxValue) return None
+    if (!Set(1, 2, 4, 8, 16).contains(depth)) return None
+    pngComponents(colorType).map(nc =>
+      ImageMeta(docId, "png", Some(w.toInt), Some(h.toInt), Some(depth), Some(nc)))
+  }
+
+  /** SOF markers carrying frame dimensions: C0–CF except DHT (C4), the
+    * reserved JPG extension (C8) and DAC (CC) — the full baseline +
+    * progressive + lossless family, the same set every header sniffer
+    * (libjpeg, exiftool) treats as frame headers. */
+  private def isSofMarker(m: Int): Boolean =
+    m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+  /** Header-scan of a JPEG payload: SOI, then the marker-segment walk
+    * (skipping APPn/COM/quant tables — EXIF payloads ride APP1 and are
+    * skipped by declared length, never parsed) until a SOF frame header
+    * yields precision, height, width, component count. Fill bytes (0xFF
+    * padding before a marker) are consumed per T.81 §B.1.1.2; EOI or SOS
+    * before any SOF (a frame with no header) degrades to None, as does
+    * any length running past the buffer. */
+  private def parseJpeg(docId: Long, b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 4 || b(0) != 0xFF.toByte || b(1) != 0xD8.toByte) return None
+    var o = 2
+    while (o + 2 <= b.length) {
+      if (b(o) != 0xFF.toByte) return None // marker desync: malformed
+      var m = b(o + 1) & 0xff
+      while (m == 0xFF && o + 2 < b.length) { o += 1; m = b(o + 1) & 0xff } // fill bytes
+      if (m == 0xD9 || m == 0xDA) return None // EOI / scan start: no SOF seen
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { o += 2 } // standalone markers
+      else {
+        if (o + 4 > b.length) return None
+        val len = be16(b, o + 2)
+        if (len < 2) return None
+        if (isSofMarker(m)) {
+          if (o + 10 > b.length) return None // precision + h + w + ncomp
+          val precision = b(o + 4) & 0xff
+          val h = be16(b, o + 5); val w = be16(b, o + 7)
+          val nc = b(o + 9) & 0xff
+          return if (w <= 0 || h <= 0 || nc <= 0 || nc > 4) None
+          else Some(ImageMeta(docId, "jpeg", Some(w), Some(h),
+            Some(precision), Some(nc)))
+        }
+        o += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Parse one image payload: PNG, then JPEG, then the unknown
+    * degradation — same contract as [[parseMediaMetaOne]]. */
+  private[graft] def parseImageMetaOne(docId: Long, b: Array[Byte]): ImageMeta =
+    (try parsePng(docId, b).orElse(parseJpeg(docId, b))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse(ImageMeta(docId, "unknown", None, None, None, None))
+
+  /** Image-header metadata over a (doc_id, media) frame — map-side,
+    * zero shuffles, like [[mediaMeta]]. */
+  def imageMeta(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => parseImageMetaOne(id, b) })
+  }
+
+  /** Deterministic planted PNG: the real signature + an IHDR chunk with
+    * a CORRECT CRC32 (the framing a spec-compliant writer emits),
+    * truncated before IDAT — metadata passes read headers, not pixels.
+    * Dimensions/depth/color type derive from doc_id by rule. */
+  private[graft] def plantedPngBytes(docId: Long): Array[Byte] = {
+    val w = (16 + (docId % 32) * 8).toInt
+    val h = (16 + (docId % 21) * 8).toInt
+    val depth = if (docId % 2 == 0) 8 else 16
+    val colorType = ((docId / 3) % 3) match {
+      case 0 => 0 // greyscale
+      case 1 => 2 // truecolor
+      case _ => 6 // truecolor + alpha
+    }
+    val bb = java.nio.ByteBuffer.allocate(8 + 25) // sig + len+IHDR+13+crc
+    bb.put(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte))
+    bb.putInt(13); bb.put("IHDR".getBytes)
+    bb.putInt(w); bb.putInt(h)
+    bb.put(depth.toByte); bb.put(colorType.toByte)
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // deflate/none/none
+    val crc = new java.util.zip.CRC32()
+    crc.update(bb.array(), 12, 4 + 13) // type + data, per spec
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Deterministic planted JPEG: SOI + a real APP0/JFIF segment + an
+    * APP1 "EXIF" blob the walk must SKIP by declared length + SOF0 with
+    * the rule's dimensions, truncated before any scan data. */
+  private[graft] def plantedJpegBytes(docId: Long): Array[Byte] = {
+    val w = (16 + (docId % 32) * 8).toInt
+    val h = (16 + (docId % 21) * 8).toInt
+    val nc = if ((docId / 3) % 2 == 0) 1 else 3
+    val exifLen = 2 + 6 + (docId % 7).toInt // varies: skipping is by length
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + 2 + exifLen + 10 + 3 * nc)
+    bb.putShort(0xFFD8.toShort) // SOI
+    bb.putShort(0xFFE0.toShort); bb.putShort(16) // APP0, len incl. itself
+    bb.put("JFIF".getBytes); bb.put(0.toByte)
+    bb.put(1.toByte); bb.put(1.toByte) // version 1.1
+    bb.put(0.toByte); bb.putShort(72); bb.putShort(72); bb.put(0.toByte); bb.put(0.toByte)
+    bb.putShort(0xFFE1.toShort); bb.putShort(exifLen.toShort) // APP1 (EXIF)
+    bb.put("Exif".getBytes); bb.put(0.toByte); bb.put(0.toByte)
+    bb.position(bb.position() + (exifLen - 2 - 6)) // zero filler
+    bb.putShort(0xFFC0.toShort); bb.putShort((8 + 3 * nc).toShort) // SOF0
+    bb.put(8.toByte) // precision
+    bb.putShort(h.toShort); bb.putShort(w.toShort)
+    bb.put(nc.toByte)
+    var c = 0
+    while (c < nc) { // component specs: id, sampling 1x1, quant table 0
+      bb.put((c + 1).toByte); bb.put(0x11.toByte); bb.put(0.toByte); c += 1
+    }
+    bb.array()
+  }
+
+  /** Attach planted image payloads: every third doc a PNG, every third a
+    * JPEG, the rest the corpus's text bytes (no image magic → the
+    * unknown arm at the gate). */
+  def asImageMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = (id % 3) match {
+          case 0 => plantedPngBytes(id)
+          case 1 => plantedJpegBytes(id)
+          case _ => Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        (id, bytes)
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Parse one payload: WAV, then MP4, then the unknown degradation —
     * one bad record must never abort a 100 TB metadata pass. */
   private[graft] def parseMediaMetaOne(docId: Long, b: Array[Byte]): MediaMeta =
@@ -413,6 +588,11 @@ object Multimodal {
     "mm_media_meta" -> ((s, d) =>
       mediaMeta(asAvMedia(Tables.load(s, d, "documents"))).toDF()
         .orderBy("doc_id")),
+    // r15: the image twin — REAL header parses (PNG IHDR, JPEG SOF
+    // marker walk incl. an APP1/EXIF skip) over planted payloads
+    "mm_image_meta" -> ((s, d) =>
+      imageMeta(asImageMedia(Tables.load(s, d, "documents"))).toDF()
+        .orderBy("doc_id")),
   )
 
   /** Metadata derivations are plain arithmetic on doc_id; the stub
@@ -450,6 +630,26 @@ object Multimodal {
         |            THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
         |       CASE WHEN doc_id % 3 = 1
         |            THEN CAST(1 + (doc_id // 3) % 3 AS INT) END AS track_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the image planting rule in pure arithmetic: the parser must
+    // recover these numbers from real PNG/JPEG header BYTES
+    "mm_image_meta" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |            ELSE 'unknown' END AS image_kind,
+        |       CASE WHEN doc_id % 3 IN (0, 1)
+        |            THEN CAST(16 + (doc_id % 32) * 8 AS INT) END AS width,
+        |       CASE WHEN doc_id % 3 IN (0, 1)
+        |            THEN CAST(16 + (doc_id % 21) * 8 AS INT) END AS height,
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
+        |            WHEN doc_id % 3 = 1 THEN CAST(8 AS INT) END AS bit_depth,
+        |       CASE WHEN doc_id % 3 = 0 THEN
+        |              CAST(CASE CAST((doc_id // 3) % 3 AS INT)
+        |                   WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+        |            WHEN doc_id % 3 = 1 THEN
+        |              CAST(CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 3 END AS INT)
+        |       END AS n_components
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
