@@ -319,7 +319,9 @@ object Multimodal {
     * decode for dimensions alone pays codec setup + IDAT inflation per
     * record — at 100 TB that is the difference between a header scan and
     * a decode job). `png` (IHDR, public PNG spec), `jpeg` (SOF marker
-    * walk, ITU T.81), or `unknown`. */
+    * walk, ITU T.81), `gif` (logical screen descriptor, GIF87a/89a),
+    * `webp` (RIFF container, all three VP8/VP8L/VP8X framings), or
+    * `unknown`. */
   case class ImageMeta(doc_id: Long, image_kind: String,
       width: Option[Int], height: Option[Int], bit_depth: Option[Int],
       n_components: Option[Int])
@@ -397,10 +399,62 @@ object Multimodal {
     None
   }
 
-  /** Parse one image payload: PNG, then JPEG, then the unknown
+  /** Header-scan of a GIF payload (GIF87a/GIF89a): dimensions live in the
+    * logical screen descriptor right after the 6-byte signature (both
+    * little-endian u16); bit depth is the LSD's color-resolution field
+    * (bits 4–6 of the flags byte, value + 1 — the spec's "number of bits
+    * per primary color"); components is 1 (palette indices). */
+  private def parseGif(docId: Long, b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 13) return None // signature + complete LSD
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0) return None
+    val colorRes = ((b(10) & 0x70) >> 4) + 1
+    Some(ImageMeta(docId, "gif", Some(w), Some(h), Some(colorRes), Some(1)))
+  }
+
+  /** Header-scan of a WebP payload: the RIFF/WEBP container, then the
+    * first chunk in all three public framings —
+    *  - `VP8 ` (lossy, RFC 6386): 3-byte frame tag, the 9D 01 2A start
+    *    code, then 14-bit LE width/height;
+    *  - `VP8L` (lossless): the 2F signature byte, then width-1/height-1
+    *    as consecutive 14-bit fields with an alpha flag at bit 28;
+    *  - `VP8X` (extended): canvas width-1/height-1 as 24-bit LE with an
+    *    alpha flag in the feature byte.
+    * Depth is 8 for all (VP8 is 8-bit YUV/ARGB); components 3, or 4 when
+    * the framing carries alpha. */
+  private def parseWebp(docId: Long, b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 30 || tag(b, 0) != "RIFF" || tag(b, 8) != "WEBP") return None
+    def meta(w: Long, h: Long, alpha: Boolean): Option[ImageMeta] =
+      if (w <= 0 || h <= 0) None
+      else Some(ImageMeta(docId, "webp", Some(w.toInt), Some(h.toInt),
+        Some(8), Some(if (alpha) 4 else 3)))
+    tag(b, 12) match {
+      // chunk DATA starts at 20 (12-byte RIFF header + fourcc + size)
+      case "VP8 " => // lossy: frame tag (3) + start code (3) + dims
+        if (b(23) != 0x9D.toByte || b(24) != 0x01.toByte ||
+          b(25) != 0x2A.toByte) None
+        else meta(le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF, alpha = false)
+      case "VP8L" =>
+        if (b(20) != 0x2F.toByte) return None
+        val bits = le32(b, 21)
+        meta((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1,
+          alpha = ((bits >> 28) & 1L) == 1L)
+      case "VP8X" =>
+        val alpha = (b(20) & 0x10) != 0
+        val w = (le16(b, 24) | ((b(26) & 0xff) << 16)) + 1L
+        val h = (le16(b, 27) | ((b(29) & 0xff) << 16)) + 1L
+        meta(w, h, alpha)
+      case _ => None
+    }
+  }
+
+  /** Parse one image payload: PNG, JPEG, GIF, WebP, then the unknown
     * degradation — same contract as [[parseMediaMetaOne]]. */
   private[graft] def parseImageMetaOne(docId: Long, b: Array[Byte]): ImageMeta =
     (try parsePng(docId, b).orElse(parseJpeg(docId, b))
+      .orElse(parseGif(docId, b)).orElse(parseWebp(docId, b))
      catch { case scala.util.control.NonFatal(_) => None })
       .getOrElse(ImageMeta(docId, "unknown", None, None, None, None))
 
@@ -421,7 +475,7 @@ object Multimodal {
     val w = (16 + (docId % 32) * 8).toInt
     val h = (16 + (docId % 21) * 8).toInt
     val depth = if (docId % 2 == 0) 8 else 16
-    val colorType = ((docId / 3) % 3) match {
+    val colorType = ((docId / 5) % 3) match {
       case 0 => 0 // greyscale
       case 1 => 2 // truecolor
       case _ => 6 // truecolor + alpha
@@ -445,7 +499,7 @@ object Multimodal {
   private[graft] def plantedJpegBytes(docId: Long): Array[Byte] = {
     val w = (16 + (docId % 32) * 8).toInt
     val h = (16 + (docId % 21) * 8).toInt
-    val nc = if ((docId / 3) % 2 == 0) 1 else 3
+    val nc = if ((docId / 5) % 2 == 0) 1 else 3
     val exifLen = 2 + 6 + (docId % 7).toInt // varies: skipping is by length
     val bb = java.nio.ByteBuffer.allocate(2 + 18 + 2 + exifLen + 10 + 3 * nc)
     bb.putShort(0xFFD8.toShort) // SOI
@@ -467,17 +521,51 @@ object Multimodal {
     bb.array()
   }
 
-  /** Attach planted image payloads: every third doc a PNG, every third a
-    * JPEG, the rest the corpus's text bytes (no image magic → the
+  /** Deterministic planted GIF: real GIF89a signature + logical screen
+    * descriptor carrying the rule's dimensions, color resolution 8
+    * (flags bits 4–6 = 7), truncated before any image descriptor. */
+  private[graft] def plantedGifBytes(docId: Long): Array[Byte] = {
+    val w = (16 + (docId % 32) * 8).toInt
+    val h = (16 + (docId % 21) * 8).toInt
+    val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes)
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    bb.put(0x70.toByte) // no GCT, color resolution bits = 7 → depth 8
+    bb.put(0.toByte); bb.put(0.toByte) // background, aspect
+    bb.array()
+  }
+
+  /** Deterministic planted WebP: the VP8L (lossless) framing — RIFF +
+    * WEBP + a VP8L chunk whose 14-bit dimension fields and alpha flag
+    * carry the rule; truncated before any huffman stream. */
+  private[graft] def plantedWebpBytes(docId: Long): Array[Byte] = {
+    val w = (16 + (docId % 32) * 8).toInt
+    val h = (16 + (docId % 21) * 8).toInt
+    val alpha = (docId / 5) % 2 == 1
+    val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+      (if (alpha) 1L << 28 else 0L)
+    val bb = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(22); bb.put("WEBP".getBytes)
+    bb.put("VP8L".getBytes); bb.putInt(10)
+    bb.put(0x2F.toByte); bb.putInt(bits.toInt)
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte);
+    bb.put(0.toByte); bb.put(0.toByte)
+    bb.array()
+  }
+
+  /** Attach planted image payloads: the doc_id % 5 rule walks PNG, JPEG,
+    * GIF, WebP, then the corpus's text bytes (no image magic → the
     * unknown arm at the gate). */
   def asImageMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
-        val bytes = (id % 3) match {
+        val bytes = (id % 5) match {
           case 0 => plantedPngBytes(id)
           case 1 => plantedJpegBytes(id)
+          case 2 => plantedGifBytes(id)
+          case 3 => plantedWebpBytes(id)
           case _ => Option(text).getOrElse("")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
@@ -589,7 +677,8 @@ object Multimodal {
       mediaMeta(asAvMedia(Tables.load(s, d, "documents"))).toDF()
         .orderBy("doc_id")),
     // r15: the image twin — REAL header parses (PNG IHDR, JPEG SOF
-    // marker walk incl. an APP1/EXIF skip) over planted payloads
+    // marker walk incl. an APP1/EXIF skip, GIF screen descriptor,
+    // WebP RIFF/VP8L) over planted payloads
     "mm_image_meta" -> ((s, d) =>
       imageMeta(asImageMedia(Tables.load(s, d, "documents"))).toDF()
         .orderBy("doc_id")),
@@ -635,20 +724,25 @@ object Multimodal {
     // recover these numbers from real PNG/JPEG header BYTES
     "mm_image_meta" ->
       """SELECT doc_id,
-        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |            WHEN 2 THEN 'gif' WHEN 3 THEN 'webp'
         |            ELSE 'unknown' END AS image_kind,
-        |       CASE WHEN doc_id % 3 IN (0, 1)
+        |       CASE WHEN doc_id % 5 IN (0, 1, 2, 3)
         |            THEN CAST(16 + (doc_id % 32) * 8 AS INT) END AS width,
-        |       CASE WHEN doc_id % 3 IN (0, 1)
+        |       CASE WHEN doc_id % 5 IN (0, 1, 2, 3)
         |            THEN CAST(16 + (doc_id % 21) * 8 AS INT) END AS height,
-        |       CASE WHEN doc_id % 3 = 0
+        |       CASE WHEN doc_id % 5 = 0
         |            THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
-        |            WHEN doc_id % 3 = 1 THEN CAST(8 AS INT) END AS bit_depth,
-        |       CASE WHEN doc_id % 3 = 0 THEN
-        |              CAST(CASE CAST((doc_id // 3) % 3 AS INT)
+        |            WHEN doc_id % 5 IN (1, 2, 3) THEN CAST(8 AS INT)
+        |       END AS bit_depth,
+        |       CASE WHEN doc_id % 5 = 0 THEN
+        |              CAST(CASE CAST((doc_id // 5) % 3 AS INT)
         |                   WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
-        |            WHEN doc_id % 3 = 1 THEN
-        |              CAST(CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 3 END AS INT)
+        |            WHEN doc_id % 5 = 1 THEN
+        |              CAST(CASE WHEN (doc_id // 5) % 2 = 0 THEN 1 ELSE 3 END AS INT)
+        |            WHEN doc_id % 5 = 2 THEN CAST(1 AS INT)
+        |            WHEN doc_id % 5 = 3 THEN
+        |              CAST(CASE WHEN (doc_id // 5) % 2 = 0 THEN 3 ELSE 4 END AS INT)
         |       END AS n_components
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
