@@ -48,12 +48,18 @@ object PgWire {
     * servers never consult it. */
   final class Session(host: String, port: Int, database: String, user: String,
       password: Option[String] = None,
-      sslMode: String = PgWire.configuredSslMode)
+      sslMode: String = PgWire.configuredSslMode,
+      sslRootCert: Option[String] = PgWire.configuredSslRootCert)
       extends AutoCloseable {
-    require(sslMode == "disable" || sslMode == "require",
-      s"pgwire: unsupported sslmode '$sslMode' — only disable and require " +
-        "are implemented (the verify-ca/verify-full certificate-validation " +
-        "modes are not; refusing loudly beats silently not verifying)")
+    require(Set("disable", "require", "verify-ca", "verify-full")(sslMode),
+      s"pgwire: unsupported sslmode '$sslMode' — disable, require, " +
+        "verify-ca and verify-full are implemented (libpq's allow/prefer " +
+        "opportunistic modes are not: encryption that silently downgrades " +
+        "is worse than a loud policy)")
+    require(!sslMode.startsWith("verify-") || sslRootCert.nonEmpty,
+      s"pgwire: sslmode=$sslMode needs sslrootcert (a CA certificate to " +
+        "verify against — pass one to PgWire.Session, or set " +
+        "graft.pgwire.sslrootcert); refusing loudly beats silently not verifying")
     private val socket: Socket = {
       val plain = new Socket()
       plain.connect(new InetSocketAddress(host, port), 10000)
@@ -61,7 +67,9 @@ object PgWire {
         // deadline BEFORE the TLS dance: the SSLRequest response read and
         // the handshake must not hang a task against a stalled server
         plain.setSoTimeout(readTimeoutMs)
-        if (sslMode == "require") PgWire.startTls(plain, host, port) else plain
+        if (sslMode != "disable")
+          PgWire.startTls(plain, host, port, sslMode, sslRootCert)
+        else plain
       } catch { case e: Throwable =>
         try plain.close() catch { case _: Exception => () }; throw e
       }
@@ -310,7 +318,8 @@ object PgWire {
         // the side-channel honors the session's TLS policy: libpq runs the
         // same SSLRequest dance on cancel connections, and a require-mode
         // deployment must not leak (pid, secret) in plaintext
-        if (sslMode == "require") wire = PgWire.startTls(s, host, port)
+        if (sslMode != "disable")
+          wire = PgWire.startTls(s, host, port, sslMode, sslRootCert)
         val o = new DataOutputStream(wire.getOutputStream)
         o.writeInt(16)
         o.writeInt(80877102) // the cancel request code (1234,5678)
@@ -525,8 +534,10 @@ object PgWire {
 
   def withSession[A](host: String, port: Int, database: String,
       user: String = "graft", password: Option[String] = None,
-      sslMode: String = PgWire.configuredSslMode)(f: Session => A): A = {
-    val s = new Session(host, port, database, user, password, sslMode)
+      sslMode: String = PgWire.configuredSslMode,
+      sslRootCert: Option[String] = PgWire.configuredSslRootCert)(
+      f: Session => A): A = {
+    val s = new Session(host, port, database, user, password, sslMode, sslRootCert)
     try f(s) finally s.close()
   }
 
@@ -540,38 +551,65 @@ object PgWire {
 
   /** Deployment-wide TLS policy (per-JVM like the password — ship via
     * executor extraJavaOptions): `disable` (default — the reference client
-    * is explicitly NoTls, `mod.rs:9,61`) or `require`. */
+    * is explicitly NoTls, `mod.rs:9,61`), `require`, `verify-ca` or
+    * `verify-full` (the last two need [[configuredSslRootCert]]). */
   def configuredSslMode: String =
     sys.props.get("graft.pgwire.sslmode")
       .orElse(sys.env.get("GRAFT_PGWIRE_SSLMODE"))
       .getOrElse("disable")
 
+  /** CA certificate path for the verify modes (libpq's sslrootcert):
+    * `-Dgraft.pgwire.sslrootcert=…` or GRAFT_PGWIRE_SSLROOTCERT. PEM or
+    * DER, one or more certificates. */
+  def configuredSslRootCert: Option[String] =
+    sys.props.get("graft.pgwire.sslrootcert")
+      .orElse(sys.env.get("GRAFT_PGWIRE_SSLROOTCERT"))
+
   /** The PG TLS bootstrap (public docs, protocol "SSL Session Encryption"):
     * an 8-byte SSLRequest (code 80877103) on the PLAIN socket, a 1-byte
     * answer, then — on 'S' — a client-mode JSSE handshake layered over the
-    * same socket. 'N' under sslmode=require is a REFUSAL (never a
-    * plaintext fallback). Trust policy mirrors libpq's `require` exactly:
-    * the channel is encrypted but the server certificate is NOT verified —
-    * the verify-ca/verify-full modes are the documented non-goals of this
-    * arm. SCRAM-SHA-256-PLUS channel binding (r15) hooks the negotiated
-    * session's peer certificate via [[tlsServerEndPoint]]: it does not
-    * verify the certificate either, but it cryptographically ties the
-    * password proof to it, which is the binding's whole point. */
-  private[graft] def startTls(plain: Socket, host: String, port: Int): Socket = {
+    * same socket. 'N' under any non-disable sslmode is a REFUSAL (never a
+    * plaintext fallback). Trust policy is libpq's, mode for mode:
+    *  - `require`: encrypted, certificate NOT verified;
+    *  - `verify-ca`: the server chain must verify against `rootCert`
+    *    (PKIX), identity unchecked;
+    *  - `verify-full`: verify-ca plus RFC 6125 endpoint identification
+    *    (JSSE's HTTPS algorithm — the SAN/hostname match runs INSIDE the
+    *    handshake, so identity failure is a handshake failure, not a
+    *    post-hoc check a code path could skip).
+    * SCRAM-SHA-256-PLUS channel binding (r15) hooks the negotiated
+    * session's peer certificate via [[tlsServerEndPoint]] under every
+    * mode: under `require` it does not verify the certificate, but it
+    * cryptographically ties the password proof to it. */
+  private[graft] def startTls(plain: Socket, host: String, port: Int,
+      sslMode: String = "require", rootCert: Option[String] = None): Socket = {
     val o = new DataOutputStream(plain.getOutputStream)
     o.writeInt(8)
     o.writeInt(80877103) // SSLRequest (1234, 5679)
     o.flush()
     plain.getInputStream.read() match {
       case 'S' =>
-        val ssl = trustAllContext.getSocketFactory
+        val ctx =
+          if (sslMode.startsWith("verify-")) verifyingContext(rootCert.get)
+          else trustAllContext
+        val ssl = ctx.getSocketFactory
           .createSocket(plain, host, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
         ssl.setUseClientMode(true)
-        ssl.startHandshake()
+        if (sslMode == "verify-full") {
+          val p = ssl.getSSLParameters
+          p.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(p)
+        }
+        try ssl.startHandshake()
+        catch { case e: javax.net.ssl.SSLHandshakeException =>
+          throw new java.io.IOException(
+            s"pgwire: TLS $sslMode verification failed against $host:$port " +
+              s"— ${e.getMessage}", e)
+        }
         ssl
       case 'N' => throw new java.io.IOException(
-        "pgwire: server does not support TLS but sslmode=require — " +
+        s"pgwire: server does not support TLS but sslmode=$sslMode — " +
           "refusing to continue in plaintext")
       case -1 => throw new java.io.IOException(
         "pgwire: connection closed during SSLRequest")
@@ -579,6 +617,33 @@ object PgWire {
         s"pgwire: unexpected SSLRequest response byte $other")
     }
   }
+
+  /** PKIX-verifying SSLContext trusting exactly the certificates in the
+    * `sslrootcert` file (PEM or DER, one or more). Cached per path: the
+    * verify modes run once per task connection, and 1000 executors must
+    * not re-read and re-parse the CA file per socket. */
+  private val verifyingContexts =
+    new java.util.concurrent.ConcurrentHashMap[String, javax.net.ssl.SSLContext]
+  private[graft] def verifyingContext(path: String): javax.net.ssl.SSLContext =
+    verifyingContexts.computeIfAbsent(path, p => {
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val in = new java.io.FileInputStream(p)
+      val certs = try cf.generateCertificates(in) finally in.close()
+      if (certs.isEmpty) throw new java.io.IOException(
+        s"pgwire: sslrootcert $p holds no X.509 certificates")
+      val ks = java.security.KeyStore.getInstance(
+        java.security.KeyStore.getDefaultType)
+      ks.load(null, null)
+      val it = certs.iterator()
+      var i = 0
+      while (it.hasNext) { ks.setCertificateEntry(s"root$i", it.next()); i += 1 }
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, new java.security.SecureRandom)
+      ctx
+    })
 
   /** tls-server-end-point channel-binding data (RFC 5929 §4.1): a hash
     * of the server's DER-encoded certificate under the hash function of

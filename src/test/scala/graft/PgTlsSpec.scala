@@ -106,8 +106,10 @@ class PgTlsSpec extends AnyFunSuite {
   }
 
   test("unsupported sslmode values are refused at construction") {
+    // verify-ca/verify-full graduated to real modes in r15
+    // (PgTlsVerifySpec); the opportunistic downgrade family stays out
     val e = intercept[IllegalArgumentException] {
-      new PgWire.Session("127.0.0.1", 5432, "db", "u", sslMode = "verify-full")
+      new PgWire.Session("127.0.0.1", 5432, "db", "u", sslMode = "prefer")
     }
     assert(e.getMessage.contains("unsupported sslmode"), e.getMessage)
   }

@@ -227,6 +227,29 @@ docker exec graft-pg-live psql -U postgres -c \
   "SELECT rolname FROM pg_roles WHERE rolname = 'graft'" >/dev/null \
   && echo "channel-binding leg complete"
 
+echo "== 4g. verify-ca / verify-full against the live self-signed server (r15) =="
+# Copy the server's own certificate out of the container as the root of
+# trust; verify-ca must pass with it and fail without it; verify-full
+# must fail against 127.0.0.1 (the cert names only CN=localhost) and
+# pass against localhost IF the cert carries a SAN — regenerate with one
+# to see both arms.
+docker cp graft-pg-live:/var/lib/postgresql/server.crt /tmp/live_root.pem
+scala -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" <<'SCALA'
+import graft.sources.PgWire
+val ok = PgWire.withSession("127.0.0.1", 5432, "bench",
+  password = Some("graft-live-pw"), sslMode = "verify-ca",
+  sslRootCert = Some("/tmp/live_root.pem"))(_.query("SELECT 1"))
+assert(ok._2.nonEmpty); println("verify-ca with the server's root: OK")
+try {
+  PgWire.withSession("127.0.0.1", 5432, "bench", sslMode = "verify-full",
+    sslRootCert = Some("/tmp/live_root.pem"))(_.query("SELECT 1"))
+  println("verify-full: OK (cert carries a SAN for this address)")
+} catch { case e: java.io.IOException =>
+  assert(e.getMessage.contains("verification failed"), e.getMessage)
+  println("verify-full refusal on a SAN-less cert: OK (regenerate with " +
+    "-addext subjectAltName=IP:127.0.0.1 for the positive arm)") }
+SCALA
+
 echo "== 5. negative probes the fakes cannot produce =="
 # cancel mid-COPY: interrupt a large COPY read and confirm the task
 # connection closes without poisoning the pool (watch docker logs for
