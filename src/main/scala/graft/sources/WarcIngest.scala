@@ -93,6 +93,138 @@ object WarcIngest {
     out.toSeq
   }
 
+  // ------------------------------------------------- per-record gzip layer
+
+  /** One decompressed gzip member: `intact` means the member's own CRC32
+    * and ISIZE trailer verified over the inflated bytes — only intact
+    * members' content is admitted to the valid channel. A damaged member
+    * still carries whatever bytes inflated before the fault, because the
+    * WARC headers live at the FRONT of the record and a recoverable
+    * target URI turns an anonymous loss into an actionable quarantine
+    * row. */
+  private[graft] final case class GzMember(bytes: Array[Byte], intact: Boolean)
+
+  /** Expansion cap per member (≈256 MB): a crafted tiny member claiming
+    * gigabytes must not OOM the executor — the decompression-bomb guard,
+    * same contract as [[graft.ops.Multimodal.MaxDecodePixels]]. */
+  private[graft] val MaxMemberBytes: Long = 256L * 1024 * 1024
+
+  /** Walk a multi-member gzip stream (RFC 1952) — the `.warc.gz` layout
+    * real crawls ship, ONE record per member, because it makes damage
+    * LOCAL: a corrupt member costs that record, not the archive tail.
+    *
+    * Per member: parse the fixed 10-byte header honoring the optional
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields real gzip tools emit, inflate
+    * (raw deflate), then verify the CRC32 + ISIZE trailer over the
+    * output. Any fault — bad magic, truncated header or stream, inflate
+    * error, trailer mismatch, expansion past [[MaxMemberBytes]] —
+    * yields a non-intact member carrying the inflated prefix, then
+    * RESYNC: scan forward for the next member magic (1F 8B 08), exactly
+    * the record-magic recovery the plain-WARC walk uses. A clean
+    * trailer mismatch (the common bit-rot case) costs NO scan — the
+    * inflater's consumed count still delimits the member. */
+  private[graft] def gunzipMembers(b: Array[Byte],
+      maxMemberBytes: Long = MaxMemberBytes): Seq[GzMember] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GzMember]
+    def resyncFrom(p: Int): Int = {
+      var i = math.max(p, 0) + 3
+      while (i + 2 < b.length &&
+        !(b(i) == 0x1f.toByte && b(i + 1) == 0x8b.toByte && b(i + 2) == 8)) i += 1
+      if (i + 2 < b.length) i else b.length
+    }
+    var o = 0
+    while (o + 10 <= b.length) {
+      if (!(b(o) == 0x1f.toByte && b(o + 1) == 0x8b.toByte && b(o + 2) == 8)) {
+        o = resyncFrom(o) // leading garbage / mid-archive junk
+      } else {
+        val flags = b(o + 3) & 0xff
+        // skip optional header fields in RFC 1952 order
+        var d = o + 10
+        def skipZString(from: Int): Int = {
+          var i = from
+          while (i < b.length && b(i) != 0) i += 1
+          i + 1
+        }
+        if ((flags & 4) != 0 && d + 2 <= b.length) // FEXTRA
+          d += 2 + ((b(d) & 0xff) | ((b(d + 1) & 0xff) << 8))
+        if ((flags & 8) != 0) d = skipZString(d) // FNAME
+        if ((flags & 16) != 0) d = skipZString(d) // FCOMMENT
+        if ((flags & 2) != 0) d += 2 // FHCRC
+        if (d >= b.length) {
+          out += GzMember(Array.empty, intact = false)
+          o = b.length
+        } else {
+          val inf = new java.util.zip.Inflater(true)
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var fault = false
+          try {
+            inf.setInput(b, d, b.length - d)
+            while (!inf.finished() && !fault) {
+              val n = inf.inflate(tmp)
+              if (n > 0) buf.write(tmp, 0, n)
+              // 0 without finished = truncated stream (needsInput) or a
+              // preset-dictionary demand no gzip stream can make — fault
+              else if (!inf.finished()) fault = true
+              if (buf.size.toLong > maxMemberBytes) fault = true // bomb guard
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException => fault = true
+          }
+          if (fault) {
+            out += GzMember(buf.toByteArray, intact = false)
+            o = resyncFrom(o)
+          } else {
+            val trailerAt = d + inf.getBytesRead.toInt
+            if (trailerAt + 8 > b.length) {
+              out += GzMember(buf.toByteArray, intact = false)
+              o = b.length // trailer clipped: nothing to resync into
+            } else {
+              val member = buf.toByteArray
+              val crc = new java.util.zip.CRC32()
+              crc.update(member)
+              def le32(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+                ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+              val intact = le32(trailerAt) == crc.getValue &&
+                le32(trailerAt + 4) == (member.length.toLong & 0xffffffffL)
+              out += GzMember(member, intact)
+              o = trailerAt + 8
+            }
+          }
+          inf.end()
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Parse a `.warc.gz` archive: intact members parse through the plain
+    * walk (one record per member in the crawl convention, but nothing
+    * assumes it — a member holding several records parses them all);
+    * damaged members are quarantined with a best-effort URI recovered
+    * from the inflated prefix (headers live at the record front), and
+    * their CONTENT is never admitted — a failed integrity check means
+    * nothing in the member is trustworthy. */
+  private[graft] def parseGzArchive(bytes: Array[Byte]): Seq[WarcRow] =
+    gunzipMembers(bytes).flatMap { m =>
+      if (m.intact) parseArchive(m.bytes)
+      else {
+        val s = new String(m.bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val headerEnd = s.indexOf("\r\n\r\n")
+        val headers = if (headerEnd >= 0) s.substring(0, headerEnd) else s
+        Seq(WarcRow(None, "", "",
+          header(headers, "WARC-Target-URI").getOrElse(""), "gzip_member"))
+      }
+    }
+
+  /** Sniff-dispatched parse: a gzip magic routes to the member walk,
+    * anything else to the plain walk — one code path serves mixed
+    * archive directories and the streaming twin unchanged. */
+  private[graft] def parseAnyArchive(bytes: Array[Byte]): Seq[WarcRow] =
+    if (bytes.length >= 3 && bytes(0) == 0x1f.toByte &&
+      bytes(1) == 0x8b.toByte && bytes(2) == 8) parseGzArchive(bytes)
+    else parseArchive(bytes)
+
   private def header(block: String, name: String): Option[String] =
     block.linesWithSeparators
       .map(_.stripLineEnd).find(_.toLowerCase.startsWith(name.toLowerCase + ":"))
@@ -161,13 +293,53 @@ object WarcIngest {
     }
   }
 
+  /** Stage the `.warc.gz` twin of [[ensureWarcDrop]] — the layout real
+    * crawls actually ship (one gzip member per record). Planted faults:
+    *  - every 97th document's member has its CRC trailer byte flipped —
+    *    the bit-rot case: the member inflates cleanly (so the walk needs
+    *    no resync and the URI recovers from the prefix) but integrity
+    *    fails, and the record must be QUARANTINED, never admitted on a
+    *    bad checksum;
+    *  - every 89th (not also 97th) document keeps the string-id vendor
+    *    drift INSIDE an intact member (content-level faults survive the
+    *    compression layer unchanged). */
+  def ensureWarcGzDrop(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.ops.Dedup.fingerprintedDir("graft-warcgz", "documents",
+      sfDir + "v1", Seq(s"$sfDir/documents.parquet"))
+    graft.ops.Dedup.stageAtomically(dir) { tmp =>
+      tmp.mkdirs()
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(new java.io.File(tmp, "crawl.warc.gz")))
+      try {
+        val it = Tables.load(spark, sfDir, "documents")
+          .select("doc_id", "text", "lang").orderBy("doc_id").toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val id = r.getLong(0)
+          val idStr = if (id % 97 != 0 && id % 89 == 0) s"id-$id" else id.toString
+          val record = renderRecord(idStr, r.getString(1), r.getString(2),
+            truncatePayload = false)
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(record); gz.finish(); gz.close()
+          val member = bos.toByteArray
+          if (id % 97 == 0) // flip a CRC trailer byte: inflates, fails check
+            member(member.length - 8) = (member(member.length - 8) ^ 0xFF).toByte
+          out.write(member)
+        }
+      } finally out.close()
+    }
+  }
+
   /** Parse every archive under `path`: (valid docs, quarantined records).
     * `binaryFile` read + one flatMap per archive — parallel across
-    * archives, zero shuffles. */
+    * archives, zero shuffles. Plain and per-record-gzip archives are
+    * sniffed per file, so mixed directories read with one call. */
   def readWithQuarantine(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) =
     parseChannels(spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(path))
+      .option("pathGlobFilter", "*.warc*").load(path))
 
   /** The channel split over ANY DataFrame bearing archive bytes in a
     * `content` column — shared by the batch read above and the streaming
@@ -178,7 +350,7 @@ object WarcIngest {
     import spark.implicits._
     val rows = archives
       .select("content").as[Array[Byte]]
-      .flatMap(parseArchive _)
+      .flatMap(parseAnyArchive _)
     val valid = rows.filter(_.errorClass.isEmpty)
       .map(r => (r.docId.get, r.text, r.lang, r.targetUri))
       .toDF("doc_id", "text", "lang", "target_uri")
@@ -202,6 +374,19 @@ object WarcIngest {
       val (_, quarantine) = readWithQuarantine(s, ensureWarcDrop(s, d))
       quarantine.orderBy("target_uri")
     }),
+    // r15: the per-record-gzip layout real crawls ship — intact members'
+    // full text round-trips through inflate + CRC + the plain walk
+    "ingest_warc_gz" -> ((s, d) => {
+      val (valid, _) = readWithQuarantine(s, ensureWarcGzDrop(s, d))
+      valid.orderBy("doc_id")
+    }),
+    // CRC-flipped members quarantine WITH their recovered URI (bit rot
+    // is actionable, not anonymous); vendor drift inside intact members
+    // still triages at the content tier
+    "ingest_warc_gz_triage" -> ((s, d) => {
+      val (_, quarantine) = readWithQuarantine(s, ensureWarcGzDrop(s, d))
+      quarantine.orderBy("target_uri")
+    }),
   )
 
   /** The planting rule is pure SQL over documents, so both oracles
@@ -219,6 +404,25 @@ object WarcIngest {
          |            THEN 'id-' || CAST(doc_id AS VARCHAR)
          |            ELSE CAST(doc_id AS VARCHAR) END AS target_uri,
          |       CASE WHEN doc_id % 97 = 0 THEN 'truncated'
+         |            ELSE 'schema_mismatch' END AS error_class
+         |FROM documents
+         |WHERE doc_id % 97 = 0 OR doc_id % 89 = 0
+         |ORDER BY target_uri""".stripMargin,
+    // gz: the valid set matches the plain drop's (the two fault classes
+    // remove the same docs), which pins that compression adds NOTHING to
+    // the content path; triage differs — the 97s are now gzip-layer
+    // faults with a recovered numeric URI
+    "ingest_warc_gz" ->
+      s"""SELECT doc_id, text, lang,
+         |       '$UriPrefix' || CAST(doc_id AS VARCHAR) AS target_uri
+         |FROM documents
+         |WHERE doc_id % 97 != 0 AND doc_id % 89 != 0
+         |ORDER BY doc_id""".stripMargin,
+    "ingest_warc_gz_triage" ->
+      s"""SELECT '$UriPrefix' ||
+         |       CASE WHEN doc_id % 97 = 0 THEN CAST(doc_id AS VARCHAR)
+         |            ELSE 'id-' || CAST(doc_id AS VARCHAR) END AS target_uri,
+         |       CASE WHEN doc_id % 97 = 0 THEN 'gzip_member'
          |            ELSE 'schema_mismatch' END AS error_class
          |FROM documents
          |WHERE doc_id % 97 = 0 OR doc_id % 89 = 0

@@ -85,4 +85,77 @@ class WarcIngestSpec extends AnyFunSuite {
     val neg = parse(record("11", "body", claimedOverride = Some(-4)) + record("12", "ok"))
     assert(neg.map(_.errorClass) == Seq("truncated", ""))
   }
+
+  // ------------------------------------------------- per-record gzip (r15)
+
+  private def gzMember(payload: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  test("gz: per-record members round-trip identically to the plain parse") {
+    val records = Seq(record("1", "hello crawl world"),
+      record("2", "second body", "fr"), record("3", ""))
+    val gz = records.map(gzMember).reduce(_ ++ _)
+    val plain = parse(records.mkString)
+    val viaGz = WarcIngest.parseAnyArchive(gz)
+    assert(viaGz == plain)
+    assert(viaGz.map(_.docId) == Seq(Some(1L), Some(2L), Some(3L)))
+  }
+
+  test("gz: a flipped CRC trailer quarantines the member WITH its URI; neighbors survive") {
+    val m2 = gzMember(record("2", "bit-rotted body"))
+    m2(m2.length - 8) = (m2(m2.length - 8) ^ 0xFF).toByte
+    val rows = WarcIngest.parseAnyArchive(
+      gzMember(record("1", "fine")) ++ m2 ++ gzMember(record("3", "also fine")))
+    assert(rows.map(_.errorClass) == Seq("", "gzip_member", ""))
+    // the member inflated cleanly, so the URI recovered from the prefix —
+    // but its content must NOT be admitted on a failed checksum
+    assert(rows(1).targetUri == "http://example.com/doc/2" && rows(1).docId.isEmpty)
+    assert(rows(2).docId.contains(3L))
+  }
+
+  test("gz: a truncated member resyncs to the next member magic") {
+    val m2 = gzMember(record("2", "cut off mid-stream and then some padding to compress"))
+    val rows = WarcIngest.parseAnyArchive(
+      gzMember(record("1", "fine")) ++ m2.take(m2.length / 2) ++
+        gzMember(record("3", "fine after resync")))
+    assert(rows.map(_.errorClass) == Seq("", "gzip_member", ""))
+    assert(rows(2).docId.contains(3L) && rows(2).text == "fine after resync")
+  }
+
+  test("gz: FNAME/FCOMMENT/FEXTRA header fields skip per RFC 1952 (real-tool output)") {
+    // hand-build a member with a filename + comment + extra field — the
+    // layout `gzip <file>` and warc writers actually emit
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val body = record("7", "named member").getBytes("ISO-8859-1")
+    deflater.setInput(body); deflater.finish()
+    val comp = new Array[Byte](body.length + 64)
+    val n = deflater.deflate(comp)
+    deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val bb = java.nio.ByteBuffer.allocate(10 + 6 + 10 + 8 + n + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x1f.toByte); bb.put(0x8b.toByte); bb.put(8.toByte)
+    bb.put((4 | 8 | 16).toByte) // FEXTRA | FNAME | FCOMMENT
+    bb.putInt(0); bb.put(0.toByte); bb.put(0.toByte) // mtime, xfl, os
+    bb.putShort(4.toShort); bb.put("xtra".getBytes) // FEXTRA: len + payload
+    bb.put("file.warc".getBytes); bb.put(0.toByte) // FNAME, NUL-terminated
+    bb.put("comment".getBytes); bb.put(0.toByte) // FCOMMENT
+    bb.put(comp, 0, n)
+    bb.putInt(crc.getValue.toInt); bb.putInt(body.length)
+    val rows = WarcIngest.parseAnyArchive(bb.array())
+    assert(rows.map(r => (r.docId, r.errorClass)) == Seq((Some(7L), "")))
+  }
+
+  test("gz: the expansion cap bounds a decompression bomb without OOM") {
+    val bomb = gzMember("x" * 1000000) // 1 MB of repetition compresses tiny
+    val members = WarcIngest.gunzipMembers(bomb, maxMemberBytes = 1 << 16)
+    assert(members.size == 1 && !members.head.intact)
+    assert(members.head.bytes.length <= (1 << 16) + 8192) // one buffer over at most
+  }
 }
