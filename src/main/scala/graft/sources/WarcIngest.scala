@@ -217,12 +217,146 @@ object WarcIngest {
       }
     }
 
-  /** Sniff-dispatched parse: a gzip magic routes to the member walk,
-    * anything else to the plain walk — one code path serves mixed
-    * archive directories and the streaming twin unchanged. */
+  // ---------------------------------------------------- zstd frame layer
+
+  /** RFC 8878 magics, little-endian: one data-frame value, sixteen
+    * skippable values (low nibble free). The IIPC `.warc.zst` convention
+    * compresses one record per data frame and MAY lead with a skippable
+    * frame holding a shared ZDICT dictionary (small records compress
+    * poorly without one). */
+  private val ZstdDataMagic = 0xFD2FB528
+  private def zstdSkippable(m: Int): Boolean = (m & 0xFFFFFFF0) == 0x184D2A50
+  private val ZdictMagic = 0xEC30A437
+
+  private def le32i(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** One decompressed zstd data frame; same contract as [[GzMember]]:
+    * `intact` = the frame decoded to its end (including the optional
+    * XXH64 content checksum zstd validates last), non-intact frames
+    * carry whatever decoded before the fault — for a corrupt trailing
+    * checksum that is the WHOLE record, so the URI recovers. */
+  private[graft] final case class ZstFrame(bytes: Array[Byte], intact: Boolean)
+
+  /** Walk a `.warc.zst` archive's frames: skippable frames are skipped
+    * by their declared size (a LEADING one whose payload bears the ZDICT
+    * magic becomes the decompression dictionary for the data frames, per
+    * the IIPC convention); each data frame streams through
+    * [[com.github.luben.zstd.ZstdInputStream]] under the same
+    * [[MaxMemberBytes]] bomb cap; any fault degrades that frame and
+    * RESYNCs to the next recognizable magic. */
+  private[graft] def zstdFrames(b: Array[Byte],
+      maxFrameBytes: Long = MaxMemberBytes): Seq[ZstFrame] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZstFrame]
+    var dict: Array[Byte] = null
+    def resyncFrom(p: Int): Int = {
+      var i = math.max(p, 0) + 1
+      while (i + 4 <= b.length && {
+        val m = le32i(b, i); m != ZstdDataMagic && !zstdSkippable(m)
+      }) i += 1
+      if (i + 4 <= b.length) i else b.length
+    }
+    var o = 0
+    while (o + 4 <= b.length) {
+      val magic = le32i(b, o)
+      if (zstdSkippable(magic)) {
+        if (o + 8 > b.length) o = b.length
+        else {
+          val size = le32i(b, o + 4).toLong & 0xffffffffL
+          if (o + 8 + size > b.length) o = b.length // clipped skippable
+          else {
+            // a leading dictionary rides the first skippable frame
+            if (dict == null && out.isEmpty && size >= 8 &&
+              le32i(b, o + 8) == ZdictMagic)
+              dict = java.util.Arrays.copyOfRange(b, o + 8, (o + 8 + size).toInt)
+            o = (o + 8 + size).toInt
+          }
+        }
+      } else if (magic == ZstdDataMagic) {
+        val remaining = b.length - o
+        // frame extent from the block headers (no decompression; on a
+        // TRUNCATED frame this walk can misread the following frame's
+        // bytes as block headers and return a bogus extent, so the
+        // boundary is only trusted below once a decode confirms it);
+        // the decoder's input is BOUNDED to this extent because
+        // ZstdInputStream otherwise decodes concatenated frames to EOF
+        val fsize = com.github.luben.zstd.Zstd
+          .findFrameCompressedSize(b, o, remaining)
+        val bounded = !com.github.luben.zstd.Zstd.isError(fsize) &&
+          fsize > 0 && fsize <= remaining
+        val limit = if (bounded) fsize.toInt else remaining
+        def decode(src: Array[Byte], off: Int, len: Int): (Array[Byte], Boolean) = {
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(src, off, len))
+          if (dict != null) in.setDict(dict)
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var fault = false
+          try {
+            var n = in.read(tmp)
+            while (n >= 0 && !fault) {
+              if (n > 0) buf.write(tmp, 0, n)
+              if (buf.size.toLong > maxFrameBytes) fault = true // bomb guard
+              else n = in.read(tmp)
+            }
+          } catch { case _: java.io.IOException => fault = true }
+          finally in.close()
+          (buf.toByteArray, !fault)
+        }
+        val (decoded, ok) = decode(b, o, limit)
+        // salvage pass for quarantine triage: zstd validates the content
+        // checksum before RELEASING output on small frames, so a
+        // bit-rotted trailer yields no bytes at all — re-decode the
+        // structurally-bounded frame with the RFC 8878 checksum flag
+        // (frame-header-descriptor bit 2) cleared and the 4-byte trailer
+        // dropped. Success recovers the record text for URI triage AND
+        // proves the boundary; the content stays REFUSED (intact=false —
+        // a failed integrity check means nothing in the frame is
+        // trustworthy as DATA, but the fault row should name its record).
+        val salvage: Option[Array[Byte]] =
+          if (ok || !bounded || limit <= 9 || (b(o + 4) & 0x04) == 0) None
+          else {
+            val copy = java.util.Arrays.copyOfRange(b, o, o + limit - 4)
+            copy(4) = (copy(4) & ~0x04).toByte
+            val (sBytes, sOk) = decode(copy, 0, copy.length)
+            if (sOk) Some(sBytes) else None
+          }
+        out += ZstFrame(salvage.getOrElse(decoded), intact = ok)
+        // the extent is trusted only when a decode (or salvage) ran it
+        // clean; otherwise scan for the next recognizable magic
+        o = if (bounded && (ok || salvage.isDefined)) o + limit
+        else resyncFrom(o)
+      } else o = resyncFrom(o)
+    }
+    out.toSeq
+  }
+
+  /** Parse a `.warc.zst` archive — the zstd twin of [[parseGzArchive]],
+    * same quarantine contract (best-effort URI from the decoded prefix,
+    * content never admitted from a frame that failed to verify). */
+  private[graft] def parseZstArchive(bytes: Array[Byte]): Seq[WarcRow] =
+    zstdFrames(bytes).flatMap { f =>
+      if (f.intact) parseArchive(f.bytes)
+      else {
+        val s = new String(f.bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val headerEnd = s.indexOf("\r\n\r\n")
+        val headers = if (headerEnd >= 0) s.substring(0, headerEnd) else s
+        Seq(WarcRow(None, "", "",
+          header(headers, "WARC-Target-URI").getOrElse(""), "zstd_frame"))
+      }
+    }
+
+  /** Sniff-dispatched parse: a gzip magic routes to the member walk, a
+    * zstd data/skippable magic to the frame walk, anything else to the
+    * plain walk — one code path serves mixed archive directories and
+    * the streaming twin unchanged. */
   private[graft] def parseAnyArchive(bytes: Array[Byte]): Seq[WarcRow] =
     if (bytes.length >= 3 && bytes(0) == 0x1f.toByte &&
       bytes(1) == 0x8b.toByte && bytes(2) == 8) parseGzArchive(bytes)
+    else if (bytes.length >= 4 &&
+      (le32i(bytes, 0) == ZstdDataMagic || zstdSkippable(le32i(bytes, 0))))
+      parseZstArchive(bytes)
     else parseArchive(bytes)
 
   private def header(block: String, name: String): Option[String] =
@@ -332,10 +466,73 @@ object WarcIngest {
     }
   }
 
+  /** Stage the `.warc.zst` twin (IIPC warc-specifications layout): a
+    * LEADING skippable frame carrying a shared ZDICT dictionary trained
+    * over the corpus's own records (small records compress poorly
+    * without one — the reason the convention exists), then one
+    * checksummed data frame per record compressed WITH that dictionary.
+    * Training degrades to a dictionary-less archive when the corpus is
+    * too small/uniform for ZDICT (the reader handles both layouts).
+    * Planted faults mirror the gz drop: every 97th record's trailing
+    * checksum byte flipped (decodes fully, fails verification → URI
+    * recovers, content refused), every 89th (not 97th) the in-record
+    * string-id drift. */
+  def ensureWarcZstDrop(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.ops.Dedup.fingerprintedDir("graft-warczst", "documents",
+      sfDir + "v1", Seq(s"$sfDir/documents.parquet"))
+    graft.ops.Dedup.stageAtomically(dir) { tmp =>
+      tmp.mkdirs()
+      def docs() = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text", "lang").orderBy("doc_id").toLocalIterator()
+      def render(r: org.apache.spark.sql.Row): (Long, Array[Byte]) = {
+        val id = r.getLong(0)
+        val idStr = if (id % 97 != 0 && id % 89 == 0) s"id-$id" else id.toString
+        (id, renderRecord(idStr, r.getString(1), r.getString(2),
+          truncatePayload = false)
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      }
+      // pass 1: bounded sample feed for the dictionary trainer
+      val trainer = new com.github.luben.zstd.ZstdDictTrainer(4 << 20, 16 << 10)
+      var sampled = 0
+      val it0 = docs()
+      while (it0.hasNext && sampled < 1024) {
+        trainer.addSample(render(it0.next())._2); sampled += 1
+      }
+      val dict: Option[Array[Byte]] =
+        try Some(trainer.trainSamples())
+        catch { case _: com.github.luben.zstd.ZstdException => None }
+      // pass 2: dictionary frame (if trained) + one frame per record
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(new java.io.File(tmp, "crawl.warc.zst")))
+      try {
+        dict.foreach { d =>
+          val h = java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          h.putInt(0x184D2A50); h.putInt(d.length)
+          out.write(h.array()); out.write(d)
+        }
+        val it = docs()
+        while (it.hasNext) {
+          val (id, record) = render(it.next())
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+          z.setChecksum(true)
+          dict.foreach(z.setDict)
+          z.write(record); z.close()
+          val frame = bos.toByteArray
+          if (id % 97 == 0) // flip the checksum's last byte: bit rot
+            frame(frame.length - 1) = (frame(frame.length - 1) ^ 0xFF).toByte
+          out.write(frame)
+        }
+      } finally out.close()
+    }
+  }
+
   /** Parse every archive under `path`: (valid docs, quarantined records).
     * `binaryFile` read + one flatMap per archive — parallel across
-    * archives, zero shuffles. Plain and per-record-gzip archives are
-    * sniffed per file, so mixed directories read with one call. */
+    * archives, zero shuffles. Plain, per-record-gzip and zstd-framed
+    * archives are sniffed per file, so mixed directories read with one
+    * call. */
   def readWithQuarantine(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) =
     parseChannels(spark.read.format("binaryFile")
@@ -387,6 +584,15 @@ object WarcIngest {
       val (_, quarantine) = readWithQuarantine(s, ensureWarcGzDrop(s, d))
       quarantine.orderBy("target_uri")
     }),
+    // r15: the zstd-framed twin with the IIPC shared-dictionary layout
+    "ingest_warc_zst" -> ((s, d) => {
+      val (valid, _) = readWithQuarantine(s, ensureWarcZstDrop(s, d))
+      valid.orderBy("doc_id")
+    }),
+    "ingest_warc_zst_triage" -> ((s, d) => {
+      val (_, quarantine) = readWithQuarantine(s, ensureWarcZstDrop(s, d))
+      quarantine.orderBy("target_uri")
+    }),
   )
 
   /** The planting rule is pure SQL over documents, so both oracles
@@ -423,6 +629,24 @@ object WarcIngest {
          |       CASE WHEN doc_id % 97 = 0 THEN CAST(doc_id AS VARCHAR)
          |            ELSE 'id-' || CAST(doc_id AS VARCHAR) END AS target_uri,
          |       CASE WHEN doc_id % 97 = 0 THEN 'gzip_member'
+         |            ELSE 'schema_mismatch' END AS error_class
+         |FROM documents
+         |WHERE doc_id % 97 = 0 OR doc_id % 89 = 0
+         |ORDER BY target_uri""".stripMargin,
+    // zst: same structure as gz — dictionary compression must add
+    // NOTHING to the content path, and the bit-rot class surfaces with
+    // recovered URIs under its own fault name
+    "ingest_warc_zst" ->
+      s"""SELECT doc_id, text, lang,
+         |       '$UriPrefix' || CAST(doc_id AS VARCHAR) AS target_uri
+         |FROM documents
+         |WHERE doc_id % 97 != 0 AND doc_id % 89 != 0
+         |ORDER BY doc_id""".stripMargin,
+    "ingest_warc_zst_triage" ->
+      s"""SELECT '$UriPrefix' ||
+         |       CASE WHEN doc_id % 97 = 0 THEN CAST(doc_id AS VARCHAR)
+         |            ELSE 'id-' || CAST(doc_id AS VARCHAR) END AS target_uri,
+         |       CASE WHEN doc_id % 97 = 0 THEN 'zstd_frame'
          |            ELSE 'schema_mismatch' END AS error_class
          |FROM documents
          |WHERE doc_id % 97 = 0 OR doc_id % 89 = 0

@@ -158,4 +158,72 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(members.size == 1 && !members.head.intact)
     assert(members.head.bytes.length <= (1 << 16) + 8192) // one buffer over at most
   }
+
+  // ----------------------------------------------------- zstd frames (r15)
+
+  private def zstFrame(payload: String, dict: Option[Array[Byte]] = None,
+      checksum: Boolean = true): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.setChecksum(checksum)
+    dict.foreach(z.setDict)
+    z.write(payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    z.close()
+    bos.toByteArray
+  }
+
+  test("zst: per-record frames round-trip identically to the plain parse") {
+    val records = Seq(record("1", "hello zstd world"),
+      record("2", "second body", "fr"), record("3", ""))
+    val zst = records.map(zstFrame(_)).reduce(_ ++ _)
+    assert(WarcIngest.parseAnyArchive(zst) == parse(records.mkString))
+  }
+
+  test("zst: a flipped trailing checksum quarantines WITH its URI; boundary needs no resync") {
+    val f2 = zstFrame(record("2", "bit-rotted body"))
+    f2(f2.length - 1) = (f2(f2.length - 1) ^ 0xFF).toByte
+    val rows = WarcIngest.parseAnyArchive(
+      zstFrame(record("1", "fine")) ++ f2 ++ zstFrame(record("3", "also fine")))
+    assert(rows.map(_.errorClass) == Seq("", "zstd_frame", ""))
+    assert(rows(1).targetUri == "http://example.com/doc/2" && rows(1).docId.isEmpty)
+    assert(rows(2).docId.contains(3L) && rows(2).text == "also fine")
+  }
+
+  test("zst: the IIPC shared-dictionary layout — leading skippable ZDICT frame decodes the rest") {
+    // train a real ZDICT over repetitive samples; dictionary-compressed
+    // frames MUST fail without it and parse with it
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 4096)
+    for (i <- 0 until 256)
+      trainer.addSample(record(i.toString, s"sample body text $i").getBytes("ISO-8859-1"))
+    val dict = trainer.trainSamples()
+    val head = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.putInt(0x184D2A50); head.putInt(dict.length)
+    val archive = head.array() ++ dict ++
+      zstFrame(record("7", "dictionary-compressed"), Some(dict)) ++
+      zstFrame(record("8", "also dictionary-compressed"), Some(dict))
+    val rows = WarcIngest.parseAnyArchive(archive)
+    assert(rows.map(r => (r.docId, r.errorClass)) ==
+      Seq((Some(7L), ""), (Some(8L), "")))
+    // without the dictionary frame the same data frames must NOT decode
+    val noDict = WarcIngest.parseAnyArchive(
+      zstFrame(record("7", "dictionary-compressed"), Some(dict)))
+    assert(noDict.map(_.errorClass) == Seq("zstd_frame"))
+  }
+
+  test("zst: a truncated frame resyncs to the next frame magic") {
+    val f2 = zstFrame(record("2", "cut off mid-frame with some padding to compress away"))
+    val rows = WarcIngest.parseAnyArchive(
+      zstFrame(record("1", "fine")) ++ f2.take(f2.length / 2) ++
+        zstFrame(record("3", "fine after resync")))
+    assert(rows.map(_.errorClass) == Seq("", "zstd_frame", ""))
+    assert(rows(2).docId.contains(3L) && rows(2).text == "fine after resync")
+  }
+
+  test("zst: the expansion cap bounds a decompression bomb without OOM") {
+    val bomb = zstFrame("x" * 1000000)
+    val frames = WarcIngest.zstdFrames(bomb, maxFrameBytes = 1 << 16)
+    assert(frames.size == 1 && !frames.head.intact)
+    assert(frames.head.bytes.length <= (1 << 16) + 8192)
+  }
 }
