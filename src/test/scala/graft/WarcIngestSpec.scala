@@ -226,4 +226,31 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(frames.size == 1 && !frames.head.intact)
     assert(frames.head.bytes.length <= (1 << 16) + 8192)
   }
+
+  test("compression is transparent: plain, gz and zst drops yield IDENTICAL channels at the gate") {
+    // the three staged drops plant the same content faults over the same
+    // corpus; the valid channel AND the overlapping triage classes must
+    // agree row-for-row — a reader that dropped, reordered or mutated one
+    // record under one compression would diverge here
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = TestSpark.Sf0001
+    val (vPlain, _) = WarcIngest.readWithQuarantine(spark,
+      WarcIngest.ensureWarcDrop(spark, dir))
+    val (vGz, qGz) = WarcIngest.readWithQuarantine(spark,
+      WarcIngest.ensureWarcGzDrop(spark, dir))
+    val (vZst, qZst) = WarcIngest.readWithQuarantine(spark,
+      WarcIngest.ensureWarcZstDrop(spark, dir))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    // plain loses the 97s to payload truncation, gz/zst to compression
+    // faults — the surviving valid sets are the same rows
+    assert(rows(vGz) == rows(vZst))
+    assert(rows(vPlain) == rows(vGz))
+    // both compressed triage channels carry the same schema drift set
+    def drift(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"error_class" === "schema_mismatch")
+        .orderBy("target_uri").collect().toSeq
+    assert(drift(qGz) == drift(qZst))
+  }
 }
