@@ -5,7 +5,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding subword tokenization (Sennrich et al. 2016, the
@@ -498,6 +498,95 @@ object Bpe {
       byteLevel: Boolean = false): Column =
     GraftSqlBridge.column(BpeTokenCount(GraftSqlBridge.expression(text), merges, byteLevel))
 
+  /** The trainer-facing output: the document's BPE token ID SEQUENCE
+    * (the counting entries budget; THIS is what a training pipeline
+    * actually emits). Same segmentation, same rank-priority apply, same
+    * memo discipline as [[BpeTokenCount]] — plus a vocabulary id per
+    * subword under a scheme chosen to be SQL-derivable so the DuckDB
+    * oracle can reproduce every id from its own staged emulation:
+    *
+    *  - a BASE symbol (one codepoint) is its codepoint value;
+    *  - a MERGED symbol is `0x110000 + rank` of the lowest-ranked merge
+    *    whose output concatenates to its string (first rank wins if two
+    *    rule paths ever emit the same output) — 0x110000 is one past the
+    *    Unicode ceiling, so the two id spaces cannot collide.
+    *
+    * Dense renumbering is a presentation concern a serving layer can
+    * apply with one dictionary; collision-freedom + derivability are the
+    * contract pinned here. Codepoint model only (the byte-level twin
+    * would id hex pairs the same way). */
+  case class BpeTokenIds(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "bpe_token_ids"
+
+    @transient private lazy val ranks: java.util.HashMap[String, java.lang.Integer] =
+      rankMap(merges)
+    @transient private lazy val mergedIds: java.util.HashMap[String, java.lang.Integer] = {
+      val m = new java.util.HashMap[String, java.lang.Integer](merges.size * 2)
+      merges.iterator.zipWithIndex.foreach { case ((a, b), i) =>
+        m.putIfAbsent(a + b, 0x110000 + i)
+      }
+      m
+    }
+    @transient private lazy val memo =
+      ThreadLocal.withInitial[java.util.HashMap[String, Array[Int]]](
+        () => new java.util.HashMap[String, Array[Int]]())
+
+    private def idsWord(w: String): Array[Int] = {
+      val m = memo.get()
+      val hit = m.get(w)
+      if (hit != null) return hit
+      val syms = encodeFast(symsOf(w), ranks)
+      val out = new Array[Int](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        val merged = mergedIds.get(syms(i))
+        out(i) = if (merged != null) merged.intValue() else syms(i).codePointAt(0)
+        i += 1
+      }
+      if (m.size >= 65536) m.clear()
+      m.put(w, out)
+      out
+    }
+
+    /** Whole-row sequence — public for the generated code's plan
+      * reference, like [[BpeTokenCount.countAll]]. */
+    def idsAll(in: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+      val words = Tokens.segString(in.toString)
+      val parts = new Array[Array[Int]](words.length)
+      var total = 0
+      var wi = 0
+      while (wi < words.length) {
+        parts(wi) = idsWord(words(wi)); total += parts(wi).length; wi += 1
+      }
+      val flat = new Array[Int](total)
+      var o = 0
+      wi = 0
+      while (wi < words.length) {
+        System.arraycopy(parts(wi), 0, flat, o, parts(wi).length)
+        o += parts(wi).length; wi += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(flat)
+    }
+
+    override def nullSafeEval(in: Any): Any = idsAll(in.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bpeIds", this, classOf[BpeTokenIds].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.idsAll($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column form of [[BpeTokenIds]]. */
+  def bpe_token_ids(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeTokenIds(GraftSqlBridge.expression(text), merges))
+
   // --------------------------------------------------------------- oracle
 
   /** `chr(31)`-wrapped symbol string of a word expression — codepoint
@@ -562,7 +651,7 @@ object Bpe {
   /** Apply-emulation CTEs over a word-occurrence CTE `wordsCte(keys…, w)`:
     * `aw0..awN` rewriting each occurrence through the learned rules, then
     * `bpeCounted(keys…, n_bpe)`. */
-  private def applyStages(wordsCte: String, keys: String,
+  private def applyChain(wordsCte: String, keys: String,
       spec: ModelSpec = SpecOracle): Seq[String] = {
     val wrap = wrapOf(spec)
     val aw0 = s"aw0 AS MATERIALIZED (SELECT $keys, ${wrap("w")} AS repr FROM $wordsCte)"
@@ -571,11 +660,16 @@ object Bpe {
          |  SELECT $keys, ${mergeReplace("repr")} AS repr
          |  FROM aw${k - 1} LEFT JOIN bp$k b ON TRUE)""".stripMargin
     }
+    rest.prepended(aw0)
+  }
+
+  private def applyStages(wordsCte: String, keys: String,
+      spec: ModelSpec = SpecOracle): Seq[String] = {
     val counted =
       s"""bpeCounted AS MATERIALIZED (
          |  SELECT $keys, CAST(SUM((length(repr) - length(replace(repr, chr(31), ''))) // 2) AS BIGINT) AS n_bpe
          |  FROM aw$NMerges GROUP BY $keys)""".stripMargin
-    rest.prepended(aw0) :+ counted
+    applyChain(wordsCte, keys, spec) :+ counted
   }
 
   // -------------------------------------------------------------- entries
@@ -660,6 +754,18 @@ object Bpe {
         .select(col("doc_id"), col("n_bpe_pfx"),
           (col("n_full") >= col("n_w") && col("n_full") <= col("n_bpe_pfx"))
             .as("ok"))
+        .orderBy("doc_id")
+    }),
+    // r15: the trainer-facing artifact — per doc, the BPE token ID
+    // SEQUENCE itself (counts budget; sequences ship). n_bpe rides along
+    // from the counting expression, so the oracle cross-pins that the
+    // two expressions agree on segmentation and merge application
+    "text_bpe_ids" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModel(s, d))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          bpe_token_ids(col("text"), merges).as("ids"),
+          bpe_tokens(col("text"), merges).as("n_bpe"))
         .orderBy("doc_id")
     }),
     // the byte-level (GPT-2) variant: a 256-symbol base alphabet covers
@@ -791,10 +897,51 @@ object Bpe {
          |FROM planted d LEFT JOIN bpeCounted t USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
+    val idsSql = {
+      // word occurrences with ORDINALS (the sequence needs order where
+      // the counts only needed sums), each through the apply chain, each
+      // final symbol mapped to its id: merged symbols join the vocab CTE
+      // (output string → 0x110000 + lowest rank, built from the bpk
+      // rows), base symbols fall through to unicode(sym) — exactly
+      // [[BpeTokenIds]]'s scheme
+      val words =
+        s"""(SELECT doc_id, wi, t[wi] AS w FROM (
+           |   SELECT doc_id, t, unnest(generate_series(1, len(t))) AS wi
+           |   FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM documents) _) _) _""".stripMargin
+      val vocabRows = (1 to NMerges)
+        .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
+        .mkString("\nUNION ALL\n")
+      val ctes = trainCtes(SpecOracle) ++ applyChain(words, "doc_id, wi")
+      s"""WITH ${ctes.mkString(",\n")},
+         |vocab AS MATERIALIZED (
+         |  SELECT sym, 1114112 + MIN(rank) - 1 AS id
+         |  FROM ($vocabRows) GROUP BY sym),
+         |toks AS (
+         |  SELECT doc_id, wi, j, s[j] AS sym FROM (
+         |    SELECT doc_id, wi, s, unnest(generate_series(1, len(s))) AS j FROM (
+         |      SELECT doc_id, wi,
+         |             list_transform(string_split(repr, chr(31)||chr(31)),
+         |                            x -> trim(x, chr(31))) AS s
+         |      FROM aw$NMerges) _) _),
+         |seq AS (
+         |  SELECT doc_id,
+         |         list(CAST(COALESCE(v.id, unicode(t.sym)) AS INT)
+         |              ORDER BY t.wi, t.j) AS ids
+         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE COALESCE(s.ids, CAST([] AS INT[])) END AS ids,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE CAST(COALESCE(len(s.ids), 0) AS BIGINT) END AS n_bpe
+         |FROM documents d LEFT JOIN seq s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
     Seq("text_tokens_bpe" -> tokensSql, "chunk_pack_bpe" -> packSql,
       "sample_token_budget_bpe" -> budgetSql, "text_bpe_vocab" -> vocabSql,
       "text_bpe_vocab_large" -> vocabLargeSql,
       "text_tokens_bpe_large" -> tokensLargeSql,
-      "text_tokens_bpe_bytes" -> tokensBytesSql)
+      "text_tokens_bpe_bytes" -> tokensBytesSql,
+      "text_bpe_ids" -> idsSql)
   }
 }

@@ -154,4 +154,45 @@ class BpeSpec extends AnyFunSuite {
     // (subword counts exceed word counts on this corpus's unseen words)
     assert(byWords != byBpe)
   }
+
+  test("token ID sequences are LOSSLESS and consistent with the counts (r15)") {
+    // decode = merged id → the merge's output string, base id → its
+    // codepoint; per word the decoded subwords must concatenate back to
+    // the word EXACTLY (the property that makes ids trainable artifacts
+    // rather than summaries), and the sequence length must equal what
+    // the counting expression budgets
+    val dir = Bpe.ensureModel(spark, TestSpark.Sf0001)
+    val merges = Bpe.loadMerges(spark, dir)
+    val idsExpr = Bpe.BpeTokenIds(org.apache.spark.sql.GraftSqlBridge
+      .expression(col("text")), merges)
+    val outputs = merges.map { case (a, b) => a + b }
+    def decode(id: Int): String =
+      if (id >= 0x110000) outputs(id - 0x110000)
+      else new String(Character.toChars(id))
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"),
+        Bpe.bpe_token_ids(col("text"), merges).as("ids"),
+        Bpe.bpe_tokens(col("text"), merges).as("n"),
+        col("text"))
+      .collect()
+    assert(docs.nonEmpty)
+    var mergedSeen = 0L
+    docs.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val ids = r.getSeq[Int](1)
+        assert(ids.length.toLong == r.getLong(2),
+          s"doc ${r.getLong(0)}: ids.length != n_bpe")
+        mergedSeen += ids.count(_ >= 0x110000)
+        // lossless: decoding the whole sequence reconstructs the text's
+        // word stream (segmentation drops separators, so compare to the
+        // segmented words joined)
+        val rebuilt = ids.map(decode).mkString
+        assert(rebuilt == graft.ops.Tokens.segString(r.getString(3)).mkString,
+          s"doc ${r.getLong(0)}: decode(ids) != words")
+      } else assert(r.isNullAt(1) && r.isNullAt(2))
+    }
+    // the model must actually FIRE on this corpus — otherwise the test
+    // only proves the base-codepoint arm
+    assert(mergedSeen > 0, "no merged ids on the whole corpus")
+  }
 }
