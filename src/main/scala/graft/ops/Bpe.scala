@@ -513,19 +513,27 @@ object Bpe {
     *
     * Dense renumbering is a presentation concern a serving layer can
     * apply with one dictionary; collision-freedom + derivability are the
-    * contract pinned here. Codepoint model only (the byte-level twin
-    * would id hex pairs the same way). */
-  case class BpeTokenIds(child: Expression, merges: Seq[(String, String)])
+    * contract pinned here.
+    *
+    * Byte-level twin (`byteLevel = true`, the GPT-2-shaped production
+    * contract): base symbols are the 256 bytes (id = the byte value —
+    * GPT-2's own base id assignment before its permutation table),
+    * merged symbols are `256 + rank`. */
+  case class BpeTokenIds(child: Expression, merges: Seq[(String, String)],
+      byteLevel: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "bpe_token_ids"
 
     @transient private lazy val ranks: java.util.HashMap[String, java.lang.Integer] =
       rankMap(merges)
+    @transient private lazy val symsFn: String => Array[String] =
+      if (byteLevel) symsOfBytes else symsOf
+    private def mergedBase: Int = if (byteLevel) 256 else 0x110000
     @transient private lazy val mergedIds: java.util.HashMap[String, java.lang.Integer] = {
       val m = new java.util.HashMap[String, java.lang.Integer](merges.size * 2)
       merges.iterator.zipWithIndex.foreach { case ((a, b), i) =>
-        m.putIfAbsent(a + b, 0x110000 + i)
+        m.putIfAbsent(a + b, mergedBase + i)
       }
       m
     }
@@ -533,16 +541,19 @@ object Bpe {
       ThreadLocal.withInitial[java.util.HashMap[String, Array[Int]]](
         () => new java.util.HashMap[String, Array[Int]]())
 
+    private def baseId(sym: String): Int =
+      if (byteLevel) Integer.parseInt(sym, 16) else sym.codePointAt(0)
+
     private def idsWord(w: String): Array[Int] = {
       val m = memo.get()
       val hit = m.get(w)
       if (hit != null) return hit
-      val syms = encodeFast(symsOf(w), ranks)
+      val syms = encodeFast(symsFn(w), ranks)
       val out = new Array[Int](syms.length)
       var i = 0
       while (i < syms.length) {
         val merged = mergedIds.get(syms(i))
-        out(i) = if (merged != null) merged.intValue() else syms(i).codePointAt(0)
+        out(i) = if (merged != null) merged.intValue() else baseId(syms(i))
         i += 1
       }
       if (m.size >= 65536) m.clear()
@@ -584,8 +595,10 @@ object Bpe {
   }
 
   /** Column form of [[BpeTokenIds]]. */
-  def bpe_token_ids(text: Column, merges: Seq[(String, String)]): Column =
-    GraftSqlBridge.column(BpeTokenIds(GraftSqlBridge.expression(text), merges))
+  def bpe_token_ids(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    GraftSqlBridge.column(
+      BpeTokenIds(GraftSqlBridge.expression(text), merges, byteLevel))
 
   // --------------------------------------------------------------- oracle
 
@@ -768,6 +781,17 @@ object Bpe {
           bpe_tokens(col("text"), merges).as("n_bpe"))
         .orderBy("doc_id")
     }),
+    // r15: ids under the byte-level model over the planted multiscript
+    // corpus — every UTF-8 string coverable, base id = byte value,
+    // merged id = 256 + rank (the GPT-2-shaped contract)
+    "text_bpe_ids_bytes" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModelBytes(s, d))
+      plantMultiscript(Tables.load(s, d, "documents"))
+        .select(col("doc_id"),
+          bpe_token_ids(col("text"), merges, byteLevel = true).as("ids"),
+          bpe_tokens(col("text"), merges, byteLevel = true).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
     // the byte-level (GPT-2) variant: a 256-symbol base alphabet covers
     // EVERY UTF-8 string. The ASCII corpus gets the multiscript plant
     // ([[plantMultiscript]] — train AND apply see it), so the model
@@ -937,11 +961,54 @@ object Bpe {
          |FROM documents d LEFT JOIN seq s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
+    val idsBytesSql = {
+      // byte-level ids: the same ordinal apply chain on hex-pair symbols
+      // over the PLANTED table; base ids come from a generated 256-row
+      // byte table (id = byte value, sym = its 2-char uppercase hex),
+      // merged ids are 256 + lowest producing rank
+      val words =
+        s"""(SELECT doc_id, wi, t[wi] AS w FROM (
+           |   SELECT doc_id, t, unnest(generate_series(1, len(t))) AS wi
+           |   FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM planted) _) _) _""".stripMargin
+      val vocabRows = (1 to NMerges)
+        .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
+        .mkString("\nUNION ALL\n")
+      val ctes = trainCtes(SpecBytes) ++ applyChain(words, "doc_id, wi", SpecBytes)
+      s"""WITH ${ctes.mkString(",\n")},
+         |vocab AS MATERIALIZED (
+         |  SELECT sym, 256 + MIN(rank) - 1 AS id
+         |  FROM ($vocabRows) GROUP BY sym),
+         |base AS MATERIALIZED (
+         |  SELECT lpad(upper(to_hex(i)), 2, '0') AS sym, i AS id
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)),
+         |toks AS (
+         |  SELECT doc_id, wi, j, s[j] AS sym FROM (
+         |    SELECT doc_id, wi, s, unnest(generate_series(1, len(s))) AS j FROM (
+         |      SELECT doc_id, wi,
+         |             list_transform(string_split(repr, chr(31)||chr(31)),
+         |                            x -> trim(x, chr(31))) AS s
+         |      FROM aw$NMerges) _) _),
+         |seq AS (
+         |  SELECT doc_id,
+         |         list(CAST(COALESCE(v.id, b.id) AS INT)
+         |              ORDER BY t.wi, t.j) AS ids
+         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym
+         |              LEFT JOIN base b ON b.sym = t.sym
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE COALESCE(s.ids, CAST([] AS INT[])) END AS ids,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE CAST(COALESCE(len(s.ids), 0) AS BIGINT) END AS n_bpe
+         |FROM planted d LEFT JOIN seq s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
     Seq("text_tokens_bpe" -> tokensSql, "chunk_pack_bpe" -> packSql,
       "sample_token_budget_bpe" -> budgetSql, "text_bpe_vocab" -> vocabSql,
       "text_bpe_vocab_large" -> vocabLargeSql,
       "text_tokens_bpe_large" -> tokensLargeSql,
       "text_tokens_bpe_bytes" -> tokensBytesSql,
-      "text_bpe_ids" -> idsSql)
+      "text_bpe_ids" -> idsSql,
+      "text_bpe_ids_bytes" -> idsBytesSql)
   }
 }

@@ -195,4 +195,35 @@ class BpeSpec extends AnyFunSuite {
     // only proves the base-codepoint arm
     assert(mergedSeen > 0, "no merged ids on the whole corpus")
   }
+
+  test("byte-level token IDs are lossless through UTF-8 (r15)") {
+    // base id = the byte value, merged id = 256 + rank; decoding to a
+    // byte stream and re-reading as UTF-8 must rebuild the word stream
+    // even across the planted CJK/URL text where codepoints span bytes
+    val dir = Bpe.ensureModelBytes(spark, TestSpark.Sf0001)
+    val merges = Bpe.loadMerges(spark, dir)
+    val outputs = merges.map { case (a, b) => a + b }
+    def bytesOf(id: Int): Array[Byte] =
+      if (id >= 256) outputs(id - 256).grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      else Array(id.toByte)
+    val docs = Bpe.plantMultiscript(
+      Tables.load(spark, TestSpark.Sf0001, "documents"))
+      .select(col("doc_id"),
+        Bpe.bpe_token_ids(col("text"), merges, byteLevel = true).as("ids"),
+        col("text"))
+      .collect()
+    var planted = 0
+    docs.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val ids = r.getSeq[Int](1)
+        val rebuilt = new String(ids.toArray.flatMap(bytesOf),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val words = graft.ops.Tokens.segString(r.getString(2)).mkString
+        assert(rebuilt == words, s"doc ${r.getLong(0)}: byte decode != words")
+        if (r.getString(2).contains("学习")) planted += 1
+      }
+    }
+    assert(planted > 0, "the multiscript plant never reached the test")
+  }
 }
