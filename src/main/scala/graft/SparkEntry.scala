@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.Corpus.queries ++
       graft.sources.JsonlIngest.entries ++
+      graft.sources.CsvIngest.entries ++
       graft.sources.WarcIngest.entries ++
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
@@ -44,6 +45,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (graft.queries.Corpus.oracleSql ++
       graft.sources.JsonlIngest.oracle ++
+      graft.sources.CsvIngest.oracle ++
       graft.sources.WarcIngest.oracle ++
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++

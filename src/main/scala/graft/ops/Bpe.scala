@@ -600,6 +600,94 @@ object Bpe {
     GraftSqlBridge.column(
       BpeTokenIds(GraftSqlBridge.expression(text), merges, byteLevel))
 
+  /** Detokenization — the inverse of [[BpeTokenIds]]'s id assignment:
+    * rebuild the document's WORD STREAM (the concatenation of its
+    * [[Tokens.segString]] words — inter-word separators are not
+    * tokenized, so they are not recoverable) from an id sequence. The
+    * pipeline op behind sample inspection, contamination spot-checks,
+    * and serving-side round-trip audits; as a gate entry it pins the
+    * whole encode→decode chain against an oracle that derives the
+    * expected string STRAIGHT from the text (word concat) — any drift
+    * in segmentation, id assignment, or this inverse mismatches.
+    *
+    *  - codepoint model: id < 0x110000 is the codepoint itself; else
+    *    `merges(id − 0x110000)`'s concatenated output;
+    *  - byte-level model: id < 256 is the byte value; else
+    *    `merges(id − 256)`'s output hex string — all output bytes are
+    *    buffered and decoded as ONE UTF-8 string at the end, so a
+    *    multi-byte codepoint split across ids (CJK under a small table)
+    *    reassembles correctly;
+    *  - an id outside both ranges decodes to U+FFFD (never throws — a
+    *    corrupt sequence degrades visibly, the quarantine convention).
+    *
+    * Map-side, zero exchanges, same plan-broadcast merge-table contract
+    * as the scoring expressions. */
+  case class BpeDecodeIds(child: Expression, merges: Seq[(String, String)],
+      byteLevel: Boolean = false)
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "bpe_decode_ids"
+
+    private def mergedBase: Int = if (byteLevel) 256 else 0x110000
+    @transient private lazy val mergedStr: Array[String] =
+      merges.iterator.map { case (a, b) => a + b }.toArray
+
+    /** Whole-sequence decode — public for the generated code's plan
+      * reference, like [[BpeTokenIds.idsAll]]. */
+    def decodeAll(in: Any): UTF8String = {
+      val ids = in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = ids.numElements()
+      if (byteLevel) {
+        val bytes = new java.io.ByteArrayOutputStream(n * 2)
+        var i = 0
+        while (i < n) {
+          val id = ids.getInt(i)
+          if (id >= 0 && id < 256) bytes.write(id)
+          else if (id >= mergedBase && id - mergedBase < mergedStr.length) {
+            val hx = mergedStr(id - mergedBase)
+            var j = 0
+            while (j < hx.length) {
+              bytes.write(Integer.parseInt(hx.substring(j, j + 2), 16)); j += 2
+            }
+          } else bytes.write("�".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          i += 1
+        }
+        UTF8String.fromString(
+          new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } else {
+        val sb = new java.lang.StringBuilder(n * 2)
+        var i = 0
+        while (i < n) {
+          val id = ids.getInt(i)
+          if (id >= 0 && id < 0x110000) sb.appendCodePoint(id)
+          else if (id >= mergedBase && id - mergedBase < mergedStr.length)
+            sb.append(mergedStr(id - mergedBase))
+          else sb.append('�')
+          i += 1
+        }
+        UTF8String.fromString(sb.toString)
+      }
+    }
+
+    override def nullSafeEval(in: Any): Any = decodeAll(in)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bpeDecode", this, classOf[BpeDecodeIds].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.decodeAll($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column form of [[BpeDecodeIds]]. */
+  def bpe_decode_ids(ids: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    GraftSqlBridge.column(
+      BpeDecodeIds(GraftSqlBridge.expression(ids), merges, byteLevel))
+
   // --------------------------------------------------------------- oracle
 
   /** `chr(31)`-wrapped symbol string of a word expression — codepoint
@@ -790,6 +878,32 @@ object Bpe {
         .select(col("doc_id"),
           bpe_token_ids(col("text"), merges, byteLevel = true).as("ids"),
           bpe_tokens(col("text"), merges, byteLevel = true).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+    // r15: the round trip AT THE GATE — text → ids → decode must rebuild
+    // the word stream exactly. The oracle derives the expected string
+    // straight from the text (word concat, no BPE at all), so the two
+    // engines reach the same value by COMPLETELY different routes: any
+    // fault in segmentation, merge application, id assignment, or the
+    // inverse mapping mismatches here
+    "text_bpe_decode" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModel(s, d))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          bpe_decode_ids(bpe_token_ids(col("text"), merges), merges)
+            .as("decoded"))
+        .orderBy("doc_id")
+    }),
+    // r15: the byte-level round trip over the planted multiscript corpus —
+    // UTF-8 losslessness at the gate: CJK codepoints split across byte ids
+    // must reassemble exactly (the spec pins this in-memory; this pins it
+    // on the corpus against the independent oracle derivation)
+    "text_bpe_decode_bytes" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModelBytes(s, d))
+      plantMultiscript(Tables.load(s, d, "documents"))
+        .select(col("doc_id"),
+          bpe_decode_ids(bpe_token_ids(col("text"), merges, byteLevel = true),
+            merges, byteLevel = true).as("decoded"))
         .orderBy("doc_id")
     }),
     // the byte-level (GPT-2) variant: a 256-symbol base alphabet covers
@@ -1003,12 +1117,29 @@ object Bpe {
          |FROM planted d LEFT JOIN seq s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
+    // the decode oracles derive the expected string STRAIGHT from the
+    // text — the round trip's whole point: no training emulation, no
+    // apply chain; the engine's encode→decode must land back on the
+    // plain word concat (array_to_string of the shared segmentation)
+    val decodeSql =
+      s"""SELECT doc_id,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE array_to_string(${Tokens.duckToks("text")}, '') END AS decoded
+         |FROM documents ORDER BY doc_id""".stripMargin
+    val decodeBytesSql =
+      s"""WITH $plantedCte
+         |SELECT doc_id,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE array_to_string(${Tokens.duckToks("text")}, '') END AS decoded
+         |FROM planted ORDER BY doc_id""".stripMargin
     Seq("text_tokens_bpe" -> tokensSql, "chunk_pack_bpe" -> packSql,
       "sample_token_budget_bpe" -> budgetSql, "text_bpe_vocab" -> vocabSql,
       "text_bpe_vocab_large" -> vocabLargeSql,
       "text_tokens_bpe_large" -> tokensLargeSql,
       "text_tokens_bpe_bytes" -> tokensBytesSql,
       "text_bpe_ids" -> idsSql,
-      "text_bpe_ids_bytes" -> idsBytesSql)
+      "text_bpe_ids_bytes" -> idsBytesSql,
+      "text_bpe_decode" -> decodeSql,
+      "text_bpe_decode_bytes" -> decodeBytesSql)
   }
 }

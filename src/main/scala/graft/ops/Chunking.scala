@@ -90,9 +90,17 @@ object Chunking {
     * input is persisted between the passes, so the explode/sort runs
     * once. Output is invariant to where the range boundaries fall — the
     * running sum depends only on the global order, so the range
-    * partitioner's sampled bounds cannot perturb results. */
+    * partitioner's sampled bounds cannot perturb results.
+    *
+    * `leadCol` (r15) names an optional per-row LEADING cost charged
+    * before the row's own tokens — the separator-token hook: a trainer
+    * that packs documents with an EOS/boundary token between them
+    * budgets it here (see `chunk_pack_eos`), and the row's seq position
+    * accounts for the separator preceding its text. Charged into both
+    * prefix-sum passes, so sequences still hold ~capacity tokens
+    * INCLUDING separators. */
   def packChunks(chunks: DataFrame, capacity: Int = 4096,
-      tokCol: String = "chunk_tokens"): DataFrame = {
+      tokCol: String = "chunk_tokens", leadCol: Option[String] = None): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val spark = chunks.sparkSession
     val keys = Seq(col("doc_id"), col("chunk_id"))
@@ -105,20 +113,26 @@ object Chunking {
     // by default, a subword count (chunk_pack_bpe) when the trainer's
     // budget is tokenizer-accurate
     val tokAt = schema.fieldIndex(tokCol)
-    // pass 1: one subtotal per partition
+    val leadAt = leadCol.map(schema.fieldIndex).getOrElse(-1)
+    // pass 1: one subtotal per partition (row cost = lead + tokens)
     val subtotals = sorted.queryExecution.toRdd
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L
-        it.foreach(r => s += r.getLong(tokAt))
+        it.foreach { r =>
+          if (leadAt >= 0) s += r.getLong(leadAt)
+          s += r.getLong(tokAt)
+        }
         Iterator.single(i -> s)
       }.collect().sortBy(_._1).map(_._2)
     val prefixes = subtotals.scanLeft(0L)(_ + _)
     val prefixB = spark.sparkContext.broadcast(prefixes)
     val cap = capacity.toLong
-    // pass 2: stream with the partition's starting offset
+    // pass 2: stream with the partition's starting offset; the leading
+    // cost lands BEFORE the row's position is assigned
     val packed = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (i, it) =>
       var cum = prefixB.value(i)
       it.map { r =>
+        if (leadAt >= 0) cum += r.getLong(leadAt)
         val t = r.getLong(tokAt)
         val out = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
           r.copy(),
@@ -192,6 +206,20 @@ object Chunking {
       packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
         .select("doc_id", "chunk_id", "chunk_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")),
+    // r15: packing with a document separator — one EOS-style boundary
+    // token charged at each document's FIRST chunk (the between-documents
+    // separator of GPT-2-lineage packing: map-side detectable from
+    // chunk_id = 0 alone, where last-chunk detection would need the doc
+    // length). The separator participates in the budget, so sequences
+    // hold ~capacity tokens INCLUDING boundaries, and every chunk's
+    // seq_offset accounts for the separators preceding it
+    "chunk_pack_eos" -> ((s, d) => {
+      val ch = chunk(Tables.load(s, d, "documents"))
+        .withColumn("eos", when(col("chunk_id") === 0, 1L).otherwise(0L))
+      packChunks(ch, capacity = 256, leadCol = Some("eos"))
+        .select("doc_id", "chunk_id", "chunk_tokens", "eos", "seq_id", "seq_offset")
+        .orderBy("doc_id", "chunk_id")
+    }),
     // the sequence manifest (seq_id, n_chunks) sharded for training
     "chunk_shards" -> ((s, d) => {
       val packed = packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
@@ -242,6 +270,36 @@ object Chunking {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |  FROM ch)
         |SELECT doc_id, chunk_id, chunk_tokens,
+        |       CAST(cb // 256 AS BIGINT) AS seq_id,
+        |       CAST(cb % 256 AS BIGINT) AS seq_offset
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+    // same chunk derivation; the separator is SQL's CASE on chunk_id = 0,
+    // the running sum charges (eos + tokens) per row, and the current
+    // row's OWN eos lands before its position — mirroring pass 2's
+    // cum += lead before the assignment
+    "chunk_pack_eos" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         CAST(s // 24 AS BIGINT) AS chunk_id,
+        |         CAST(least(32, n - s) AS BIGINT) AS chunk_tokens
+        |  FROM (SELECT doc_id, t, len(t) AS n,
+        |               unnest(generate_series(0, len(t) - 1, 24)) AS s
+        |        FROM (SELECT doc_id,
+        |                     list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
+        |                                 x -> length(x) > 0) AS t
+        |              FROM documents)
+        |        WHERE len(t) > 0)),
+        |e AS (
+        |  SELECT doc_id, chunk_id, chunk_tokens,
+        |         CAST(CASE WHEN chunk_id = 0 THEN 1 ELSE 0 END AS BIGINT) AS eos
+        |  FROM ch),
+        |w AS (
+        |  SELECT doc_id, chunk_id, chunk_tokens, eos,
+        |         COALESCE(SUM(chunk_tokens + eos) OVER (
+        |           ORDER BY doc_id, chunk_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + eos AS cb
+        |  FROM e)
+        |SELECT doc_id, chunk_id, chunk_tokens, eos,
         |       CAST(cb // 256 AS BIGINT) AS seq_id,
         |       CAST(cb % 256 AS BIGINT) AS seq_offset
         |FROM w ORDER BY doc_id, chunk_id""".stripMargin,

@@ -226,4 +226,50 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(planted > 0, "the multiscript plant never reached the test")
   }
+
+  test("BpeDecodeIds inverts BpeTokenIds on both alphabets (r15)") {
+    // the ENGINE-side inverse (the entries' round trip runs through it):
+    // encode → decode must land on the segmented word concat for the
+    // codepoint model on the raw corpus and the byte-level model on the
+    // planted multiscript corpus (codepoints split across byte ids)
+    val cp = Bpe.loadMerges(spark, Bpe.ensureModel(spark, TestSpark.Sf0001))
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    docs.select(col("doc_id"), col("text"),
+      Bpe.bpe_decode_ids(Bpe.bpe_token_ids(col("text"), cp), cp).as("dec"))
+      .collect().foreach { r =>
+        if (r.isNullAt(1)) assert(r.isNullAt(2), "null text must decode null")
+        else assert(r.getString(2) ==
+          graft.ops.Tokens.segString(r.getString(1)).mkString,
+          s"doc ${r.getLong(0)}: expression decode != words")
+      }
+    val by = Bpe.loadMerges(spark, Bpe.ensureModelBytes(spark, TestSpark.Sf0001))
+    Bpe.plantMultiscript(docs)
+      .select(col("doc_id"), col("text"),
+        Bpe.bpe_decode_ids(Bpe.bpe_token_ids(col("text"), by, byteLevel = true),
+          by, byteLevel = true).as("dec"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(1))
+          assert(r.getString(2) ==
+            graft.ops.Tokens.segString(r.getString(1)).mkString,
+            s"doc ${r.getLong(0)}: byte expression decode != words")
+      }
+  }
+
+  test("BpeDecodeIds degrades corrupt ids to U+FFFD, never throws (r15)") {
+    import org.apache.spark.sql.types._
+    val merges = Seq(("a", "b"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq(-1, 0x110000 + 5, 97)),
+        org.apache.spark.sql.Row(null)),
+      StructType(Seq(StructField("ids", ArrayType(IntegerType)))))
+    val got = df.select(Bpe.bpe_decode_ids(col("ids"), merges)).collect()
+    // -1 and rank-5-of-a-1-rule-table are outside both id spaces
+    assert(got(0).getString(0) == "��a")
+    assert(got(1).isNullAt(0), "null ids must decode null")
+    val bg = df.select(Bpe.bpe_decode_ids(col("ids"), merges, byteLevel = true))
+      .collect()
+    assert(bg(0).getString(0) == "��a",
+      "byte-level corrupt ids must degrade identically")
+  }
 }

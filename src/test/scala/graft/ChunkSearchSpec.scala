@@ -404,6 +404,43 @@ class ChunkSearchSpec extends AnyFunSuite {
     assert(packed.agg(sum("chunk_tokens")).as[Long].head() === total)
   }
 
+  test("packChunks leadCol charges the separator before the row's position (r15)") {
+    // EOS packing: one boundary token at each document's first chunk —
+    // verify against the window formulation with cost = eos + tokens and
+    // the current row's own eos landing before its assignment
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Chunking.chunk(
+      Tables.load(spark, TestSpark.Sf0001, "documents"))
+      .withColumn("eos", when(col("chunk_id") === 0, 1L).otherwise(0L))
+    val got = Chunking.packChunks(chunks, capacity = 100, leadCol = Some("eos"))
+      .select("doc_id", "chunk_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = chunks
+      .withColumn("cb",
+        coalesce(sum(col("chunk_tokens") + col("eos")).over(w), lit(0L))
+          + col("eos"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("cb") / 100).cast("long").as("seq_id"),
+        (col("cb") % 100).as("seq_offset"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    // the very first chunk sits at offset 1: the corpus-leading separator
+    // occupies offset 0 (the between-documents contract, charged ahead)
+    val first = got.minBy { case (d, c, _, _) => (d, c) }
+    assert(first._3 == 0L && first._4 == 1L,
+      s"first chunk must pack at (seq 0, offset 1), got $first")
+    // separators participate in the budget: totals differ from plain
+    // packing by exactly the number of documents with ≥ 1 chunk
+    val nDocs = chunks.select("doc_id").distinct().count()
+    val plain = Chunking.packChunks(chunks, capacity = 100)
+      .agg(sum("chunk_tokens")).as[Long].head()
+    val eosTotal = chunks.agg(sum(col("chunk_tokens") + col("eos")))
+      .as[Long].head()
+    assert(eosTotal === plain + nDocs)
+  }
+
   // ---- curated chunk output ----------------------------------------
 
   test("curateToChunks emits windows for exactly the kept train documents") {

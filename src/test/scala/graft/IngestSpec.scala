@@ -108,4 +108,96 @@ class IngestSpec extends AnyFunSuite {
     val again = JsonlIngest.ensureJsonlDrop(spark, TestSpark.Sf0001)
     assert(again == dir && f.lastModified() == before)
   }
+
+  // ---- CSV drop (r15) ------------------------------------------------
+
+  test("CSV quarantine catches exactly the planted corruptions; quoting round-trips") {
+    import graft.sources.CsvIngest
+    val dir = CsvIngest.ensureCsvDrop(spark, TestSpark.Sf0001)
+    val (valid, quarantine) = CsvIngest.readWithQuarantine(spark, dir)
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val truncated = docs.filter(col("doc_id") % 97 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val mangled = docs.filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(truncated.nonEmpty && mangled.nonEmpty)
+    val validRows = valid.select("doc_id", "text").as[(Long, String)].collect()
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    assert(validRows.map(_._1).toSet == allIds -- truncated -- mangled)
+    // univocity must hand back EXACTLY the sanitized planted text: quote
+    // stripping, ""-unescaping, and the newline sanitization all fire on
+    // the %7 plant rows
+    val expected = docs
+      .withColumn("planted",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(CsvIngest.PlantSnippet)))
+          .otherwise(col("text")))
+      .select(col("doc_id"), translate(col("planted"), "\r\n", "  ").as("t"))
+      .as[(Long, String)].collect().toMap
+    validRows.foreach { case (id, t) =>
+      assert(t == expected(id), s"doc $id: parsed text != rendered text")
+    }
+    val plantSeen = validRows.filter(r => r._1 % 7 == 0 && r._1 % 97 != 0 && r._1 % 89 != 0)
+    assert(plantSeen.nonEmpty, "no planted quote/comma rows reached the valid channel")
+    plantSeen.foreach { case (id, t) =>
+      assert(t.contains("\"well,") && !t.contains("\n"),
+        s"doc $id: plant must keep the quote+comma and lose the newline")
+    }
+    // conservation
+    assert(validRows.length + quarantine.count() == allIds.size)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("CSV triage: truncated vs schema_mismatch from the grammar; sha256 fingerprints") {
+    import graft.sources.CsvIngest
+    val dir = CsvIngest.ensureCsvDrop(spark, TestSpark.Sf0001)
+    val (_, quarantine) = CsvIngest.readWithQuarantine(spark, dir)
+    val rows = CsvIngest.classifyQuarantine(quarantine)
+      .as[(String, String, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (raw, fp, cls) =>
+      val expected = if (raw.startsWith("id-")) "schema_mismatch" else "truncated"
+      assert(cls == expected, s"class of $raw")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == hex)
+    }
+    assert(rows.map(_._3).toSet == Set("schema_mismatch", "truncated"))
+    // U+FFFD precedence, same contract as the JSONL classifier
+    val q = Seq("1,\"ab�", "2,\"ab").toDF("raw")
+    assert(CsvIngest.classifyQuarantine(q)
+      .select("error_class").as[String].collect().toSeq
+      == Seq("invalid_utf8", "truncated"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("univocity pins: unterminated quote runs to EOL (2 tokens), drift casts fail") {
+    import graft.sources.CsvIngest
+    // the oracle's grammar-based validity relies on these two univocity
+    // behaviors — pin them on in-memory lines so a Spark upgrade that
+    // changes either fails HERE, not at the gate
+    val lines = Seq(
+      "5,\"abc def",          // unterminated quote: 2 tokens → quarantined
+      "6,\"ab,cd",            // comma inside the unclosed quote stays literal
+      "id-7,\"x\",en",        // grammar-valid, doc_id cast fails → quarantined
+      "8,\"ok, \"\"q\"\"\",en") // intact: quoted comma + doubled quote
+    val ds = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+    val withCorrupt = CsvIngest.dropSchema
+      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("escape", "\"")
+      .csv(ds)
+      .collect()
+    val byFirst = parsed.map(r => lines.find(l => r.getString(3) == l || (r
+      .isNullAt(3) && !r.isNullAt(0) && l.startsWith(r.getLong(0).toString + ","))).get -> r).toMap
+    assert(!byFirst(lines(0)).isNullAt(3), "unterminated quote must quarantine")
+    assert(!byFirst(lines(1)).isNullAt(3), "unterminated quote with comma must quarantine")
+    assert(!byFirst(lines(2)).isNullAt(3), "doc_id drift must quarantine")
+    val ok = byFirst(lines(3))
+    assert(ok.isNullAt(3) && ok.getLong(0) == 8L && ok.getString(1) == "ok, \"q\""
+      && ok.getString(2) == "en")
+  }
 }
