@@ -547,6 +547,43 @@ object EventStreams {
     runToTable(parsed, OutputMode.Append())
   }
 
+  /** Streaming CSV ingestion (r15) — the CSV drop's always-on twin,
+    * the [[ingestJsonl]] contract verbatim: same imposed schema, same
+    * PERMISSIVE parse with escape = quote (RFC 4180 doubled quotes),
+    * stateless per-line, both channels through one bronze sink. The
+    * bounded replay's valid channel shares `ingest_csv`'s oracle. */
+  def ingestCsv(spark: SparkSession, dir: String): DataFrame =
+    streamedCsvDropSink(spark, dir)
+      .filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "lang").orderBy("doc_id")
+
+  /** Streaming CSV triage twin — the BATCH classifier over the bronze
+    * sink's quarantine channel (map-side, one definition, two arrival
+    * modes). Shares `ingest_csv_triage`'s oracle. */
+  def ingestCsvTriage(spark: SparkSession, dir: String): DataFrame = {
+    val quarantine = streamedCsvDropSink(spark, dir)
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    graft.sources.CsvIngest.classifyQuarantine(quarantine).orderBy("raw")
+  }
+
+  /** One PERMISSIVE CSV parse definition for both streaming entries —
+    * options mirrored from [[graft.sources.CsvIngest.readWithQuarantine]]
+    * (diverging options would silently split the twins' contracts). */
+  private def streamedCsvDropSink(spark: SparkSession, dir: String): DataFrame = {
+    val drop = graft.sources.CsvIngest.ensureCsvDrop(spark, dir)
+    val withCorrupt = graft.sources.CsvIngest.dropSchema
+      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val parsed = spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("escape", "\"")
+      .csv(drop)
+    runToTable(parsed, OutputMode.Append())
+  }
+
   /** Streaming crawl→chunks COMPOSITION — the always-on form of the batch
     * whole-path gate `e2e_crawl_to_chunks`: WARC archives LAND as files
     * in a monitored drop directory (`binaryFile` file-stream source) and
@@ -650,6 +687,8 @@ object EventStreams {
     "stream_incr_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "stream_ingest_jsonl" -> ((s, d) => ingestJsonl(s, d)),
     "stream_ingest_triage" -> ((s, d) => ingestJsonlTriage(s, d)),
+    "stream_ingest_csv" -> ((s, d) => ingestCsv(s, d)),
+    "stream_ingest_csv_triage" -> ((s, d) => ingestCsvTriage(s, d)),
     "stream_postings" -> ((s, d) => streamPostings(s, d)),
     "stream_importance" -> ((s, d) => importanceScoring(s, d)),
     "stream_fluency" -> ((s, d) => fluencyScoring(s, d)),
@@ -704,6 +743,12 @@ object EventStreams {
       graft.sources.JsonlIngest.oracle.toMap.apply("ingest_jsonl"),
     "stream_ingest_triage" ->
       graft.sources.JsonlIngest.oracle.toMap.apply("ingest_jsonl_triage"),
+    // the CSV drop's twins: stateless per-line parse, bounded replay ≡
+    // the batch read → both share the batch oracles
+    "stream_ingest_csv" ->
+      graft.sources.CsvIngest.oracle.toMap.apply("ingest_csv"),
+    "stream_ingest_csv_triage" ->
+      graft.sources.CsvIngest.oracle.toMap.apply("ingest_csv_triage"),
     // bounded replay appends every document exactly once, so the probe
     // equals keywordTopK over the whole corpus -- the SAME SQL as the
     // scan entry (shared by reference: scoring drift moves all three of

@@ -200,4 +200,18 @@ class IngestSpec extends AnyFunSuite {
     assert(ok.isNullAt(3) && ok.getLong(0) == 8L && ok.getString(1) == "ok, \"q\""
       && ok.getString(2) == "en")
   }
+
+  test("streaming CSV ingest equals the batch channels (oracle-independent)") {
+    val batch = SparkEntry.queries("ingest_csv")(spark, TestSpark.Sf0001)
+      .as[(Long, String, String)].collect().toSet
+    val stream = SparkEntry.queries("stream_ingest_csv")(spark, TestSpark.Sf0001)
+      .as[(Long, String, String)].collect().toSet
+    assert(stream == batch && batch.nonEmpty)
+    val batchT = SparkEntry.queries("ingest_csv_triage")(spark, TestSpark.Sf0001)
+      .as[(String, String, String)].collect().toSet
+    val streamT = SparkEntry.queries("stream_ingest_csv_triage")(spark, TestSpark.Sf0001)
+      .as[(String, String, String)].collect().toSet
+    assert(streamT == batchT && batchT.nonEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
