@@ -186,6 +186,21 @@ object PlanAudit {
     // r15: byte-level variant, planted multiscript — identical exchange
     // shape (measured 1.000/row at both spec SFs)
     "text_tokens_bpe_bytes" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r15: encode→decode round trip is all map-side; presentation orderBy
+    // only (measured 1.000/row at n=500, 1.013/row at n=5000 — flat)
+    "text_bpe_decode" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r15: byte-level twin (measured 1.000 and 1.022/row — flat)
+    "text_bpe_decode_bytes" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r15: the EOS pack chain — chunk explode (map-side) + range exchange
+    // + orderBy ∝ chunk windows; measured 5.552/row (n=500) and 5.430/row
+    // (n=5000) — flat, the chunk_pack_bpe shape exactly
+    "chunk_pack_eos" -> ShuffleBudget("documents", 14.0, 1000L),
+    // r15: map-side PERMISSIVE parse; presentation orderBy (0.978/row at
+    // both SFs warm) plus the one-time staging write's range exchange on
+    // a cold fixture (~2/row total measured) — budgeted to admit cold
+    "ingest_csv" -> ShuffleBudget("documents", 6.0, 1000L),
+    // r15: quarantine rows only (measured 0.022/row at both SFs)
+    "ingest_csv_triage" -> ShuffleBudget("documents", 0.5, 500L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC
