@@ -92,22 +92,32 @@ object CsvIngest {
     }
   }
 
+  /** The parse contract — schema-with-corrupt-channel and reader options
+    * — as ONE definition shared by the batch reader, the streaming twins
+    * ([[graft.streaming.EventStreams]]), and the univocity behavior pins
+    * in IngestSpec: an option change applied to one arrival mode but not
+    * the other would silently split contracts that share an oracle
+    * (r15 review). */
+  private[graft] val corruptSchema: StructType =
+    dropSchema.add(StructField("_corrupt_record", StringType))
+  private[graft] val readOptions: Map[String, String] = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "_corrupt_record",
+    // escape = quote char: RFC 4180 doubled quotes, backslash literal
+    "escape" -> "\"")
+
   /** PERMISSIVE CSV read with a quarantine channel — Spark's univocity
     * parser under the imposed schema: a token-count mismatch (the
     * truncated lines parse to 2 tokens — an unterminated quote runs to
     * end of line) or any field-conversion failure (the `id-<n>` drift)
-    * quarantines the WHOLE raw line. escape = quote char: RFC 4180
-    * doubled quotes, backslash literal. Same persist caveat as the JSONL
+    * quarantines the WHOLE raw line. Same persist caveat as the JSONL
     * tier (the corrupt-record column cannot be filtered straight off the
     * parser). */
   def readWithQuarantine(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {
-    val withCorrupt = dropSchema.add(StructField("_corrupt_record", StringType))
     val parsed = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("escape", "\"")
+      .schema(corruptSchema)
+      .options(readOptions)
       .csv(path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val valid = parsed.filter(col("_corrupt_record").isNull)

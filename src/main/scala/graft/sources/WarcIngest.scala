@@ -126,8 +126,12 @@ object WarcIngest {
   private[graft] def gunzipMembers(b: Array[Byte],
       maxMemberBytes: Long = MaxMemberBytes): Seq[GzMember] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GzMember]
+    // +1, not the magic's width: in the leading-garbage branch `p` is NOT
+    // a member start, and the next magic can sit at p+1/p+2 — a wider
+    // skip would lose that member with no quarantine row. In the fault
+    // branch `p` IS a magic, which the scan from p+1 cannot re-match.
     def resyncFrom(p: Int): Int = {
-      var i = math.max(p, 0) + 3
+      var i = math.max(p, 0) + 1
       while (i + 2 < b.length &&
         !(b(i) == 0x1f.toByte && b(i + 1) == 0x8b.toByte && b(i + 2) == 8)) i += 1
       if (i + 2 < b.length) i else b.length
@@ -351,13 +355,35 @@ object WarcIngest {
     * zstd data/skippable magic to the frame walk, anything else to the
     * plain walk — one code path serves mixed archive directories and
     * the streaming twin unchanged. */
-  private[graft] def parseAnyArchive(bytes: Array[Byte]): Seq[WarcRow] =
-    if (bytes.length >= 3 && bytes(0) == 0x1f.toByte &&
-      bytes(1) == 0x8b.toByte && bytes(2) == 8) parseGzArchive(bytes)
-    else if (bytes.length >= 4 &&
-      (le32i(bytes, 0) == ZstdDataMagic || zstdSkippable(le32i(bytes, 0))))
-      parseZstArchive(bytes)
-    else parseArchive(bytes)
+  private[graft] def parseAnyArchive(bytes: Array[Byte]): Seq[WarcRow] = {
+    def gzMagicAt(p: Int): Boolean = p + 2 < bytes.length &&
+      bytes(p) == 0x1f.toByte && bytes(p + 1) == 0x8b.toByte && bytes(p + 2) == 8
+    def zstMagicAt(p: Int): Boolean = p + 4 <= bytes.length && {
+      val m = le32i(bytes, p); m == ZstdDataMagic || zstdSkippable(m)
+    }
+    if (gzMagicAt(0)) parseGzArchive(bytes)
+    else if (zstMagicAt(0)) parseZstArchive(bytes)
+    else if (new String(bytes, 0, math.min(bytes.length, Magic.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1).startsWith(Magic.take(5)))
+      parseArchive(bytes)
+    else {
+      // CLIPPED FILE START (r15): none of the three magics at offset 0 —
+      // a transfer that lost its first bytes. Sniff a bounded prefix
+      // window and dispatch to whichever layout's magic appears first,
+      // preferring the plain WARC magic (its resync recovers the most
+      // from a damaged plain file, and compressed archives cannot carry
+      // the literal header early); each walk's own garbage resync then
+      // recovers every record after the clip. No magic in the window →
+      // the plain walk's quarantine behavior.
+      val win = math.min(bytes.length, 1024)
+      val warcAt = new String(bytes, 0, win,
+        java.nio.charset.StandardCharsets.ISO_8859_1).indexOf(Magic)
+      if (warcAt >= 0) parseArchive(bytes)
+      else if ((0 until win).exists(gzMagicAt)) parseGzArchive(bytes)
+      else if ((0 until win).exists(zstMagicAt)) parseZstArchive(bytes)
+      else parseArchive(bytes)
+    }
+  }
 
   private def header(block: String, name: String): Option[String] =
     block.linesWithSeparators

@@ -568,18 +568,15 @@ object EventStreams {
   }
 
   /** One PERMISSIVE CSV parse definition for both streaming entries —
-    * options mirrored from [[graft.sources.CsvIngest.readWithQuarantine]]
-    * (diverging options would silently split the twins' contracts). */
+    * the schema and options are [[graft.sources.CsvIngest]]'s OWN shared
+    * values, not a mirror (a mirror is a drift channel: an option change
+    * applied to the batch reader alone would silently split twins that
+    * share an oracle). */
   private def streamedCsvDropSink(spark: SparkSession, dir: String): DataFrame = {
     val drop = graft.sources.CsvIngest.ensureCsvDrop(spark, dir)
-    val withCorrupt = graft.sources.CsvIngest.dropSchema
-      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
-        org.apache.spark.sql.types.StringType))
     val parsed = spark.readStream
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("escape", "\"")
+      .schema(graft.sources.CsvIngest.corruptSchema)
+      .options(graft.sources.CsvIngest.readOptions)
       .csv(drop)
     runToTable(parsed, OutputMode.Append())
   }

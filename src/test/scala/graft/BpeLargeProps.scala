@@ -81,6 +81,9 @@ object BpeLargeProps extends Properties("BpeLarge") {
       val merges = Bpe.trainFast(d, n, Bpe.symsOfBytes)
       val out = Bpe.encodeFast(Bpe.symsOfBytes(w), Bpe.rankMap(merges))
       val hex = w.getBytes("UTF-8").map("%02X".format(_)).mkString
-      out.mkString == hex && out.length >= 1 && out.length * 2 <= hex.length * 2
+      // each subword spans ≥ 1 byte = 2 hex chars, so the subword count
+      // is bounded by the byte count (r15 review: the old bound's * 2 on
+      // BOTH sides restated the partition equality and pinned nothing)
+      out.mkString == hex && out.length >= 1 && out.length * 2 <= hex.length
     }
 }

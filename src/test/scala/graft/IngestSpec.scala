@@ -182,13 +182,10 @@ class IngestSpec extends AnyFunSuite {
       "id-7,\"x\",en",        // grammar-valid, doc_id cast fails → quarantined
       "8,\"ok, \"\"q\"\"\",en") // intact: quoted comma + doubled quote
     val ds = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
-    val withCorrupt = CsvIngest.dropSchema
-      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
-        org.apache.spark.sql.types.StringType))
-    val parsed = spark.read.schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("escape", "\"")
+    // the SHARED parse contract — the same schema+options object the
+    // batch reader and streaming twins use, so this pin tests what ships
+    val parsed = spark.read.schema(CsvIngest.corruptSchema)
+      .options(CsvIngest.readOptions)
       .csv(ds)
       .collect()
     val byFirst = parsed.map(r => lines.find(l => r.getString(3) == l || (r

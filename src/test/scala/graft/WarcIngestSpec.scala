@@ -118,6 +118,45 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(rows(2).docId.contains(3L))
   }
 
+  test("gz: inter-member junk of ANY width is skipped — a magic 1 or 2 bytes ahead is found") {
+    // regression (r15 review): the resync scan must start at p+1, not
+    // p+magic-width — with 1 or 2 junk bytes between members, a wider
+    // skip jumps PAST the next member's magic and silently loses the
+    // record with no quarantine row. (Junk at file START instead changes
+    // the per-file format sniff, a different path — inter-member junk is
+    // the case that reaches gunzipMembers' leading-garbage branch.)
+    for (junk <- Seq(Array(0x00.toByte), Array(0x41.toByte, 0x42.toByte),
+      Array(0x41.toByte, 0x42.toByte, 0x43.toByte))) {
+      val rows = WarcIngest.parseAnyArchive(
+        gzMember(record("1", "before junk")) ++ junk ++
+          gzMember(record("2", "after junk")) ++
+          gzMember(record("3", "third")))
+      assert(rows.map(_.docId) == Seq(Some(1L), Some(2L), Some(3L)),
+        s"junk width ${junk.length}: lost a member")
+      assert(rows(1).text == "after junk")
+    }
+  }
+
+  test("clipped file start re-dispatches by a windowed magic sniff (gz, zst, plain)") {
+    // r15: a transfer that lost its first bytes carries none of the three
+    // magics at offset 0 — the dispatcher must sniff a prefix window
+    // instead of silently feeding compressed bytes to the plain walk
+    val gz = gzMember(record("1", "gz after clip")) ++ gzMember(record("2", "b"))
+    val gzRows = WarcIngest.parseAnyArchive(Array(0x41.toByte, 0x42.toByte) ++ gz)
+    assert(gzRows.map(_.docId) == Seq(Some(1L), Some(2L)),
+      "clipped-start gz archive must recover both members")
+    val zst = zstFrame(record("1", "zst after clip")) ++ zstFrame(record("2", "b"))
+    val zstRows = WarcIngest.parseAnyArchive(Array(0x00.toByte) ++ zst)
+    assert(zstRows.map(_.docId) == Seq(Some(1L), Some(2L)),
+      "clipped-start zst archive must recover both frames")
+    // a damaged PLAIN file whose early bytes are junk still routes plain
+    // (the WARC magic inside the window wins over any compressed sniff)
+    val plainRows = WarcIngest.parseAnyArchive(
+      ("x" * 7 + record("3", "plain after clip")).getBytes("ISO-8859-1"))
+    assert(plainRows.exists(_.docId.contains(3L)),
+      "clipped-start plain archive must recover via the WARC magic")
+  }
+
   test("gz: a truncated member resyncs to the next member magic") {
     val m2 = gzMember(record("2", "cut off mid-stream and then some padding to compress"))
     val rows = WarcIngest.parseAnyArchive(
