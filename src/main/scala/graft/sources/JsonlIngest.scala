@@ -60,6 +60,17 @@ object JsonlIngest {
     }
   }
 
+  /** The parse contract — schema-with-corrupt-channel and reader options
+    * — as ONE definition shared by the batch reader and the streaming
+    * twin (the [[graft.sources.CsvIngest]] convention, r15: an option
+    * change applied to one arrival mode but not the other would silently
+    * split contracts that share an oracle). */
+  private[graft] val corruptSchema: StructType =
+    dropSchema.add(StructField("_corrupt_record", StringType))
+  private[graft] val readOptions: Map[String, String] = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "_corrupt_record")
+
   /** PERMISSIVE JSONL read with a quarantine channel. Returns
     * (valid rows in [[dropSchema]], quarantined raw lines as `raw`).
     * The parsed frame is persisted because Spark disallows filtering the
@@ -68,11 +79,9 @@ object JsonlIngest {
     * bronze-table production shape. */
   def readWithQuarantine(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {
-    val withCorrupt = dropSchema.add(StructField("_corrupt_record", StringType))
     val parsed = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(corruptSchema)
+      .options(readOptions)
       .json(path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val valid = parsed.filter(col("_corrupt_record").isNull)

@@ -536,13 +536,9 @@ object EventStreams {
     * contracts. */
   private def streamedDropSink(spark: SparkSession, dir: String): DataFrame = {
     val drop = graft.sources.JsonlIngest.ensureJsonlDrop(spark, dir)
-    val withCorrupt = graft.sources.JsonlIngest.dropSchema
-      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
-        org.apache.spark.sql.types.StringType))
     val parsed = spark.readStream
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(graft.sources.JsonlIngest.corruptSchema)
+      .options(graft.sources.JsonlIngest.readOptions)
       .json(drop)
     runToTable(parsed, OutputMode.Append())
   }
