@@ -201,6 +201,15 @@ object PlanAudit {
     "ingest_csv" -> ShuffleBudget("documents", 6.0, 1000L),
     // r15: quarantine rows only (measured 0.022/row at both SFs)
     "ingest_csv_triage" -> ShuffleBudget("documents", 0.5, 500L),
+    // r15: map-side extraction; presentation orderBy ∝ sentence rows
+    // (measured 2.250/row at BOTH spec SFs — exactly flat)
+    "text_sentences" -> ShuffleBudget("documents", 6.0, 1000L),
+    // r15: 256-bit hash counts (map-side partials) + the reduced
+    // duplicate join-back + orderBy; measured 3.270/row (n=500) and
+    // 3.252/row (n=5000) — flat. A lost hash tier (whole-text strings
+    // into the group) would not move ROW counts, so the discipline here
+    // is the plan shape (spec-pinned join-back) + this linearity bound
+    "dedup_sentences" -> ShuffleBudget("documents", 9.0, 1000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

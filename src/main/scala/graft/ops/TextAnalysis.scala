@@ -317,7 +317,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sentence extraction grammar — whole-match alternation only (NO
+    * lookbehind: the oracle runs RE2, which has none): a sentence is a
+    * maximal run of non-ender characters followed by ≥ 1 sentence-final
+    * ender (ASCII `.!?` and the CJK full-width 。！？), or the enderless
+    * tail. Shared verbatim between Spark (Java regex) and the oracle
+    * (RE2) — the pattern deliberately stays in their common subset, and
+    * the corpus carries no newlines so Java's `$`-before-final-newline
+    * quirk cannot diverge from RE2's end-of-text. */
+  private[graft] val SentRe = "[^.!?。！？]*[.!?。！？]+|[^.!?。！？]+$"
+
+  /** The word-salad corpus carries no sentence punctuation, so
+    * segmentation is exercised on planted multi-sentence text (the
+    * fixture pattern of the CJK/langid plants): every 4th document gains
+    * four ASCII sentences (period/bang/question + an enderless tail) and
+    * two CJK-punctuated ones. Mirrored glyph-for-glyph in the oracle. */
+  private[graft] val SentPlant =
+    " Planted first sentence. A second one! Was there a third? " +
+      "文は二つ。これも文！ and a trailing tail"
+
+  private[graft] def plantSentences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(SentPlant)))
+        .otherwise(col("text")).as("text"))
+
+  /** Sentence segmentation — the granularity between documents and
+    * tokens that sentence-level dedup, PII windows, and parallel-corpus
+    * mining operate on. Map-side: one regexp extraction + posexplode,
+    * zero exchanges. `sent_pos` is the RAW extraction ordinal (stable
+    * under the blank filter — renumbering kept sentences would need a
+    * per-doc window); documents with no extractable sentence (null/empty
+    * text) produce no rows, the [[Chunking.chunk]] convention. */
+  def sentences(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(expr(s"regexp_extract_all(text, '$SentRe', 0)"))
+          .as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos").cast("long").as("sent_pos"),
+        trim(col("raw")).as("sentence"))
+      .where(length(col("sentence")) > 0)
+
+  /** Cross-document duplicate sentences — the MassiveText-style
+    * "repeated sentences across documents" signal (boilerplate,
+    * navigation chrome, license headers). 100 TB shape: sentences are
+    * counted by 256-bit HASH (map-side partial aggregation — each
+    * distinct sentence crosses the exchange once per partition, and the
+    * enderless word-salad docs' whole-text "sentences" never shuffle as
+    * strings), then the text joins back on the REDUCED duplicate set
+    * only — the dedup_exact discipline at sentence granularity. */
+  def duplicateSentences(docs: DataFrame): DataFrame = {
+    val sents = sentences(docs)
+      .select(col("doc_id"), col("sentence"), sha2(col("sentence"), 256).as("h"))
+    val dups = sents.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+    sents.select("h", "sentence")
+      .join(dups, "h")
+      .groupBy(col("h"), col("n_docs"), col("n_occ"))
+      .agg(min("sentence").as("sentence"))
+      .select("sentence", "n_docs", "n_occ")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_sentences" -> ((s, d) =>
+      sentences(plantSentences(Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "sent_pos")),
+    "dedup_sentences" -> ((s, d) =>
+      duplicateSentences(plantSentences(Tables.load(s, d, "documents")))
+        .orderBy("sentence")),
     "text_repetition" -> ((s, d) =>
       repetitionMetrics(Tables.load(s, d, "documents"))),
     "text_novelty" -> ((s, d) =>
@@ -441,7 +508,36 @@ object TextAnalysis {
 
   /** DuckDB oracles for every entry — text_fingerprint's winnowing +
     * XXH64 digest is emulated in HUGEINT arithmetic (HashOracleSql). */
+  /** The sentence-plant + extraction as a CTE both sentence oracles
+    * share: the same whole-match grammar via RE2, 1-based subscripts
+    * mapped to the engine's 0-based raw ordinal, blanks filtered AFTER
+    * position assignment (the engine's filter-after-posexplode order). */
+  private def sentCte: String =
+    s"""sents AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_pos, trim(x[i]) AS sentence
+       |  FROM (SELECT doc_id, x, unnest(generate_series(1, len(x))) AS i
+       |        FROM (SELECT doc_id, regexp_extract_all(
+       |                       CASE WHEN doc_id % 4 = 0
+       |                            THEN text || '$SentPlant'
+       |                            ELSE text END, '$SentRe') AS x
+       |              FROM documents) _) _
+       |  WHERE length(trim(x[i])) > 0)""".stripMargin
+
   val oracle: Seq[(String, String)] = Seq(
+    "text_sentences" ->
+      s"""WITH $sentCte
+         |SELECT doc_id, sent_pos, sentence FROM sents
+         |ORDER BY doc_id, sent_pos""".stripMargin,
+    // the oracle can afford the direct string GROUP BY the engine's
+    // hash-count + reduced join-back must equal
+    "dedup_sentences" ->
+      s"""WITH $sentCte
+         |SELECT sentence,
+         |       COUNT(DISTINCT doc_id) AS n_docs,
+         |       COUNT(*) AS n_occ
+         |FROM sents GROUP BY sentence
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY sentence""".stripMargin,
     // same tokenization as text_chunk's oracle; the bigram at 1-based
     // token position i is t[i] || ' ' || t[i+1], thresholds compared as
     // cross-multiplied integers exactly like the engine

@@ -765,4 +765,60 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(mv == Seq(1L -> "removed", 9L -> "added"), mv)
   }
+
+  // ---- sentence segmentation (r15) -----------------------------------
+
+  test("sentence segmentation: enders, runs, CJK punctuation, enderless tail") {
+    import graft.ops.TextAnalysis
+    val got = TextAnalysis.sentences(docs(
+      1L -> "One. Two!! Three?… wait no tail",
+      2L -> "文は二つ。これも文！tail",
+      3L -> "no enders at all",
+      4L -> "   ",   // whitespace only: the tail trims to blank → no rows
+      5L -> ""))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    // doc 1: '…' is NOT an ender (not in the class), so it glues to the
+    // following tail; '!!' is one run
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)) ==
+      Seq((0L, "One."), (1L, "Two!!"), (2L, "Three?"), (3L, "… wait no tail")))
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)) ==
+      Seq((0L, "文は二つ。"), (1L, "これも文！"), (2L, "tail")))
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)) ==
+      Seq((0L, "no enders at all")))
+    assert(!got.exists(t => t._1 == 4L || t._1 == 5L),
+      "blank/empty docs must produce no sentence rows")
+  }
+
+  test("sent_pos is the raw extraction ordinal, stable under the blank filter") {
+    import graft.ops.TextAnalysis
+    // ' .' extracts as a blank-trimming element? no: ' .' keeps its ender
+    // so it trims to '.'; a true blank element needs a whitespace-only
+    // ENDERLESS tail, which can only be the LAST element — so positions
+    // of kept sentences are always the contiguous raw ordinals except a
+    // possibly-dropped final one
+    val got = TextAnalysis.sentences(docs(1L -> "a. b?   "))
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+    assert(got == Seq((0L, "a."), (1L, "b?")))
+  }
+
+  test("duplicateSentences: hash-count + reduced join-back equals the direct string group") {
+    import graft.ops.TextAnalysis
+    val corpus = docs(
+      1L -> "Shared boilerplate. Unique alpha text",
+      2L -> "Shared boilerplate. Unique beta text",
+      3L -> "Shared boilerplate. Shared boilerplate. own tail",
+      4L -> "nothing in common here")
+    val got = TextAnalysis.duplicateSentences(corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // 3 docs carry it; doc 3 twice → 4 occurrences
+    assert(got == Seq(("Shared boilerplate.", 3L, 4L)))
+    // the direct (test-scale) string formulation must agree
+    val direct = TextAnalysis.sentences(corpus)
+      .groupBy("sentence")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(direct == got)
+  }
 }
