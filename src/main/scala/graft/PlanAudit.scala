@@ -210,6 +210,14 @@ object PlanAudit {
     // into the group) would not move ROW counts, so the discipline here
     // is the plan shape (spec-pinned join-back) + this linearity bound
     "dedup_sentences" -> ShuffleBudget("documents", 9.0, 1000L),
+    // r15: the sentence rows cross the ONE doc_id exchange (window +
+    // rebuild share it — plan-shape spec-pinned) + presentation orderBy;
+    // measured 3.602/row (n=500) and 3.593/row (n=5000) — flat
+    "text_chunk_sentences" -> ShuffleBudget("documents", 9.0, 1000L),
+    // r15: variant path — partial+final aggregate rows ∝ |k| (~100
+    // groups × partials), essentially constant: 201 rows at BOTH 1k and
+    // 100k events (0.201 → 0.002/row)
+    "s25b_variant_props" -> ShuffleBudget("events", 0.3, 500L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

@@ -378,10 +378,45 @@ object TextAnalysis {
       .select("sentence", "n_docs", "n_occ")
   }
 
+  /** Sentence-ALIGNED chunking — windows that never cut mid-sentence
+    * (the boundary-respecting variant of [[Chunking.chunk]]'s token
+    * windows, what instruction/eval corpora chunk on): each sentence is
+    * assigned `chunk_id = ⌊tokens-before-it-in-doc / capacity⌋` — offset
+    * packing at sentence granularity WITHIN the document, the same
+    * deterministic rule a SQL window mirrors (greedy reset-at-capacity
+    * is order-history-dependent; this is not). A sentence longer than
+    * capacity forms its own oversized chunk rather than being split.
+    *
+    * Scale: ONE hash exchange on doc_id — the per-doc running sum's
+    * window state is bounded by the doc's sentence count, and the
+    * chunk-rebuild groupBy(doc_id, chunk_id) reuses the window's
+    * partitioning (doc_id co-locates every finer key). The in-chunk
+    * order rides an array_sort over (sent_pos, sentence) structs, not a
+    * second sort exchange. */
+  def chunkSentences(docs: DataFrame, capacity: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("sent_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sentences(docs)
+      .withColumn("n_tok", size(Tokens.seg(col("sentence"))).cast("long"))
+      .withColumn("cb", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("chunk_id", (col("cb") / capacity).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum("n_tok").as("chunk_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_pos"), col("sentence")))),
+          x => x.getField("sentence")), " ").as("chunk_text"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_sentences" -> ((s, d) =>
       sentences(plantSentences(Tables.load(s, d, "documents")))
         .orderBy("doc_id", "sent_pos")),
+    "text_chunk_sentences" -> ((s, d) =>
+      chunkSentences(plantSentences(Tables.load(s, d, "documents")))
+        .orderBy("doc_id", "chunk_id")),
     "dedup_sentences" -> ((s, d) =>
       duplicateSentences(plantSentences(Tables.load(s, d, "documents")))
         .orderBy("sentence")),
@@ -528,6 +563,26 @@ object TextAnalysis {
       s"""WITH $sentCte
          |SELECT doc_id, sent_pos, sentence FROM sents
          |ORDER BY doc_id, sent_pos""".stripMargin,
+    // same sentence CTE + the shared tokenizer on each sentence; the
+    // window formulation of the per-doc running sum, ordered rebuild via
+    // string_agg — mirrors the engine's array_sort struct trick
+    "text_chunk_sentences" ->
+      s"""WITH $sentCte,
+         |tok AS (
+         |  SELECT doc_id, sent_pos, sentence,
+         |         CAST(len(${Tokens.duckToks("sentence")}) AS BIGINT) AS n_tok
+         |  FROM sents),
+         |w AS (
+         |  SELECT doc_id, sent_pos, sentence, n_tok,
+         |         COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM tok)
+         |SELECT doc_id, CAST(cb // 32 AS BIGINT) AS chunk_id,
+         |       COUNT(*) AS n_sents,
+         |       CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+         |       string_agg(sentence, ' ' ORDER BY sent_pos) AS chunk_text
+         |FROM w GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     // the oracle can afford the direct string GROUP BY the engine's
     // hash-count + reduced join-back must equal
     "dedup_sentences" ->

@@ -444,6 +444,22 @@ object Corpus {
       .groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** S25b — the SAME extraction through Spark 4's VariantType
+    * (`try_parse_json` → binary variant → `variant_get`): the modern
+    * scale path for semi-structured props — the JSON string is parsed
+    * ONCE into the shredded binary encoding and every field access is a
+    * path probe, where [[s25JsonProps]]'s `get_json_object` re-parses
+    * the string per access (one access here, so results are identical —
+    * the entry pins that the variant path and the string path agree,
+    * and the oracle is the same SQL). try_parse_json: a malformed props
+    * row degrades to NULL variant → NULL k, never a failed 100 TB job. */
+  val s25bVariantProps: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .select(expr("try_parse_json(props)").as("v"))
+      .select(expr("cast(variant_get(v, '$.k') as bigint)").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
   /** S26 — array/struct functions over the embeddings vectors. */
   val s26ArrayStruct: Q = (spark, dir) =>
     Tables.load(spark, dir, "embeddings")
@@ -752,6 +768,7 @@ object Corpus {
     "s23c_session_window" -> s23cSessionWindow,
     "s24_or_conjunctions" -> s24DiscountedRevenue,
     "s25_json_props" -> s25JsonProps,
+    "s25b_variant_props" -> s25bVariantProps,
     "s26_array_struct" -> s26ArrayStruct,
     "s27a_full_outer" -> s27aFullOuter,
     "s27b_right_outer" -> s27bRightOuter,
@@ -963,6 +980,10 @@ object Corpus {
         |   OR ( p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity >= 20 AND l_quantity <= 30 )""".stripMargin,
     "s25_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    // the variant path must land on exactly the string path's answer
+    "s25b_variant_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     "s26_array_struct" ->

@@ -802,6 +802,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, "a."), (1L, "b?")))
   }
 
+  test("chunkSentences: boundary assignment, oversized sentences, ordered rebuild") {
+    import graft.ops.TextAnalysis
+    // capacity 4: s0 (3 tok) → chunk 0; s1 (3 tok, cb=3) → chunk 0 ends?
+    // no: chunk_id = ⌊cb/4⌋ → s1 cb=3 → chunk 0; s2 cb=6 → chunk 1 —
+    // offset packing, a chunk may RUN PAST capacity but never splits a
+    // sentence
+    val got = TextAnalysis.chunkSentences(docs(
+      1L -> "a b c. d e f. g h i.",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9. tail t"), capacity = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      (1L, 0L, 2L, 6L, "a b c. d e f."),
+      (1L, 1L, 1L, 3L, "g h i."),
+      // a 9-token sentence at cb=0 forms one OVERSIZED chunk 0; the tail
+      // starts at cb=9 → chunk 2 (chunk 1 is legitimately empty — the
+      // oversized sentence consumed its token span)
+      (2L, 0L, 1L, 9L, "w1 w2 w3 w4 w5 w6 w7 w8 w9."),
+      (2L, 2L, 1L, 2L, "tail t")), got)
+  }
+
+  test("chunkSentences plans ONE exchange: the rebuild reuses the window partitioning") {
+    import graft.ops.TextAnalysis
+    val plan = TextAnalysis.chunkSentences(TextAnalysis.plantSentences(
+      Tables.load(spark, TestSpark.Sf0001, "documents")))
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1,
+      s"expected exactly 1 hash exchange (doc_id co-locates (doc_id, chunk_id)); got $n:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("duplicateSentences: hash-count + reduced join-back equals the direct string group") {
     import graft.ops.TextAnalysis
     val corpus = docs(
