@@ -218,6 +218,13 @@ object PlanAudit {
     // groups × partials), essentially constant: 201 rows at BOTH 1k and
     // 100k events (0.201 → 0.002/row)
     "s25b_variant_props" -> ShuffleBudget("events", 0.3, 500L),
+    // r15: the capstone ids-pack — the chunk_pack chain's exchange shape
+    // exactly (5.552/row n=500, 5.430/row n=5000 — flat; ids ride the
+    // range exchange as the chunk payload)
+    "chunk_pack_ids" -> ShuffleBudget("documents", 14.0, 1000L),
+    // r15: stateless streaming extraction; sink read-back orderBy only
+    // (measured 2.250/row at BOTH spec SFs — exactly flat)
+    "stream_sentences" -> ShuffleBudget("documents", 6.0, 1000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

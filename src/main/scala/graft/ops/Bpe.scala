@@ -880,6 +880,22 @@ object Bpe {
           bpe_tokens(col("text"), merges, byteLevel = true).as("n_bpe"))
         .orderBy("doc_id")
     }),
+    // r15: the CAPSTONE artifact — what a training pipeline actually
+    // hands the trainer: chunk windows carrying their BPE token ID
+    // sequences, packed into fixed-capacity training sequences by the
+    // SAME two-phase prefix sum, budgeted by the id count (== the
+    // counting expression's n_bpe, so pack boundaries equal
+    // chunk_pack_bpe's — cross-pinned by the shared capacity). The era
+    // guard sits on this path like every downstream-accounting entry
+    "chunk_pack_ids" -> ((s, d) => {
+      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
+      val ch = Chunking.chunk(Tables.load(s, d, "documents"))
+        .withColumn("ids", bpe_token_ids(col("chunk_text"), merges))
+        .withColumn("bpe_tokens", size(col("ids")).cast("long"))
+      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
+        .select("doc_id", "chunk_id", "ids", "seq_id", "seq_offset")
+        .orderBy("doc_id", "chunk_id")
+    }),
     // r15: the round trip AT THE GATE — text → ids → decode must rebuild
     // the word stream exactly. The oracle derives the expected string
     // straight from the text (word concat, no BPE at all), so the two
@@ -1117,6 +1133,57 @@ object Bpe {
          |FROM planted d LEFT JOIN seq s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
+    val packIdsSql = {
+      // the idsSql ordinal machinery at CHUNK granularity (the words CTE
+      // keys on (doc_id, chunk_id, wi)) composed with chunk_pack's
+      // window — every id of every packed sequence reproduced from the
+      // oracle's own staged training
+      val chunkCte =
+        s"""ch AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         CAST(s // 24 AS BIGINT) AS chunk_id,
+           |         array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+           |  FROM (SELECT doc_id, t, len(t) AS n,
+           |               unnest(generate_series(0, len(t) - 1, 24)) AS s
+           |        FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM documents)
+           |        WHERE len(t) > 0))""".stripMargin
+      val words =
+        s"""(SELECT doc_id, chunk_id, wi, t[wi] AS w FROM (
+           |   SELECT doc_id, chunk_id, t, unnest(generate_series(1, len(t))) AS wi
+           |   FROM (SELECT doc_id, chunk_id, ${Tokens.duckToks("chunk_text")} AS t FROM ch) _) _) _""".stripMargin
+      val vocabRows = (1 to NMerges)
+        .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
+        .mkString("\nUNION ALL\n")
+      val ctes = (trainCtes(SpecOracle) :+ chunkCte) ++
+        applyChain(words, "doc_id, chunk_id, wi")
+      s"""WITH ${ctes.mkString(",\n")},
+         |vocab AS MATERIALIZED (
+         |  SELECT sym, 1114112 + MIN(rank) - 1 AS id
+         |  FROM ($vocabRows) GROUP BY sym),
+         |toks AS (
+         |  SELECT doc_id, chunk_id, wi, j, s[j] AS sym FROM (
+         |    SELECT doc_id, chunk_id, wi, s, unnest(generate_series(1, len(s))) AS j FROM (
+         |      SELECT doc_id, chunk_id, wi,
+         |             list_transform(string_split(repr, chr(31)||chr(31)),
+         |                            x -> trim(x, chr(31))) AS s
+         |      FROM aw$NMerges) _) _),
+         |seq AS (
+         |  SELECT doc_id, chunk_id,
+         |         list(CAST(COALESCE(v.id, unicode(t.sym)) AS INT)
+         |              ORDER BY t.wi, t.j) AS ids
+         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym
+         |  GROUP BY doc_id, chunk_id),
+         |w AS (
+         |  SELECT doc_id, chunk_id, ids,
+         |         COALESCE(SUM(len(ids)) OVER (
+         |           ORDER BY doc_id, chunk_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM seq)
+         |SELECT doc_id, chunk_id, ids,
+         |       CAST(cb // 256 AS BIGINT) AS seq_id,
+         |       CAST(cb % 256 AS BIGINT) AS seq_offset
+         |FROM w ORDER BY doc_id, chunk_id""".stripMargin
+    }
     // the decode oracles derive the expected string STRAIGHT from the
     // text — the round trip's whole point: no training emulation, no
     // apply chain; the engine's encode→decode must land back on the
@@ -1140,6 +1207,7 @@ object Bpe {
       "text_bpe_ids" -> idsSql,
       "text_bpe_ids_bytes" -> idsBytesSql,
       "text_bpe_decode" -> decodeSql,
-      "text_bpe_decode_bytes" -> decodeBytesSql)
+      "text_bpe_decode_bytes" -> decodeBytesSql,
+      "chunk_pack_ids" -> packIdsSql)
   }
 }

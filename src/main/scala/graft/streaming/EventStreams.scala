@@ -370,6 +370,18 @@ object EventStreams {
       OutputMode.Append)
       .orderBy("doc_id", "chunk_id")
 
+  /** Streaming sentence segmentation (r15) — the always-on twin of
+    * `text_sentences`, the [[chunkDocuments]] contract verbatim: a
+    * stateless per-document regexp extraction + explode (no state store,
+    * no watermark), so the bounded replay equals the batch entry and
+    * SHARES its oracle. The plant rides the stream the same way the
+    * batch entry plants the static table. */
+  def sentenceDocuments(spark: SparkSession, dir: String): DataFrame =
+    runToTable(graft.ops.TextAnalysis.sentences(
+      graft.ops.TextAnalysis.plantSentences(documentStream(spark, dir))),
+      OutputMode.Append)
+      .orderBy("doc_id", "sent_pos")
+
   /** Streaming incremental dedup — the always-on ingest twin of the batch
     * `dedup_incremental` entry: documents arriving as a file stream are
     * deduped against a STATIC prior-corpus snapshot. The bloom sketch is
@@ -677,6 +689,7 @@ object EventStreams {
     "stream_dedup" -> ((s, d) => dedupKeys(s, d)),
     "stream_mv_rollup" -> ((s, d) => streamMvRollup(s, d)),
     "stream_chunk" -> ((s, d) => chunkDocuments(s, d)),
+    "stream_sentences" -> ((s, d) => sentenceDocuments(s, d)),
     "stream_incr_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "stream_ingest_jsonl" -> ((s, d) => ingestJsonl(s, d)),
     "stream_ingest_triage" -> ((s, d) => ingestJsonlTriage(s, d)),
@@ -721,6 +734,9 @@ object EventStreams {
     // batch chunking, so the oracle IS the batch entry's (shared by
     // reference — any chunking-semantics change moves both or neither)
     "stream_chunk" -> graft.ops.Chunking.oracle.toMap.apply("text_chunk"),
+    // stateless per-document extraction: bounded replay ≡ the batch entry
+    "stream_sentences" ->
+      graft.ops.TextAnalysis.oracle.toMap.apply("text_sentences"),
     // bounded replay = one micro-batch, so watermark-scoped dedup equals
     // the global DISTINCT
     "stream_dedup" ->

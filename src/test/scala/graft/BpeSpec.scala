@@ -255,6 +255,25 @@ class BpeSpec extends AnyFunSuite {
       }
   }
 
+  test("chunk_pack_ids cross-pins chunk_pack_bpe: same boundaries, ids sized to the budget (r15)") {
+    // the capstone artifact must pack on EXACTLY the counting
+    // expression's budget: every chunk's ids.length == chunk_pack_bpe's
+    // bpe_tokens and the (seq_id, seq_offset) assignment is identical —
+    // a drift between BpeTokenIds and BpeTokenCount would split them
+    val ids = SparkEntry.queries("chunk_pack_ids")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getSeq[Int](2).length.toLong, r.getLong(3), r.getLong(4)))
+      .toMap
+    val counts = SparkEntry.queries("chunk_pack_bpe")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(ids.nonEmpty && ids.keySet == counts.keySet)
+    ids.foreach { case (k, v) =>
+      assert(v == counts(k), s"chunk $k: ids artifact diverged from the count artifact")
+    }
+  }
+
   test("BpeDecodeIds degrades corrupt ids to U+FFFD, never throws (r15)") {
     import org.apache.spark.sql.types._
     val merges = Seq(("a", "b"))
