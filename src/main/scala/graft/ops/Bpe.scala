@@ -773,6 +773,64 @@ object Bpe {
     applyChain(wordsCte, keys, spec) :+ counted
   }
 
+  /** The text_chunk derivation as ONE shared CTE — `chunk_pack_bpe` and
+    * `chunk_pack_ids` must chunk identically or their oracles silently
+    * diverge while each still passes (r15 review: this was two literal
+    * copies). */
+  private def chunkTextCte: String =
+    s"""ch AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(s // 24 AS BIGINT) AS chunk_id,
+       |         array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+       |  FROM (SELECT doc_id, t, len(t) AS n,
+       |               unnest(generate_series(0, len(t) - 1, 24)) AS s
+       |        FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM documents)
+       |        WHERE len(t) > 0))""".stripMargin
+
+  /** The id-sequence machinery over an `aw`-chain's final stage — vocab
+    * (merged symbol → base + lowest producing rank, from the bpk rows),
+    * toks (per-occurrence symbol explode), and `seq(groupKeys, ids)` —
+    * parameterized by the occurrence key list so the per-document
+    * (`text_bpe_ids*`) and per-chunk (`chunk_pack_ids`) oracles share
+    * ONE definition of the id scheme (r15 review: three near-copies).
+    * `groupKeys` must be the occurrence keys minus the word ordinal
+    * `wi`, which every caller's words CTE carries. */
+  private def idsSeqCtes(groupKeys: String, byteLevel: Boolean): Seq[String] = {
+    val keys = s"$groupKeys, wi"
+    val vocabRows = (1 to NMerges)
+      .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
+      .mkString("\nUNION ALL\n")
+    val base = if (byteLevel) 256 else 0x110000
+    val vocab =
+      s"""vocab AS MATERIALIZED (
+         |  SELECT sym, $base + MIN(rank) - 1 AS id
+         |  FROM ($vocabRows) GROUP BY sym)""".stripMargin
+    val baseCte =
+      if (byteLevel) Seq(
+        """base AS MATERIALIZED (
+          |  SELECT lpad(upper(to_hex(i)), 2, '0') AS sym, i AS id
+          |  FROM (SELECT unnest(generate_series(0, 255)) AS i))""".stripMargin)
+      else Nil
+    val toks =
+      s"""toks AS (
+         |  SELECT $keys, j, s[j] AS sym FROM (
+         |    SELECT $keys, s, unnest(generate_series(1, len(s))) AS j FROM (
+         |      SELECT $keys,
+         |             list_transform(string_split(repr, chr(31)||chr(31)),
+         |                            x -> trim(x, chr(31))) AS s
+         |      FROM aw$NMerges) _) _)""".stripMargin
+    val joinBase = if (byteLevel) "\n              LEFT JOIN base b ON b.sym = t.sym" else ""
+    val idExpr = if (byteLevel) "COALESCE(v.id, b.id)" else "COALESCE(v.id, unicode(t.sym))"
+    val seq =
+      s"""seq AS (
+         |  SELECT $groupKeys,
+         |         list(CAST($idExpr AS INT)
+         |              ORDER BY t.wi, t.j) AS ids
+         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym$joinBase
+         |  GROUP BY $groupKeys)""".stripMargin
+    (vocab +: baseCte) ++ Seq(toks, seq)
+  }
+
   // -------------------------------------------------------------- entries
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -953,20 +1011,12 @@ object Bpe {
          |ORDER BY doc_id""".stripMargin
     }
     val packSql = {
-      // the chunk derivation of text_chunk's oracle, then each chunk's
-      // words through the SAME apply chain, then chunk_pack's prefix sum
-      val chunkCte =
-        s"""ch AS MATERIALIZED (
-           |  SELECT doc_id,
-           |         CAST(s // 24 AS BIGINT) AS chunk_id,
-           |         array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
-           |  FROM (SELECT doc_id, t, len(t) AS n,
-           |               unnest(generate_series(0, len(t) - 1, 24)) AS s
-           |        FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM documents)
-           |        WHERE len(t) > 0))""".stripMargin
+      // the SHARED chunk CTE ([[chunkTextCte]] — chunk_pack_ids must
+      // chunk identically), then each chunk's words through the SAME
+      // apply chain, then chunk_pack's prefix sum
       val words =
         s"(SELECT doc_id, chunk_id, unnest(${Tokens.duckToks("chunk_text")}) AS w FROM ch) _"
-      val ctes = (trainCtes(SpecOracle) :+ chunkCte) ++ applyStages(words, "doc_id, chunk_id")
+      val ctes = (trainCtes(SpecOracle) :+ chunkTextCte) ++ applyStages(words, "doc_id, chunk_id")
       s"""WITH ${ctes.mkString(",\n")},
          |w AS (
          |  SELECT doc_id, chunk_id, n_bpe AS bpe_tokens,
@@ -1054,35 +1104,15 @@ object Bpe {
     val idsSql = {
       // word occurrences with ORDINALS (the sequence needs order where
       // the counts only needed sums), each through the apply chain, each
-      // final symbol mapped to its id: merged symbols join the vocab CTE
-      // (output string → 0x110000 + lowest rank, built from the bpk
-      // rows), base symbols fall through to unicode(sym) — exactly
-      // [[BpeTokenIds]]'s scheme
+      // final symbol mapped to its id via the shared [[idsSeqCtes]]
+      // machinery — exactly [[BpeTokenIds]]'s scheme
       val words =
         s"""(SELECT doc_id, wi, t[wi] AS w FROM (
            |   SELECT doc_id, t, unnest(generate_series(1, len(t))) AS wi
            |   FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM documents) _) _) _""".stripMargin
-      val vocabRows = (1 to NMerges)
-        .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
-        .mkString("\nUNION ALL\n")
-      val ctes = trainCtes(SpecOracle) ++ applyChain(words, "doc_id, wi")
-      s"""WITH ${ctes.mkString(",\n")},
-         |vocab AS MATERIALIZED (
-         |  SELECT sym, 1114112 + MIN(rank) - 1 AS id
-         |  FROM ($vocabRows) GROUP BY sym),
-         |toks AS (
-         |  SELECT doc_id, wi, j, s[j] AS sym FROM (
-         |    SELECT doc_id, wi, s, unnest(generate_series(1, len(s))) AS j FROM (
-         |      SELECT doc_id, wi,
-         |             list_transform(string_split(repr, chr(31)||chr(31)),
-         |                            x -> trim(x, chr(31))) AS s
-         |      FROM aw$NMerges) _) _),
-         |seq AS (
-         |  SELECT doc_id,
-         |         list(CAST(COALESCE(v.id, unicode(t.sym)) AS INT)
-         |              ORDER BY t.wi, t.j) AS ids
-         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym
-         |  GROUP BY doc_id)
+      val ctes = trainCtes(SpecOracle) ++ applyChain(words, "doc_id, wi") ++
+        idsSeqCtes("doc_id", byteLevel = false)
+      s"""WITH ${ctes.mkString(",\n")}
          |SELECT d.doc_id,
          |       CASE WHEN d.text IS NULL THEN NULL
          |            ELSE COALESCE(s.ids, CAST([] AS INT[])) END AS ids,
@@ -1092,39 +1122,16 @@ object Bpe {
          |ORDER BY doc_id""".stripMargin
     }
     val idsBytesSql = {
-      // byte-level ids: the same ordinal apply chain on hex-pair symbols
-      // over the PLANTED table; base ids come from a generated 256-row
-      // byte table (id = byte value, sym = its 2-char uppercase hex),
-      // merged ids are 256 + lowest producing rank
+      // byte-level ids: the same shared machinery on hex-pair symbols
+      // over the PLANTED table (base ids from the generated 256-row byte
+      // table, merged ids 256 + lowest producing rank)
       val words =
         s"""(SELECT doc_id, wi, t[wi] AS w FROM (
            |   SELECT doc_id, t, unnest(generate_series(1, len(t))) AS wi
            |   FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM planted) _) _) _""".stripMargin
-      val vocabRows = (1 to NMerges)
-        .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
-        .mkString("\nUNION ALL\n")
-      val ctes = trainCtes(SpecBytes) ++ applyChain(words, "doc_id, wi", SpecBytes)
-      s"""WITH ${ctes.mkString(",\n")},
-         |vocab AS MATERIALIZED (
-         |  SELECT sym, 256 + MIN(rank) - 1 AS id
-         |  FROM ($vocabRows) GROUP BY sym),
-         |base AS MATERIALIZED (
-         |  SELECT lpad(upper(to_hex(i)), 2, '0') AS sym, i AS id
-         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)),
-         |toks AS (
-         |  SELECT doc_id, wi, j, s[j] AS sym FROM (
-         |    SELECT doc_id, wi, s, unnest(generate_series(1, len(s))) AS j FROM (
-         |      SELECT doc_id, wi,
-         |             list_transform(string_split(repr, chr(31)||chr(31)),
-         |                            x -> trim(x, chr(31))) AS s
-         |      FROM aw$NMerges) _) _),
-         |seq AS (
-         |  SELECT doc_id,
-         |         list(CAST(COALESCE(v.id, b.id) AS INT)
-         |              ORDER BY t.wi, t.j) AS ids
-         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym
-         |              LEFT JOIN base b ON b.sym = t.sym
-         |  GROUP BY doc_id)
+      val ctes = trainCtes(SpecBytes) ++ applyChain(words, "doc_id, wi", SpecBytes) ++
+        idsSeqCtes("doc_id", byteLevel = true)
+      s"""WITH ${ctes.mkString(",\n")}
          |SELECT d.doc_id,
          |       CASE WHEN d.text IS NULL THEN NULL
          |            ELSE COALESCE(s.ids, CAST([] AS INT[])) END AS ids,
@@ -1134,45 +1141,18 @@ object Bpe {
          |ORDER BY doc_id""".stripMargin
     }
     val packIdsSql = {
-      // the idsSql ordinal machinery at CHUNK granularity (the words CTE
-      // keys on (doc_id, chunk_id, wi)) composed with chunk_pack's
-      // window — every id of every packed sequence reproduced from the
-      // oracle's own staged training
-      val chunkCte =
-        s"""ch AS MATERIALIZED (
-           |  SELECT doc_id,
-           |         CAST(s // 24 AS BIGINT) AS chunk_id,
-           |         array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
-           |  FROM (SELECT doc_id, t, len(t) AS n,
-           |               unnest(generate_series(0, len(t) - 1, 24)) AS s
-           |        FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM documents)
-           |        WHERE len(t) > 0))""".stripMargin
+      // the SAME id machinery at CHUNK granularity (occurrence keys
+      // (doc_id, chunk_id, wi)) over the SHARED chunk CTE, composed with
+      // chunk_pack's window — every id of every packed sequence
+      // reproduced from the oracle's own staged training
       val words =
         s"""(SELECT doc_id, chunk_id, wi, t[wi] AS w FROM (
            |   SELECT doc_id, chunk_id, t, unnest(generate_series(1, len(t))) AS wi
            |   FROM (SELECT doc_id, chunk_id, ${Tokens.duckToks("chunk_text")} AS t FROM ch) _) _) _""".stripMargin
-      val vocabRows = (1 to NMerges)
-        .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
-        .mkString("\nUNION ALL\n")
-      val ctes = (trainCtes(SpecOracle) :+ chunkCte) ++
-        applyChain(words, "doc_id, chunk_id, wi")
+      val ctes = (trainCtes(SpecOracle) :+ chunkTextCte) ++
+        applyChain(words, "doc_id, chunk_id, wi") ++
+        idsSeqCtes("doc_id, chunk_id", byteLevel = false)
       s"""WITH ${ctes.mkString(",\n")},
-         |vocab AS MATERIALIZED (
-         |  SELECT sym, 1114112 + MIN(rank) - 1 AS id
-         |  FROM ($vocabRows) GROUP BY sym),
-         |toks AS (
-         |  SELECT doc_id, chunk_id, wi, j, s[j] AS sym FROM (
-         |    SELECT doc_id, chunk_id, wi, s, unnest(generate_series(1, len(s))) AS j FROM (
-         |      SELECT doc_id, chunk_id, wi,
-         |             list_transform(string_split(repr, chr(31)||chr(31)),
-         |                            x -> trim(x, chr(31))) AS s
-         |      FROM aw$NMerges) _) _),
-         |seq AS (
-         |  SELECT doc_id, chunk_id,
-         |         list(CAST(COALESCE(v.id, unicode(t.sym)) AS INT)
-         |              ORDER BY t.wi, t.j) AS ids
-         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym
-         |  GROUP BY doc_id, chunk_id),
          |w AS (
          |  SELECT doc_id, chunk_id, ids,
          |         COALESCE(SUM(len(ids)) OVER (

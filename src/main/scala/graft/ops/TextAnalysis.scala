@@ -366,8 +366,11 @@ object TextAnalysis {
     * strings), then the text joins back on the REDUCED duplicate set
     * only — the dedup_exact discipline at sentence granularity. */
   def duplicateSentences(docs: DataFrame): DataFrame = {
+    // both self-join sides re-derive from here: persist, or the whole
+    // extraction + hash runs twice (the Dedup.scala convention)
     val sents = sentences(docs)
       .select(col("doc_id"), col("sentence"), sha2(col("sentence"), 256).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = sents.groupBy("h")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= 2)

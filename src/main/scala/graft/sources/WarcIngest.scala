@@ -372,16 +372,33 @@ object WarcIngest {
       // window and dispatch to whichever layout's magic appears first,
       // preferring the plain WARC magic (its resync recovers the most
       // from a damaged plain file, and compressed archives cannot carry
-      // the literal header early); each walk's own garbage resync then
-      // recovers every record after the clip. No magic in the window →
-      // the plain walk's quarantine behavior.
+      // the literal header early outside stored-mode blocks); each
+      // walk's own garbage resync then recovers every record after the
+      // clip. The window can mis-sniff (junk bytes that happen to spell
+      // a compressed magic in front of a plain file whose real header
+      // sits past the window — r15 review), so a compressed verdict
+      // that recovers ZERO intact records falls back to the plain walk
+      // and keeps whichever answer carries intact rows; the richer
+      // compressed quarantine (recovered URIs) is kept when neither
+      // walk finds anything intact.
       val win = math.min(bytes.length, 1024)
       val warcAt = new String(bytes, 0, win,
         java.nio.charset.StandardCharsets.ISO_8859_1).indexOf(Magic)
+      def intact(rows: Seq[WarcRow]): Boolean = rows.exists(_.errorClass.isEmpty)
       if (warcAt >= 0) parseArchive(bytes)
-      else if ((0 until win).exists(gzMagicAt)) parseGzArchive(bytes)
-      else if ((0 until win).exists(zstMagicAt)) parseZstArchive(bytes)
-      else parseArchive(bytes)
+      else {
+        val compressed =
+          if ((0 until win).exists(gzMagicAt)) Some(parseGzArchive(bytes))
+          else if ((0 until win).exists(zstMagicAt)) Some(parseZstArchive(bytes))
+          else None
+        compressed match {
+          case Some(rows) if intact(rows) => rows
+          case Some(rows) =>
+            val plain = parseArchive(bytes)
+            if (intact(plain)) plain else rows
+          case None => parseArchive(bytes)
+        }
+      }
     }
   }
 

@@ -155,6 +155,15 @@ class WarcIngestSpec extends AnyFunSuite {
       ("x" * 7 + record("3", "plain after clip")).getBytes("ISO-8859-1"))
     assert(plainRows.exists(_.docId.contains(3L)),
       "clipped-start plain archive must recover via the WARC magic")
+    // r15 review: a plain file behind >window junk that SPELLS a gz magic
+    // — the compressed walk recovers nothing intact, so the dispatcher
+    // must fall back to the plain walk instead of losing every record
+    val junk = new Array[Byte](1500)
+    junk(40) = 0x1f.toByte; junk(41) = 0x8b.toByte; junk(42) = 8 // fake gz magic
+    val fooled = WarcIngest.parseAnyArchive(
+      junk ++ record("4", "plain past the sniff window").getBytes("ISO-8859-1"))
+    assert(fooled.exists(r => r.docId.contains(4L) && r.errorClass.isEmpty),
+      "false compressed magic in the window must not lose the plain records")
   }
 
   test("gz: a truncated member resyncs to the next member magic") {
