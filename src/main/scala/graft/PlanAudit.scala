@@ -225,6 +225,9 @@ object PlanAudit {
     // r15: stateless streaming extraction; sink read-back orderBy only
     // (measured 2.250/row at BOTH spec SFs — exactly flat)
     "stream_sentences" -> ShuffleBudget("documents", 6.0, 1000L),
+    // r15: hash stats aggregate + the sentence-sized hash join + per-doc
+    // rebuild (measured 3.010/row n=500, 2.997/row n=5000 — flat)
+    "dedup_sentence_strip" -> ShuffleBudget("documents", 7.5, 1000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

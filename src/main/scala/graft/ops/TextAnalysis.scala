@@ -381,6 +381,40 @@ object TextAnalysis {
       .select("sentence", "n_docs", "n_occ")
   }
 
+  /** Sentence-level dedup with document RECONSTRUCTION — the
+    * boilerplate-removal form of [[duplicateSentences]] (the span-strip
+    * pattern at sentence granularity): every repeated sentence keeps
+    * exactly its CANONICAL first occurrence (lowest (doc_id, sent_pos))
+    * and every other occurrence — cross-document or intra-document — is
+    * stripped; each document's surviving sentences are rebuilt in
+    * order. A document stripped to nothing disappears (the zero-chunk
+    * convention).
+    *
+    * Scale: one partial+final aggregate per 256-bit hash carries the
+    * occurrence count AND the canonical pick (a min over (doc_id,
+    * sent_pos) structs — no second pass); sentence text crosses the
+    * hash exchange and the per-doc rebuild exchange, both
+    * sentence-sized — never the shingle explosion the passage-level
+    * strip pays. */
+  def stripDuplicateSentences(docs: DataFrame): DataFrame = {
+    val sents = sentences(docs)
+      .select(col("doc_id"), col("sent_pos"), col("sentence"),
+        sha2(col("sentence"), 256).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = sents.groupBy("h").agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("doc_id"), col("sent_pos"))).as("canon"))
+    sents.join(stats, "h")
+      .where(col("n_occ") === 1 ||
+        (col("canon.doc_id") === col("doc_id") &&
+          col("canon.sent_pos") === col("sent_pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_pos"), col("sentence")))),
+          x => x.getField("sentence")), " ").as("text"))
+  }
+
   /** Sentence-ALIGNED chunking — windows that never cut mid-sentence
     * (the boundary-respecting variant of [[Chunking.chunk]]'s token
     * windows, what instruction/eval corpora chunk on): each sentence is
@@ -423,6 +457,9 @@ object TextAnalysis {
     "dedup_sentences" -> ((s, d) =>
       duplicateSentences(plantSentences(Tables.load(s, d, "documents")))
         .orderBy("sentence")),
+    "dedup_sentence_strip" -> ((s, d) =>
+      stripDuplicateSentences(plantSentences(Tables.load(s, d, "documents")))
+        .orderBy("doc_id")),
     "text_repetition" -> ((s, d) =>
       repetitionMetrics(Tables.load(s, d, "documents"))),
     "text_novelty" -> ((s, d) =>
@@ -566,6 +603,21 @@ object TextAnalysis {
       s"""WITH $sentCte
          |SELECT doc_id, sent_pos, sentence FROM sents
          |ORDER BY doc_id, sent_pos""".stripMargin,
+    // the canonical pick as a window (rn = 1 over (doc_id, sent_pos)
+    // order ≡ the engine's min-struct aggregate), keep = unique OR
+    // canonical, then the per-doc ordered rebuild
+    "dedup_sentence_strip" ->
+      s"""WITH $sentCte,
+         |k AS (
+         |  SELECT doc_id, sent_pos, sentence,
+         |         COUNT(*) OVER (PARTITION BY sentence) AS n_occ,
+         |         ROW_NUMBER() OVER (PARTITION BY sentence
+         |                            ORDER BY doc_id, sent_pos) AS rn
+         |  FROM sents)
+         |SELECT doc_id, COUNT(*) AS n_kept,
+         |       string_agg(sentence, ' ' ORDER BY sent_pos) AS text
+         |FROM k WHERE n_occ = 1 OR rn = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same sentence CTE + the shared tokenizer on each sentence; the
     // window formulation of the per-doc running sum, ordered rebuild via
     // string_agg — mirrors the engine's array_sort struct trick

@@ -802,6 +802,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, "a."), (1L, "b?")))
   }
 
+  test("stripDuplicateSentences keeps canonical first occurrences, rebuilds in order") {
+    import graft.ops.TextAnalysis
+    val got = TextAnalysis.stripDuplicateSentences(docs(
+      1L -> "Shared head. own alpha tail",
+      2L -> "Shared head. own beta body! Shared head.",  // cross-doc AND a later repeat
+      3L -> "Repeat me. Repeat me. middle bit",          // intra-doc repeat
+      4L -> "Shared head."))                             // stripped to nothing
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq(
+      // doc 1 owns the canonical 'Shared head.' (lowest (doc_id, pos))
+      (1L, 2L, "Shared head. own alpha tail"),
+      (2L, 1L, "own beta body!"),
+      (3L, 2L, "Repeat me. middle bit"),
+      // doc 4 lost its only sentence → absent
+    ), got)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("chunkSentences: boundary assignment, oversized sentences, ordered rebuild") {
     import graft.ops.TextAnalysis
     // capacity 4: s0 (3 tok) → chunk 0; s1 (3 tok, cb=3) → chunk 0 ends?
