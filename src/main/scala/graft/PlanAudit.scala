@@ -228,6 +228,9 @@ object PlanAudit {
     // r15: hash stats aggregate + the sentence-sized hash join + per-doc
     // rebuild (measured 3.010/row n=500, 2.997/row n=5000 — flat)
     "dedup_sentence_strip" -> ShuffleBudget("documents", 7.5, 1000L),
+    // r15: the materialized-separator artifact — the pack chain's shape
+    // exactly (5.552/row and 5.430/row — flat, same as chunk_pack_ids)
+    "chunk_pack_ids_eos" -> ShuffleBudget("documents", 14.0, 1000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

@@ -68,6 +68,15 @@ object Bpe {
   private val SampleMod = 5
   private val SampleChars = 512
 
+  /** The document-separator SENTINEL id of the packed-ids artifact
+    * (`chunk_pack_ids_eos`): −1 sits outside BOTH id spaces BY
+    * CONSTRUCTION (base ids are codepoints ≥ 0, merged ids ≥ the merged
+    * base), so no text at any scale can collide with it — where a
+    * reserved codepoint could. A serving layer's dense renumbering maps
+    * it to its reserved vocab slot; [[BpeDecodeIds]] renders it U+FFFD
+    * (a separator is not text). */
+  val EosId: Int = -1
+
   // ---------------------------------------------------------------- train
 
   /** In-memory BPE training over a word-frequency dict (already bounded
@@ -954,6 +963,25 @@ object Bpe {
         .select("doc_id", "chunk_id", "ids", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")
     }),
+    // r15: the capstone WITH the document separator MATERIALIZED — the
+    // GPT-2-shaped artifact exactly: each document's first chunk leads
+    // with the [[EosId]] sentinel INSIDE its id sequence, the pack
+    // budget counts it (size(ids)), and seq_offset points AT the
+    // separator (unlike chunk_pack_eos's lead-charge form, where the
+    // separator is budgeted but not materialized and the offset points
+    // past it — both contracts oracle-pinned, the distinction stated)
+    "chunk_pack_ids_eos" -> ((s, d) => {
+      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
+      val ch = Chunking.chunk(Tables.load(s, d, "documents"))
+        .withColumn("ids0", bpe_token_ids(col("chunk_text"), merges))
+        .withColumn("ids",
+          when(col("chunk_id") === 0,
+            concat(array(lit(EosId)), col("ids0"))).otherwise(col("ids0")))
+        .withColumn("bpe_tokens", size(col("ids")).cast("long"))
+      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
+        .select("doc_id", "chunk_id", "ids", "seq_id", "seq_offset")
+        .orderBy("doc_id", "chunk_id")
+    }),
     // r15: the round trip AT THE GATE — text → ids → decode must rebuild
     // the word stream exactly. The oracle derives the expected string
     // straight from the text (word concat, no BPE at all), so the two
@@ -1140,7 +1168,10 @@ object Bpe {
          |FROM planted d LEFT JOIN seq s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
-    val packIdsSql = {
+    // ONE builder for both packed-ids oracles: `eos = true` materializes
+    // the document separator — the sentinel id prepended to each doc's
+    // first chunk — into the sequences before the SAME pack window
+    def packIdsSqlWith(eos: Boolean): String = {
       // the SAME id machinery at CHUNK granularity (occurrence keys
       // (doc_id, chunk_id, wi)) over the SHARED chunk CTE, composed with
       // chunk_pack's window — every id of every packed sequence
@@ -1152,18 +1183,30 @@ object Bpe {
       val ctes = (trainCtes(SpecOracle) :+ chunkTextCte) ++
         applyChain(words, "doc_id, chunk_id, wi") ++
         idsSeqCtes("doc_id, chunk_id", byteLevel = false)
-      s"""WITH ${ctes.mkString(",\n")},
+      val withEos =
+        if (eos)
+          s""",
+             |e AS (
+             |  SELECT doc_id, chunk_id,
+             |         CASE WHEN chunk_id = 0
+             |              THEN CAST([$EosId] AS INT[]) || ids ELSE ids END AS ids
+             |  FROM seq)""".stripMargin
+        else ""
+      val src = if (eos) "e" else "seq"
+      s"""WITH ${ctes.mkString(",\n")}$withEos,
          |w AS (
          |  SELECT doc_id, chunk_id, ids,
          |         COALESCE(SUM(len(ids)) OVER (
          |           ORDER BY doc_id, chunk_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM seq)
+         |  FROM $src)
          |SELECT doc_id, chunk_id, ids,
          |       CAST(cb // 256 AS BIGINT) AS seq_id,
          |       CAST(cb % 256 AS BIGINT) AS seq_offset
          |FROM w ORDER BY doc_id, chunk_id""".stripMargin
     }
+    val packIdsSql = packIdsSqlWith(eos = false)
+    val packIdsEosSql = packIdsSqlWith(eos = true)
     // the decode oracles derive the expected string STRAIGHT from the
     // text — the round trip's whole point: no training emulation, no
     // apply chain; the engine's encode→decode must land back on the
@@ -1188,6 +1231,7 @@ object Bpe {
       "text_bpe_ids_bytes" -> idsBytesSql,
       "text_bpe_decode" -> decodeSql,
       "text_bpe_decode_bytes" -> decodeBytesSql,
-      "chunk_pack_ids" -> packIdsSql)
+      "chunk_pack_ids" -> packIdsSql,
+      "chunk_pack_ids_eos" -> packIdsEosSql)
   }
 }

@@ -274,6 +274,28 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk_pack_ids_eos materializes the separator: sentinel leads each doc, offset AT it (r15)") {
+    val rows = SparkEntry.queries("chunk_pack_ids_eos")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, c, ids, _, _) =>
+      if (c == 0L) assert(ids.head == Bpe.EosId, s"doc $d first chunk must lead with the sentinel")
+      else assert(!ids.contains(Bpe.EosId), s"doc $d chunk $c must not carry a sentinel")
+    }
+    // the very FIRST chunk packs at offset 0 — the materialized form's
+    // offset points AT the separator, where chunk_pack_eos's lead-charge
+    // form points past it (its first offset is 1)
+    val first = rows.minBy { case (d, c, _, _, _) => (d, c) }
+    assert(first._4 == 0L && first._5 == 0L)
+    // budget conservation: exactly one sentinel per document joined the
+    // token mass relative to the plain ids artifact
+    val plain = SparkEntry.queries("chunk_pack_ids")(spark, TestSpark.Sf0001)
+      .collect().map(_.getSeq[Int](2).length.toLong).sum
+    val nDocs = rows.iterator.filter(_._2 == 0L).size
+    assert(rows.iterator.map(_._3.length.toLong).sum == plain + nDocs)
+  }
+
   test("BpeDecodeIds degrades corrupt ids to U+FFFD, never throws (r15)") {
     import org.apache.spark.sql.types._
     val merges = Seq(("a", "b"))
