@@ -842,6 +842,26 @@ object Bpe {
 
   // -------------------------------------------------------------- entries
 
+  /** ONE builder for both packed-ids entries — the engine mirror of the
+    * oracle-side `packIdsSqlWith(eos)` (r15 review: two hand-mirrored
+    * bodies are a drift channel; a capacity/era/derivation change must
+    * move both artifacts or neither). */
+  private def packIdsEntry(eos: Boolean): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
+      val ch = Chunking.chunk(Tables.load(s, d, "documents"))
+        .withColumn("ids0", bpe_token_ids(col("chunk_text"), merges))
+        .withColumn("ids",
+          if (eos)
+            when(col("chunk_id") === 0,
+              concat(array(lit(EosId)), col("ids0"))).otherwise(col("ids0"))
+          else col("ids0"))
+        .withColumn("bpe_tokens", size(col("ids")).cast("long"))
+      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
+        .select("doc_id", "chunk_id", "ids", "seq_id", "seq_offset")
+        .orderBy("doc_id", "chunk_id")
+    }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // per-document subword budget vs the whitespace proxy — the number a
     // token-budget sampler or packer should actually be spending
@@ -954,15 +974,7 @@ object Bpe {
     // counting expression's n_bpe, so pack boundaries equal
     // chunk_pack_bpe's — cross-pinned by the shared capacity). The era
     // guard sits on this path like every downstream-accounting entry
-    "chunk_pack_ids" -> ((s, d) => {
-      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
-      val ch = Chunking.chunk(Tables.load(s, d, "documents"))
-        .withColumn("ids", bpe_token_ids(col("chunk_text"), merges))
-        .withColumn("bpe_tokens", size(col("ids")).cast("long"))
-      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
-        .select("doc_id", "chunk_id", "ids", "seq_id", "seq_offset")
-        .orderBy("doc_id", "chunk_id")
-    }),
+    "chunk_pack_ids" -> packIdsEntry(eos = false),
     // r15: the capstone WITH the document separator MATERIALIZED — the
     // GPT-2-shaped artifact exactly: each document's first chunk leads
     // with the [[EosId]] sentinel INSIDE its id sequence, the pack
@@ -970,18 +982,7 @@ object Bpe {
     // separator (unlike chunk_pack_eos's lead-charge form, where the
     // separator is budgeted but not materialized and the offset points
     // past it — both contracts oracle-pinned, the distinction stated)
-    "chunk_pack_ids_eos" -> ((s, d) => {
-      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
-      val ch = Chunking.chunk(Tables.load(s, d, "documents"))
-        .withColumn("ids0", bpe_token_ids(col("chunk_text"), merges))
-        .withColumn("ids",
-          when(col("chunk_id") === 0,
-            concat(array(lit(EosId)), col("ids0"))).otherwise(col("ids0")))
-        .withColumn("bpe_tokens", size(col("ids")).cast("long"))
-      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
-        .select("doc_id", "chunk_id", "ids", "seq_id", "seq_offset")
-        .orderBy("doc_id", "chunk_id")
-    }),
+    "chunk_pack_ids_eos" -> packIdsEntry(eos = true),
     // r15: the round trip AT THE GATE — text → ids → decode must rebuild
     // the word stream exactly. The oracle derives the expected string
     // straight from the text (word concat, no BPE at all), so the two

@@ -401,11 +401,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("sent_pos"), col("sentence"),
         sha2(col("sentence"), 256).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = sents.groupBy("h").agg(
+    // join back only the REDUCED duplicate set (the duplicateSentences
+    // discipline, r15 review): unique sentences — the overwhelming bulk —
+    // never meet a build side at all; a left join against the small
+    // duplicated-hash stats keeps them on a null match
+    val dups = sents.groupBy("h").agg(
       count(lit(1)).as("n_occ"),
       min(struct(col("doc_id"), col("sent_pos"))).as("canon"))
-    sents.join(stats, "h")
-      .where(col("n_occ") === 1 ||
+      .where(col("n_occ") >= 2)
+    sents.join(dups, Seq("h"), "left")
+      .where(col("n_occ").isNull ||
         (col("canon.doc_id") === col("doc_id") &&
           col("canon.sent_pos") === col("sent_pos")))
       .groupBy("doc_id")

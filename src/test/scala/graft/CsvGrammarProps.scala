@@ -53,12 +53,18 @@ object CsvGrammarProps extends Properties("CsvGrammar") {
     truncate <- Gen.frequency(2 -> false, 1 -> true)
   } yield if (truncate) full.substring(0, cut) else full
 
-  private def grammarValid(l: String): Boolean =
-    l.matches(CsvIngest.LineRe) && {
-      val m = java.util.regex.Pattern.compile(CsvIngest.LineRe).matcher(l)
-      m.matches() && m.group(1).nonEmpty && m.group(1).forall(_.isDigit) &&
-        (try { m.group(1).toLong; true } catch { case _: Throwable => false })
-    }
+  private val LinePattern = java.util.regex.Pattern.compile(CsvIngest.LineRe)
+
+  /** The oracle's `parseable` predicate re-expressed: grammar match plus
+    * an integral id field. `toLongOption` mirrors both TRY_CAST and
+    * univocity's Long conversion on every drop-reachable id shape
+    * (digits, possibly truncated; the drift prefix) — exotic forms
+    * DuckDB's cast would also take (' 7') are unreachable in the drop
+    * and excluded by the generator, not by this predicate. */
+  private def grammarValid(l: String): Boolean = {
+    val m = LinePattern.matcher(l)
+    m.matches() && m.group(1).toLongOption.isDefined
+  }
 
   private def univocityValid(l: String): Boolean = {
     val ds = spark.createDataset(Seq(l))(org.apache.spark.sql.Encoders.STRING)
