@@ -668,7 +668,10 @@ object Bpe {
         var i = 0
         while (i < n) {
           val id = ids.getInt(i)
-          if (id >= 0 && id < 0x110000) sb.appendCodePoint(id)
+          // surrogate-range ids are corrupt (an unpaired surrogate would
+          // UTF-8-encode to '?', breaking the U+FFFD quarantine contract)
+          if (id >= 0 && id < 0x110000 && !(id >= 0xD800 && id <= 0xDFFF))
+            sb.appendCodePoint(id)
           else if (id >= mergedBase && id - mergedBase < mergedStr.length)
             sb.append(mergedStr(id - mergedBase))
           else sb.append('�')
@@ -858,7 +861,12 @@ object Bpe {
           else col("ids0"))
         .withColumn("bpe_tokens", size(col("ids")).cast("long"))
       Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
-        .select("doc_id", "chunk_id", "ids", "seq_id", "seq_offset")
+        // gate boundary scalarizes the sequence (s33 precedent — the
+        // driver's canonicalizer cannot hash array cells); pack math ran
+        // on the real array above
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(col("ids"), " ").as("ids"),
+          col("seq_id"), col("seq_offset"))
         .orderBy("doc_id", "chunk_id")
     }
 
@@ -950,9 +958,12 @@ object Bpe {
     // two expressions agree on segmentation and merge application
     "text_bpe_ids" -> ((s, d) => {
       val merges = loadMerges(s, ensureModel(s, d))
+      // gate boundary renders the sequence as a space-joined string (the
+      // s33 decimal precedent: the driver's canonicalizer cannot hash
+      // array cells) — the DataFrame API (bpe_token_ids) keeps real arrays
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          bpe_token_ids(col("text"), merges).as("ids"),
+          array_join(bpe_token_ids(col("text"), merges), " ").as("ids"),
           bpe_tokens(col("text"), merges).as("n_bpe"))
         .orderBy("doc_id")
     }),
@@ -963,7 +974,8 @@ object Bpe {
       val merges = loadMerges(s, ensureModelBytes(s, d))
       plantMultiscript(Tables.load(s, d, "documents"))
         .select(col("doc_id"),
-          bpe_token_ids(col("text"), merges, byteLevel = true).as("ids"),
+          array_join(bpe_token_ids(col("text"), merges, byteLevel = true),
+            " ").as("ids"),
           bpe_tokens(col("text"), merges, byteLevel = true).as("n_bpe"))
         .orderBy("doc_id")
     }),
@@ -1144,7 +1156,7 @@ object Bpe {
       s"""WITH ${ctes.mkString(",\n")}
          |SELECT d.doc_id,
          |       CASE WHEN d.text IS NULL THEN NULL
-         |            ELSE COALESCE(s.ids, CAST([] AS INT[])) END AS ids,
+         |            ELSE array_to_string(COALESCE(s.ids, CAST([] AS INT[])), ' ') END AS ids,
          |       CASE WHEN d.text IS NULL THEN NULL
          |            ELSE CAST(COALESCE(len(s.ids), 0) AS BIGINT) END AS n_bpe
          |FROM documents d LEFT JOIN seq s USING (doc_id)
@@ -1163,7 +1175,7 @@ object Bpe {
       s"""WITH ${ctes.mkString(",\n")}
          |SELECT d.doc_id,
          |       CASE WHEN d.text IS NULL THEN NULL
-         |            ELSE COALESCE(s.ids, CAST([] AS INT[])) END AS ids,
+         |            ELSE array_to_string(COALESCE(s.ids, CAST([] AS INT[])), ' ') END AS ids,
          |       CASE WHEN d.text IS NULL THEN NULL
          |            ELSE CAST(COALESCE(len(s.ids), 0) AS BIGINT) END AS n_bpe
          |FROM planted d LEFT JOIN seq s USING (doc_id)
@@ -1201,7 +1213,7 @@ object Bpe {
          |           ORDER BY doc_id, chunk_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM $src)
-         |SELECT doc_id, chunk_id, ids,
+         |SELECT doc_id, chunk_id, array_to_string(ids, ' ') AS ids,
          |       CAST(cb // 256 AS BIGINT) AS seq_id,
          |       CAST(cb % 256 AS BIGINT) AS seq_offset
          |FROM w ORDER BY doc_id, chunk_id""".stripMargin

@@ -782,13 +782,13 @@ object Dedup {
   }
 
   /** Fingerprint-keyed fixture dir shared by every ensure-* fixture:
-    * `tmpdir/<family>/<name>_<hex(salt.hashCode)>_<filesFingerprint(srcs)>`
+    * `tmpdir/<family>/<name>_<sha256(salt)>_<filesFingerprint(srcs)>`
     * — ONE definition of the stale-fixture keying (parameter salt +
     * source-file content fingerprint), so a keying fix applies to every
     * cached index/drop fixture at once instead of per copy-paste site. */
   private[graft] def fingerprintedDir(family: String, name: String,
       salt: String, srcs: Seq[String]): java.io.File = {
-    val fp = Integer.toHexString(salt.hashCode) + "_" +
+    val fp = graft.plans.MaterializedViews.stringFingerprint(salt) + "_" +
       graft.plans.MaterializedViews.filesFingerprint(srcs)
     new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), family), s"${name}_$fp")

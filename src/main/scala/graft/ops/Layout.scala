@@ -100,8 +100,8 @@ object Layout {
   def ensureZOrdered(spark: SparkSession, dir: String, table: String,
       zCols: Seq[String], numFiles: Int = 8): String = synchronized {
     val src = new File(s"$dir/$table.parquet")
-    val fp = Integer.toHexString(
-      (dir + table + zCols.mkString(",") + numFiles).hashCode) + "-" +
+    val fp = graft.plans.MaterializedViews.stringFingerprint(
+      dir + table + zCols.mkString(",") + numFiles) + "-" +
       graft.plans.MaterializedViews.filesFingerprint(Seq(src.getPath))
     val path = new File(new File(
       sys.props("java.io.tmpdir"), "graft-zorder"), s"$table-$fp").getPath
@@ -160,8 +160,8 @@ object Layout {
   def ensureBucketed(spark: SparkSession, dir: String, table: String,
       keys: Seq[String], buckets: Int = 8): String = synchronized {
     val src = new File(s"$dir/$table.parquet")
-    val fp = Integer.toHexString(
-      (dir + table + keys.mkString(",") + buckets).hashCode) + "_" +
+    val fp = graft.plans.MaterializedViews.stringFingerprint(
+      dir + table + keys.mkString(",") + buckets) + "_" +
       graft.plans.MaterializedViews.filesFingerprint(Seq(src.getPath))
     val tbl = s"graft_bkt_${table}_$fp"
     if (!spark.catalog.tableExists(tbl)) {

@@ -367,7 +367,10 @@ object TextAnalysis {
     * only — the dedup_exact discipline at sentence granularity. */
   def duplicateSentences(docs: DataFrame): DataFrame = {
     // both self-join sides re-derive from here: persist, or the whole
-    // extraction + hash runs twice (the Dedup.scala convention)
+    // extraction + hash runs twice. Cache lifecycle = the Dedup.scala
+    // header convention: the returned plan consumes it lazily, so this
+    // op cannot unpersist it itself; per-query callers (Verify/Bench/
+    // PlanAudit) clearCache() between entries.
     val sents = sentences(docs)
       .select(col("doc_id"), col("sentence"), sha2(col("sentence"), 256).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -397,6 +400,8 @@ object TextAnalysis {
     * sentence-sized — never the shingle explosion the passage-level
     * strip pays. */
   def stripDuplicateSentences(docs: DataFrame): DataFrame = {
+    // cache lifecycle: Dedup.scala header convention (lazy consumer, so
+    // no unpersist here; per-query callers clearCache() between entries)
     val sents = sentences(docs)
       .select(col("doc_id"), col("sent_pos"), col("sentence"),
         sha2(col("sentence"), 256).as("h"))
@@ -443,7 +448,9 @@ object TextAnalysis {
     sentences(docs)
       .withColumn("n_tok", size(Tokens.seg(col("sentence"))).cast("long"))
       .withColumn("cb", coalesce(sum("n_tok").over(w), lit(0L)))
-      .withColumn("chunk_id", (col("cb") / capacity).cast("long"))
+      // integral floor division (ADVICE r15: `/` is double division —
+      // exact only below 2^53 and semantically off the oracle's `//`)
+      .withColumn("chunk_id", expr(s"cb div $capacity"))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(count(lit(1)).as("n_sents"),
         sum("n_tok").as("chunk_tokens"),

@@ -146,6 +146,15 @@ object MaterializedViews {
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
+  /** Collision-free key for a parameter string embedded in a persistent
+    * name (r15 advisory: 32-bit `hashCode` keys can collide two configs
+    * onto one cached path). SHA-256, 64-bit prefix. */
+  private[graft] def stringFingerprint(s: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(s.getBytes("UTF-8"))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   private def fingerprint(basePaths: Set[String], dims: Seq[String],
       measureKeys: Seq[(String, String)], baseVersion: String = ""): String = {
     val md = MessageDigest.getInstance("SHA-256")

@@ -112,7 +112,9 @@ object CsvIngest {
     * end of line) or any field-conversion failure (the `id-<n>` drift)
     * quarantines the WHOLE raw line. Same persist caveat as the JSONL
     * tier (the corrupt-record column cannot be filtered straight off the
-    * parser). */
+    * parser). Cache lifecycle = the Dedup.scala header convention: both
+    * returned frames consume the cache lazily, so this op cannot
+    * unpersist it; per-query callers clearCache() between entries. */
   def readWithQuarantine(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {
     val parsed = spark.read

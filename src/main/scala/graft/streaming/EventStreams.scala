@@ -33,6 +33,13 @@ object EventStreams {
 
   private val sinkCounter = new AtomicInteger(0)
 
+  /** Collision-free key for persistent names derived from a source dir
+    * (r14/r15 advisory: a 32-bit `hashCode` can collide two dirs onto
+    * one staging path / database / view dir). SHA-256, 96-bit prefix. */
+  private[streaming] def dirKey(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+
   /** Stage `<dir>/<table>.parquet` into a per-table directory the
     * file-stream source can monitor (hard link — no data copy), with the
     * stale-inode guard. Returns the staged directory path. */
@@ -40,7 +47,7 @@ object EventStreams {
     val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     val stage = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${table}_${Integer.toHexString(dir.hashCode)}")
+      s"graft_stream_${table}_${dirKey(dir)}")
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve(s"$table.parquet")
     // re-stage if the source file was replaced since last staged: a hard
@@ -344,9 +351,8 @@ object EventStreams {
     * skipped, not double-counted). */
   def streamMvRollup(spark: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val fp = Integer.toHexString(
-      (dir + java.nio.file.Files.size(src) +
-        java.nio.file.Files.getLastModifiedTime(src)).hashCode)
+    val fp = dirKey(dir + java.nio.file.Files.size(src) +
+      java.nio.file.Files.getLastModifiedTime(src))
     val viewPath = new java.io.File(new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft-smv"), s"events-$fp").getPath
     val q = graft.plans.MaterializedViews.maintainStream(
@@ -427,7 +433,7 @@ object EventStreams {
   def streamPostings(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_postidx_${Integer.toHexString(dir.hashCode)}")
+      s"graft_stream_postidx_${dirKey(dir)}")
     wipe(idxDir)
     val stream = documentStream(spark, dir).select("doc_id", "text")
     val q = stream.writeStream
@@ -648,8 +654,7 @@ object EventStreams {
     // collision-free per-source database key (r14 advisory: a 32-bit
     // dir.hashCode could collide two source dirs onto one database, and
     // the drop/recreate below would clobber the other run's sink)
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val key = dirKey(dir)
     val url = s"jdbc:derby:memory:graft_crawl_$key;create=true"
     val backend = graft.sources.JdbcBackend.forUrl(url)
     // fresh logical stream per invocation: drop sink + marker + staging so

@@ -12,6 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class BpeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** The packed-ids gate entries render their sequences space-joined
+    * (driver-canonicalizable scalar, the s33 precedent) — parse back. */
+  private def parseIds(s: String): Seq[Int] =
+    if (s.isEmpty) Seq.empty else s.split(" ").toSeq.map(_.toInt)
+
   test("training learns merges most-frequent-first with deterministic tie-breaks") {
     // pair freqs round 1: (l,o)=5 and (o,w)=5 tie — (l,o) wins on the
     // (left, right) lexicographic tie-break; then (lo,w)=5, (low,e)=2
@@ -262,7 +267,7 @@ class BpeSpec extends AnyFunSuite {
     // a drift between BpeTokenIds and BpeTokenCount would split them
     val ids = SparkEntry.queries("chunk_pack_ids")(spark, TestSpark.Sf0001)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getSeq[Int](2).length.toLong, r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1)) -> (parseIds(r.getString(2)).length.toLong, r.getLong(3), r.getLong(4)))
       .toMap
     val counts = SparkEntry.queries("chunk_pack_bpe")(spark, TestSpark.Sf0001)
       .collect()
@@ -277,7 +282,7 @@ class BpeSpec extends AnyFunSuite {
   test("chunk_pack_ids_eos materializes the separator: sentinel leads each doc, offset AT it (r15)") {
     val rows = SparkEntry.queries("chunk_pack_ids_eos")(spark, TestSpark.Sf0001)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), parseIds(r.getString(2)), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     rows.foreach { case (d, c, ids, _, _) =>
       if (c == 0L) assert(ids.head == Bpe.EosId, s"doc $d first chunk must lead with the sentinel")
@@ -291,7 +296,7 @@ class BpeSpec extends AnyFunSuite {
     // budget conservation: exactly one sentinel per document joined the
     // token mass relative to the plain ids artifact
     val plain = SparkEntry.queries("chunk_pack_ids")(spark, TestSpark.Sf0001)
-      .collect().map(_.getSeq[Int](2).length.toLong).sum
+      .collect().map(r => parseIds(r.getString(2)).length.toLong).sum
     val nDocs = rows.iterator.filter(_._2 == 0L).size
     assert(rows.iterator.map(_._3.length.toLong).sum == plain + nDocs)
   }
@@ -301,16 +306,18 @@ class BpeSpec extends AnyFunSuite {
     val merges = Seq(("a", "b"))
     val df = spark.createDataFrame(
       java.util.Arrays.asList(
-        org.apache.spark.sql.Row(Seq(-1, 0x110000 + 5, 97)),
+        org.apache.spark.sql.Row(Seq(-1, 0x110000 + 5, 0xD800, 97)),
         org.apache.spark.sql.Row(null)),
       StructType(Seq(StructField("ids", ArrayType(IntegerType)))))
     val got = df.select(Bpe.bpe_decode_ids(col("ids"), merges)).collect()
-    // -1 and rank-5-of-a-1-rule-table are outside both id spaces
-    assert(got(0).getString(0) == "��a")
+    // -1 and rank-5-of-a-1-rule-table are outside both id spaces;
+    // 0xD800 is an unpaired surrogate — quarantined too (r15 advisory:
+    // appendCodePoint would emit it and UTF-8 would turn it into '?')
+    assert(got(0).getString(0) == "���a")
     assert(got(1).isNullAt(0), "null ids must decode null")
     val bg = df.select(Bpe.bpe_decode_ids(col("ids"), merges, byteLevel = true))
       .collect()
-    assert(bg(0).getString(0) == "��a",
+    assert(bg(0).getString(0) == "���a",
       "byte-level corrupt ids must degrade identically")
   }
 }
