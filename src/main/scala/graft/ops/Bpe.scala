@@ -285,21 +285,38 @@ object Bpe {
     * salt, the era record, and the oracle emulation all derive from the
     * same values and cannot drift. */
   private[graft] final case class ModelSpec(tag: String, nMerges: Int,
-      maxWords: Int, byteLevel: Boolean, plant: Boolean = false) {
+      maxWords: Int, byteLevel: Boolean, plant: Boolean = false,
+      gpt2: Boolean = false) {
     /** Byte-level covers every string; the codepoint variant trains on
       * printable-ASCII words only (non-ASCII tokenize as raw codepoints). */
     def asciiOnly: Boolean = !byteLevel
     def syms: String => Array[String] = if (byteLevel) symsOfBytes else symsOf
+    /** Pre-tokenization rule of this spec: the shared whitespace+CJK
+      * segmentation, or the GPT-2 contraction-aware split (r16). */
+    def segColumn: Column => Column =
+      if (gpt2) Tokens.gpt2Seg else Tokens.seg
+    def duckToksOf(textExpr: String): String =
+      if (gpt2) Tokens.duckGpt2Toks(textExpr) else Tokens.duckToks(textExpr)
     /** EVERY training constant rides the salt (r14 advisory: a salt that
       * omitted SampleMod/SampleChars served a stale cached table after a
-      * constant change); SegV versions the segmentation rule itself. */
+      * constant change); SegV/Gpt2V version the segmentation rule itself,
+      * [[HfLayoutV]] the staged dir layout (adding a file to the layout
+      * must rebuild cached dirs — they are commit-immutable). */
     def salt(sfDir: String): String =
-      s"$sfDir:$tag:$nMerges:$maxWords:$byteLevel:$plant:$SampleMod:$SampleChars:${Tokens.SegV}"
+      s"$sfDir:$tag:$nMerges:$maxWords:$byteLevel:$plant:$SampleMod:$SampleChars:" +
+        (if (gpt2) Tokens.Gpt2V else Tokens.SegV) + s":$HfLayoutV"
   }
   private[graft] val SpecOracle = ModelSpec("cp40", NMerges, MaxWords, byteLevel = false)
   private[graft] val SpecLarge = ModelSpec("cp32k", NMergesLarge, MaxWordsLarge, byteLevel = false)
   private[graft] val SpecBytes =
     ModelSpec("b40", NMerges, MaxWords, byteLevel = true, plant = true)
+  /** Byte-level under GPT-2 pre-tokenization — the full production
+    * contract (Radford et al. 2019): whitespace and space-prefixed
+    * pre-tokens enter the dict, so the model learns leading-space
+    * subwords the whitespace segmentation never sees. */
+  private[graft] val SpecGpt2 =
+    ModelSpec("g2-40", NMerges, MaxWords, byteLevel = true, plant = true,
+      gpt2 = true)
 
   /** Planted multiscript payload for the byte-level tier (the corpus is
     * clean ASCII, so byte-level coverage is exercised on planted text —
@@ -340,7 +357,7 @@ object Bpe {
     val docs = Tables.load(spark, sfDir, "documents")
     val words = (if (spec.plant) plantMultiscript(docs) else docs)
       .filter(col("doc_id") % SampleMod === 0)
-      .select(explode(Tokens.seg(substring(col("text"), 1, SampleChars))).as("w"))
+      .select(explode(spec.segColumn(substring(col("text"), 1, SampleChars))).as("w"))
     (if (spec.asciiOnly) words.filter(col("w").rlike("^[!-~]+$")) else words)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
@@ -351,6 +368,162 @@ object Bpe {
   /** Name of the era record inside a model dir: the full fingerprint salt
     * + corpus content fingerprint the table was trained under. */
   private val EraFile = "_bpe_era"
+
+  // ------------------------------- HF-tokenizers interchange (r16)
+
+  /** Version of the staged model-dir LAYOUT (which files it contains) —
+    * rides every spec's salt so committed dirs from an older layout are
+    * rebuilt rather than served missing files. */
+  private[graft] val HfLayoutV = "hf1"
+
+  /** GPT-2's public byte→printable-unicode alphabet (encoder.py
+    * `bytes_to_unicode`): printable ASCII and most of Latin-1 map to
+    * themselves, the rest to U+0100+n — so byte-level tokens render as
+    * space-free printable strings in `merges.txt`/`vocab.json`, the
+    * HF-tokenizers interchange convention. */
+  private[graft] lazy val byteToUnicode: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (direct(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+  private lazy val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Internal symbol → HF interchange token: byte-level symbols (hex
+    * pairs) map through [[byteToUnicode]]; codepoint symbols pass as-is
+    * (the codepoint dicts are printable-ASCII words — asserted at write,
+    * since a space inside a symbol would corrupt the merges.txt format). */
+  private def hfToken(sym: String, byteLevel: Boolean): String =
+    if (byteLevel)
+      sym.grouped(2).map(h => byteToUnicode(Integer.parseInt(h, 16))).mkString
+    else sym
+
+  private def hfTokenInverse(tok: String, byteLevel: Boolean): String =
+    if (byteLevel)
+      tok.map(c => f"${unicodeToByte.getOrElse(c, sys.error(s"not a byte-alphabet char: $c"))}%02X").mkString
+    else tok
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Write the model as HF-tokenizers-style `merges.txt` (rank order,
+    * `#version: 0.2` header) and `vocab.json` (dense ids: the base
+    * alphabet first — all 256 bytes for byte-level models, the distinct
+    * merge-symbol codepoints for codepoint models — then one token per
+    * merge in rank order, the standard BPE vocab construction). Called
+    * inside the staged model build, so the files are covered by the
+    * dir's epoch commit and [[requireEra]] fingerprint. */
+  private[graft] def writeHfFiles(dir: java.io.File,
+      merges: Seq[(String, String)], byteLevel: Boolean): Unit = {
+    val lines = merges.map { case (a, b) =>
+      val (l, r) = (hfToken(a, byteLevel), hfToken(b, byteLevel))
+      require(!l.exists(_.isWhitespace) && !r.exists(_.isWhitespace),
+        s"merge symbol with whitespace cannot round-trip merges.txt: [$l] [$r]")
+      s"$l $r"
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "merges.txt").toPath,
+      ("#version: 0.2" +: lines).mkString("\n").getBytes("UTF-8"))
+    val alphabet: Seq[String] =
+      if (byteLevel) (0 until 256).map(b => byteToUnicode(b).toString)
+      else merges.iterator.flatMap { case (a, b) => a + b }.toSeq
+        .distinct.sorted.map(_.toString)
+    val mergedToks = merges.map { case (a, b) => hfToken(a + b, byteLevel) }
+    val vocab = (alphabet ++ mergedToks).distinct.zipWithIndex
+    val json = vocab
+      .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(new java.io.File(dir, "vocab.json").toPath,
+      json.getBytes("UTF-8"))
+  }
+
+  /** Load the HF interchange files back into the engine's internal merge
+    * form — the serving seam's inverse of [[writeHfFiles]]. Returns
+    * (merges in rank order, vocab token → dense id). Strict: refuses a
+    * malformed header, a merge line without exactly one space, or a
+    * vocab missing a merge output — a silently tolerant loader would
+    * serve a truncated tokenizer. */
+  def loadHfTokenizer(dir: String, byteLevel: Boolean)
+      : (Seq[(String, String)], Map[String, Int]) = {
+    val mergesPath = new java.io.File(dir, "merges.txt").toPath
+    val all = new String(java.nio.file.Files.readAllBytes(mergesPath), "UTF-8")
+      .split("\n", -1).toSeq
+    require(all.headOption.exists(_.startsWith("#version:")),
+      s"merges.txt missing #version header at $dir")
+    val merges = all.tail.filter(_.nonEmpty).map { line =>
+      val parts = line.split(" ", -1)
+      require(parts.length == 2, s"malformed merge line: [$line]")
+      (hfTokenInverse(parts(0), byteLevel), hfTokenInverse(parts(1), byteLevel))
+    }
+    val vocabJson = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "vocab.json").toPath), "UTF-8")
+    val vocab = parseVocabJson(vocabJson)
+    merges.foreach { case (a, b) =>
+      val out = hfToken(a + b, byteLevel)
+      require(vocab.contains(out), s"vocab.json missing merge output [$out]")
+    }
+    (merges, vocab)
+  }
+
+  /** Minimal strict parser for the flat `{"tok": id, ...}` object
+    * [[writeHfFiles]] emits (keys are JSON strings with `\"`, `\\`,
+    * and `\ uXXXX` escapes; values are non-negative integers). */
+  private[graft] def parseVocabJson(s: String): Map[String, Int] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      skipWs()
+      require(i < s.length && s(i) == c, s"vocab.json: expected '$c' at $i")
+      i += 1
+    }
+    def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case '"' => sb += '"'; i += 1
+            case '\\' => sb += '\\'; i += 1
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 5
+            case c => sys.error(s"vocab.json: unsupported escape \\$c")
+          }
+        } else { sb += s(i); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    expect('{')
+    skipWs()
+    if (i < s.length && s(i) != '}') {
+      var more = true
+      while (more) {
+        val k = parseString()
+        expect(':')
+        skipWs()
+        val start = i
+        while (i < s.length && s(i).isDigit) i += 1
+        out(k) = s.substring(start, i).toInt
+        skipWs()
+        if (i < s.length && s(i) == ',') { i += 1; skipWs() } else more = false
+      }
+    }
+    expect('}')
+    out.toMap
+  }
 
   /** The era string a model trained NOW against this corpus would record.
     * Corpus-content-sensitive: [[graft.plans.MaterializedViews.filesFingerprint]]
@@ -378,6 +551,7 @@ object Bpe {
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "left", "right")
         .coalesce(1).write.parquet(tmp.getPath)
+      writeHfFiles(tmp, merges, spec.byteLevel)
       java.nio.file.Files.write(new java.io.File(tmp, EraFile).toPath,
         currentEra(sfDir, spec).getBytes("UTF-8"))
     }
@@ -392,6 +566,9 @@ object Bpe {
   /** The byte-level (GPT-2 variant) model. */
   def ensureModelBytes(spark: SparkSession, sfDir: String): String =
     ensureModelSpec(spark, sfDir, SpecBytes)
+  /** The byte-level model under GPT-2 pre-tokenization (r16). */
+  def ensureModelGpt2(spark: SparkSession, sfDir: String): String =
+    ensureModelSpec(spark, sfDir, SpecGpt2)
 
   /** Era guard for a pinned model dir: REFUSE — loudly — to apply a merge
     * table trained under a different corpus fingerprint or different
@@ -415,9 +592,12 @@ object Bpe {
   }
 
   /** Load a persisted merge table in rank order — a bounded read (≤ the
-    * variant's nMerges rows), the model the scoring expression embeds. */
+    * variant's nMerges rows), the model the scoring expression embeds.
+    * Globbed to the part files: the dir also carries the HF interchange
+    * files (`merges.txt`/`vocab.json`, r16), which a bare dir read would
+    * try to parse as parquet. */
   def loadMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
-    spark.read.parquet(dir).select("rank", "left", "right")
+    spark.read.parquet(s"$dir/part-*").select("rank", "left", "right")
       .collect() // bounded: <= nMerges rows
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -451,7 +631,7 @@ object Bpe {
     * once per task, the stored-model contract every scoring expression
     * here uses. */
   case class BpeTokenCount(child: Expression, merges: Seq[(String, String)],
-      byteLevel: Boolean = false)
+      byteLevel: Boolean = false, gpt2: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "bpe_token_count"
@@ -482,7 +662,9 @@ object Bpe {
       * per-word probes, and merges all inside; the boxing-free analog of
       * the interpreted path). */
     def countAll(in: UTF8String): Long = {
-      val words = Tokens.segString(in.toString)
+      val words =
+        if (gpt2) Tokens.gpt2SegString(in.toString)
+        else Tokens.segString(in.toString)
       var total = 0L
       var wi = 0
       while (wi < words.length) { total += countWord(words(wi)); wi += 1 }
@@ -504,8 +686,9 @@ object Bpe {
 
   /** Column form of [[BpeTokenCount]]. */
   def bpe_tokens(text: Column, merges: Seq[(String, String)],
-      byteLevel: Boolean = false): Column =
-    GraftSqlBridge.column(BpeTokenCount(GraftSqlBridge.expression(text), merges, byteLevel))
+      byteLevel: Boolean = false, gpt2: Boolean = false): Column =
+    GraftSqlBridge.column(
+      BpeTokenCount(GraftSqlBridge.expression(text), merges, byteLevel, gpt2))
 
   /** The trainer-facing output: the document's BPE token ID SEQUENCE
     * (the counting entries budget; THIS is what a training pipeline
@@ -738,7 +921,7 @@ object Bpe {
     val sample =
       s"""sample AS MATERIALIZED (
          |  SELECT w, COUNT(*) AS cnt FROM (
-         |    SELECT unnest(${Tokens.duckToks(s"substring(text, 1, $SampleChars)")}) AS w
+         |    SELECT unnest(${spec.duckToksOf(s"substring(text, 1, $SampleChars)")}) AS w
          |    FROM $src WHERE doc_id % $SampleMod = 0) _
          |$filter  GROUP BY w ORDER BY cnt DESC, w LIMIT ${spec.maxWords})""".stripMargin
     val st0 = s"st0 AS MATERIALIZED (SELECT w, cnt, ${wrap("w")} AS repr FROM sample)"
@@ -1035,6 +1218,22 @@ object Bpe {
           aggregate(transform(Tokens.seg(col("text")), w => octet_length(w).cast("long")),
             lit(0L), (acc, x) => acc + x).as("n_bytes"))
         .orderBy("doc_id")
+    }),
+    // r16: the FULL production pre-tokenization contract — byte-level BPE
+    // over GPT-2's contraction-aware split (Radford et al. 2019): the
+    // dict carries whitespace and space-prefixed pre-tokens, so counts
+    // and (downstream) pack boundaries move vs the whitespace rule on
+    // real text. n_pre pins the splitter itself at the gate (the oracle's
+    // RE2 sentinel emulation vs the engine's lookahead pattern), n_bpe
+    // the trained model's application over those pre-tokens
+    "text_tokens_bpe_gpt2" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModelGpt2(s, d))
+      plantMultiscript(Tables.load(s, d, "documents"))
+        .select(col("doc_id"),
+          bpe_tokens(col("text"), merges, byteLevel = true, gpt2 = true)
+            .as("n_bpe"),
+          size(Tokens.gpt2Seg(col("text"))).cast("long").as("n_pre"))
+        .orderBy("doc_id")
     }))
 
   val oracle: Seq[(String, String)] = {
@@ -1142,6 +1341,21 @@ object Bpe {
          |FROM planted d LEFT JOIN bpeCounted t USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
+    val tokensGpt2Sql = {
+      // the SAME staged training + apply emulation, with the GPT-2
+      // pre-token stream (sentinel-emulated lookahead — Tokens.duckGpt2Toks)
+      // replacing the whitespace segmentation everywhere a word enters
+      val words =
+        s"(SELECT doc_id, unnest(${Tokens.duckGpt2Toks("text")}) AS w FROM planted) _"
+      val ctes = trainCtes(SpecGpt2) ++ applyStages(words, "doc_id", SpecGpt2)
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT d.doc_id,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE COALESCE(t.n_bpe, 0) END AS n_bpe,
+         |       CAST(len(${Tokens.duckGpt2Toks("d.text")}) AS BIGINT) AS n_pre
+         |FROM planted d LEFT JOIN bpeCounted t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
     val idsSql = {
       // word occurrences with ORDINALS (the sequence needs order where
       // the counts only needed sums), each through the apply chain, each
@@ -1240,6 +1454,7 @@ object Bpe {
       "text_bpe_vocab_large" -> vocabLargeSql,
       "text_tokens_bpe_large" -> tokensLargeSql,
       "text_tokens_bpe_bytes" -> tokensBytesSql,
+      "text_tokens_bpe_gpt2" -> tokensGpt2Sql,
       "text_bpe_ids" -> idsSql,
       "text_bpe_ids_bytes" -> idsBytesSql,
       "text_bpe_decode" -> decodeSql,

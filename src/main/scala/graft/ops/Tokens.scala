@@ -57,6 +57,63 @@ private[graft] object Tokens {
   private val CjkPattern = java.util.regex.Pattern.compile(CjkJava)
   private val WsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  // ------------------------------------------------- GPT-2 pre-tokenizer
+
+  /** Version of the GPT-2 split rule — folded into gpt2-spec model salts
+    * exactly like [[SegV]]. */
+  private[graft] val Gpt2V = "gpt2v1"
+
+  /** The byte-level-BPE pre-tokenization regex of Radford et al. 2019
+    * (public GPT-2 `encoder.py` / tiktoken split pattern): contractions,
+    * optionally-space-prefixed letter/digit/other runs, and whitespace
+    * runs that DONATE their final character to a following pre-token
+    * (`\s+(?!\S)`). Java regex supports the lookahead, so the engine uses
+    * the pattern verbatim. */
+  private[graft] val Gpt2Re =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** The lookahead-free core of [[Gpt2Re]] — correct only on text whose
+    * internal (whitespace, non-whitespace) boundaries were pre-split (see
+    * [[duckGpt2Toks]]); shared by the oracle emulation and its property
+    * spec. */
+  private[graft] val Gpt2Core =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** GPT-2 pre-token stream as a Column — `regexp_extract_all` runs Java
+    * regex, so the true lookahead pattern applies directly (codegen'd,
+    * map-side). */
+  def gpt2Seg(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2Re), lit(0))
+
+  private val Gpt2Pattern = java.util.regex.Pattern.compile(Gpt2Re)
+
+  /** Plain-Scala form of [[gpt2Seg]] for expressions that pre-tokenize
+    * inside their own eval (the gpt2-spec BPE counter). */
+  private[graft] def gpt2SegString(s: String): Array[String] = {
+    val m = Gpt2Pattern.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** The DuckDB mirror of [[gpt2Seg]]. RE2 has no lookahead, so
+    * `\s+(?!\S)` is emulated EXACTLY by sentinel injection: every
+    * (whitespace, non-whitespace) adjacency gets a `chr(1)` boundary
+    * marker (`regexp_replace('(\s)(\S)', chr(1)||'\1\2')`), the text is
+    * split on the marker, and each piece runs the lookahead-free
+    * [[Gpt2Core]] — inside a piece a whitespace run is never followed by
+    * non-whitespace, so plain `\s+` and the donated-space ` ?` prefixes
+    * reproduce the lookahead semantics. Equivalence to [[Gpt2Re]] is
+    * property-pinned in Gpt2SplitSpec on random strings (caveat, stated:
+    * a literal U+0001 in the input would add a spurious boundary; the
+    * corpus and Java side treat it as an "other" char). */
+  def duckGpt2Toks(textExpr: String): String = {
+    val core = Gpt2Core.replace("'", "''")
+    s"flatten(list_transform(string_split(" +
+      s"regexp_replace($textExpr, '(\\s)(\\S)', chr(1) || '\\1\\2', 'g')," +
+      s" chr(1)), seg -> regexp_extract_all(seg, '$core')))"
+  }
+
   /** Plain-Scala form of [[seg]], for expressions that tokenize inside
     * their own eval (the BPE subword counter): the SAME regex rule —
     * space out CJK codepoints, split on whitespace runs, drop empties —

@@ -1,0 +1,95 @@
+package graft
+
+import graft.Tables
+import graft.ops.{Bpe, Tokens}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The tokenizer serving seam: every trained model dir also carries
+  * HF-tokenizers-style `vocab.json`/`merges.txt` (written inside the
+  * same staged commit, so the existing era guard fingerprints them), and
+  * `loadHfTokenizer` round-trips the files back to the engine's internal
+  * merge form — write → load → apply must equal the in-memory model on
+  * the corpus. */
+class HfTokenizerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def modelDirs: Seq[(String, Boolean)] = Seq(
+    (Bpe.ensureModel(spark, TestSpark.Sf0001), false),
+    (Bpe.ensureModelBytes(spark, TestSpark.Sf0001), true),
+    (Bpe.ensureModelGpt2(spark, TestSpark.Sf0001), true))
+
+  test("every staged model dir carries the interchange files") {
+    modelDirs.foreach { case (dir, _) =>
+      assert(new java.io.File(dir, "merges.txt").isFile, s"merges.txt in $dir")
+      assert(new java.io.File(dir, "vocab.json").isFile, s"vocab.json in $dir")
+      // and the parquet model still loads despite the extra files
+      assert(Bpe.loadMerges(spark, dir).nonEmpty)
+    }
+  }
+
+  test("merges.txt round-trips to the exact in-memory merge table") {
+    modelDirs.foreach { case (dir, byteLevel) =>
+      val inMem = Bpe.loadMerges(spark, dir)
+      val (loaded, vocab) = Bpe.loadHfTokenizer(dir, byteLevel)
+      assert(loaded == inMem, s"loaded merges != in-memory for $dir")
+      // dense ids 0..n-1, alphabet before merged tokens
+      assert(vocab.values.toSeq.sorted == (0 until vocab.size),
+        s"vocab ids not dense for $dir")
+    }
+  }
+
+  test("write -> load -> apply equals the in-memory model on the corpus") {
+    modelDirs.foreach { case (dir, byteLevel) =>
+      val inMem = Bpe.loadMerges(spark, dir)
+      val (loaded, _) = Bpe.loadHfTokenizer(dir, byteLevel)
+      val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      val rows = docs.select(col("doc_id"),
+        Bpe.bpe_tokens(col("text"), inMem, byteLevel).as("a"),
+        Bpe.bpe_tokens(col("text"), loaded, byteLevel).as("b"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2))
+        if (!r.isNullAt(1))
+          assert(r.getLong(1) == r.getLong(2),
+            s"doc ${r.getLong(0)}: served tokenizer diverged ($dir)")
+      }
+    }
+  }
+
+  test("byte-level vocab carries the full 256-byte alphabet (GPT-2 convention)") {
+    val (dir, _) = modelDirs(1)
+    val (_, vocab) = Bpe.loadHfTokenizer(dir, byteLevel = true)
+    (0 until 256).foreach { b =>
+      val tok = Bpe.byteToUnicode(b).toString
+      assert(vocab.contains(tok), f"byte 0x$b%02x missing from vocab")
+    }
+    // the byte alphabet itself is a bijection (space-free, printable)
+    assert(Bpe.byteToUnicode.distinct.length == 256)
+    assert(!Bpe.byteToUnicode.exists(_.isWhitespace))
+  }
+
+  test("the loader is strict: tampered files refuse loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hf-tamper").toFile
+    java.nio.file.Files.write(new java.io.File(tmp, "merges.txt").toPath,
+      "a b\n".getBytes("UTF-8")) // missing #version header
+    java.nio.file.Files.write(new java.io.File(tmp, "vocab.json").toPath,
+      "{}".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Bpe.loadHfTokenizer(tmp.getPath, byteLevel = false)
+    }
+    java.nio.file.Files.write(new java.io.File(tmp, "merges.txt").toPath,
+      "#version: 0.2\na b\n".getBytes("UTF-8"))
+    // vocab missing the merge output "ab"
+    intercept[IllegalArgumentException] {
+      Bpe.loadHfTokenizer(tmp.getPath, byteLevel = false)
+    }
+  }
+
+  test("vocab.json parser handles the escapes the writer emits") {
+    val m = Bpe.parseVocabJson("""{"a": 0, "\"q\"": 1, "b\\c": 2, "x": 3}""")
+    assert(m == Map("a" -> 0, "\"q\"" -> 1, "b\\c" -> 2, "x" -> 3))
+    assert(Bpe.parseVocabJson("{}") == Map.empty[String, Int])
+  }
+}
