@@ -231,6 +231,20 @@ object PlanAudit {
     // r15: the materialized-separator artifact — the pack chain's shape
     // exactly (5.552/row and 5.430/row — flat, same as chunk_pack_ids)
     "chunk_pack_ids_eos" -> ShuffleBudget("documents", 14.0, 1000L),
+    // r16: GPT-2-pretokenized byte-level counting — the text_tokens_bpe
+    // shape exactly: bounded training aggregate + presentation orderBy
+    // (measured 1.000/row at n=500 and 1.025/row at n=5000 — flat)
+    "text_tokens_bpe_gpt2" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r16: classifier estimation is ONE ≤1024-bucket aggregate (rows ∝
+    // partitions × buckets, not corpus) + presentation orderBy; measured
+    // 1.086/row at n=500 and 1.009/row at n=5000 — flat
+    "text_quality_clf" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r16: stored-model serving — scoring is a pure map, so only the
+    // presentation orderBy shuffles (1.000/row and 1.009/row — flat)
+    "text_quality_clf_served" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r16: keep decision = the clf aggregate + the map-side gate + a
+    // doc_id join of two 1/doc sides (1.086/row and 1.009/row — flat)
+    "text_quality_clf_keep" -> ShuffleBudget("documents", 3.5, 1000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

@@ -29,6 +29,7 @@ object SparkEntry {
       graft.ops.Search.entries ++
       graft.ops.Profile.entries ++
       graft.ops.Sampling.entries ++
+      graft.ops.QualityClf.entries ++
       graft.ops.Fluency.entries ++
       graft.ops.Urls.entries ++
       graft.ops.Curation.entries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.ops.Search.oracle ++
       graft.ops.Profile.oracle ++
       graft.ops.Sampling.oracle ++
+      graft.ops.QualityClf.oracle ++
       graft.ops.Fluency.oracle ++
       graft.ops.Urls.oracle ++
       graft.ops.Curation.oracle ++
