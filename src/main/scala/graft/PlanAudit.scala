@@ -245,6 +245,11 @@ object PlanAudit {
     // r16: keep decision = the clf aggregate + the map-side gate + a
     // doc_id join of two 1/doc sides (1.086/row and 1.009/row — flat)
     "text_quality_clf_keep" -> ShuffleBudget("documents", 3.5, 1000L),
+    // r16: gpt2 ids artifact + the exact-text round trip — both all
+    // map-side past the bounded training aggregate; presentation orderBy
+    // only (measured exactly 1.000/row at n=500 AND n=5000)
+    "text_bpe_ids_gpt2" -> ShuffleBudget("documents", 3.0, 1000L),
+    "text_bpe_decode_gpt2" -> ShuffleBudget("documents", 3.0, 1000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

@@ -712,7 +712,7 @@ object Bpe {
     * GPT-2's own base id assignment before its permutation table),
     * merged symbols are `256 + rank`. */
   case class BpeTokenIds(child: Expression, merges: Seq[(String, String)],
-      byteLevel: Boolean = false)
+      byteLevel: Boolean = false, gpt2: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "bpe_token_ids"
@@ -756,7 +756,9 @@ object Bpe {
     /** Whole-row sequence — public for the generated code's plan
       * reference, like [[BpeTokenCount.countAll]]. */
     def idsAll(in: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-      val words = Tokens.segString(in.toString)
+      val words =
+        if (gpt2) Tokens.gpt2SegString(in.toString)
+        else Tokens.segString(in.toString)
       val parts = new Array[Array[Int]](words.length)
       var total = 0
       var wi = 0
@@ -788,9 +790,9 @@ object Bpe {
 
   /** Column form of [[BpeTokenIds]]. */
   def bpe_token_ids(text: Column, merges: Seq[(String, String)],
-      byteLevel: Boolean = false): Column =
+      byteLevel: Boolean = false, gpt2: Boolean = false): Column =
     GraftSqlBridge.column(
-      BpeTokenIds(GraftSqlBridge.expression(text), merges, byteLevel))
+      BpeTokenIds(GraftSqlBridge.expression(text), merges, byteLevel, gpt2))
 
   /** Detokenization — the inverse of [[BpeTokenIds]]'s id assignment:
     * rebuild the document's WORD STREAM (the concatenation of its
@@ -1234,6 +1236,32 @@ object Bpe {
             .as("n_bpe"),
           size(Tokens.gpt2Seg(col("text"))).cast("long").as("n_pre"))
         .orderBy("doc_id")
+    }),
+    // r16: the full production ids artifact — byte-level ids over GPT-2
+    // pre-tokens (the gate boundary scalarizes; n_bpe cross-pins the
+    // counting expression's segmentation + apply)
+    "text_bpe_ids_gpt2" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModelGpt2(s, d))
+      plantMultiscript(Tables.load(s, d, "documents"))
+        .select(col("doc_id"),
+          array_join(bpe_token_ids(col("text"), merges, byteLevel = true,
+            gpt2 = true), " ").as("ids"),
+          bpe_tokens(col("text"), merges, byteLevel = true, gpt2 = true)
+            .as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+    // r16: the STRONGEST round trip in the suite — GPT-2 pre-tokens
+    // PARTITION the input (whitespace is tokenized, nothing is dropped),
+    // so encode→decode must rebuild the ORIGINAL TEXT byte for byte; the
+    // oracle's expected value is simply the text column itself
+    "text_bpe_decode_gpt2" -> ((s, d) => {
+      val merges = loadMerges(s, ensureModelGpt2(s, d))
+      plantMultiscript(Tables.load(s, d, "documents"))
+        .select(col("doc_id"),
+          bpe_decode_ids(
+            bpe_token_ids(col("text"), merges, byteLevel = true, gpt2 = true),
+            merges, byteLevel = true).as("decoded"))
+        .orderBy("doc_id")
     }))
 
   val oracle: Seq[(String, String)] = {
@@ -1356,6 +1384,31 @@ object Bpe {
          |FROM planted d LEFT JOIN bpeCounted t USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
+    val idsGpt2Sql = {
+      // ordinal GPT-2 pre-token occurrences through the SpecGpt2 apply
+      // chain, ids via the shared byte-level id machinery
+      val words =
+        s"""(SELECT doc_id, wi, t[wi] AS w FROM (
+           |   SELECT doc_id, t, unnest(generate_series(1, len(t))) AS wi
+           |   FROM (SELECT doc_id, ${Tokens.duckGpt2Toks("text")} AS t FROM planted) _) _) _""".stripMargin
+      val ctes = trainCtes(SpecGpt2) ++ applyChain(words, "doc_id, wi", SpecGpt2) ++
+        idsSeqCtes("doc_id", byteLevel = true)
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT d.doc_id,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE array_to_string(COALESCE(s.ids, CAST([] AS INT[])), ' ') END AS ids,
+         |       CASE WHEN d.text IS NULL THEN NULL
+         |            ELSE CAST(COALESCE(len(s.ids), 0) AS BIGINT) END AS n_bpe
+         |FROM planted d LEFT JOIN seq s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
+    // GPT-2 pre-tokens partition the input, so the expected decode is
+    // the text column ITSELF — the two engines share nothing but the
+    // planted corpus here
+    val decodeGpt2Sql =
+      s"""WITH $plantedCte
+         |SELECT doc_id, text AS decoded
+         |FROM planted ORDER BY doc_id""".stripMargin
     val idsSql = {
       // word occurrences with ORDINALS (the sequence needs order where
       // the counts only needed sums), each through the apply chain, each
@@ -1455,6 +1508,8 @@ object Bpe {
       "text_tokens_bpe_large" -> tokensLargeSql,
       "text_tokens_bpe_bytes" -> tokensBytesSql,
       "text_tokens_bpe_gpt2" -> tokensGpt2Sql,
+      "text_bpe_ids_gpt2" -> idsGpt2Sql,
+      "text_bpe_decode_gpt2" -> decodeGpt2Sql,
       "text_bpe_ids" -> idsSql,
       "text_bpe_ids_bytes" -> idsBytesSql,
       "text_bpe_decode" -> decodeSql,

@@ -143,6 +143,33 @@ class Gpt2SplitSpec extends AnyFunSuite {
     }
   }
 
+  test("gpt2 encode -> decode rebuilds the ORIGINAL text byte for byte") {
+    // the splitter partitions the input (asserted above), bytes cover
+    // every string, so the decode target is the text itself — nothing
+    // weaker than identity is acceptable on this path
+    val merges = Bpe.loadMerges(spark, Bpe.ensureModelGpt2(spark, TestSpark.Sf0001))
+    val rows = Bpe.plantMultiscript(
+      Tables.load(spark, TestSpark.Sf0001, "documents"))
+      .select(col("doc_id"), col("text"),
+        Bpe.bpe_decode_ids(
+          Bpe.bpe_token_ids(col("text"), merges, byteLevel = true, gpt2 = true),
+          merges, byteLevel = true).as("decoded"),
+        Bpe.bpe_token_ids(col("text"), merges, byteLevel = true, gpt2 = true)
+          .as("ids"),
+        Bpe.bpe_tokens(col("text"), merges, byteLevel = true, gpt2 = true)
+          .as("n_bpe"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        assert(r.getString(2) == r.getString(1),
+          s"doc ${r.getLong(0)}: gpt2 decode != original text")
+        assert(r.getSeq[Int](3).length.toLong == r.getLong(4),
+          s"doc ${r.getLong(0)}: ids.length != n_bpe")
+      } else assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    }
+  }
+
   private implicit class Inspect(private val s: String) {
     def inspect: String = s.map {
       case c if c >= ' ' && c < 127 => c.toString
