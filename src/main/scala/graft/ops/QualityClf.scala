@@ -132,11 +132,17 @@ object QualityClf {
 
   /** Score a new batch against a stored model: a bounded ≤ [[Buckets]]-row
     * read, then one map over the batch — zero shuffles, O(batch) work. */
-  def scoreWithModel(batch: DataFrame, dir: String): DataFrame = {
+  def scoreWithModel(batch: DataFrame, dir: String): DataFrame =
+    scoreWithModelUnordered(batch, dir).orderBy("doc_id")
+
+  /** [[scoreWithModel]] without the presentation sort — the form a
+    * STREAMING plan embeds (sorts are illegal under Append mode; the
+    * stream twin orders after its sink). */
+  def scoreWithModelUnordered(batch: DataFrame, dir: String): DataFrame = {
     val rows = batch.sparkSession.read.parquet(dir)
       .select("bucket", "clean_n", "spam_n").collect() // bounded: ≤ Buckets
     val (w, thr) = weightsAndThreshold(rows)
-    applyModel(batch, w, thr).orderBy("doc_id")
+    applyModel(batch, w, thr)
   }
 
   /** Fingerprint-staged model over a testdata corpus, cross-process-safe

@@ -469,6 +469,26 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Streaming quality-classifier scoring — the online form of the
+    * persisted hashed-ngram classifier ([[graft.ops.QualityClf]]): the
+    * ≤1024-row model is ensured ONCE, the spam planting rule applies as
+    * a stateless per-batch map (the fixture travels with the stream the
+    * way the batch entry plants it), and each micro-batch scores as a
+    * pure map — no state store, no watermark, Append mode; at scale this
+    * is the always-on model-based crawl filter. The bounded replay over
+    * the whole corpus must equal the batch `text_quality_clf` rows
+    * exactly (same planted labels, same slice, same model), so it
+    * SHARES that oracle. */
+  def qualityClfScoring(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.ops.QualityClf.ensureModel(spark, dir)
+    val stream = graft.ops.QualityClf.plantSpam(
+      documentStream(spark, dir).select("doc_id", "text"))
+    runToTable(
+      graft.ops.QualityClf.scoreWithModelUnordered(stream, model),
+      OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Streaming fluency scoring against the persisted bigram LM — the
     * [[importanceScoring]] contract verbatim: the model is ensured ONCE
     * (fingerprint-staged, epoch-committed), each micro-batch scores as a
@@ -702,6 +722,7 @@ object EventStreams {
     "stream_ingest_csv_triage" -> ((s, d) => ingestCsvTriage(s, d)),
     "stream_postings" -> ((s, d) => streamPostings(s, d)),
     "stream_importance" -> ((s, d) => importanceScoring(s, d)),
+    "stream_quality_clf" -> ((s, d) => qualityClfScoring(s, d)),
     "stream_fluency" -> ((s, d) => fluencyScoring(s, d)),
     "stream_extract_html" -> ((s, d) => htmlExtraction(s, d)),
     "stream_langid" -> ((s, d) => langidScoring(s, d)),
@@ -772,6 +793,10 @@ object EventStreams {
     // the bounded replay equals the batch scoring rows exactly
     "stream_importance" ->
       graft.ops.Sampling.oracle.toMap.apply("sample_importance"),
+    // stateless map against the ensured classifier over the SAME planted
+    // corpus -> shares the batch oracle
+    "stream_quality_clf" ->
+      graft.ops.QualityClf.oracle.toMap.apply("text_quality_clf"),
     // same contract as stream_importance: a stateless map against the
     // ensured bigram LM over the SAME corpus -> shares the batch oracle
     "stream_fluency" ->

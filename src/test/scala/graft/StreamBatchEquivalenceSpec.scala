@@ -117,4 +117,13 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       Tables.load(spark, dir, "documents"))
     assertSame(stream, batch)
   }
+
+  test("stream_quality_clf equals the batch classifier (text_quality_clf twin)") {
+    // stateless map against the persisted model over the same planted
+    // corpus — all-Long scores, so exact row equality
+    val stream = EventStreams.qualityClfScoring(spark, dir)
+    val batch = graft.ops.QualityClf.trainAndScore(
+      graft.ops.QualityClf.plantSpam(Tables.load(spark, dir, "documents")))
+    assertSame(stream, batch)
+  }
 }
