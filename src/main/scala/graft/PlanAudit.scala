@@ -250,6 +250,10 @@ object PlanAudit {
     // only (measured exactly 1.000/row at n=500 AND n=5000)
     "text_bpe_ids_gpt2" -> ShuffleBudget("documents", 3.0, 1000L),
     "text_bpe_decode_gpt2" -> ShuffleBudget("documents", 3.0, 1000L),
+    // r16: classifier pre-filter (bounded clf aggregate + id semi-join)
+    // in front of curate_corpus's audited chain; measured 9.74/row at
+    // n=500 and 9.98/row at n=5000 — flat, the curate_corpus class
+    "curate_clf_corpus" -> ShuffleBudget("documents", 25.0, 2000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

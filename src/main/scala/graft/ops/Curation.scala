@@ -251,22 +251,28 @@ object Curation {
        |${HashOracleSql.minhashPairCtes("k")},
        |removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""".stripMargin
 
+  /** The accounting tail of the curate oracle (split assignment + the
+    * per-(lang, split) rollup) — shared with the classifier-composed
+    * form (`curate_clf_corpus`), so the two cannot drift. */
+  private[ops] val curateAccountingTailSql: String =
+    """s AS (
+      |  SELECT k.*, removed.doc_id IS NOT NULL AS is_removed,
+      |         CASE WHEN ((k.doc_id % 1000003) * 2654435761) % 1000 < 800 THEN 'train'
+      |              WHEN ((k.doc_id % 1000003) * 2654435761) % 1000 < 900 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM k LEFT JOIN removed USING (doc_id))
+      |SELECT lang, split,
+      |       COUNT(*) FILTER (WHERE NOT is_removed) AS n_docs,
+      |       CAST(SUM(n_copies - 1) FILTER (WHERE NOT is_removed) AS BIGINT) AS dups_removed,
+      |       COUNT(*) FILTER (WHERE is_removed) AS near_dups_removed,
+      |       CAST(SUM(n_tokens) FILTER (WHERE NOT is_removed) AS BIGINT) AS sum_tokens,
+      |       ROUND(AVG(quality_score) FILTER (WHERE NOT is_removed), 6) AS avg_quality
+      |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   val oracle: Seq[(String, String)] = Seq(
     "curate_corpus" ->
       s"""$plantedKeptCtes,
-         |s AS (
-         |  SELECT k.*, removed.doc_id IS NOT NULL AS is_removed,
-         |         CASE WHEN ((k.doc_id % 1000003) * 2654435761) % 1000 < 800 THEN 'train'
-         |              WHEN ((k.doc_id % 1000003) * 2654435761) % 1000 < 900 THEN 'val'
-         |              ELSE 'test' END AS split
-         |  FROM k LEFT JOIN removed USING (doc_id))
-         |SELECT lang, split,
-         |       COUNT(*) FILTER (WHERE NOT is_removed) AS n_docs,
-         |       CAST(SUM(n_copies - 1) FILTER (WHERE NOT is_removed) AS BIGINT) AS dups_removed,
-         |       COUNT(*) FILTER (WHERE is_removed) AS near_dups_removed,
-         |       CAST(SUM(n_tokens) FILTER (WHERE NOT is_removed) AS BIGINT) AS sum_tokens,
-         |       ROUND(AVG(quality_score) FILTER (WHERE NOT is_removed), 6) AS avg_quality
-         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+         |$curateAccountingTailSql""".stripMargin,
     // the same kept set, train slice only, exploded into the text_chunk
     // windows with lang carried per row
     "curate_to_chunks" ->

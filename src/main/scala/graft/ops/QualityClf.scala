@@ -190,7 +190,24 @@ object QualityClf {
     }),
     // the keep decision composed into the curation pipeline's gate
     "text_quality_clf_keep" -> ((s, d) =>
-      keepDecision(plantSpam(Tables.load(s, d, "documents")))))
+      keepDecision(plantSpam(Tables.load(s, d, "documents")))),
+    // the FULL composition: classifier pre-filter feeding the entire
+    // curate pipeline (gate → exact keep-first → near-dup removal →
+    // split → per-(lang, split) accounting) as ONE declarative plan —
+    // what a production corpus build actually runs. The clf stage adds
+    // one bounded aggregate + a broadcast-able id semi-join in front of
+    // curate's audited shape; dropped spam shifts every downstream
+    // accounting row, so any drift in the classifier moves this oracle
+    "curate_clf_corpus" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val planted = plantSpam(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val keptIds = trainAndScore(planted.select("doc_id", "text"))
+        .where(col("keep")).select("doc_id")
+      val clfDocs = planted.join(keptIds, "doc_id")
+        .select("doc_id", "text", "lang")
+      Curation.curate(Curation.withPlantedDups(clfDocs))
+    }))
 
   /** The model-estimation CTE chain all three oracles share — one
     * definition of planting, hashing, counting, weights, and threshold,
@@ -252,5 +269,19 @@ object QualityClf {
          |       (s.score >= $thrSql)
          |         AND (q.n_tokens BETWEEN 20 AND 2000 AND q.quality_score >= 0.5) AS keep
          |FROM q LEFT JOIN score s USING (doc_id)
-         |ORDER BY q.doc_id""".stripMargin)
+         |ORDER BY q.doc_id""".stripMargin,
+    // the classifier-kept slice (with lang joined back) rooted into the
+    // SHARED curate preamble + accounting tail — the composed pipeline
+    // under one oracle
+    "curate_clf_corpus" ->
+      s"""WITH $clfModelCtes,
+         |${scoreSqlFrom("feat")},
+         |clfkept AS (
+         |  SELECT p.doc_id, p.text, d.lang
+         |  FROM planted p
+         |  JOIN documents d USING (doc_id)
+         |  JOIN score s USING (doc_id)
+         |  WHERE s.score >= $thrSql),
+         |${Curation.plantedKeptCtesFrom("clfkept", withHead = false)},
+         |${Curation.curateAccountingTailSql}""".stripMargin)
 }

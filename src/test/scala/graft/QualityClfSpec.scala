@@ -77,4 +77,21 @@ class QualityClfSpec extends AnyFunSuite {
       !r.isNullAt(2) && r.getBoolean(2)),
       "no document was dropped by the classifier alone")
   }
+
+  test("curate composition: the classifier pre-filter shrinks the accounted corpus") {
+    import org.apache.spark.sql.functions.sum
+    val base = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val planted = QualityClf.plantSpam(base)
+      .join(base.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "text", "lang")
+    def totalDocs(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_docs")).collect()(0).getLong(0)
+    val unfiltered = totalDocs(graft.ops.Curation.curate(
+      graft.ops.Curation.withPlantedDups(planted)))
+    val composed = totalDocs(
+      SparkEntry.queries("curate_clf_corpus")(spark, TestSpark.Sf0001))
+    assert(composed > 0, "composed pipeline kept nothing")
+    assert(composed < unfiltered,
+      s"classifier pre-filter dropped nothing ($composed !< $unfiltered)")
+  }
 }
