@@ -490,13 +490,17 @@ object Bpe {
     def parseString(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s(i) != '"') {
+      // bounds-checked (r16 review): a TRUNCATED vocab.json must refuse
+      // with the strict-parser diagnostic, not StringIndexOutOfBounds
+      while ({ require(i < s.length, "vocab.json: unterminated string"); s(i) != '"' }) {
         if (s(i) == '\\') {
           i += 1
+          require(i < s.length, "vocab.json: unterminated escape")
           s(i) match {
             case '"' => sb += '"'; i += 1
             case '\\' => sb += '\\'; i += 1
             case 'u' =>
+              require(i + 5 <= s.length, "vocab.json: truncated \\u escape")
               sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
               i += 5
             case c => sys.error(s"vocab.json: unsupported escape \\$c")
@@ -516,6 +520,7 @@ object Bpe {
         skipWs()
         val start = i
         while (i < s.length && s(i).isDigit) i += 1
+        require(i > start, s"vocab.json: expected an integer id at $start")
         out(k) = s.substring(start, i).toInt
         skipWs()
         if (i < s.length && s(i) == ',') { i += 1; skipWs() } else more = false

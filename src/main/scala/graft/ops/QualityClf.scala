@@ -52,11 +52,13 @@ object QualityClf {
     " click here buy now cheap pills free winner claim your prize unsubscribe limited offer"
 
   /** The planting rule as a DataFrame transform (engine side) — must
-    * mirror the `planted` CTE glyph for glyph. */
+    * mirror the `planted` CTE glyph for glyph. Column-PRESERVING (r16
+    * review): the curate composition needs `lang` downstream, and a
+    * projecting form forced a documents self-join just to re-attach it. */
   private[graft] def plantSpam(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.withColumn("text",
       when(col("doc_id") % 3 === 1, concat(col("text"), lit(SpamSnippet)))
-        .otherwise(col("text")).as("text"))
+        .otherwise(col("text")))
 
   /** The planted label: TRUE = spam. Derivable from doc_id on both
     * engines — the label never has to ride a column. */
@@ -118,9 +120,16 @@ object QualityClf {
 
   /** Inline train-and-score over a planted corpus: estimate weights from
     * the labeled slice (bounded collect), score EVERY document. */
-  def trainAndScore(planted: DataFrame): DataFrame = {
+  def trainAndScore(planted: DataFrame): DataFrame =
+    trainAndScoreUnordered(planted).orderBy("doc_id")
+
+  /** [[trainAndScore]] without the presentation sort — the form composed
+    * plans embed (r16 review: a mid-plan global sort exchange whose
+    * output is immediately filtered/joined is wasted unless the
+    * optimizer happens to drop it). */
+  def trainAndScoreUnordered(planted: DataFrame): DataFrame = {
     val (w, thr) = weightsAndThreshold(classCounts(planted).collect())
-    applyModel(planted, w, thr).orderBy("doc_id")
+    applyModel(planted, w, thr)
   }
 
   /** Persist the classifier — the serving shape: the counts table is
@@ -161,7 +170,8 @@ object QualityClf {
     * text has no classifier features, so clf_keep is NULL while the gate
     * still votes. */
   def keepDecision(planted: DataFrame): DataFrame = {
-    val scored = trainAndScore(planted).withColumnRenamed("keep", "clf_keep")
+    val scored = trainAndScoreUnordered(planted)
+      .withColumnRenamed("keep", "clf_keep")
     val gated = TextAnalysis.qualityScores(planted)
       .select(col("doc_id"),
         (col("n_tokens").between(20, 2000) && col("quality_score") >= 0.5)
@@ -199,10 +209,8 @@ object QualityClf {
     // curate's audited shape; dropped spam shifts every downstream
     // accounting row, so any drift in the classifier moves this oracle
     "curate_clf_corpus" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      val planted = plantSpam(docs)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-      val keptIds = trainAndScore(planted.select("doc_id", "text"))
+      val planted = plantSpam(Tables.load(s, d, "documents"))
+      val keptIds = trainAndScoreUnordered(planted)
         .where(col("keep")).select("doc_id")
       val clfDocs = planted.join(keptIds, "doc_id")
         .select("doc_id", "text", "lang")

@@ -60,24 +60,34 @@ private[graft] object Tokens {
   // ------------------------------------------------- GPT-2 pre-tokenizer
 
   /** Version of the GPT-2 split rule — folded into gpt2-spec model salts
-    * exactly like [[SegV]]. */
-  private[graft] val Gpt2V = "gpt2v1"
+    * exactly like [[SegV]]. v2: whitespace class pinned to the explicit
+    * Java↔RE2 shared subset (r16 review — Java `\s` includes U+000B,
+    * RE2's does not, so a bare `\s` silently diverges on vertical tab). */
+  private[graft] val Gpt2V = "gpt2v2"
+
+  /** The whitespace CLASS of the GPT-2 split, spelled explicitly: RE2's
+    * `\s` = `[\t\n\f\r ]`. Java's `\s` additionally matches U+000B and
+    * Python's (the published pattern's host) all Unicode spaces — a bare
+    * `\s` would make the two engines disagree on a vertical tab, so the
+    * contract pins the portable class and VT/NBSP/U+2028 are "other"
+    * characters on BOTH sides. */
+  private val Ws = "\\t\\n\\f\\r "
 
   /** The byte-level-BPE pre-tokenization regex of Radford et al. 2019
     * (public GPT-2 `encoder.py` / tiktoken split pattern): contractions,
     * optionally-space-prefixed letter/digit/other runs, and whitespace
     * runs that DONATE their final character to a following pre-token
-    * (`\s+(?!\S)`). Java regex supports the lookahead, so the engine uses
-    * the pattern verbatim. */
+    * (`\s+(?!\S)` — here with [[Ws]] spelled out). Java regex supports
+    * the lookahead, so the engine runs this form directly. */
   private[graft] val Gpt2Re =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$Ws\\p{L}\\p{N}]+|[$Ws]+(?![^$Ws])|[$Ws]+"
 
   /** The lookahead-free core of [[Gpt2Re]] — correct only on text whose
     * internal (whitespace, non-whitespace) boundaries were pre-split (see
     * [[duckGpt2Toks]]); shared by the oracle emulation and its property
     * spec. */
   private[graft] val Gpt2Core =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$Ws\\p{L}\\p{N}]+|[$Ws]+"
 
   /** GPT-2 pre-token stream as a Column — `regexp_extract_all` runs Java
     * regex, so the true lookahead pattern applies directly (codegen'd,
@@ -96,21 +106,22 @@ private[graft] object Tokens {
     out.toArray
   }
 
-  /** The DuckDB mirror of [[gpt2Seg]]. RE2 has no lookahead, so
-    * `\s+(?!\S)` is emulated EXACTLY by sentinel injection: every
-    * (whitespace, non-whitespace) adjacency gets a `chr(1)` boundary
-    * marker (`regexp_replace('(\s)(\S)', chr(1)||'\1\2')`), the text is
-    * split on the marker, and each piece runs the lookahead-free
-    * [[Gpt2Core]] — inside a piece a whitespace run is never followed by
-    * non-whitespace, so plain `\s+` and the donated-space ` ?` prefixes
-    * reproduce the lookahead semantics. Equivalence to [[Gpt2Re]] is
-    * property-pinned in Gpt2SplitSpec on random strings (caveat, stated:
-    * a literal U+0001 in the input would add a spurious boundary; the
-    * corpus and Java side treat it as an "other" char). */
+  /** The DuckDB mirror of [[gpt2Seg]]. RE2 has no lookahead, so the
+    * donate-the-last-whitespace rule is emulated EXACTLY by sentinel
+    * injection: every (whitespace, non-whitespace) adjacency gets a
+    * `chr(1)` boundary marker (regexp_replace with the explicit [[Ws]]
+    * classes), the text is split on the marker, and each piece runs the
+    * lookahead-free [[Gpt2Core]] — inside a piece a whitespace run is
+    * never followed by non-whitespace, so plain `[Ws]+` and the
+    * donated-space ` ?` prefixes reproduce the lookahead semantics.
+    * Equivalence to [[Gpt2Re]] is property-pinned in Gpt2SplitSpec on
+    * random strings incl. U+000B/NBSP (caveat, stated: a literal U+0001
+    * in the input would add a spurious boundary; the corpus and Java
+    * side treat it as an "other" char). */
   def duckGpt2Toks(textExpr: String): String = {
     val core = Gpt2Core.replace("'", "''")
     s"flatten(list_transform(string_split(" +
-      s"regexp_replace($textExpr, '(\\s)(\\S)', chr(1) || '\\1\\2', 'g')," +
+      s"regexp_replace($textExpr, '([$Ws])([^$Ws])', chr(1) || '\\1\\2', 'g')," +
       s" chr(1)), seg -> regexp_extract_all(seg, '$core')))"
   }
 

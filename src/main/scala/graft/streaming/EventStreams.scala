@@ -35,10 +35,11 @@ object EventStreams {
 
   /** Collision-free key for persistent names derived from a source dir
     * (r14/r15 advisory: a 32-bit `hashCode` can collide two dirs onto
-    * one staging path / database / view dir). SHA-256, 96-bit prefix. */
+    * one staging path / database / view dir). Delegates to the ONE
+    * SHA-256 keying helper (r16 review: two definitions of the same
+    * fix are themselves a drift channel). */
   private[streaming] def dirKey(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    graft.plans.MaterializedViews.stringFingerprint(s)
 
   /** Stage `<dir>/<table>.parquet` into a per-table directory the
     * file-stream source can monitor (hard link — no data copy), with the

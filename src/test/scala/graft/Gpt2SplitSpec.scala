@@ -18,8 +18,9 @@ class Gpt2SplitSpec extends AnyFunSuite {
 
   private val Contractions = Seq("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
 
-  private def isWs(cp: Int): Boolean = // Java regex \s: [ \t\n\x0B\f\r]
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+  private def isWs(cp: Int): Boolean = // the pinned class [\t\n\f\r ]:
+    // RE2's \s — NOT Java's, which also matches U+000B (r16 review)
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
   private def isL(cp: Int): Boolean = Character.isLetter(cp) // \p{L}
   private def isN(cp: Int): Boolean = Character.getType(cp) match { // \p{N}
     case Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
@@ -66,7 +67,11 @@ class Gpt2SplitSpec extends AnyFunSuite {
   private val CorePattern = java.util.regex.Pattern.compile(Tokens.Gpt2Core)
 
   private def sentinelSplit(s: String): Seq[String] =
-    s.replaceAll("(\\s)(\\S)", "\u0001$1$2").split("\u0001", -1).toSeq.flatMap { seg =>
+    // the ORACLE's explicit whitespace classes, not Java's \s (which
+    // would smuggle U+000B back in and mask the very divergence the
+    // pinned class exists to prevent)
+    s.replaceAll("([\\t\\n\\f\\r ])([^\\t\\n\\f\\r ])", "\u0001$1$2")
+      .split("\u0001", -1).toSeq.flatMap { seg =>
       val m = CorePattern.matcher(seg)
       val toks = scala.collection.mutable.ArrayBuffer.empty[String]
       while (m.find()) toks += m.group()
@@ -78,7 +83,10 @@ class Gpt2SplitSpec extends AnyFunSuite {
     "'stop", "x   'd", "a\n\nb", "tab\there", "price: $3.50!",
     "hello world123  foo!!  学习 こん", "CamelCase under_score",
     "élève €99 한국어", "a b", // U+00A0 is NOT Java \s
-    "trailing space ", " lead", "\t\t", "1 2  3   4")
+    "trailing space ", " lead", "\t\t", "1 2  3   4",
+    // U+000B is NOT in the pinned whitespace class (Java \s would take
+    // it; RE2's would not) — it must tokenize as an "other" char
+    "a\u000bb", "a \u000b b", "\u000b")
 
   test("engine regex == imperative reference == sentinel emulation (fixtures)") {
     Fixtures.foreach { s =>
@@ -95,6 +103,7 @@ class Gpt2SplitSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260816L)
     val atoms = Array("a", "b", "Z", "0", "9", "'", "!", ".", ",", "-", "_",
       " ", "  ", "   ", "\t", "\n", "\r\n", "'s", "'ll", "'d", "n't",
+      "\u000b", " ", // outside the pinned ws class on BOTH engines
       "学", "あ", "カ", "한", "é", "€",
       new String(Character.toChars(0x1F600)), // emoji: surrogate pair, \p{So}
       new String(Character.toChars(0x10400))) // Deseret: surrogate pair, \p{L}
@@ -125,7 +134,10 @@ class Gpt2SplitSpec extends AnyFunSuite {
     // leading-space subwords are the WHOLE POINT of the GPT-2 split: the
     // dict must contain space-prefixed pre-tokens, so some learned merge
     // must involve the 0x20 byte
-    assert(merges.exists { case (a, b) => (a + b).contains("20") },
+    // pair-ALIGNED check: contains("20") could match a "20" straddling
+    // two hex pairs (e.g. "D2"+"0A") without any real space byte
+    assert(merges.exists { case (a, b) =>
+      (a + b).grouped(2).contains("20") },
       "no space byte in any merge — the split never reached training")
     val rows = Bpe.plantMultiscript(
       Tables.load(spark, TestSpark.Sf0001, "documents"))

@@ -92,4 +92,15 @@ class HfTokenizerSpec extends AnyFunSuite {
     assert(m == Map("a" -> 0, "\"q\"" -> 1, "b\\c" -> 2, "x" -> 3))
     assert(Bpe.parseVocabJson("{}") == Map.empty[String, Int])
   }
+
+  test("vocab.json parser refuses truncation/corruption with its own diagnostics") {
+    // r16 review: raw StringIndexOutOfBounds/NumberFormat exceptions
+    // would break the loudly-refusing loader contract
+    Seq("{\"a", "{\"a\\", "{\"a\": }", "{\"a\": 1", "{\"a\\u00")
+      .foreach { bad =>
+        val e = intercept[Exception](Bpe.parseVocabJson(bad))
+        assert(e.getMessage != null && e.getMessage.contains("vocab.json"),
+          s"input [$bad] threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+  }
 }

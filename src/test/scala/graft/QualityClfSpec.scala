@@ -80,9 +80,8 @@ class QualityClfSpec extends AnyFunSuite {
 
   test("curate composition: the classifier pre-filter shrinks the accounted corpus") {
     import org.apache.spark.sql.functions.sum
-    val base = Tables.load(spark, TestSpark.Sf0001, "documents")
-    val planted = QualityClf.plantSpam(base)
-      .join(base.select("doc_id", "lang"), "doc_id")
+    val planted = QualityClf.plantSpam(
+      Tables.load(spark, TestSpark.Sf0001, "documents"))
       .select("doc_id", "text", "lang")
     def totalDocs(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum("n_docs")).collect()(0).getLong(0)
