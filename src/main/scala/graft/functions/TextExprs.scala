@@ -101,7 +101,11 @@ case class WordShingleHashes(child: Expression, n: Int)
     val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.codePointAt(i)))
+      // the suite-wide pinned whitespace class ([\t\n\f\r ] — see
+      // Tokens.WsClass), NOT Character.isWhitespace: the oracle's RE2
+      // emulation splits on RE2's \s, and isWhitespace's extras
+      // (U+000B, the U+2000 range) would silently desegment vs it
+      while (i < len && graft.ops.Tokens.isWsCp(s.codePointAt(i)))
         i += Character.charCount(s.codePointAt(i))
       if (i < len) {
         var h = 0xCBF29CE484222325L
@@ -112,7 +116,7 @@ case class WordShingleHashes(child: Expression, n: Int)
           i += Character.charCount(first)
         } else {
           var cp = first
-          while (i < len && !Character.isWhitespace(cp) && !isCjk(cp)) {
+          while (i < len && !graft.ops.Tokens.isWsCp(cp) && !isCjk(cp)) {
             h ^= Character.toLowerCase(cp).toLong
             h *= 0x100000001B3L
             i += Character.charCount(cp)
@@ -360,12 +364,14 @@ case class NormalizeUrl(child: Expression) extends UnaryExpression {
   * per-row function, codegen via a static helper like [[NfcNormalize]]. */
 object HtmlToText {
   private val Blocks = java.util.regex.Pattern.compile(
-    "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>")
+    "(?is)<(script|style)\\b[^>]*>.*?</\\1[" + graft.ops.Tokens.WsClass + "]*>")
   private val Comments = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
   private val Tags = java.util.regex.Pattern.compile("</?[a-zA-Z!?][^>]*>")
   private val Entities = java.util.regex.Pattern.compile(
     "&(amp|lt|gt|quot|apos|nbsp);|&#(\\d{1,7});|&#[xX]([0-9a-fA-F]{1,6});")
-  private val Spaces = java.util.regex.Pattern.compile("\\s+")
+  // the pinned whitespace class (Tokens.WsClass): the oracle's expected
+  // form collapses with RE2's \s, and Java's would also eat U+000B
+  private val Spaces = java.util.regex.Pattern.compile(graft.ops.Tokens.WsRun)
 
   def extract(in: UTF8String): UTF8String = {
     var s = in.toString

@@ -69,7 +69,7 @@ object HeavyHitters {
     }),
     "approx_top_tokens_by_lang" -> ((s, d) => {
       val toks = Tables.load(s, d, "documents")
-        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("lang"), explode(split(trim(col("text")), Tokens.WsRun)).as("tok"))
       // per-group sketches: the bound is the LARGEST per-language
       // vocabulary. approx_count_distinct (HLL, partial-aggregating), not
       // an exact countDistinct — the exact form re-shuffles every

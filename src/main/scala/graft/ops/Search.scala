@@ -61,7 +61,7 @@ object Search {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val terms = probeTerms(queryTerms)
     val postings = docs
-      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .select(col(idCol), explode(split(lower(col(textCol)), Tokens.WsRun)).as("term"))
       .where(col("term").isInCollection(terms))
     val tf = postings.groupBy(idCol, "term").agg(count("*").as("tf"))
     scoreTf(tf, idCol)
@@ -116,7 +116,7 @@ object Search {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val terms = probeTerms(queryTerms)
     val toks = docs.select(col(idCol),
-      split(lower(col(textCol)), "\\s+").as("toks"),
+      split(lower(col(textCol)), Tokens.WsRun).as("toks"),
       size(Tokens.seg(col(textCol))).cast("long").as("dl"))
     val avgdl = toks.agg(
       expr("CAST(sum(dl) AS BIGINT) DIV count(*)").as("avgdl"))
@@ -384,7 +384,7 @@ object Search {
   private def writePostings(docs: DataFrame, dir: String, id: String,
       textCol: String, idCol: String): Unit = {
     docs.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+        explode(split(lower(col(textCol)), Tokens.WsRun)).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
       .repartition(col("term"))

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val wsTokens: Column = split(trim(col("text")), "\\s+")
+  // whitespace = the pinned Tokens.WsClass contract (oracles split on
+  // RE2's \s, which IS this class; Java's \s would also take U+000B)
+  private val wsTokens: Column = split(trim(col("text")), Tokens.WsRun)
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation
     * (runs of word chars / single punctuation marks — the pre-tokenizer
@@ -26,7 +28,7 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).as("n_chars2"),
       size(wsTokens).as("n_ws_tokens"),
-      size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)"))
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\t\\\\n\\\\f\\\\r ]', 0)"))
         .as("n_bpeish_tokens"))
       .orderBy("doc_id")
 
@@ -100,7 +102,7 @@ object TextAnalysis {
       "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
       "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
       "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"))
-    val toks = array_distinct(split(lower(col("text")), "\\s+"))
+    val toks = array_distinct(split(lower(col("text")), Tokens.WsRun))
     def classRatio(cls: String) = (length(col("text")) -
       length(regexp_replace(col("text"), cls, ""))).cast("double") /
       greatest(length(col("text")), lit(1))
@@ -173,7 +175,7 @@ object TextAnalysis {
       col("doc_id"),
       trim(regexp_replace(
         regexp_replace(nfc_normalize(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
-        "\\s+", " ")).as("norm_text"))
+        Tokens.WsRun, " ")).as("norm_text"))
 
   /** PII detection + redaction: per-document match counts (from the
     * original text) and a scrubbed copy with emails → [EMAIL],

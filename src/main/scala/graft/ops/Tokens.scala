@@ -34,15 +34,32 @@ private[graft] object Tokens {
   /** Version of the segmentation rule itself — bump on ANY change to
     * [[seg]]/[[segString]] semantics. Folded into stored-model fingerprint
     * salts (the BPE merge tables) so a rule change retrains rather than
-    * serving counts from a model trained under the old segmentation. */
-  private[graft] val SegV = "seg1"
+    * serving counts from a model trained under the old segmentation.
+    * seg2 (r16): whitespace pinned to the explicit Java↔RE2 shared class. */
+  private[graft] val SegV = "seg2"
+
+  /** THE whitespace contract of the whole suite, spelled explicitly:
+    * RE2's `\s` = `[\t\n\f\r ]`. The three ambient classes all disagree
+    * outside it (Java `\s` adds U+000B; `Character.isWhitespace` adds
+    * the U+2000 range and friends; RE2 has only these five), so a bare
+    * `\s`/isWhitespace on the engine side silently diverges from the
+    * DuckDB oracle mirrors on exotic whitespace. Every engine-side
+    * whitespace split/collapse uses these; every oracle keeps RE2's
+    * `\s`, which IS this class. */
+  private[graft] val WsClass = "\\t\\n\\f\\r "
+  private[graft] val WsRun = s"[$WsClass]+"
+
+  /** Codepoint predicate of [[WsClass]] — for expressions that tokenize
+    * inside their own eval (WordShingleHashes). */
+  private[graft] def isWsCp(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
 
   /** Java-regex capture of one CJK codepoint (Unicode script classes). */
   private val CjkJava = "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"
 
   /** The shared token stream: array<string> of non-empty tokens. */
   def seg(text: Column): Column =
-    filter(split(regexp_replace(text, CjkJava, " $1 "), "\\s+"),
+    filter(split(regexp_replace(text, CjkJava, " $1 "), WsRun),
       t => length(t) > 0)
 
   /** The DuckDB mirror of [[seg]] — oracle SQL embeds exactly this form
@@ -55,7 +72,7 @@ private[graft] object Tokens {
       """'\s+'), t -> length(t) > 0)"""
 
   private val CjkPattern = java.util.regex.Pattern.compile(CjkJava)
-  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val WsPattern = java.util.regex.Pattern.compile(WsRun)
 
   // ------------------------------------------------- GPT-2 pre-tokenizer
 
@@ -65,13 +82,11 @@ private[graft] object Tokens {
     * RE2's does not, so a bare `\s` silently diverges on vertical tab). */
   private[graft] val Gpt2V = "gpt2v2"
 
-  /** The whitespace CLASS of the GPT-2 split, spelled explicitly: RE2's
-    * `\s` = `[\t\n\f\r ]`. Java's `\s` additionally matches U+000B and
-    * Python's (the published pattern's host) all Unicode spaces — a bare
-    * `\s` would make the two engines disagree on a vertical tab, so the
-    * contract pins the portable class and VT/NBSP/U+2028 are "other"
-    * characters on BOTH sides. */
-  private val Ws = "\\t\\n\\f\\r "
+  /** The GPT-2 split uses the suite-wide [[WsClass]] contract (Python —
+    * the published pattern's host — would additionally match U+000B and
+    * all Unicode spaces; here VT/NBSP/U+2028 are "other" characters on
+    * BOTH engines). */
+  private val Ws = WsClass
 
   /** The byte-level-BPE pre-tokenization regex of Radford et al. 2019
     * (public GPT-2 `encoder.py` / tiktoken split pattern): contractions,
