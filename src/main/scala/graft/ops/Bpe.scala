@@ -72,10 +72,15 @@ object Bpe {
     * (`chunk_pack_ids_eos`): −1 sits outside BOTH id spaces BY
     * CONSTRUCTION (base ids are codepoints ≥ 0, merged ids ≥ the merged
     * base), so no text at any scale can collide with it — where a
-    * reserved codepoint could. A serving layer's dense renumbering maps
-    * it to its reserved vocab slot; [[BpeDecodeIds]] renders it U+FFFD
-    * (a separator is not text). */
+    * reserved codepoint could. The serving vocab reserves its slot as
+    * [[EosToken]] (the LAST vocab id, the GPT-2 convention) and
+    * [[BpeDecodeIds]] renders it as that token string (r16) — a
+    * separator is not corruption; corrupt ids still degrade to U+FFFD. */
   val EosId: Int = -1
+
+  /** The document separator's surface form in the exported vocab and in
+    * decode output — GPT-2's public end-of-text marker. */
+  val EosToken: String = "<|endoftext|>"
 
   // ---------------------------------------------------------------- train
 
@@ -374,7 +379,7 @@ object Bpe {
   /** Version of the staged model-dir LAYOUT (which files it contains) —
     * rides every spec's salt so committed dirs from an older layout are
     * rebuilt rather than served missing files. */
-  private[graft] val HfLayoutV = "hf1"
+  private[graft] val HfLayoutV = "hf2" // hf2: vocab carries EosToken last
 
   /** GPT-2's public byte→printable-unicode alphabet (encoder.py
     * `bytes_to_unicode`): printable ASCII and most of Latin-1 map to
@@ -439,7 +444,10 @@ object Bpe {
       else merges.iterator.flatMap { case (a, b) => a + b }.toSeq
         .distinct.sorted.map(_.toString)
     val mergedToks = merges.map { case (a, b) => hfToken(a + b, byteLevel) }
-    val vocab = (alphabet ++ mergedToks).distinct.zipWithIndex
+    // the document separator takes the LAST id (the GPT-2 convention:
+    // <|endoftext|> = vocab size - 1) — the reserved slot [[EosId]]'s
+    // dense renumbering lands on
+    val vocab = ((alphabet ++ mergedToks).distinct :+ EosToken).zipWithIndex
     val json = vocab
       .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
       .mkString("{", ", ", "}")
@@ -848,7 +856,9 @@ object Bpe {
             while (j < hx.length) {
               bytes.write(Integer.parseInt(hx.substring(j, j + 2), 16)); j += 2
             }
-          } else bytes.write("�".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } else if (id == EosId)
+            bytes.write(EosToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          else bytes.write("�".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           i += 1
         }
         UTF8String.fromString(
@@ -864,6 +874,7 @@ object Bpe {
             sb.appendCodePoint(id)
           else if (id >= mergedBase && id - mergedBase < mergedStr.length)
             sb.append(mergedStr(id - mergedBase))
+          else if (id == EosId) sb.append(EosToken)
           else sb.append('�')
           i += 1
         }

@@ -306,11 +306,11 @@ class BpeSpec extends AnyFunSuite {
     val merges = Seq(("a", "b"))
     val df = spark.createDataFrame(
       java.util.Arrays.asList(
-        org.apache.spark.sql.Row(Seq(-1, 0x110000 + 5, 0xD800, 97)),
+        org.apache.spark.sql.Row(Seq(-5, 0x110000 + 5, 0xD800, 97)),
         org.apache.spark.sql.Row(null)),
       StructType(Seq(StructField("ids", ArrayType(IntegerType)))))
     val got = df.select(Bpe.bpe_decode_ids(col("ids"), merges)).collect()
-    // -1 and rank-5-of-a-1-rule-table are outside both id spaces;
+    // -5 and rank-5-of-a-1-rule-table are outside both id spaces;
     // 0xD800 is an unpaired surrogate — quarantined too (r15 advisory:
     // appendCodePoint would emit it and UTF-8 would turn it into '?')
     assert(got(0).getString(0) == "���a")
@@ -319,5 +319,20 @@ class BpeSpec extends AnyFunSuite {
       .collect()
     assert(bg(0).getString(0) == "���a",
       "byte-level corrupt ids must degrade identically")
+  }
+
+  test("BpeDecodeIds renders the EOS sentinel as <|endoftext|>, both alphabets (r16)") {
+    import org.apache.spark.sql.types._
+    val merges = Seq(("a", "b"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq(Bpe.EosId, 97, Bpe.EosId))),
+      StructType(Seq(StructField("ids", ArrayType(IntegerType)))))
+    val cp = df.select(Bpe.bpe_decode_ids(col("ids"), merges)).collect()
+    assert(cp(0).getString(0) == s"${Bpe.EosToken}a${Bpe.EosToken}")
+    val by = df.select(Bpe.bpe_decode_ids(col("ids"), merges, byteLevel = true))
+      .collect()
+    assert(by(0).getString(0) == s"${Bpe.EosToken}a${Bpe.EosToken}",
+      "the separator is a documented token, not corruption")
   }
 }

@@ -70,6 +70,14 @@ class HfTokenizerSpec extends AnyFunSuite {
     assert(!Bpe.byteToUnicode.exists(_.isWhitespace))
   }
 
+  test("the vocab reserves <|endoftext|> as the LAST id (GPT-2 convention)") {
+    modelDirs.foreach { case (dir, byteLevel) =>
+      val (_, vocab) = Bpe.loadHfTokenizer(dir, byteLevel)
+      assert(vocab.get(Bpe.EosToken).contains(vocab.size - 1),
+        s"EOS slot wrong in $dir: ${vocab.get(Bpe.EosToken)} of ${vocab.size}")
+    }
+  }
+
   test("the loader is strict: tampered files refuse loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hf-tamper").toFile
     java.nio.file.Files.write(new java.io.File(tmp, "merges.txt").toPath,
