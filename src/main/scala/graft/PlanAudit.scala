@@ -254,6 +254,10 @@ object PlanAudit {
     // in front of curate_corpus's audited chain; measured 9.74/row at
     // n=500 and 9.98/row at n=5000 — flat, the curate_corpus class
     "curate_clf_corpus" -> ShuffleBudget("documents", 25.0, 2000L),
+    // r16: unigram+bigram variant — the clf aggregate sees ~2 feature
+    // streams but still reduces to ≤1024 buckets (measured 2.31/row at
+    // n=500 FALLING to 1.13/row at n=5000 — partials collapse)
+    "text_quality_clf_ngram" -> ShuffleBudget("documents", 6.0, 1000L),
   )
 
   /** Sink-row budgets: rows physically landed through the federated JDBC

@@ -78,15 +78,33 @@ object QualityClf {
         graft.functions.GraftFunctions.word_shingles(col("text"), 1).as("fh"))
       .where(col("fh").isNotNull)
 
-  /** The bounded model table: per feature bucket, token counts in
-    * clean-labeled vs spam-labeled training documents — ≤ [[Buckets]]
-    * rows from one partial+final aggregate over the labeled slice. */
-  def classCounts(planted: DataFrame): DataFrame =
-    features(planted.where(isLabeled))
+  /** Unigram ∪ bigram hashed features — the FULL public fastText recipe
+    * (word n-grams, n ≤ 2): the bigram tier carries the word-order
+    * signal unigram bags lose. Same hash chains as the fluency bigram LM
+    * (one oracle emulation each). A one-token document has no bigrams
+    * (null → empty); a token-free document has no features at all. */
+  private def ngramFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.word_shingles(col("text"), 1).as("u"),
+        graft.functions.GraftFunctions.word_shingles(col("text"), 2).as("b"))
+      .where(col("u").isNotNull)
+      .select(col("doc_id"),
+        concat(col("u"),
+          coalesce(col("b"), expr("CAST(array() AS ARRAY<BIGINT>)"))).as("fh"))
+
+  /** The bounded model table from a feature frame (doc_id, fh): per
+    * bucket, token counts in clean- vs spam-labeled training documents —
+    * ≤ [[Buckets]] rows from one partial+final aggregate. */
+  private def countsFrom(feats: DataFrame): DataFrame =
+    feats
       .select(explode(col("fh")).as("h"), isSpam.as("is_spam"))
       .groupBy(pmod(col("h"), lit(Buckets.toLong)).as("bucket"))
       .agg(sum(when(!col("is_spam"), 1L).otherwise(0L)).as("clean_n"),
         sum(when(col("is_spam"), 1L).otherwise(0L)).as("spam_n"))
+
+  /** Unigram model table over the labeled slice. */
+  def classCounts(planted: DataFrame): DataFrame =
+    countsFrom(features(planted.where(isLabeled)))
 
   /** (bucket, clean_n, spam_n) rows → (weight array, keep threshold).
     * Unseen buckets smooth to (0+1)·10⁶/(0+1) = 10⁶ — a scored batch may
@@ -105,23 +123,35 @@ object QualityClf {
     (w, cleanTot * 1000L / spamTot * 1000L)
   }
 
-  /** The pure-map scoring tail (no sort — legal inside a streaming plan,
-    * the [[Sampling.applyImportanceModel]] convention). */
-  private def applyModel(batch: DataFrame, w: Array[Long], thr: Long)
+  /** The pure-map scoring tail over a feature frame (no sort — legal
+    * inside a streaming plan, the [[Sampling.applyImportanceModel]]
+    * convention). */
+  private def applyModelOn(feats: DataFrame, w: Array[Long], thr: Long)
       : DataFrame = {
     val wlit = typedLit(w.toSeq)
     val bucketWeight = transform(col("fh"), h =>
       element_at(wlit, (pmod(h, lit(Buckets.toLong)) + 1L).cast("int")))
-    features(batch)
+    feats
       .withColumn("wsum", aggregate(bucketWeight, lit(0L), (a, x) => a + x))
       .select(col("doc_id"), expr("wsum DIV size(fh)").as("score"))
       .withColumn("keep", col("score") >= thr)
   }
 
+  private def applyModel(batch: DataFrame, w: Array[Long], thr: Long)
+      : DataFrame = applyModelOn(features(batch), w, thr)
+
   /** Inline train-and-score over a planted corpus: estimate weights from
     * the labeled slice (bounded collect), score EVERY document. */
   def trainAndScore(planted: DataFrame): DataFrame =
     trainAndScoreUnordered(planted).orderBy("doc_id")
+
+  /** [[trainAndScore]] with unigram ∪ bigram features — the full
+    * fastText-recipe form; same weights math, same bounded shapes. */
+  def trainAndScoreNgram(planted: DataFrame): DataFrame = {
+    val (w, thr) = weightsAndThreshold(
+      countsFrom(ngramFeatures(planted.where(isLabeled))).collect())
+    applyModelOn(ngramFeatures(planted), w, thr).orderBy("doc_id")
+  }
 
   /** [[trainAndScore]] without the presentation sort — the form composed
     * plans embed (r16 review: a mid-plan global sort exchange whose
@@ -198,6 +228,10 @@ object QualityClf {
           .as("text"))
       scoreWithModel(batch, dir)
     }),
+    // the full fastText recipe: unigram + word-BIGRAM hashed features —
+    // the word-order signal the unigram bag loses, same integer regime
+    "text_quality_clf_ngram" -> ((s, d) =>
+      trainAndScoreNgram(plantSpam(Tables.load(s, d, "documents")))),
     // the keep decision composed into the curation pipeline's gate
     "text_quality_clf_keep" -> ((s, d) =>
       keepDecision(plantSpam(Tables.load(s, d, "documents")))),
@@ -223,15 +257,28 @@ object QualityClf {
     * back to BIGINT (DuckDB sums to HUGEINT, the round-1 incident
     * class); bucket = unsigned low 10 bits == Spark's pmod on a power
     * of two. */
-  private def clfModelCtes: String =
+  private def clfModelCtes: String = clfModelCtesWith(
+    s"""feat AS (
+       |  SELECT doc_id, CAST(uh % $Buckets AS BIGINT) AS bucket
+       |  FROM (${HashOracleSql.unigramSql("planted")}) _)""".stripMargin)
+
+  /** The ngram variant's feature CTE: unigram ∪ bigram buckets — the
+    * same two hash emulations the DSIR and fluency oracles use. */
+  private def ngramFeatCte: String =
+    s"""feat AS (
+       |  SELECT doc_id, CAST(uh % $Buckets AS BIGINT) AS bucket
+       |  FROM (${HashOracleSql.unigramSql("planted")}) _
+       |  UNION ALL
+       |  SELECT doc_id, CAST(bh % $Buckets AS BIGINT) AS bucket
+       |  FROM (${HashOracleSql.bigramSql("planted")}) _)""".stripMargin
+
+  private def clfModelCtesWith(featCte: String): String =
     s"""planted AS MATERIALIZED (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % 3 = 1 THEN text || '$SpamSnippet'
        |              ELSE text END AS text
        |  FROM documents),
-       |feat AS (
-       |  SELECT doc_id, CAST(uh % $Buckets AS BIGINT) AS bucket
-       |  FROM (${HashOracleSql.unigramSql("planted")}) _),
+       |$featCte,
        |cnt AS (
        |  SELECT bucket,
        |         CAST(SUM(CASE WHEN doc_id % 3 != 1 THEN 1 ELSE 0 END) AS BIGINT) AS clean_n,
@@ -265,6 +312,11 @@ object QualityClf {
          |  SELECT doc_id, CAST(uh % $Buckets AS BIGINT) AS bucket
          |  FROM (${HashOracleSql.unigramSql("batch")}) _),
          |${scoreSqlFrom("bfeat")}
+         |SELECT s.doc_id, s.score, s.score >= $thrSql AS keep
+         |FROM score s ORDER BY s.doc_id""".stripMargin,
+    "text_quality_clf_ngram" ->
+      s"""WITH ${clfModelCtesWith(ngramFeatCte)},
+         |${scoreSqlFrom("feat")}
          |SELECT s.doc_id, s.score, s.score >= $thrSql AS keep
          |FROM score s ORDER BY s.doc_id""".stripMargin,
     "text_quality_clf_keep" ->

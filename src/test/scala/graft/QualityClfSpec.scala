@@ -78,6 +78,27 @@ class QualityClfSpec extends AnyFunSuite {
       "no document was dropped by the classifier alone")
   }
 
+  test("ngram variant separates the held-out classes too (bigram tier live)") {
+    val scored = QualityClf.trainAndScoreNgram(QualityClf.plantSpam(docs))
+      .where(col("doc_id") % 2 =!= 0)
+      .collect()
+    assert(scored.nonEmpty)
+    val (spam, clean) = scored.partition(_.getLong(0) % 3 == 1)
+    assert(spam.nonEmpty && clean.nonEmpty)
+    val spamAvg = spam.map(_.getLong(1)).sum / spam.length
+    val cleanAvg = clean.map(_.getLong(1)).sum / clean.length
+    assert(spamAvg < cleanAvg,
+      s"ngram held-out spam mean $spamAvg !< clean mean $cleanAvg")
+    // the bigram tier genuinely contributes features: a planted spam doc
+    // carries the snippet's BIGRAMS only in the ngram variant, so its
+    // ngram score must differ from its unigram score (same doc, same
+    // weights formula, different feature set)
+    val uni = QualityClf.trainAndScore(QualityClf.plantSpam(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = scored.count(r => uni.get(r.getLong(0)).exists(_ != r.getLong(1)))
+    assert(moved > 0, "ngram scores identical to unigram — bigrams never fired")
+  }
+
   test("curate composition: the classifier pre-filter shrinks the accounted corpus") {
     import org.apache.spark.sql.functions.sum
     val planted = QualityClf.plantSpam(
