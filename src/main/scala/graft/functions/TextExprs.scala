@@ -395,7 +395,16 @@ object HtmlToText {
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
     }
     m.appendTail(sb)
-    UTF8String.fromString(Spaces.matcher(sb.toString).replaceAll(" ").trim)
+    // SPACE-only edge trim (r16 review): after the collapse every
+    // pinned-whitespace run IS a single space, so trimming spaces
+    // matches DuckDB's trim exactly — Java's String.trim would also
+    // strip edge controls (U+000B etc.) the oracle keeps as text
+    val collapsed = Spaces.matcher(sb.toString).replaceAll(" ")
+    var lo = 0
+    var hi = collapsed.length
+    while (lo < hi && collapsed.charAt(lo) == ' ') lo += 1
+    while (hi > lo && collapsed.charAt(hi - 1) == ' ') hi -= 1
+    UTF8String.fromString(collapsed.substring(lo, hi))
   }
 }
 

@@ -446,8 +446,15 @@ object Bpe {
     val mergedToks = merges.map { case (a, b) => hfToken(a + b, byteLevel) }
     // the document separator takes the LAST id (the GPT-2 convention:
     // <|endoftext|> = vocab size - 1) — the reserved slot [[EosId]]'s
-    // dense renumbering lands on
-    val vocab = ((alphabet ++ mergedToks).distinct :+ EosToken).zipWithIndex
+    // dense renumbering lands on. A learned token spelling exactly the
+    // marker (possible if the corpus itself carries it) would silently
+    // shadow an id behind a duplicate key — refuse loudly instead (r16
+    // review), the strict-loader discipline applied at write time.
+    val learned = (alphabet ++ mergedToks).distinct
+    require(!learned.contains(EosToken),
+      s"a learned token equals the reserved marker $EosToken — " +
+        "strip it from the corpus or choose a different marker")
+    val vocab = (learned :+ EosToken).zipWithIndex
     val json = vocab
       .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
       .mkString("{", ", ", "}")
@@ -509,7 +516,10 @@ object Bpe {
             case '\\' => sb += '\\'; i += 1
             case 'u' =>
               require(i + 5 <= s.length, "vocab.json: truncated \\u escape")
-              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              val hex = s.substring(i + 1, i + 5)
+              require(hex.forall(c => Character.digit(c, 16) >= 0),
+                s"vocab.json: malformed \\u escape [$hex]")
+              sb += Integer.parseInt(hex, 16).toChar
               i += 5
             case c => sys.error(s"vocab.json: unsupported escape \\$c")
           }
@@ -529,7 +539,9 @@ object Bpe {
         val start = i
         while (i < s.length && s(i).isDigit) i += 1
         require(i > start, s"vocab.json: expected an integer id at $start")
-        out(k) = s.substring(start, i).toInt
+        val id = s.substring(start, i)
+        out(k) = id.toIntOption.getOrElse(
+          sys.error(s"vocab.json: id out of range [$id]"))
         skipWs()
         if (i < s.length && s(i) == ',') { i += 1; skipWs() } else more = false
       }
@@ -824,8 +836,10 @@ object Bpe {
     *    buffered and decoded as ONE UTF-8 string at the end, so a
     *    multi-byte codepoint split across ids (CJK under a small table)
     *    reassembles correctly;
-    *  - an id outside both ranges decodes to U+FFFD (never throws — a
-    *    corrupt sequence degrades visibly, the quarantine convention).
+    *  - [[EosId]] decodes to [[EosToken]] (r16 — the separator is a
+    *    documented token, not corruption);
+    *  - any other id outside the ranges decodes to U+FFFD (never throws —
+    *    a corrupt sequence degrades visibly, the quarantine convention).
     *
     * Map-side, zero exchanges, same plan-broadcast merge-table contract
     * as the scoring expressions. */

@@ -785,10 +785,19 @@ object Dedup {
     * `tmpdir/<family>/<name>_<sha256(salt)>_<filesFingerprint(srcs)>`
     * — ONE definition of the stale-fixture keying (parameter salt +
     * source-file content fingerprint), so a keying fix applies to every
-    * cached index/drop fixture at once instead of per copy-paste site. */
+    * cached index/drop fixture at once instead of per copy-paste site.
+    *
+    * [[Tokens.SegV]] rides EVERY salt (r16 review): the minhash/postings/
+    * LM/importance/classifier fixtures all derive from the shared
+    * segmentation, and a rule bump must retire them — the BPE models'
+    * own-salt discipline applied suite-wide. Non-text fixtures (embedding
+    * index, raw-byte drops) pay one cheap deterministic rebuild per rule
+    * bump, which buys never having to re-audit per-site which families
+    * are segmentation-derived. */
   private[graft] def fingerprintedDir(family: String, name: String,
       salt: String, srcs: Seq[String]): java.io.File = {
-    val fp = graft.plans.MaterializedViews.stringFingerprint(salt) + "_" +
+    val fp = graft.plans.MaterializedViews.stringFingerprint(
+      salt + ":" + Tokens.SegV) + "_" +
       graft.plans.MaterializedViews.filesFingerprint(srcs)
     new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), family), s"${name}_$fp")

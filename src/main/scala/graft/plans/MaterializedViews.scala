@@ -148,11 +148,13 @@ object MaterializedViews {
 
   /** Collision-free key for a parameter string embedded in a persistent
     * name (r15 advisory: 32-bit `hashCode` keys can collide two configs
-    * onto one cached path). SHA-256, 64-bit prefix. */
-  private[graft] def stringFingerprint(s: String): String = {
+    * onto one cached path). SHA-256; callers choose the prefix width —
+    * 8 bytes (64-bit) for fixture salts, 12 (96-bit, the r14 advisory
+    * fix's chosen margin) for streaming staging/database keys. */
+  private[graft] def stringFingerprint(s: String, nBytes: Int = 8): String = {
     val md = MessageDigest.getInstance("SHA-256")
     md.update(s.getBytes("UTF-8"))
-    md.digest().take(8).map("%02x".format(_)).mkString
+    md.digest().take(nBytes).map("%02x".format(_)).mkString
   }
 
   private def fingerprint(basePaths: Set[String], dims: Seq[String],

@@ -36,10 +36,10 @@ object EventStreams {
   /** Collision-free key for persistent names derived from a source dir
     * (r14/r15 advisory: a 32-bit `hashCode` can collide two dirs onto
     * one staging path / database / view dir). Delegates to the ONE
-    * SHA-256 keying helper (r16 review: two definitions of the same
-    * fix are themselves a drift channel). */
+    * SHA-256 keying helper at the r14 fix's chosen 96-bit width (r16
+    * review: the first delegation draft silently halved it). */
   private[streaming] def dirKey(s: String): String =
-    graft.plans.MaterializedViews.stringFingerprint(s)
+    graft.plans.MaterializedViews.stringFingerprint(s, nBytes = 12)
 
   /** Stage `<dir>/<table>.parquet` into a per-table directory the
     * file-stream source can monitor (hard link — no data copy), with the

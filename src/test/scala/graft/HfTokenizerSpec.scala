@@ -104,7 +104,8 @@ class HfTokenizerSpec extends AnyFunSuite {
   test("vocab.json parser refuses truncation/corruption with its own diagnostics") {
     // r16 review: raw StringIndexOutOfBounds/NumberFormat exceptions
     // would break the loudly-refusing loader contract
-    Seq("{\"a", "{\"a\\", "{\"a\": }", "{\"a\": 1", "{\"a\\u00")
+    Seq("{\"a", "{\"a\\", "{\"a\": }", "{\"a\": 1", "{\"a\\u00",
+        "{\"a\\u00zz\": 1}", "{\"a\": 99999999999}")
       .foreach { bad =>
         val e = intercept[Exception](Bpe.parseVocabJson(bad))
         assert(e.getMessage != null && e.getMessage.contains("vocab.json"),

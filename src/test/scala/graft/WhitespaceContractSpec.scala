@@ -60,14 +60,16 @@ class WhitespaceContractSpec extends AnyFunSuite {
 
   test("gpt2 split classifies exotic whitespace as 'other' characters") {
     Exotic.foreach { c =>
-      val toks = Tokens.gpt2SegString(s"a${c}b")
-      assert(toks.mkString == s"a${c}b")
-      assert(!toks.exists(t => t.forall(Tokens.isWsCp(_))) ||
-        !toks.contains(c.toString + ""),
-        f"U+${c.toInt}%04X leaked into a whitespace token")
-      // the exotic char must sit inside an "other" token, never be a
-      // donated-space prefix
-      assert(toks.exists(_.contains(c)), f"U+${c.toInt}%04X vanished")
+      // exact token sequence: the exotic char is its own 'other'-run
+      // token between the two letter runs — a regression to a wider
+      // whitespace class would instead donate it or emit a ws token
+      assert(Tokens.gpt2SegString(s"a${c}b").toSeq ==
+        Seq("a", c.toString, "b"),
+        f"U+${c.toInt}%04X not an 'other' token")
+      // after a space, it absorbs the donated space like any other-run
+      assert(Tokens.gpt2SegString(s"a ${c}b").toSeq ==
+        Seq("a", s" $c", "b"),
+        f"U+${c.toInt}%04X did not take the donated space")
     }
   }
 
