@@ -16,6 +16,7 @@ class HfTokenizerSpec extends AnyFunSuite {
 
   private def modelDirs: Seq[(String, Boolean)] = Seq(
     (Bpe.ensureModel(spark, TestSpark.Sf0001), false),
+    (Bpe.ensureModelLarge(spark, TestSpark.Sf0001), false), // the 32k table
     (Bpe.ensureModelBytes(spark, TestSpark.Sf0001), true),
     (Bpe.ensureModelGpt2(spark, TestSpark.Sf0001), true))
 
@@ -59,7 +60,7 @@ class HfTokenizerSpec extends AnyFunSuite {
   }
 
   test("byte-level vocab carries the full 256-byte alphabet (GPT-2 convention)") {
-    val (dir, _) = modelDirs(1)
+    val dir = Bpe.ensureModelBytes(spark, TestSpark.Sf0001)
     val (_, vocab) = Bpe.loadHfTokenizer(dir, byteLevel = true)
     (0 until 256).foreach { b =>
       val tok = Bpe.byteToUnicode(b).toString
