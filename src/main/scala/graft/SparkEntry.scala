@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.entries ++
       graft.ops.Chunking.entries ++
       graft.ops.Bpe.entries ++
+      graft.ops.HfInterop.entries ++
       graft.ops.Search.entries ++
       graft.ops.Profile.entries ++
       graft.ops.Sampling.entries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Chunking.oracle ++
       graft.ops.Bpe.oracle ++
+      graft.ops.HfInterop.oracle ++
       graft.ops.Search.oracle ++
       graft.ops.Profile.oracle ++
       graft.ops.Sampling.oracle ++
@@ -67,4 +69,14 @@ object SparkEntry {
       graft.ops.Layout.oracle ++
       graft.plans.MaterializedViews.oracle ++
       graft.streaming.EventStreams.oracle).toMap
+
+  /** [[oracleSql]] specialized to a fixture: entries whose oracle SQL
+    * depends on fixture-derived constants are regenerated for `sfDir`
+    * (today: dedup_semantic's Lloyd k = n/targetClusterSize). At the
+    * gate SF this is character-identical to [[oracleSql]]; a full-suite
+    * audit at another SF (the sf0.1 bonus run) gets oracles whose
+    * unrolled constants match what the engine computes there. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql + ("dedup_semantic" ->
+      graft.ops.Similarity.semDedupOracleFor(spark, sfDir))
 }

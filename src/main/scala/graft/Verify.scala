@@ -52,7 +52,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor: fixture-parametric oracles (dedup_semantic's Lloyd k)
+    // are regenerated for THIS sfDir — identical to oracleSql at the gate
+    // SF, value-matched at audit SFs
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -345,7 +345,7 @@ object Bpe {
 
   /** The planting rule as a CTE (oracle side) — must mirror
     * [[plantMultiscript]] glyph for glyph. */
-  private def plantedCte: String =
+  private[ops] def plantedCte: String =
     s"""planted AS MATERIALIZED (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % 3 = 0 THEN text || '$PlantSnippet'
@@ -379,7 +379,9 @@ object Bpe {
   /** Version of the staged model-dir LAYOUT (which files it contains) —
     * rides every spec's salt so committed dirs from an older layout are
     * rebuilt rather than served missing files. */
-  private[graft] val HfLayoutV = "hf2" // hf2: vocab carries EosToken last
+  // hf2: vocab carries EosToken last; hf3: codepoint vocab alphabet
+  // derives from the trained dict's distinct chars, not merge symbols
+  private[graft] val HfLayoutV = "hf3"
 
   /** GPT-2's public byte→printable-unicode alphabet (encoder.py
     * `bytes_to_unicode`): printable ASCII and most of Latin-1 map to
@@ -405,12 +407,12 @@ object Bpe {
     * pairs) map through [[byteToUnicode]]; codepoint symbols pass as-is
     * (the codepoint dicts are printable-ASCII words — asserted at write,
     * since a space inside a symbol would corrupt the merges.txt format). */
-  private def hfToken(sym: String, byteLevel: Boolean): String =
+  private[ops] def hfToken(sym: String, byteLevel: Boolean): String =
     if (byteLevel)
       sym.grouped(2).map(h => byteToUnicode(Integer.parseInt(h, 16))).mkString
     else sym
 
-  private def hfTokenInverse(tok: String, byteLevel: Boolean): String =
+  private[ops] def hfTokenInverse(tok: String, byteLevel: Boolean): String =
     if (byteLevel)
       tok.map(c => f"${unicodeToByte.getOrElse(c, sys.error(s"not a byte-alphabet char: $c"))}%02X").mkString
     else tok
@@ -425,12 +427,18 @@ object Bpe {
   /** Write the model as HF-tokenizers-style `merges.txt` (rank order,
     * `#version: 0.2` header) and `vocab.json` (dense ids: the base
     * alphabet first — all 256 bytes for byte-level models, the distinct
-    * merge-symbol codepoints for codepoint models — then one token per
-    * merge in rank order, the standard BPE vocab construction). Called
-    * inside the staged model build, so the files are covered by the
-    * dir's epoch commit and [[requireEra]] fingerprint. */
+    * characters of the TRAINED DICT for codepoint models — then one
+    * token per merge in rank order, the standard BPE vocab
+    * construction). `dictWords` (codepoint models only) carries the
+    * training dict so the alphabet covers characters that never joined
+    * a merge (r16 advisory: an alphabet derived from merge symbols
+    * alone left an external HF-tokenizers consumer unable to encode
+    * merge-free characters). Called inside the staged model build, so
+    * the files are covered by the dir's epoch commit and [[requireEra]]
+    * fingerprint. */
   private[graft] def writeHfFiles(dir: java.io.File,
-      merges: Seq[(String, String)], byteLevel: Boolean): Unit = {
+      merges: Seq[(String, String)], byteLevel: Boolean,
+      dictWords: Seq[String] = Nil): Unit = {
     val lines = merges.map { case (a, b) =>
       val (l, r) = (hfToken(a, byteLevel), hfToken(b, byteLevel))
       require(!l.exists(_.isWhitespace) && !r.exists(_.isWhitespace),
@@ -441,7 +449,8 @@ object Bpe {
       ("#version: 0.2" +: lines).mkString("\n").getBytes("UTF-8"))
     val alphabet: Seq[String] =
       if (byteLevel) (0 until 256).map(b => byteToUnicode(b).toString)
-      else merges.iterator.flatMap { case (a, b) => a + b }.toSeq
+      else (dictWords.iterator.flatten ++
+          merges.iterator.flatMap { case (a, b) => a + b }).toSeq
         .distinct.sorted.map(_.toString)
     val mergedToks = merges.map { case (a, b) => hfToken(a + b, byteLevel) }
     // the document separator takes the LAST id (the GPT-2 convention:
@@ -547,6 +556,11 @@ object Bpe {
       }
     }
     expect('}')
+    // strict to the END of the file (r16 advisory): a concatenated or
+    // corrupted vocab.json must refuse with the parser's own diagnostic,
+    // not silently serve the first object and ignore the rest
+    skipWs()
+    require(i == s.length, s"vocab.json: trailing content after '}' at $i")
     out.toMap
   }
 
@@ -568,15 +582,18 @@ object Bpe {
     val dir = Dedup.fingerprintedDir("graft-bpemodel", "documents",
       spec.salt(sfDir), Seq(s"$sfDir/documents.parquet"))
     Dedup.stageAtomically(dir) { tmp =>
-      val merges = trainFast(sampleWordCounts(spark, sfDir, spec),
-        spec.nMerges, spec.syms)
+      val wordCounts = sampleWordCounts(spark, sfDir, spec)
+      val merges = trainFast(wordCounts, spec.nMerges, spec.syms)
       val s = spark
       import s.implicits._
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "left", "right")
         .coalesce(1).write.parquet(tmp.getPath)
-      writeHfFiles(tmp, merges, spec.byteLevel)
+      // codepoint models pass the dict so vocab.json covers merge-free
+      // characters; byte-level models carry the full 256-byte alphabet
+      writeHfFiles(tmp, merges, spec.byteLevel,
+        dictWords = if (spec.byteLevel) Nil else wordCounts.map(_._1))
       java.nio.file.Files.write(new java.io.File(tmp, EraFile).toPath,
         currentEra(sfDir, spec).getBytes("UTF-8"))
     }
@@ -979,7 +996,7 @@ object Bpe {
   /** Apply-emulation CTEs over a word-occurrence CTE `wordsCte(keys…, w)`:
     * `aw0..awN` rewriting each occurrence through the learned rules, then
     * `bpeCounted(keys…, n_bpe)`. */
-  private def applyChain(wordsCte: String, keys: String,
+  private[ops] def applyChain(wordsCte: String, keys: String,
       spec: ModelSpec = SpecOracle): Seq[String] = {
     val wrap = wrapOf(spec)
     val aw0 = s"aw0 AS MATERIALIZED (SELECT $keys, ${wrap("w")} AS repr FROM $wordsCte)"

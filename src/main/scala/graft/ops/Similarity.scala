@@ -868,6 +868,31 @@ object Similarity {
       .filter(col("qnorm") > 0)
       .select("vec_id", "qvec", "qnorm")
 
+  /** The dedup_semantic planting — every vector gains a perturbed twin
+    * under +1_000_000 (the dedup_incr_embedding perturbation verbatim);
+    * ONE definition shared by the entry and the scale-parametric oracle
+    * generator so the k they compute cannot drift. */
+  private def plantedEmb(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+    emb.select("vec_id", "embedding").unionAll(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
+        .as("embedding")))
+  }
+
+  /** The dedup_semantic oracle regenerated for an ARBITRARY fixture
+    * (r16 verdict #2): k is computed from the quantized planted-union
+    * count exactly as [[semDedup]] computes it (max(16, n/128) — the
+    * same quantize() filter, so even an all-zero vector is excluded on
+    * both sides), then the SAME Lloyd CTE chain is unrolled at that k.
+    * At the gate SF this reproduces the static k=16 oracle character
+    * for character; at sf0.1 it unrolls k=78, so the full-suite bonus
+    * audit can value-match instead of reading the gate-pinned k. */
+  def semDedupOracleFor(s: SparkSession, d: String): String = {
+    val k = math.max(16, (quantize(plantedEmb(s, d)).count() / 128).toInt)
+    semDedupSql(nCentroids = k)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.load(s, d, "embeddings"))),
@@ -878,18 +903,15 @@ object Similarity {
     // the corpus plus its planted perturbed twins (the dedup_incr_embedding
     // planting verbatim): every twin must co-cluster with and be dropped
     // against its original, so the entry exercises real removals
-    "dedup_semantic" -> ((s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      // the oracle pairing exists AT THE GATE SF only: pin its hard-coded
-      // k there so a regenerated-bigger sf0.01 fixture fails loudly at the
-      // source (r12 advice), while bench/scale runs at other SFs keep the
-      // entry's own n/targetClusterSize scaling (sf0.1 computes k=78)
-      semDedup(emb.select("vec_id", "embedding").unionAll(emb.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
-          .as("embedding"))),
-        oracleK = if (d.stripSuffix("/").endsWith("sf0.01")) Some(16) else None)
-    }),
+    "dedup_semantic" -> ((s, d) =>
+      // the DUMPED oracle at the gate SF hard-codes k=16: pin it there so
+      // a regenerated-bigger sf0.01 fixture fails loudly at the source
+      // (r12 advice), while bench/scale runs at other SFs keep the
+      // entry's own n/targetClusterSize scaling (sf0.1 computes k=78 —
+      // and [[semDedupOracleFor]] regenerates the oracle at that k, so a
+      // non-gate-SF audit value-matches instead of reading a pinned k)
+      semDedup(plantedEmb(s, d),
+        oracleK = if (d.stripSuffix("/").endsWith("sf0.01")) Some(16) else None)),
     // the measured quality axis, under the gate: IVF's per-query recall
     // against the brute-force truth
     "sim_recall_ivf" -> ((s, d) => {

@@ -121,23 +121,36 @@ private[graft] object Tokens {
     out.toArray
   }
 
+  /** The oracle emulation's boundary marker: U+E000, the first
+    * private-use codepoint — outside any plausible corpus (r17 review:
+    * the previous chr(1) sentinel sat inside the C0 range real crawl
+    * bytes do carry). The guard below makes even THAT collision loud. */
+  private[graft] val SentinelCp = 0xE000
+
   /** The DuckDB mirror of [[gpt2Seg]]. RE2 has no lookahead, so the
     * donate-the-last-whitespace rule is emulated EXACTLY by sentinel
     * injection: every (whitespace, non-whitespace) adjacency gets a
-    * `chr(1)` boundary marker (regexp_replace with the explicit [[Ws]]
-    * classes), the text is split on the marker, and each piece runs the
-    * lookahead-free [[Gpt2Core]] — inside a piece a whitespace run is
-    * never followed by non-whitespace, so plain `[Ws]+` and the
+    * `chr(0xE000)` boundary marker (regexp_replace with the explicit
+    * [[Ws]] classes), the text is split on the marker, and each piece
+    * runs the lookahead-free [[Gpt2Core]] — inside a piece a whitespace
+    * run is never followed by non-whitespace, so plain `[Ws]+` and the
     * donated-space ` ?` prefixes reproduce the lookahead semantics.
     * Equivalence to [[Gpt2Re]] is property-pinned in Gpt2SplitSpec on
-    * random strings incl. U+000B/NBSP (caveat, stated: a literal U+0001
-    * in the input would add a spurious boundary; the corpus and Java
-    * side treat it as an "other" char). */
+    * random strings incl. U+000B/NBSP. A literal [[SentinelCp]] in the
+    * input would add a spurious boundary — instead of diverging
+    * SILENTLY, the emulation refuses: DuckDB's error() fires on any
+    * input row carrying the sentinel, so the driver's oracle run fails
+    * loudly and names the cause (r16 advisory). */
   def duckGpt2Toks(textExpr: String): String = {
     val core = Gpt2Core.replace("'", "''")
-    s"flatten(list_transform(string_split(" +
-      s"regexp_replace($textExpr, '([$Ws])([^$Ws])', chr(1) || '\\1\\2', 'g')," +
-      s" chr(1)), seg -> regexp_extract_all(seg, '$core')))"
+    val snt = s"chr($SentinelCp)"
+    val guarded =
+      s"CASE WHEN contains($textExpr, $snt) THEN error(" +
+        "'duckGpt2Toks: input contains the U+E000 sentinel codepoint - " +
+        "the lookahead emulation would add a spurious pre-token boundary') " +
+      s"ELSE regexp_replace($textExpr, '([$Ws])([^$Ws])', $snt || '\\1\\2', 'g') END"
+    s"flatten(list_transform(string_split($guarded," +
+      s" $snt), seg -> regexp_extract_all(seg, '$core')))"
   }
 
   /** Plain-Scala form of [[seg]], for expressions that tokenize inside

@@ -66,17 +66,25 @@ class Gpt2SplitSpec extends AnyFunSuite {
 
   private val CorePattern = java.util.regex.Pattern.compile(Tokens.Gpt2Core)
 
-  private def sentinelSplit(s: String): Seq[String] =
+  private val Sentinel = Tokens.SentinelCp.toChar // U+E000 (r17)
+
+  private def sentinelSplit(s: String): Seq[String] = {
+    // mirror of the oracle's loud guard (r17): a literal sentinel
+    // codepoint must REFUSE (DuckDB error()), never silently add a
+    // spurious boundary
+    require(!s.contains(Sentinel),
+      "input carries the U+E000 sentinel - emulation refuses")
     // the ORACLE's explicit whitespace classes, not Java's \s (which
     // would smuggle U+000B back in and mask the very divergence the
     // pinned class exists to prevent)
-    s.replaceAll("([\\t\\n\\f\\r ])([^\\t\\n\\f\\r ])", "\u0001$1$2")
-      .split("\u0001", -1).toSeq.flatMap { seg =>
+    s.replaceAll("([\\t\\n\\f\\r ])([^\\t\\n\\f\\r ])", Sentinel.toString + "$1$2")
+      .split(Sentinel.toString, -1).toSeq.flatMap { seg =>
       val m = CorePattern.matcher(seg)
       val toks = scala.collection.mutable.ArrayBuffer.empty[String]
       while (m.find()) toks += m.group()
       toks
     }
+  }
 
   private val Fixtures = Seq(
     "", " ", "   ", "a  b", "a b", "  a", "a  ", "don't we're I'll",
@@ -86,7 +94,12 @@ class Gpt2SplitSpec extends AnyFunSuite {
     "trailing space ", " lead", "\t\t", "1 2  3   4",
     // U+000B is NOT in the pinned whitespace class (Java \s would take
     // it; RE2's would not) — it must tokenize as an "other" char
-    "a\u000bb", "a \u000b b", "\u000b")
+    "a\u000bb", "a \u000b b", "\u000b",
+    // U+0001 was the pre-r17 sentinel's documented caveat: a literal
+    // occurrence silently diverged the oracle emulation. Under the
+    // U+E000 sentinel it is an ordinary "other" char on all three
+    // splitters (and a literal U+E000 now REFUSES, tested below)
+    "a\u0001b", "x \u0001  y", "\u0001")
 
   test("engine regex == imperative reference == sentinel emulation (fixtures)") {
     Fixtures.foreach { s =>
@@ -104,6 +117,7 @@ class Gpt2SplitSpec extends AnyFunSuite {
     val atoms = Array("a", "b", "Z", "0", "9", "'", "!", ".", ",", "-", "_",
       " ", "  ", "   ", "\t", "\n", "\r\n", "'s", "'ll", "'d", "n't",
       "\u000b", " ", // outside the pinned ws class on BOTH engines
+      "\u0001", // the retired pre-r17 sentinel: now just an "other" char
       "学", "あ", "カ", "한", "é", "€",
       new String(Character.toChars(0x1F600)), // emoji: surrogate pair, \p{So}
       new String(Character.toChars(0x10400))) // Deseret: surrogate pair, \p{L}
@@ -115,6 +129,19 @@ class Gpt2SplitSpec extends AnyFunSuite {
       assert(eng.mkString == s, s"partition on ${s.inspect}")
       assert(eng.forall(_.nonEmpty))
     }
+  }
+
+  test("the sentinel-emulation guard refuses a literal U+E000 loudly") {
+    // the engine side treats U+E000 as an ordinary "other" char...
+    val eng = Tokens.gpt2SegString("a" + Sentinel.toString + "b").toSeq
+    assert(eng.mkString == "a" + Sentinel.toString + "b")
+    // ...but the oracle emulation must REFUSE instead of silently
+    // adding a boundary (mirrored here; the SQL form raises error())
+    intercept[IllegalArgumentException] {
+      sentinelSplit("a" + Sentinel.toString + "b")
+    }
+    assert(Tokens.duckGpt2Toks("text").contains("error("),
+      "the generated SQL must carry the loud error() guard")
   }
 
   test("Column form gpt2Seg matches gpt2SegString row by row") {

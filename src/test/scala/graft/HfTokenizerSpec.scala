@@ -106,11 +106,47 @@ class HfTokenizerSpec extends AnyFunSuite {
     // r16 review: raw StringIndexOutOfBounds/NumberFormat exceptions
     // would break the loudly-refusing loader contract
     Seq("{\"a", "{\"a\\", "{\"a\": }", "{\"a\": 1", "{\"a\\u00",
-        "{\"a\\u00zz\": 1}", "{\"a\": 99999999999}")
+        "{\"a\\u00zz\": 1}", "{\"a\": 99999999999}",
+        // r17: trailing garbage after the closing brace — a concatenated
+        // or corrupted file must refuse, not silently serve the first
+        // object (the strict-to-EOF half of the loader contract)
+        "{\"a\": 0}{\"b\": 1}", "{\"a\": 0} x", "{} null")
       .foreach { bad =>
         val e = intercept[Exception](Bpe.parseVocabJson(bad))
         assert(e.getMessage != null && e.getMessage.contains("vocab.json"),
           s"input [$bad] threw ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
+    // trailing whitespace alone is NOT garbage
+    assert(Bpe.parseVocabJson("{\"a\": 0}\n") == Map("a" -> 0))
+  }
+
+  test("codepoint vocab covers dict characters that never joined a merge (r17)") {
+    // r16 advisory: an alphabet derived from merge symbols alone left an
+    // external HF-tokenizers consumer unable to encode merge-free chars.
+    // Synthetic model: one merge (a,b); dict words carry x/y/z which
+    // appear in NO merge — they must still land in vocab.json.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hf-alpha").toFile
+    Bpe.writeHfFiles(tmp, Seq(("a", "b")), byteLevel = false,
+      dictWords = Seq("ab", "xyz"))
+    val (loaded, vocab) = Bpe.loadHfTokenizer(tmp.getPath, byteLevel = false)
+    assert(loaded == Seq(("a", "b")))
+    Seq("a", "b", "x", "y", "z", "ab").foreach(t =>
+      assert(vocab.contains(t), s"token [$t] missing from codepoint vocab"))
+    // dense ids and the reserved-last EOS convention still hold
+    assert(vocab.values.toSeq.sorted == (0 until vocab.size))
+    assert(vocab(Bpe.EosToken) == vocab.size - 1)
+  }
+
+  test("the STAGED codepoint model's vocab is dict-complete (r17)") {
+    // end-to-end form of the advisory fix: on the real staged oracle
+    // model, the vocab must strictly extend the merge-symbol alphabet
+    // (the corpus dict always carries characters that never merge)
+    val dir = Bpe.ensureModel(spark, TestSpark.Sf0001)
+    val (merges, vocab) = Bpe.loadHfTokenizer(dir, byteLevel = false)
+    val mergeChars = merges.flatMap { case (a, b) => a + b }.toSet
+    val alphabetKeys = vocab.keySet.filter(_.length == 1).map(_.head)
+    assert(mergeChars.subsetOf(alphabetKeys))
+    assert(alphabetKeys.size > mergeChars.size,
+      "vocab alphabet == merge chars: the dict-derived extension is missing")
   }
 }
