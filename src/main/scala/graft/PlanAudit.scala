@@ -231,6 +231,13 @@ object PlanAudit {
     // r15: the materialized-separator artifact — the pack chain's shape
     // exactly (5.552/row and 5.430/row — flat, same as chunk_pack_ids)
     "chunk_pack_ids_eos" -> ShuffleBudget("documents", 14.0, 1000L),
+    // r17: the production pack — GPT-2-spec byte-level ids over the
+    // planted corpus through the SAME two-phase prefix-sum; rows crossing
+    // the exchanges are chunk rows (ids are payload), so the coefficient
+    // is the pack chain's (measured 6.676/row at n=500 and 6.570/row at
+    // n=5000 — flat; the planted multiscript corpus chunks slightly wider
+    // than the raw one, hence the small lift over chunk_pack_ids' 5.43)
+    "chunk_pack_ids_gpt2" -> ShuffleBudget("documents", 14.0, 1000L),
     // r16: GPT-2-pretokenized byte-level counting — the text_tokens_bpe
     // shape exactly: bounded training aggregate + presentation orderBy
     // (measured 1.000/row at n=500 and 1.025/row at n=5000 — flat)
@@ -254,6 +261,16 @@ object PlanAudit {
     // in front of curate_corpus's audited chain; measured 9.74/row at
     // n=500 and 9.98/row at n=5000 — flat, the curate_corpus class
     "curate_clf_corpus" -> ShuffleBudget("documents", 25.0, 2000L),
+    // r17: the filter cascade — clf's bounded bucket aggregate, the LM's
+    // pure map, repetition's bigram partial+final (the linear term: the
+    // corpus gram stream, collapsing repeats map-side per (doc, gram)),
+    // contamination's broadcast semi-join count, then four doc_id hash
+    // joins (measured 67.03/row at n=500 and 65.98/row at n=5000 — flat)
+    "curate_cascade" -> ShuffleBudget("documents", 165.0, 2000L),
+    // the rollup folds the same votes into ONE row: same chain, the
+    // final single-row aggregate adds partials only (measured 66.03/row
+    // at n=500 and 64.98/row at n=5000 — flat)
+    "curate_cascade_counts" -> ShuffleBudget("documents", 165.0, 2000L),
     // r16: unigram+bigram variant — the clf aggregate sees ~2 feature
     // streams but still reduces to ≤1024 buckets (measured 2.31/row at
     // n=500 FALLING to 1.13/row at n=5000 — partials collapse)

@@ -1021,14 +1021,20 @@ object Bpe {
     * `chunk_pack_ids` must chunk identically or their oracles silently
     * diverge while each still passes (r15 review: this was two literal
     * copies). */
-  private def chunkTextCte: String =
+  private def chunkTextCte: String = chunkTextCteFrom("documents")
+
+  /** [[chunkTextCte]] rooted at an arbitrary (doc_id, text) relation —
+    * the gpt2 pack entry chunks the PLANTED corpus. The window rule
+    * (word seg, 32/24) is the same at any root: chunk windows stay
+    * word-based; only the per-chunk id derivation is model-specific. */
+  private def chunkTextCteFrom(src: String): String =
     s"""ch AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(s // 24 AS BIGINT) AS chunk_id,
        |         array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
        |  FROM (SELECT doc_id, t, len(t) AS n,
        |               unnest(generate_series(0, len(t) - 1, 24)) AS s
-       |        FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM documents)
+       |        FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t FROM $src)
        |        WHERE len(t) > 0))""".stripMargin
 
   /** The id-sequence machinery over an `aw`-chain's final stage — vocab
@@ -1077,15 +1083,27 @@ object Bpe {
 
   // -------------------------------------------------------------- entries
 
-  /** ONE builder for both packed-ids entries — the engine mirror of the
+  /** ONE builder for the packed-ids entries — the engine mirror of the
     * oracle-side `packIdsSqlWith(eos)` (r15 review: two hand-mirrored
     * bodies are a drift channel; a capacity/era/derivation change must
-    * move both artifacts or neither). */
-  private def packIdsEntry(eos: Boolean): (SparkSession, String) => DataFrame =
+    * move both artifacts or neither). `gpt2 = true` swaps in the
+    * byte-level GPT-2-spec model over the planted multiscript corpus —
+    * the production packing contract (r16 verdict #6): GPT-2-spec ids
+    * with the `<|endoftext|>` separator materialized. The chunk WINDOWS
+    * stay word-based on both engines; only the per-chunk id derivation
+    * moves to the GPT-2 pre-tokenization. */
+  private def packIdsEntry(eos: Boolean,
+      gpt2: Boolean = false): (SparkSession, String) => DataFrame =
     (s, d) => {
-      val merges = loadMergesGuarded(s, d, ensureModel(s, d))
-      val ch = Chunking.chunk(Tables.load(s, d, "documents"))
-        .withColumn("ids0", bpe_token_ids(col("chunk_text"), merges))
+      val merges =
+        if (gpt2) loadMergesGuarded(s, d, ensureModelGpt2(s, d), SpecGpt2)
+        else loadMergesGuarded(s, d, ensureModel(s, d))
+      val src =
+        if (gpt2) plantMultiscript(Tables.load(s, d, "documents"))
+        else Tables.load(s, d, "documents")
+      val ch = Chunking.chunk(src)
+        .withColumn("ids0",
+          bpe_token_ids(col("chunk_text"), merges, byteLevel = gpt2, gpt2 = gpt2))
         .withColumn("ids",
           if (eos)
             when(col("chunk_id") === 0,
@@ -1297,6 +1315,12 @@ object Bpe {
             .as("n_bpe"))
         .orderBy("doc_id")
     }),
+    // r17: the production capstone — chunk windows carrying GPT-2-spec
+    // byte-level ids with the <|endoftext|> separator MATERIALIZED at
+    // each document's first chunk, packed by the SAME two-phase prefix
+    // sum (chunk_pack_ids_eos's contract under the production
+    // tokenizer); era-guarded like every downstream-accounting entry
+    "chunk_pack_ids_gpt2" -> packIdsEntry(eos = true, gpt2 = true),
     // r16: the STRONGEST round trip in the suite — GPT-2 pre-tokens
     // PARTITION the input (whitespace is tokenized, nothing is dropped),
     // so encode→decode must rebuild the ORIGINAL TEXT byte for byte; the
@@ -1495,21 +1519,29 @@ object Bpe {
          |FROM planted d LEFT JOIN seq s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }
-    // ONE builder for both packed-ids oracles: `eos = true` materializes
+    // ONE builder for the packed-ids oracles: `eos = true` materializes
     // the document separator — the sentinel id prepended to each doc's
-    // first chunk — into the sequences before the SAME pack window
-    def packIdsSqlWith(eos: Boolean): String = {
+    // first chunk — into the sequences before the SAME pack window;
+    // `gpt2 = true` roots the chunk CTE at the planted corpus and swaps
+    // the per-chunk word stream to the GPT-2 pre-tokenization (the
+    // window rule itself is unchanged — word seg on both engines)
+    def packIdsSqlWith(eos: Boolean, gpt2: Boolean = false): String = {
       // the SAME id machinery at CHUNK granularity (occurrence keys
       // (doc_id, chunk_id, wi)) over the SHARED chunk CTE, composed with
       // chunk_pack's window — every id of every packed sequence
       // reproduced from the oracle's own staged training
+      val spec = if (gpt2) SpecGpt2 else SpecOracle
+      val chunkToks =
+        if (gpt2) Tokens.duckGpt2Toks("chunk_text")
+        else Tokens.duckToks("chunk_text")
       val words =
         s"""(SELECT doc_id, chunk_id, wi, t[wi] AS w FROM (
            |   SELECT doc_id, chunk_id, t, unnest(generate_series(1, len(t))) AS wi
-           |   FROM (SELECT doc_id, chunk_id, ${Tokens.duckToks("chunk_text")} AS t FROM ch) _) _) _""".stripMargin
-      val ctes = (trainCtes(SpecOracle) :+ chunkTextCte) ++
-        applyChain(words, "doc_id, chunk_id, wi") ++
-        idsSeqCtes("doc_id, chunk_id", byteLevel = false)
+           |   FROM (SELECT doc_id, chunk_id, $chunkToks AS t FROM ch) _) _) _""".stripMargin
+      val ctes = (trainCtes(spec) :+
+          chunkTextCteFrom(if (gpt2) "planted" else "documents")) ++
+        applyChain(words, "doc_id, chunk_id, wi", spec) ++
+        idsSeqCtes("doc_id, chunk_id", byteLevel = spec.byteLevel)
       val withEos =
         if (eos)
           s""",
@@ -1534,6 +1566,7 @@ object Bpe {
     }
     val packIdsSql = packIdsSqlWith(eos = false)
     val packIdsEosSql = packIdsSqlWith(eos = true)
+    val packIdsGpt2Sql = packIdsSqlWith(eos = true, gpt2 = true)
     // the decode oracles derive the expected string STRAIGHT from the
     // text — the round trip's whole point: no training emulation, no
     // apply chain; the engine's encode→decode must land back on the
@@ -1562,6 +1595,7 @@ object Bpe {
       "text_bpe_decode" -> decodeSql,
       "text_bpe_decode_bytes" -> decodeBytesSql,
       "chunk_pack_ids" -> packIdsSql,
-      "chunk_pack_ids_eos" -> packIdsEosSql)
+      "chunk_pack_ids_eos" -> packIdsEosSql,
+      "chunk_pack_ids_gpt2" -> packIdsGpt2Sql)
   }
 }

@@ -49,6 +49,23 @@ object Curation {
   // lifetime. Each call therefore releases the previous call's cache, so
   // at most one curated kept-set is pinned at any time, and
   // [[releaseCache]] lets a caller drop even that once its action is done.
+  /** Fluency keep threshold for the cascade, in score ppm — a fixed
+    * integer against [[Fluency]]'s exact-integer score (the corpus
+    * distribution spans ~28k–44k ppm with median ~35.6k, so ~25–30% of
+    * documents fall below; CCNet drops by perplexity percentile, and a
+    * production run would calibrate this constant per reference LM the
+    * same way). */
+  private[ops] val CascadeFluencyMinPpm = 34000L
+  /** Cascade repetition thresholds: the Gopher-style dup-token bound is
+    * LOOSENED vs the standalone entry's 30 (the synthetic corpus draws
+    * from a small vocabulary, so a 30% dup bound marks 85% of documents
+    * — a cascade where one gate devours the corpus exercises nothing
+    * downstream); 65 marks the genuinely dup-heavy tail (~15%). The
+    * top-bigram bound stays at the published 18. */
+  private[ops] val CascadeDupTokenPctMax = 65
+  private[ops] val CascadeTopBigramPctMax = 18
+
+  // (declared ahead of `val oracle`, which reads them at object init)
   private[this] var lastKept: Option[DataFrame] = None
   private def trackKept(kept: DataFrame): DataFrame = synchronized {
     lastKept.foreach(_.unpersist(blocking = false))
@@ -183,7 +200,14 @@ object Curation {
       val (valid, _) = graft.sources.WarcIngest.readWithQuarantine(
         s, graft.sources.WarcIngest.ensureWarcDrop(s, d))
       crawlToChunks(valid).orderBy("doc_id", "chunk_id")
-    }))
+    }),
+    // r17: the filter cascade — per-document votes from all four gates
+    // plus the composed keep and first-fail attribution (strongest form:
+    // every document's every vote is under the hash)
+    "curate_cascade" -> ((s, d) => cascadeDecisions(s, d).orderBy("doc_id")),
+    // r17: the cascade's accounting — per-reason drop counts + per-gate
+    // independent failure counts, one row (the FineWeb-style report)
+    "curate_cascade_counts" -> ((s, d) => cascadeCounts(s, d)))
 
   /** The crawl composition AFTER ingestion — the planted page template →
     * HTML extraction → the two-fetch URL-dedup gate → the same planted-dup
@@ -297,6 +321,27 @@ object Curation {
     // (text_extract_html's expected form) → the dedup_url fixture's two
     // fetches, collapsed to one key with n_fetches = 2 REQUIRED → the
     // shared curation preamble → the shared chunk tail
+    // the four gate emulations — each generated by THE builder its
+    // standalone oracle uses — joined into one votes relation
+    "curate_cascade" ->
+      s"""WITH $cascadeVotesCtes
+         |SELECT doc_id, clf_keep, fluency_keep, repetition_keep,
+         |       contamination_keep, keep, drop_reason
+         |FROM decided ORDER BY doc_id""".stripMargin,
+    "curate_cascade_counts" ->
+      s"""WITH $cascadeVotesCtes
+         |SELECT COUNT(*) AS n_docs,
+         |       COUNT(*) FILTER (WHERE keep) AS n_kept,
+         |       COUNT(*) FILTER (WHERE keep IS NULL) AS n_undecided,
+         |       COUNT(*) FILTER (WHERE drop_reason = 'clf') AS drop_clf,
+         |       COUNT(*) FILTER (WHERE drop_reason = 'fluency') AS drop_fluency,
+         |       COUNT(*) FILTER (WHERE drop_reason = 'repetition') AS drop_repetition,
+         |       COUNT(*) FILTER (WHERE drop_reason = 'contamination') AS drop_contamination,
+         |       COUNT(*) FILTER (WHERE clf_keep = FALSE) AS fail_clf,
+         |       COUNT(*) FILTER (WHERE fluency_keep = FALSE) AS fail_fluency,
+         |       COUNT(*) FILTER (WHERE repetition_keep = FALSE) AS fail_repetition,
+         |       COUNT(*) FILTER (WHERE contamination_keep = FALSE) AS fail_contamination
+         |FROM decided""".stripMargin,
     "e2e_crawl_to_chunks" ->
       s"""WITH crawl AS (
          |  SELECT doc_id, lang, text FROM documents
@@ -321,6 +366,123 @@ object Curation {
          |  FROM extracted e JOIN keepers USING (doc_id)),
          |${plantedKeptCtesFrom("crawled", withHead = false)},
          |$chunksFromKeptSql""".stripMargin)
+
+  // ------------------------------------------------- the filter cascade
+
+  /** The FineWeb/CCNet-style filter CASCADE (r16 verdict #5): the four
+    * model/metric gates the suite pins piecewise — the quality
+    * classifier, the reference-LM fluency score, the Gopher-style
+    * repetition metrics, and benchmark contamination — composed into ONE
+    * keep decision per document with first-failing-gate attribution.
+    * Input is the spam-planted corpus ([[QualityClf.plantSpam]] — the
+    * classifier needs its planted labels; every other gate sees the SAME
+    * text, so the stages cannot quietly run on different corpora).
+    *
+    * Vote semantics are Kleene (engine-independent): a gate that cannot
+    * score a document (no classifier features, no bigram for the LM)
+    * abstains with NULL — `keep` is then NULL unless some other gate
+    * already voted FALSE; `drop_reason` names the FIRST gate that voted
+    * FALSE in cascade order (clf → fluency → repetition → contamination
+    * — cheap-model-first, the production short-circuit order), never an
+    * abstention.
+    *
+    * Scale shape: classifier training is the ONE bounded ≤1024-row
+    * aggregate + bounded collect; LM scoring is a pure map over the
+    * stored model's plan-literal arrays; repetition is the corpus-linear
+    * bigram partial+final; contamination is a broadcast semi-join. The
+    * four vote frames join back on doc_id — hash exchanges on the key,
+    * text never joins. */
+  def cascadeDecisions(s: SparkSession, d: String): DataFrame = {
+    val planted = QualityClf.plantSpam(Tables.load(s, d, "documents"))
+    val clf = QualityClf.trainAndScoreUnordered(planted)
+      .select(col("doc_id"), col("keep").as("clf_keep"))
+    val flu = Fluency.scoreWithLmUnordered(planted, Fluency.ensureLmModel(s, d))
+      .select(col("doc_id"),
+        (col("fluency_ppm") >= CascadeFluencyMinPpm).as("fluency_keep"))
+    val rep = TextAnalysis.repetitionMetricsUnordered(planted,
+        topBigramPctMax = CascadeTopBigramPctMax,
+        dupTokenPctMax = CascadeDupTokenPctMax)
+      .select(col("doc_id"), (!col("is_repetitive")).as("repetition_keep"))
+    // the contamination fixture rule (text_contamination's), applied to
+    // the cascade's OWN corpus: every 50th document's 30% prefix is the
+    // "benchmark", so those documents must come back flagged
+    val benchmark = planted.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        expr("substring(text, 1, greatest(cast(length(text) * 0.3 as int), 1))")
+          .as("text"))
+    val cont = TextAnalysis.contaminationUnordered(planted, benchmark)
+      .select(col("doc_id"), lit(false).as("contamination_keep"))
+    planted.select("doc_id")
+      .join(clf, Seq("doc_id"), "left")
+      .join(flu, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("clf_keep"), col("fluency_keep"),
+        col("repetition_keep"),
+        coalesce(col("contamination_keep"), lit(true)).as("contamination_keep"))
+      .withColumn("keep",
+        col("clf_keep") && col("fluency_keep") &&
+          col("repetition_keep") && col("contamination_keep"))
+      .withColumn("drop_reason",
+        when(col("clf_keep") === false, "clf")
+          .when(col("fluency_keep") === false, "fluency")
+          .when(col("repetition_keep") === false, "repetition")
+          .when(col("contamination_keep") === false, "contamination"))
+  }
+
+  /** The cascade's ACCOUNTING — per-reason drop counts (first-fail
+    * attribution) plus per-gate independent failure counts, one row.
+    * Any cross-stage drift (a gate silently moving its rule) moves one
+    * of these integers. */
+  def cascadeCounts(s: SparkSession, d: String): DataFrame =
+    cascadeDecisions(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("keep") === true, 1)).as("n_kept"),
+      count(when(col("keep").isNull, 1)).as("n_undecided"),
+      count(when(col("drop_reason") === "clf", 1)).as("drop_clf"),
+      count(when(col("drop_reason") === "fluency", 1)).as("drop_fluency"),
+      count(when(col("drop_reason") === "repetition", 1)).as("drop_repetition"),
+      count(when(col("drop_reason") === "contamination", 1)).as("drop_contamination"),
+      count(when(col("clf_keep") === false, 1)).as("fail_clf"),
+      count(when(col("fluency_keep") === false, 1)).as("fail_fluency"),
+      count(when(col("repetition_keep") === false, 1)).as("fail_repetition"),
+      count(when(col("contamination_keep") === false, 1)).as("fail_contamination"))
+
+  /** The shared cascade-vote CTE chain: the classifier's model CTEs, the
+    * fluency scoring CTEs, the repetition CTEs at the cascade
+    * thresholds, and the contamination CTEs — each THE SAME builder its
+    * standalone oracle uses — rooted at the clf oracle's `planted`
+    * relation, joined into one votes relation `v`. */
+  private def cascadeVotesCtes: String =
+    s"""${QualityClf.clfModelCtes},
+       |${QualityClf.scoreSqlFrom("feat")},
+       |${Fluency.scoreCtes("planted")},
+       |${TextAnalysis.repetitionCtes("planted",
+            topBigramPctMax = CascadeTopBigramPctMax,
+            dupTokenPctMax = CascadeDupTokenPctMax)},
+       |${HashOracleSql.contaminationCtes("planted")},
+       |v AS (
+       |  SELECT p.doc_id,
+       |         s.score >= ${QualityClf.thrSql} AS clf_keep,
+       |         f.fluency_ppm >= $CascadeFluencyMinPpm AS fluency_keep,
+       |         NOT r.is_repetitive AS repetition_keep,
+       |         c.doc_id IS NULL AS contamination_keep
+       |  FROM planted p
+       |  LEFT JOIN score s USING (doc_id)
+       |  LEFT JOIN flu f USING (doc_id)
+       |  LEFT JOIN rep r USING (doc_id)
+       |  LEFT JOIN cont c USING (doc_id)),
+       |decided AS (
+       |  SELECT doc_id, clf_keep, fluency_keep, repetition_keep,
+       |         contamination_keep,
+       |         clf_keep AND fluency_keep AND repetition_keep
+       |           AND contamination_keep AS keep,
+       |         CASE WHEN clf_keep = FALSE THEN 'clf'
+       |              WHEN fluency_keep = FALSE THEN 'fluency'
+       |              WHEN repetition_keep = FALSE THEN 'repetition'
+       |              WHEN contamination_keep = FALSE THEN 'contamination'
+       |         END AS drop_reason
+       |  FROM v)""".stripMargin
 
   private def chunksFromKeptSql: String =
     """train AS (

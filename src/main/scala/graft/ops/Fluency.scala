@@ -174,37 +174,47 @@ object Fluency {
     "text_fluency" -> ((s, d) =>
       scoreWithLm(Tables.load(s, d, "documents"), ensureLmModel(s, d))))
 
-  /** DuckDB oracle: the same hash chains ([[HashOracleSql]] unigram +
-    * bigram emulation in HUGEINT mod-2^64 arithmetic), the same integer
-    * score formula; HUGEINT results cast to BIGINT so the strict differ
-    * sees Spark's types. Positional join (si, si+1) mirrors the Spark
-    * side's array-slice alignment. */
+  /** The scoring emulation as spliceable CTEs, ending in
+    * `flu(doc_id, n_tok, fluency_ppm)`: the same hash chains
+    * ([[HashOracleSql]] unigram + bigram emulation in HUGEINT mod-2^64
+    * arithmetic), the same integer score formula; HUGEINT results cast
+    * to BIGINT so the strict differ sees Spark's types. Positional join
+    * (si, si+1) mirrors the Spark side's array-slice alignment. The
+    * model side is ALWAYS the raw English reference slice (the CCNet
+    * trusted-corpus split); only the scored relation is parameterized —
+    * the standalone entry scores `documents`, the curate cascade scores
+    * its spam-planted input through the SAME text. */
+  private[ops] def scoreCtes(scoreSrc: String): String =
+    s"""mdocs AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+       |muni AS (SELECT uh % $UniBuckets AS b, CAST(COUNT(*) AS BIGINT) AS n
+       |         FROM (${HashOracleSql.unigramSql("mdocs")}) GROUP BY 1),
+       |mbi AS (SELECT bh % $BiBuckets AS b, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM (${HashOracleSql.bigramSql("mdocs")}) GROUP BY 1),
+       |mtot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM muni),
+       |suni AS (SELECT doc_id, i, uh % $UniBuckets AS ub
+       |         FROM (${HashOracleSql.unigramSql(scoreSrc)})),
+       |sbi AS (SELECT doc_id, si, bh % $BiBuckets AS bb
+       |        FROM (${HashOracleSql.bigramSql(scoreSrc)})),
+       |p AS (
+       |  SELECT s.doc_id, s.si,
+       |         CASE WHEN COALESCE(mb.n, 0) > 0
+       |              THEN least(1000000, mb.n * 1000000 // (COALESCE(mup.n, 0) + 1))
+       |              ELSE (COALESCE(muc.n, 0) + 1) * 100000
+       |                   // ((SELECT tot FROM mtot) + $UniBuckets)
+       |         END AS pv
+       |  FROM sbi s
+       |  JOIN suni su ON su.doc_id = s.doc_id AND su.i = s.si
+       |  JOIN suni cu ON cu.doc_id = s.doc_id AND cu.i = s.si + 1
+       |  LEFT JOIN mbi mb ON mb.b = s.bb
+       |  LEFT JOIN muni mup ON mup.b = su.ub
+       |  LEFT JOIN muni muc ON muc.b = cu.ub),
+       |flu AS (
+       |  SELECT doc_id, CAST(MAX(si) + 1 AS BIGINT) AS n_tok,
+       |         CAST(SUM(pv) // COUNT(*) AS BIGINT) AS fluency_ppm
+       |  FROM p GROUP BY doc_id)""".stripMargin
+
   val oracle: Seq[(String, String)] = Seq(
     "text_fluency" ->
-      s"""WITH mdocs AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
-         |muni AS (SELECT uh % $UniBuckets AS b, CAST(COUNT(*) AS BIGINT) AS n
-         |         FROM (${HashOracleSql.unigramSql("mdocs")}) GROUP BY 1),
-         |mbi AS (SELECT bh % $BiBuckets AS b, CAST(COUNT(*) AS BIGINT) AS n
-         |        FROM (${HashOracleSql.bigramSql("mdocs")}) GROUP BY 1),
-         |mtot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM muni),
-         |suni AS (SELECT doc_id, i, uh % $UniBuckets AS ub
-         |         FROM (${HashOracleSql.unigramSql("documents")})),
-         |sbi AS (SELECT doc_id, si, bh % $BiBuckets AS bb
-         |        FROM (${HashOracleSql.bigramSql("documents")})),
-         |p AS (
-         |  SELECT s.doc_id, s.si,
-         |         CASE WHEN COALESCE(mb.n, 0) > 0
-         |              THEN least(1000000, mb.n * 1000000 // (COALESCE(mup.n, 0) + 1))
-         |              ELSE (COALESCE(muc.n, 0) + 1) * 100000
-         |                   // ((SELECT tot FROM mtot) + $UniBuckets)
-         |         END AS pv
-         |  FROM sbi s
-         |  JOIN suni su ON su.doc_id = s.doc_id AND su.i = s.si
-         |  JOIN suni cu ON cu.doc_id = s.doc_id AND cu.i = s.si + 1
-         |  LEFT JOIN mbi mb ON mb.b = s.bb
-         |  LEFT JOIN muni mup ON mup.b = su.ub
-         |  LEFT JOIN muni muc ON muc.b = cu.ub)
-         |SELECT doc_id, CAST(MAX(si) + 1 AS BIGINT) AS n_tok,
-         |       CAST(SUM(pv) // COUNT(*) AS BIGINT) AS fluency_ppm
-         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      s"""WITH ${scoreCtes("documents")}
+         |SELECT doc_id, n_tok, fluency_ppm FROM flu ORDER BY doc_id""".stripMargin)
 }

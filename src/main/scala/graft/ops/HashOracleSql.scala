@@ -278,16 +278,26 @@ object HashOracleSql {
     * DuckDB mirror of [[TextAnalysis.contamination]]'s broadcast
     * semi-join + count. */
   lazy val contamination: String =
-    s"""WITH bench_docs AS (
+    s"""WITH ${contaminationCtes("documents")}
+       |SELECT doc_id, n_contaminated FROM cont ORDER BY doc_id""".stripMargin
+
+  /** The contamination emulation as spliceable CTEs ending in
+    * `cont(doc_id, n_contaminated)` — ONE definition for the standalone
+    * entry and the curate cascade (r17), rooted at an arbitrary
+    * (doc_id, text) relation (the cascade contaminates against the
+    * spam-planted corpus's own prefixes, the same fixture rule). */
+  private[ops] def contaminationCtes(src: String): String =
+    s"""cbench AS (
        |  SELECT doc_id,
        |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.3) AS INT), 1)) AS text
-       |  FROM documents WHERE doc_id % 50 = 0),
-       |corpus AS (SELECT doc_id, text FROM documents),
-       |bsh AS (SELECT DISTINCT sh FROM (${shingleSql("bench_docs")}) _),
-       |csh AS (SELECT DISTINCT doc_id, sh FROM (${shingleSql("corpus")}) _)
-       |SELECT doc_id, count(*) AS n_contaminated
-       |FROM csh WHERE sh IN (SELECT sh FROM bsh)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM $src WHERE doc_id % 50 = 0),
+       |ccorpus AS (SELECT doc_id, text FROM $src),
+       |bsh AS (SELECT DISTINCT sh FROM (${shingleSql("cbench")}) _),
+       |csh AS (SELECT DISTINCT doc_id, sh FROM (${shingleSql("ccorpus")}) _),
+       |cont AS (
+       |  SELECT doc_id, count(*) AS n_contaminated
+       |  FROM csh WHERE sh IN (SELECT sh FROM bsh)
+       |  GROUP BY doc_id)""".stripMargin
 
   /** text_novelty: distinct-shingle document frequency over the corpus —
     * per document, how many of its distinct 3-token shingles no other

@@ -257,7 +257,7 @@ object QualityClf {
     * back to BIGINT (DuckDB sums to HUGEINT, the round-1 incident
     * class); bucket = unsigned low 10 bits == Spark's pmod on a power
     * of two. */
-  private def clfModelCtes: String = clfModelCtesWith(
+  private[ops] def clfModelCtes: String = clfModelCtesWith(
     s"""feat AS (
        |  SELECT doc_id, CAST(uh % $Buckets AS BIGINT) AS bucket
        |  FROM (${HashOracleSql.unigramSql("planted")}) _)""".stripMargin)
@@ -288,13 +288,13 @@ object QualityClf {
        |tot AS (SELECT CAST(SUM(clean_n) AS BIGINT) AS clean_tot,
        |               CAST(SUM(spam_n) AS BIGINT) AS spam_tot FROM cnt)""".stripMargin
 
-  private def scoreSqlFrom(featCte: String): String =
+  private[ops] def scoreSqlFrom(featCte: String): String =
     s"""score AS (
        |  SELECT f.doc_id,
        |         CAST(CAST(SUM(COALESCE(w.wv, 1000000)) AS BIGINT) // COUNT(*) AS BIGINT) AS score
        |  FROM $featCte f LEFT JOIN w USING (bucket) GROUP BY f.doc_id)""".stripMargin
 
-  private val thrSql = "(SELECT clean_tot * 1000 // spam_tot * 1000 FROM tot)"
+  private[ops] val thrSql = "(SELECT clean_tot * 1000 // spam_tot * 1000 FROM tot)"
 
   val oracle: Seq[(String, String)] = Seq(
     "text_quality_clf" ->

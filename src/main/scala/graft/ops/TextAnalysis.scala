@@ -227,7 +227,13 @@ object TextAnalysis {
     * end, no token strings) into a broadcast semi-join, and the only
     * shuffle is the partial+final count over the SURVIVING (contaminated)
     * gram rows. The corpus itself never shuffles. */
-  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame =
+    contaminationUnordered(docs, benchmark, n).orderBy("doc_id")
+
+  /** [[contamination]] without the presentation sort — the form composed
+    * plans (the curate cascade) embed. */
+  def contaminationUnordered(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3): DataFrame = {
     val bench = Dedup.shingleHashes(benchmark, n)
       .select(explode(col("shingles")).as("sh")).distinct()
     Dedup.shingleHashes(docs, n)
@@ -235,7 +241,6 @@ object TextAnalysis {
       .join(broadcast(bench), Seq("sh"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated"))
-      .orderBy("doc_id")
   }
 
   /** ENTRY scaffolding: the corpus is near-random text with no natural
@@ -264,6 +269,13 @@ object TextAnalysis {
     * travel as strings only after the per-doc-and-gram partial count
     * collapses repeats map-side). */
   def repetitionMetrics(docs: DataFrame,
+      topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame =
+    repetitionMetricsUnordered(docs, topBigramPctMax, dupTokenPctMax)
+      .orderBy("doc_id")
+
+  /** [[repetitionMetrics]] without the presentation sort — the form
+    * composed plans (the curate cascade) embed. */
+  def repetitionMetricsUnordered(docs: DataFrame,
       topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame = {
     val toks = Tokens.seg(col("text"))  // the shared tokenizer
     val base = docs.select(
@@ -289,7 +301,6 @@ object TextAnalysis {
             coalesce(col("n_bigrams"), lit(0L)) * topBigramPctMax ||
           (col("n_tokens") - col("n_distinct_tokens")) * 100 >
             col("n_tokens") * dupTokenPctMax)).as("is_repetitive"))
-      .orderBy("doc_id")
   }
 
   /** N-gram novelty — the cross-document complement of
@@ -612,6 +623,39 @@ object TextAnalysis {
        |              FROM documents) _) _
        |  WHERE length(trim(x[i])) > 0)""".stripMargin
 
+  /** The repetition emulation as spliceable CTEs ending in
+    * `rep(doc_id, n_tokens, n_distinct_tokens, top_bigram_n, n_bigrams,
+    * is_repetitive)` — ONE definition for the standalone entry and the
+    * curate cascade (r17), parameterized by source relation and the two
+    * cross-multiplied integer thresholds. */
+  private[ops] def repetitionCtes(src: String, topBigramPctMax: Int = 18,
+      dupTokenPctMax: Int = 30): String =
+    s"""rbase AS (
+       |  SELECT doc_id, t, len(t) AS n_tokens,
+       |         len(list_distinct(t)) AS n_distinct_tokens
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(regexp_replace(text, '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '\\s+'),
+       |                           x -> length(x) > 0) AS t
+       |        FROM $src)),
+       |rbi AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+       |        FROM rbase WHERE len(t) >= 2)),
+       |rbc AS (SELECT doc_id, gram, COUNT(*) AS c FROM rbi GROUP BY doc_id, gram),
+       |rtop AS (SELECT doc_id, MAX(c) AS top_bigram_n,
+       |                SUM(c) AS n_bigrams FROM rbc GROUP BY doc_id),
+       |rep AS (
+       |  SELECT b.doc_id,
+       |         CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |         CAST(b.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       |         CAST(COALESCE(rtop.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       |         CAST(COALESCE(rtop.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |         b.n_tokens > 0 AND
+       |           (COALESCE(rtop.top_bigram_n, 0) * 100 > COALESCE(rtop.n_bigrams, 0) * $topBigramPctMax
+       |            OR (b.n_tokens - b.n_distinct_tokens) * 100 > b.n_tokens * $dupTokenPctMax)
+       |           AS is_repetitive
+       |  FROM rbase b LEFT JOIN rtop USING (doc_id))""".stripMargin
+
   val oracle: Seq[(String, String)] = Seq(
     "text_sentences" ->
       s"""WITH $sentCte
@@ -666,31 +710,10 @@ object TextAnalysis {
     // token position i is t[i] || ' ' || t[i+1], thresholds compared as
     // cross-multiplied integers exactly like the engine
     "text_repetition" ->
-      """WITH base AS (
-        |  SELECT doc_id, t, len(t) AS n_tokens,
-        |         len(list_distinct(t)) AS n_distinct_tokens
-        |  FROM (SELECT doc_id,
-        |               list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                           x -> length(x) > 0) AS t
-        |        FROM documents)),
-        |bi AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM base WHERE len(t) >= 2)),
-        |bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY doc_id, gram),
-        |top AS (SELECT doc_id, MAX(c) AS top_bigram_n,
-        |               SUM(c) AS n_bigrams FROM bc GROUP BY doc_id)
-        |SELECT b.doc_id,
-        |       CAST(b.n_tokens AS BIGINT) AS n_tokens,
-        |       CAST(b.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
-        |       CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
-        |       CAST(COALESCE(top.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |       b.n_tokens > 0 AND
-        |         (COALESCE(top.top_bigram_n, 0) * 100 > COALESCE(top.n_bigrams, 0) * 18
-        |          OR (b.n_tokens - b.n_distinct_tokens) * 100 > b.n_tokens * 30)
-        |         AS is_repetitive
-        |FROM base b LEFT JOIN top USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH ${repetitionCtes("documents")}
+         |SELECT doc_id, n_tokens, n_distinct_tokens, top_bigram_n,
+         |       n_bigrams, is_repetitive
+         |FROM rep ORDER BY doc_id""".stripMargin,
     "text_contamination" -> HashOracleSql.contamination,
     "text_novelty" -> HashOracleSql.novelty,
     // DuckDB string literals do NOT process backslashes, so the Scala
