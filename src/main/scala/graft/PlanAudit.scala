@@ -262,15 +262,19 @@ object PlanAudit {
     // n=500 and 9.98/row at n=5000 — flat, the curate_corpus class
     "curate_clf_corpus" -> ShuffleBudget("documents", 25.0, 2000L),
     // r17: the filter cascade — clf's bounded bucket aggregate, the LM's
-    // pure map, repetition's bigram partial+final (the linear term: the
-    // corpus gram stream, collapsing repeats map-side per (doc, gram)),
+    // pure map, the ROW-LOCAL repetition metrics (TopBigramCount — the
+    // gram exchange that briefly made this 67/row is gone),
     // contamination's broadcast semi-join count, then four doc_id hash
-    // joins (measured 67.03/row at n=500 and 65.98/row at n=5000 — flat)
-    "curate_cascade" -> ShuffleBudget("documents", 165.0, 2000L),
-    // the rollup folds the same votes into ONE row: same chain, the
-    // final single-row aggregate adds partials only (measured 66.03/row
-    // at n=500 and 64.98/row at n=5000 — flat)
-    "curate_cascade_counts" -> ShuffleBudget("documents", 165.0, 2000L),
+    // joins + the presentation orderBy (measured 1.540/row at n=500 and
+    // 2.172/row at n=5000 — the rise is the broadcast->shuffle join
+    // regime shift on the vote joins; 8/row admits ~1 row/doc/exchange
+    // across all five, while the retired gram-stream formulation read
+    // 67/row and an accidental all-pairs would be thousands)
+    "curate_cascade" -> ShuffleBudget("documents", 8.0, 1000L),
+    // the rollup folds the same votes into ONE row: no presentation
+    // sort, single-row final aggregate (measured 0.542/row at n=500,
+    // 1.172/row at n=5000 — same regime shift)
+    "curate_cascade_counts" -> ShuffleBudget("documents", 6.0, 1000L),
     // r16: unigram+bigram variant — the clf aggregate sees ~2 feature
     // streams but still reduces to ≤1024 buckets (measured 2.31/row at
     // n=500 FALLING to 1.13/row at n=5000 — partials collapse)

@@ -26,6 +26,7 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int = 3): Column =
     c(WordShingleHashes(e(text), n))
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
+  def top_bigram_count(toks: Column): Column = c(TopBigramCount(e(toks)))
   /** Aggregate: values sorted by (key, value) — the PPJoin sorted-set
     * build, primitive-buffer fast path of
     * `transform(sort_array(collect_list(struct(k, v))), r -> r.v)`. */

@@ -423,3 +423,53 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+object TopBigramCount {
+  /** Max multiplicity of an adjacent-token bigram within ONE token
+    * array — the Gopher top-bigram-dominance numerator, computed
+    * row-local so the repetition metrics need NO shuffle (r17: the
+    * previous formulation exploded (doc, gram) pairs into a corpus-wide
+    * partial+final count — a token-stream-sized exchange that was the
+    * single largest shuffle in the filter cascade). Token arrays are
+    * document-sized (the seg output), so the per-row map is bounded by
+    * the document itself. */
+  def topCount(xs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = xs.numElements()
+    if (n < 2) return 0L
+    // adjacent pairs keyed in one map; the SPACE joiner is the oracle's
+    // own gram spelling (t[i] || ' ' || t[i+1]) and cannot collide
+    // across token boundaries because the tokenizer splits ON spaces —
+    // no token ever contains one (a NUL joiner would NOT be safe: NUL
+    // is not whitespace-classed and can sit inside a token)
+    val counts = new java.util.HashMap[UTF8String, Long](n * 2)
+    var best = 0L
+    var i = 0
+    val sp = UTF8String.fromString(" ")
+    while (i < n - 1) {
+      val gram = UTF8String.concat(xs.getUTF8String(i), sp, xs.getUTF8String(i + 1))
+      val c = counts.merge(gram, 1L, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
+/** `top_bigram_n` as a codegen'd row-local expression over the token
+  * array (see [[TopBigramCount.topCount]]). Null array -> null (callers
+  * coalesce to 0, matching the old join-absent semantics). */
+case class TopBigramCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_bigram_count"
+
+  override def nullSafeEval(in: Any): Any =
+    TopBigramCount.topCount(in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TopBigramCount.topCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

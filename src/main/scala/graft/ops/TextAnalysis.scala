@@ -262,12 +262,15 @@ object TextAnalysis {
     * cross-multiplied integers (`100·top > 18·total`), never a float
     * ratio, so any engine agrees bit-for-bit.
     *
-    * 100 TB shape: token/distinct counts are map-side array expressions
-    * (no shuffle); the bigram dominance needs one partial+final count on
-    * exploded (doc, gram) pairs and a bounded per-doc max — shuffle volume
-    * is the corpus token stream, linear, text itself never shuffled (grams
-    * travel as strings only after the per-doc-and-gram partial count
-    * collapses repeats map-side). */
+    * 100 TB shape (r17): the WHOLE metric is map-side — token/distinct
+    * counts are array expressions and the bigram dominance is the
+    * row-local codegen'd [[graft.functions.TopBigramCount]] over the
+    * doc's own token array (a document's bigram histogram never needs
+    * to leave its row). Zero shuffles; the previous formulation's
+    * corpus-wide (doc, gram) partial+final exchange — the largest
+    * linear shuffle in the filter cascade — is gone. Equivalence to the
+    * exploded-count formulation is spec-pinned (RepetitionMapSideSpec)
+    * and the DuckDB oracle is unchanged. */
   def repetitionMetrics(docs: DataFrame,
       topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame =
     repetitionMetricsUnordered(docs, topBigramPctMax, dupTokenPctMax)
@@ -278,27 +281,23 @@ object TextAnalysis {
   def repetitionMetricsUnordered(docs: DataFrame,
       topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame = {
     val toks = Tokens.seg(col("text"))  // the shared tokenizer
-    val base = docs.select(
-      col("doc_id"), toks.as("t"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
-    val bigrams = base
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
-        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-        (a, b) => concat_ws(" ", a, b))).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
-    base.select("doc_id", "n_tokens", "n_distinct_tokens")
-      .join(bigrams, Seq("doc_id"), "left_outer")
+    docs.select(
+        col("doc_id"), toks.as("t"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // coalesce mirrors the old join-absent-row semantics: a null
+        // token array (null text) reads 0, exactly like the LEFT join
+        coalesce(graft.functions.GraftFunctions.top_bigram_count(col("t")),
+          lit(0L)).as("top_bigram_n"),
+        coalesce(greatest(size(col("t")) - 1, lit(0)).cast("long"), lit(0L))
+          .as("n_bigrams"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("top_bigram_n"), col("n_bigrams"),
         (col("n_tokens") > 0 && (
-          coalesce(col("top_bigram_n"), lit(0L)) * 100 >
-            coalesce(col("n_bigrams"), lit(0L)) * topBigramPctMax ||
+          col("top_bigram_n") * 100 > col("n_bigrams") * topBigramPctMax ||
           (col("n_tokens") - col("n_distinct_tokens")) * 100 >
             col("n_tokens") * dupTokenPctMax)).as("is_repetitive"))
   }
