@@ -56,6 +56,20 @@ class HfInteropSpec extends AnyFunSuite {
     assert(got == "261 220 261 78 81 88")
   }
 
+  test("the seam is idempotent in merge space: import -> export -> import") {
+    // engine file conventions differ from the foreign dialect BY DESIGN
+    // (raw-byte alphabet order vs codepoint order) — but the merge
+    // TABLE, the thing that defines the tokenizer's behavior, must
+    // survive a full import -> engine-export -> import cycle bit-exactly
+    val (merges, _) = Bpe.loadHfTokenizer(HfInterop.ensureForeignDir(),
+      byteLevel = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hf-reexport").toFile
+    Bpe.writeHfFiles(tmp, merges, byteLevel = true)
+    val (again, vocab2) = Bpe.loadHfTokenizer(tmp.getPath, byteLevel = true)
+    assert(again == merges)
+    assert(vocab2(Bpe.EosToken) == vocab2.size - 1)
+  }
+
   test("every id the apply path can emit is covered by the file's vocab") {
     val (merges, vocab) = Bpe.loadHfTokenizer(HfInterop.ensureForeignDir(),
       byteLevel = true)
