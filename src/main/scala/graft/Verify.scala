@@ -54,8 +54,12 @@ object Verify {
     } + "\""
     // oracleSqlFor: fixture-parametric oracles (dedup_semantic's Lloyd k)
     // are regenerated for THIS sfDir — identical to oracleSql at the gate
-    // SF, value-matched at audit SFs
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
+    // SF, value-matched at audit SFs. Targeted runs that exclude every
+    // parametric entry skip the fixture-count job the regeneration costs.
+    val needsParametric = only.isEmpty || only("dedup_semantic")
+    val json =
+      (if (needsParametric) SparkEntry.oracleSqlFor(spark, sfDir)
+       else SparkEntry.oracleSql)
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
