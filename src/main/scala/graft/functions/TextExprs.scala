@@ -433,6 +433,8 @@ object TopBigramCount {
     * single largest shuffle in the filter cascade). Token arrays are
     * document-sized (the seg output), so the per-row map is bounded by
     * the document itself. */
+  private val Space = UTF8String.fromString(" ")
+
   def topCount(xs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = xs.numElements()
     if (n < 2) return 0L
@@ -441,13 +443,22 @@ object TopBigramCount {
     // across token boundaries because the tokenizer splits ON spaces —
     // no token ever contains one (a NUL joiner would NOT be safe: NUL
     // is not whitespace-classed and can sit inside a token)
-    val counts = new java.util.HashMap[UTF8String, Long](n * 2)
+    val counts = new java.util.HashMap[UTF8String, Long]()
     var best = 0L
     var i = 0
-    val sp = UTF8String.fromString(" ")
     while (i < n - 1) {
-      val gram = UTF8String.concat(xs.getUTF8String(i), sp, xs.getUTF8String(i + 1))
-      val c = counts.merge(gram, 1L, (a, b) => a + b)
+      val a = if (xs.isNullAt(i)) null else xs.getUTF8String(i)
+      val b = if (xs.isNullAt(i + 1)) null else xs.getUTF8String(i + 1)
+      // null elements never reach this from Tokens.seg, but the function
+      // is exported (GraftFunctions.top_bigram_count): mirror concat_ws's
+      // skip-null rule so the retired exploded formulation's gram keys
+      // are reproduced exactly on ANY input (r17 review)
+      val gram =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.concat(a, Space, b)
+      val c = counts.merge(gram, 1L, (x, y) => x + y)
       if (c > best) best = c
       i += 1
     }

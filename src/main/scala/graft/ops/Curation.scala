@@ -403,14 +403,12 @@ object Curation {
         topBigramPctMax = CascadeTopBigramPctMax,
         dupTokenPctMax = CascadeDupTokenPctMax)
       .select(col("doc_id"), (!col("is_repetitive")).as("repetition_keep"))
-    // the contamination fixture rule (text_contamination's), applied to
-    // the cascade's OWN corpus: every 50th document's 30% prefix is the
-    // "benchmark", so those documents must come back flagged
-    val benchmark = planted.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id"),
-        expr("substring(text, 1, greatest(cast(length(text) * 0.3 as int), 1))")
-          .as("text"))
-    val cont = TextAnalysis.contaminationUnordered(planted, benchmark)
+    // the contamination fixture rule (text_contamination's — ONE shared
+    // definition), applied to the cascade's OWN corpus: every 50th
+    // document's 30% prefix is the "benchmark", so those documents must
+    // come back flagged
+    val cont = TextAnalysis.contaminationUnordered(planted,
+        TextAnalysis.contaminationBenchmark(planted))
       .select(col("doc_id"), lit(false).as("contamination_keep"))
     planted.select("doc_id")
       .join(clf, Seq("doc_id"), "left")

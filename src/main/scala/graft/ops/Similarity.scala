@@ -787,9 +787,18 @@ object Similarity {
     * 9k/cluster). At the sf0.01 oracle gate the floor keeps k at the
     * oracle SQL's constant 16.
     * Output: (vec_id, cluster, dup_of nullable, kept), ORDER BY vec_id. */
+  /** semDedup's k-floor and cluster-size target — named ONCE so the
+    * entry, the static oracle default, the parametric oracle generator,
+    * and the gate pin all read the same constants (r17 review: the
+    * k = max(floor, n/target) formula must not exist as two literal
+    * copies). */
+  private[graft] val SemDedupNCentroids = 16
+  private[graft] val SemDedupTargetClusterSize = 128
+
   def semDedup(emb: DataFrame, tauNum: Int = 9, tauDen: Int = 10,
-      nCentroids: Int = 16, iters: Int = 2, scale: Int = 64,
-      targetClusterSize: Int = 128, oracleK: Option[Int] = None): DataFrame = {
+      nCentroids: Int = SemDedupNCentroids, iters: Int = 2, scale: Int = 64,
+      targetClusterSize: Int = SemDedupTargetClusterSize,
+      oracleK: Option[Int] = None): DataFrame = {
     require(tauNum >= 0 && tauDen > 0, "threshold must be non-negative")
     val q = quantize(emb).localCheckpoint()
     val k = math.max(nCentroids, (q.count() / targetClusterSize).toInt)
@@ -826,7 +835,8 @@ object Similarity {
   /** DuckDB rendering of [[semDedup]]: the shared [[lloydCtes]] chain,
     * then the within-cluster pair filter under the same integer
     * cross-multiplied threshold. */
-  def semDedupSql(tauNum: Int = 9, tauDen: Int = 10, nCentroids: Int = 16,
+  def semDedupSql(tauNum: Int = 9, tauDen: Int = 10,
+      nCentroids: Int = SemDedupNCentroids,
       iters: Int = 2, scale: Int = 64, dim: Int = 64): String =
     s"""WITH emb2 AS (
        |  SELECT vec_id, embedding FROM embeddings
@@ -889,7 +899,8 @@ object Similarity {
     * for character; at sf0.1 it unrolls k=78, so the full-suite bonus
     * audit can value-match instead of reading the gate-pinned k. */
   def semDedupOracleFor(s: SparkSession, d: String): String = {
-    val k = math.max(16, (quantize(plantedEmb(s, d)).count() / 128).toInt)
+    val k = math.max(SemDedupNCentroids,
+      (quantize(plantedEmb(s, d)).count() / SemDedupTargetClusterSize).toInt)
     semDedupSql(nCentroids = k)
   }
 
@@ -911,7 +922,8 @@ object Similarity {
       // and [[semDedupOracleFor]] regenerates the oracle at that k, so a
       // non-gate-SF audit value-matches instead of reading a pinned k)
       semDedup(plantedEmb(s, d),
-        oracleK = if (d.stripSuffix("/").endsWith("sf0.01")) Some(16) else None)),
+        oracleK = if (d.stripSuffix("/").endsWith("sf0.01"))
+          Some(SemDedupNCentroids) else None)),
     // the measured quality axis, under the gate: IVF's per-query recall
     // against the brute-force truth
     "sim_recall_ivf" -> ((s, d) => {

@@ -250,11 +250,18 @@ object TextAnalysis {
     * clean modulo genuine shingle collisions. */
   private[ops] def contaminationEntry(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
-    val benchmark = docs.filter(col("doc_id") % 50 === 0).select(
+    contamination(docs, contaminationBenchmark(docs))
+  }
+
+  /** The contamination fixture rule — every 50th document's ~30% prefix
+    * is the "benchmark" — as ONE definition shared by the standalone
+    * entry, the curate cascade, and the cascade drift spec (r17 review:
+    * three literal copies were the exact channel the r15 pack-builder
+    * refactor retired elsewhere). */
+  private[graft] def contaminationBenchmark(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 50 === 0).select(
       col("doc_id"),
       expr("substring(text, 1, greatest(cast(length(text) * 0.3 as int), 1))").as("text"))
-    contamination(docs, benchmark)
-  }
 
   /** Repetition quality metrics (the Gopher/MassiveText filter family):
     * duplicate-token mass and most-frequent-bigram dominance per document.
@@ -632,9 +639,7 @@ object TextAnalysis {
     s"""rbase AS (
        |  SELECT doc_id, t, len(t) AS n_tokens,
        |         len(list_distinct(t)) AS n_distinct_tokens
-       |  FROM (SELECT doc_id,
-       |               list_filter(string_split_regex(regexp_replace(text, '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '\\s+'),
-       |                           x -> length(x) > 0) AS t
+       |  FROM (SELECT doc_id, ${Tokens.duckToks("text")} AS t
        |        FROM $src)),
        |rbi AS (
        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram

@@ -58,11 +58,8 @@ class CascadeSpec extends AnyFunSuite {
   }
 
   test("contamination votes == the standalone operator on the fixture benchmark") {
-    val benchmark = planted.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id"),
-        expr("substring(text, 1, greatest(cast(length(text) * 0.3 as int), 1))")
-          .as("text"))
-    val flagged = TextAnalysis.contaminationUnordered(planted, benchmark)
+    val flagged = TextAnalysis.contaminationUnordered(planted,
+        TextAnalysis.contaminationBenchmark(planted))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     votes(4).foreach { case (id, v) =>
       assert(v.contains(!flagged.contains(id)),
