@@ -235,32 +235,28 @@ object Chunking {
     // 1-based inclusive in DuckDB, hence the +1/least bounds mirroring
     // Spark's slice(toks, start+1, chunkTokens)
     "text_chunk" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
         |       CAST(s // 24 AS BIGINT) AS chunk_id,
         |       CAST(s AS BIGINT) AS chunk_start,
         |       CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
         |       array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk_text
         |FROM (SELECT doc_id, t, len(t) AS n,
         |             unnest(generate_series(0, len(t) - 1, 24)) AS s
-        |      FROM (SELECT doc_id,
-        |                   list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                               x -> length(x) > 0) AS t
+        |      FROM (SELECT doc_id, """ + Tokens.duckToks("text") + """ AS t
         |            FROM documents)
         |      WHERE len(t) > 0)
-        |ORDER BY doc_id, chunk_id""".stripMargin,
+        |ORDER BY doc_id, chunk_id""").stripMargin,
     // the oracle can afford the single-partition window the engine's
     // two-phase prefix-sum avoids: tokens-before over the same canonical
     // order, then the same integer div/mod
     "chunk_pack" ->
-      """WITH ch AS (
+      ("""WITH ch AS (
         |  SELECT doc_id,
         |         CAST(s // 24 AS BIGINT) AS chunk_id,
         |         CAST(least(32, n - s) AS BIGINT) AS chunk_tokens
         |  FROM (SELECT doc_id, t, len(t) AS n,
         |               unnest(generate_series(0, len(t) - 1, 24)) AS s
-        |        FROM (SELECT doc_id,
-        |                     list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                                 x -> length(x) > 0) AS t
+        |        FROM (SELECT doc_id, """ + Tokens.duckToks("text") + """ AS t
         |              FROM documents)
         |        WHERE len(t) > 0)),
         |w AS (
@@ -272,21 +268,19 @@ object Chunking {
         |SELECT doc_id, chunk_id, chunk_tokens,
         |       CAST(cb // 256 AS BIGINT) AS seq_id,
         |       CAST(cb % 256 AS BIGINT) AS seq_offset
-        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+        |FROM w ORDER BY doc_id, chunk_id""").stripMargin,
     // same chunk derivation; the separator is SQL's CASE on chunk_id = 0,
     // the running sum charges (eos + tokens) per row, and the current
     // row's OWN eos lands before its position — mirroring pass 2's
     // cum += lead before the assignment
     "chunk_pack_eos" ->
-      """WITH ch AS (
+      ("""WITH ch AS (
         |  SELECT doc_id,
         |         CAST(s // 24 AS BIGINT) AS chunk_id,
         |         CAST(least(32, n - s) AS BIGINT) AS chunk_tokens
         |  FROM (SELECT doc_id, t, len(t) AS n,
         |               unnest(generate_series(0, len(t) - 1, 24)) AS s
-        |        FROM (SELECT doc_id,
-        |                     list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                                 x -> length(x) > 0) AS t
+        |        FROM (SELECT doc_id, """ + Tokens.duckToks("text") + """ AS t
         |              FROM documents)
         |        WHERE len(t) > 0)),
         |e AS (
@@ -302,20 +296,18 @@ object Chunking {
         |SELECT doc_id, chunk_id, chunk_tokens, eos,
         |       CAST(cb // 256 AS BIGINT) AS seq_id,
         |       CAST(cb % 256 AS BIGINT) AS seq_offset
-        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+        |FROM w ORDER BY doc_id, chunk_id""").stripMargin,
     // same packing chain; the shard hash and within-shard order are plain
     // integer arithmetic, and shard_pos is the window formulation the
     // engine's streaming enumeration must match exactly
     "chunk_shards" ->
-      """WITH ch AS (
+      ("""WITH ch AS (
         |  SELECT doc_id,
         |         CAST(s // 24 AS BIGINT) AS chunk_id,
         |         CAST(least(32, n - s) AS BIGINT) AS chunk_tokens
         |  FROM (SELECT doc_id, t, len(t) AS n,
         |               unnest(generate_series(0, len(t) - 1, 24)) AS s
-        |        FROM (SELECT doc_id,
-        |                     list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                                 x -> length(x) > 0) AS t
+        |        FROM (SELECT doc_id, """ + Tokens.duckToks("text") + """ AS t
         |              FROM documents)
         |        WHERE len(t) > 0)),
         |w AS (
@@ -334,6 +326,6 @@ object Chunking {
         |SELECT seq_id, n_chunks, shard,
         |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, seq_id) - 1 AS shard_pos
         |FROM k
-        |ORDER BY shard, shard_pos""".stripMargin,
+        |ORDER BY shard, shard_pos""").stripMargin,
   )
 }

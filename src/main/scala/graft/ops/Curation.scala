@@ -483,15 +483,14 @@ object Curation {
        |  FROM v)""".stripMargin
 
   private def chunksFromKeptSql: String =
-    """train AS (
+    ("""train AS (
       |  SELECT k.doc_id, k.lang, k.text
       |  FROM k LEFT JOIN removed USING (doc_id)
       |  WHERE removed.doc_id IS NULL
       |    AND ((k.doc_id % 1000003) * 2654435761) % 1000 < 800),
       |tok AS (
       |  SELECT doc_id, lang,
-      |         list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-      |                     x -> length(x) > 0) AS t
+      |         """ + Tokens.duckToks("text") + """ AS t
       |  FROM train)
       |SELECT doc_id, lang,
       |       CAST(s // 24 AS BIGINT) AS chunk_id,
@@ -501,5 +500,5 @@ object Curation {
       |FROM (SELECT doc_id, lang, t, len(t) AS n,
       |             unnest(generate_series(0, len(t) - 1, 24)) AS s
       |      FROM tok WHERE len(t) > 0)
-      |ORDER BY doc_id, chunk_id""".stripMargin
+      |ORDER BY doc_id, chunk_id""").stripMargin
 }

@@ -1557,14 +1557,14 @@ object Dedup {
     // = COUNT(*) > 1 corpus-wide, then per-doc gaps-and-islands with
     // breaks at start-gaps > k and island length e − s + k
     "dedup_spans" ->
-      """WITH docs2 AS (
+      ("""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
         |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
         |  FROM documents
         |),
-        |tok AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'), t -> length(t) > 0) AS toks FROM docs2),
+        |tok AS (SELECT doc_id, """ + Tokens.duckToks("text") + """ AS toks FROM docs2),
         |sh AS (SELECT doc_id, p - 1 AS pos,
         |              array_to_string(toks[p : p + 7], ' ') AS sh
         |       FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS g(p)
@@ -1587,21 +1587,21 @@ object Dedup {
         |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS total_tokens,
         |       a.dup_spans, a.dup_tokens
         |FROM agg a JOIN tok t USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin,
+        |ORDER BY a.doc_id""").stripMargin,
     // mirrors stripDuplicatedSpans: the canonical occurrence is rank 1
     // in (doc_id, pos) order per shingle (≡ the engine's min-struct
     // aggregate); removable starts island-merge identically; kept text
     // is rebuilt by anti-joining covered token indices, LEFT-joined so
     // fully-stripped docs still emit with text ''
     "dedup_span_strip" ->
-      """WITH docs2 AS (
+      ("""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
         |         substring(text, 1, greatest(CAST(floor(length(text) * 0.9) AS INT), 1)) AS text
         |  FROM documents
         |),
-        |tok AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'), t -> length(t) > 0) AS toks FROM docs2),
+        |tok AS (SELECT doc_id, """ + Tokens.duckToks("text") + """ AS toks FROM docs2),
         |sh AS (SELECT doc_id, p - 1 AS pos,
         |              array_to_string(toks[p : p + 7], ' ') AS sh
         |       FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS g(p)
@@ -1637,7 +1637,7 @@ object Dedup {
         |       CAST(len(t.toks) AS BIGINT) AS total_tokens,
         |       COALESCE(ka.kept_tokens, 0) AS kept_tokens
         |FROM tok t LEFT JOIN keptagg ka USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin,
+        |ORDER BY t.doc_id""").stripMargin,
     // The hyperplane LSH is seeded-deterministic → SQL-expressible: the
     // generated oracle inlines the planes as literals (exact float32
     // values via toDouble) and rebuilds bucketing, the planted

@@ -395,10 +395,9 @@ object Sampling {
         |WHERE rn <= 5
         |ORDER BY lang, rank""".stripMargin,
     "sample_token_budget" ->
-      """WITH tok AS (
+      ("""WITH tok AS (
         |  SELECT doc_id, source,
-        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                              x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |         CAST(len(""" + Tokens.duckToks("text") + """) AS BIGINT) AS n_tok
         |  FROM documents),
         |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total
         |        FROM tok GROUP BY source),
@@ -408,15 +407,14 @@ object Sampling {
         |SELECT t.doc_id, t.source, t.n_tok
         |FROM tok t JOIN r USING (source)
         |WHERE ((t.doc_id % 1000003) * 2246822519) % 1000 < r.rate
-        |ORDER BY t.doc_id""".stripMargin,
+        |ORDER BY t.doc_id""").stripMargin,
     // IEEE sqrt is correctly rounded in both engines and the argument is
     // an exact integer <= 1e6, so the floored rate is bit-identical —
     // the pow-free formulation is the whole point (see temperatureSample)
     "sample_temperature" ->
-      """WITH tok AS (
+      ("""WITH tok AS (
         |  SELECT doc_id, lang,
-        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                              x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |         CAST(len(""" + Tokens.duckToks("text") + """) AS BIGINT) AS n_tok
         |  FROM documents),
         |tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total
         |        FROM tok GROUP BY lang),
@@ -428,7 +426,7 @@ object Sampling {
         |SELECT t.doc_id, t.lang, t.n_tok
         |FROM tok t JOIN r USING (lang)
         |WHERE ((((t.doc_id % 1000003) * 1597334677) % 1000003) * 2038074743) % 1000 < r.rate
-        |ORDER BY t.doc_id""".stripMargin,
+        |ORDER BY t.doc_id""").stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |       CASE WHEN b < 800 THEN 'train'

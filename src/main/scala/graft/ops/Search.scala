@@ -544,10 +544,9 @@ object Search {
     * and the cleared-to-integers Okapi weight — every operand CAST to
     * BIGINT so DuckDB's INT32 literals can't overflow mid-product. */
   private[graft] val Bm25TopkSql =
-    """WITH dls AS (
+    ("""WITH dls AS (
       |  SELECT doc_id,
-      |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-      |                              t -> length(t) > 0)) AS BIGINT) AS dl
+      |         CAST(len(""" + Tokens.duckToks("text") + """) AS BIGINT) AS dl
       |  FROM documents
       |), avg_dl AS (
       |  SELECT CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dls
@@ -572,7 +571,7 @@ object Search {
       |CROSS JOIN avg_dl a
       |GROUP BY t.doc_id
       |ORDER BY score DESC, t.doc_id
-      |LIMIT 20""".stripMargin
+      |LIMIT 20""").stripMargin
 
   private[graft] val HybridRrfSql =
       """WITH tf AS (
@@ -616,10 +615,9 @@ object Search {
     * fusion tail are verbatim-identical, exactly mirroring the Scala
     * composition (shared [[bm25Tail]] / shared fusion machinery). */
   private[graft] val HybridBm25Sql =
-      """WITH dls AS (
+      ("""WITH dls AS (
         |  SELECT doc_id,
-        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '\s+'),
-        |                              t -> length(t) > 0)) AS BIGINT) AS dl
+        |         CAST(len(""" + Tokens.duckToks("text") + """) AS BIGINT) AS dl
         |  FROM documents
         |), avg_dl AS (
         |  SELECT CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dls
@@ -663,7 +661,7 @@ object Search {
         |       COALESCE(v.vec_rank, 0) AS vec_rank
         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
         |ORDER BY rrf_score DESC, doc_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""").stripMargin
 
   /** The ANN-hybrid oracle: the lexical CTEs of [[HybridRrfSql]] fused
     * with the single-query form of sim_topk_ivf's deterministic IVF
