@@ -123,6 +123,13 @@ object Bench {
     val calibJson = calibs.map(c =>
       s"""{"pass":${c.pass},"loadavg":[${c.load.map(num).mkString(",")}],"probe_s":${num(c.probeS)}}""")
       .mkString("[", ",", "]")
+    // compact parse-safe summary FIRST (r17 verdict #4: the driver's
+    // parser fails on the full per-entry line — standing since r15 — and
+    // records only a 2000-char tail; a short first line gives it a
+    // complete record, with the per-entry detail still on the next line
+    // and in BENCH_SELF.json)
+    val probes = calibs.map(c => num(c.probeS)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","probe_s":$probes,"detail":"BENCH_SELF.json"}""")
     // calibration goes AFTER sf: the driver records a bounded TAIL of this
     // line, so fields appended at the end survive truncation
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibJson}""")

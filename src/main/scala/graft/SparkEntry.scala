@@ -35,6 +35,7 @@ object SparkEntry {
       graft.ops.Urls.entries ++
       graft.ops.Curation.entries ++
       graft.ops.Multimodal.entries ++
+      graft.ops.ImageDedup.entries ++
       graft.ops.TemporalJoins.entries ++
       graft.ops.Skew.entries ++
       graft.ops.HeavyHitters.entries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       graft.ops.Urls.oracle ++
       graft.ops.Curation.oracle ++
       graft.ops.Multimodal.oracle ++
+      graft.ops.ImageDedup.oracle ++
       graft.ops.TemporalJoins.oracle ++
       graft.ops.Skew.oracle ++
       graft.ops.HeavyHitters.oracle ++

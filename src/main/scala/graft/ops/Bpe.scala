@@ -449,9 +449,22 @@ object Bpe {
       ("#version: 0.2" +: lines).mkString("\n").getBytes("UTF-8"))
     val alphabet: Seq[String] =
       if (byteLevel) (0 until 256).map(b => byteToUnicode(b).toString)
-      else (dictWords.iterator.flatten ++
-          merges.iterator.flatMap { case (a, b) => a + b }).toSeq
-        .distinct.sorted.map(_.toString)
+      else {
+        val chars = (dictWords.iterator.flatten ++
+          merges.iterator.flatMap { case (a, b) => a + b }).toSeq.distinct
+        // the documented invariant ("codepoint dicts are printable-ASCII
+        // words — asserted at write") must hold for the dictWords-derived
+        // alphabet too, not just merge operands (r17 advisory): a
+        // whitespace/control char here would land as a silent vocab.json
+        // key an external consumer cannot reconcile with merges.txt
+        chars.filterNot(c => c >= '!' && c <= '~') match {
+          case Seq() => ()
+          case bad => throw new IllegalArgumentException(
+            s"non-printable-ASCII alphabet char(s) in codepoint vocab: " +
+              bad.map(c => f"U+${c.toInt}%04X").mkString(", "))
+        }
+        chars.sorted.map(_.toString)
+      }
     val mergedToks = merges.map { case (a, b) => hfToken(a + b, byteLevel) }
     // the document separator takes the LAST id (the GPT-2 convention:
     // <|endoftext|> = vocab size - 1) — the reserved slot [[EosId]]'s

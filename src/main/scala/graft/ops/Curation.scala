@@ -340,7 +340,8 @@ object Curation {
          |       COUNT(*) FILTER (WHERE clf_keep = FALSE) AS fail_clf,
          |       COUNT(*) FILTER (WHERE fluency_keep = FALSE) AS fail_fluency,
          |       COUNT(*) FILTER (WHERE repetition_keep = FALSE) AS fail_repetition,
-         |       COUNT(*) FILTER (WHERE contamination_keep = FALSE) AS fail_contamination
+         |       COUNT(*) FILTER (WHERE contamination_keep = FALSE) AS fail_contamination,
+         |       TRUE AS gates_all_active
          |FROM decided""".stripMargin,
     "e2e_crawl_to_chunks" ->
       s"""WITH crawl AS (
@@ -444,7 +445,18 @@ object Curation {
       count(when(col("clf_keep") === false, 1)).as("fail_clf"),
       count(when(col("fluency_keep") === false, 1)).as("fail_fluency"),
       count(when(col("repetition_keep") === false, 1)).as("fail_repetition"),
-      count(when(col("contamination_keep") === false, 1)).as("fail_contamination"))
+      count(when(col("contamination_keep") === false, 1)).as("fail_contamination"),
+      // non-vacuousness pin (r17 advisory): the ENGINE computes this from
+      // the data while the oracle pins a literal TRUE — if a regenerated
+      // fixture's score distribution drifts a threshold
+      // ([[CascadeFluencyMinPpm]], [[CascadeDupTokenPctMax]]) to where a
+      // gate stops failing anyone, the verify gate hash-mismatches here
+      // instead of the gate going quietly dead until a unit spec notices
+      (count(when(col("clf_keep") === false, 1)) > 0 &&
+        count(when(col("fluency_keep") === false, 1)) > 0 &&
+        count(when(col("repetition_keep") === false, 1)) > 0 &&
+        count(when(col("contamination_keep") === false, 1)) > 0)
+        .as("gates_all_active"))
 
   /** The shared cascade-vote CTE chain: the classifier's model CTEs, the
     * fluency scoring CTEs, the repetition CTEs at the cascade

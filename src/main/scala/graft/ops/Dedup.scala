@@ -130,6 +130,19 @@ object Dedup {
       .select("doc_id", "sh")
       // both self-join sides re-derive from here: persist two longs per doc
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hamming64Pairs(sigs, maxHamming)
+  }
+
+  /** Hamming-ball pair join over any 64-bit signature frame (doc_id, sh):
+    * pigeonhole candidate generation — split into ⌈(maxHamming+1)⌉ = 4
+    * 16-bit chunks, bucket-join on (chunk_idx, chunk_val), verify with
+    * exact bit_count ≤ maxHamming. Shared by [[simHashPairs]] (text
+    * SimHash) and [[ImageDedup.imagePairs]] (perceptual dHash) — the two
+    * callers band identically, never all-pairs. Requires maxHamming ≤ 3
+    * (4 chunks guarantee recall only up to 3 differing bits). */
+  private[ops] def hamming64Pairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole banding is exact only for maxHamming <= 3, got $maxHamming")
     val chunked = sigs.select(col("doc_id"), col("sh"),
       posexplode(expr("transform(sequence(0, 3), c -> (shiftright(sh, c * 16) & 65535))"))
         .as(Seq("chunk_idx", "chunk_val")))

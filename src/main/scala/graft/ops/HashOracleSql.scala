@@ -52,12 +52,12 @@ object HashOracleSql {
   private val P4 = 0x85EBCA77C2B2AE63L
   private val P5 = 0x27D4EB2F165667C5L
 
-  private def u64(l: Long): String = java.lang.Long.toUnsignedString(l)
+  private[ops] def u64(l: Long): String = java.lang.Long.toUnsignedString(l)
 
   /** Wrapping 64-bit multiply of column ref `a` (HUGEINT in [0, 2^64)) by
     * constant c. `a` must be a plain column reference — it is referenced
     * four times. */
-  private def mul(a: String, c: Long): String = {
+  private[ops] def mul(a: String, c: Long): String = {
     val bl = u64(c & 0xFFFFFFFFL)
     val bh = u64(c >>> 32)
     s"((($a % 4294967296) * $bl + ((($a % 4294967296) * $bh " +
@@ -66,13 +66,13 @@ object HashOracleSql {
 
   /** Wrap `base` in one SELECT per (outCol, expr) step so every
     * intermediate is a real column (single evaluation, no tree blowup). */
-  private def stages(base: String, steps: Seq[(String, String)]): String =
+  private[ops] def stages(base: String, steps: Seq[(String, String)]): String =
     steps.foldLeft(base) { case (q, (col, e)) =>
       s"SELECT *, $e AS $col FROM ($q)"
     }
 
   /** Staged splitmix64 of column `x` into column `out`. */
-  private def mixSteps(x: String, out: String, tag: String): Seq[(String, String)] = Seq(
+  private[ops] def mixSteps(x: String, out: String, tag: String): Seq[(String, String)] = Seq(
     s"_${tag}a" -> s"xor($x, $x >> 30)",
     s"_${tag}b" -> mul(s"_${tag}a", MixC1),
     s"_${tag}c" -> s"xor(_${tag}b, _${tag}b >> 27)",
@@ -96,7 +96,7 @@ object HashOracleSql {
     out -> s"xor(_${tag}f4, _${tag}f4 >> 32)")
 
   /** Unsigned HUGEINT in [0, 2^64) -> signed 64-bit BIGINT. */
-  private def toSigned(u: String): String =
+  private[ops] def toSigned(u: String): String =
     s"CAST($u - (CASE WHEN $u >= $S63 THEN CAST('$M' AS HUGEINT) ELSE 0 END) AS BIGINT)"
 
   /** The planted-near-dup corpus (mirrors Dedup.withPlantedNearDups;

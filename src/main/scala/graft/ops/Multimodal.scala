@@ -140,31 +140,37 @@ object Multimodal {
     * must degrade, not abort a 100 TB job: the catch is NonFatal-wide.
     * Dimensions are read from the header BEFORE pixel allocation. */
   private[ops] def decodeOne(r: MediaRecord): MediaFeatures = {
-    val img: java.awt.image.BufferedImage =
-      if (!looksLikeImage(r.media)) null
-      else try {
-        // the stream must close explicitly — reader.dispose() does not
-        // close it, and a leaked ImageInputStream pins a file descriptor
-        // per record
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.media))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-              if (w.toLong * h > MaxDecodePixels) null else reader.read(0)
-            } finally reader.dispose()
-          }
-        } finally iis.close()
-      } catch { case scala.util.control.NonFatal(_) => null }
+    val img = decodeImage(r.media)
     if (img == null) fakeDecode(r)
     else MediaFeatures(r.doc_id, img.getWidth, img.getHeight, r.format,
       imageFeatures(img), decoded = true)
   }
+
+  /** The raw guarded decode shared by the feature extractor above and the
+    * perceptual-hash dedup ([[ImageDedup]]): signature sniff, header-first
+    * dimension check against [[MaxDecodePixels]], NonFatal-wide catch —
+    * null on anything undecodable, never an exception. */
+  private[ops] def decodeImage(media: Array[Byte]): java.awt.image.BufferedImage =
+    if (!looksLikeImage(media)) null
+    else try {
+      // the stream must close explicitly — reader.dispose() does not
+      // close it, and a leaked ImageInputStream pins a file descriptor
+      // per record
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w.toLong * h > MaxDecodePixels) null else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Decode media to features, batch-wise per partition. */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {

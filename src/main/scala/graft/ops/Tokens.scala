@@ -144,13 +144,18 @@ private[graft] object Tokens {
   def duckGpt2Toks(textExpr: String): String = {
     val core = Gpt2Core.replace("'", "''")
     val snt = s"chr($SentinelCp)"
+    // bind textExpr ONCE via a single-element lambda (r17 advisory: the
+    // guard + replace referenced it twice, so a composite spliced
+    // expression would evaluate twice per row) — `__gt` carries the value
+    // through both references; `[1]` unwraps the one-element result list
     val guarded =
-      s"CASE WHEN contains($textExpr, $snt) THEN error(" +
+      s"CASE WHEN contains(__gt, $snt) THEN error(" +
         "'duckGpt2Toks: input contains the U+E000 sentinel codepoint - " +
         "the lookahead emulation would add a spurious pre-token boundary') " +
-      s"ELSE regexp_replace($textExpr, '([$Ws])([^$Ws])', $snt || '\\1\\2', 'g') END"
-    s"flatten(list_transform(string_split($guarded," +
-      s" $snt), seg -> regexp_extract_all(seg, '$core')))"
+      s"ELSE regexp_replace(__gt, '([$Ws])([^$Ws])', $snt || '\\1\\2', 'g') END"
+    s"list_transform([$textExpr], __gt -> " +
+      s"flatten(list_transform(string_split($guarded," +
+      s" $snt), seg -> regexp_extract_all(seg, '$core'))))[1]"
   }
 
   /** Plain-Scala form of [[seg]], for expressions that tokenize inside
