@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.entries ++
       graft.ops.Chunking.entries ++
       graft.ops.Bpe.entries ++
+      graft.ops.Unigram.entries ++
       graft.ops.HfInterop.entries ++
       graft.ops.Search.entries ++
       graft.ops.Profile.entries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Chunking.oracle ++
       graft.ops.Bpe.oracle ++
+      graft.ops.Unigram.oracle ++
       graft.ops.HfInterop.oracle ++
       graft.ops.Search.oracle ++
       graft.ops.Profile.oracle ++

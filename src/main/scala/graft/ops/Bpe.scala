@@ -357,7 +357,7 @@ object Bpe {
     * table: word-frequency dict rows (word, count). Byte-level variants
     * train on the PLANTED table so the model actually carries multi-byte
     * merges. */
-  private def sampleWordCounts(spark: SparkSession, sfDir: String,
+  private[ops] def sampleWordCounts(spark: SparkSession, sfDir: String,
       spec: ModelSpec): Seq[(String, Long)] = {
     val docs = Tables.load(spark, sfDir, "documents")
     val words = (if (spec.plant) plantMultiscript(docs) else docs)
