@@ -203,11 +203,13 @@ object Curation {
     }),
     // r17: the filter cascade — per-document votes from all four gates
     // plus the composed keep and first-fail attribution (strongest form:
-    // every document's every vote is under the hash)
-    "curate_cascade" -> ((s, d) => cascadeDecisions(s, d).orderBy("doc_id")),
+    // every document's every vote is under the hash). r18: the entry
+    // runs the FUSED single-pass form; the four-frame reference plan
+    // stays as [[cascadeDecisions]], vote-equality spec-pinned
+    "curate_cascade" -> ((s, d) => cascadeDecisionsFused(s, d).orderBy("doc_id")),
     // r17: the cascade's accounting — per-reason drop counts + per-gate
     // independent failure counts, one row (the FineWeb-style report)
-    "curate_cascade_counts" -> ((s, d) => cascadeCounts(s, d)))
+    "curate_cascade_counts" -> ((s, d) => cascadeCountsFused(s, d)))
 
   /** The crawl composition AFTER ingestion — the planted page template →
     * HTML extraction → the two-fetch URL-dedup gate → the same planted-dup
@@ -429,12 +431,70 @@ object Curation {
           .when(col("contamination_keep") === false, "contamination"))
   }
 
+  /** The SINGLE-PASS cascade (r17 verdict #3): the same four votes as
+    * [[cascadeDecisions]], computed in ONE projection over ONE corpus
+    * scan. Every gate's scoring tail was already a pure map — the
+    * classifier over its plan-literal weights, the LM over its stored
+    * arrays, repetition over the row-local bigram expression — and the
+    * one join (benchmark contamination) becomes a map-side binary-search
+    * probe against the collected benchmark shingle set
+    * ([[graft.functions.SortedLongsOverlapCount]]; a benchmark suite is
+    * BOUNDED — a few MB of shingles at production scale — which is what
+    * made it broadcast-able before and plan-literal now). At 100 TB this
+    * is 4 corpus scans → 1 (plus the bounded classifier-training
+    * aggregate), the three saved scans being pure read bandwidth.
+    * Vote-for-vote equality with the four-frame reference form is
+    * spec-pinned (CascadeSpec) and the gate oracle is UNCHANGED. */
+  def cascadeDecisionsFused(s: SparkSession, d: String): DataFrame = {
+    val planted = QualityClf.plantSpam(Tables.load(s, d, "documents"))
+    // bounded prep (plan-build time, the stored-model cadence): the
+    // classifier's ≤1024-row counts collect, the LM's ≤17408-row load,
+    // and the benchmark's distinct shingle hashes (cap enforced by the
+    // expression itself)
+    val (w, thr) = QualityClf.trainedParams(planted)
+    val (uni, bi, tot) = Fluency.lmParams(s, Fluency.ensureLmModel(s, d))
+    val bench = Dedup.shingleHashes(TextAnalysis.contaminationBenchmark(planted))
+      .select(explode(col("shingles")).as("sh")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    TextAnalysis.appendRepetitionKeep(
+        Fluency.appendFluencyPpm(
+          QualityClf.appendClfKeep(planted.select("doc_id", "text"), w, thr),
+          uni, bi, tot),
+        topBigramPctMax = CascadeTopBigramPctMax,
+        dupTokenPctMax = CascadeDupTokenPctMax)
+      .withColumn("_csh",
+        graft.functions.GraftFunctions.word_shingles(col("text"), 3))
+      .withColumn("_cov",
+        graft.functions.GraftFunctions.sorted_overlap_count(col("_csh"), bench))
+      .select(col("doc_id"), col("clf_keep"),
+        (col("fluency_ppm") >= CascadeFluencyMinPpm).as("fluency_keep"),
+        col("repetition_keep"),
+        // no shared shingle → keep; no shingles at all → abstain-to-keep
+        // (the left-join-absent rows of the four-frame form)
+        coalesce(col("_cov") === 0, lit(true)).as("contamination_keep"))
+      .withColumn("keep",
+        col("clf_keep") && col("fluency_keep") &&
+          col("repetition_keep") && col("contamination_keep"))
+      .withColumn("drop_reason",
+        when(col("clf_keep") === false, "clf")
+          .when(col("fluency_keep") === false, "fluency")
+          .when(col("repetition_keep") === false, "repetition")
+          .when(col("contamination_keep") === false, "contamination"))
+  }
+
   /** The cascade's ACCOUNTING — per-reason drop counts (first-fail
     * attribution) plus per-gate independent failure counts, one row.
     * Any cross-stage drift (a gate silently moving its rule) moves one
     * of these integers. */
   def cascadeCounts(s: SparkSession, d: String): DataFrame =
-    cascadeDecisions(s, d).agg(
+    countsOf(cascadeDecisions(s, d))
+
+  /** [[cascadeCounts]] over the fused single-pass votes. */
+  def cascadeCountsFused(s: SparkSession, d: String): DataFrame =
+    countsOf(cascadeDecisionsFused(s, d))
+
+  private def countsOf(decided: DataFrame): DataFrame =
+    decided.agg(
       count(lit(1)).as("n_docs"),
       count(when(col("keep") === true, 1)).as("n_kept"),
       count(when(col("keep").isNull, 1)).as("n_undecided"),

@@ -111,22 +111,28 @@ object Fluency {
     * arrays, and the mean from one aggregate() fold. Documents with
     * fewer than two tokens carry no transitions and are dropped, as in
     * any n-gram scorer. */
+  // all divisions are integral (SQL DIV), so the whole score is Long
+  // arithmetic end to end — Column./ would be a fractional Divide
+  private def uniN(h: String) =
+    s"element_at(_uw, cast(pmod($h, $UniBuckets) + 1 as int))"
+  private def biN(h: String) =
+    s"element_at(_bw, cast(pmod($h, $BiBuckets) + 1 as int))"
+  /** Main-path probabilities — null when the bigram bucket is empty ->
+    * backoff. Parameterized by the u/b COLUMN NAMES so the standalone
+    * scorer and the fused-cascade appender share one formula (exact:
+    * bi_b <= 9.2e12). */
+  private def mainExpr(u: String, b: String) =
+    s"""zip_with($b, slice($u, 1, size($u) - 1), (bh, ph) ->
+       |  CASE WHEN ${biN("bh")} > 0L
+       |       THEN least(1000000L, ${biN("bh")} * 1000000L DIV (${uniN("ph")} + 1L))
+       |       ELSE cast(null as long) END)""".stripMargin
+  /** Backoff probabilities (exact: tot <= 9.2e13). */
+  private def backoffExpr(u: String) =
+    s"""transform(slice($u, 2, size($u) - 1), ch ->
+       |  (${uniN("ch")} + 1L) * 100000L DIV (_tot + ${UniBuckets}L))""".stripMargin
+
   private def applyLm(batch: DataFrame, uni: Array[Long], bi: Array[Long],
-      tot: Long): DataFrame = {
-    // all divisions are integral (SQL DIV), so the whole score is Long
-    // arithmetic end to end — Column./ would be a fractional Divide
-    def uniN(h: String) =
-      s"element_at(_uw, cast(pmod($h, $UniBuckets) + 1 as int))"
-    def biN(h: String) =
-      s"element_at(_bw, cast(pmod($h, $BiBuckets) + 1 as int))"
-    val main = // null when the bigram bucket is empty -> backoff
-      s"""zip_with(b, slice(u, 1, size(u) - 1), (bh, ph) ->
-         |  CASE WHEN ${biN("bh")} > 0L
-         |       THEN least(1000000L, ${biN("bh")} * 1000000L DIV (${uniN("ph")} + 1L))
-         |       ELSE cast(null as long) END)""".stripMargin // exact: bi_b <= 9.2e12
-    val backoff =
-      s"""transform(slice(u, 2, size(u) - 1), ch ->
-         |  (${uniN("ch")} + 1L) * 100000L DIV (_tot + ${UniBuckets}L))""".stripMargin // exact: tot <= 9.2e13
+      tot: Long): DataFrame =
     batch
       .select(col("doc_id"),
         shingles(col("text"), 1).as("u"), shingles(col("text"), 2).as("b"))
@@ -134,10 +140,40 @@ object Fluency {
       .withColumn("_uw", typedLit(uni.toSeq))
       .withColumn("_bw", typedLit(bi.toSeq))
       .withColumn("_tot", lit(tot))
-      .withColumn("p", expr(s"zip_with($main, $backoff, (mn, bk) -> coalesce(mn, bk))"))
+      .withColumn("p", expr(s"zip_with(${mainExpr("u", "b")}, ${backoffExpr("u")}, (mn, bk) -> coalesce(mn, bk))"))
       .select(col("doc_id"), size(col("u")).cast("long").as("n_tok"),
         expr("aggregate(p, 0L, (a, x) -> a + x) DIV cast(size(u) - 1 as long)")
           .as("fluency_ppm"))
+
+  /** Column-appending scorer for the FUSED cascade (r17 verdict #3):
+    * adds `fluency_ppm` to ANY frame carrying `text`, preserving every
+    * other column — the same formula as [[applyLm]], but the <2-token
+    * abstention arrives as a NULL score (zip_with over a null bigram
+    * array, then DIV by a zero transition count) instead of a dropped
+    * row, which is exactly what the four-frame form's left join turned
+    * those drops into. */
+  private[ops] def appendFluencyPpm(df: DataFrame, uni: Array[Long],
+      bi: Array[Long], tot: Long): DataFrame =
+    df.withColumn("_fu", shingles(col("text"), 1))
+      .withColumn("_fb", shingles(col("text"), 2))
+      .withColumn("_uw", typedLit(uni.toSeq))
+      .withColumn("_bw", typedLit(bi.toSeq))
+      .withColumn("_tot", lit(tot))
+      .withColumn("_fp", expr(s"zip_with(${mainExpr("_fu", "_fb")}, ${backoffExpr("_fu")}, (mn, bk) -> coalesce(mn, bk))"))
+      .withColumn("fluency_ppm",
+        expr("aggregate(_fp, 0L, (a, x) -> a + x) DIV cast(size(_fu) - 1 as long)"))
+      .drop("_fu", "_fb", "_uw", "_bw", "_tot", "_fp")
+
+  /** The stored model's weight arrays — the bounded read
+    * [[scoreWithLmUnordered]] performs, exposed for plans that fuse the
+    * scoring columns instead of joining a scored frame. */
+  private[ops] def lmParams(spark: SparkSession, dir: String)
+      : (Array[Long], Array[Long], Long) = {
+    val rows = spark.read.parquet(dir)
+      .select("kind", "bucket", "n").collect() // bounded: <= 17 408 rows
+    val (u, b, tot) = arrays(rows)
+    require(tot > 0, "LM model corpus has no tokens")
+    (u, b, tot)
   }
 
   /** Score a new batch against a stored model: a bounded ≤ 17 408-row
@@ -149,10 +185,7 @@ object Fluency {
     * plan embeds (sorts are illegal under Append mode; the stream twin
     * orders after its sink). */
   def scoreWithLmUnordered(batch: DataFrame, dir: String): DataFrame = {
-    val rows = batch.sparkSession.read.parquet(dir)
-      .select("kind", "bucket", "n").collect() // bounded: <= 17 408 rows
-    val (u, b, tot) = arrays(rows)
-    require(tot > 0, "LM model corpus has no tokens")
+    val (u, b, tot) = lmParams(batch.sparkSession, dir)
     applyLm(batch, u, b, tot)
   }
 

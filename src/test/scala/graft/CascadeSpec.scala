@@ -113,4 +113,35 @@ class CascadeSpec extends AnyFunSuite {
         s"$colN drift")
     }
   }
+
+  test("fused single-pass form == the four-frame reference, vote for vote") {
+    // r18: the ENTRY runs the fused one-scan plan; the four-frame join
+    // stays the spec-pinned reference shape. Null-sensitive compare:
+    // every vote, keep, and drop_reason cell must agree per doc,
+    // including which cells are NULL (the Kleene abstentions)
+    val fused = Curation.cascadeDecisionsFused(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fused.keySet == decisions.keySet)
+    for ((id, f) <- fused; r = decisions(id); i <- 1 to 6) {
+      assert(f.isNullAt(i) == r.isNullAt(i),
+        s"null drift doc $id col $i: fused=${f} ref=${r}")
+      if (!f.isNullAt(i))
+        assert(f.get(i) == r.get(i), s"vote drift doc $id col $i")
+    }
+  }
+
+  test("the fused plan reads the corpus ONCE (4 scans -> 1, r17 verdict #3)") {
+    val plan = Curation.cascadeDecisionsFused(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = "(?m)Scan parquet|FileScan parquet".r
+      .findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    // and the reference four-frame plan really does scan 4x+ (the claim
+    // "fused saves scans" is only meaningful if the baseline pays them)
+    val refPlan = Curation.cascadeDecisions(spark, d)
+      .queryExecution.executedPlan.toString
+    val refScans = "(?m)Scan parquet|FileScan parquet".r
+      .findAllIn(refPlan).length
+    assert(refScans >= 4, s"reference plan expected >= 4 scans, got $refScans")
+  }
 }
