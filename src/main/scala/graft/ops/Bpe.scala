@@ -82,6 +82,15 @@ object Bpe {
     * decode output — GPT-2's public end-of-text marker. */
   val EosToken: String = "<|endoftext|>"
 
+  /** Id-window length of the packed-ids decontamination guard
+    * (`chunk_decontaminate`): 8 consecutive token IDS — the n-gram
+    * granularity production decontamination runs on the PACKED stream
+    * (text-level matching misses benchmark strings that survive
+    * chunking; the 32/24 chunk overlap guarantees every 8-token text
+    * window lies wholly inside some chunk, and the [[EosId]] separator
+    * naturally stops windows from crossing documents). */
+  val DecontamWindow = 8
+
   // ---------------------------------------------------------------- train
 
   /** In-memory BPE training over a word-frequency dict (already bounded
@@ -1010,13 +1019,13 @@ object Bpe {
     * `aw0..awN` rewriting each occurrence through the learned rules, then
     * `bpeCounted(keys…, n_bpe)`. */
   private[ops] def applyChain(wordsCte: String, keys: String,
-      spec: ModelSpec = SpecOracle): Seq[String] = {
+      spec: ModelSpec = SpecOracle, pfx: String = ""): Seq[String] = {
     val wrap = wrapOf(spec)
-    val aw0 = s"aw0 AS MATERIALIZED (SELECT $keys, ${wrap("w")} AS repr FROM $wordsCte)"
+    val aw0 = s"${pfx}aw0 AS MATERIALIZED (SELECT $keys, ${wrap("w")} AS repr FROM $wordsCte)"
     val rest = (1 to NMerges).map { k =>
-      s"""aw$k AS MATERIALIZED (
+      s"""${pfx}aw$k AS MATERIALIZED (
          |  SELECT $keys, ${mergeReplace("repr")} AS repr
-         |  FROM aw${k - 1} LEFT JOIN bp$k b ON TRUE)""".stripMargin
+         |  FROM ${pfx}aw${k - 1} LEFT JOIN bp$k b ON TRUE)""".stripMargin
     }
     rest.prepended(aw0)
   }
@@ -1058,38 +1067,39 @@ object Bpe {
     * ONE definition of the id scheme (r15 review: three near-copies).
     * `groupKeys` must be the occurrence keys minus the word ordinal
     * `wi`, which every caller's words CTE carries. */
-  private def idsSeqCtes(groupKeys: String, byteLevel: Boolean): Seq[String] = {
+  private def idsSeqCtes(groupKeys: String, byteLevel: Boolean,
+      pfx: String = ""): Seq[String] = {
     val keys = s"$groupKeys, wi"
     val vocabRows = (1 to NMerges)
       .map(k => s"SELECT $k AS rank, a||b AS sym FROM bp$k")
       .mkString("\nUNION ALL\n")
     val base = if (byteLevel) 256 else 0x110000
     val vocab =
-      s"""vocab AS MATERIALIZED (
+      s"""${pfx}vocab AS MATERIALIZED (
          |  SELECT sym, $base + MIN(rank) - 1 AS id
          |  FROM ($vocabRows) GROUP BY sym)""".stripMargin
     val baseCte =
       if (byteLevel) Seq(
-        """base AS MATERIALIZED (
+        s"""${pfx}base AS MATERIALIZED (
           |  SELECT lpad(upper(to_hex(i)), 2, '0') AS sym, i AS id
           |  FROM (SELECT unnest(generate_series(0, 255)) AS i))""".stripMargin)
       else Nil
     val toks =
-      s"""toks AS (
+      s"""${pfx}toks AS (
          |  SELECT $keys, j, s[j] AS sym FROM (
          |    SELECT $keys, s, unnest(generate_series(1, len(s))) AS j FROM (
          |      SELECT $keys,
          |             list_transform(string_split(repr, chr(31)||chr(31)),
          |                            x -> trim(x, chr(31))) AS s
-         |      FROM aw$NMerges) _) _)""".stripMargin
-    val joinBase = if (byteLevel) "\n              LEFT JOIN base b ON b.sym = t.sym" else ""
+         |      FROM ${pfx}aw$NMerges) _) _)""".stripMargin
+    val joinBase = if (byteLevel) s"\n              LEFT JOIN ${pfx}base b ON b.sym = t.sym" else ""
     val idExpr = if (byteLevel) "COALESCE(v.id, b.id)" else "COALESCE(v.id, unicode(t.sym))"
     val seq =
-      s"""seq AS (
+      s"""${pfx}seq AS (
          |  SELECT $groupKeys,
          |         list(CAST($idExpr AS INT)
          |              ORDER BY t.wi, t.j) AS ids
-         |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym$joinBase
+         |  FROM ${pfx}toks t LEFT JOIN ${pfx}vocab v ON v.sym = t.sym$joinBase
          |  GROUP BY $groupKeys)""".stripMargin
     (vocab +: baseCte) ++ Seq(toks, seq)
   }
@@ -1105,25 +1115,34 @@ object Bpe {
     * with the `<|endoftext|>` separator materialized. The chunk WINDOWS
     * stay word-based on both engines; only the per-chunk id derivation
     * moves to the GPT-2 pre-tokenization. */
+  /** The packed-ids frame with REAL id arrays — doc_id, chunk_id,
+    * ids (array<int>), seq_id, seq_offset. Shared by the gate entries
+    * (which scalarize at the boundary) and the packed-ids
+    * decontamination guard (which windows over the arrays). */
+  private[ops] def packedIdsFrame(s: SparkSession, d: String, eos: Boolean,
+      gpt2: Boolean = false): DataFrame = {
+    val merges =
+      if (gpt2) loadMergesGuarded(s, d, ensureModelGpt2(s, d), SpecGpt2)
+      else loadMergesGuarded(s, d, ensureModel(s, d))
+    val src =
+      if (gpt2) plantMultiscript(Tables.load(s, d, "documents"))
+      else Tables.load(s, d, "documents")
+    val ch = Chunking.chunk(src)
+      .withColumn("ids0",
+        bpe_token_ids(col("chunk_text"), merges, byteLevel = gpt2, gpt2 = gpt2))
+      .withColumn("ids",
+        if (eos)
+          when(col("chunk_id") === 0,
+            concat(array(lit(EosId)), col("ids0"))).otherwise(col("ids0"))
+        else col("ids0"))
+      .withColumn("bpe_tokens", size(col("ids")).cast("long"))
+    Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
+  }
+
   private def packIdsEntry(eos: Boolean,
       gpt2: Boolean = false): (SparkSession, String) => DataFrame =
-    (s, d) => {
-      val merges =
-        if (gpt2) loadMergesGuarded(s, d, ensureModelGpt2(s, d), SpecGpt2)
-        else loadMergesGuarded(s, d, ensureModel(s, d))
-      val src =
-        if (gpt2) plantMultiscript(Tables.load(s, d, "documents"))
-        else Tables.load(s, d, "documents")
-      val ch = Chunking.chunk(src)
-        .withColumn("ids0",
-          bpe_token_ids(col("chunk_text"), merges, byteLevel = gpt2, gpt2 = gpt2))
-        .withColumn("ids",
-          if (eos)
-            when(col("chunk_id") === 0,
-              concat(array(lit(EosId)), col("ids0"))).otherwise(col("ids0"))
-          else col("ids0"))
-        .withColumn("bpe_tokens", size(col("ids")).cast("long"))
-      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
+    (s, d) =>
+      packedIdsFrame(s, d, eos, gpt2)
         // gate boundary scalarizes the sequence (s33 precedent — the
         // driver's canonicalizer cannot hash array cells); pack math ran
         // on the real array above
@@ -1131,7 +1150,6 @@ object Bpe {
           array_join(col("ids"), " ").as("ids"),
           col("seq_id"), col("seq_offset"))
         .orderBy("doc_id", "chunk_id")
-    }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // per-document subword budget vs the whitespace proxy — the number a
@@ -1334,6 +1352,41 @@ object Bpe {
     // sum (chunk_pack_ids_eos's contract under the production
     // tokenizer); era-guarded like every downstream-accounting entry
     "chunk_pack_ids_gpt2" -> packIdsEntry(eos = true, gpt2 = true),
+    // r18 (r17 verdict #6): the PACKED-ids decontamination guard — per
+    // packed chunk, how many of its [[DecontamWindow]]-id windows also
+    // appear in the benchmark fixture's id stream (the same every-50th-
+    // doc 30%-prefix rule text_contamination pins, run through the SAME
+    // gpt2 model). Window generation is map-side array math over the
+    // pack frame; the benchmark window set is bounded (a benchmark
+    // suite), so the probe is one broadcast left join + a per-chunk
+    // count — no corpus shuffle beyond the pack machinery's own
+    "chunk_decontaminate" -> ((s, d) => {
+      val n = DecontamWindow
+      val merges = loadMergesGuarded(s, d, ensureModelGpt2(s, d), SpecGpt2)
+      val planted = plantMultiscript(Tables.load(s, d, "documents"))
+      val bench = TextAnalysis.contaminationBenchmark(planted)
+        .select(bpe_token_ids(col("text"), merges,
+          byteLevel = true, gpt2 = true).as("bids"))
+        .where(size(col("bids")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(0, size(bids) - $n), i -> array_join(slice(bids, i + 1, $n), ' '))"))
+          .as("wn"))
+        .distinct()
+        .withColumn("hit", lit(1))
+      packedIdsFrame(s, d, eos = true, gpt2 = true)
+        .withColumn("wins", expr(
+          s"""CASE WHEN size(ids) >= $n
+             |     THEN transform(sequence(0, size(ids) - $n),
+             |            i -> array_join(slice(ids, i + 1, $n), ' '))
+             |     ELSE array() END""".stripMargin))
+        .select(col("doc_id"), col("chunk_id"), col("seq_id"),
+          explode_outer(col("wins")).as("wn"))
+        .join(broadcast(bench), Seq("wn"), "left")
+        .groupBy("doc_id", "chunk_id", "seq_id")
+        .agg(count(col("wn")).as("n_windows"),
+          count(col("hit")).as("n_contaminated"))
+        .orderBy("doc_id", "chunk_id")
+    }),
     // r16: the STRONGEST round trip in the suite — GPT-2 pre-tokens
     // PARTITION the input (whitespace is tokenized, nothing is dropped),
     // so encode→decode must rebuild the ORIGINAL TEXT byte for byte; the
@@ -1538,11 +1591,13 @@ object Bpe {
     // `gpt2 = true` roots the chunk CTE at the planted corpus and swaps
     // the per-chunk word stream to the GPT-2 pre-tokenization (the
     // window rule itself is unchanged — word seg on both engines)
-    def packIdsSqlWith(eos: Boolean, gpt2: Boolean = false): String = {
-      // the SAME id machinery at CHUNK granularity (occurrence keys
-      // (doc_id, chunk_id, wi)) over the SHARED chunk CTE, composed with
-      // chunk_pack's window — every id of every packed sequence
-      // reproduced from the oracle's own staged training
+    // the SAME id machinery at CHUNK granularity (occurrence keys
+    // (doc_id, chunk_id, wi)) over the SHARED chunk CTE, composed with
+    // chunk_pack's window — every id of every packed sequence
+    // reproduced from the oracle's own staged training. The chain ends
+    // at `w(doc_id, chunk_id, ids, cb)`, shared by the pack oracles and
+    // the packed-ids decontamination guard.
+    def packIdsCtes(eos: Boolean, gpt2: Boolean): Seq[String] = {
       val spec = if (gpt2) SpecGpt2 else SpecOracle
       val chunkToks =
         if (gpt2) Tokens.duckGpt2Toks("chunk_text")
@@ -1556,26 +1611,74 @@ object Bpe {
         applyChain(words, "doc_id, chunk_id, wi", spec) ++
         idsSeqCtes("doc_id, chunk_id", byteLevel = spec.byteLevel)
       val withEos =
-        if (eos)
-          s""",
-             |e AS (
+        if (eos) Seq(
+          s"""e AS (
              |  SELECT doc_id, chunk_id,
              |         CASE WHEN chunk_id = 0
              |              THEN CAST([$EosId] AS INT[]) || ids ELSE ids END AS ids
-             |  FROM seq)""".stripMargin
-        else ""
+             |  FROM seq)""".stripMargin)
+        else Nil
       val src = if (eos) "e" else "seq"
-      s"""WITH ${ctes.mkString(",\n")}$withEos,
-         |w AS (
-         |  SELECT doc_id, chunk_id, ids,
-         |         COALESCE(SUM(len(ids)) OVER (
-         |           ORDER BY doc_id, chunk_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM $src)
+      (ctes ++ withEos) :+
+        s"""w AS (
+           |  SELECT doc_id, chunk_id, ids,
+           |         COALESCE(SUM(len(ids)) OVER (
+           |           ORDER BY doc_id, chunk_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |  FROM $src)""".stripMargin
+    }
+    def packIdsSqlWith(eos: Boolean, gpt2: Boolean = false): String =
+      s"""WITH ${packIdsCtes(eos, gpt2).mkString(",\n")}
          |SELECT doc_id, chunk_id, array_to_string(ids, ' ') AS ids,
          |       CAST(cb // 256 AS BIGINT) AS seq_id,
          |       CAST(cb % 256 AS BIGINT) AS seq_offset
          |FROM w ORDER BY doc_id, chunk_id""".stripMargin
+    // the packed-ids decontamination guard: the SAME packed stream, each
+    // chunk's [[DecontamWindow]]-id windows probed against the id
+    // windows of the benchmark fixture (every 50th planted doc's 30%
+    // prefix) run through a PREFIXED copy of the apply machinery — a
+    // benchmark string that survives chunking reappears as matching id
+    // windows (the 32/24 chunk overlap covers every 8-token text window
+    // inside some single chunk)
+    val decontaminateSql = {
+      val benchToks = Tokens.duckGpt2Toks("text")
+      val benchDocs =
+        """bdocs AS (
+          |  SELECT doc_id,
+          |         substring(text, 1, greatest(CAST(trunc(length(text) * 0.3) AS INT), 1)) AS text
+          |  FROM planted WHERE doc_id % 50 = 0)""".stripMargin
+      val benchWords =
+        s"""(SELECT doc_id, wi, t[wi] AS w FROM (
+           |   SELECT doc_id, t, unnest(generate_series(1, len(t))) AS wi
+           |   FROM (SELECT doc_id, $benchToks AS t FROM bdocs) _) _) _""".stripMargin
+      val n = DecontamWindow
+      val ctes = packIdsCtes(eos = true, gpt2 = true) ++
+        Seq(benchDocs) ++
+        applyChain(benchWords, "doc_id, wi", SpecGpt2, pfx = "bn") ++
+        idsSeqCtes("doc_id", byteLevel = true, pfx = "bn") ++ Seq(
+          s"""bwin AS (
+             |  SELECT DISTINCT wn FROM (
+             |    SELECT unnest(list_transform(generate_series(0, len(ids) - $n),
+             |                  i -> array_to_string(ids[i + 1 : i + $n], ' '))) AS wn
+             |    FROM bnseq WHERE len(ids) >= $n) _)""".stripMargin,
+          s"""pk AS (
+             |  SELECT doc_id, chunk_id, CAST(cb // 256 AS BIGINT) AS seq_id,
+             |         CASE WHEN len(ids) >= $n
+             |              THEN list_transform(generate_series(0, len(ids) - $n),
+             |                     i -> array_to_string(ids[i + 1 : i + $n], ' '))
+             |              ELSE CAST([] AS VARCHAR[]) END AS wins
+             |  FROM w)""".stripMargin,
+          """cw AS (SELECT doc_id, chunk_id, unnest(wins) AS wn FROM pk)""",
+          """cnt AS (
+            |  SELECT cw.doc_id, cw.chunk_id, COUNT(*) AS nw, COUNT(b.wn) AS nc
+            |  FROM cw LEFT JOIN bwin b ON b.wn = cw.wn
+            |  GROUP BY cw.doc_id, cw.chunk_id)""".stripMargin)
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT p.doc_id, p.chunk_id, p.seq_id,
+         |       CAST(COALESCE(c.nw, 0) AS BIGINT) AS n_windows,
+         |       CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_contaminated
+         |FROM pk p LEFT JOIN cnt c ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id
+         |ORDER BY p.doc_id, p.chunk_id""".stripMargin
     }
     val packIdsSql = packIdsSqlWith(eos = false)
     val packIdsEosSql = packIdsSqlWith(eos = true)
@@ -1609,6 +1712,7 @@ object Bpe {
       "text_bpe_decode_bytes" -> decodeBytesSql,
       "chunk_pack_ids" -> packIdsSql,
       "chunk_pack_ids_eos" -> packIdsEosSql,
-      "chunk_pack_ids_gpt2" -> packIdsGpt2Sql)
+      "chunk_pack_ids_gpt2" -> packIdsGpt2Sql,
+      "chunk_decontaminate" -> decontaminateSql)
   }
 }
