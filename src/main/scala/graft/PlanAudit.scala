@@ -74,6 +74,21 @@ object PlanAudit {
     // planted-dup fixture dominates small corpora) — a quadratic
     // candidate blowup at 500 docs is ~250k rows vs this 87k budget
     "dedup_ngram_jaccard" -> ShuffleBudget("documents", 170.0, 2000L),
+    // r18: decode+dHash is map-side; only (doc_id, sh) signature rows,
+    // the 4-chunk band join, verified pairs and the orderBy shuffle —
+    // measured 1.108/row at n=500 and 1.227/row at n=5000 (flat). A
+    // lost-banding all-pairs regression is ~n/2 per row already at 500
+    "dedup_image" -> ShuffleBudget("documents", 3.5, 500L),
+    // r18: pack machinery's own exchanges + the window explode into the
+    // per-chunk count (windows ∝ corpus ids) + broadcast bench probe;
+    // measured 10.73/row at n=500 and 10.66/row at n=5000 — flat. A
+    // benchmark set falling out of broadcast (shuffle join over the
+    // window stream both sides) roughly doubles it
+    "chunk_decontaminate" -> ShuffleBudget("documents", 27.0, 2000L),
+    // r18: the whole train+apply is map-side (bounded dict agg at plan
+    // build); the entry's only exchange is the presentation orderBy —
+    // measured 1.068/row at n=500 and 1.013/row at n=5000
+    "text_tokens_unigram" -> ShuffleBudget("documents", 3.0, 500L),
     // 16 LSH bands/doc + bucket-join candidates + verified pairs;
     // measured 2.45/row (sf0.001) and 2.41/row (sf0.1) — flat
     "dedup_minhash" -> ShuffleBudget("documents", 8.0, 1000L),
@@ -266,15 +281,16 @@ object PlanAudit {
     // gram exchange that briefly made this 67/row is gone),
     // contamination's broadcast semi-join count, then four doc_id hash
     // joins + the presentation orderBy (measured 1.540/row at n=500 and
-    // 2.172/row at n=5000 — the rise is the broadcast->shuffle join
-    // regime shift on the vote joins; 8/row admits ~1 row/doc/exchange
-    // across all five, while the retired gram-stream formulation read
-    // 67/row and an accidental all-pairs would be thousands)
-    "curate_cascade" -> ShuffleBudget("documents", 8.0, 1000L),
-    // the rollup folds the same votes into ONE row: no presentation
-    // sort, single-row final aggregate (measured 0.542/row at n=500,
-    // 1.172/row at n=5000 — same regime shift)
-    "curate_cascade_counts" -> ShuffleBudget("documents", 6.0, 1000L),
+    // r18 FUSED single-pass form: the clf training aggregate + the
+    // presentation orderBy are the only exchanges (votes never join) —
+    // measured 1.33/row at n=500 and 1.305/row at n=5000. 4/row pins
+    // the fusion itself: a regression to the four-frame vote joins
+    // reads ~2.2-8/row and the retired gram-stream formulation 67/row
+    "curate_cascade" -> ShuffleBudget("documents", 4.0, 1000L),
+    // the rollup folds the same fused votes into ONE row: clf training
+    // agg + single-row final aggregate, no sort (measured ≤1.33/row at
+    // both sizes — same exchanges as the decisions entry minus orderBy)
+    "curate_cascade_counts" -> ShuffleBudget("documents", 4.0, 1000L),
     // r16: unigram+bigram variant — the clf aggregate sees ~2 feature
     // streams but still reduces to ≤1024 buckets (measured 2.31/row at
     // n=500 FALLING to 1.13/row at n=5000 — partials collapse)
