@@ -34,11 +34,6 @@ object GraftFunctions {
     c(SortedSetByKey(e(key), e(value)).toAggregateExpression())
   def url_normalize(url: Column): Column = c(NormalizeUrl(e(url)))
   def html_to_text(html: Column): Column = c(HtmlToText(e(html)))
-  /** Map-side membership count against a bounded sorted reference set
-    * (binary search per element) — the fused cascade's contamination
-    * probe. */
-  def sorted_overlap_count(arr: Column, sorted: Array[Long]): Column =
-    c(SortedLongsOverlapCount(e(arr), sorted))
 
   /** Distributed Bloom-filter build over a LongType column — Spark's own
     * `BloomFilterAggregate` (the runtime-filter machinery behind

@@ -484,48 +484,3 @@ case class TopBigramCount(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
-
-/** Count of elements of a long array present in an embedded SORTED long
-  * array (binary search per element — log|set| probes, so a broadcast
-  * benchmark set of millions of shingles costs ~20 compares per element
-  * instead of a linear scan or a join). The set rides the expression as
-  * a plan reference (the stored-model contract): this is the map-side
-  * form of a broadcast semi-join against a BOUNDED reference set — the
-  * benchmark-contamination probe in the fused curation cascade, where a
-  * join would force its own corpus scan. Duplicate child elements each
-  * count; callers needing distinct-match counts pass array_distinct.
-  * Null array -> null (no-shingle docs abstain, the Kleene rule). */
-case class SortedLongsOverlapCount(child: Expression, sorted: Array[Long])
-    extends UnaryExpression {
-  require(sorted.length <= (1 << 22),
-    s"reference set of ${sorted.length} exceeds the broadcast-literal bound " +
-      "(4M longs = 32 MB per task binary) - ship it as a real broadcast join instead")
-  override def dataType: DataType = LongType
-  override def prettyName: String = "sorted_overlap_count"
-
-  def countIn(xs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    var n = 0L
-    var i = 0
-    val len = xs.numElements()
-    while (i < len) {
-      if (!xs.isNullAt(i) &&
-        java.util.Arrays.binarySearch(sorted, xs.getLong(i)) >= 0) n += 1
-      i += 1
-    }
-    n
-  }
-
-  override def nullSafeEval(in: Any): Any =
-    countIn(in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("overlapSet", this,
-      classOf[SortedLongsOverlapCount].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countIn($c);")
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}

@@ -432,46 +432,48 @@ object Curation {
   }
 
   /** The SINGLE-PASS cascade (r17 verdict #3): the same four votes as
-    * [[cascadeDecisions]], computed in ONE projection over ONE corpus
-    * scan. Every gate's scoring tail was already a pure map — the
+    * [[cascadeDecisions]], computed by ONE codegen'd expression over ONE
+    * corpus scan. Every gate's scoring tail was already a pure map — the
     * classifier over its plan-literal weights, the LM over its stored
     * arrays, repetition over the row-local bigram expression — and the
     * one join (benchmark contamination) becomes a map-side binary-search
-    * probe against the collected benchmark shingle set
-    * ([[graft.functions.SortedLongsOverlapCount]]; a benchmark suite is
-    * BOUNDED — a few MB of shingles at production scale — which is what
-    * made it broadcast-able before and plan-literal now). At 100 TB this
-    * is 4 corpus scans → 1 (plus the bounded classifier-training
-    * aggregate), the three saved scans being pure read bandwidth.
-    * Vote-for-vote equality with the four-frame reference form is
-    * spec-pinned (CascadeSpec) and the gate oracle is UNCHANGED. */
+    * probe against the collected benchmark shingle set (a benchmark
+    * suite is BOUNDED — a few MB of shingles at production scale — which
+    * is what made it broadcast-able before and plan-literal now). The
+    * per-row cost fuses too: [[graft.functions.CascadeVotes]] segments
+    * the text ONCE and runs all four gates' integer arithmetic in tight
+    * loops, where the column-composed form re-tokenized per gate and
+    * paid interpreted higher-order functions. At 100 TB this is 4
+    * corpus scans → 1 (plus the bounded classifier-training aggregate),
+    * with the per-row CPU of roughly ONE gate. Vote-for-vote equality
+    * with the four-frame reference form is spec-pinned (CascadeSpec)
+    * and the gate oracle is UNCHANGED. */
   def cascadeDecisionsFused(s: SparkSession, d: String): DataFrame = {
     val planted = QualityClf.plantSpam(Tables.load(s, d, "documents"))
     // bounded prep (plan-build time, the stored-model cadence): the
     // classifier's ≤1024-row counts collect, the LM's ≤17408-row load,
-    // and the benchmark's distinct shingle hashes (cap enforced by the
-    // expression itself)
+    // and the benchmark's distinct shingle hashes
     val (w, thr) = QualityClf.trainedParams(planted)
     val (uni, bi, tot) = Fluency.lmParams(s, Fluency.ensureLmModel(s, d))
     val bench = Dedup.shingleHashes(TextAnalysis.contaminationBenchmark(planted))
       .select(explode(col("shingles")).as("sh")).distinct()
       .collect().map(_.getLong(0)).sorted
-    TextAnalysis.appendRepetitionKeep(
-        Fluency.appendFluencyPpm(
-          QualityClf.appendClfKeep(planted.select("doc_id", "text"), w, thr),
-          uni, bi, tot),
-        topBigramPctMax = CascadeTopBigramPctMax,
-        dupTokenPctMax = CascadeDupTokenPctMax)
-      .withColumn("_csh",
-        graft.functions.GraftFunctions.word_shingles(col("text"), 3))
-      .withColumn("_cov",
-        graft.functions.GraftFunctions.sorted_overlap_count(col("_csh"), bench))
-      .select(col("doc_id"), col("clf_keep"),
-        (col("fluency_ppm") >= CascadeFluencyMinPpm).as("fluency_keep"),
-        col("repetition_keep"),
+    require(bench.length <= (1 << 22),
+      s"benchmark shingle set of ${bench.length} exceeds the plan-literal " +
+        "bound - ship it as a real broadcast join instead")
+    val votes = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CascadeVotes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        w, thr, uni, bi, tot, bench,
+        CascadeTopBigramPctMax, CascadeDupTokenPctMax))
+    planted.select(col("doc_id"), votes.as("v"))
+      .select(col("doc_id"),
+        col("v.clf_keep").as("clf_keep"),
+        (col("v.fluency_ppm") >= CascadeFluencyMinPpm).as("fluency_keep"),
+        col("v.repetition_keep").as("repetition_keep"),
         // no shared shingle → keep; no shingles at all → abstain-to-keep
         // (the left-join-absent rows of the four-frame form)
-        coalesce(col("_cov") === 0, lit(true)).as("contamination_keep"))
+        coalesce(col("v.cov") === 0, lit(true)).as("contamination_keep"))
       .withColumn("keep",
         col("clf_keep") && col("fluency_keep") &&
           col("repetition_keep") && col("contamination_keep"))

@@ -145,25 +145,6 @@ object Fluency {
         expr("aggregate(p, 0L, (a, x) -> a + x) DIV cast(size(u) - 1 as long)")
           .as("fluency_ppm"))
 
-  /** Column-appending scorer for the FUSED cascade (r17 verdict #3):
-    * adds `fluency_ppm` to ANY frame carrying `text`, preserving every
-    * other column — the same formula as [[applyLm]], but the <2-token
-    * abstention arrives as a NULL score (zip_with over a null bigram
-    * array, then DIV by a zero transition count) instead of a dropped
-    * row, which is exactly what the four-frame form's left join turned
-    * those drops into. */
-  private[ops] def appendFluencyPpm(df: DataFrame, uni: Array[Long],
-      bi: Array[Long], tot: Long): DataFrame =
-    df.withColumn("_fu", shingles(col("text"), 1))
-      .withColumn("_fb", shingles(col("text"), 2))
-      .withColumn("_uw", typedLit(uni.toSeq))
-      .withColumn("_bw", typedLit(bi.toSeq))
-      .withColumn("_tot", lit(tot))
-      .withColumn("_fp", expr(s"zip_with(${mainExpr("_fu", "_fb")}, ${backoffExpr("_fu")}, (mn, bk) -> coalesce(mn, bk))"))
-      .withColumn("fluency_ppm",
-        expr("aggregate(_fp, 0L, (a, x) -> a + x) DIV cast(size(_fu) - 1 as long)"))
-      .drop("_fu", "_fb", "_uw", "_bw", "_tot", "_fp")
-
   /** The stored model's weight arrays — the bounded read
     * [[scoreWithLmUnordered]] performs, exposed for plans that fuse the
     * scoring columns instead of joining a scored frame. */

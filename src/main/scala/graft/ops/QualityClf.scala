@@ -146,24 +146,6 @@ object QualityClf {
   private[ops] def trainedParams(planted: DataFrame): (Array[Long], Long) =
     weightsAndThreshold(classCounts(planted).collect())
 
-  /** Column-appending scorer for the FUSED cascade (r17 verdict #3):
-    * adds `clf_keep` to ANY frame carrying `text`, preserving every
-    * other column. Feature-free documents (null text, token-free text)
-    * score NULL — `word_shingles` yields null, the weight fold
-    * propagates it, and the empty-array case divides by zero to null —
-    * exactly the rows [[features]]' isNotNull filter dropped and the
-    * four-frame form's left join turned into NULL votes. */
-  private[ops] def appendClfKeep(df: DataFrame, w: Array[Long], thr: Long)
-      : DataFrame = {
-    val wlit = typedLit(w.toSeq)
-    df.withColumn("_qfh",
-        graft.functions.GraftFunctions.word_shingles(col("text"), 1))
-      .withColumn("_qw", transform(col("_qfh"), h =>
-        element_at(wlit, (pmod(h, lit(Buckets.toLong)) + 1L).cast("int"))))
-      .withColumn("_qsum", aggregate(col("_qw"), lit(0L), (a, x) => a + x))
-      .withColumn("clf_keep", expr("_qsum DIV size(_qfh)") >= thr)
-      .drop("_qfh", "_qw", "_qsum")
-  }
 
   /** Inline train-and-score over a planted corpus: estimate weights from
     * the labeled slice (bounded collect), score EVERY document. */

@@ -309,26 +309,6 @@ object TextAnalysis {
             col("n_tokens") * dupTokenPctMax)).as("is_repetitive"))
   }
 
-  /** Column-appending repetition vote for the FUSED cascade (r17 verdict
-    * #3): adds `repetition_keep` (= NOT is_repetitive, with
-    * [[repetitionMetricsUnordered]]'s exact expressions and null flow —
-    * null text → null vote) to ANY frame carrying `text`, preserving
-    * every other column. Entirely map-side, like the frame it fuses into. */
-  private[ops] def appendRepetitionKeep(df: DataFrame,
-      topBigramPctMax: Int, dupTokenPctMax: Int): DataFrame =
-    df.withColumn("_rt", Tokens.seg(col("text")))
-      .withColumn("_rn", size(col("_rt")).cast("long"))
-      .withColumn("_rd", size(array_distinct(col("_rt"))).cast("long"))
-      .withColumn("_rtb", coalesce(
-        graft.functions.GraftFunctions.top_bigram_count(col("_rt")), lit(0L)))
-      .withColumn("_rnb", coalesce(
-        greatest(size(col("_rt")) - 1, lit(0)).cast("long"), lit(0L)))
-      .withColumn("repetition_keep",
-        !(col("_rn") > 0 && (
-          col("_rtb") * 100 > col("_rnb") * topBigramPctMax ||
-          (col("_rn") - col("_rd")) * 100 > col("_rn") * dupTokenPctMax)))
-      .drop("_rt", "_rn", "_rd", "_rtb", "_rnb")
-
   /** N-gram novelty — the cross-document complement of
     * [[repetitionMetrics]] (intra-doc) and [[contamination]] (vs a
     * benchmark): per document, how many of its distinct 3-token shingles
