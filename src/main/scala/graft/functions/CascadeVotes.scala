@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    100·(m−distinct) > dupMax·m)) over the ORIGINAL-case strings
   *    (the [[TopBigramCount]] gram rule);
   *  - cov: count of trigram hashes present in the sorted benchmark set
-  *    (binary search — the [[SortedLongsOverlapCount]] probe); NULL when
+  *    (binary search per window — log|benchmark| probes); NULL when
   *    fewer than 3 tokens (no shingles → the contamination abstention).
   *
   * NULL text → NULL struct (every vote NULL — the Kleene abstention row).
