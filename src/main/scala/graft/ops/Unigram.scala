@@ -322,19 +322,26 @@ object Unigram {
     // plus the count a budget sampler would spend
     "text_tokens_unigram" -> ((s, d) => {
       val model = trainedModel(s, d)
+      // ONE expression evaluation per row: the count derives from the
+      // same array the gate scalarizes (unlike the BPE entries, where
+      // ids + count come from two INDEPENDENT expressions on purpose —
+      // the oracle cross-pins their agreement; here it would just be
+      // the same Viterbi run twice)
       Tables.load(s, d, "documents")
+        .select(col("doc_id"), unigram_pieces(col("text"), model).as("arr"))
         .select(col("doc_id"),
-          array_join(unigram_pieces(col("text"), model), " ").as("pieces"),
-          size(unigram_pieces(col("text"), model)).cast("long").as("n_unigram"))
+          array_join(col("arr"), " ").as("pieces"),
+          size(col("arr")).cast("long").as("n_unigram"))
         .orderBy("doc_id")
     }),
     // the trainer-facing artifact: the id sequence per document
     "text_unigram_ids" -> ((s, d) => {
       val model = trainedModel(s, d)
       Tables.load(s, d, "documents")
+        .select(col("doc_id"), unigram_ids(col("text"), model).as("arr"))
         .select(col("doc_id"),
-          array_join(unigram_ids(col("text"), model), " ").as("ids"),
-          size(unigram_ids(col("text"), model)).cast("long").as("n_unigram"))
+          array_join(col("arr"), " ").as("ids"),
+          size(col("arr")).cast("long").as("n_unigram"))
         .orderBy("doc_id")
     }))
 
