@@ -133,6 +133,11 @@ object Bench {
     // calibration goes AFTER sf: the driver records a bounded TAIL of this
     // line, so fields appended at the end survive truncation
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibJson}""")
+    // …and the compact summary AGAIN, LAST (r18 verdict #5): the first
+    // copy scrolled out of the driver's 2000-char tail behind the 196-entry
+    // line, leaving "parsed": null — a short final line sits inside any
+    // bounded tail and parses standalone
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","probe_s":$probes,"detail":"BENCH_SELF.json"}""")
     // Full per-pass detail to a side file (lands in the next snapshot
     // commit): the one-line stdout record is tail-truncated by the driver,
     // and flag adjudication needs both passes, not just the min.
