@@ -37,7 +37,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * NULL text → NULL struct (every vote NULL — the Kleene abstention row).
   * The models ride the expression as plan references: clf weights
   * (≤ 1024 longs), LM arrays (≤ 17 408), the sorted benchmark shingle
-  * set (bounded by the benchmark suite). */
+  * set (bounded by [[graft.ops.Curation.CascadePlanLiteralMax]] — above
+  * it the caller switches to the broadcast-join contamination form).
+  *
+  * Known limitation (r18 advice, documented by design): the Array[Long]
+  * constructor params compare by REFERENCE under case-class
+  * equals/hashCode, so two structurally identical instances never
+  * compare equal and common-subexpression elimination / semanticEquals
+  * canonicalization cannot merge them. Each cascade plan builds exactly
+  * ONE instance referenced once, so nothing is lost today; wrap the
+  * arrays in a value-equality holder before ever instantiating this
+  * expression twice per plan. */
 case class CascadeVotes(child: Expression,
     clfW: Array[Long], clfThr: Long,
     uniW: Array[Long], biW: Array[Long], lmTot: Long,

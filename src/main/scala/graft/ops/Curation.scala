@@ -447,33 +447,44 @@ object Curation {
     * corpus scans → 1 (plus the bounded classifier-training aggregate),
     * with the per-row CPU of roughly ONE gate. Vote-for-vote equality
     * with the four-frame reference form is spec-pinned (CascadeSpec)
-    * and the gate oracle is UNCHANGED. */
-  def cascadeDecisionsFused(s: SparkSession, d: String): DataFrame = {
+    * and the gate oracle is UNCHANGED.
+    *
+    * Benchmark sizing (r18 advice #3): the shingle set rides the plan as
+    * a literal only up to [[CascadePlanLiteralMax]] (2^20 longs = 8 MB —
+    * a per-executor DESERIALIZATION cost a broadcast amortizes); above
+    * it the contamination gate switches to a real broadcast join over
+    * the exploded shingles while the other three gates stay fused in the
+    * one-scan expression (4 scans → 2, never 4). The two forms are
+    * vote-for-vote equal (CascadeSpec pins the switch with
+    * `planLiteralMax = 0`). */
+  def cascadeDecisionsFused(s: SparkSession, d: String): DataFrame =
+    cascadeDecisionsFusedBounded(s, d, CascadePlanLiteralMax)
+
+  /** Plan-literal ceiling for the fused cascade's benchmark shingle set:
+    * past 2^20 longs the literal's per-task-binary serialization cost
+    * exceeds what a broadcast join amortizes (r18 advice — the old 2^22
+    * bound allowed 32 MB task binaries). */
+  private[ops] val CascadePlanLiteralMax = 1 << 20
+
+  private[ops] def cascadeDecisionsFusedBounded(s: SparkSession, d: String,
+      planLiteralMax: Int): DataFrame = {
     val planted = QualityClf.plantSpam(Tables.load(s, d, "documents"))
     // bounded prep (plan-build time, the stored-model cadence): the
     // classifier's ≤1024-row counts collect, the LM's ≤17408-row load,
     // and the benchmark's distinct shingle hashes
     val (w, thr) = QualityClf.trainedParams(planted)
     val (uni, bi, tot) = Fluency.lmParams(s, Fluency.ensureLmModel(s, d))
-    val bench = Dedup.shingleHashes(TextAnalysis.contaminationBenchmark(planted))
+    val benchDf = Dedup.shingleHashes(TextAnalysis.contaminationBenchmark(planted))
       .select(explode(col("shingles")).as("sh")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    require(bench.length <= (1 << 22),
-      s"benchmark shingle set of ${bench.length} exceeds the plan-literal " +
-        "bound - ship it as a real broadcast join instead")
-    val votes = org.apache.spark.sql.GraftSqlBridge.column(
+    // bounded probe: collect AT MOST planLiteralMax+1 rows to pick the
+    // form — the oversized set itself never materializes on the driver
+    val benchProbe = benchDf.limit(planLiteralMax + 1).collect()
+    def votesCol(bench: Array[Long]) = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.CascadeVotes(
         org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
         w, thr, uni, bi, tot, bench,
         CascadeTopBigramPctMax, CascadeDupTokenPctMax))
-    planted.select(col("doc_id"), votes.as("v"))
-      .select(col("doc_id"),
-        col("v.clf_keep").as("clf_keep"),
-        (col("v.fluency_ppm") >= CascadeFluencyMinPpm).as("fluency_keep"),
-        col("v.repetition_keep").as("repetition_keep"),
-        // no shared shingle → keep; no shingles at all → abstain-to-keep
-        // (the left-join-absent rows of the four-frame form)
-        coalesce(col("v.cov") === 0, lit(true)).as("contamination_keep"))
+    def decide(voted: DataFrame) = voted
       .withColumn("keep",
         col("clf_keep") && col("fluency_keep") &&
           col("repetition_keep") && col("contamination_keep"))
@@ -482,6 +493,35 @@ object Curation {
           .when(col("fluency_keep") === false, "fluency")
           .when(col("repetition_keep") === false, "repetition")
           .when(col("contamination_keep") === false, "contamination"))
+    if (benchProbe.length <= planLiteralMax) {
+      val bench = benchProbe.map(_.getLong(0)).sorted
+      decide(planted.select(col("doc_id"), votesCol(bench).as("v"))
+        .select(col("doc_id"),
+          col("v.clf_keep").as("clf_keep"),
+          (col("v.fluency_ppm") >= CascadeFluencyMinPpm).as("fluency_keep"),
+          col("v.repetition_keep").as("repetition_keep"),
+          // no shared shingle → keep; no shingles at all → abstain-to-keep
+          // (the left-join-absent rows of the four-frame form)
+          coalesce(col("v.cov") === 0, lit(true)).as("contamination_keep")))
+    } else {
+      // broadcast form: the three map-side gates stay in the fused
+      // expression (empty bench → cov unused); contamination = one
+      // exploded-shingle scan broadcast-joined against the benchmark
+      // set. Docs without shingles never match → abstain-to-keep, the
+      // same coalesce semantics as the literal form's NULL cov.
+      val contaminated = Dedup.shingleHashes(planted)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .join(broadcast(benchDf), Seq("sh"))
+        .select("doc_id").distinct()
+        .withColumn("__contam", lit(true))
+      decide(planted.select(col("doc_id"), votesCol(Array.emptyLongArray).as("v"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("v.clf_keep").as("clf_keep"),
+          (col("v.fluency_ppm") >= CascadeFluencyMinPpm).as("fluency_keep"),
+          col("v.repetition_keep").as("repetition_keep"),
+          coalesce(!col("__contam"), lit(true)).as("contamination_keep")))
+    }
   }
 
   /** The cascade's ACCOUNTING — per-reason drop counts (first-fail

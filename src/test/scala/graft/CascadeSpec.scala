@@ -130,6 +130,22 @@ class CascadeSpec extends AnyFunSuite {
     }
   }
 
+  test("oversized benchmark switches to the broadcast form, vote for vote " +
+      "(r18 advice #3: plan-literal ceiling)") {
+    // planLiteralMax = 0 forces the broadcast-join contamination arm —
+    // the form a production-sized benchmark set takes — which must be
+    // vote-for-vote equal to the plan-literal form, NULLs included
+    val bc = Curation.cascadeDecisionsFusedBounded(spark, d, planLiteralMax = 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(bc.keySet == decisions.keySet)
+    for ((id, f) <- bc; r = decisions(id); i <- 1 to 6) {
+      assert(f.isNullAt(i) == r.isNullAt(i),
+        s"null drift doc $id col $i: broadcast=${f} ref=${r}")
+      if (!f.isNullAt(i))
+        assert(f.get(i) == r.get(i), s"vote drift doc $id col $i")
+    }
+  }
+
   test("the fused plan reads the corpus ONCE (4 scans -> 1, r17 verdict #3)") {
     val plan = Curation.cascadeDecisionsFused(spark, d)
       .queryExecution.executedPlan.toString
