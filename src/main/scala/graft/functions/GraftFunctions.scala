@@ -25,6 +25,18 @@ object GraftFunctions {
     c(WinnowingFingerprint(e(text), k, w))
   def word_shingles(text: Column, n: Int = 3): Column =
     c(WordShingleHashes(e(text), n))
+  def span_shingles(toks: Column, k: Int = 8): Column =
+    c(SpanShingleHashes(e(toks), k))
+  def text_stats(text: Column, stopwords: Seq[String]): Column =
+    c(TextStats(e(text), stopwords))
+  def nearest_centroids(vec: Column, qnorm: Column, ids: Seq[Long],
+      cents: Seq[Seq[Double]], spill: Int = 1,
+      nanGreatest: Boolean = false): Column =
+    c(NearestCentroids(e(vec), e(qnorm), ids, cents, spill, nanGreatest))
+  def nearest_centroids_f32(vec: Column, ids: Seq[Long],
+      cents: Seq[Seq[Float]], spill: Int = 1,
+      nanGreatest: Boolean = false): Column =
+    c(NearestCentroidsF32(e(vec), ids, cents, spill, nanGreatest))
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
   def top_bigram_count(toks: Column): Column = c(TopBigramCount(e(toks)))
   /** Aggregate: values sorted by (key, value) — the PPJoin sorted-set

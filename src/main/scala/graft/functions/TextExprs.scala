@@ -147,6 +147,155 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 128-bit hash per k-token window of an already-segmented token array —
+  * the span-dedup shingle key ([[graft.ops.Dedup]] `spanShingles`), replacing
+  * the `transform(sequence(...), i -> unhex(sha2(concat_ws(' ', slice(toks,
+  * i+1, k)), 256)))` pipeline: that form pays an interpreted higher-order
+  * transform, a per-window array slice + space-joined string build, AND a
+  * SHA-256 — all to derive a key whose only job is shingle-text EQUALITY
+  * (the oracle groups on the text itself; the hash is engine-internal).
+  *
+  * Here each token is hashed once (two independent 64-bit FNV/xx streams
+  * over its UTF-8 bytes, mixed), and each k-window combines the two token
+  * streams order-sensitively into (h1, h2) — 128 bits per shingle. Two
+  * distinct windows collide only if BOTH streams collide: at 10^12 corpus
+  * shingles the expected birthday collisions are ~n²/2^129 ≈ 10^-15, the
+  * same "negligible by design" class as the old 256-bit key (whose own
+  * margin was overkill by 10^60), while the key itself is half the shuffle
+  * bytes (16 vs 32) and the per-window cost drops from ~µs of string+SHA
+  * work to a handful of long multiplies. Tokens are CASE-SENSITIVE and
+  * hashed as given (exact-substring semantics — unlike the lowercased
+  * Jaccard/minhash shingle tier). Returns null when the array has fewer
+  * than k tokens. */
+case class SpanShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "span_shingles"
+
+  // StringType input: tokenize in-eval (the [[WordShingleHashes]] move) —
+  // the seg → array<string> → per-window chain never materializes tokens.
+  // ArrayType(String) input: hash the pre-segmented tokens (callers that
+  // already hold the token array, e.g. tests). Both branches hash the
+  // SAME per-token codepoint stream, so they agree key-for-key.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string or array<string>, got ${other.simpleString(10)}")
+    }
+
+  // def, not val: child.dataType is unresolved at construction time
+  private def fromText = child.dataType == StringType
+
+  private def isCjk(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
+  }
+
+  // FNV-1a / xx-style second stream over one token's codepoints —
+  // CASE-SENSITIVE (exact-substring semantics, unlike the lowercased
+  // Jaccard/minhash tier). Accumulators packed as (h1, h2, cpCount).
+  private final val Fnv1 = 0xCBF29CE484222325L
+  private final val Fnv2 = 0x27D4EB2F165667C5L
+  private final val P2 = 0xC2B2AE3D27D4EB4FL
+
+  override def nullSafeEval(in: Any): Any = {
+    var t1 = new Array[Long](16)
+    var t2 = new Array[Long](16)
+    var m = 0
+    def push(h1: Long, h2: Long, nCp: Int): Unit = {
+      if (m == t1.length) {
+        t1 = java.util.Arrays.copyOf(t1, m * 2)
+        t2 = java.util.Arrays.copyOf(t2, m * 2)
+      }
+      t1(m) = Mix64.mix(h1)
+      t2(m) = Mix64.mix(h2 ^ nCp)
+      m += 1
+    }
+    if (fromText) {
+      // tokenize per the suite segmentation contract (Tokens.seg /
+      // segString: pinned whitespace class, CJK codepoints as single-
+      // char tokens on all planes) and hash each token as it streams by
+      val s = in.asInstanceOf[UTF8String].toString
+      val len = s.length
+      var i = 0
+      while (i < len) {
+        while (i < len && graft.ops.Tokens.isWsCp(s.codePointAt(i)))
+          i += Character.charCount(s.codePointAt(i))
+        if (i < len) {
+          var h1 = Fnv1
+          var h2 = Fnv2
+          var n = 0
+          val first = s.codePointAt(i)
+          if (isCjk(first)) {
+            h1 ^= first.toLong; h1 *= 0x100000001B3L
+            h2 = (h2 ^ first.toLong) * P2
+            n = 1
+            i += Character.charCount(first)
+          } else {
+            var cp = first
+            while (i < len && !graft.ops.Tokens.isWsCp(cp) && !isCjk(cp)) {
+              h1 ^= cp.toLong; h1 *= 0x100000001B3L
+              h2 = (h2 ^ cp.toLong) * P2
+              n += 1
+              i += Character.charCount(cp)
+              if (i < len) cp = s.codePointAt(i)
+            }
+          }
+          push(h1, h2, n)
+        }
+      }
+    } else {
+      val toks = in.asInstanceOf[ArrayData]
+      val nt = toks.numElements()
+      var ti = 0
+      while (ti < nt) {
+        val s = toks.getUTF8String(ti).toString
+        var h1 = Fnv1
+        var h2 = Fnv2
+        var n = 0
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          h1 ^= cp.toLong; h1 *= 0x100000001B3L
+          h2 = (h2 ^ cp.toLong) * P2
+          n += 1
+          i += Character.charCount(cp)
+        }
+        push(h1, h2, n)
+        ti += 1
+      }
+    }
+    if (m < k) return null
+    // order-sensitive combine of each k-window, one per stream
+    val out = new Array[Any](m - k + 1)
+    var w = 0
+    while (w <= m - k) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < k) {
+        h1 = Mix64.mix(h1 ^ (t1(w + j) + (j + 1) * Mix64.Golden))
+        h2 = Mix64.mix(h2 ^ (t2(w + j) + (j + 1) * P2))
+        j += 1
+      }
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a bag of element hashes: each input hash votes ±1 on
   * every bit position; the output bit is 1 iff the vote sum is positive.
   * Near-duplicate documents land within small Hamming distance.
@@ -481,6 +630,86 @@ case class TopBigramCount(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TopBigramCount.topCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Single-pass quality-metric counters (r19): replaces qualityScores'
+  * regex chain — `split(trim(text), ws)` + an interpreted higher-order
+  * stopword filter + TWO full-string regexp_replace passes — with one
+  * tight codepoint loop. Only the COUNTS go native; every ratio,
+  * division, and round(·, 6) stays in the exact same Spark column
+  * expressions, so the scores are bit-identical to the column form.
+  *
+  * Replicated semantics, quirk for quirk (pinned by the differential
+  * spec):
+  *  - n_chars: codepoint count of the RAW text (Spark `length`);
+  *  - tokens: Java `split(trim(text), "[\t\n\f\r ]+", -1)` — trim strips
+  *    only 0x20, leading/trailing separator runs yield EMPTY tokens
+  *    (limit -1 keeps trailing empties), empty trimmed text is ONE empty
+  *    token; n_toks counts them all;
+  *  - n_stop: tokens exactly equal (case-sensitive) to one of the 18
+  *    pinned stopwords;
+  *  - n_punct / n_alpha: codepoints of the raw text in [.,;:!?] /
+  *    [A-Za-z] (the two regexp_replace strip-and-length passes). */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val sw: Array[String] = stopwords.toArray
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    val len = s.length
+    // raw-text counters (one codepoint pass)
+    var nChars = 0; var nPunct = 0; var nAlpha = 0
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?') nPunct += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) nAlpha += 1
+      i += Character.charCount(cp)
+    }
+    // trim: 0x20 only, both ends (SQL trim)
+    var lo = 0
+    var hi = len
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    // token segments between whitespace RUNS, Java split(-1) semantics:
+    // a leading run yields one leading "" segment, a trailing run one
+    // trailing "" segment, an empty trimmed string is one "" segment
+    var nToks = 0; var nStop = 0
+    def seg(a: Int, b: Int): Unit = {
+      nToks += 1
+      val l = b - a
+      var k = 0
+      var hit = false
+      while (!hit && k < sw.length) {
+        val w = sw(k)
+        if (w.length == l && s.regionMatches(a, w, 0, l)) hit = true
+        k += 1
+      }
+      if (hit) nStop += 1
+    }
+    var p = lo
+    var segStart = lo
+    while (p < hi) {
+      if (graft.ops.Tokens.isWsCp(s.charAt(p))) {
+        seg(segStart, p)
+        while (p < hi && graft.ops.Tokens.isWsCp(s.charAt(p))) p += 1
+        segStart = p
+      } else p += 1
+    }
+    seg(segStart, hi) // final segment ("" after a trailing run / empty text)
+    org.apache.spark.sql.catalyst.InternalRow(nChars, nToks, nStop, nPunct, nAlpha)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -228,3 +228,212 @@ case class DotProductI8F64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Map-side nearest-centroid assignment over an int8 vector against a
+  * PLAN-LITERAL centroid matrix (r19 optimization): replaces the
+  * `crossJoin(broadcast(centroids)) → groupBy(vec_id).agg(max_by | TopK)`
+  * pattern of the IVF/k-means/SemDeDup family — the ×|centroids| row
+  * expansion and the per-vector re-aggregation shuffle disappear; each row
+  * scores all centroids in one tight loop and emits its cluster id(s)
+  * directly. The centroid set is bounded (nCentroids ≤ a few hundred —
+  * the same boundedness that made it broadcast-able), so riding the plan
+  * as a literal is the CascadeVotes discipline.
+  *
+  * Arithmetic replicates the column form BIT-FOR-BIT so the assignment —
+  * and therefore every oracle-pinned downstream result — is unchanged:
+  * score_j = dot_i8f64(vec, cent_j) / (sqrt(qnorm) · sqrt(norm_j)) with
+  * the dot accumulated sequentially in doubles (exact: integer values
+  * < 2^53) and norm_j = Σ cent_j(i)² in declaration order (the
+  * `centroidsDf` fold). Ordering is Spark's double ordering
+  * (java.lang.Double.compare — NaN greatest):
+  *  - spill == 1 (LongType): argmax of (score, -cent_id) — exactly
+  *    `max_by(cent_id, struct(cent_cos, negate(cent_id)))`;
+  *  - spill > 1 (array<long>): ids of the top-`spill` centroids by
+  *    (score desc, id asc) — exactly the bounded TopK aggregate +
+  *    `transform(top, s -> s.id)` it replaces (a NaN score sorts LAST,
+  *    the TopK sortBy(-score) order).
+  * Returns null only when the vector's dimension mismatches every use is
+  * guarded against upstream (quantize emits fixed-dim vectors).
+  *
+  * Centroids are Seq (value equality), not Array — plan canonicalization
+  * and semanticEquals stay structural (the CascadeVotes advisory). */
+case class NearestCentroids(vec: Expression, qnorm: Expression,
+    ids: Seq[Long], cents: Seq[Seq[Double]], spill: Int,
+    nanGreatest: Boolean = false)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(ids.nonEmpty && ids.length == cents.length, "ids/cents must align")
+  require(spill >= 1, "spill must be >= 1")
+
+  override def left: Expression = vec
+  override def right: Expression = qnorm
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType =
+    if (spill == 1) LongType else ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, qnorm.dataType) match {
+      case (ArrayType(ByteType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<tinyint>, double), got " +
+            s"${l.simpleString(10)} / ${r.simpleString(10)}")
+    }
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  // the exact centroidsDf fold: v.map(x => x * x).sum, declaration order
+  @transient private lazy val normArr: Array[Double] =
+    cents.map(_.map(x => x * x).sum).toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val qn = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val sqn = math.sqrt(qn)
+    val m = idArr.length
+    if (spill == 1) {
+      var bestId = 0L
+      var bestCos = 0.0
+      var found = false
+      var j = 0
+      while (j < m) {
+        val c = centArr(j)
+        if (c.length == n) {
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += x.getByte(i).toDouble * c(i); i += 1 }
+          val cos = acc / (sqn * math.sqrt(normArr(j)))
+          val cmp = java.lang.Double.compare(cos, bestCos)
+          if (!found || cmp > 0 || (cmp == 0 && idArr(j) < bestId)) {
+            bestId = idArr(j); bestCos = cos; found = true
+          }
+        }
+        j += 1
+      }
+      if (!found) null else bestId
+    } else {
+      // top-`spill` by (score desc NaN-last, id asc) — the TopK order
+      val scores = new Array[Double](m)
+      val ok = new Array[Boolean](m)
+      var j = 0
+      while (j < m) {
+        val c = centArr(j)
+        if (c.length == n) {
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += x.getByte(i).toDouble * c(i); i += 1 }
+          scores(j) = acc / (sqn * math.sqrt(normArr(j)))
+          ok(j) = true
+        }
+        j += 1
+      }
+      val order = (0 until m).filter(ok).sortWith { (a0, b0) =>
+        // nanGreatest=false: TopK's sortBy(-score, id) — NaN sorts LAST;
+        // nanGreatest=true: a window's ORDER BY score DESC — NaN FIRST
+        val c0 =
+          if (nanGreatest) java.lang.Double.compare(scores(b0), scores(a0))
+          else java.lang.Double.compare(-scores(a0), -scores(b0))
+        if (c0 != 0) c0 < 0 else idArr(a0) < idArr(b0)
+      }.take(spill)
+      if (order.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        order.map(idArr(_)).toArray)
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, qnorm = r)
+}
+
+/** [[NearestCentroids]] for the float32 path ([[CosineSimF32]] scoring):
+  * score_j is the single-pass dot/na/nb loop of cosine_f32 replicated
+  * bit-for-bit (0.0 when either norm is 0, like the column form; a
+  * dimension-mismatched centroid is skipped — the `.filter(cent_cos
+  * .isNotNull)` it replaces). Same ordering contract as
+  * [[NearestCentroids]]. */
+case class NearestCentroidsF32(vec: Expression,
+    ids: Seq[Long], cents: Seq[Seq[Float]], spill: Int,
+    nanGreatest: Boolean = false)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(ids.nonEmpty && ids.length == cents.length, "ids/cents must align")
+  require(spill >= 1, "spill must be >= 1")
+
+  override def child: Expression = vec
+  override def prettyName: String = "nearest_centroids_f32"
+  override def dataType: DataType =
+    if (spill == 1) LongType else ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vec.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float>, got ${other.simpleString(10)}")
+    }
+
+  @transient private lazy val centArr: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = idArr.length
+    val scores = new Array[Double](m)
+    val ok = new Array[Boolean](m)
+    var j = 0
+    while (j < m) {
+      val c = centArr(j)
+      if (c.length == n) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val xv = x.getFloat(i).toDouble; val yv = c(i).toDouble
+          dot += xv * yv; na += xv * xv; nb += yv * yv
+          i += 1
+        }
+        scores(j) = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        ok(j) = true
+      }
+      j += 1
+    }
+    if (spill == 1) {
+      var bestId = 0L; var bestCos = 0.0; var found = false
+      var jj = 0
+      while (jj < m) {
+        if (ok(jj)) {
+          val cmp = java.lang.Double.compare(scores(jj), bestCos)
+          if (!found || cmp > 0 || (cmp == 0 && idArr(jj) < bestId)) {
+            bestId = idArr(jj); bestCos = scores(jj); found = true
+          }
+        }
+        jj += 1
+      }
+      if (!found) null else bestId
+    } else {
+      val order = (0 until m).filter(ok).sortWith { (a0, b0) =>
+        // nanGreatest=false: TopK's sortBy(-score, id) — NaN sorts LAST;
+        // nanGreatest=true: a window's ORDER BY score DESC — NaN FIRST
+        val c0 =
+          if (nanGreatest) java.lang.Double.compare(scores(b0), scores(a0))
+          else java.lang.Double.compare(-scores(a0), -scores(b0))
+        if (c0 != 0) c0 < 0 else idArr(a0) < idArr(b0)
+      }.take(spill)
+      if (order.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        order.map(idArr(_)).toArray)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}

@@ -290,22 +290,32 @@ object Dedup {
     * keys on the same hash; island merging is a per-document window
     * (state bounded by document length) and the rest is per-doc
     * aggregation. Everything is linear in total tokens — the same
-    * shuffle regime as the repetition metrics, and the hash is 256-bit
-    * like [[exact]]'s so corpus-scale collision probability stays
-    * negligible by design (~n²/2^257 at 10^12 shingles). */
+    * shuffle regime as the repetition metrics, and the key is 128-bit
+    * (two independent 64-bit streams) so corpus-scale collision
+    * probability stays negligible by design (~n²/2^129 ≈ 10^-15 at
+    * 10^12 shingles). */
   /** (doc_id, toks) via the shared tokenizer ([[Tokens.seg]] —
     * the same token stream chunking and sampling see). */
   private def spanToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Tokens.seg(col("text")).as("toks"))
 
-  /** (doc_id, pos, sh): every k-token shingle start with its 256-bit
-    * content hash — map-side; positions + 32-byte keys on the wire,
-    * never shingle text. */
-  private def spanShingles(toks: DataFrame, k: Int): DataFrame =
-    toks
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), i -> unhex(sha2(concat_ws(' ', slice(toks, i + 1, $k)), 256)))"))
+  /** (doc_id, pos, sh): every k-token shingle start with its 128-bit
+    * content key (struct<h1,h2> — the native
+    * [[graft.functions.SpanShingleHashes]] kernel) — map-side; positions
+    * + 16-byte keys on the wire, never shingle text. r19: replaced the
+    * per-window `unhex(sha2(concat_ws(' ', slice(...)), 256))` chain —
+    * an interpreted higher-order transform building a string and a SHA
+    * per window — with one tight per-row loop; the key is engine-internal
+    * (both engines group on shingle-text equality) and 128 bits keeps
+    * corpus-scale collisions negligible (~n²/2^129 ≈ 10^-15 at 10^12
+    * shingles) while halving shuffle bytes per key. The kernel tokenizes
+    * in-eval (the same pinned segmentation contract), so the repeated sh
+    * derivations in the span plans never pay the regex seg chain or
+    * materialize a token array; a doc with < k tokens yields null →
+    * no rows, exactly the old size(toks) >= k gate. */
+  private def spanShinglesFromText(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.span_shingles(col("text"), k))
         .as(Seq("pos", "sh")))
 
   /** Gaps-and-islands over flagged shingle starts: intervals [p, p+k−1]
@@ -323,16 +333,15 @@ object Dedup {
   }
 
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val toks = spanToks(docs)
-    val sh = spanShingles(toks, k)
+    val sh = spanShinglesFromText(docs, k)
     val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
     val flagged = sh.join(dup, Seq("sh")).select("doc_id", "pos")
     spanIslands(flagged, k).groupBy("doc_id")
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("e") - col("s") + k).cast("long").as("dup_tokens"))
-      .join(toks.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens")),
-        Seq("doc_id"))
+      .join(spanToks(docs).select(col("doc_id"),
+        size(col("toks")).cast("long").as("total_tokens")), Seq("doc_id"))
       .select("doc_id", "total_tokens", "dup_spans", "dup_tokens")
       .orderBy("doc_id")
   }
@@ -360,7 +369,7 @@ object Dedup {
     * exactly ONE exchange, as whole rows, never token-exploded. */
   def stripDuplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     val toks = spanToks(docs)
-    val sh = spanShingles(toks, k)
+    val sh = spanShinglesFromText(docs, k)
     val agg = sh.groupBy("sh").agg(count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("canon"))
     val removable = sh.join(agg.filter(col("cnt") > 1), Seq("sh"))

@@ -196,36 +196,27 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L, nprobe: Int = 3,
       nCentroids: Int = 16, seedSample: Int = 512, spill: Int = 3): DataFrame = {
     val seedIds = maximinSeedIds(emb, nCentroids, seedSample)
-    val centroids = emb.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    // Top-spill assignment is a partial+final bounded AGGREGATE, not a
-    // window: the corpus × broadcast(centroids) expansion collapses back
-    // to one row per vec_id in the map-side partial (every copy of a
-    // vec_id lives in the partition that produced it), so the exchange
-    // carries |corpus| rows — a window over the expansion would shuffle
-    // |corpus| × |centroids| rows before ranking could drop any. Ties by
-    // smallest cent_id, matching the probe side's window order.
-    val topA = udaf(new graft.functions.Aggregators.TopK(spill),
-      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
+    // centroid VECTORS to the driver — bounded by nCentroids, the same
+    // boundedness that made the old broadcast(centroids) legal — so both
+    // assignment and probing run MAP-SIDE through the native
+    // NearestCentroidsF32 kernel (r19): the ×|centroids| crossJoin
+    // expansion and the per-vector TopK re-aggregation SHUFFLE disappear;
+    // scoring (cosine_f32), top-spill order (cos desc, id asc — the
+    // bounded TopK's), and the probe window's order are replicated
+    // bit-for-bit inside the kernel.
+    val cs = emb.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val ids = cs.map(_._1).toSeq
+    val vecs = cs.map(_._2).toSeq
     val assignments = emb
-      .crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", cosine_f32(col("embedding"), col("cent_vec")))
-      .filter(col("cent_cos").isNotNull)
-      .groupBy("vec_id")
-      .agg(topA(col("cent_cos"), col("cent_id")).as("top"),
-        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
-        explode(expr("transform(top, s -> s.id)")).as("cluster"))
-    // The probe side stays a window: the query set is broadcast-small by
-    // contract, so ranking nprobe clusters per query never sees scale.
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
+        explode(graft.functions.GraftFunctions.nearest_centroids_f32(
+          col("embedding"), ids, vecs, spill)).as("cluster"))
     val probes = queries(emb, every)
-      .crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", cosine_f32(col("qvec"), col("cent_vec")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cent_id").as("cluster"))
+      .select(col("qid"), col("qvec"),
+        explode(graft.functions.GraftFunctions.nearest_centroids_f32(
+          col("qvec"), ids, vecs, nprobe, nanGreatest = true)).as("cluster"))
     val scored = assignments
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
@@ -297,40 +288,38 @@ object Similarity {
     * the INDEX does — assignment, probing, scoring — runs on the int8
     * vectors, so every cosine there is exact integer arithmetic (the
     * [[quantizedTopK]] property) and the full pipeline stays
-    * oracle-reproducible. Assignment is the same bounded top-spill
-    * aggregate as [[ivfTopK]] (shuffle = spill × |corpus| rows, each
-    * carrying an int8 vector — 4× narrower than the float32 equivalent). */
+    * oracle-reproducible. Assignment is the same map-side top-spill
+    * kernel as [[ivfTopK]] (r19 — no assignment shuffle at all; the
+    * int8 vectors reach the probe join 4× narrower than float32). */
   def ivfQuantizedTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
       nprobe: Int = 3, nCentroids: Int = 16, seedSample: Int = 512,
       spill: Int = 3): DataFrame = {
     val q = quantize(emb)
     val seedIds = maximinSeedIds(emb, nCentroids, seedSample)
-    val centroids = q.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id").as("cent_id"), col("qvec").as("cent_vec"),
-        col("qnorm").as("cent_norm"))
-    val topA = udaf(new graft.functions.Aggregators.TopK(spill),
-      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
+    // seed qvecs to the driver (bounded by nCentroids — the old broadcast
+    // boundedness) → assignment and probing run MAP-SIDE through the
+    // NearestCentroids kernel (r19): no ×|centroids| crossJoin, no
+    // per-vector TopK re-aggregation shuffle, no probe window. Scoring is
+    // unchanged to the bit: dot over exact-integer int8 components (the
+    // kernel's double accumulation equals dot_i8's long accumulation on
+    // values < 2^53) divided by the same sqrt product, and the kernel
+    // recomputes cent_norm as Σx² — identical to the seed's qnorm.
+    val cs = q.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).map(_.toDouble).toSeq))
+    val ids = cs.map(_._1).toSeq
+    val vecs = cs.map(_._2).toSeq
     val assignments = q
-      .crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", dot_i8(col("qvec"), col("cent_vec")) /
-        (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
-      .groupBy("vec_id")
-      .agg(topA(col("cent_cos"), col("cent_id")).as("top"),
-        first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
       .select(col("vec_id"), col("qvec"), col("qnorm"),
-        explode(expr("transform(top, s -> s.id)")).as("cluster"))
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
+        explode(graft.functions.GraftFunctions.nearest_centroids(
+          col("qvec"), col("qnorm"), ids, vecs, spill)).as("cluster"))
     val probes = q.filter(col("vec_id") % every === 0)
       .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
         col("qnorm").as("probe_norm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", dot_i8(col("probe_vec"), col("cent_vec")) /
-        (sqrt(col("probe_norm")) * sqrt(col("cent_norm"))))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
       .select(col("qid"), col("probe_vec"), col("probe_norm"),
-        col("cent_id").as("cluster"))
+        explode(graft.functions.GraftFunctions.nearest_centroids(
+          col("probe_vec"), col("probe_norm"), ids, vecs, nprobe,
+          nanGreatest = true)).as("cluster"))
     val scored = assignments
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
@@ -372,39 +361,36 @@ object Similarity {
       (id, v.toSeq, v.map(x => x * x).sum) // exact-integer self-dot
     }).toDF("cent_id", "cent_vec", "cent_norm")
 
-  /** Nearest-centroid assignment of the quantized corpus `q`: one scan ×
-    * broadcast(centroids), partial+final max_by aggregate. The Lloyd and
+  /** Nearest-centroid assignment of the quantized corpus `q` — MAP-SIDE
+    * (r19): the bounded centroid matrix rides the plan as a literal inside
+    * the native [[graft.functions.NearestCentroids]] kernel, which
+    * replicates `max_by(cent_id, struct(cent_cos, negate(cent_id)))` over
+    * `dot_i8f64 / (sqrt·sqrt)` scoring bit-for-bit. Replaces the
+    * `crossJoin(broadcast(centroids)) → groupBy(vec_id)` form: the
+    * ×|centroids| row expansion and the per-vector re-aggregation
+    * SHUFFLE disappear — assignment fuses into the scan. The Lloyd and
     * SemDeDup form — each point in EXACTLY one cluster. */
   private def assignQ(q: DataFrame,
       cs: Array[(Long, Array[Double])]): DataFrame = q
-    .crossJoin(broadcast(centroidsDf(q.sparkSession, cs)))
-    .withColumn("cent_cos", dot_i8f64(col("qvec"), col("cent_vec")) /
-      (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
-    .groupBy("vec_id")
-    .agg(
-      max_by(col("cent_id"), struct(col("cent_cos"), negate(col("cent_id"))))
+    .select(col("vec_id"),
+      graft.functions.GraftFunctions.nearest_centroids(col("qvec"),
+        col("qnorm"), cs.map(_._1).toSeq, cs.map(_._2.toSeq).toSeq, 1)
         .as("cluster"),
-      first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
+      col("qvec"), col("qnorm"))
 
   /** Top-`spill` SERVING assignment (r13, the ivfTopK recall lever):
     * each vector indexed under its `spill` nearest trained centroids —
-    * bounded TopK aggregate, same no-window-over-the-expansion shape as
-    * [[assignQ]], one exploded row per (vector, spill slot). Used by the
-    * serving paths only; Lloyd's update and SemDeDup keep [[assignQ]]. */
+    * the same map-side kernel with spill > 1 (top-`spill` ids by
+    * (cos desc, id asc), the bounded-TopK-aggregate order it replaces),
+    * one exploded row per (vector, spill slot). Used by the serving
+    * paths only; Lloyd's update and SemDeDup keep [[assignQ]]. */
   private def assignQTop(q: DataFrame, cs: Array[(Long, Array[Double])],
       spill: Int): DataFrame = {
     if (spill <= 1) return assignQ(q, cs)
-    val topA = udaf(new graft.functions.Aggregators.TopK(spill),
-      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
-    q.crossJoin(broadcast(centroidsDf(q.sparkSession, cs)))
-      .withColumn("cent_cos", dot_i8f64(col("qvec"), col("cent_vec")) /
-        (sqrt(col("qnorm")) * sqrt(col("cent_norm"))))
-      .filter(col("cent_cos").isNotNull)
-      .groupBy("vec_id")
-      .agg(topA(col("cent_cos"), col("cent_id")).as("top"),
-        first(col("qvec")).as("qvec"), first(col("qnorm")).as("qnorm"))
-      .select(col("vec_id"), col("qvec"), col("qnorm"),
-        explode(expr("transform(top, s -> s.id)")).as("cluster"))
+    q.select(col("vec_id"), col("qvec"), col("qnorm"),
+      explode(graft.functions.GraftFunctions.nearest_centroids(col("qvec"),
+        col("qnorm"), cs.map(_._1).toSeq, cs.map(_._2.toSeq).toSeq, spill))
+        .as("cluster"))
       .select("vec_id", "cluster", "qvec", "qnorm")
   }
 
@@ -438,25 +424,27 @@ object Similarity {
     cents
   }
 
-  /** Probe ranking: each query's `nprobe` nearest clusters. `queries` has
-    * (qid, probe_vec, probe_norm); the query set is broadcast-small by
-    * contract, so the window never sees scale. Duplicate qids are deduped
-    * here (free at broadcast size): a query set derived from the SPILLED
-    * index carries one row per (vector, spill slot), and ranking over
-    * duplicated rows would burn probe slots on repeated clusters. */
-  private def probeClusters(queries: DataFrame, cdf: DataFrame,
-      nprobe: Int): DataFrame = {
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
+  /** Probe ranking: each query's `nprobe` nearest clusters — the same
+    * map-side kernel (r19; replaces the crossJoin + row_number window;
+    * nanGreatest replicates the window's `cent_cos DESC` NaN-first
+    * order). Duplicate qids are deduped first: a query set derived from
+    * the SPILLED index carries one row per (vector, spill slot), and
+    * ranking over duplicated rows would burn probe slots on repeated
+    * clusters. */
+  private def probeClusters(queries: DataFrame,
+      cs: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val ids = cs.map(_._1).toSeq
+    val vecs = cs.map(_._2.toSeq).toSeq
+    val top = // spill == 1 returns a bare id — wrap for the uniform explode
+      if (nprobe == 1) array(graft.functions.GraftFunctions
+        .nearest_centroids(col("probe_vec"), col("probe_norm"), ids, vecs, 1))
+      else graft.functions.GraftFunctions.nearest_centroids(
+        col("probe_vec"), col("probe_norm"), ids, vecs, nprobe,
+        nanGreatest = true)
     queries
       .dropDuplicates("qid")
-      .crossJoin(broadcast(cdf))
-      .withColumn("cent_cos", dot_i8f64(col("probe_vec"), col("cent_vec")) /
-        (sqrt(col("probe_norm")) * sqrt(col("cent_norm"))))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
       .select(col("qid"), col("probe_vec"), col("probe_norm"),
-        col("cent_id").as("cluster"))
+        explode(top).as("cluster"))
   }
 
   private def scoreAndTop(assignments: DataFrame, probes: DataFrame,
@@ -477,7 +465,6 @@ object Similarity {
   def kmeansIvfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L,
       nprobe: Int = 3, nCentroids: Int = 16, iters: Int = 2,
       scale: Int = 64, spill: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
     val q = quantize(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = trainCentroids(q, nCentroids, iters, scale)
@@ -485,7 +472,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("qvec").as("probe_vec"),
         col("qnorm").as("probe_norm"))
     scoreAndTop(assignQTop(q, cents, spill),
-      probeClusters(queries, centroidsDf(spark, cents), nprobe), k)
+      probeClusters(queries, cents, nprobe), k)
   }
 
   /** Persist a trained IVF index: centroids + the assigned int8 corpus
@@ -630,8 +617,7 @@ object Similarity {
     * driver-side IN-list is O(k), not O(queries)). */
   def queryKmeansIvfIndex(spark: SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
-    val cdf = spark.read.parquet(s"$path/centroids")
-    val probes = probeClusters(queries, cdf, nprobe)
+    val probes = probeClusters(queries, loadCentroids(spark, path), nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = probes.select("cluster").distinct()
       .collect().map(_.getLong(0)) // bounded by nCentroids

@@ -36,15 +36,25 @@ object TextAnalysis {
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
 
   /** Quality scoring: length, mean token length, stopword ratio, punctuation
-    * ratio, alpha ratio, and a blended [0,1] quality score. All ratios are
-    * exact-arithmetic column expressions (no UDF). */
+    * ratio, alpha ratio, and a blended [0,1] quality score. r19: the five
+    * COUNTS come from one native single-pass kernel
+    * ([[graft.functions.TextStats]] — replacing split + an interpreted
+    * higher-order stopword filter + two full-string regexp_replace
+    * passes); every ratio, division, and round stays the exact same
+    * column expression, so scores are bit-identical to the old form
+    * (differential-spec-pinned). */
   def qualityScores(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val toks = wsTokens
-    val nToks = size(toks)
-    val nChars = length(col("text"))
-    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
-    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
-    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    // two-step projection: the kernel lands in its own Project so it is
+    // evaluated ONCE per row (CollapseProject keeps non-cheap aliases
+    // referenced many times in their own node)
+    val withStats = docs.select(col("doc_id") +: keep.map(col) :+
+      text_stats(col("text"), Stopwords).as("__st"): _*)
+    val st = col("__st")
+    val nToks = st.getField("n_toks")
+    val nChars = st.getField("n_chars")
+    val nStop = st.getField("n_stop")
+    val nPunct = st.getField("n_punct")
+    val nAlpha = st.getField("n_alpha")
     val meanTokLen = (nChars - (nToks - lit(1))).cast("double") / nToks
     val stopRatio = nStop.cast("double") / nToks
     val punctRatio = nPunct.cast("double") / nChars
@@ -54,7 +64,7 @@ object TextAnalysis {
     val lenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     val score = least(lit(1.0),
       stopRatio * 2.0 + alphaRatio * 0.3 + lenScore * 0.3)
-    docs.select(col("doc_id") +: keep.map(col) :+ nChars.as("n_chars2") :+
+    withStats.select(col("doc_id") +: keep.map(col) :+ nChars.as("n_chars2") :+
       nToks.as("n_tokens") :+
       round(meanTokLen, 6).as("mean_tok_len") :+
       round(stopRatio, 6).as("stop_ratio") :+

@@ -272,4 +272,32 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().toMap
     f.keys.foreach(g => assert(wide(g) == f(g), s"group $g (partial+final)"))
   }
+
+  test("text_stats counters replicate the split/trim/filter/regex column chain (r19 swap)") {
+    // the exact 18-word list TextAnalysis pins (private there; the swap
+    // contract is the VALUES, so the copy is the assertion)
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
+    val texts = Seq(
+      "", " ", "  ", "\t", " a ", "a\t", "\ta", "the quick, brown fox! it is; fine:",
+      "the the THE", "a  b\n\nc", "\u591a byte \u5b57 and ASCII.",
+      "x \ud842\udfb7 y", // supplementary-plane codepoint
+      "ends with space ", " leading", "tab\tseparated\ttokens",
+      "no-stop-words-here", "punct.,;:!?only", "a\fb\rc", "the\u000bvt")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // the pre-r19 column chain, verbatim
+    val toks = split(trim(col("text")), "[\t\n\f\r ]+")
+    val old = df.select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_toks"),
+      size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).as("n_stop"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha"))
+    val neu = df.select(col("doc_id"), text_stats(col("text"), stop).as("st"))
+      .select(col("doc_id"), col("st.n_chars"), col("st.n_toks"),
+        col("st.n_stop"), col("st.n_punct"), col("st.n_alpha"))
+    val diff = old.exceptAll(neu).union(neu.exceptAll(old))
+    assert(diff.count() === 0, s"text_stats diverged: ${diff.collect().mkString(", ")}")
+  }
 }

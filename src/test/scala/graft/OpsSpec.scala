@@ -82,6 +82,50 @@ class OpsSpec extends AnyFunSuite {
       (3L, 10L, 1L, 8L)))
   }
 
+  test("span_shingles keys group windows exactly like the old sha2-of-text key (r19 swap)") {
+    // r19 optimization: spanShingles' grouping key moved from
+    // unhex(sha2(concat_ws(' ', slice(toks, i+1, k)), 256)) to the native
+    // 128-bit SpanShingleHashes kernel. Equivalence contract: two windows
+    // share a key IFF their space-joined shingle text is equal. Exercise on
+    // a corpus with heavy token reuse (many near-miss windows): the number
+    // of distinct native keys must equal the number of distinct joined
+    // strings, and per-position keys must co-classify identically.
+    import graft.functions.GraftFunctions.span_shingles
+    val k = 4
+    // heavy token reuse (near-miss windows) + CJK (in-eval per-codepoint
+    // segmentation must agree with Tokens.seg) + mixed whitespace
+    val vocab = Array("a", "b", "ab", "ba", "aa", "学", "学习", "Aa")
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 40L).map { id =>
+      val n = 4 + rng.nextInt(20)
+      val sep = if (id % 3 == 0) "\t" else " "
+      id -> Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(sep)
+    }
+    val d = docs(rows: _*)
+    val toks = d.select(col("doc_id"), col("text"), graft.ops.Tokens.seg(col("text")).as("toks"))
+    val both = toks
+      .select(col("doc_id"), col("text"), col("toks"),
+        posexplode(span_shingles(col("toks"), k)).as(Seq("pos", "sh")))
+      .withColumn("txt", expr(s"concat_ws(' ', slice(toks, pos + 1, $k))"))
+      // the TEXT branch (in-eval tokenization) must agree with the
+      // array branch position-for-position
+      .withColumn("sh_text", span_shingles(col("text"), k).getItem(col("pos")))
+      .select("sh", "sh_text", "txt")
+    assert(both.filter(col("sh") =!= col("sh_text")).count() === 0,
+      "text-branch and array-branch keys diverged")
+    val pairs = both.select("sh", "txt").distinct().collect()
+    val byTxt = pairs.groupBy(_.getString(1))
+    // every joined-text class maps to exactly one native key and vice versa
+    assert(byTxt.values.forall(_.length == 1),
+      "one shingle text mapped to two native keys")
+    assert(pairs.map(_.get(0)).distinct.length === byTxt.size,
+      "two distinct shingle texts collided in the native key")
+    // <k tokens → null (no windows), matching the old size(toks) >= k gate
+    val short = docs(99L -> "t1 t2 t3")
+      .select(span_shingles(graft.ops.Tokens.seg(col("text")), k).as("sh"))
+    assert(short.collect().head.isNullAt(0))
+  }
+
   test("duplicatedSpans ignores documents shorter than k tokens") {
     val d = docs(1L -> "s1 s2 s3", 2L -> "s1 s2 s3")
     assert(Dedup.duplicatedSpans(d, k = 8).count() === 0)
