@@ -23,25 +23,35 @@ object Probe {
     import graft.functions.GraftFunctions._
     import graft.ops._
     def docsC = Curation.withPlantedDups(Tables.load(spark, sfDir, "documents"))
-    def gated = TextAnalysis.qualityScores(
-      docsC.select(col("doc_id"), col("text"), col("lang")), keep = Seq("lang", "text"))
-      .filter(col("n_tokens").between(20, 2000) && col("quality_score") >= 0.5)
-      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"), col("quality_score"))
-    def kept = gated
-      .groupBy(sha2(col("text"), 256).as("content_hash"))
-      .agg(min_by(struct(col("doc_id"), col("lang"), col("text"),
-        col("n_tokens"), col("quality_score")), col("doc_id")).as("r"),
-        count(lit(1)).as("n_copies"))
-      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
-        col("r.text").as("text"), col("r.n_tokens").as("n_tokens"),
-        col("r.quality_score").as("quality_score"), col("n_copies"))
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
+    def statsSel(d: DataFrame) = d.select(col("doc_id"),
+      text_stats(col("text"), stop).as("st"))
+      .select(col("doc_id"), col("st.n_chars"), col("st.n_toks"),
+        col("st.n_stop"), col("st.n_punct"), col("st.n_alpha"))
     val stages: Seq[(String, () => DataFrame)] = Seq(
-      "1_planted" -> (() => docsC),
-      "2_gated" -> (() => gated),
-      "3_kept" -> (() => kept),
-      "4_minhash_pairs" -> (() => Dedup.minHashPairs(kept, 16, 0.5)),
-      "5_curate_full" -> (() => Curation.curate(docsC)),
-      "6_curate_chunks" -> (() => Curation.curateToChunks(docsC))
+      "1_bpe_now" -> (() => {
+        val merges = Bpe.loadMerges(spark, Bpe.ensureModel(spark, sfDir))
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            array_join(Bpe.bpe_token_ids(col("text"), merges), " ").as("ids"),
+            Bpe.bpe_tokens(col("text"), merges).as("n_bpe"))
+          .orderBy("doc_id")
+      }),
+      "2_bpe_orderfirst" -> (() => {
+        val merges = Bpe.loadMerges(spark, Bpe.ensureModel(spark, sfDir))
+        Tables.load(spark, sfDir, "documents").orderBy("doc_id")
+          .select(col("doc_id"),
+            array_join(Bpe.bpe_token_ids(col("text"), merges), " ").as("ids"),
+            Bpe.bpe_tokens(col("text"), merges).as("n_bpe"))
+      }),
+      "3_bpe_noorder" -> (() => {
+        val merges = Bpe.loadMerges(spark, Bpe.ensureModel(spark, sfDir))
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            array_join(Bpe.bpe_token_ids(col("text"), merges), " ").as("ids"),
+            Bpe.bpe_tokens(col("text"), merges).as("n_bpe"))
+      })
     )
     // warmup
     stages.foreach { case (_, f) => f().write.format("noop").mode("overwrite").save() }

@@ -1157,10 +1157,11 @@ object Bpe {
     "text_tokens_bpe" -> ((s, d) => {
       val merges = loadMerges(s, ensureModel(s, d))
       Tables.load(s, d, "documents")
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_tokens(col("text"), merges).as("n_bpe"),
           size(Tokens.seg(col("text"))).cast("long").as("n_ws"))
-        .orderBy("doc_id")
     }),
     // the packing plan parameterized by the tokenizer: same two-phase
     // prefix-sum pack ([[Chunking.packChunks]]), budgeted in SUBWORDS —
@@ -1224,6 +1225,8 @@ object Bpe {
     "text_tokens_bpe_large" -> ((s, d) => {
       val large = loadMerges(s, ensureModelLarge(s, d))
       Tables.load(s, d, "documents")
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_tokens(col("text"), large.take(NMerges)).as("n_bpe_pfx"),
           bpe_tokens(col("text"), large).as("n_full"),
@@ -1231,7 +1234,6 @@ object Bpe {
         .select(col("doc_id"), col("n_bpe_pfx"),
           (col("n_full") >= col("n_w") && col("n_full") <= col("n_bpe_pfx"))
             .as("ok"))
-        .orderBy("doc_id")
     }),
     // r15: the trainer-facing artifact — per doc, the BPE token ID
     // SEQUENCE itself (counts budget; sequences ship). n_bpe rides along
@@ -1243,10 +1245,11 @@ object Bpe {
       // s33 decimal precedent: the driver's canonicalizer cannot hash
       // array cells) — the DataFrame API (bpe_token_ids) keeps real arrays
       Tables.load(s, d, "documents")
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           array_join(bpe_token_ids(col("text"), merges), " ").as("ids"),
           bpe_tokens(col("text"), merges).as("n_bpe"))
-        .orderBy("doc_id")
     }),
     // r15: ids under the byte-level model over the planted multiscript
     // corpus — every UTF-8 string coverable, base id = byte value,
@@ -1254,11 +1257,12 @@ object Bpe {
     "text_bpe_ids_bytes" -> ((s, d) => {
       val merges = loadMerges(s, ensureModelBytes(s, d))
       plantMultiscript(Tables.load(s, d, "documents"))
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           array_join(bpe_token_ids(col("text"), merges, byteLevel = true),
             " ").as("ids"),
           bpe_tokens(col("text"), merges, byteLevel = true).as("n_bpe"))
-        .orderBy("doc_id")
     }),
     // r15: the CAPSTONE artifact — what a training pipeline actually
     // hands the trainer: chunk windows carrying their BPE token ID
@@ -1285,10 +1289,11 @@ object Bpe {
     "text_bpe_decode" -> ((s, d) => {
       val merges = loadMerges(s, ensureModel(s, d))
       Tables.load(s, d, "documents")
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_decode_ids(bpe_token_ids(col("text"), merges), merges)
             .as("decoded"))
-        .orderBy("doc_id")
     }),
     // r15: the byte-level round trip over the planted multiscript corpus —
     // UTF-8 losslessness at the gate: CJK codepoints split across byte ids
@@ -1297,10 +1302,11 @@ object Bpe {
     "text_bpe_decode_bytes" -> ((s, d) => {
       val merges = loadMerges(s, ensureModelBytes(s, d))
       plantMultiscript(Tables.load(s, d, "documents"))
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_decode_ids(bpe_token_ids(col("text"), merges, byteLevel = true),
             merges, byteLevel = true).as("decoded"))
-        .orderBy("doc_id")
     }),
     // the byte-level (GPT-2) variant: a 256-symbol base alphabet covers
     // EVERY UTF-8 string. The ASCII corpus gets the multiscript plant
@@ -1311,11 +1317,12 @@ object Bpe {
     "text_tokens_bpe_bytes" -> ((s, d) => {
       val merges = loadMerges(s, ensureModelBytes(s, d))
       plantMultiscript(Tables.load(s, d, "documents"))
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_tokens(col("text"), merges, byteLevel = true).as("n_bpe"),
           aggregate(transform(Tokens.seg(col("text")), w => octet_length(w).cast("long")),
             lit(0L), (acc, x) => acc + x).as("n_bytes"))
-        .orderBy("doc_id")
     }),
     // r16: the FULL production pre-tokenization contract — byte-level BPE
     // over GPT-2's contraction-aware split (Radford et al. 2019): the
@@ -1327,11 +1334,12 @@ object Bpe {
     "text_tokens_bpe_gpt2" -> ((s, d) => {
       val merges = loadMerges(s, ensureModelGpt2(s, d))
       plantMultiscript(Tables.load(s, d, "documents"))
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_tokens(col("text"), merges, byteLevel = true, gpt2 = true)
             .as("n_bpe"),
           size(Tokens.gpt2Seg(col("text"))).cast("long").as("n_pre"))
-        .orderBy("doc_id")
     }),
     // r16: the full production ids artifact — byte-level ids over GPT-2
     // pre-tokens (the gate boundary scalarizes; n_bpe cross-pins the
@@ -1339,12 +1347,13 @@ object Bpe {
     "text_bpe_ids_gpt2" -> ((s, d) => {
       val merges = loadMerges(s, ensureModelGpt2(s, d))
       plantMultiscript(Tables.load(s, d, "documents"))
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           array_join(bpe_token_ids(col("text"), merges, byteLevel = true,
             gpt2 = true), " ").as("ids"),
           bpe_tokens(col("text"), merges, byteLevel = true, gpt2 = true)
             .as("n_bpe"))
-        .orderBy("doc_id")
     }),
     // r17: the production capstone — chunk windows carrying GPT-2-spec
     // byte-level ids with the <|endoftext|> separator MATERIALIZED at
@@ -1394,11 +1403,12 @@ object Bpe {
     "text_bpe_decode_gpt2" -> ((s, d) => {
       val merges = loadMerges(s, ensureModelGpt2(s, d))
       plantMultiscript(Tables.load(s, d, "documents"))
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_decode_ids(
             bpe_token_ids(col("text"), merges, byteLevel = true, gpt2 = true),
             merges, byteLevel = true).as("decoded"))
-        .orderBy("doc_id")
     }))
 
   val oracle: Seq[(String, String)] = {

@@ -200,8 +200,10 @@ object Chunking {
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_chunk" -> ((s, d) =>
-      chunk(Tables.load(s, d, "documents"))
-        .orderBy("doc_id", "chunk_id")),
+      // r19: input sorted by doc_id; the window explode emits chunk_id in
+      // ascending order per doc, so (doc_id, chunk_id) order holds without
+      // a trailing sort re-running seg+explode in its range-sampling pass
+      chunk(Tables.load(s, d, "documents").orderBy("doc_id"))),
     "chunk_pack" -> ((s, d) =>
       packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
         .select("doc_id", "chunk_id", "chunk_tokens", "seq_id", "seq_offset")

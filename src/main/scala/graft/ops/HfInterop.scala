@@ -134,6 +134,8 @@ object HfInterop {
       val (merges, vocab) = Bpe.loadHfTokenizer(ensureForeignDir(), byteLevel = true)
       val rlit = typedLit(remapToForeign(merges, vocab).toSeq)
       Bpe.plantMultiscript(Tables.load(s, d, "documents"))
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           array_join(
             transform(
@@ -142,7 +144,6 @@ object HfInterop {
             " ").as("ids"),
           Bpe.bpe_tokens(col("text"), merges, byteLevel = true, gpt2 = true)
             .as("n_bpe"))
-        .orderBy("doc_id")
     }))
 
   /** The oracle: literal `bp1..bpN` merge CTEs from the authored data

@@ -24,13 +24,13 @@ object TextAnalysis {
     * (runs of word chars / single punctuation marks — the pre-tokenizer
     * shape GPT-style BPE vocabularies assume). */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.orderBy("doc_id") // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
+      .select(
       col("doc_id"),
       length(col("text")).as("n_chars2"),
       size(wsTokens).as("n_ws_tokens"),
       size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\t\\\\n\\\\f\\\\r ]', 0)"))
         .as("n_bpeish_tokens"))
-      .orderBy("doc_id")
 
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
@@ -47,8 +47,9 @@ object TextAnalysis {
     // two-step projection: the kernel lands in its own Project so it is
     // evaluated ONCE per row (CollapseProject keeps non-cheap aliases
     // referenced many times in their own node)
-    val withStats = docs.select(col("doc_id") +: keep.map(col) :+
-      text_stats(col("text"), Stopwords).as("__st"): _*)
+    val withStats = docs.orderBy("doc_id") // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
+      .select(col("doc_id") +: keep.map(col) :+
+        text_stats(col("text"), Stopwords).as("__st"): _*)
     val st = col("__st")
     val nToks = st.getField("n_toks")
     val nChars = st.getField("n_chars")
@@ -71,7 +72,6 @@ object TextAnalysis {
       round(punctRatio, 6).as("punct_ratio") :+
       round(alphaRatio, 6).as("alpha_ratio") :+
       round(score, 6).as("quality_score"): _*)
-      .orderBy("doc_id")
   }
 
   /** Top-k highest-quality documents per language — the "keep the best N
@@ -101,7 +101,7 @@ object TextAnalysis {
     * Pure column expressions — `array_intersect` over a lowercased token
     * set. */
   def languageId(docs: DataFrame): DataFrame =
-    languageIdCols(docs).orderBy("doc_id")
+    languageIdCols(docs.orderBy("doc_id")) // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
 
   /** [[languageId]] without the presentation sort — map-only column
     * expressions, so the streaming twin applies it unchanged inside an
@@ -143,12 +143,12 @@ object TextAnalysis {
   /** Winnowing fingerprints (native Catalyst expression): per-document
     * sorted fingerprint set + a single 64-bit digest for cheap equality. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.orderBy("doc_id") // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
+      .select(
       col("doc_id"),
       winnow_fp(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("fp_size"),
         xxhash64(col("fp")).as("fp_digest"))
-      .orderBy("doc_id")
 
   /** The composed filter a pretraining corpus build actually runs: keep
     * documents inside a token-length band and above a quality floor. A
@@ -160,7 +160,6 @@ object TextAnalysis {
       .filter(col("n_tokens").between(minTokens, maxTokens) &&
         col("quality_score") >= minQuality)
       .select("doc_id", "n_tokens", "quality_score")
-      .orderBy("doc_id")
 
   // PII patterns restricted to the Java↔RE2 shared-semantics subset (no
   // backreferences/lookaround; \b and bounded quantifiers agree), so the
@@ -195,7 +194,8 @@ object TextAnalysis {
     * create new matches, so one sequential pass is a fixpoint. */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(
+    docs.orderBy("doc_id") // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
+      .select(
       col("doc_id"),
       // long counts: the DuckDB oracle's len() is BIGINT
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
@@ -206,7 +206,6 @@ object TextAnalysis {
           regexp_replace(t, EmailRe, "[EMAIL]"),
           Ipv4Re, "[IP]"),
         LongIdRe, "[ID]").as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** The corpus documents carry no PII, so the oracle entry SYNTHESIZES a
@@ -290,8 +289,8 @@ object TextAnalysis {
     * and the DuckDB oracle is unchanged. */
   def repetitionMetrics(docs: DataFrame,
       topBigramPctMax: Int = 18, dupTokenPctMax: Int = 30): DataFrame =
-    repetitionMetricsUnordered(docs, topBigramPctMax, dupTokenPctMax)
-      .orderBy("doc_id")
+    repetitionMetricsUnordered(docs.orderBy("doc_id"), // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
+      topBigramPctMax, dupTokenPctMax)
 
   /** [[repetitionMetrics]] without the presentation sort — the form
     * composed plans (the curate cascade) embed. */
@@ -490,11 +489,14 @@ object TextAnalysis {
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_sentences" -> ((s, d) =>
-      sentences(plantSentences(Tables.load(s, d, "documents")))
-        .orderBy("doc_id", "sent_pos")),
+      // r19: input sorted by doc_id; the extractor explodes in ordinal
+      // order, so (doc_id, sent_pos) order holds without a trailing sort
+      // re-running the extraction in its range-sampling pass
+      sentences(plantSentences(Tables.load(s, d, "documents"))
+        .orderBy("doc_id"))),
     "text_chunk_sentences" -> ((s, d) =>
-      chunkSentences(plantSentences(Tables.load(s, d, "documents")))
-        .orderBy("doc_id", "chunk_id")),
+      chunkSentences(plantSentences(Tables.load(s, d, "documents"))
+        .orderBy("doc_id"))),
     "dedup_sentences" -> ((s, d) =>
       duplicateSentences(plantSentences(Tables.load(s, d, "documents")))
         .orderBy("sentence")),
@@ -519,12 +521,11 @@ object TextAnalysis {
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" 机器学习模型 processes こんにちは世界 and 한국어 text")))
           .otherwise(col("text")).as("text"))
-      planted
+      planted.orderBy("doc_id") // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
         .select(col("doc_id"), Tokens.seg(col("text")).as("t"))
         .select(col("doc_id"),
           size(col("t")).cast("long").as("n_tokens"),
           concat_ws(" ", expr("slice(t, greatest(size(t) - 11, 1), 12)")).as("tail_toks"))
-        .orderBy("doc_id")
     }),
     "text_quality" -> ((s, d) => qualityScores(Tables.load(s, d, "documents"))),
     // the corpus is Latin-script, so the CJK-family arms are exercised on
@@ -553,8 +554,8 @@ object TextAnalysis {
       normalize(docs.select(col("doc_id"),
         when(col("doc_id") % 10 === 0,
           concat(col("text"), lit("\tcafe\u0301  \n")))
-          .otherwise(col("text")).as("text")))
-        .orderBy("doc_id") // presentation-only, for the oracle differ
+          .otherwise(col("text")).as("text"))
+        .orderBy("doc_id")) // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
     }),
     // HTML extraction exercised on a planted page template around each
     // doc's text (title + h1 + styled/scripted head + entities + a
@@ -563,10 +564,10 @@ object TextAnalysis {
     // and whitespace collapse are all hash-checked
     "text_extract_html" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      docs.select(col("doc_id"), expr(htmlPageTemplateExpr).as("html"))
+      docs.orderBy("doc_id") // r19: sort the narrow input first; a trailing sort would re-run the heavy 1:1 map in its range-sampling pass
+        .select(col("doc_id"), expr(htmlPageTemplateExpr).as("html"))
         .select(col("doc_id"),
           graft.functions.GraftFunctions.html_to_text(col("html")).as("text"))
-        .orderBy("doc_id")
     }),
   )
 

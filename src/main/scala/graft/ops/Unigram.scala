@@ -328,21 +328,23 @@ object Unigram {
       // the oracle cross-pins their agreement; here it would just be
       // the same Viterbi run twice)
       Tables.load(s, d, "documents")
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"), unigram_pieces(col("text"), model).as("arr"))
         .select(col("doc_id"),
           array_join(col("arr"), " ").as("pieces"),
           size(col("arr")).cast("long").as("n_unigram"))
-        .orderBy("doc_id")
     }),
     // the trainer-facing artifact: the id sequence per document
     "text_unigram_ids" -> ((s, d) => {
       val model = trainedModel(s, d)
       Tables.load(s, d, "documents")
+        .orderBy("doc_id") // r19: sort the NARROW input, then map 1:1 -- a trailing sort
+        // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"), unigram_ids(col("text"), model).as("arr"))
         .select(col("doc_id"),
           array_join(col("arr"), " ").as("ids"),
           size(col("arr")).cast("long").as("n_unigram"))
-        .orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
