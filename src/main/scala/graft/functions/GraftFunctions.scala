@@ -29,6 +29,10 @@ object GraftFunctions {
     c(SpanShingleHashes(e(toks), k))
   def text_stats(text: Column, stopwords: Seq[String]): Column =
     c(TextStats(e(text), stopwords))
+  def id_window_keys(ids: Column, n: Int): Column =
+    c(IdWindowHashes(e(ids), n))
+  def sig_agreement(a: Column, b: Column): Column =
+    c(SigAgreement(e(a), e(b)))
   def nearest_centroids(vec: Column, qnorm: Column, ids: Seq[Long],
       cents: Seq[Seq[Double]], spill: Int = 1,
       nanGreatest: Boolean = false): Column =

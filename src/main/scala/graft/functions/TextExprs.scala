@@ -713,3 +713,114 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** 128-bit key per n-id window of a token-id array (r19) — the
+  * decontamination probe's join key, replacing
+  * `transform(sequence(...), i -> array_join(slice(ids, i+1, n), ' '))`:
+  * that form pays an interpreted higher-order transform plus a per-window
+  * slice + string build, to derive a key whose only job is window
+  * EQUALITY (the id windows never appear in any output — only match
+  * counts do). Two windows collide only if two independent 64-bit streams
+  * collide (~n²/2^129 — the SpanShingleHashes argument). Returns an EMPTY
+  * array when the input has fewer than n ids, mirroring the old
+  * `CASE WHEN size(ids) >= n THEN ... ELSE array() END` gate. */
+case class IdWindowHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "id_window_keys"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<int|bigint>, got ${other.simpleString(10)}")
+    }
+
+  private def isLong = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(in: Any): Any = {
+    val ids = in.asInstanceOf[ArrayData]
+    val m = ids.numElements()
+    val out =
+      if (m < n) new Array[Any](0)
+      else {
+        val long = isLong
+        val t1 = new Array[Long](m)
+        val t2 = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val v = if (long) ids.getLong(i) else ids.getInt(i).toLong
+          t1(i) = Mix64.mix(v ^ 0xCBF29CE484222325L)
+          t2(i) = Mix64.mix((v ^ 0x27D4EB2F165667C5L) * 0xC2B2AE3D27D4EB4FL)
+          i += 1
+        }
+        val o = new Array[Any](m - n + 1)
+        var w = 0
+        while (w <= m - n) {
+          var h1 = 0L
+          var h2 = 0L
+          var j = 0
+          while (j < n) {
+            h1 = Mix64.mix(h1 ^ (t1(w + j) + (j + 1) * Mix64.Golden))
+            h2 = Mix64.mix(h2 ^ (t2(w + j) + (j + 1) * 0xC2B2AE3D27D4EB4FL))
+            j += 1
+          }
+          o(w) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+          w += 1
+        }
+        o
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Count of equal slots between two equal-length long arrays (r19) — the
+  * MinHash signature-agreement kernel: replaces the interpreted
+  * `aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, +)`
+  * chain in the pair-verification stage with one primitive loop. Null on
+  * length mismatch (a truncated signature comparing "equal enough" would
+  * be confidently wrong). */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agreement"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<bigint>, got " +
+            s"${l.simpleString(10)} / ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1124,9 +1124,9 @@ object Bpe {
     val merges =
       if (gpt2) loadMergesGuarded(s, d, ensureModelGpt2(s, d), SpecGpt2)
       else loadMergesGuarded(s, d, ensureModel(s, d))
-    val src =
+    val src = Chunking.rangedDocs(
       if (gpt2) plantMultiscript(Tables.load(s, d, "documents"))
-      else Tables.load(s, d, "documents")
+      else Tables.load(s, d, "documents"))
     val ch = Chunking.chunk(src)
       .withColumn("ids0",
         bpe_token_ids(col("chunk_text"), merges, byteLevel = gpt2, gpt2 = gpt2))
@@ -1136,7 +1136,8 @@ object Bpe {
             concat(array(lit(EosId)), col("ids0"))).otherwise(col("ids0"))
         else col("ids0"))
       .withColumn("bpe_tokens", size(col("ids")).cast("long"))
-    Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
+    Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens",
+      preRanged = true)
   }
 
   private def packIdsEntry(eos: Boolean,
@@ -1171,9 +1172,10 @@ object Bpe {
     // mismatch refuses loudly instead of recomputing
     "chunk_pack_bpe" -> ((s, d) => {
       val merges = loadMergesGuarded(s, d, ensureModel(s, d))
-      val ch = Chunking.chunk(Tables.load(s, d, "documents"))
+      val ch = Chunking.chunk(Chunking.rangedDocs(Tables.load(s, d, "documents")))
         .withColumn("bpe_tokens", bpe_tokens(col("chunk_text"), merges))
-      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens")
+      Chunking.packChunks(ch, capacity = 256, tokCol = "bpe_tokens",
+        preRanged = true)
         .select("doc_id", "chunk_id", "bpe_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")
     }),
@@ -1373,21 +1375,21 @@ object Bpe {
       val n = DecontamWindow
       val merges = loadMergesGuarded(s, d, ensureModelGpt2(s, d), SpecGpt2)
       val planted = plantMultiscript(Tables.load(s, d, "documents"))
+      // r19: window keys are the native 128-bit IdWindowHashes structs —
+      // the window strings never appear in output (only match counts do),
+      // and the string form paid an interpreted transform + a per-window
+      // slice + join; collision odds are the SpanShingleHashes ~n²/2^129
       val bench = TextAnalysis.contaminationBenchmark(planted)
         .select(bpe_token_ids(col("text"), merges,
           byteLevel = true, gpt2 = true).as("bids"))
         .where(size(col("bids")) >= n)
-        .select(explode(expr(
-          s"transform(sequence(0, size(bids) - $n), i -> array_join(slice(bids, i + 1, $n), ' '))"))
-          .as("wn"))
+        .select(explode(graft.functions.GraftFunctions
+          .id_window_keys(col("bids"), n)).as("wn"))
         .distinct()
         .withColumn("hit", lit(1))
       packedIdsFrame(s, d, eos = true, gpt2 = true)
-        .withColumn("wins", expr(
-          s"""CASE WHEN size(ids) >= $n
-             |     THEN transform(sequence(0, size(ids) - $n),
-             |            i -> array_join(slice(ids, i + 1, $n), ' '))
-             |     ELSE array() END""".stripMargin))
+        .withColumn("wins",
+          graft.functions.GraftFunctions.id_window_keys(col("ids"), n))
         .select(col("doc_id"), col("chunk_id"), col("seq_id"),
           explode_outer(col("wins")).as("wn"))
         .join(broadcast(bench), Seq("wn"), "left")

@@ -71,6 +71,14 @@ object Chunking {
           .as("chunk_text")): _*)
   }
 
+  /** Range-partition + in-partition sort the documents by doc_id — the
+    * narrow-input preamble for preRanged packing: [[chunk]]'s explode
+    * preserves row order and emits chunk_id ascending per document, so
+    * the chunk stream downstream is globally (doc_id, chunk_id)-ordered
+    * without ever sorting the exploded rows. */
+  def rangedDocs(docs: DataFrame): DataFrame =
+    docs.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+
   /** Sequence packing: assign every chunk to a fixed-capacity training
     * sequence by GLOBAL token offset — `seq_id = ⌊tokens-before/capacity⌋`
     * over the canonical (doc_id, chunk_id) order, `seq_offset` the
@@ -100,13 +108,22 @@ object Chunking {
     * prefix-sum passes, so sequences still hold ~capacity tokens
     * INCLUDING separators. */
   def packChunks(chunks: DataFrame, capacity: Int = 4096,
-      tokCol: String = "chunk_tokens", leadCol: Option[String] = None): DataFrame = {
+      tokCol: String = "chunk_tokens", leadCol: Option[String] = None,
+      preRanged: Boolean = false): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val spark = chunks.sparkSession
     val keys = Seq(col("doc_id"), col("chunk_id"))
-    val sorted = chunks
-      .repartitionByRange(keys: _*)
-      .sortWithinPartitions(keys: _*)
+    // preRanged (r19): the caller already established the global
+    // (doc_id, chunk_id) range order — by range-partitioning the DOCS
+    // before the chunk explode (order-preserving), so the range
+    // partitioner's bounds-sampling pass ran over the narrow document
+    // scan instead of re-executing the chunk+tokenize subtree. The pack
+    // output is invariant to partition boundaries (only the global order
+    // matters), so ranging by doc_id alone is equivalent.
+    val sorted = (if (preRanged) chunks
+      else chunks
+        .repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema
     // the budget column is pluggable: `chunk_tokens` (whitespace words)
@@ -205,7 +222,8 @@ object Chunking {
       // a trailing sort re-running seg+explode in its range-sampling pass
       chunk(Tables.load(s, d, "documents").orderBy("doc_id"))),
     "chunk_pack" -> ((s, d) =>
-      packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
+      packChunks(chunk(rangedDocs(Tables.load(s, d, "documents"))),
+        capacity = 256, preRanged = true)
         .select("doc_id", "chunk_id", "chunk_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")),
     // r15: packing with a document separator — one EOS-style boundary
@@ -216,15 +234,16 @@ object Chunking {
     // hold ~capacity tokens INCLUDING boundaries, and every chunk's
     // seq_offset accounts for the separators preceding it
     "chunk_pack_eos" -> ((s, d) => {
-      val ch = chunk(Tables.load(s, d, "documents"))
+      val ch = chunk(rangedDocs(Tables.load(s, d, "documents")))
         .withColumn("eos", when(col("chunk_id") === 0, 1L).otherwise(0L))
-      packChunks(ch, capacity = 256, leadCol = Some("eos"))
+      packChunks(ch, capacity = 256, leadCol = Some("eos"), preRanged = true)
         .select("doc_id", "chunk_id", "chunk_tokens", "eos", "seq_id", "seq_offset")
         .orderBy("doc_id", "chunk_id")
     }),
     // the sequence manifest (seq_id, n_chunks) sharded for training
     "chunk_shards" -> ((s, d) => {
-      val packed = packChunks(chunk(Tables.load(s, d, "documents")), capacity = 256)
+      val packed = packChunks(chunk(rangedDocs(Tables.load(s, d, "documents"))),
+        capacity = 256, preRanged = true)
       val seqs = packed.groupBy("seq_id").agg(count(lit(1)).as("n_chunks"))
       shardSequences(seqs)
         .select("seq_id", "n_chunks", "shard", "shard_pos")

@@ -111,8 +111,10 @@ object Dedup {
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est_jaccard", // CAST: bare `/ 64.0` would type as DECIMAL
-        expr(s"CAST(aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes"))
+      .withColumn("est_jaccard", // r19: native slot-agreement count (the
+        // zip_with + aggregate lambda chain evaluated interpreted per pair)
+        graft.functions.GraftFunctions.sig_agreement(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
