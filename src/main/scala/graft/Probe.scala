@@ -30,28 +30,14 @@ object Probe {
       .select(col("doc_id"), col("st.n_chars"), col("st.n_toks"),
         col("st.n_stop"), col("st.n_punct"), col("st.n_alpha"))
     val stages: Seq[(String, () => DataFrame)] = Seq(
-      "1_bpe_now" -> (() => {
-        val merges = Bpe.loadMerges(spark, Bpe.ensureModel(spark, sfDir))
-        Tables.load(spark, sfDir, "documents")
-          .select(col("doc_id"),
-            array_join(Bpe.bpe_token_ids(col("text"), merges), " ").as("ids"),
-            Bpe.bpe_tokens(col("text"), merges).as("n_bpe"))
-          .orderBy("doc_id")
-      }),
-      "2_bpe_orderfirst" -> (() => {
-        val merges = Bpe.loadMerges(spark, Bpe.ensureModel(spark, sfDir))
-        Tables.load(spark, sfDir, "documents").orderBy("doc_id")
-          .select(col("doc_id"),
-            array_join(Bpe.bpe_token_ids(col("text"), merges), " ").as("ids"),
-            Bpe.bpe_tokens(col("text"), merges).as("n_bpe"))
-      }),
-      "3_bpe_noorder" -> (() => {
-        val merges = Bpe.loadMerges(spark, Bpe.ensureModel(spark, sfDir))
-        Tables.load(spark, sfDir, "documents")
-          .select(col("doc_id"),
-            array_join(Bpe.bpe_token_ids(col("text"), merges), " ").as("ids"),
-            Bpe.bpe_tokens(col("text"), merges).as("n_bpe"))
-      })
+      "1_full_ngram" -> (() => Dedup.ngramJaccardPairs(
+        Dedup.withPlantedNearDups(Tables.load(spark, sfDir, "documents")))),
+      "2_groups_dist" -> (() => SparkEntry.queries("dedup_groups_dist")(spark, sfDir)),
+      "3_quantiles" -> (() => SparkEntry.queries("profile_quantiles")(spark, sfDir)),
+      "4_semantic" -> (() => SparkEntry.queries("dedup_semantic")(spark, sfDir)),
+      "5_kmeans" -> (() => SparkEntry.queries("sim_topk_ivf_kmeans")(spark, sfDir)),
+      "6_span_strip" -> (() => SparkEntry.queries("dedup_span_strip")(spark, sfDir)),
+      "7_crawl" -> (() => SparkEntry.queries("e2e_crawl_to_chunks")(spark, sfDir))
     )
     // warmup
     stages.foreach { case (_, f) => f().write.format("noop").mode("overwrite").save() }

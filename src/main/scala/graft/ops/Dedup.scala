@@ -382,6 +382,11 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("ranges"))
     toks.join(ranges, Seq("doc_id"), "left")
+      // r19: sort BEFORE the reconstruction map — the range sort's
+      // bounds-sampling pass re-executes its child, and the kept-token
+      // filter/transform below is the plan's heaviest per-row work; the
+      // 1:1 projection preserves the established doc_id order
+      .orderBy("doc_id")
       .withColumn("ranges",
         coalesce(col("ranges"), expr("cast(array() as array<struct<s:int,e:int>>)")))
       .withColumn("kept", expr(
@@ -391,7 +396,6 @@ object Dedup {
         array_join(expr("transform(kept, x -> x.tok)"), " ").as("text"),
         size(col("toks")).cast("long").as("total_tokens"),
         size(col("kept")).cast("long").as("kept_tokens"))
-      .orderBy("doc_id")
   }
 
   /** Embedding near-dup via random-hyperplane LSH + cosine verification.

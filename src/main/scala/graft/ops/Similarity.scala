@@ -406,19 +406,22 @@ object Similarity {
       .map(r => (r.getLong(0),
         r.getSeq[Byte](1).map(b => b.toDouble * scale).toArray))
     for (_ <- 1 to iters) {
-      val means = assignQ(q, cents)
+      // ONE exchange per round (r19): the (cluster, pos) partial+final
+      // mean aggregate is collected directly — k × dim rows, bounded by
+      // the centroid count, never by the corpus — and regrouped on the
+      // driver; the old second groupBy(cluster) shuffle existed only to
+      // assemble the per-cluster arrays the driver builds here anyway.
+      // (sum(v) * scale) / count + 0.5 — shape mirrored EXACTLY in the
+      // oracle SQL so the one inexact division rounds identically
+      val rows = assignQ(q, cents)
         .select(col("cluster"), posexplode(col("qvec")))
-        // (sum(v) * scale) / count + 0.5 — shape mirrored EXACTLY in the
-        // oracle SQL so the one inexact division rounds identically
         .groupBy("cluster", "pos")
         .agg(floor(sum(col("col").cast("double")) * lit(scale.toDouble) /
           count(lit(1)) + lit(0.5)).as("m"))
-        .groupBy("cluster")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("vec"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble).toArray)
-        .toMap
+        .collect() // bounded: nCentroids × dim rows
+      val means = rows.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getLong(2).toDouble).toArray
+      }
       cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
     }
     cents
