@@ -148,7 +148,15 @@ object Similarity {
     * driver-side cosines over ≤ sampleLimit rows. The key arithmetic
     * ((id % 2^20) · 2654435761 mod 2^32) stays < 2^52 — exact in BIGINT
     * on every engine, no overflow UB. */
-  private[ops] def maximinSeedIds(emb: DataFrame, k: Int, sampleLimit: Int): Seq[Long] = {
+  private[ops] def maximinSeedIds(emb: DataFrame, k: Int, sampleLimit: Int): Seq[Long] =
+    maximinSeeds(emb, k, sampleLimit).map(_._1)
+
+  /** [[maximinSeedIds]] returning the seed VECTORS too — the greedy loop
+    * already holds the whole sample on the driver, so callers that need
+    * the centroid matrix (the r19 map-side assignment kernels) get it
+    * without a second scan-and-collect job. */
+  private[ops] def maximinSeeds(emb: DataFrame, k: Int,
+      sampleLimit: Int): Seq[(Long, Array[Float])] = {
     val key = (col("vec_id") % 1048576L) * 2654435761L % 4294967296L
     val sample = emb.select(col("vec_id"), col("embedding"))
       .orderBy(key, col("vec_id"))
@@ -175,7 +183,7 @@ object Similarity {
         }
       }
     }
-    seeds.map(_._1).toSeq
+    seeds.toSeq
   }
 
   /** IVF top-k with SPILLED assignment: each corpus vector is indexed
@@ -195,20 +203,18 @@ object Similarity {
     * bound on genuinely clustered data. */
   def ivfTopK(emb: DataFrame, k: Int = 10, every: Long = 50L, nprobe: Int = 3,
       nCentroids: Int = 16, seedSample: Int = 512, spill: Int = 3): DataFrame = {
-    val seedIds = maximinSeedIds(emb, nCentroids, seedSample)
-    // centroid VECTORS to the driver — bounded by nCentroids, the same
-    // boundedness that made the old broadcast(centroids) legal — so both
-    // assignment and probing run MAP-SIDE through the native
-    // NearestCentroidsF32 kernel (r19): the ×|centroids| crossJoin
-    // expansion and the per-vector TopK re-aggregation SHUFFLE disappear;
+    // centroid vectors come straight from the maximin SAMPLE already on
+    // the driver (bounded by nCentroids — the boundedness that made the
+    // old broadcast(centroids) legal), so assignment and probing run
+    // MAP-SIDE through the native NearestCentroidsF32 kernel (r19): the
+    // ×|centroids| crossJoin expansion and the per-vector TopK
+    // re-aggregation SHUFFLE disappear, with NO extra collect job;
     // scoring (cosine_f32), top-spill order (cos desc, id asc — the
     // bounded TopK's), and the probe window's order are replicated
     // bit-for-bit inside the kernel.
-    val cs = emb.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
-    val ids = cs.map(_._1).toSeq
-    val vecs = cs.map(_._2).toSeq
+    val cs = maximinSeeds(emb, nCentroids, seedSample)
+    val ids = cs.map(_._1)
+    val vecs = cs.map(_._2.toSeq)
     val assignments = emb
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.GraftFunctions.nearest_centroids_f32(
@@ -295,20 +301,28 @@ object Similarity {
       nprobe: Int = 3, nCentroids: Int = 16, seedSample: Int = 512,
       spill: Int = 3): DataFrame = {
     val q = quantize(emb)
-    val seedIds = maximinSeedIds(emb, nCentroids, seedSample)
-    // seed qvecs to the driver (bounded by nCentroids — the old broadcast
-    // boundedness) → assignment and probing run MAP-SIDE through the
-    // NearestCentroids kernel (r19): no ×|centroids| crossJoin, no
-    // per-vector TopK re-aggregation shuffle, no probe window. Scoring is
-    // unchanged to the bit: dot over exact-integer int8 components (the
-    // kernel's double accumulation equals dot_i8's long accumulation on
-    // values < 2^53) divided by the same sqrt product, and the kernel
+    // seed qvecs derive DRIVER-SIDE from the maximin sample's float
+    // vectors (already collected — no second scan-and-quantize job),
+    // replicating quantize()'s arithmetic operation for operation:
+    // maxabs over |double(x)|, x·(127/greatest(maxabs,1e-300)) + 0.5
+    // floored to tinyint, and the qnorm>0 row filter. Assignment and
+    // probing then run MAP-SIDE through the NearestCentroids kernel
+    // (r19): no ×|centroids| crossJoin, no per-vector TopK
+    // re-aggregation shuffle, no probe window. Scoring is unchanged to
+    // the bit: dot over exact-integer int8 components (the kernel's
+    // double accumulation equals dot_i8's long accumulation on values
+    // < 2^53) divided by the same sqrt product, and the kernel
     // recomputes cent_norm as Σx² — identical to the seed's qnorm.
-    val cs = q.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id"), col("qvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Byte](1).map(_.toDouble).toSeq))
-    val ids = cs.map(_._1).toSeq
-    val vecs = cs.map(_._2).toSeq
+    val cs = maximinSeeds(emb, nCentroids, seedSample).flatMap {
+      case (id, v) =>
+        val maxabs = v.map(x => math.abs(x.toDouble)).max
+        val f = 127.0 / math.max(maxabs, 1e-300)
+        val qv = v.map(x => math.floor(x.toDouble * f + 0.5).toLong.toByte)
+        val qn = qv.map(b => b.toLong * b.toLong).sum
+        if (qn > 0) Some((id, qv.map(_.toDouble).toSeq)) else None
+    }
+    val ids = cs.map(_._1)
+    val vecs = cs.map(_._2)
     val assignments = q
       .select(col("vec_id"), col("qvec"), col("qnorm"),
         explode(graft.functions.GraftFunctions.nearest_centroids(
