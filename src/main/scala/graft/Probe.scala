@@ -22,22 +22,47 @@ object Probe {
 
     import graft.functions.GraftFunctions._
     import graft.ops._
-    def docsC = Curation.withPlantedDups(Tables.load(spark, sfDir, "documents"))
-    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
-      "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
-    def statsSel(d: DataFrame) = d.select(col("doc_id"),
-      text_stats(col("text"), stop).as("st"))
-      .select(col("doc_id"), col("st.n_chars"), col("st.n_toks"),
-        col("st.n_stop"), col("st.n_punct"), col("st.n_alpha"))
+
+    // --- profile_quantiles decomposition -------------------------------
+    val qCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def lineitem = Tables.load(spark, sfDir, "lineitem")
+    // current: one scan, 3x explode, (name, value) combo aggregate
+    def qCountsExplode: DataFrame = {
+      val recs = array(qCols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("value"))): _*)
+      lineitem.select(explode(recs).as("r"))
+        .select(col("r.column_name").as("column_name"), col("r.value").as("value"))
+        .filter(col("value").isNotNull)
+        .groupBy("column_name", "value")
+        .agg(count(lit(1)).as("cnt"))
+    }
+    // candidate: per-column single-key aggregates, name attached after
+    def qCountsUnion: DataFrame =
+      qCols.map { c =>
+        lineitem.select(col(c).cast("double").as("value"))
+          .filter(col("value").isNotNull)
+          .groupBy("value").agg(count(lit(1)).as("cnt"))
+          .select(lit(c).as("column_name"), col("value"), col("cnt"))
+      }.reduce(_ unionAll _)
+
+    // --- span dedup decomposition --------------------------------------
+    def spanDocs = Dedup.withPlantedNearDups(Tables.load(spark, sfDir, "documents"))
+    def spShingles: DataFrame = spanDocs.select(col("doc_id"),
+      posexplode(span_shingles(col("text"), 8)).as(Seq("pos", "sh")))
+    def spAgg: DataFrame = spShingles.groupBy("sh")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select("sh")
+    def spSegSize: DataFrame = spanDocs.select(col("doc_id"),
+      size(Tokens.seg(col("text"))).cast("long").as("total_tokens"))
+
     val stages: Seq[(String, () => DataFrame)] = Seq(
-      "1_full_ngram" -> (() => Dedup.ngramJaccardPairs(
-        Dedup.withPlantedNearDups(Tables.load(spark, sfDir, "documents")))),
-      "2_groups_dist" -> (() => SparkEntry.queries("dedup_groups_dist")(spark, sfDir)),
-      "3_quantiles" -> (() => SparkEntry.queries("profile_quantiles")(spark, sfDir)),
-      "4_semantic" -> (() => SparkEntry.queries("dedup_semantic")(spark, sfDir)),
-      "5_kmeans" -> (() => SparkEntry.queries("sim_topk_ivf_kmeans")(spark, sfDir)),
-      "6_span_strip" -> (() => SparkEntry.queries("dedup_span_strip")(spark, sfDir)),
-      "7_crawl" -> (() => SparkEntry.queries("e2e_crawl_to_chunks")(spark, sfDir))
+      "q_full" -> (() => SparkEntry.queries("profile_quantiles")(spark, sfDir)),
+      "q_counts_explode" -> (() => qCountsExplode),
+      "q_counts_union" -> (() => qCountsUnion),
+      "sp_full" -> (() => SparkEntry.queries("dedup_spans")(spark, sfDir)),
+      "sp_shingles" -> (() => spShingles),
+      "sp_agg" -> (() => spAgg),
+      "sp_segsize" -> (() => spSegSize),
+      "st_full" -> (() => SparkEntry.queries("dedup_span_strip")(spark, sfDir))
     )
     // warmup
     stages.foreach { case (_, f) => f().write.format("noop").mode("overwrite").save() }

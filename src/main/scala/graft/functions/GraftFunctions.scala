@@ -29,6 +29,7 @@ object GraftFunctions {
     c(SpanShingleHashes(e(toks), k))
   def text_stats(text: Column, stopwords: Seq[String]): Column =
     c(TextStats(e(text), stopwords))
+  def seg_count(text: Column): Column = c(SegCount(e(text)))
   def id_window_keys(ids: Column, n: Int): Column =
     c(IdWindowHashes(e(ids), n))
   def sig_agreement(a: Column, b: Column): Column =

@@ -296,6 +296,57 @@ case class SpanShingleHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Token COUNT under the suite segmentation contract ([[graft.ops.Tokens.seg]])
+  * — the count-only twin of the in-eval tokenizers ([[SpanShingleHashes]]'s
+  * loop with the hashing removed): one codepoint pass, no regex rewrite, no
+  * token-array materialization. Replaces `size(Tokens.seg(text))` wherever
+  * only the count is consumed (span-dedup totals, BM25 document length,
+  * token-mass sampling, BPE whitespace-token accounting). LongType so call
+  * sites drop their `.cast("long")` along with the array. Counting rule,
+  * identical to seg by construction (differential-pinned in
+  * FunctionsSpec): each maximal run of non-whitespace non-CJK codepoints is
+  * one token, each CJK codepoint is its own token, whitespace is the pinned
+  * five-char class — so the count equals seg's filtered-split length on
+  * every string. */
+case class SegCount(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "seg_count"
+
+  private def isCjk(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
+  }
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    val len = s.length
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && graft.ops.Tokens.isWsCp(s.codePointAt(i)))
+        i += Character.charCount(s.codePointAt(i))
+      if (i < len) {
+        val first = s.codePointAt(i)
+        if (isCjk(first)) {
+          i += Character.charCount(first)
+        } else {
+          var cp = first
+          while (i < len && !graft.ops.Tokens.isWsCp(cp) && !isCjk(cp)) {
+            i += Character.charCount(cp)
+            if (i < len) cp = s.codePointAt(i)
+          }
+        }
+        n += 1L
+      }
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a bag of element hashes: each input hash votes ±1 on
   * every bit position; the output bit is 1 iff the vote sum is positive.
   * Near-duplicate documents land within small Hamming distance.

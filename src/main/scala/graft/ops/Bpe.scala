@@ -1162,7 +1162,7 @@ object Bpe {
         // re-executes the heavy per-row expressions in its range-sampling pass
         .select(col("doc_id"),
           bpe_tokens(col("text"), merges).as("n_bpe"),
-          size(Tokens.seg(col("text"))).cast("long").as("n_ws"))
+          graft.functions.GraftFunctions.seg_count(col("text")).as("n_ws"))
     }),
     // the packing plan parameterized by the tokenizer: same two-phase
     // prefix-sum pack ([[Chunking.packChunks]]), budgeted in SUBWORDS —
@@ -1232,7 +1232,7 @@ object Bpe {
         .select(col("doc_id"),
           bpe_tokens(col("text"), large.take(NMerges)).as("n_bpe_pfx"),
           bpe_tokens(col("text"), large).as("n_full"),
-          size(Tokens.seg(col("text"))).cast("long").as("n_w"))
+          graft.functions.GraftFunctions.seg_count(col("text")).as("n_w"))
         .select(col("doc_id"), col("n_bpe_pfx"),
           (col("n_full") >= col("n_w") && col("n_full") <= col("n_bpe_pfx"))
             .as("ok"))

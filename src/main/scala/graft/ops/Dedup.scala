@@ -324,26 +324,44 @@ object Dedup {
     * chain while consecutive starts are ≤ k apart → (doc_id, s, e) with
     * covered token range [s, e+k−1]. Per-DOCUMENT window — state bounded
     * by document length. */
-  private def spanIslands(flagged: DataFrame, k: Int): DataFrame = {
+  private def spanIslands(flagged: DataFrame, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    val aggs = Seq(min("pos").as("s"), max("pos").as("e")) ++
+      carry.map(c => max(col(c)).as(c))
     flagged
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
       .withColumn("island", sum("brk").over(w))
       .groupBy("doc_id", "island")
-      .agg(min("pos").as("s"), max("pos").as("e"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val sh = spanShinglesFromText(docs, k)
+    // r19: total_tokens RIDES the shingle branch via the count-only
+    // seg_count kernel — the old third corpus pass (scan → regex seg →
+    // size → broadcast join-back) is gone. Output rows are docs with ≥ 1
+    // duplicated span, each of which has ≥ 1 shingle row, so carrying the
+    // per-doc constant nt through islands (max = the constant) is exactly
+    // the old inner join. Column pruning keeps the dup-key aggregate
+    // branch free of the count (it reads only sh).
+    // two-step select: nt lands in its OWN Project BELOW the Generate —
+    // a single select would hand the planner a Project above the explode,
+    // evaluating the count once per SHINGLE row instead of once per doc
+    val sh = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.seg_count(col("text")).as("nt"),
+        col("text"))
+      .select(col("doc_id"), col("nt"),
+        posexplode(graft.functions.GraftFunctions.span_shingles(col("text"), k))
+          .as(Seq("pos", "sh")))
     val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
-    val flagged = sh.join(dup, Seq("sh")).select("doc_id", "pos")
-    spanIslands(flagged, k).groupBy("doc_id")
+    val flagged = sh.join(dup, Seq("sh")).select("doc_id", "nt", "pos")
+    spanIslands(flagged, k, carry = Seq("nt")).groupBy("doc_id")
       .agg(count(lit(1)).as("dup_spans"),
-        sum(col("e") - col("s") + k).cast("long").as("dup_tokens"))
-      .join(spanToks(docs).select(col("doc_id"),
-        size(col("toks")).cast("long").as("total_tokens")), Seq("doc_id"))
+        sum(col("e") - col("s") + k).cast("long").as("dup_tokens"),
+        max("nt").as("total_tokens"))
       .select("doc_id", "total_tokens", "dup_spans", "dup_tokens")
       .orderBy("doc_id")
   }

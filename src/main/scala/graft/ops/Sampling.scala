@@ -108,7 +108,7 @@ object Sampling {
     * the sampler's plan is identical either way (the count is one more
     * map-side column). */
   private def defaultTokenCount: org.apache.spark.sql.Column =
-    size(Tokens.seg(col("text"))).cast("long")
+    graft.functions.GraftFunctions.seg_count(col("text"))
 
   private def massRateSample(docs: DataFrame, strataCol: String,
       bucket: org.apache.spark.sql.Column, rateExpr: String,

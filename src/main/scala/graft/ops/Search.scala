@@ -117,7 +117,7 @@ object Search {
     val terms = probeTerms(queryTerms)
     val toks = docs.select(col(idCol),
       split(lower(col(textCol)), Tokens.WsRun).as("toks"),
-      size(Tokens.seg(col(textCol))).cast("long").as("dl"))
+      graft.functions.GraftFunctions.seg_count(col(textCol)).as("dl"))
     val avgdl = toks.agg(
       expr("CAST(sum(dl) AS BIGINT) DIV count(*)").as("avgdl"))
     val postings = toks
@@ -391,7 +391,7 @@ object Search {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings/ep_$id")
     val doclens = docs.select(col(idCol).as("doc_id"),
-      size(Tokens.seg(col(textCol))).cast("long").as("dl"))
+      graft.functions.GraftFunctions.seg_count(col(textCol)).as("dl"))
     doclens.write.mode("overwrite").parquet(s"$dir/doclen/ep_$id")
     doclens.agg(count("*").as("n_docs"),
         expr("CAST(sum(dl) AS BIGINT)").as("sum_dl"))

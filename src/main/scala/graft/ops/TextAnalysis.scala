@@ -474,7 +474,7 @@ object TextAnalysis {
     val w = Window.partitionBy("doc_id").orderBy("sent_pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     sentences(docs)
-      .withColumn("n_tok", size(Tokens.seg(col("sentence"))).cast("long"))
+      .withColumn("n_tok", graft.functions.GraftFunctions.seg_count(col("sentence")))
       .withColumn("cb", coalesce(sum("n_tok").over(w), lit(0L)))
       // integral floor division (ADVICE r15: `/` is double division —
       // exact only below 2^53 and semantically off the oracle's `//`)

@@ -656,7 +656,7 @@ object EventStreams {
     runToTable(
       stream.select(col("doc_id"),
         graft.ops.Bpe.bpe_tokens(col("text"), merges).as("n_bpe"),
-        size(graft.ops.Tokens.seg(col("text"))).cast("long").as("n_ws")),
+        graft.functions.GraftFunctions.seg_count(col("text")).as("n_ws")),
       OutputMode.Append())
       .orderBy("doc_id")
   }

@@ -300,4 +300,28 @@ class FunctionsSpec extends AnyFunSuite {
     val diff = old.exceptAll(neu).union(neu.exceptAll(old))
     assert(diff.count() === 0, s"text_stats diverged: ${diff.collect().mkString(", ")}")
   }
+
+  test("seg_count replicates size(Tokens.seg(text)) on every edge class (r19 swap)") {
+    // differential vs the verbatim shared-tokenizer column chain: empty /
+    // whitespace-only / exotic-ws / CJK-per-char / supplementary-plane /
+    // mixed scripts / null — the exact strings where a hand loop and the
+    // regex pipeline could disagree
+    val texts = Seq(
+      "", " ", "\t\n\f\r ", "a", " a ", "a b  c", "tab\tsep\ttoks",
+      "多 byte 字 and ASCII.", // Han chars mid-sentence
+      "あカ한", // Hiragana + Katakana + Hangul run: 3 tokens
+      "abc字def", // CJK splits a latin run: 3 tokens
+      "x 𠮷 y", // supplementary-plane Han codepoint
+      "𠮷𠮷", // two supplementary CJK: 2 tokens
+      "ends with space ", " leading", "a\fb\rc", "thevt",
+      " nbsp is not ws", "punct.,;:!?only")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .unionAll(Seq((999L, null: String)).toDF("doc_id", "text"))
+    val old = df.select(col("doc_id"),
+      size(graft.ops.Tokens.seg(col("text"))).cast("long").as("n"))
+    val neu = df.select(col("doc_id"), seg_count(col("text")).as("n"))
+    val diff = old.exceptAll(neu).union(neu.exceptAll(old))
+    assert(diff.count() === 0, s"seg_count diverged: ${diff.collect().mkString(", ")}")
+  }
 }
