@@ -43,7 +43,7 @@ object Probe {
           .filter(col("value").isNotNull)
           .groupBy("value").agg(count(lit(1)).as("cnt"))
           .select(lit(c).as("column_name"), col("value"), col("cnt"))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
 
     // --- span dedup decomposition --------------------------------------
     def spanDocs = Dedup.withPlantedNearDups(Tables.load(spark, sfDir, "documents"))

@@ -1,7 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+// (r20: every kernel in this file now codegens via a static/reference call —
+// no CodegenFallback left; each one used to break its WholeStageCodegen span)
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,18 +31,11 @@ object Mix64 {
   * input set. Estimated Jaccard(a, b) ≈ fraction of equal signature slots.
   * Returns null for an empty input set.
   *
-  * Evaluated per row with a tight primitive loop (CodegenFallback — the loop
-  * body itself does no allocation beyond the output array).
-  */
-case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  require(numHashes > 0, "numHashes must be positive")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
-
-  override def nullSafeEval(in: Any): Any = {
-    val xs = in.asInstanceOf[ArrayData]
+  * r20: the loop body lives in a static helper shared by the interpreted
+  * eval and `doGenCode` (the NfcNormalize pattern), so the expression no
+  * longer breaks the WholeStageCodegen span it sits in. */
+object MinHashSignature {
+  def sig(xs: ArrayData, numHashes: Int, seed: Long): ArrayData = {
     val n = xs.numElements()
     if (n == 0) return null
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -56,6 +52,26 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     }
     new GenericArrayData(sig)
   }
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  // null on EMPTY input (not only on null input)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(in: Any): Any =
+    MinHashSignature.sig(in.asInstanceOf[ArrayData], numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${CodeGenerator.javaType(dataType)} r =
+      |  graft.functions.MinHashSignature.sig($c, $numHashes, ${seed}L);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -80,43 +96,32 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * (HashOracleSql, `unicode(ch)` per codepoint) both already treat it —
   * the three tiers share ONE segmentation contract on all planes.
   * Returns null when the text has fewer than n tokens. */
-case class WordShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(n > 0, "n must be positive")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "word_shingles"
-
-  private def isCjk(cp: Int): Boolean = {
-    val sc = Character.UnicodeScript.of(cp)
-    sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
-      sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
-  }
-
-  override def nullSafeEval(in: Any): Any = {
-    val s = in.asInstanceOf[UTF8String].toString
+object WordShingleHashes {
+  def hashes(in: UTF8String, n: Int): ArrayData = {
+    val s = in.toString
     val len = s.length
     // 1. hash each lowercased token: whitespace-run splits, CJK
-    //    CODEPOINTS as single-char tokens (supplementary plane included)
+    //    CODEPOINTS as single-char tokens (supplementary plane included).
+    //    Whitespace/CJK predicates are the shared suite contract
+    //    (Tokens.isWsCp / isCjkCp) — NOT Character.isWhitespace: the
+    //    oracle's RE2 emulation splits on RE2's \s, and isWhitespace's
+    //    extras (U+000B, the U+2000 range) would silently desegment vs it
     val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i < len) {
-      // the suite-wide pinned whitespace class ([\t\n\f\r ] — see
-      // Tokens.WsClass), NOT Character.isWhitespace: the oracle's RE2
-      // emulation splits on RE2's \s, and isWhitespace's extras
-      // (U+000B, the U+2000 range) would silently desegment vs it
       while (i < len && graft.ops.Tokens.isWsCp(s.codePointAt(i)))
         i += Character.charCount(s.codePointAt(i))
       if (i < len) {
         var h = 0xCBF29CE484222325L
         val first = s.codePointAt(i)
-        if (isCjk(first)) {
+        if (graft.ops.Tokens.isCjkCp(first)) {
           h ^= Character.toLowerCase(first).toLong
           h *= 0x100000001B3L
           i += Character.charCount(first)
         } else {
           var cp = first
-          while (i < len && !graft.ops.Tokens.isWsCp(cp) && !isCjk(cp)) {
+          while (i < len && !graft.ops.Tokens.isWsCp(cp) &&
+            !graft.ops.Tokens.isCjkCp(cp)) {
             h ^= Character.toLowerCase(cp).toLong
             h *= 0x100000001B3L
             i += Character.charCount(cp)
@@ -143,6 +148,26 @@ case class WordShingleHashes(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
+}
+
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  // null when the text has fewer than n tokens
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(in: Any): Any =
+    WordShingleHashes.hashes(in.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${CodeGenerator.javaType(dataType)} r =
+      |  graft.functions.WordShingleHashes.hashes($c, $n);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -167,14 +192,125 @@ case class WordShingleHashes(child: Expression, n: Int)
   * hashed as given (exact-substring semantics — unlike the lowercased
   * Jaccard/minhash shingle tier). Returns null when the array has fewer
   * than k tokens. */
+object SpanShingleHashes {
+  // FNV-1a / xx-style second stream over one token's codepoints —
+  // CASE-SENSITIVE (exact-substring semantics, unlike the lowercased
+  // Jaccard/minhash tier). Accumulators packed as (h1, h2, cpCount).
+  private final val Fnv1 = 0xCBF29CE484222325L
+  private final val Fnv2 = 0x27D4EB2F165667C5L
+  private final val P2 = 0xC2B2AE3D27D4EB4FL
+
+  /** Per-token stream accumulator shared by both input modes. */
+  private final class Acc {
+    var t1 = new Array[Long](16)
+    var t2 = new Array[Long](16)
+    var m = 0
+    def push(h1: Long, h2: Long, nCp: Int): Unit = {
+      if (m == t1.length) {
+        t1 = java.util.Arrays.copyOf(t1, m * 2)
+        t2 = java.util.Arrays.copyOf(t2, m * 2)
+      }
+      t1(m) = Mix64.mix(h1)
+      t2(m) = Mix64.mix(h2 ^ nCp)
+      m += 1
+    }
+  }
+
+  private def combine(a: Acc, k: Int): ArrayData = {
+    val m = a.m
+    if (m < k) return null
+    // order-sensitive combine of each k-window, one per stream
+    val out = new Array[Any](m - k + 1)
+    var w = 0
+    while (w <= m - k) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < k) {
+        h1 = Mix64.mix(h1 ^ (a.t1(w + j) + (j + 1) * Mix64.Golden))
+        h2 = Mix64.mix(h2 ^ (a.t2(w + j) + (j + 1) * P2))
+        j += 1
+      }
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Tokenize per the suite segmentation contract (Tokens.seg / segString:
+    * pinned whitespace class, CJK codepoints as single-char tokens on all
+    * planes) and hash each token as it streams by. */
+  def fromText(in: UTF8String, k: Int): ArrayData = {
+    val a = new Acc
+    val s = in.toString
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && graft.ops.Tokens.isWsCp(s.codePointAt(i)))
+        i += Character.charCount(s.codePointAt(i))
+      if (i < len) {
+        var h1 = Fnv1
+        var h2 = Fnv2
+        var n = 0
+        val first = s.codePointAt(i)
+        if (graft.ops.Tokens.isCjkCp(first)) {
+          h1 ^= first.toLong; h1 *= 0x100000001B3L
+          h2 = (h2 ^ first.toLong) * P2
+          n = 1
+          i += Character.charCount(first)
+        } else {
+          var cp = first
+          while (i < len && !graft.ops.Tokens.isWsCp(cp) &&
+            !graft.ops.Tokens.isCjkCp(cp)) {
+            h1 ^= cp.toLong; h1 *= 0x100000001B3L
+            h2 = (h2 ^ cp.toLong) * P2
+            n += 1
+            i += Character.charCount(cp)
+            if (i < len) cp = s.codePointAt(i)
+          }
+        }
+        a.push(h1, h2, n)
+      }
+    }
+    combine(a, k)
+  }
+
+  /** Hash pre-segmented tokens — the same per-token codepoint stream as
+    * [[fromText]], so the two modes agree key-for-key. */
+  def fromTokens(toks: ArrayData, k: Int): ArrayData = {
+    val a = new Acc
+    val nt = toks.numElements()
+    var ti = 0
+    while (ti < nt) {
+      val s = toks.getUTF8String(ti).toString
+      var h1 = Fnv1
+      var h2 = Fnv2
+      var n = 0
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h1 ^= cp.toLong; h1 *= 0x100000001B3L
+        h2 = (h2 ^ cp.toLong) * P2
+        n += 1
+        i += Character.charCount(cp)
+      }
+      a.push(h1, h2, n)
+      ti += 1
+    }
+    combine(a, k)
+  }
+}
+
 case class SpanShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0, "k must be positive")
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("h1", LongType, nullable = false),
       StructField("h2", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "span_shingles"
+  // null when the input has fewer than k tokens
+  override def nullable: Boolean = true
 
   // StringType input: tokenize in-eval (the [[WordShingleHashes]] move) —
   // the seg → array<string> → per-window chain never materializes tokens.
@@ -194,103 +330,18 @@ case class SpanShingleHashes(child: Expression, k: Int)
   // def, not val: child.dataType is unresolved at construction time
   private def fromText = child.dataType == StringType
 
-  private def isCjk(cp: Int): Boolean = {
-    val sc = Character.UnicodeScript.of(cp)
-    sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
-      sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
-  }
+  override def nullSafeEval(in: Any): Any =
+    if (fromText) SpanShingleHashes.fromText(in.asInstanceOf[UTF8String], k)
+    else SpanShingleHashes.fromTokens(in.asInstanceOf[ArrayData], k)
 
-  // FNV-1a / xx-style second stream over one token's codepoints —
-  // CASE-SENSITIVE (exact-substring semantics, unlike the lowercased
-  // Jaccard/minhash tier). Accumulators packed as (h1, h2, cpCount).
-  private final val Fnv1 = 0xCBF29CE484222325L
-  private final val Fnv2 = 0x27D4EB2F165667C5L
-  private final val P2 = 0xC2B2AE3D27D4EB4FL
-
-  override def nullSafeEval(in: Any): Any = {
-    var t1 = new Array[Long](16)
-    var t2 = new Array[Long](16)
-    var m = 0
-    def push(h1: Long, h2: Long, nCp: Int): Unit = {
-      if (m == t1.length) {
-        t1 = java.util.Arrays.copyOf(t1, m * 2)
-        t2 = java.util.Arrays.copyOf(t2, m * 2)
-      }
-      t1(m) = Mix64.mix(h1)
-      t2(m) = Mix64.mix(h2 ^ nCp)
-      m += 1
-    }
-    if (fromText) {
-      // tokenize per the suite segmentation contract (Tokens.seg /
-      // segString: pinned whitespace class, CJK codepoints as single-
-      // char tokens on all planes) and hash each token as it streams by
-      val s = in.asInstanceOf[UTF8String].toString
-      val len = s.length
-      var i = 0
-      while (i < len) {
-        while (i < len && graft.ops.Tokens.isWsCp(s.codePointAt(i)))
-          i += Character.charCount(s.codePointAt(i))
-        if (i < len) {
-          var h1 = Fnv1
-          var h2 = Fnv2
-          var n = 0
-          val first = s.codePointAt(i)
-          if (isCjk(first)) {
-            h1 ^= first.toLong; h1 *= 0x100000001B3L
-            h2 = (h2 ^ first.toLong) * P2
-            n = 1
-            i += Character.charCount(first)
-          } else {
-            var cp = first
-            while (i < len && !graft.ops.Tokens.isWsCp(cp) && !isCjk(cp)) {
-              h1 ^= cp.toLong; h1 *= 0x100000001B3L
-              h2 = (h2 ^ cp.toLong) * P2
-              n += 1
-              i += Character.charCount(cp)
-              if (i < len) cp = s.codePointAt(i)
-            }
-          }
-          push(h1, h2, n)
-        }
-      }
-    } else {
-      val toks = in.asInstanceOf[ArrayData]
-      val nt = toks.numElements()
-      var ti = 0
-      while (ti < nt) {
-        val s = toks.getUTF8String(ti).toString
-        var h1 = Fnv1
-        var h2 = Fnv2
-        var n = 0
-        var i = 0
-        while (i < s.length) {
-          val cp = s.codePointAt(i)
-          h1 ^= cp.toLong; h1 *= 0x100000001B3L
-          h2 = (h2 ^ cp.toLong) * P2
-          n += 1
-          i += Character.charCount(cp)
-        }
-        push(h1, h2, n)
-        ti += 1
-      }
-    }
-    if (m < k) return null
-    // order-sensitive combine of each k-window, one per stream
-    val out = new Array[Any](m - k + 1)
-    var w = 0
-    while (w <= m - k) {
-      var h1 = 0L
-      var h2 = 0L
-      var j = 0
-      while (j < k) {
-        h1 = Mix64.mix(h1 ^ (t1(w + j) + (j + 1) * Mix64.Golden))
-        h2 = Mix64.mix(h2 ^ (t2(w + j) + (j + 1) * P2))
-        j += 1
-      }
-      out(w) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
-      w += 1
-    }
-    new GenericArrayData(out)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper =
+      if (fromText) "graft.functions.SpanShingleHashes.fromText"
+      else "graft.functions.SpanShingleHashes.fromTokens"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${CodeGenerator.javaType(dataType)} r = $helper($c, $k);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -308,32 +359,25 @@ case class SpanShingleHashes(child: Expression, k: Int)
   * one token, each CJK codepoint is its own token, whitespace is the pinned
   * five-char class — so the count equals seg's filtered-split length on
   * every string. */
-case class SegCount(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "seg_count"
-
-  private def isCjk(cp: Int): Boolean = {
-    val sc = Character.UnicodeScript.of(cp)
-    sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
-      sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
-  }
-
-  override def nullSafeEval(in: Any): Any = {
-    val s = in.asInstanceOf[UTF8String].toString
+object SegCount {
+  def count(in: UTF8String): Long = {
+    val s = in.toString
     val len = s.length
     var n = 0L
     var i = 0
     while (i < len) {
-      while (i < len && graft.ops.Tokens.isWsCp(s.codePointAt(i)))
-        i += Character.charCount(s.codePointAt(i))
+      // whitespace codepoints are the pinned 5-char BMP class, so one
+      // charAt read per position suffices (r19 advisory: the codePointAt
+      // pair read each codepoint twice)
+      while (i < len && graft.ops.Tokens.isWsCp(s.charAt(i))) i += 1
       if (i < len) {
         val first = s.codePointAt(i)
-        if (isCjk(first)) {
+        if (graft.ops.Tokens.isCjkCp(first)) {
           i += Character.charCount(first)
         } else {
           var cp = first
-          while (i < len && !graft.ops.Tokens.isWsCp(cp) && !isCjk(cp)) {
+          while (i < len && !graft.ops.Tokens.isWsCp(cp) &&
+            !graft.ops.Tokens.isCjkCp(cp)) {
             i += Character.charCount(cp)
             if (i < len) cp = s.codePointAt(i)
           }
@@ -343,6 +387,17 @@ case class SegCount(child: Expression) extends UnaryExpression
     }
     n
   }
+}
+
+case class SegCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "seg_count"
+
+  override def nullSafeEval(in: Any): Any =
+    SegCount.count(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SegCount.count($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -351,13 +406,9 @@ case class SegCount(child: Expression) extends UnaryExpression
   * every bit position; the output bit is 1 iff the vote sum is positive.
   * Near-duplicate documents land within small Hamming distance.
   * Returns null for an empty input set. */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(in: Any): Any = {
-    val xs = in.asInstanceOf[ArrayData]
+object SimHash64 {
+  /** boxed Long so the empty-input case can signal null to both eval paths */
+  def hash(xs: ArrayData): java.lang.Long = {
     val n = xs.numElements()
     if (n == 0) return null
     val votes = new Array[Int](64)
@@ -374,8 +425,24 @@ case class SimHash64(child: Expression) extends UnaryExpression
     var out = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
+    java.lang.Long.valueOf(out)
   }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  // null on EMPTY input (not only on null input)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(in: Any): Any =
+    SimHash64.hash(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Long r = graft.functions.SimHash64.hash($c);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+      |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -387,15 +454,9 @@ case class SimHash64(child: Expression) extends UnaryExpression
   * Output is the sorted distinct fingerprint set — stable under content
   * reordering at the edges, so near-identical documents share most
   * fingerprints. Returns null if the text is shorter than k chars. */
-case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(k > 0 && w > 0, "k and w must be positive")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnow_fp"
-
-  override def nullSafeEval(in: Any): Any = {
-    val s = in.asInstanceOf[UTF8String].toString
+object WinnowingFingerprint {
+  def fp(in: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = in.toString
     val len = s.length
     if (len < k) return null
     val nGrams = len - k + 1
@@ -422,6 +483,26 @@ case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
     }
     new GenericArrayData(picks.toArray)
   }
+}
+
+case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+  // null when the text is shorter than k chars
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(in: Any): Any =
+    WinnowingFingerprint.fp(in.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${CodeGenerator.javaType(dataType)} r =
+      |  graft.functions.WinnowingFingerprint.fp($c, $k, $w);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -703,20 +784,9 @@ case class TopBigramCount(child: Expression) extends UnaryExpression {
   *    pinned stopwords;
   *  - n_punct / n_alpha: codepoints of the raw text in [.,;:!?] /
   *    [A-Za-z] (the two regexp_replace strip-and-length passes). */
-case class TextStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_chars", IntegerType, nullable = false),
-    StructField("n_toks", IntegerType, nullable = false),
-    StructField("n_stop", IntegerType, nullable = false),
-    StructField("n_punct", IntegerType, nullable = false),
-    StructField("n_alpha", IntegerType, nullable = false)))
-  override def prettyName: String = "text_stats"
-
-  @transient private lazy val sw: Array[String] = stopwords.toArray
-
-  override def nullSafeEval(in: Any): Any = {
-    val s = in.asInstanceOf[UTF8String].toString
+object TextStats {
+  def stats(in: UTF8String, sw: Array[String]): InternalRow = {
+    val s = in.toString
     val len = s.length
     // raw-text counters (one codepoint pass)
     var nChars = 0; var nPunct = 0; var nAlpha = 0
@@ -759,7 +829,30 @@ case class TextStats(child: Expression, stopwords: Seq[String])
       } else p += 1
     }
     seg(segStart, hi) // final segment ("" after a trailing run / empty text)
-    org.apache.spark.sql.catalyst.InternalRow(nChars, nToks, nStop, nPunct, nAlpha)
+    InternalRow(nChars, nToks, nStop, nPunct, nAlpha)
+  }
+}
+
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val sw: Array[String] = stopwords.toArray
+
+  override def nullSafeEval(in: Any): Any =
+    TextStats.stats(in.asInstanceOf[UTF8String], sw)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the stopword array rides as a plan reference object — the generated
+    // code stays a single static call (the NfcNormalize pattern)
+    val swRef = ctx.addReferenceObj("sw", sw, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats.stats($c, $swRef)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -775,42 +868,17 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   * collide (~n²/2^129 — the SpanShingleHashes argument). Returns an EMPTY
   * array when the input has fewer than n ids, mirroring the old
   * `CASE WHEN size(ids) >= n THEN ... ELSE array() END` gate. */
-case class IdWindowHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(n > 0, "n must be positive")
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("h1", LongType, nullable = false),
-      StructField("h2", LongType, nullable = false))), containsNull = false)
-  override def prettyName: String = "id_window_keys"
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(IntegerType, _) | ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName expects array<int|bigint>, got ${other.simpleString(10)}")
-    }
-
-  private def isLong = child.dataType match {
-    case ArrayType(LongType, _) => true
-    case _ => false
-  }
-
-  override def nullSafeEval(in: Any): Any = {
-    val ids = in.asInstanceOf[ArrayData]
+object IdWindowHashes {
+  def keys(ids: ArrayData, n: Int, isLong: Boolean): ArrayData = {
     val m = ids.numElements()
     val out =
       if (m < n) new Array[Any](0)
       else {
-        val long = isLong
         val t1 = new Array[Long](m)
         val t2 = new Array[Long](m)
         var i = 0
         while (i < m) {
-          val v = if (long) ids.getLong(i) else ids.getInt(i).toLong
+          val v = if (isLong) ids.getLong(i) else ids.getInt(i).toLong
           t1(i) = Mix64.mix(v ^ 0xCBF29CE484222325L)
           t2(i) = Mix64.mix((v ^ 0x27D4EB2F165667C5L) * 0xC2B2AE3D27D4EB4FL)
           i += 1
@@ -833,6 +901,38 @@ case class IdWindowHashes(child: Expression, n: Int)
       }
     new GenericArrayData(out)
   }
+}
+
+case class IdWindowHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "id_window_keys"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<int|bigint>, got ${other.simpleString(10)}")
+    }
+
+  private def isLong = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(in: Any): Any =
+    IdWindowHashes.keys(in.asInstanceOf[ArrayData], n, isLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IdWindowHashes.keys($c, $n, $isLong)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -843,9 +943,20 @@ case class IdWindowHashes(child: Expression, n: Int)
   * chain in the pair-verification stage with one primitive loop. Null on
   * length mismatch (a truncated signature comparing "equal enough" would
   * be confidently wrong). */
+object SigAgreement {
+  /** boxed Integer: null signals a length mismatch to both eval paths */
+  def agree(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    java.lang.Integer.valueOf(c)
+  }
+}
+
 case class SigAgreement(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sig_agreement"
   override def nullable: Boolean = true
@@ -861,16 +972,14 @@ case class SigAgreement(left: Expression, right: Expression)
             s"${l.simpleString(10)} / ${r.simpleString(10)}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var c = 0
-    var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
-    c
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreement.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => s"""
+      |java.lang.Integer res = graft.functions.SigAgreement.agree($l, $r);
+      |if (res == null) { ${ev.isNull} = true; } else { ${ev.value} = res.intValue(); }
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -260,8 +260,7 @@ case class DotProductI8F64(left: Expression, right: Expression)
 case class NearestCentroids(vec: Expression, qnorm: Expression,
     ids: Seq[Long], cents: Seq[Seq[Double]], spill: Int,
     nanGreatest: Boolean = false)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
   require(ids.nonEmpty && ids.length == cents.length, "ids/cents must align")
   require(spill >= 1, "spill must be >= 1")
 
@@ -346,6 +345,26 @@ case class NearestCentroids(vec: Expression, qnorm: Expression,
     }
   }
 
+  /** Codegen entry point: one direct (non-reflective) call per row. */
+  def score(x: ArrayData, qn: Double): AnyRef =
+    nullSafeEval(x, qn).asInstanceOf[AnyRef]
+
+  // r20: no more CodegenFallback — the expression itself rides the plan as
+  // a reference object and the generated code makes ONE method call per
+  // row, so the WholeStageCodegen span it sits in stays fused (the
+  // fallback forced a row materialization + interpreted eval per row).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    val assign =
+      if (spill == 1) s"${ev.value} = ((java.lang.Long) r).longValue();"
+      else s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r;"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |Object r = $ref.score($a, $b);
+      |if (r == null) { ${ev.isNull} = true; } else { $assign }
+      |""".stripMargin)
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(vec = l, qnorm = r)
 }
@@ -359,8 +378,7 @@ case class NearestCentroids(vec: Expression, qnorm: Expression,
 case class NearestCentroidsF32(vec: Expression,
     ids: Seq[Long], cents: Seq[Seq[Float]], spill: Int,
     nanGreatest: Boolean = false)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(ids.nonEmpty && ids.length == cents.length, "ids/cents must align")
   require(spill >= 1, "spill must be >= 1")
 
@@ -432,6 +450,22 @@ case class NearestCentroidsF32(vec: Expression,
       else new org.apache.spark.sql.catalyst.util.GenericArrayData(
         order.map(idArr(_)).toArray)
     }
+  }
+
+  /** Codegen entry point: one direct (non-reflective) call per row. */
+  def score(x: ArrayData): AnyRef = nullSafeEval(x).asInstanceOf[AnyRef]
+
+  // r20: same fallback removal as [[NearestCentroids]]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidsF32", this,
+      classOf[NearestCentroidsF32].getName)
+    val assign =
+      if (spill == 1) s"${ev.value} = ((java.lang.Long) r).longValue();"
+      else s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r;"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |Object r = $ref.score($c);
+      |if (r == null) { ${ev.isNull} = true; } else { $assign }
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

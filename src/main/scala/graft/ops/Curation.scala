@@ -82,16 +82,21 @@ object Curation {
     * `doc_id + 1_000_000` AND a near-copy (last ~10% of characters
     * dropped — [[Dedup.withPlantedNearDups]]'s perturbation) under
     * `doc_id + 2_000_000`. */
-  def withPlantedDups(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"), col("lang"))
-    base
-      .unionAll(base.select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
-      .unionAll(base.select(
-        (col("doc_id") + 2000000L).as("doc_id"),
+  def withPlantedDups(docs: DataFrame): DataFrame =
+    // single-pass fan-out (r20): the old 3-branch unionAll re-derived the
+    // source subtree once PER BRANCH — three scans (three WARC/JSONL
+    // parses in the e2e compositions) to emit rows one pass produces.
+    // inline() plants all three variants from one evaluation of each row;
+    // every consumer aggregates or re-sorts, so branch order was never
+    // observable (oracle-checked).
+    docs.select(inline(array(
+      struct(col("doc_id").as("doc_id"), col("text").as("text"),
+        col("lang").as("lang")),
+      struct((col("doc_id") + 1000000L).as("doc_id"), col("text").as("text"),
+        col("lang").as("lang")),
+      struct((col("doc_id") + 2000000L).as("doc_id"),
         expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"),
-        col("lang")))
-  }
+        col("lang").as("lang")))))
 
   /** The shared front half of the pipeline: gate → exact keep-first dedup
     * → near-dup marking. Returns the persisted kept set (doc_id, lang,

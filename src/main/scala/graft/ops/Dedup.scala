@@ -55,13 +55,19 @@ object Dedup {
     * near-copy (last ~10% of characters dropped) with doc_id + 1_000_000.
     * Each pipeline must rediscover exactly these planted pairs plus any
     * genuine ones — making the result deterministic and self-checking. */
-  def withPlantedNearDups(docs: DataFrame): DataFrame = {
-    val perturbed = docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"),
-      col("lang"), col("source"), col("n_chars"))
-    docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(perturbed)
-  }
+  def withPlantedNearDups(docs: DataFrame): DataFrame =
+    // single-pass fan-out (r20): original + perturbed twin from ONE
+    // evaluation of each source row — the unionAll form scanned the source
+    // once per branch. Consumers aggregate/join/sort, so branch order was
+    // never observable (oracle-checked).
+    docs.select(inline(array(
+      struct(col("doc_id").as("doc_id"), col("text").as("text"),
+        col("lang").as("lang"), col("source").as("source"),
+        col("n_chars").as("n_chars")),
+      struct((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"),
+        col("lang").as("lang"), col("source").as("source"),
+        col("n_chars").as("n_chars")))))
 
   /** (doc_id, sig) → one row per LSH band, keyed by xxhash64 of the band's
     * signature slice; the banding used by [[minHashPairs]] and the
@@ -355,6 +361,14 @@ object Dedup {
       .select(col("doc_id"), col("nt"),
         posexplode(graft.functions.GraftFunctions.span_shingles(col("text"), k))
           .as(Seq("pos", "sh")))
+      // r20: the sh stream feeds TWO consumers (the duplicate-key count
+      // and the flag join-back) — without the persist the whole
+      // tokenize+hash pass ran twice per action. The cache holds
+      // (doc_id, nt, pos, 16-byte key) — positions and keys, never text —
+      // and replaces a full second corpus tokenization; the aggregate
+      // stays partial+final and the join stays AQE-skew-splittable, so
+      // the hot-shingle skew guards are unchanged.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("sh")
     val flagged = sh.join(dup, Seq("sh")).select("doc_id", "nt", "pos")
@@ -389,7 +403,10 @@ object Dedup {
     * exactly ONE exchange, as whole rows, never token-exploded. */
   def stripDuplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     val toks = spanToks(docs)
+    // r20: same single-derivation persist as [[duplicatedSpans]] — the sh
+    // stream feeds the canon/count aggregate AND the removable join-back
     val sh = spanShinglesFromText(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = sh.groupBy("sh").agg(count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("canon"))
     val removable = sh.join(agg.filter(col("cnt") > 1), Seq("sh"))
@@ -1239,8 +1256,19 @@ object Dedup {
         // (measured at sf0.1). On a fault-tolerant cluster run, swap for
         // reliable `checkpoint()` against the configured checkpoint dir —
         // same lineage truncation, executor-loss-safe.
-        var lab = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
+        // r20: seed labels one propagation round ahead — label₀ =
+        // min(self, neighbors) is exactly what round 1 of the loop would
+        // compute from label=self (with the round-1 jump a no-op, since
+        // every pointer is still the identity), but it costs ONE
+        // aggregate over the edge list instead of a join + aggregate +
+        // jump self-join + convergence count; shallow components converge
+        // one full shuffle round earlier, and the fixpoint (min id per
+        // component) is unchanged. Every src appears in the aggregate
+        // because edges carry both directions, so the id set is identical
+        // to the old distinct().
+        var lab = edges
+          .groupBy(col("src").as("id"))
+          .agg(least(col("id"), min(col("dst"))).as("label"))
           .localCheckpoint()
         var changed = 1L
         var i = 0
@@ -1410,17 +1438,23 @@ object Dedup {
     // pairs) to pin the no-policy-shuffle corpus rejoin path.
     "dedup_canonical" -> ((s, d) => {
       val base = Tables.load(s, d, "documents").select("doc_id", "text")
-      val dupped = base.filter(col("doc_id") % 10 =!= 0)
-      def truncated(frac: String, off: Long) = dupped.select(
+      def truncStruct(frac: String, off: Long) = struct(
         (col("doc_id") + off).as("doc_id"),
         expr(s"substring(text, 1, greatest(cast(length(text) * $frac as int), 1))")
           .as("text"))
-      val docs = base.unionAll(truncated("0.9", 1000000L))
-        .unionAll(truncated("0.8", 2000000L))
-      val pairs = dupped
-        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
-        .unionAll(dupped.select((col("doc_id") + 1000000L).as("doc_a"),
-          (col("doc_id") + 2000000L).as("doc_b")))
+      // single-pass fan-out (r20): the chain (original, 0.9-copy, 0.8-copy)
+      // plants from ONE scan — every 10th doc stays a singleton (1-element
+      // array), the rest fan to 3; the old 3-branch unionAll scanned the
+      // table once per branch. Pair edges fan the same way from one scan.
+      val docs = base.select(inline(when(col("doc_id") % 10 =!= 0,
+        array(struct(col("doc_id").as("doc_id"), col("text").as("text")),
+          truncStruct("0.9", 1000000L), truncStruct("0.8", 2000000L)))
+        .otherwise(array(
+          struct(col("doc_id").as("doc_id"), col("text").as("text"))))))
+      val pairs = base.filter(col("doc_id") % 10 =!= 0).select(inline(array(
+        struct(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b")),
+        struct((col("doc_id") + 1000000L).as("doc_a"),
+          (col("doc_id") + 2000000L).as("doc_b")))))
       keepBestPerGroup(docs, pairs)
     }),
     // The policy head over the index probe: every 7th new doc is FRESH
@@ -1528,9 +1562,11 @@ object Dedup {
   private def groupsEntry(threshold: Long)
       : (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
     val base = Tables.load(s, d, "documents").select("doc_id", "text")
-    val docs = base
-      .unionAll(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .unionAll(base.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    // single-pass fan-out (r20): three exact copies from one scan
+    val docs = base.select(inline(array(
+      struct(col("doc_id").as("doc_id"), col("text").as("text")),
+      struct((col("doc_id") + 1000000L).as("doc_id"), col("text").as("text")),
+      struct((col("doc_id") + 2000000L).as("doc_id"), col("text").as("text")))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("text").orderBy("doc_id")
     val pairs = docs

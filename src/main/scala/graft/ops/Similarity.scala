@@ -77,13 +77,15 @@ object Similarity {
   /** Plant deterministic near-duplicate vectors (scaled + tiny offset →
     * cosine ≈ 1 vs the original) so near-dup ops have guaranteed positives
     * on the synthetic corpus (verified: natural max pairwise cosine ≈ 0.51). */
-  def withPlantedNearDupVectors(emb: DataFrame): DataFrame = {
-    val perturbed = emb.select(
-      (col("vec_id") + 1000000L).as("vec_id"),
-      expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"),
-      col("label"))
-    emb.select("vec_id", "embedding", "label").unionAll(perturbed)
-  }
+  def withPlantedNearDupVectors(emb: DataFrame): DataFrame =
+    // single-pass fan-out (r20): original + perturbed twin from one
+    // evaluation of each row (the unionAll form scanned the source twice)
+    emb.select(inline(array(
+      struct(col("vec_id").as("vec_id"), col("embedding").as("embedding"),
+        col("label").as("label")),
+      struct((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"),
+        col("label").as("label")))))
 
   /** Distributed per-query top-k as a partial+final AGGREGATE: each map
     * task keeps a bounded k-element buffer per query (TopK Aggregator), so
@@ -885,13 +887,13 @@ object Similarity {
     * under +1_000_000 (the dedup_incr_embedding perturbation verbatim);
     * ONE definition shared by the entry and the scale-parametric oracle
     * generator so the k they compute cannot drift. */
-  private def plantedEmb(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.load(s, d, "embeddings")
-    emb.select("vec_id", "embedding").unionAll(emb.select(
-      (col("vec_id") + 1000000L).as("vec_id"),
-      expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
-        .as("embedding")))
-  }
+  private def plantedEmb(s: SparkSession, d: String): DataFrame =
+    // single-pass fan-out (r20), same move as [[withPlantedNearDupVectors]]
+    Tables.load(s, d, "embeddings").select(inline(array(
+      struct(col("vec_id").as("vec_id"), col("embedding").as("embedding")),
+      struct((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
+          .as("embedding")))))
 
   /** The dedup_semantic oracle regenerated for an ARBITRARY fixture
     * (r16 verdict #2): k is computed from the quantized planted-union

@@ -54,6 +54,17 @@ private[graft] object Tokens {
   private[graft] def isWsCp(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
 
+  /** Codepoint predicate of [[CjkJava]] — THE CJK segmentation contract
+    * (one Han/Hiragana/Katakana/Hangul codepoint = one token), shared by
+    * every in-eval tokenizer (WordShingleHashes, SpanShingleHashes,
+    * SegCount) so the script set cannot drift between kernels (r20,
+    * per the r19 advisory). */
+  private[graft] def isCjkCp(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN || sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA || sc == Character.UnicodeScript.HANGUL
+  }
+
   /** Java-regex capture of one CJK codepoint (Unicode script classes). */
   private val CjkJava = "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"
 

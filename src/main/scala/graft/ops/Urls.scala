@@ -42,10 +42,14 @@ object Urls {
     * to the same key, with the original id as keeper. Shared with the
     * composed crawl gate ([[Curation]] `e2e_crawl_to_chunks`). */
   private[ops] def fetchLog(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("fetch_id"), expr(
-      "concat('HTTP://EXAMPLE.com/doc/', cast(doc_id as string), '?utm_source=feed')").as("url"))
-      .unionAll(docs.select((col("doc_id") + 1000000L).as("fetch_id"), expr(
-        "concat('http://example.com:80/doc/', cast(doc_id as string), '?fbclid=1&gclid=2#x')").as("url")))
+    // single-pass fan-out (r20): both fetch variants of a document from ONE
+    // evaluation of its row — the unionAll form re-derived the source per
+    // branch (two WARC parses in the crawl composition, two scans here)
+    docs.select(inline(array(
+      struct(col("doc_id").as("fetch_id"), expr(
+        "concat('HTTP://EXAMPLE.com/doc/', cast(doc_id as string), '?utm_source=feed')").as("url")),
+      struct((col("doc_id") + 1000000L).as("fetch_id"), expr(
+        "concat('http://example.com:80/doc/', cast(doc_id as string), '?fbclid=1&gclid=2#x')").as("url")))))
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "url_normalize" -> ((s, d) =>
