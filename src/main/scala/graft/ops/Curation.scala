@@ -72,9 +72,19 @@ object Curation {
     lastKept = Some(kept)
     kept
   }
+  // second tracked slot (r20): the crawl composition's extracted-prose
+  // cache — same one-at-a-time discipline as the kept set
+  private[this] var lastExtracted: Option[DataFrame] = None
+  private def trackExtracted(df: DataFrame): DataFrame = synchronized {
+    lastExtracted.foreach(_.unpersist(blocking = false))
+    lastExtracted = Some(df)
+    df
+  }
   def releaseCache(): Unit = synchronized {
     lastKept.foreach(_.unpersist(blocking = false))
     lastKept = None
+    lastExtracted.foreach(_.unpersist(blocking = false))
+    lastExtracted = None
   }
 
   /** ENTRY scaffolding (the production pipeline curates real data with
@@ -228,6 +238,13 @@ object Curation {
         expr(TextAnalysis.htmlPageTemplateExpr).as("html"))
       .select(col("doc_id"), col("lang"),
         graft.functions.GraftFunctions.html_to_text(col("html")).as("text"))
+      // r20: consumed twice (the URL-dedup gate below and the curated
+      // join side) — and the WARC source behind `valid` is an archive
+      // parse (a per-archive flatMap), so each re-derivation re-parses
+      // whole archives. Persist the parsed PROSE (doc_id, lang, text):
+      // one parse per action instead of one per consumer.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackExtracted(extracted)
     val keepers = Urls.fetchLog(extracted)
       .groupBy(graft.functions.GraftFunctions.url_normalize(col("url")).as("url_norm"))
       .agg(count(lit(1)).as("n_fetches"), min(col("fetch_id")).as("keeper"))

@@ -1007,9 +1007,13 @@ object Dedup {
     * that is the 100 TB path. */
   def evalLeakage(train: DataFrame, eval: DataFrame,
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    // r20: the REDUCED pair list feeds both direction joins (ab, ba) —
+    // persist it so the banding self-join + verification stage run once
+    // per action, not once per direction
     val pairs = minHashPairs(
       train.select("doc_id", "text").unionAll(eval.select("doc_id", "text")),
       bands, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainIds = train.select(col("doc_id").as("train_id"))
     val evalIds = eval.select(col("doc_id").as("eval_id"))
     val ab = pairs
@@ -1338,7 +1342,10 @@ object Dedup {
     * misreport, at 2⁻¹²⁸ odds; the oracle groups the text itself, so a
     * collision would surface as a gate mismatch, not hide). */
   def corpusReport(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+    // r20: the pair list feeds both id projections — persist it so the
+    // banding + verification pipeline runs once per action, not per side
     val pairs = minHashPairs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearIds = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .distinct()

@@ -588,15 +588,23 @@ object WarcIngest {
   def parseChannels(archives: DataFrame): (DataFrame, DataFrame) = {
     val spark = archives.sparkSession
     import spark.implicits._
+    // r20: persist the parsed rows at the object boundary (the JSONL
+    // bronze-sink pattern, JsonlIngest.readWithQuarantine) — without it the
+    // presentation sort's range-sampling pass, and any consumer touching
+    // both channels, re-ran the whole per-archive parse (a serial flatMap
+    // over each archive's bytes). The channel split becomes a column
+    // filter over the cached rows instead of a second object pipeline.
     val rows = archives
       .select("content").as[Array[Byte]]
       .flatMap(parseAnyArchive _)
-    val valid = rows.filter(_.errorClass.isEmpty)
-      .map(r => (r.docId.get, r.text, r.lang, r.targetUri))
-      .toDF("doc_id", "text", "lang", "target_uri")
-    val quarantine = rows.filter(_.errorClass.nonEmpty)
-      .map(r => (r.targetUri, r.errorClass))
-      .toDF("target_uri", "error_class")
+      .toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valid = rows.filter(col("errorClass") === "")
+      .select(col("docId").as("doc_id"), col("text"), col("lang"),
+        col("targetUri").as("target_uri"))
+    val quarantine = rows.filter(col("errorClass") =!= "")
+      .select(col("targetUri").as("target_uri"),
+        col("errorClass").as("error_class"))
     (valid, quarantine)
   }
 
