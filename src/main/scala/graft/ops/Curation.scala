@@ -95,18 +95,19 @@ object Curation {
   def withPlantedDups(docs: DataFrame): DataFrame =
     // single-pass fan-out (r20): the old 3-branch unionAll re-derived the
     // source subtree once PER BRANCH — three scans (three WARC/JSONL
-    // parses in the e2e compositions) to emit rows one pass produces.
-    // inline() plants all three variants from one evaluation of each row;
-    // every consumer aggregates or re-sorts, so branch order was never
-    // observable (oracle-checked).
-    docs.select(inline(array(
-      struct(col("doc_id").as("doc_id"), col("text").as("text"),
-        col("lang").as("lang")),
-      struct((col("doc_id") + 1000000L).as("doc_id"), col("text").as("text"),
-        col("lang").as("lang")),
-      struct((col("doc_id") + 2000000L).as("doc_id"),
-        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"),
-        col("lang").as("lang")))))
+    // parses in the e2e compositions) to emit rows one pass produces. The
+    // generator emits only a variant TAG (exact copy / exact copy+1M /
+    // 0.9-truncated+2M) and the source columns pass through beside it, so
+    // column pruning still reaches the source; every consumer aggregates
+    // or re-sorts, so branch order was never observable (oracle-checked).
+    docs.select(col("doc_id"), col("text"), col("lang"),
+      explode(typedlit(Seq(0L, 1L, 2L))).as("__v"))
+      .select(
+        (col("doc_id") + col("__v") * 1000000L).as("doc_id"),
+        when(col("__v") === 2L, expr(
+          "substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))"))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
 
   /** The shared front half of the pipeline: gate → exact keep-first dedup
     * → near-dup marking. Returns the persisted kept set (doc_id, lang,

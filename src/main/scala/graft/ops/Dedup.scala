@@ -58,16 +58,20 @@ object Dedup {
   def withPlantedNearDups(docs: DataFrame): DataFrame =
     // single-pass fan-out (r20): original + perturbed twin from ONE
     // evaluation of each source row — the unionAll form scanned the source
-    // once per branch. Consumers aggregate/join/sort, so branch order was
-    // never observable (oracle-checked).
-    docs.select(inline(array(
-      struct(col("doc_id").as("doc_id"), col("text").as("text"),
-        col("lang").as("lang"), col("source").as("source"),
-        col("n_chars").as("n_chars")),
-      struct((col("doc_id") + 1000000L).as("doc_id"),
-        expr("substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))").as("text"),
-        col("lang").as("lang"), col("source").as("source"),
-        col("n_chars").as("n_chars")))))
+    // once per branch. The generator emits only a variant TAG and the
+    // source columns pass through beside it (an inline(array(struct…))
+    // form blocked column pruning: consumers reading (doc_id, text) pulled
+    // lang/source/n_chars through the scan too). Consumers aggregate/join/
+    // sort, so branch order was never observable (oracle-checked).
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+      col("n_chars"), explode(typedlit(Seq(0L, 1L))).as("__v"))
+      .select(
+        (col("doc_id") + col("__v") * 1000000L).as("doc_id"),
+        when(col("__v") === 0L, col("text"))
+          .otherwise(expr(
+            "substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))"))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
 
   /** (doc_id, sig) → one row per LSH band, keyed by xxhash64 of the band's
     * signature slice; the banding used by [[minHashPairs]] and the
@@ -1445,23 +1449,28 @@ object Dedup {
     // pairs) to pin the no-policy-shuffle corpus rejoin path.
     "dedup_canonical" -> ((s, d) => {
       val base = Tables.load(s, d, "documents").select("doc_id", "text")
-      def truncStruct(frac: String, off: Long) = struct(
-        (col("doc_id") + off).as("doc_id"),
-        expr(s"substring(text, 1, greatest(cast(length(text) * $frac as int), 1))")
-          .as("text"))
       // single-pass fan-out (r20): the chain (original, 0.9-copy, 0.8-copy)
       // plants from ONE scan — every 10th doc stays a singleton (1-element
-      // array), the rest fan to 3; the old 3-branch unionAll scanned the
-      // table once per branch. Pair edges fan the same way from one scan.
-      val docs = base.select(inline(when(col("doc_id") % 10 =!= 0,
-        array(struct(col("doc_id").as("doc_id"), col("text").as("text")),
-          truncStruct("0.9", 1000000L), truncStruct("0.8", 2000000L)))
-        .otherwise(array(
-          struct(col("doc_id").as("doc_id"), col("text").as("text"))))))
-      val pairs = base.filter(col("doc_id") % 10 =!= 0).select(inline(array(
-        struct(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b")),
-        struct((col("doc_id") + 1000000L).as("doc_a"),
-          (col("doc_id") + 2000000L).as("doc_b")))))
+      // tag array), the rest fan to 3; the old 3-branch unionAll scanned
+      // the table once per branch. Pair edges fan the same way from one
+      // scan. Tag-explode keeps column pruning intact.
+      val docs = base
+        .select(col("doc_id"), col("text"),
+          explode(when(col("doc_id") % 10 =!= 0, typedlit(Seq(0L, 1L, 2L)))
+            .otherwise(typedlit(Seq(0L)))).as("__v"))
+        .select(
+          (col("doc_id") + col("__v") * 1000000L).as("doc_id"),
+          when(col("__v") === 0L, col("text"))
+            .when(col("__v") === 1L, expr(
+              "substring(text, 1, greatest(cast(length(text) * 0.9 as int), 1))"))
+            .otherwise(expr(
+              "substring(text, 1, greatest(cast(length(text) * 0.8 as int), 1))"))
+            .as("text"))
+      val pairs = base.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), explode(typedlit(Seq(0L, 1L))).as("__v"))
+        .select(
+          (col("doc_id") + col("__v") * 1000000L).as("doc_a"),
+          (col("doc_id") + (col("__v") + 1L) * 1000000L).as("doc_b"))
       keepBestPerGroup(docs, pairs)
     }),
     // The policy head over the index probe: every 7th new doc is FRESH
@@ -1570,10 +1579,10 @@ object Dedup {
       : (org.apache.spark.sql.SparkSession, String) => DataFrame = (s, d) => {
     val base = Tables.load(s, d, "documents").select("doc_id", "text")
     // single-pass fan-out (r20): three exact copies from one scan
-    val docs = base.select(inline(array(
-      struct(col("doc_id").as("doc_id"), col("text").as("text")),
-      struct((col("doc_id") + 1000000L).as("doc_id"), col("text").as("text")),
-      struct((col("doc_id") + 2000000L).as("doc_id"), col("text").as("text")))))
+    // (tag-explode — the text column passes through untouched)
+    val docs = base
+      .select(col("doc_id"), col("text"), explode(typedlit(Seq(0L, 1L, 2L))).as("__v"))
+      .select((col("doc_id") + col("__v") * 1000000L).as("doc_id"), col("text"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("text").orderBy("doc_id")
     val pairs = docs

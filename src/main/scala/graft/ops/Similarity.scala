@@ -79,13 +79,16 @@ object Similarity {
     * on the synthetic corpus (verified: natural max pairwise cosine ≈ 0.51). */
   def withPlantedNearDupVectors(emb: DataFrame): DataFrame =
     // single-pass fan-out (r20): original + perturbed twin from one
-    // evaluation of each row (the unionAll form scanned the source twice)
-    emb.select(inline(array(
-      struct(col("vec_id").as("vec_id"), col("embedding").as("embedding"),
-        col("label").as("label")),
-      struct((col("vec_id") + 1000000L).as("vec_id"),
-        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))").as("embedding"),
-        col("label").as("label")))))
+    // evaluation of each row (the unionAll form scanned the source twice).
+    // Tag-explode keeps column pruning intact (see Dedup.withPlantedNearDups).
+    emb.select(col("vec_id"), col("embedding"), col("label"),
+      explode(typedlit(Seq(0L, 1L))).as("__v"))
+      .select(
+        (col("vec_id") + col("__v") * 1000000L).as("vec_id"),
+        when(col("__v") === 0L, col("embedding"))
+          .otherwise(expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))"))
+          .as("embedding"),
+        col("label"))
 
   /** Distributed per-query top-k as a partial+final AGGREGATE: each map
     * task keeps a bounded k-element buffer per query (TopK Aggregator), so
@@ -889,11 +892,14 @@ object Similarity {
     * generator so the k they compute cannot drift. */
   private def plantedEmb(s: SparkSession, d: String): DataFrame =
     // single-pass fan-out (r20), same move as [[withPlantedNearDupVectors]]
-    Tables.load(s, d, "embeddings").select(inline(array(
-      struct(col("vec_id").as("vec_id"), col("embedding").as("embedding")),
-      struct((col("vec_id") + 1000000L).as("vec_id"),
-        expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))")
-          .as("embedding")))))
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        explode(typedlit(Seq(0L, 1L))).as("__v"))
+      .select(
+        (col("vec_id") + col("__v") * 1000000L).as("vec_id"),
+        when(col("__v") === 0L, col("embedding"))
+          .otherwise(expr("transform(embedding, x -> cast(x * 1.02 + 0.001 as float))"))
+          .as("embedding"))
 
   /** The dedup_semantic oracle regenerated for an ARBITRARY fixture
     * (r16 verdict #2): k is computed from the quantized planted-union

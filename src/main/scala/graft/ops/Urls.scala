@@ -44,12 +44,16 @@ object Urls {
   private[ops] def fetchLog(docs: DataFrame): DataFrame =
     // single-pass fan-out (r20): both fetch variants of a document from ONE
     // evaluation of its row — the unionAll form re-derived the source per
-    // branch (two WARC parses in the crawl composition, two scans here)
-    docs.select(inline(array(
-      struct(col("doc_id").as("fetch_id"), expr(
-        "concat('HTTP://EXAMPLE.com/doc/', cast(doc_id as string), '?utm_source=feed')").as("url")),
-      struct((col("doc_id") + 1000000L).as("fetch_id"), expr(
-        "concat('http://example.com:80/doc/', cast(doc_id as string), '?fbclid=1&gclid=2#x')").as("url")))))
+    // branch (two WARC parses in the crawl composition, two scans here).
+    // Tag-explode keeps column pruning intact (see Dedup.withPlantedNearDups).
+    docs.select(col("doc_id"), explode(typedlit(Seq(0L, 1L))).as("__v"))
+      .select(
+        (col("doc_id") + col("__v") * 1000000L).as("fetch_id"),
+        when(col("__v") === 0L, expr(
+          "concat('HTTP://EXAMPLE.com/doc/', cast(doc_id as string), '?utm_source=feed')"))
+          .otherwise(expr(
+            "concat('http://example.com:80/doc/', cast(doc_id as string), '?fbclid=1&gclid=2#x')"))
+          .as("url"))
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "url_normalize" -> ((s, d) =>

@@ -16,8 +16,12 @@ def main(prefix):
     names = sorted(a[0])
     rows = []
     for n in names:
-        av = min(x[n] for x in a if x[n] >= 0)
-        bv = min(x[n] for x in b if x[n] >= 0)
+        va = [x[n] for x in a if x[n] >= 0]
+        vb = [x[n] for x in b if x[n] >= 0]
+        if not va or not vb:
+            print(f"SKIP {n}: failed in some leg (A={va}, B={vb})")
+            continue
+        av, bv = min(va), min(vb)
         rows.append((bv - av, n, av, bv))
     rows.sort()
     ta = tb = 0.0
